@@ -1,0 +1,995 @@
+"""Relational query surface (SURVEY.md §2.7, §2.8, §2.11).
+
+The reference delegates all cross-row relational work to BigQuery
+(/root/reference/load.bat:3-10); this engine subsumes it natively with
+Spark SQL / DataFrame built-ins — zero custom operator code, so Catalyst
+keeps full freedom: predicate pushdown into the parquet scan, column
+pruning, broadcast-vs-sort-merge join selection, partial (map-side)
+aggregation, AQE skew splitting.
+
+Scale notes are inline per query; the recurring ones:
+- dims (region/nation/supplier/part at TPC-H proportions) are broadcast —
+  no shuffle of the fact table for those joins;
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key once; group-bys
+  that follow on the same key reuse the exchange;
+- top-k per group uses window row_number, which at scale is a single
+  shuffle on the partition key (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warcraider_spark.registry import ROUND_DIGITS as RD
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (partial+final hash agg; Catalyst default physical plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), {RD}) AS sum_qty,
+       ROUND(SUM(l_extendedprice), {RD}) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {RD}) AS sum_charge,
+       ROUND(AVG(l_quantity), {RD}) AS avg_qty,
+       ROUND(AVG(l_extendedprice), {RD}) AS avg_price,
+       ROUND(AVG(l_discount), {RD}) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("agg",),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the flagship aggregate.
+
+    Scale: filter pushed to parquet scan; partial agg map-side → one shuffle
+    of ~|groups| rows per partition. Survives 100 TB trivially (6 groups).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), RD).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), RD).alias("sum_base_price"),
+            F.round(F.sum(disc_price), RD).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), RD).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), RD).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), RD).alias("avg_price"),
+            F.round(F.avg("l_discount"), RD).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_agg_distinct",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       ROUND(MIN(l_extendedprice), {RD}) AS min_price,
+       ROUND(MAX(l_extendedprice), {RD}) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q02_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) + min/max per group (expand + two-phase agg)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.round(F.min("l_extendedprice"), RD).alias("min_price"),
+            F.round(F.max("l_extendedprice"), RD).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q03_rollup",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_quantity), {RD}) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    tags=("agg", "rollup"),
+)
+def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Expand operator feeding hash agg)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), RD).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q04_cube",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       ROUND(SUM(o_totalprice), {RD}) AS sum_total,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+""",
+    tags=("agg", "cube"),
+)
+def q04_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), RD).alias("sum_total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_total",
+            "n",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.7) — the full join surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_star_join_revenue",
+    oracle=f"""
+SELECT n_name, r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("join", "agg"),
+    bench=True,
+)
+def q05_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join → revenue per nation/region (TPC-H Q5 shape).
+
+    Scale: customer/nation/region are broadcast (dims); lineitem⋈orders is
+    the only real shuffle, on the orderkey. At 100 TB both facts shuffle
+    once; bucketing both on orderkey would eliminate even that.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), RD).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q06_left_join_agg",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), {RD}) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+""",
+    tags=("join", "agg"),
+)
+def q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), RD).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q07_semi_anti",
+    oracle="""
+SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY bucket
+""",
+    tags=("join", "semi", "anti"),
+)
+def q07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti join (the blacklist-filter shape at scale,
+    SURVEY §2.2: broadcast anti-join replaces the reference's in-memory
+    blacklist scan, /root/reference/src/blacklist.rs:52-57)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("bucket"), "n"
+    )
+    anti = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("without_orders").alias("bucket"), "n"
+    )
+    return semi.unionAll(anti).orderBy("bucket")
+
+
+@query(
+    "q08_full_outer",
+    oracle="""
+WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
+     c AS (SELECT DISTINCT c_nationkey FROM customer)
+SELECT COALESCE(s_nationkey, -1) AS supp_nation,
+       COALESCE(c_nationkey, -1) AS cust_nation,
+       (s_nationkey IS NOT NULL AND c_nationkey IS NOT NULL) AS both_sides
+FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
+ORDER BY supp_nation, cust_nation
+""",
+    tags=("join",),
+)
+def q08_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on nation membership of suppliers vs customers."""
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "full_outer")
+        .select(
+            F.coalesce("s_nationkey", F.lit(-1)).alias("supp_nation"),
+            F.coalesce("c_nationkey", F.lit(-1)).alias("cust_nation"),
+            (F.col("s_nationkey").isNotNull() & F.col("c_nationkey").isNotNull()).alias("both_sides"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@query(
+    "q09_range_join",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_matches,
+       ROUND(AVG(l_quantity), {RD}) AS avg_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("join", "range"),
+)
+def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range (theta) join: equi key keeps it hash-joinable, the range
+    predicate becomes a post-join filter — NOT a nested-loop at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(pa),
+            (li.l_partkey == pa.p_partkey)
+            & (li.l_quantity >= pa.p_size - 2)
+            & (li.l_quantity <= pa.p_size + 2),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_matches"), F.round(F.avg("l_quantity"), RD).alias("avg_qty"))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / sorts (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    tags=("window", "topk"),
+    bench=True,
+)
+def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number window.
+
+    Scale: one shuffle on o_custkey, sort within partitions only. The
+    o_orderkey tiebreak makes row numbering deterministic for hashing.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q11_window_analytics",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice, {RD}) AS price,
+       ROUND(LAG(o_totalprice) OVER w, {RD}) AS prev_price,
+       ROUND(LEAD(o_totalprice) OVER w, {RD}) AS next_price,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {RD}) AS running_total,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window",),
+)
+def q11_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank/ntile/running-sum analytic windows."""
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    by_price_tb = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", RD).alias("price"),
+            F.round(F.lag("o_totalprice").over(by_date), RD).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(by_date), RD).alias("next_price"),
+            F.round(
+                F.sum("o_totalprice").over(by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)), RD
+            ).alias("running_total"),
+            F.rank().over(by_price).alias("price_rank"),
+            F.ntile(4).over(by_price_tb).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q12_global_topk",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {RD}) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("sort", "topk"),
+)
+def q12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
+    (per-partition heap + merge of k, no full sort at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", RD).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_set_ops",
+    oracle="""
+WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM auto)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM hi INTERSECT SELECT * FROM auto)
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM auto)
+ORDER BY op
+""",
+    tags=("setop",),
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over customer splits."""
+    cu = _t(spark, sf_dir, "customer")
+    hi = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    auto = cu.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+
+    def count_of(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_of(hi.union(auto).distinct(), "union")
+        .unionAll(count_of(hi.intersect(auto), "intersect"))
+        .unionAll(count_of(hi.subtract(auto), "except"))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.11): string/date/math/array/map/JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LOWER(p_name) AS name_lower,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       TRIM(p_name) AS name_trim,
+       CONTAINS(p_type, 'BRASS') AS is_brass,
+       len(string_split(p_name, ' ')) AS name_words
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("scalar", "string"),
+)
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (upper/lower/length/substring/concat/replace/
+    trim/contains/split)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_name").alias("name_lower"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+            F.trim(F.col("p_name")).alias("name_trim"),
+            F.col("p_type").contains("BRASS").alias("is_brass"),
+            F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q15_regexp_funcs",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_matches(p_name, 'o.*o') AS has_double_o,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("scalar", "regex"),
+)
+def q15_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family — the substrate for the reference's extraction
+    regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.col("p_name").rlike("o.*o").alias("has_double_o"),
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q16_date_funcs",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), {RD}) AS monthly_total,
+       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+       MAX(CAST(o_orderdate AS DATE)) AS last_day
+FROM orders
+GROUP BY order_month
+ORDER BY order_month
+""",
+    tags=("scalar", "date", "agg"),
+)
+def q16_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date truncation + per-month aggregate (the BigQuery day-partitioning
+    query shape, /root/reference/load.bat:7)."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), RD).alias("monthly_total"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "q17_datepart_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dy,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+""",
+    tags=("scalar", "date"),
+)
+def q17_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayofweek extraction + date arithmetic.
+
+    Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
+    normalized here to DuckDB's convention (dayofweek-1).
+    """
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias(
+                "days_since_95"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
+    "q18_math_funcs",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 0) AS price_round,
+       FLOOR(l_quantity) AS qty_floor,
+       CEIL(l_discount * 100) AS disc_pct_ceil,
+       ABS(l_quantity - 25) AS qty_dev,
+       ROUND(SQRT(l_extendedprice), {RD}) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), {RD}) AS price_ln,
+       ROUND(POW(1 + l_tax, 2), {RD}) AS tax_sq,
+       CAST(FLOOR(l_quantity) AS BIGINT) % 7 AS qty_mod7
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 1000
+""",
+    tags=("scalar", "math"),
+)
+def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 0).alias("price_round"),
+            F.floor("l_quantity").cast("double").alias("qty_floor"),
+            F.ceil(F.col("l_discount") * 100).cast("double").alias("disc_pct_ceil"),
+            F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+            F.round(F.sqrt("l_extendedprice"), RD).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), RD).alias("price_ln"),
+            F.round(F.pow(1 + F.col("l_tax"), 2), RD).alias("tax_sq"),
+            (F.floor("l_quantity") % 7).alias("qty_mod7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@query(
+    "q19_array_funcs",
+    oracle=f"""
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(list_aggregate(embedding, 'sum'), {RD}) + 0.0 AS vec_sum,
+       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), {RD}) + 0.0 AS vec_max,
+       ROUND(CAST(embedding[1] AS DOUBLE), {RD}) + 0.0 AS first_elem,
+       ROUND(list_aggregate(list_transform(embedding, x -> x * x), 'sum'), {RD}) + 0.0 AS sq_norm
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("scalar", "array"),
+)
+def q19_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (size/aggregate/transform/element_at) —
+    the substrate for the reference's links/resource_urls array ops
+    (SURVEY §2.5) and for embedding math.
+
+    Floats are cast to double BEFORE summing: DuckDB list_aggregate
+    promotes to double, and float32 accumulation would drift.
+    """
+    em = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # "+ 0.0" normalizes IEEE negative zero (ROUND(-0.003, 2) → -0.0) so the
+    # value hash matches the oracle, which applies the same normalization.
+    return (
+        em.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            (F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x), RD) + 0.0).alias("vec_sum"),
+            (F.round(F.array_max(as_double), RD) + 0.0).alias("vec_max"),
+            (F.round(F.element_at(as_double, 1), RD) + 0.0).alias("first_elem"),
+            (F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x * x), RD) + 0.0).alias("sq_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q20_array_set_funcs",
+    oracle="""
+SELECT doc_id,
+       list_sort(list_distinct(string_split(lower(text), ' ')))[1:5] AS first_tokens,
+       len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens
+FROM documents
+WHERE doc_id <= 200
+ORDER BY doc_id
+""",
+    tags=("scalar", "array"),
+)
+def q20_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_distinct + array_sort + slice — the reference's
+    sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    return (
+        docs.select(
+            "doc_id",
+            F.slice(F.array_sort(toks), 1, 5).alias("first_tokens"),
+            F.size(toks).cast("long").alias("distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q21_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val,
+       CAST(json_valid(props) AS BOOLEAN) AS is_valid
+FROM events
+ORDER BY event_id
+""",
+    tags=("scalar", "json"),
+)
+def q21_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (the meta_tags/headers
+    serialization shape, SURVEY §2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+            F.get_json_object("props", "$.missing").alias("missing_val"),
+            F.from_json("props", "map<string,string>").isNotNull().alias("is_valid"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q22_map_funcs",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)) AS n_k_buckets,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("scalar", "map", "json"),
+)
+def q22_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType → element_at lookup, aggregated.
+
+    Exercises MapType the way the reference uses headers/meta_tags maps
+    (map lookup with default, SURVEY §2.5: coalesce(m['k'], default)).
+    """
+    ev = _t(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,string>")
+    k = F.element_at(props_map, "k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.floor(F.col("k") / 10)).alias("n_k_buckets"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q23_conditional_funcs",
+    oracle=f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS size_bucket,
+       o_orderstatus,
+       COUNT(*) AS n,
+       ROUND(AVG(o_totalprice), {RD}) AS avg_price
+FROM orders
+GROUP BY size_bucket, o_orderstatus
+ORDER BY size_bucket, o_orderstatus
+""",
+    tags=("scalar", "conditional", "agg"),
+)
+def q23_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (the oversize-guard conditional shape,
+    /root/reference/src/main.rs:376-381)."""
+    od = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("size_bucket")
+    )
+    return (
+        od.groupBy(bucket, F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), RD).alias("avg_price"))
+        .orderBy("size_bucket", "o_orderstatus")
+    )
+
+
+@query(
+    "q24_exists_subquery",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "subquery"),
+)
+def q24_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = od.join(li, (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate), "left_semi")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q25_having_avg_subquery",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_cust,
+       ROUND(AVG(c_acctbal), {RD}) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+HAVING AVG(c_acctbal) > (SELECT AVG(c_acctbal) * 0.8 FROM customer)
+ORDER BY c_mktsegment
+""",
+    tags=("agg", "subquery"),
+)
+def q25_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING with uncorrelated scalar subquery (TPC-H Q11/Q22 shape)."""
+    cu = _t(spark, sf_dir, "customer")
+    threshold = cu.agg((F.avg("c_acctbal") * 0.8).alias("t"))
+    agg = cu.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.avg("c_acctbal").alias("_avg_bal"),
+    )
+    return (
+        agg.join(F.broadcast(threshold))
+        .filter(F.col("_avg_bal") > F.col("t"))
+        .select("c_mktsegment", "n_cust", F.round("_avg_bal", RD).alias("avg_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q26_distinct_dropdups",
+    oracle="""
+SELECT l_returnflag, l_linestatus
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("distinct",),
+)
+def q26_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dropDuplicates) — partial-agg dedups map-side
+    before the shuffle, so distinct on low-cardinality keys is cheap at
+    any scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q27_approx_distinct",
+    oracle=None,  # approx sketches are engine-specific; rows-only check
+    tags=("agg", "approx"),
+)
+def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
+    COUNT(DISTINCT): one pass, fixed memory, no expand. Sketch values are
+    engine-specific so the driver records a rows-only check; q02 carries
+    the exact-match burden."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            "exact_parts",
+            (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") < 0.05).alias("within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q28_grouping_sets",
+    oracle=f"""
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COUNT(*) AS n,
+       ROUND(SUM(c_acctbal), {RD}) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+ORDER BY nation, segment
+""",
+    tags=("agg", "rollup"),
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL (Spark side uses spark.sql for exact parity)."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    cu.createOrReplaceTempView("_gs_customer")
+    na.createOrReplaceTempView("_gs_nation")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(n_name, 'ALL') AS nation,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), {RD}) AS total_bal
+        FROM _gs_customer JOIN _gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        ORDER BY nation, segment
+        """
+    )
+
+
+@query(
+    "q29_union_all_types",
+    oracle="""
+SELECT kind, key_val, COUNT(*) AS n FROM (
+  SELECT 'customer' AS kind, c_nationkey AS key_val FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_nationkey AS key_val FROM supplier
+)
+GROUP BY kind, key_val
+ORDER BY kind, key_val
+""",
+    tags=("setop", "agg"),
+)
+def q29_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of differently-shaped relations normalized to one schema."""
+    cu = _t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("key_val"))
+    su = _t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("key_val"))
+    return cu.unionAll(su).groupBy("kind", "key_val").agg(F.count(F.lit(1)).alias("n")).orderBy("kind", "key_val")
+
+
+@query(
+    "q30_self_join_graph",
+    oracle=f"""
+SELECT a.o_custkey AS custkey,
+       COUNT(*) AS n_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE CAST(a.o_orderdate AS DATE) = CAST(b.o_orderdate AS DATE)
+GROUP BY a.o_custkey
+ORDER BY n_pairs DESC, custkey
+LIMIT 100
+""",
+    tags=("join", "self"),
+)
+def q30_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: same-day order pairs per customer — the link-graph
+    edge-extraction shape (SURVEY §2.7 self-join row)."""
+    od = _t(spark, sf_dir, "orders")
+    a = od.alias("a")
+    b = od.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderdate").cast("date") == F.col("b.o_orderdate").cast("date")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "custkey")
+        .limit(100)
+    )
