@@ -1,1 +1,394 @@
-"""Filled in after milestone 1."""
+"""Deduplication operators over ``documents`` / ``embeddings``
+(BASELINE north-star surface): exact hash-groupBy, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+The driver corpus has 500 fully-distinct texts, so every query here first
+builds a deterministic **dup corpus** (same construction in Spark and the
+DuckDB oracle): base docs ∪ exact copies of doc_id<60 (+10000) ∪ near-dup
+copies of 60≤doc_id<120 with the first token dropped (+20000). Dedup
+operators therefore have real positives to find, and the oracle hash
+verifies they find exactly the right ones.
+
+Scale design (the point of these operators at 100 TB):
+- exact dedup: md5-groupBy = one shuffle on a 128-bit key, no skew;
+- MinHash LSH: explode shingles → per-doc signature (map-side agg) →
+  band-key self-join. The join key is (band_idx, band_hash) — cardinality
+  ~docs×bands, uniform; candidate pairs ≪ n², never n² compare;
+- SimHash: one linear pass to 16-bit sketches, then pairs only within
+  identical sketch (or small hamming radius over a band join);
+- embedding near-dup: bounded candidate set (here: id-range block; the
+  LSH-bucketed variant is q51 in similarity.py).
+
+All native expressions — no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcraider_spark.functions.textfn import (
+    doc_fingerprint,
+    md5_int,
+    md5_int_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# The shared dup corpus (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT doc_id + 20000 AS doc_id,
+       array_to_string(string_split_regex(trim(text), '\\s+')[2:], ' ') AS text
+FROM documents WHERE doc_id >= 60 AND doc_id < 120
+"""
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") < 60).select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    tok = tokens("text")
+    near = (
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+        .select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.array_join(F.slice(tok, 2, F.size(tok) - 1), " ").alias("text"),
+        )
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_exact_dedup_groups",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+     hashed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus
+)
+SELECT fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc,
+       array_to_string(list_sort(list(doc_id)), ',') AS members
+FROM hashed
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY fp
+""",
+    tags=("dedup", "exact"),
+    bench=True,
+)
+def q40_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
+    with the canonical (min) member. One shuffle on the hash key."""
+    corpus = dup_corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+@query(
+    "q41_dedup_keep_canonical",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+     hashed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus
+)
+SELECT COUNT(*) AS total_docs,
+       COUNT(DISTINCT fp) AS kept_docs,
+       COUNT(*) - COUNT(DISTINCT fp) AS removed_docs
+FROM hashed
+""",
+    tags=("dedup", "exact"),
+)
+def q41_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
+    removed — the pipeline-level dedup accounting row."""
+    corpus = dup_corpus(spark, sf_dir)
+    hashed = corpus.select("doc_id", doc_fingerprint("text").alias("fp"))
+    return hashed.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("fp").alias("kept_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("removed_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands
+
+
+def _minhash_sig_spark(corpus: DataFrame) -> DataFrame:
+    """doc_id → m0..m7 minhash values via md5(seed|shingle) min-aggregation.
+
+    explode + groupBy(doc_id) with 8 min() aggs: partial min computed
+    map-side, so the shuffle carries one row per doc, not per shingle.
+    """
+    sh = corpus.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
+    aggs = [
+        F.min(md5_int(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}") for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MIN_EXPRS = ", ".join(
+    "MIN(" + md5_int_sql("'%d|' || shingle" % i) + ") AS m%d" % i for i in range(N_HASHES)
+)
+
+_MINHASH_SIG_SQL = f"""
+  SELECT doc_id,
+         {_MIN_EXPRS}
+  FROM (
+    SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus)
+  )
+  GROUP BY doc_id
+"""
+
+
+@query(
+    "q42_minhash_lsh_pairs",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+     sig AS ({_MINHASH_SIG_SQL}),
+     bands AS (
+  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR)) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)) AS bh FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
+    sharing ≥1 band. The band-key self-join is the scale path — candidate
+    generation is O(collisions), never O(n²)."""
+    corpus = dup_corpus(spark, sf_dir)
+    sig = _minhash_sig_spark(corpus)
+    band_rows = []
+    for band in range(N_HASHES // BAND_SIZE):
+        lo, hi = 2 * band, 2 * band + 1
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("_", F.col(f"m{lo}").cast("string"), F.col(f"m{hi}").cast("string"))).alias("bh"),
+            )
+        )
+    bands = band_rows[0]
+    for b in band_rows[1:]:
+        bands = bands.unionAll(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "q43_simhash_dupes",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+     tokh AS (
+  SELECT doc_id, {md5_int_sql("tok")} % 65536 AS h
+  FROM (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+    FROM corpus
+  )
+),
+     sketch AS (
+  SELECT doc_id,
+         {" + ".join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))}
+         AS simhash
+  FROM tokh GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sketch a JOIN sketch b
+  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "simhash"),
+)
+def q43_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
+    pairs with identical sketch (hamming 0 join — the scale path joins on
+    the sketch value; a radius-r search unions r bit-flip probes)."""
+    corpus = dup_corpus(spark, sf_dir)
+    tokh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).select("doc_id", (md5_int(F.col("tok")) % 65536).alias("h"))
+    bit_sums = [
+        F.sum(F.when((F.shiftright(F.col("h"), j).bitwiseAND(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sketch = tokh.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sketch = sketch.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    a = sketch.alias("a")
+    b = sketch.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_ngram_jaccard_pairs",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+     sh AS (
+  SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
+),
+     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+     inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "jaccard"),
+)
+def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
+    verify stage after LSH candidates: intersection counted by a join on
+    the shingle, never a pairwise loop)."""
+    corpus = dup_corpus(spark, sf_dir).filter((F.col("doc_id") < 200) | (F.col("doc_id") >= 10000))
+    sh = corpus.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_embedding_neardup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 250
+),
+     n AS (
+  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+             / (a.nrm * b.nrm), 4) + 0.0 AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+      / (a.nrm * b.nrm) >= 0.35
+ORDER BY vec_a, vec_b
+""",
+    tags=("dedup", "embedding", "cosine"),
+)
+def q45_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
+
+    Block-local pairwise compare is the exact-verify stage; candidate
+    pruning at scale is the sign-LSH bucketing in q51.
+    """
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    e = em.select("vec_id", v.alias("v"), nrm.alias("nrm"))
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.round(cos, 4) + 0.0).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

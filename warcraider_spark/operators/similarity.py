@@ -1,1 +1,243 @@
-"""Filled in after milestone 1."""
+"""Similarity search over ``embeddings`` (BASELINE north-star surface).
+
+Brute-force cosine top-k as the correctness baseline, and a sign-LSH
+(random-hyperplane-style) bucketed variant as the scale path. All math is
+native Catalyst higher-order functions (zip_with/aggregate) in double
+precision — no Python crossing in the hot loop.
+
+Scale design: brute force is O(queries × corpus) — fine when the query set
+is broadcast-small (the plan broadcasts the query side, so the corpus is
+never shuffled). The bucketed variant prunes the corpus per query to one
+bucket, turning the cross join into an equi-join on the bucket key; at
+100 TB the bucket key is the shuffle/partition key and each bucket is a
+partition-local scan. More buckets (more sign bits / multiple probe
+tables) trade recall for cost, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+SIGN_BITS = 6
+
+
+def _vec_double(col: str = "embedding") -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+# DuckDB twins (index-order double math so values are bit-identical)
+_SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_NORM = "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))"
+_SQL_DOT_AB = "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')"
+
+
+@query(
+    "q50_cosine_topk_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+     n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm FROM e),
+     q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+     scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+  FROM q a JOIN n b ON a.vec_id <> b.vec_id
+),
+     ranked AS (
+  SELECT query_id, neighbor_id, cosine + 0.0 AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "ann", "bruteforce"),
+    bench=True,
+)
+def q50_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector.
+
+    Ranking is on ROUND(cos, 6) with neighbor_id tie-break so the order is
+    engine-stable. The query side is broadcast; the corpus scan streams.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.select("vec_id", _vec_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    q = n.filter(F.col("vec_id") < N_QUERIES)
+    a, b = q.alias("a"), n.alias("b")
+    cos = F.round(_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    scored = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (cos + 0.0).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_SQL_BUCKET = (
+    "array_to_string(list_transform(list_slice(v, 1, "
+    f"{SIGN_BITS}), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@query(
+    "q51_ann_sign_lsh",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+     n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e),
+     q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+     scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
+         ROUND({_SQL_DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+  FROM q a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+     ranked AS (
+  SELECT query_id, neighbor_id, bucket, cosine + 0.0 AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, cosine, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def q51_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: bucket = sign pattern of the first 6 dims (a fixed
+    orthogonal-ish hyperplane set); search only within the query's bucket.
+    The bucket string is the equi-join key — this is the 100 TB plan shape
+    (no cross join anywhere)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = _vec_double()
+    n = em.select("vec_id", v.alias("v")).withColumn("nrm", _norm(F.col("v"))).withColumn(
+        "bucket", F.array_join(
+            F.transform(F.slice(F.col("v"), 1, SIGN_BITS), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+        )
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES)
+    a, b = q.alias("a"), n.alias("b")
+    cos = F.round(_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    scored = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.bucket").alias("bucket"),
+            (cos + 0.0).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "bucket", "cosine", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "q52_label_centroids",
+    oracle="""
+WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(v[1]), 6) + 0.0 AS c1,
+       ROUND(AVG(v[2]), 6) + 0.0 AS c2,
+       ROUND(AVG(v[3]), 6) + 0.0 AS c3,
+       ROUND(AVG(v[4]), 6) + 0.0 AS c4
+FROM e GROUP BY label ORDER BY label
+""",
+    tags=("similarity", "centroid", "agg"),
+)
+def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 4 dims shown): the IVF coarse-quantizer
+    training step — one groupBy, partial averages map-side."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = _vec_double()
+    sel = em.select("label", *[F.element_at(v, i + 1).alias(f"d{i}") for i in range(4)])
+    return (
+        sel.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[(F.round(F.avg(f"d{i}"), 6) + 0.0).alias(f"c{i + 1}") for i in range(4)],
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q53_ivf_assign",
+    oracle="""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+     cent AS (
+  SELECT label AS c_label,
+         [ROUND(AVG(v[1]), 6), ROUND(AVG(v[2]), 6), ROUND(AVG(v[3]), 6), ROUND(AVG(v[4]), 6),
+          ROUND(AVG(v[5]), 6), ROUND(AVG(v[6]), 6), ROUND(AVG(v[7]), 6), ROUND(AVG(v[8]), 6)] AS c
+  FROM e GROUP BY label
+),
+     d AS (
+  SELECT vec_id, label, c_label,
+         list_aggregate(list_transform(list_zip(list_slice(v, 1, 8), c), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+  FROM e CROSS JOIN cent
+),
+     best AS (
+  SELECT vec_id, label, c_label, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rnk
+  FROM d
+)
+SELECT c_label AS assigned, COUNT(*) AS n,
+       SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS n_own_label
+FROM best WHERE rnk = 1
+GROUP BY c_label ORDER BY c_label
+""",
+    tags=("similarity", "ivf"),
+)
+def q53_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment: nearest label-centroid (L2 on first 8 dims) per
+    vector; centroid list is broadcast so assignment is a map-side pass."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = _vec_double()
+    e = em.select("vec_id", "label", F.slice(v, 1, 8).alias("v"))
+    # centroids rounded to 6 decimals on BOTH sides so the distance inputs
+    # are bit-identical despite parallel-vs-sequential AVG summation order
+    cent = e.groupBy(F.col("label").alias("c_label")).agg(
+        F.array(*[F.round(F.avg(F.element_at("v", i + 1)), 6) for i in range(8)]).alias("c")
+    )
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
+    best = d.select("vec_id", "label", "c_label", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") == 1)
+    return (
+        best.groupBy(F.col("c_label").alias("assigned"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0)).alias("n_own_label"),
+        )
+        .orderBy("assigned")
+    )

@@ -1,1 +1,273 @@
-"""Filled in after milestone 1."""
+"""Text-analysis operators over ``documents`` (BASELINE north-star surface).
+
+Language-ID, quality scoring, token counting, and document fingerprinting —
+all as native Catalyst expressions (no Python UDFs), so at 100 TB these are
+embarrassingly parallel map-side scans with zero shuffle except the final
+aggregations.
+
+The reference's only text analytics are word_count
+(/root/reference/src/main.rs:468-471) and RAKE (src/rake/rake.rs) — RAKE
+fidelity lives in functions/rake.py; these queries add the LLM-pipeline
+text ops the engine declares beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcraider_spark.functions.textfn import (
+    doc_fingerprint,
+    md5_int,
+    md5_int_sql,
+    norm_text,
+    shingle_fingerprint,
+    tokens,
+    word_count,
+)
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+# Marker tokens for the n-gram language heuristic: a deterministic scoring
+# function (ratio of marker hits per language, argmax with lexicographic
+# tie-break). Markers chosen from the corpus vocabulary so scores are
+# non-degenerate on the synthetic data.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "big", "small"),
+    "fr": ("table", "line", "part", "group", "filter", "merge"),
+    "es": ("data", "row", "scan", "stream", "batch", "order"),
+    "de": ("hash", "key", "join", "sort", "window", "vector"),
+    "zh": ("spark", "query", "value", "column", "customer", "agg"),
+}
+
+
+@query(
+    "q31_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+       ROUND(list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
+             t -> CAST(length(t) AS DOUBLE)), 'sum')
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens"),
+    bench=True,
+)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct count + mean length.
+
+    The BPE-ish subword count variant is q33's token_per_char; this is the
+    reference's exact word_count tokenizer (main.rs:468-471).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    tok_lens = F.transform(tok, lambda t: F.length(t).cast("double"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tok).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
+            F.round(F.aggregate(tok_lens, F.lit(0.0), lambda a, x: a + x) / F.size(tok), 4).alias("avg_token_len"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_spark(tok, lang: str):
+    markers = LANG_MARKERS[lang]
+    hits = F.size(F.filter(tok, lambda t: t.isin(*markers)))
+    return F.round(hits / F.size(tok), 6)
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"ROUND(len(list_filter(toks, t -> t IN ({markers}))) / CAST(len(toks) AS DOUBLE), 6)"
+
+
+@query(
+    "q32_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+), guessed AS (
+  SELECT doc_id, lang,
+         CASE greatest(s_en, s_fr, s_es, s_de, s_zh)
+              WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+              WHEN s_fr THEN 'fr' ELSE 'zh' END AS lang_guess
+  FROM scored
+)
+SELECT lang, lang_guess, COUNT(*) AS n
+FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+""",
+    tags=("text", "langid"),
+)
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token ratio per language, argmax with
+    lexicographic tie-break (de<en<es<fr<zh), confusion counts vs label.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lang_score_spark(tok, lang).alias(f"s_{lang}") for lang in ("en", "fr", "es", "de", "zh")],
+    )
+    best = F.greatest("s_en", "s_fr", "s_es", "s_de", "s_zh")
+    guess = (
+        F.when(F.col("s_de") == best, "de")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    return (
+        scored.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@query(
+    "q33_quality_score",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio,
+         ROUND(list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(toks), 4) AS mean_len,
+         CASE WHEN len(toks) >= 20 THEN 1.0 ELSE len(toks) / 20.0 END AS len_score
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+), q AS (
+  -- quality from ROUNDED intermediates, itself UNROUNDED: inputs identical
+  -- across engines → the composite double is bit-identical, while a final
+  -- ROUND would diverge at decimal-half boundaries (DuckDB rounds via
+  -- x*10^s which can snap to .5 exactly; Spark uses exact-decimal HALF_UP)
+  SELECT *, 0.5 * len_score + 0.3 * distinct_ratio + 0.2 * LEAST(mean_len / 5.0, 1.0) AS quality
+  FROM m
+)
+SELECT doc_id, n_tokens, distinct_ratio, mean_len, quality,
+       CASE WHEN quality >= 0.75 THEN 'high'
+            WHEN quality >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM q
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/diversity/word-shape composite with buckets
+    (the heuristic-filter stage of a training-data pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n = F.size(tok)
+    # intermediates rounded to 4 BEFORE the composite so quality is
+    # bit-identical across engines (raw double sums differ in the last ulp)
+    distinct_ratio = F.round(F.size(F.array_distinct(tok)) / n.cast("double"), 4)
+    mean_len = F.round(
+        F.aggregate(F.transform(tok, lambda t: F.length(t).cast("double")), F.lit(0.0), lambda a, x: a + x) / n, 4
+    )
+    len_score = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
+    # unrounded on purpose — see the oracle SQL comment on cross-engine ROUND
+    quality = 0.5 * len_score + 0.3 * distinct_ratio + 0.2 * F.least(mean_len / 5.0, F.lit(1.0))
+    return (
+        docs.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            distinct_ratio.alias("distinct_ratio"),
+            mean_len.alias("mean_len"),
+            quality.alias("quality"),
+            F.when(quality >= 0.75, "high").when(quality >= 0.5, "medium").otherwise("low").alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+@query(
+    "q34_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fp,
+       {md5_int_sql(_NORM_SQL)} AS fp_int
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "fingerprint"),
+)
+def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document fingerprint: md5 of normalized text, plus the portable
+    60-bit integer form used by minhash/simhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            doc_fingerprint("text").alias("fp"),
+            md5_int(norm_text("text")).alias("fp_int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q35_shingle_fingerprint",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+     s AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+           FROM t)
+SELECT doc_id,
+       md5(array_to_string(list_sort(sh), '|')) AS shingle_fp,
+       len(sh) AS n_shingles
+FROM s
+ORDER BY doc_id
+""",
+    tags=("text", "fingerprint", "shingle"),
+)
+def q35_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural fingerprint: md5 over the sorted distinct 3-shingle set
+    (document-level rolling-hash sketch; the minhash input representation).
+    """
+    from warcraider_spark.functions.textfn import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens("text"), 3)
+    return (
+        docs.select(
+            "doc_id",
+            shingle_fingerprint("text", 3).alias("shingle_fp"),
+            F.size(sh).cast("long").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q36_word_count_ref",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS word_count
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "reference-parity"),
+)
+def q36_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's word_count operator verbatim: whitespace-token count
+    as i32, 0 for empty (/root/reference/src/main.rs:468-471)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", word_count("text").cast("long").alias("word_count")).orderBy("doc_id")
