@@ -1,0 +1,181 @@
+"""End-to-end ETL test (SURVEY §5 test plan #3, FIXTURES B1).
+
+Synthesizes a tiny WARC exercising every pipeline branch — valid page,
+malformed HTML, oversize record, corrupt gzip, blacklisted hostname,
+non-response record — runs the full url_resource pipeline, and checks row
+accounting, stub semantics, and sink re-readability.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from warcraider_spark.plans.pipeline import url_resource_from_warc_records, write_url_resource
+from warcraider_spark.schema import URL_RESOURCE_FIELDS
+from warcraider_spark.sources.warc import build_warc_bytes, read_warc
+
+GOOD_HTML = b"""<html><head><title>Good Page</title>
+<meta name="description" content="a test page" />
+<link rel="stylesheet" href="/style.css" />
+<script src="/app.js"></script>
+</head><body>
+<h1>Heading One</h1>
+<p>Some body text with <a href="/relative">a link</a> and
+<a href="https://other.example.org/abs">another</a>.</p>
+<script>ga('create', 'UA-12345-6', 'auto'); ga('send', 'pageview');</script>
+</body></html>"""
+
+MALFORMED_HTML = b"<html><body><p>broken <b>page<a href='/x.htm'>link</p></body>"
+
+BIG_HTML = b"<html><head><title>Big</title></head><body>" + b"x" * 2_100_000 + b"</body></html>"
+
+
+def _http(body: bytes, extra_headers: str = "") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n"
+        + extra_headers.encode()
+        + b"\n\r\n"
+        + body
+    )
+
+
+@pytest.fixture(scope="module")
+def warc_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    records = [
+        (  # 1: valid page with funnelback headers
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://www.example.gov.au/page",
+                "Uncompressed-Content-Length": str(len(GOOD_HTML) + 100),
+            },
+            _http(
+                GOOD_HTML,
+                "X-Funnelback-Total-Request-Time-MS: 1500\nX-Funnelback-AA-Domain: override.gov.au\n",
+            ),
+        ),
+        (  # 2: malformed HTML → still parsed by the lenient parser
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://malformed.example.gov.au/bad",
+                "Uncompressed-Content-Length": str(len(MALFORMED_HTML) + 50),
+            },
+            _http(MALFORMED_HTML),
+        ),
+        (  # 3: oversize → regex-fallback row (no HTML parse)
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://big.example.gov.au/huge",
+                "Uncompressed-Content-Length": str(len(BIG_HTML)),
+            },
+            _http(BIG_HTML),
+        ),
+        (  # 5: blacklisted hostname → dropped
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://data.gov.au/dataset",
+                "Uncompressed-Content-Length": "100",
+            },
+            _http(b"<html><body>blacklisted</body></html>"),
+        ),
+        (  # 6: non-response record → filtered
+            {
+                "WARC-Type": "request",
+                "WARC-Target-URI": "https://www.example.gov.au/page",
+                "Uncompressed-Content-Length": "10",
+            },
+            b"GET /page",
+        ),
+    ]
+    raw = build_warc_bytes(records)
+    # 4: corrupt-gzip record spliced in manually (build_warc_bytes would gzip)
+    bad_body = b"\x1f\x8b\x08\x00NOTGZIP_GARBAGE"
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://corrupt.example.gov.au/gz\r\n"
+        b"Uncompressed-Content-Length: 50\r\n"
+        + f"Content-Length: {len(bad_body)}\r\n\r\n".encode()
+        + bad_body
+        + b"\r\n\r\n"
+    )
+    p = d / "test-000.warc"
+    p.write_bytes(raw + bad)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def output(spark, warc_path):
+    records = read_warc(spark, warc_path)
+    df = url_resource_from_warc_records(records)
+    rows = {r["url"]: r.asDict() for r in df.collect()}
+    return df, rows
+
+
+def test_row_accounting(output):
+    _, rows = output
+    # 6 records: blacklist, request-type, corrupt gzip dropped → 3 rows
+    assert set(rows) == {
+        "https://www.example.gov.au/page",
+        "https://malformed.example.gov.au/bad",
+        "https://big.example.gov.au/huge",
+    }
+
+
+def test_schema(output):
+    df, _ = output
+    assert tuple(df.columns) == URL_RESOURCE_FIELDS
+
+
+def test_good_page(output):
+    _, rows = output
+    r = rows["https://www.example.gov.au/page"]
+    assert r["title"] == "Good Page"
+    assert r["hostname"] == "override.gov.au"  # X-Funnelback-AA-Domain wins
+    assert r["domain_name"] == "example.gov.au"  # from the REGEX hostname
+    assert r["load_time"] == pytest.approx(1.5)
+    assert r["headings_text"] == "Heading One"
+    # links absolutized, sorted, deduped
+    assert r["links"] == [
+        "https://other.example.org/abs",
+        "https://www.example.gov.au/relative",
+    ]
+    assert "https://www.example.gov.au/style.css" in r["resource_urls"]
+    assert "https://www.example.gov.au/app.js" in r["resource_urls"]
+    assert r["google_analytics"] == ["UA-12345-6"]
+    # ga(...) captures minus the plain pageview send
+    assert "'create', 'UA-12345-6', 'auto'" in r["google_analytics_config"]
+    assert "'send', 'pageview'" not in r["google_analytics_config"]
+    assert r["headers"]["Content-Type"] == "text/html"
+    assert r["word_count"] > 0
+    assert r["meta_tags"]["description"] == "a test page"
+    assert len(r["keywords"]) > 0
+
+
+def test_malformed_still_parses(output):
+    _, rows = output
+    r = rows["https://malformed.example.gov.au/bad"]
+    assert "broken" in r["text_content"]
+    assert "https://malformed.example.gov.au/x.htm" in r["links"]
+
+
+def test_oversize_fallback(output):
+    _, rows = output
+    r = rows["https://big.example.gov.au/huge"]
+    # parse skipped → regex fallback: title via regex, headings empty
+    assert r["title"] == "Big"
+    assert r["headings_text"] == ""
+    assert r["size_bytes"] > 2_000_000
+    assert r["word_count"] >= 1
+
+
+def test_sink_roundtrip(output, spark, tmp_path_factory):
+    df, _ = output
+    out = str(tmp_path_factory.mktemp("sink") / "url_resource")
+    fmt = write_url_resource(df, out)
+    assert fmt in ("parquet", "avro")
+    back = spark.read.parquet(out) if fmt == "parquet" else spark.read.format("avro").load(out)
+    assert back.count() == 3
+    assert set(back.columns) == set(URL_RESOURCE_FIELDS)

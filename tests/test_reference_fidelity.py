@@ -1,0 +1,138 @@
+"""Reference-fidelity goldens (SURVEY §5 test plan #1, FIXTURES B3-B5).
+
+The moneysmart golden compares our single-parser output against the
+reference's own insta snapshot for the fields FIXTURES B3 declares
+comparable (title, links, meta_tags, headings presence); html_errors is
+tidy-subprocess-specific so only its type is checked.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from warcraider_spark.functions.html import parse_html_py
+from warcraider_spark.functions.rake import rake_text
+from warcraider_spark.functions.urls import make_urls_absolute, root_domain
+
+REF = Path("/root/reference/tests")
+
+
+def _load_snapshot_json() -> dict:
+    raw = (REF / "snapshots" / "tests__html_parser_snapshots.snap").read_text()
+    # insta snapshot = yaml front matter + a JSON-ish payload
+    payload = raw.split("---\n", 2)[2]
+    return json.loads(payload)
+
+
+@pytest.fixture(scope="module")
+def golden() -> dict:
+    return _load_snapshot_json()
+
+
+@pytest.fixture(scope="module")
+def parsed() -> dict:
+    html = (REF / "moneysmart.htm").read_text(errors="replace")
+    return parse_html_py(html)
+
+
+def test_moneysmart_title(parsed, golden):
+    # the reference title came through tidy (whitespace re-wrapped); compare
+    # whitespace-normalized
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()
+    assert norm(parsed["title"]) == norm(golden["title"])
+
+
+def test_moneysmart_links(parsed, golden):
+    # links are raw hrefs in document order, duplicates preserved
+    assert parsed["links"] == golden["links"]
+
+
+def test_moneysmart_meta_tags(parsed, golden):
+    # snap2 lines are "key:value" where the KEY itself may contain ':'
+    # (og:title) — compare by reconstructing "k:v" strings instead
+    snap2 = (REF / "snapshots" / "tests__html_parser_snapshots-2.snap").read_text()
+    entries = set(re.findall(r'^\s+"(.+)",$', snap2, flags=re.M))
+    entries = {e.replace("\\'", "'").replace('\\"', '"') for e in entries}
+    ours = {f"{k}:{v}" for k, v in parsed["meta_tags"].items()}
+    assert ours == entries
+
+
+def test_moneysmart_resources(parsed, golden):
+    # strict parser collects script/style/link src|href; order-insensitive
+    # compare because tidy reorders head elements
+    assert sorted(set(parsed["resource_urls"])) == sorted(set(golden["resource_urls"]))
+
+
+def test_moneysmart_headings(parsed, golden):
+    # golden = ONE string: headings swept h1→h6 joined with "\n "
+    # (soup path, lib.rs:471-487); whitespace-normalized compare because
+    # the golden text passed through tidy's re-wrapping
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()
+    assert norm("\n ".join(parsed["headings_text"])) == norm(golden["headings_text"][0])
+
+
+def test_moneysmart_ok_flag(parsed):
+    assert parsed["ok"] is True
+    assert isinstance(parsed["html_errors"], str)
+
+
+# --- FIXTURES B4: make_urls_absolute unit tests ported verbatim ------------
+
+
+def test_make_urls_absolute():
+    result = make_urls_absolute("http://example.com", ["/index.htm", "http://google.com"])
+    assert result == ["http://example.com/index.htm", "http://google.com/"]
+
+
+def test_make_urls_absolute_trailing_quote():
+    result = make_urls_absolute(
+        "http://example.com",
+        ["/index.htm", "/index.htm'", '/index.htm"', "/index.htm&quot;", "/index.htm%20", "/notindex.htm"],
+    )
+    assert result == ["http://example.com/index.htm", "http://example.com/notindex.htm"]
+
+
+def test_root_domain():
+    assert root_domain("www.moneysmart.gov.au") == "moneysmart.gov.au"
+    assert root_domain("data.gov.au") == "data.gov.au"
+    assert root_domain("example.com") == "example.com"
+    assert root_domain("sub.example.com") == "example.com"
+    assert root_domain("") == ""
+
+
+# --- FIXTURES B5: RAKE micro-fixtures --------------------------------------
+
+
+def test_rake_micro():
+    assert rake_text("deep learning of deep networks") == {
+        "deep learning": 4.0,
+        "deep networks": 4.0,
+    }
+
+
+def test_rake_punctuation_split():
+    # comma splits phrases; hyphen does NOT ([^\P{P}-]); spaced hyphen does
+    kws = rake_text("machine learning, deep-dive analysis - good stuff")
+    assert "machine learning" in kws
+    assert "deep-dive analysis" in kws
+    assert "good stuff" in kws
+
+
+def test_rake_number_exclusion():
+    # number tokens excluded from scoring but kept in the keyword text
+    kws = rake_text("alpha 42 beta")
+    assert kws == {"alpha 42 beta": 4.0}  # alpha,beta: freq 1, degree 1 each
+
+
+def test_rake_last_wins_duplicate():
+    kws = rake_text("alpha beta. alpha beta")
+    # same phrase twice: freq 2 each, degree 2 each → word score 2 → phrase 4
+    assert kws == {"alpha beta": 4.0}
+
+
+def test_rake_empty():
+    assert rake_text("") == {}

@@ -1,0 +1,69 @@
+"""Structured Streaming tests (SURVEY §2.10): the streaming window result
+must equal the batch dual, and the streaming WARC pipeline must be
+exactly-once across restarts (checkpoint replaces the reference's
+check_present_avro probe, lib.rs:155-169)."""
+
+from __future__ import annotations
+
+from warcraider_spark.operators.windows_events import tumbling_counts
+from warcraider_spark.streaming.windows import replay_events_stream
+from warcraider_spark.tables import load_table
+
+
+def test_stream_equals_batch(spark, sf_smoke):
+    streamed = {tuple(r) for r in replay_events_stream(spark, sf_smoke).collect()}
+    batch = {tuple(r) for r in tumbling_counts(load_table(spark, sf_smoke, "events")).collect()}
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_streaming_warc_exactly_once(spark, tmp_path):
+    from warcraider_spark.sources.warc import build_warc_bytes
+    from warcraider_spark.streaming.windows import stream_warc_pipeline
+
+    warc_dir = tmp_path / "in"
+    warc_dir.mkdir()
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n\r\n<html><head><title>T</title></head><body>hello world</body></html>"
+    raw = build_warc_bytes(
+        [
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": "https://www.example.gov.au/a",
+                    "Uncompressed-Content-Length": "120",
+                },
+                body,
+            )
+        ]
+    )
+    (warc_dir / "f1.warc").write_bytes(raw)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_warc_pipeline(spark, str(warc_dir), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+
+    # restart with no new files → checkpoint prevents reprocessing
+    q2 = stream_warc_pipeline(spark, str(warc_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+
+    # a new file arrives → exactly the new record is appended
+    (warc_dir / "f2.warc").write_bytes(
+        build_warc_bytes(
+            [
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "https://www.example.gov.au/b",
+                        "Uncompressed-Content-Length": "120",
+                    },
+                    body,
+                )
+            ]
+        )
+    )
+    q3 = stream_warc_pipeline(spark, str(warc_dir), out, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2

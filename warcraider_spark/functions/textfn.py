@@ -59,15 +59,20 @@ def md5_int_sql(expr: str) -> str:
 def shingles(tok: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined), from a token array.
 
-    Docs shorter than k tokens produce their full text as one shingle so no
-    document silently vanishes from minhash/jaccard.
+    Built as chained ``zip_with`` over k shifted ``slice``s — the token
+    array expression is evaluated O(k) times per ROW. (A transform-with-
+    element_at formulation re-evaluates the array per ELEMENT, turning
+    tokenization O(n²) per document — 4× slower on the minhash bench.)
+
+    Docs shorter than k tokens produce their full text as one shingle
+    (zip_with pads with null; concat_ws skips nulls) so no document
+    silently vanishes from minhash/jaccard.
     """
-    n = F.size(tok)
-    kgrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok, (i + j).cast("int")) for j in range(k)]),
-    )
-    return F.array_distinct(kgrams)
+    cnt = F.greatest(F.size(tok) - (k - 1), F.lit(1))
+    acc = F.slice(tok, 1, cnt)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(tok, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def shingles_sql(tok_col: str, k: int = 3) -> str:

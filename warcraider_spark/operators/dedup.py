@@ -197,19 +197,20 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is O(collisions), never O(n²)."""
     corpus = dup_corpus(spark, sf_dir)
     sig = _minhash_sig_spark(corpus)
-    band_rows = []
-    for band in range(N_HASHES // BAND_SIZE):
-        lo, hi = 2 * band, 2 * band + 1
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws("_", F.col(f"m{lo}").cast("string"), F.col(f"m{hi}").cast("string"))).alias("bh"),
+    # ONE posexplode instead of a 4-way union: a union would recompute the
+    # signature aggregation per branch (and per self-join side) — 8× the
+    # work; with a single subplan Spark reuses the exchange across the join
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_", F.col(f"m{2 * band}").cast("string"), F.col(f"m{2 * band + 1}").cast("string")
+                )
             )
-        )
-    bands = band_rows[0]
-    for b in band_rows[1:]:
-        bands = bands.unionAll(b)
+            for band in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -271,3 +271,85 @@ def q36_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     as i32, 0 for empty (/root/reference/src/main.rs:468-471)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", word_count("text").cast("long").alias("word_count")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Distributed RAKE (the reference's flagship per-document aggregation,
+# SURVEY §2.6, re-expressed as explode/groupBy — oracle replicates the
+# whole algorithm in DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+def _rake_oracle_sql() -> str:
+    from warcraider_spark.functions.stopwords import SMART_STOPWORDS
+
+    stoplist = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(SMART_STOPWORDS))
+    punc = r"[^\P{P}-]|\s+-\s+"
+    num = r"-?\p{N}+[./٫,'']?\p{N}*"
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+seg AS (
+  SELECT doc_id, unnest(string_split_regex(text, '{punc}')) AS seg FROM docs
+),
+marked AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(string_split_regex(trim(seg), '\\s+'), x -> x <> ''),
+             t -> CASE WHEN lower(t) IN ({stoplist}) THEN chr(1) ELSE t END),
+           ' ') AS m
+  FROM seg WHERE trim(seg) <> ''
+),
+phr AS (
+  SELECT doc_id, trim(p) AS phrase
+  FROM (SELECT doc_id, unnest(string_split(m, chr(1))) AS p FROM marked)
+  WHERE trim(p) <> ''
+),
+occ AS (
+  SELECT doc_id, phrase, row_number() OVER (PARTITION BY doc_id ORDER BY phrase) AS occ_id FROM phr
+),
+ow AS (
+  SELECT doc_id, occ_id, unnest(string_split(phrase, ' ')) AS word FROM occ
+),
+ow2 AS (SELECT * FROM ow WHERE NOT regexp_matches(word, '{num}')),
+plen AS (SELECT doc_id, occ_id, COUNT(*) AS plen FROM ow2 GROUP BY doc_id, occ_id),
+stats AS (
+  SELECT a.doc_id, a.word, COUNT(*) AS freq, SUM(p.plen - 1) AS degree
+  FROM ow2 a JOIN plen p ON a.doc_id = p.doc_id AND a.occ_id = p.occ_id
+  GROUP BY a.doc_id, a.word
+),
+wscore AS (SELECT doc_id, word, (degree + freq) / CAST(freq AS DOUBLE) AS ws FROM stats),
+dphr AS (SELECT DISTINCT doc_id, phrase FROM phr),
+pw AS (
+  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS word FROM dphr
+),
+pw2 AS (SELECT * FROM pw WHERE NOT regexp_matches(word, '{num}')),
+scored AS (
+  SELECT a.doc_id, a.phrase, SUM(w.ws) AS score
+  FROM pw2 a JOIN wscore w ON a.doc_id = w.doc_id AND a.word = w.word
+  GROUP BY a.doc_id, a.phrase
+)
+SELECT d.doc_id, d.phrase AS keyword,
+       ROUND(COALESCE(s.score, 0.0), 4) AS score
+FROM dphr d LEFT JOIN scored s ON d.doc_id = s.doc_id AND d.phrase = s.phrase
+ORDER BY d.doc_id, keyword
+"""
+
+
+@query(
+    "q37_rake_keywords",
+    oracle=_rake_oracle_sql(),
+    tags=("text", "rake", "reference-parity"),
+    bench=True,
+)
+def q37_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RAKE (functions.rake.rake_native): the reference's
+    keyword operator (src/rake/rake.rs) as explode/groupBy — the DuckDB
+    oracle re-implements the full algorithm independently in SQL."""
+    from warcraider_spark.functions.rake import rake_native
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return (
+        rake_native(docs)
+        .select("doc_id", "keyword", F.round("score", 4).alias("score"))
+        .orderBy("doc_id", "keyword")
+    )

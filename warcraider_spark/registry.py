@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        windows_events,
     )
 
     _LOADED = True

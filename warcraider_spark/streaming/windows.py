@@ -1,0 +1,140 @@
+"""Structured Streaming operators (SURVEY §2.10).
+
+The reference's batch loop with GCS-existence idempotence checks
+(/root/reference/src/lib.rs:155-169, main.rs:153-164) maps to the file
+source + checkpointing: each WARC/parquet file is processed exactly once,
+restart resumes from the checkpoint instead of `gsutil stat` probes.
+
+Operators:
+- ``stream_events``: file-source readStream over an events-shaped
+  directory;
+- ``windowed_counts_stream``: watermarked tumbling-window aggregation
+  (shares the batch builder in operators.windows_events, so the batch
+  oracle certifies the semantics);
+- ``replay_events_stream``: replays the driver's events table through a
+  REAL stream (availableNow trigger → memory sink) and returns the result
+  as a batch DataFrame — used by q63 and tests;
+- ``stream_warc_pipeline``: streaming variant of the WARC→url_resource
+  pipeline with checkpointed exactly-once sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcraider_spark.registry import ROUND_DIGITS as RD
+
+__all__ = [
+    "stream_events",
+    "windowed_counts_stream",
+    "replay_events_stream",
+    "stream_warc_pipeline",
+]
+
+
+def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batches.
+    maxFilesPerTrigger bounds batch size the way the reference's 2×50k
+    record batching bounded memory (main.rs:159-160)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(path)
+    )
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark
+    are dropped by the engine; state for closed windows is evicted (bounded
+    state at 100 TB/day event volumes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), RD).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def replay_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """Run the events table through a real micro-batch stream (availableNow
+    → complete-mode memory sink) and return the final result table."""
+    from warcraider_spark.tables import load_table
+
+    # materialize events with a proper timestamp column for the stream
+    # (events.parquet stores ns timestamps the schema API can't declare)
+    staged = os.path.join(tempfile.gettempdir(), f"events_stream_{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(staged)
+
+    stream = stream_events(spark, staged, ev.schema)
+    agg = windowed_counts_stream(stream, watermark)
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+def stream_warc_pipeline(
+    spark: SparkSession, warc_dir: str, out_path: str, checkpoint: str
+) -> "object":
+    """Streaming WARC→url_resource: the binaryFile source watches for new
+    .warc files; the checkpoint replaces the reference's check_present_avro
+    idempotence probe (lib.rs:155-169). Returns the StreamingQuery."""
+    from warcraider_spark.plans.pipeline import url_resource_from_warc_records
+    from warcraider_spark.sources.warc import WARC_RECORD_SCHEMA, parse_warc_stream
+
+    import pandas as pd
+
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    binary = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.warc")
+        .load(warc_dir)
+        .select("path", "content")
+    )
+
+    def split_files(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = []
+                for idx, (version, headers, content) in enumerate(parse_warc_stream(row["content"])):
+                    out.append(
+                        {
+                            "warc_file": row["path"],
+                            "record_idx": idx,
+                            "version": version,
+                            "headers": headers,
+                            "content": content,
+                        }
+                    )
+                if out:
+                    yield pd.DataFrame(out)
+
+    records = binary.mapInPandas(split_files, WARC_RECORD_SCHEMA)
+    resource = url_resource_from_warc_records(records)
+    return (
+        resource.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
