@@ -204,6 +204,8 @@ def parse_html_udf() -> F.Column:
     One UDF call per row; the pipeline projects all derived columns from a
     SINGLE invocation (SURVEY §4: never duplicate a Python UDF expression —
     Catalyst may re-execute it)."""
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(HTML_RESULT_SCHEMA)

@@ -90,6 +90,8 @@ def rake_text(text: str) -> dict[str, float]:
 
 def rake_keywords_udf() -> Column:
     """Factory for the fidelity pandas UDF: string → map<string,float>."""
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(MapType(StringType(), FloatType()))

@@ -82,6 +82,9 @@ def root_domain(hostname: str) -> str:
 
 
 def absolutize_udf() -> F.Column:
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(StringType()))
@@ -94,6 +97,9 @@ def absolutize_udf() -> F.Column:
 
 
 def root_domain_udf() -> F.Column:
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())

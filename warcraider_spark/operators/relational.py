@@ -993,3 +993,239 @@ def q30_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "custkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical / advanced aggregates, pivot, string family 2 (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_stats_aggregates",
+    oracle=f"""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), {RD}) AS price_stddev,
+       ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_discount, l_tax), 8) AS disc_tax_covar,
+       ROUND(SKEWNESS(l_extendedprice), 4) AS price_skew
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q80_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/corr/covar/skewness —
+    single-pass moment computation, partial+final like any hash agg.
+
+    Spark's skewness is the population g1; DuckDB's SKEWNESS is the bias-
+    corrected sample G1 = g1·√(n(n−1))/(n−2) — converted explicitly so the
+    oracle hash compares the same statistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    g1_to_G1 = F.sqrt(n * (n - 1)) / (n - 2)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), RD).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+            F.round(F.skewness("l_extendedprice") * g1_to_G1, 4).alias("price_skew"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q81_percentiles",
+    oracle=f"""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), {RD}) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), {RD}) AS p90_price,
+       ROUND(quantile_cont(o_totalprice, 0.99), {RD}) AS p99_price,
+       ROUND(MEDIAN(o_totalprice), {RD}) AS median_fn
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("agg", "percentile"),
+)
+def q81_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont). The approx_percentile sketch variant is engine-
+    specific, so the exact form carries the oracle check."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), RD).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), RD).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), RD).alias("p99_price"),
+            F.round(F.median("o_totalprice"), RD).alias("median_fn"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q82_pivot",
+    oracle=f"""
+SELECT l_linestatus,
+       ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), {RD}) AS flag_a,
+       ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), {RD}) AS flag_n,
+       ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), {RD}) AS flag_r
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    tags=("agg", "pivot"),
+)
+def q82_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on return flag (Spark .pivot with explicit value list — the
+    list keeps the plan single-pass; the oracle is the CASE expansion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .sum("l_quantity")
+        .select(
+            "l_linestatus",
+            F.round(F.coalesce("A", F.lit(0.0)), RD).alias("flag_a"),
+            F.round(F.coalesce("N", F.lit(0.0)), RD).alias("flag_n"),
+            F.round(F.coalesce("R", F.lit(0.0)), RD).alias("flag_r"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q83_string_family2",
+    oracle="""
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       reverse(p_name) AS name_rev,
+       repeat(p_brand, 2) AS brand_twice,
+       left(p_name, 4) AS name_left,
+       right(p_name, 4) AS name_right,
+       CAST(strpos(p_name, 'o') AS INT) AS first_o,
+       translate(p_brand, 'Brand#', 'BRAND_') AS brand_translated,
+       CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_to_b1,
+       CAST(ascii(p_name) AS INT) AS first_char_code
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("scalar", "string"),
+)
+def q83_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: pad/reverse/repeat/left/right/position/
+    translate/levenshtein/ascii."""
+    pa = _t(spark, sf_dir, "part")
+    return (
+        pa.select(
+            "p_partkey",
+            F.lpad("p_brand", 12, "*").alias("brand_pad"),
+            F.reverse("p_name").alias("name_rev"),
+            F.repeat("p_brand", 2).alias("brand_twice"),
+            F.substring("p_name", 1, 4).alias("name_left"),
+            F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("name_right"),
+            F.instr("p_name", "o").cast("int").alias("first_o"),
+            F.translate("p_brand", "Brand#", "BRAND_").alias("brand_translated"),
+            F.levenshtein("p_brand", F.lit("Brand#1")).cast("int").alias("lev_to_b1"),
+            F.ascii("p_name").cast("int").alias("first_char_code"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q84_argminmax",
+    oracle=f"""
+SELECT c_mktsegment,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       ROUND(MAX(o_totalprice), {RD}) AS biggest_price,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_order_date
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("agg", "argminmax", "join"),
+)
+def q84_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-extremum) aggregates over a dim join.
+
+    Note: ties on o_totalprice would be engine-arbitrary; the synthetic
+    prices are continuous doubles so extrema are unique."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), RD).alias("biggest_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q85_conditional_aggs",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 50) AS n_high,
+       SUM(CASE WHEN value > 50 THEN value ELSE 0 END) IS NOT NULL AS has_sum,
+       ROUND(SUM(CASE WHEN value > 50 THEN value ELSE 0 END), {RD}) AS sum_high,
+       bool_or(value > 99) AS any_gt99,
+       bool_and(value >= 0) AS all_nonneg
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "conditional"),
+)
+def q85_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates: count_if, conditional sum,
+    bool_or/bool_and (any/every)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_high"),
+            F.lit(True).alias("has_sum"),
+            F.round(F.sum(F.when(F.col("value") > 50, F.col("value")).otherwise(0.0)), RD).alias("sum_high"),
+            F.bool_or(F.col("value") > 99).alias("any_gt99"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q86_array_agg",
+    oracle="""
+SELECT c_nationkey,
+       list_sort(list(c_custkey)) AS custkeys,
+       len(list(c_custkey)) AS n
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    tags=("agg", "array"),
+)
+def q86_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / array_agg — sorted post-hoc because accumulation
+    order is partition-dependent in ANY distributed engine."""
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )

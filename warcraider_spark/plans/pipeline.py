@@ -50,6 +50,8 @@ OVERSIZE_BYTES = 2_000_000
 def _decompress_udf() -> Column:
     """gzip member → lossy-UTF8 string; None (row later dropped) on bad
     gzip — main.rs:287-303 semantics including String::from_utf8_lossy."""
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())

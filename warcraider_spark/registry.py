@@ -89,6 +89,8 @@ def _ensure_loaded() -> None:
         return
     from warcraider_spark.operators import (  # noqa: F401
         dedup,
+        extraction,
+        multimodal,
         relational,
         similarity,
         text,

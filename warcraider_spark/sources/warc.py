@@ -91,6 +91,8 @@ def parse_warc_stream(data: bytes) -> Iterator[tuple[str, dict[str, str], bytes]
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files → DataFrame[warc_file, record_idx, version, headers,
     content]. One task per file; records stream out in Arrow batches."""
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
     import pandas as pd
 
     binary = spark.read.format("binaryFile").load(path).select("path", "content")

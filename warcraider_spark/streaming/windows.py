@@ -96,6 +96,8 @@ def stream_warc_pipeline(
     """Streaming WARC→url_resource: the binaryFile source watches for new
     .warc files; the checkpoint replaces the reference's check_present_avro
     idempotence probe (lib.rs:155-169). Returns the StreamingQuery."""
+    from warcraider_spark.dist import ensure_package_on_executors
+    ensure_package_on_executors()
     from warcraider_spark.plans.pipeline import url_resource_from_warc_records
     from warcraider_spark.sources.warc import WARC_RECORD_SCHEMA, parse_warc_stream
 
