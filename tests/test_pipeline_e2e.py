@@ -179,3 +179,18 @@ def test_sink_roundtrip(output, spark, tmp_path_factory):
     back = spark.read.parquet(out) if fmt == "parquet" else spark.read.format("avro").load(out)
     assert back.count() == 3
     assert set(back.columns) == set(URL_RESOURCE_FIELDS)
+
+
+def test_warc_python_datasource(spark, warc_path):
+    """spark.read.format('warc') (Spark 4 Python DataSource) returns the
+    same records as the binaryFile+mapInPandas route."""
+    from warcraider_spark.sources.warc import register_warc_datasource
+
+    if not register_warc_datasource(spark):
+        pytest.skip("Python DataSource API unavailable")
+    via_ds = spark.read.format("warc").load(warc_path)
+    via_map = read_warc(spark, warc_path)
+    a = {(r.record_idx, r.version, r.headers.get("WARC-Target-URI")) for r in via_ds.collect()}
+    b = {(r.record_idx, r.version, r.headers.get("WARC-Target-URI")) for r in via_map.collect()}
+    assert a == b
+    assert len(a) == 6

@@ -1,0 +1,114 @@
+"""The WARC→url_resource pipeline as a registry entry (rows-only).
+
+Synthesizes a deterministic 6-record WARC (FIXTURES B1 branches: good,
+malformed, oversize, corrupt-gzip, blacklisted, non-response) into a temp
+dir, runs the FULL pipeline (source → filters → 4 UDF crossings → 18-col
+contract), and returns the output rows minus the heavy text columns. The
+driver's rows-check therefore certifies the end-to-end ETL on every round.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcraider_spark.registry import query
+
+
+@query(
+    "q99_warc_pipeline_e2e",
+    oracle=None,  # UDF-heavy end-to-end flow: rows-only check
+    tags=("pipeline", "etl", "reference-parity"),
+)
+def q99_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the reference dataflow end-to-end on the synthetic WARC corpus;
+    expect exactly 3 surviving rows (blacklist/request/corrupt dropped)."""
+    from warcraider_spark.plans.pipeline import url_resource_from_warc_records
+    from warcraider_spark.sources.warc import build_warc_bytes, read_warc
+
+    good = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n"
+        b"X-Funnelback-Total-Request-Time-MS: 1500\n\n\r\n"
+        b"<html><head><title>Pipeline Proof</title></head><body>"
+        b"<h1>Head</h1><p>alpha beta gamma delta words</p>"
+        b"<a href='/rel'>r</a><script>ga('create', 'UA-4242-1', 'auto');</script></body></html>"
+    )
+    malformed = b"HTTP/1.1 200 OK\n\n\r\n<html><body><p>broken <b>bits<a href='/m.htm'>m</p>"
+    oversize = (
+        b"HTTP/1.1 200 OK\n\n\r\n<html><head><title>Huge</title></head><body>"
+        + b"z" * 2_100_000
+        + b"</body></html>"
+    )
+    records = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://www.example.gov.au/ok",
+                "Uncompressed-Content-Length": str(len(good)),
+            },
+            good,
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://m.example.gov.au/bad",
+                "Uncompressed-Content-Length": str(len(malformed)),
+            },
+            malformed,
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://big.example.gov.au/huge",
+                "Uncompressed-Content-Length": str(len(oversize)),
+            },
+            oversize,
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://data.gov.au/blocked",
+                "Uncompressed-Content-Length": "50",
+            },
+            b"HTTP/1.1 200 OK\n\n\r\n<html><body>x</body></html>",
+        ),
+        (
+            {
+                "WARC-Type": "request",
+                "WARC-Target-URI": "https://www.example.gov.au/ok",
+                "Uncompressed-Content-Length": "10",
+            },
+            b"GET /ok",
+        ),
+    ]
+    d = os.path.join(tempfile.gettempdir(), "wr_pipeline_fixture")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "fixture-000.warc"), "wb") as f:
+        f.write(build_warc_bytes(records))
+        # corrupt-gzip member appended raw
+        bad_body = b"\x1f\x8bNOT_GZIP"
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://corrupt.example.gov.au/gz\r\n"
+            b"Uncompressed-Content-Length: 50\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(bad_body)
+            + bad_body
+            + b"\r\n\r\n"
+        )
+
+    out = url_resource_from_warc_records(read_warc(spark, d))
+    return out.select(
+        "url",
+        "hostname",
+        "domain_name",
+        "title",
+        "word_count",
+        "load_time",
+        F.size("links").alias("n_links"),
+        F.size("keywords").alias("n_keywords"),
+        "google_analytics",
+        "source",
+    ).orderBy("url")

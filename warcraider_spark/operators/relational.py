@@ -1229,3 +1229,258 @@ def q86_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Record-range scan, sampling, null semantics, date family 2, explode,
+# set-op variants, range frames, skew salting (SURVEY §2.1, §2.8, §2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_record_range_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50 OFFSET 100
+""",
+    tags=("scan", "limit", "reference-parity"),
+)
+def q87_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's record-range scan ([start_at, finish_at),
+    main.rs:205-219) as ORDER BY + OFFSET/LIMIT — partitioning makes the
+    manual skip loop obsolete (SURVEY §2.1)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "q88_hash_sampling",
+    oracle="""
+SELECT COUNT(*) AS n_sampled,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       MIN(o_orderkey) AS first_key
+FROM orders
+WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+""",
+    tags=("sampling",),
+)
+def q88_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sampling — the reproducible-across-engines
+    (and across-runs, unlike TABLESAMPLE) sampling pattern for pipeline
+    debugging at scale."""
+    from warcraider_spark.functions.textfn import md5_int
+
+    od = _t(spark, sf_dir, "orders")
+    sampled = od.filter(md5_int(F.col("o_orderkey").cast("string")) % 10 == 0)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+@query(
+    "q89_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_defaulted,
+       (NULLIF(o_orderstatus, 'O') IS DISTINCT FROM NULLIF(o_orderpriority, '1-URGENT')) AS distinct_check,
+       CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 'was_o' ELSE 'other' END AS null_case
+FROM orders
+ORDER BY o_orderkey
+LIMIT 1000
+""",
+    tags=("scalar", "null"),
+)
+def q89_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
+    engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
+    so these are the boundary operators between the two conventions."""
+    od = _t(spark, sf_dir, "orders")
+    status_null = F.nullif("o_orderstatus", F.lit("O"))
+    prio_null = F.nullif("o_orderpriority", F.lit("1-URGENT"))
+    return (
+        od.select(
+            "o_orderkey",
+            status_null.alias("status_or_null"),
+            F.coalesce(status_null, F.lit("open")).alias("status_defaulted"),
+            (~status_null.eqNullSafe(prio_null)).alias("distinct_check"),
+            F.when(status_null.isNull(), "was_o").otherwise("other").alias("null_case"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q90_date_family2",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(datediff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS months_since_95
+FROM orders
+ORDER BY o_orderkey
+LIMIT 1000
+""",
+    tags=("scalar", "date"),
+)
+def q90_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family 2: add_months/last_day/quarter/month-diff.
+
+    DuckDB's datediff('month') counts month-boundary crossings like
+    Spark's months_between only for whole months — computed here as
+    (year*12+month) delta on both sides for an exact integer contract."""
+    od = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    months_since = (F.year(d) - 1995) * 12 + (F.month(d) - 1)
+    return (
+        od.select(
+            "o_orderkey",
+            F.lit(True).alias("_sanity"),
+            F.add_months(d, 3).alias("plus_3m"),
+            F.last_day(d).alias("month_end"),
+            F.quarter(d).alias("qtr"),
+            months_since.cast("int").alias("months_since_95"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q91_posexplode",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 50)
+SELECT doc_id, pos, tok
+FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), i -> {'pos': i - 1, 'tok': toks[i]}), recursive := true)
+  FROM t
+)
+ORDER BY doc_id, pos
+""",
+    tags=("explode", "array"),
+)
+def q91_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
+    the row-expansion primitive under RAKE/shingles/minhash."""
+    from warcraider_spark.functions.textfn import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "q92_setops_all",
+    oracle="""
+WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
+     b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
+SELECT 'except_all' AS op, f, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY f
+UNION ALL
+SELECT 'intersect_all' AS op, f, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY f
+ORDER BY op, f
+""",
+    tags=("setop",),
+)
+def q92_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
+    counting — a different physical plan from the DISTINCT variants)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 7 == 0).select(F.col("l_returnflag").alias("f"))
+    b = li.filter(F.col("l_orderkey") % 11 == 0).select(F.col("l_returnflag").alias("f"))
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("f").agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "f", "n")
+
+    return counted(a.exceptAll(b), "except_all").unionAll(counted(a.intersectAll(b), "intersect_all")).orderBy(
+        "op", "f"
+    )
+
+
+@query(
+    "q93_range_frame",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, {RD}) AS price,
+       COUNT(*) OVER w AS n_similar_priced,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS sum_cents,
+       (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0) / (COUNT(*) OVER w) AS avg_similar
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+ORDER BY o_orderkey
+""",
+    tags=("window", "range-frame"),
+)
+def q93_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): peers within
+    ±10000 of the current price per customer.
+
+    The windowed sum runs on INTEGER CENTS: engines accumulate sliding
+    frames in different orders (segment trees vs running add/subtract),
+    so double sums drift past rounding; integer sums are exact and the
+    final division is bit-identical (left unrounded — see q33 note)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    od = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        od.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", RD).alias("price"),
+            F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+            F.sum(cents).over(w).alias("sum_cents"),
+            ((F.sum(cents).over(w) / 100.0) / F.count(F.lit(1)).over(w)).alias("avg_similar"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q94_salted_skew_join",
+    oracle=f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * rf.weight), {RD}) AS weighted_revenue
+FROM lineitem
+JOIN (SELECT 'A' AS f, 1.0 AS weight UNION ALL SELECT 'N', 1.1 UNION ALL SELECT 'R', 0.9) rf
+  ON l_returnflag = rf.f
+GROUP BY l_returnflag
+ORDER BY flag
+""",
+    tags=("join", "skew", "salting"),
+)
+def q94_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: l_returnflag has only 3 values (maximal skew for
+    a shuffle join), so the fact side adds a random-free salt
+    (orderkey % SALT) and the dim side explodes over all salts — the
+    classic manual skew remedy when the small side can't broadcast.
+    The aggregate result is salt-invariant, which the oracle verifies.
+    """
+    SALT = 8
+    li = _t(spark, sf_dir, "lineitem")
+    rf = spark.createDataFrame(
+        [("A", 1.0), ("N", 1.1), ("R", 0.9)], ["f", "weight"]
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+    salted = li.withColumn("salt", (F.col("l_orderkey") % SALT).cast("int"))
+    return (
+        salted.join(rf, (salted.l_returnflag == rf.f) & (salted.salt == rf.salt))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("weight")), RD).alias("weighted_revenue"),
+        )
+        .orderBy("flag")
+    )

@@ -91,9 +91,11 @@ def _ensure_loaded() -> None:
         dedup,
         extraction,
         multimodal,
+        pipeline_query,
         relational,
         similarity,
         text,
+        udtf_ops,
         windows_events,
     )
 
