@@ -1,0 +1,69 @@
+"""Property-based tests (SURVEY §5 test plan #4) — hypothesis over the
+pure-Python operator cores (the same functions the pandas UDFs wrap)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from warcraider_spark.functions.rake import rake_text
+from warcraider_spark.functions.stopwords import SMART_STOPWORDS
+from warcraider_spark.functions.urls import make_urls_absolute
+
+url_paths = st.from_regex(r"/[a-z0-9/_.-]{0,30}", fullmatch=True)
+words = st.from_regex(r"[A-Za-z]{1,12}", fullmatch=True)
+texts = st.lists(words, min_size=0, max_size=60).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(url_paths, max_size=10))
+def test_absolutize_idempotent(links):
+    """absolutize(absolutize(x)) == absolutize(x) — resolved URLs resolve
+    to themselves (lib.rs:400-417 semantics)."""
+    base = "http://example.gov.au/dir/page.html"
+    once = make_urls_absolute(base, links)
+    twice = make_urls_absolute(base, once)
+    assert twice == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(url_paths, max_size=10))
+def test_absolutize_sorted_unique(links):
+    out = make_urls_absolute("http://example.com", links)
+    assert out == sorted(set(out))
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_rake_keywords_from_vocabulary(text):
+    """Every keyword is made of non-stopword tokens of the input, and all
+    scores are non-negative (scores are sums of (degree+freq)/freq ≥ 1,
+    or 0 for all-number phrases)."""
+    kws = rake_text(text)
+    vocab = set(text.split())
+    for kw, score in kws.items():
+        assert score >= 0.0
+        for w in kw.split(" "):
+            assert w in vocab
+            assert w.lower() not in SMART_STOPWORDS
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_rake_deterministic(text):
+    assert rake_text(text) == rake_text(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+def test_parse_html_never_raises(raw):
+    """The parse UDF must be total — arbitrary input produces a valid
+    HTMLResult dict, never an exception (the pipeline depends on it)."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    out = parse_html_py(raw)
+    assert set(out) == {
+        "ok", "html_errors", "title", "text", "headings_text", "links", "resource_urls", "meta_tags",
+    }

@@ -155,9 +155,13 @@ def rake_native(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.explode(F.split(F.col("phrase"), r"\s+")).alias("word"),
     ).filter(~F.col("word").rlike(NUM_PATTERN_JAVA))
 
-    plen = occ_words.groupBy("_id", "occ").agg(F.count(F.lit(1)).alias("plen"))
+    # phrase length via a window over the occurrence — one exchange instead
+    # of the groupBy+join formulation (same result, fewer stages)
+    from pyspark.sql.window import Window
+
+    w_occ = Window.partitionBy("_id", "occ")
     stats = (
-        occ_words.join(plen, ["_id", "occ"])
+        occ_words.withColumn("plen", F.count(F.lit(1)).over(w_occ))
         .groupBy("_id", "word")
         .agg(F.count(F.lit(1)).alias("freq"), F.sum(F.col("plen") - 1).alias("degree"))
     )

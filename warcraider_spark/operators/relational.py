@@ -1484,3 +1484,59 @@ def q94_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q96_to_json",
+    oracle="""
+SELECT event_id,
+       to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    tags=("scalar", "json"),
+)
+def q96_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json serialization (the meta_tags/headers export shape): struct →
+    canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    packed = F.to_json(
+        F.struct(
+            F.col("event_type").alias("event_type"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+    )
+    return ev.select("event_id", packed.alias("packed")).orderBy("event_id")
+
+
+@query(
+    "q97_first_last_value",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window",),
+)
+def q97_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value window functions over full-partition frames."""
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(by_date).alias("first_order"),
+            F.last("o_orderkey").over(full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
