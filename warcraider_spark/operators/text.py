@@ -353,3 +353,96 @@ def q37_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "keyword", F.round("score", 4).alias("score"))
         .orderBy("doc_id", "keyword")
     )
+
+
+@query(
+    "q38_tfidf",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM t)
+SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+WHERE tf.doc_id < 60
+ORDER BY tf.doc_id, tf.tok
+""",
+    tags=("text", "tfidf"),
+)
+def q38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
+    corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
+    formula) — two shuffles, both partial-aggregated map-side. The idf
+    value is bit-identical across engines (exact integer inputs to ln).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "tok", "tf", "df", (F.col("tf") * idf).alias("tfidf"))
+        .orderBy("doc_id", "tok")
+    )
+
+
+@query(
+    "q39_ml_lsh_variants",
+    oracle=None,  # pyspark.ml model hashes are engine-specific: rows-only
+    tags=("dedup", "similarity", "mllib"),
+)
+def q39_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
+    BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
+    MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
+    BRP-LSH bucket counts. Model hash seeds are engine-internal, so the
+    driver records rows-only; the native q42/q51 carry the hash-checked
+    equivalents."""
+    from pyspark.ml.feature import (
+        BucketedRandomProjectionLSH,
+        CountVectorizer,
+        MinHashLSH,
+        Tokenizer,
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    toked = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    cv = CountVectorizer(inputCol="words", outputCol="features", binary=True).fit(toked)
+    feats = cv.transform(toked)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(feats)
+    pairs = (
+        mh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+    )
+    minhash_pairs = pairs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("minhash_lsh_pairs").alias("metric"), F.col("n")
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.2, numHashTables=3, seed=42
+    ).fit(em)
+    brp_buckets = (
+        brp.transform(em)
+        .select(F.explode("hashes").alias("h"))
+        .agg(F.countDistinct("h").alias("n"))
+        .select(F.lit("brp_distinct_buckets").alias("metric"), F.col("n"))
+    )
+    return minhash_pairs.unionAll(brp_buckets).orderBy("metric")
