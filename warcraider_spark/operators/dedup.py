@@ -408,3 +408,70 @@ def q45_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "q46_training_data_pipeline",
+    oracle="""
+WITH corpus AS (
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+),
+m AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM corpus)
+),
+quality AS (
+  SELECT * FROM m WHERE n_tokens >= 15 AND distinct_ratio >= 0.3
+),
+hashed AS (
+  SELECT doc_id, n_tokens,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM quality
+),
+deduped AS (
+  SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies, MIN(n_tokens) AS n_tokens
+  FROM hashed GROUP BY fp
+)
+SELECT COUNT(*) AS docs_kept,
+       SUM(n_copies) - COUNT(*) AS dups_removed,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(n_tokens), 4) AS mean_tokens
+FROM deduped
+""",
+    tags=("pipeline", "dedup", "text", "north-star"),
+    bench=True,
+)
+def q46_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline (the north-star flow in one
+    plan): corpus ∪ duplicates → quality filter (length + diversity) →
+    exact dedup keep-first → corpus accounting. Single Catalyst plan:
+    the filter prunes BEFORE the dedup shuffle, the dedup groupBy is the
+    only exchange, accounting is a partial-agg rollup of it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") < 60).select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    corpus = docs.unionAll(exact)
+    tok = tokens("text")
+    n = F.size(tok)
+    m = corpus.select(
+        "doc_id",
+        "text",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(tok)) / n.cast("double"), 4).alias("distinct_ratio"),
+    )
+    quality = m.filter((F.col("n_tokens") >= 15) & (F.col("distinct_ratio") >= 0.3))
+    hashed = quality.select("doc_id", "n_tokens", doc_fingerprint("text").alias("fp"))
+    deduped = hashed.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("dups_removed"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+    )
