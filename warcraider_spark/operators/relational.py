@@ -1540,3 +1540,237 @@ def q97_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped breadth batch (the BigQuery-delegated workload, §2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_shipmode_priority",
+    oracle="""
+SELECT l_linestatus AS shipmode_proxy,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY shipmode_proxy
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q101_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority class counts per ship mode."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipmode_proxy"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("shipmode_proxy")
+    )
+
+
+@query(
+    "q102_promo_revenue",
+    oracle=f"""
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q102_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share (conditional aggregate
+    over a broadcast dim join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    pa = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q103_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, MIN(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+)
+SELECT c.l_partkey AS partkey, c.l_suppkey AS suppkey, s_name,
+       ROUND(c.unit_cost, 4) AS unit_cost
+FROM costs c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+JOIN supplier ON c.l_suppkey = s_suppkey
+WHERE c.l_partkey < 100
+ORDER BY partkey, suppkey
+""",
+    tags=("join", "subquery", "tpch"),
+)
+def q103_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-
+    minimum join (aggregate-then-rejoin, no correlated subquery needed —
+    equality on exact doubles is safe because both sides carry the SAME
+    unrounded min value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # rename the re-aggregated side's key: both frames share lineage, so an
+    # unaliased equi-condition resolves to a trivially-true self-compare
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost")).select(
+        F.col("l_partkey").alias("bp"), "best_cost"
+    )
+    su = _t(spark, sf_dir, "supplier")
+    return (
+        costs.join(best, (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .filter(F.col("l_partkey") < 100)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy("partkey", "suppkey")
+    )
+
+
+@query(
+    "q104_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3 AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q104_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volumes (two aliases of the same
+    dim joined on different keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.alias("n1")
+    n2 = na.alias("n2")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(
+            (F.col("n1.n_nationkey") < 3)
+            & (F.col("n2.n_nationkey") < 3)
+            & (F.col("n1.n_nationkey") != F.col("n2.n_nationkey"))
+        )
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), RD).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q105_top_customers_quarter",
+    oracle=f"""
+WITH q AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         SUM(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey, yr, qtr
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY yr, qtr ORDER BY spend DESC, o_custkey) AS rnk FROM q
+)
+SELECT yr, qtr, o_custkey AS custkey, ROUND(spend, {RD}) AS spend, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY yr, qtr, rnk
+""",
+    tags=("window", "topk", "agg"),
+)
+def q105_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per quarter: aggregate → window rank — the
+    leaderboard shape (agg shuffle reused by the window partition)."""
+    od = _t(spark, sf_dir, "orders")
+    q = od.groupBy(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.partitionBy("yr", "qtr").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        q.select("yr", "qtr", F.col("o_custkey").alias("custkey"), "spend", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("yr", "qtr", "custkey", F.round("spend", RD).alias("spend"), "rnk")
+        .orderBy("yr", "qtr", "rnk")
+    )
+
+
+@query(
+    "q106_decile_distribution",
+    oracle=f"""
+WITH d AS (
+  SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), {RD}) AS lo,
+       ROUND(MAX(o_totalprice), {RD}) AS hi
+FROM d GROUP BY decile ORDER BY decile
+""",
+    tags=("window", "distribution"),
+)
+def q106_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile boundaries via NTILE — note: a GLOBAL window is a
+    single-partition sort (fine for summaries; at 100 TB use
+    approx_percentile instead — q81/q27 are the scale forms)."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), RD).alias("lo"),
+            F.round(F.max("o_totalprice"), RD).alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -446,3 +446,101 @@ def q39_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("brp_distinct_buckets").alias("metric"), F.col("n"))
     )
     return minhash_pairs.unionAll(brp_buckets).orderBy("metric")
+
+
+@query(
+    "q47_document_chunking",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 100),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT) + 1, 1)),
+                i -> {'chunk_idx': i - 1,
+                      'chunk': array_to_string(toks[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ')}),
+                recursive := true)
+  FROM t
+)
+SELECT doc_id, chunk_idx, chunk,
+       len(string_split(chunk, ' ')) AS chunk_tokens
+FROM c
+WHERE chunk <> ''
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("text", "chunking"),
+)
+def q47_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 24 →
+    8-token overlap): the context-window packing stage of a training-data
+    pipeline, as pure array expressions (slice per chunk index)."""
+    WINDOW, STRIDE = 32, 24
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = tokens("text")
+    n_chunks = F.greatest(F.ceil((F.size(tok) - (WINDOW - STRIDE)) / float(STRIDE)).cast("long") + 1, F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(tok, ((i - 1) * STRIDE + 1).cast("int"), WINDOW), " ").alias("chunk"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+        )
+        .filter(F.col("chunk") != "")
+        .withColumn("chunk_tokens", F.size(F.split("chunk", " ")).cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "q48_embedding_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+s AS (
+  -- inner name raw_scale: DuckDB lateral aliasing would let an output
+  -- alias named 'scale' SHADOW this column inside the same SELECT
+  SELECT vec_id, v,
+         greatest(abs(list_aggregate(v, 'max')), abs(list_aggregate(v, 'min'))) AS raw_scale
+  FROM e
+)
+SELECT vec_id,
+       ROUND(raw_scale, 6) + 0.0 AS scale,
+       list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS INT))[1:8] AS q_head,
+       list_aggregate(list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS INT)), 'sum') AS q_sum
+FROM s
+ORDER BY vec_id
+""",
+    tags=("similarity", "quantization"),
+)
+def q48_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (absmax scaling) — the
+    storage/bandwidth stage of a vector index at 100 TB; all native
+    higher-order functions, int outputs so the oracle is exact."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sel = em.select("vec_id", v.alias("v"))
+    scale = F.greatest(F.abs(F.array_max("v")), F.abs(F.array_min("v")))
+    # intermediate named raw_scale: BOTH engines lateral-resolve a bare
+    # "scale" inside later same-select expressions to the OUTPUT alias
+    # "scale" (Spark 4 lateral column aliases; DuckDB lateral aliases),
+    # silently quantizing with the rounded value
+    s = sel.withColumn("raw_scale", scale)
+    # floor(x+0.5), not round(): engine ROUND double half-cases diverge; floor
+    # of an identical double is bit-deterministic in both engines
+    q = F.transform("v", lambda x: F.floor(x / F.col("raw_scale") * 127 + 0.5).cast("int"))
+    return (
+        s.select(
+            "vec_id",
+            (F.round("raw_scale", 6) + 0.0).alias("scale"),
+            F.slice(q, 1, 8).alias("q_head"),
+            F.aggregate(q, F.lit(0), lambda a, x: a + x).cast("long").alias("q_sum"),
+        )
+        .orderBy("vec_id")
+    )
