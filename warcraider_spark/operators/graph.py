@@ -1,0 +1,149 @@
+"""Link-graph operators (SURVEY §2.7 self-join row).
+
+The url_resource table's ``links`` arrays make the crawl a graph; edge
+extraction is ``explode(links)`` + equi-join on the target URL. The
+driver tables carry no links, so edges are synthesized deterministically
+from ``documents`` (node i → (i·7+k+1) mod N for k<5) — same construction
+in the oracle, so degree/reciprocity/PageRank are hash-checked.
+
+Scale notes: every step is an equi-join or groupBy on the node id — the
+join key IS the partition key, so iterative PageRank is one shuffle per
+iteration; out-degrees are broadcast (|nodes| ≪ |edges|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+FANOUT = 5
+DAMPING = 0.85
+ITERATIONS = 3
+
+# NOTE: DuckDB 1.0's binder hits an internal error when an unnest-
+# projecting CTE is referenced 3+ times — oracles use AS MATERIALIZED
+# and a wrapper subselect as workarounds
+EDGES_SQL = f"""
+SELECT src, dst FROM (
+  SELECT doc_id AS src,
+         unnest(list_transform(generate_series(1, {FANOUT}), k -> (doc_id * 7 + k) % n)) AS dst
+  FROM documents CROSS JOIN (SELECT COUNT(*) AS n FROM documents)
+)
+"""
+
+
+def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.lit(FANOUT)), lambda k: (F.col("doc_id") * 7 + k) % n)
+        ).alias("dst"),
+    )
+
+
+@query(
+    "q56_link_degrees",
+    oracle=f"""
+WITH e AS MATERIALIZED ({EDGES_SQL}),
+outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst),
+recip AS (
+  SELECT COUNT(*) AS n_recip
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+)
+SELECT o.src AS node, o.out_deg, COALESCE(i.in_deg, 0) AS in_deg,
+       (SELECT n_recip FROM recip) AS reciprocal_pairs
+FROM outd o LEFT JOIN ind i ON o.src = i.dst
+ORDER BY node
+""",
+    tags=("graph", "join"),
+)
+def q56_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree per node + reciprocal-edge count (the link-graph
+    accounting pass; edge extraction = explode + equi-join)."""
+    e = edges(spark, sf_dir)
+    outd = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("out_deg"))
+    ind = e.groupBy(F.col("dst")).agg(F.count(F.lit(1)).alias("in_deg"))
+    a, b = e.alias("a"), e.alias("b")
+    recip = (
+        a.join(b, (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") < F.col("a.dst")))
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    return (
+        outd.join(ind, outd.src == ind.dst, "left")
+        .crossJoin(F.broadcast(recip))
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.col("n_recip").alias("reciprocal_pairs"),
+        )
+        .orderBy("node")
+    )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node,
+         ROUND((1 - {DAMPING}) / nn.n + {DAMPING} * COALESCE(SUM(p.pr / od.out_deg), 0.0), 10) AS pr
+  FROM nodes n
+  CROSS JOIN (SELECT COUNT(*) AS n FROM nodes) nn
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN outd od ON od.src = e.src
+  GROUP BY n.node, nn.n
+)"""
+
+
+@query(
+    "q57_pagerank",
+    oracle=f"""
+WITH e AS MATERIALIZED ({EDGES_SQL}),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+pr0 AS (SELECT node, ROUND(1.0 / (SELECT COUNT(*) FROM nodes), 10) AS pr FROM nodes),
+{_pagerank_iter_sql("pr0", "pr1")},
+{_pagerank_iter_sql("pr1", "pr2")},
+{_pagerank_iter_sql("pr2", "pr3")}
+SELECT node, pr FROM pr3
+ORDER BY pr DESC, node
+LIMIT 100
+""",
+    tags=("graph", "iterative", "join"),
+)
+def q57_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 unrolled iterations (damping 0.85): the iterative-
+    algorithm shape as repeated join+groupBy — one shuffle per iteration
+    on the node id. Ranks are ROUNDED to 10 decimals each iteration so
+    both engines feed identical doubles into the next step (per-node
+    in-sums are small, so parallel summation order drift is sub-round).
+    """
+    e = edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    pr = nodes.select("node", F.round(F.lit(1.0 / n), 10).alias("pr"))
+    for _ in range(ITERATIONS):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(F.broadcast(outd), "src")
+            .select(F.col("dst"), (F.col("pr") / F.col("out_deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("in_sum"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1 - DAMPING) / n) + DAMPING * F.coalesce(F.col("in_sum"), F.lit(0.0)), 10
+                ).alias("pr"),
+            )
+        )
+    return pr.orderBy(F.desc("pr"), F.asc("node")).limit(100)

@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
     from warcraider_spark.operators import (  # noqa: F401
         dedup,
         extraction,
+        graph,
         multimodal,
         pipeline_query,
         relational,
