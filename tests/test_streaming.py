@@ -67,3 +67,22 @@ def test_streaming_warc_exactly_once(spark, tmp_path):
     q3 = stream_warc_pipeline(spark, str(warc_dir), out, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_static_join_equals_batch(spark, sf_smoke):
+    """The stream-static enrichment must land on the batch join's table."""
+    from warcraider_spark.streaming.windows import (
+        replay_enriched_stream,
+        stream_static_enrich,
+    )
+
+    streamed = {tuple(r) for r in replay_enriched_stream(spark, sf_smoke).collect()}
+    batch = {
+        tuple(r)
+        for r in stream_static_enrich(
+            load_table(spark, sf_smoke, "events"),
+            load_table(spark, sf_smoke, "customer"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0

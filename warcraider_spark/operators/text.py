@@ -22,6 +22,7 @@ from warcraider_spark.functions.textfn import (
     md5_int_sql,
     norm_text,
     shingle_fingerprint,
+    shingles,
     tokens,
     word_count,
 )
@@ -544,3 +545,142 @@ def q48_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# The driver corpus is clean word-soup, so — as with dedup's dup_corpus —
+# the query injects deterministic PII (email / AU-mobile / IPv4) into every
+# 5th document, identically in Spark and the oracle, then proves the
+# redactor finds and replaces exactly those spans. Patterns use only
+# constructs with identical semantics in Java regex and RE2: literal
+# classes, \d, \b.
+_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+_PHONE_RE = r"\b04\d{8}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_TEXT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com or 04' ||
+           lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ||
+           ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           CAST((doc_id * 7) % 256 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+"""
+
+
+@query(
+    "q49_pii_redaction",
+    oracle=f"""
+WITH pii AS ({_PII_TEXT_SQL}),
+     red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g'), '{_IP_RE}')) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id, n_emails, n_phones, n_ips, md5(redacted) AS redacted_md5
+FROM red
+WHERE n_emails + n_phones + n_ips > 0
+ORDER BY doc_id
+""",
+    tags=("text", "pii", "redaction"),
+)
+def q49_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails / phone numbers / IPv4 with
+    per-class counts — the compliance pass of a training-data pipeline.
+    One linear scan, all JVM-side regexp expressions (codegen), no UDF; at
+    100 TB this is a map-only stage with full scan parallelism.
+
+    Phone redaction runs BEFORE IP counting so the 10-digit mobile can
+    never be re-matched, and the injected corpus is deterministic so the
+    oracle hash checks exact replacement spans, not just counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 04"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    pii = docs.select("doc_id", injected.alias("text"))
+    no_phone = F.regexp_replace("text", _PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    out = pii.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(no_phone, F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+    return out.filter(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q54_repetition_ratio",
+    oracle="""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       greatest(len(toks) - 4, 1) AS total_5grams,
+       len(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+       ))) AS distinct_5grams,
+       -- raw double quotient of exact ints: bit-identical across engines,
+       -- never ROUND a composite (decimal-half divergence)
+       1.0 - len(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+       ))) / CAST(greatest(len(toks) - 4, 1) AS DOUBLE) AS rep_ratio
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def q54_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram fraction per document (the Gopher-style repetition
+    signal for filtering low-quality/boilerplate docs). Distinct counting
+    happens inside the row via the shingle expression — a map-only linear
+    scan, no explode, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    total = F.greatest(F.size("toks") - 4, F.lit(1))
+    distinct = F.size(shingles(F.col("toks"), 5))
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        total.cast("long").alias("total_5grams"),
+        distinct.cast("long").alias("distinct_5grams"),
+        (F.lit(1.0) - distinct / total.cast("double")).alias("rep_ratio"),
+    ).orderBy("doc_id")

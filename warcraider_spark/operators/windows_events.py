@@ -148,3 +148,29 @@ def q63_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcraider_spark.streaming.windows import replay_events_stream
 
     return replay_events_stream(spark, sf_dir, watermark="1 hour")
+
+
+@query(
+    "q64_stream_static_enrich",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
+       COALESCE(c_mktsegment, 'unknown') AS segment,
+       COUNT(*) AS n,
+       ROUND(SUM(value), {RD}) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY window_start, segment
+ORDER BY window_start, segment
+""",
+    tags=("streaming", "join", "window"),
+)
+def q64_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join run through a REAL structured stream: events
+    replayed as a file stream, broadcast-joined per micro-batch to the
+    static customer dimension, then watermarked windowed revenue per
+    market segment. The oracle is the batch SQL dual — the streaming
+    engine must land on the identical final table (complete mode,
+    availableNow drains everything, so no rows are watermark-dropped).
+    """
+    from warcraider_spark.streaming.windows import replay_enriched_stream
+
+    return replay_enriched_stream(spark, sf_dir)

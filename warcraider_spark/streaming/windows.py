@@ -33,6 +33,8 @@ __all__ = [
     "stream_events",
     "windowed_counts_stream",
     "replay_events_stream",
+    "stream_static_enrich",
+    "replay_enriched_stream",
     "stream_warc_pipeline",
 ]
 
@@ -88,6 +90,58 @@ def replay_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 h
     )
     q.awaitTermination(120)
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension, then watermarked per-segment windowed revenue.
+
+    The static side is re-read every micro-batch (so a dimension update is
+    picked up without restarting the query) and is broadcast — the stream
+    side never shuffles for the join, which is what makes enrichment
+    affordable when the stream is the 100 TB side. Left join keeps events
+    with no matching customer (segment → 'unknown')."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(dim, "user_id", "left")
+        .fillna({"segment": "unknown"})
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), RD).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def replay_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run events through a real stream joined to the static customer dim
+    (availableNow → complete-mode memory sink); returns the final table."""
+    from warcraider_spark.tables import load_table
+
+    staged = os.path.join(tempfile.gettempdir(), f"events_enrich_{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(staged)
+
+    stream = stream_events(spark, staged, ev.schema)
+    enriched = stream_static_enrich(stream, load_table(spark, sf_dir, "customer"))
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("window_start", "segment")
 
 
 def stream_warc_pipeline(
