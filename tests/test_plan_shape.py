@@ -175,3 +175,13 @@ def test_salted_join_no_single_hot_partition(spark):
     df = all_specs()["q94_salted_skew_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "salt" in plan
+
+
+def test_approx_quantile_error_bound(spark):
+    """q107: the GK sketch at accuracy 10000 must stay within 1% of the
+    exact percentile at this SF — rank error ≤ n/accuracy."""
+    rows = all_specs()["q107_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.01
+        assert abs(r.approx_p95 - r.exact_p95) / r.exact_p95 < 0.01

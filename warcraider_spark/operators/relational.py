@@ -1774,3 +1774,34 @@ def q106_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q107_approx_quantiles",
+    oracle=None,  # GK-sketch values are engine-specific; rows-only check
+    tags=("agg", "approx", "quantile"),
+)
+def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) next to the exact
+    percentile — the 100 TB answer to median/p95: one pass, fixed memory,
+    mergeable across partitions, no global sort. Exact columns ride along
+    so the sketch's rank error is visible in the output (and bounded by
+    1/accuracy); q81 carries the exact-match burden."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("approx_p"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("exact_p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("approx_p", 1), RD).alias("approx_median"),
+            F.round(F.element_at("approx_p", 2), RD).alias("approx_p95"),
+            F.round(F.element_at("exact_p", 1), RD).alias("exact_median"),
+            F.round(F.element_at("exact_p", 2), RD).alias("exact_p95"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
