@@ -241,3 +241,90 @@ def q53_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("assigned")
     )
+
+
+@query(
+    "q55_ivf_topk_search",
+    oracle="""
+WITH e AS (SELECT vec_id, label, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8) AS v FROM embeddings),
+     cent AS (
+  SELECT label AS c_label,
+         [ROUND(AVG(v[1]), 6), ROUND(AVG(v[2]), 6), ROUND(AVG(v[3]), 6), ROUND(AVG(v[4]), 6),
+          ROUND(AVG(v[5]), 6), ROUND(AVG(v[6]), 6), ROUND(AVG(v[7]), 6), ROUND(AVG(v[8]), 6)] AS c
+  FROM e GROUP BY label
+),
+     cdist AS (
+  SELECT vec_id, label, v, c_label,
+         list_aggregate(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+             list_aggregate(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), c_label) AS rnk
+  FROM e CROSS JOIN cent
+),
+     assign AS (SELECT vec_id, v, c_label AS bucket FROM cdist WHERE rnk = 1),
+     probe AS (
+  SELECT vec_id AS query_id, v AS qv, c_label AS bucket
+  FROM cdist WHERE vec_id % 50 = 0 AND rnk <= 2
+),
+     cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_aggregate(list_transform(list_zip(p.qv, a.v), q -> (q[1] - q[2]) * (q[1] - q[2])), 'sum'), 6) + 0.0 AS dist
+  FROM probe p JOIN assign a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+),
+     ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, dist, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def q55_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: build the inverted index (every vector assigned
+    to its nearest label-centroid), then for each query vector probe the
+    nprobe=2 nearest buckets and rank ONLY those candidates — the scale
+    path where a 100 TB corpus is searched by touching ~nprobe/nlist of
+    it. Centroids are broadcast (tiny); the candidate join is an equi-join
+    on bucket id, so candidate generation is a shuffle on nlist keys, never
+    an n×n cross product. Queries: every 50th vector, self excluded.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    e = em.select("vec_id", "label", F.slice(_vec_double(), 1, 8).alias("v"))
+    cent = e.groupBy(F.col("label").alias("c_label")).agg(
+        F.array(*[F.round(F.avg(F.element_at("v", i + 1)), 6) for i in range(8)]).alias("c")
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    cdist = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "c_label", l2(F.col("v"), F.col("c")).alias("dist"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    assign = cdist.filter(F.col("rnk") == 1).select(
+        "vec_id", "v", F.col("c_label").alias("bucket")
+    )
+    probe = cdist.filter((F.col("vec_id") % 50 == 0) & (F.col("rnk") <= 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("c_label").alias("bucket")
+    )
+    cand = (
+        probe.alias("p")
+        .join(
+            assign.alias("a"),
+            (F.col("a.bucket") == F.col("p.bucket")) & (F.col("a.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("a.vec_id").alias("neighbor_id"),
+            (F.round(l2(F.col("p.qv"), F.col("a.v")), 6) + 0.0).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
