@@ -1805,3 +1805,84 @@ def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q108_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.event_id AS prior_purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+""",
+    tags=("join", "asof"),
+)
+def q108_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join — for every click, the same user's most recent
+    purchase at-or-before it. Spark has no ASOF JOIN operator, so this is
+    the scale-correct composition: tag both sides, UNION, one window
+    partitioned by user ordered by (ts, side) carrying the last purchase
+    forward with last(..., ignorenulls) — a SINGLE shuffle on user_id,
+    never the range-join explosion (events × candidate purchases) a naive
+    non-equi join would produce. The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so the semantics (inclusive match, left rows with no prior
+    purchase kept as NULL) are pinned by an independent engine.
+
+    At 100 TB the window state per user is one carried row (not a buffer),
+    and AQE handles per-user skew; same-instant ties resolve purchase-
+    before-click via the side flag in the sort key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "ts",
+            "is_click",
+            F.last("p_id", ignorenulls=True).over(w).alias("prior_purchase_id"),
+            F.last("p_ts", ignorenulls=True).over(w).alias("asof_ts"),
+            F.last("p_value", ignorenulls=True).over(w).alias("purchase_value"),
+        )
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            "prior_purchase_id",
+            F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "purchase_value",
+        )
+        .orderBy("event_id")
+    )
