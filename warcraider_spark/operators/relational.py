@@ -1886,3 +1886,77 @@ def q108_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q109_variant_json",
+    oracle="""
+SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       MIN(CAST(props->>'$.k' AS INT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events
+GROUP BY k_mod
+ORDER BY k_mod
+""",
+    tags=("json", "variant"),
+)
+def q109_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the engine-native path for JSON columns at
+    scale (single parse, no per-access string re-parse the way chained
+    get_json_object does; q21 covers the classic functions)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@query(
+    "q110_time_range_frame",
+    oracle="""
+SELECT event_id,
+       user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS errors_last_hour
+FROM (SELECT event_id, user_id, event_type, epoch(ts) AS sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    tags=("window", "range", "time"),
+)
+def q110_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour sliding metrics per user via a time-valued RANGE frame
+    (the batch dual of a streaming sliding window, but per-row): frame
+    bounds are VALUES of the epoch-seconds sort key, so co-timed events
+    share a frame regardless of row order — semantics ROWS frames can't
+    express. One shuffle on user_id; frame state is a two-pointer scan.
+    q93 covers numeric RANGE frames; this is the event-time form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum((F.col("event_type") == "error").cast("long")).over(w).alias("errors_last_hour"),
+        )
+        .orderBy("event_id")
+    )
