@@ -1960,3 +1960,36 @@ def q110_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q111_rank_distribution",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window", "rank"),
+)
+def q111_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / quartile per customer — the remaining
+    ranking-family windows (q11 covers lag/lead/rank/ntile/running-sum).
+    Both are exact rational values of integer rank counts, so the raw
+    doubles hash-match across engines with no rounding."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
