@@ -1861,9 +1861,13 @@ def q108_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         F.col("value").alias("p_value"),
     )
+    # event_id as the final sort key makes the ordering TOTAL: with two
+    # purchases at the same (user, ts) the carried row is deterministically
+    # the max-event_id one instead of partition-order luck (the driver
+    # corpus has no such ties, but the operator must not depend on that)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_click")
+        .orderBy("ts", "is_click", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
