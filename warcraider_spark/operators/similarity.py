@@ -328,3 +328,52 @@ def q55_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "q59_group_spectral_stats",
+    oracle=None,  # eigensolve needs numpy; genuinely non-SQL — rows-only
+    tags=("similarity", "applyInPandas", "spectral"),
+)
+def q59_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance spectral stats of the embedding space via
+    grouped ``applyInPandas`` — the custom-aggregation escape hatch for
+    semantics no built-in aggregate expresses (an 8×8 eigensolve per
+    group). The groupBy shuffles each label's vectors to one task; the
+    numpy work is Arrow-batched and per-group-bounded (dims², not rows),
+    so a 100 TB corpus with k labels costs one shuffle plus k tiny
+    eigensolves. Completes the Pandas-API surface next to pandas_udf
+    (parse/rake), mapInPandas (WARC/media) and applyInPandasWithState
+    (streaming dedup).
+
+    Output per label: n, top-eigenvalue of the covariance (variance along
+    the principal axis), trace (total variance), and the anisotropy ratio
+    top_eig/trace — floats rounded to 6 for cross-run stability.
+    """
+    import numpy as np  # noqa: F401 (driver-side check that numpy exists)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    e = em.select("label", F.slice(_vec_double(), 1, 8).alias("v"))
+
+    schema = "label bigint, n bigint, top_eig double, trace double, anisotropy double"
+
+    def spectral(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        m = _np.vstack(pdf["v"].to_numpy())
+        c = _np.cov(m, rowvar=False, bias=True)
+        eig = _np.linalg.eigvalsh(c)  # deterministic: LAPACK on a symmetric 8x8
+        top = float(eig[-1])
+        tr = float(_np.trace(c))
+        return _pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "top_eig": [round(top, 6)],
+                "trace": [round(tr, 6)],
+                "anisotropy": [round(top / tr, 6)],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(spectral, schema).orderBy("label")
