@@ -23,8 +23,10 @@ from warcraider_spark.registry import all_specs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
-    spec = all_specs()["q01_pricing_summary"]
+    """Flagship query on sf0.001: the composed training-data pipeline
+    (quality filter → exact dedup → per-bucket accounting in ONE plan —
+    the BASELINE.json north star)."""
+    spec = all_specs()["q46_training_data_pipeline"]
     return spec.builder(spark, "/root/testdata/sf0.001")
 
 
