@@ -1934,9 +1934,9 @@ SELECT event_id,
        user_id,
        COUNT(*) OVER w AS n_last_hour,
        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS errors_last_hour
-FROM (SELECT event_id, user_id, event_type, epoch(ts) AS sec FROM events)
-WINDOW w AS (PARTITION BY user_id ORDER BY sec
-             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """,
     tags=("window", "range", "time"),
@@ -1944,16 +1944,20 @@ ORDER BY event_id
 def q110_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour sliding metrics per user via a time-valued RANGE frame
     (the batch dual of a streaming sliding window, but per-row): frame
-    bounds are VALUES of the epoch-seconds sort key, so co-timed events
-    share a frame regardless of row order — semantics ROWS frames can't
-    express. One shuffle on user_id; frame state is a two-pointer scan.
-    q93 covers numeric RANGE frames; this is the event-time form.
+    bounds are VALUES of the sort key, so co-timed events share a frame
+    regardless of row order — semantics ROWS frames can't express. The
+    key is INTEGRAL epoch-microseconds (unix_micros / epoch_us), never
+    truncated seconds: events carry fractional-second timestamps, and
+    second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
+    silently disagrees on boundary pairs ~1 hour apart. One shuffle on
+    user_id; frame state is a two-pointer scan. q93 covers numeric RANGE
+    frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3599, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3599999999, Window.currentRow)
     )
     return (
         ev.select(
