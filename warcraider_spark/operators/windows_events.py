@@ -174,3 +174,102 @@ def q64_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcraider_spark.streaming.windows import replay_enriched_stream
 
     return replay_enriched_stream(spark, sf_dir)
+
+
+@query(
+    "q65_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_n
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_n, COUNT(*) AS n_active
+FROM activity
+GROUP BY cohort_day, day_n
+ORDER BY cohort_day, day_n
+""",
+    tags=("window", "cohort", "retention"),
+)
+def q65_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    distinct on each day-offset they return. Two shuffles on user_id
+    (first-seen agg + join back — co-partitioned, so AQE can plan a
+    shuffle-once pipeline) and one on (cohort, offset); at 100 TB the
+    first-seen side is the small one and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_n"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_n")
+    )
+
+
+@query(
+    "q66_funnel_conversion",
+    oracle="""
+WITH stage_ts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase_any
+  FROM events GROUP BY user_id
+),
+funnel AS (
+  SELECT user_id,
+         t_signup IS NOT NULL AS s1,
+         t_signup IS NOT NULL AND t_click_any > t_signup AS s2,
+         t_signup IS NOT NULL AND t_click_any > t_signup AND t_purchase_any > t_click_any AS s3
+  FROM stage_ts
+)
+SELECT 1 AS stage, 'signup' AS name, COUNT(*) FILTER (s1) AS n_users FROM funnel
+UNION ALL
+SELECT 2, 'click_after_signup', COUNT(*) FILTER (s2) FROM funnel
+UNION ALL
+SELECT 3, 'purchase_after_click', COUNT(*) FILTER (s3) FROM funnel
+ORDER BY stage
+""",
+    tags=("window", "funnel"),
+)
+def q66_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first later click → first later purchase):
+    one groupBy(user) computes the three stage timestamps with conditional
+    MIN (map-side combine, single shuffle), then the strictly-increasing
+    ordering is a row-local predicate — no self-joins, no window state.
+    NULL comparisons propagate to false in both engines via the explicit
+    IS NOT NULL guards."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click_any"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase_any"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click_any") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase_any") > F.col("t_click_any"))
+    funnel = stage.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    agg = funnel.agg(
+        F.count_if("s1").alias("n1"),
+        F.count_if("s2").alias("n2"),
+        F.count_if("s3").alias("n3"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(3, 1, 'signup', n1, 2, 'click_after_signup', n2, 3, 'purchase_after_click', n3) AS (stage, name, n_users)"
+        )
+        .orderBy("stage")
+    )
