@@ -185,3 +185,37 @@ def test_approx_quantile_error_bound(spark):
     for r in rows:
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.01
         assert abs(r.approx_p95 - r.exact_p95) / r.exact_p95 < 0.01
+
+
+def test_asof_join_single_shuffle(spark):
+    """q108: the union+window as-of composition must shuffle ONCE on
+    user_id before the final presentation sort — never the range-join
+    explosion a non-equi formulation would plan."""
+    df = all_specs()["q108_asof_join"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan, "as-of must compile to window+union, not a join"
+    # exchanges: one hashpartitioning(user_id) for the window, one range
+    # partitioning for the final orderBy — nothing else
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") <= 2
+
+
+def test_ivf_search_broadcasts_centroids(spark):
+    """q55: the vectors×centroids cross join must BUILD on a broadcast of
+    the tiny centroid table (BNLJ BuildRight) — the vector stream never
+    shuffles for assignment; a CartesianProduct (both sides shuffled)
+    would be the 100 TB killer. Candidate generation joins on the bucket
+    key (equi: SMJ here, AQE may demote to broadcast at runtime)."""
+    df = all_specs()["q55_ivf_topk_search"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin Inner" in plan
+
+
+def test_pipeline_query_no_joins(spark):
+    """q46 (the entry flagship): quality filter → dedup → accounting must
+    stay a linear agg pipeline — two exchanges, no joins."""
+    df = all_specs()["q46_training_data_pipeline"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
