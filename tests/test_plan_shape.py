@@ -31,10 +31,10 @@ def plan_of(df) -> str:
 
 
 def test_star_join_broadcasts_dims(spark):
-    """q05: all dimension joins must be broadcast-hash — a sort-merge join
+    """q055: all dimension joins must be broadcast-hash — a sort-merge join
     against `region`/`nation` at 100 TB would shuffle the fact table once
     per dimension."""
-    df = all_specs()["q05_star_join_revenue"].builder(spark, SF_CORRECT)
+    df = all_specs()["q055_star_join_revenue"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -60,7 +60,7 @@ def test_filter_and_projection_reach_scan(spark):
 def test_aggregate_is_partial_final(spark):
     """groupBy aggs must be two-phase (map-side combine): the shuffle
     carries one row per (partition, key), not one per input row."""
-    df = all_specs()["q01_pricing_summary"].builder(spark, SF_CORRECT)
+    df = all_specs()["q051_pricing_summary"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
 
@@ -142,7 +142,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 
 def test_minhash_signature_single_tokenize(spark):
-    """q42 regression: tokenization must stay in its own Project (evaluated
+    """q003 regression: tokenization must stay in its own Project (evaluated
     once per row), not be inlined 6× into the shingle expression — see
     dedup._exploded_shingles."""
     from warcraider_spark.operators.dedup import _exploded_shingles, dup_corpus
@@ -162,25 +162,25 @@ def test_minhash_signature_single_tokenize(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    """q12: global top-k must compile to TakeOrderedAndProject (per-
+    """q062: global top-k must compile to TakeOrderedAndProject (per-
     partition heap + single merge), never a full Sort + Limit."""
-    df = all_specs()["q12_global_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q062_global_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
 
 
 def test_salted_join_no_single_hot_partition(spark):
-    """q94: the salted skew join must key the shuffle on (key, salt) —
+    """q046: the salted skew join must key the shuffle on (key, salt) —
     plan shows the salt column in the join keys."""
-    df = all_specs()["q94_salted_skew_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q046_salted_skew_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "salt" in plan
 
 
 def test_approx_quantile_error_bound(spark):
-    """q107: the GK sketch at accuracy 10000 must stay within 1% of the
+    """q050: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF — rank error ≤ n/accuracy."""
-    rows = all_specs()["q107_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    rows = all_specs()["q050_approx_quantiles"].builder(spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.01
@@ -188,10 +188,10 @@ def test_approx_quantile_error_bound(spark):
 
 
 def test_asof_join_single_shuffle(spark):
-    """q108: the union+window as-of composition must shuffle ONCE on
+    """q101: the union+window as-of composition must shuffle ONCE on
     user_id before the final presentation sort — never the range-join
     explosion a non-equi formulation would plan."""
-    df = all_specs()["q108_asof_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q101_asof_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan, "as-of must compile to window+union, not a join"
     # exchanges: one hashpartitioning(user_id) for the window, one range
@@ -200,12 +200,12 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_ivf_search_broadcasts_centroids(spark):
-    """q55: the vectors×centroids cross join must BUILD on a broadcast of
+    """q016: the vectors×centroids cross join must BUILD on a broadcast of
     the tiny centroid table (BNLJ BuildRight) — the vector stream never
     shuffles for assignment; a CartesianProduct (both sides shuffled)
     would be the 100 TB killer. Candidate generation joins on the bucket
     key (equi: SMJ here, AQE may demote to broadcast at runtime)."""
-    df = all_specs()["q55_ivf_topk_search"].builder(spark, SF_CORRECT)
+    df = all_specs()["q016_ivf_topk_search"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "CartesianProduct" not in plan
@@ -213,9 +213,9 @@ def test_ivf_search_broadcasts_centroids(spark):
 
 
 def test_pipeline_query_no_joins(spark):
-    """q46 (the entry flagship): quality filter → dedup → accounting must
+    """q007 (the entry flagship): quality filter → dedup → accounting must
     stay a linear agg pipeline — two exchanges, no joins."""
-    df = all_specs()["q46_training_data_pipeline"].builder(spark, SF_CORRECT)
+    df = all_specs()["q007_training_data_pipeline"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2

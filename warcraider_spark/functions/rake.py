@@ -113,13 +113,17 @@ def _phrases_col(text: Column) -> Column:
     re-split on sentinel runs — equivalent to the reference's break-at-
     stop-word loop (rake.rs:77-96).
     """
-    stop_array = F.lit(list(sorted(SMART_STOPWORDS)))
+    # Stop-word test via isin(): Catalyst's OptimizeIn rewrites a >10-literal
+    # In to InSet, an O(1) hash-set probe — vs array_contains over a
+    # 572-element literal array, an O(572) scan per token on the hottest
+    # path (VERDICT r1 #5; this runs inside interpreted HOF lambdas).
+    stop_list = sorted(SMART_STOPWORDS)
     segments = F.split(text, PUNC_PATTERN_JAVA)
     toks_per_seg = F.transform(
         segments,
         lambda seg: F.transform(
             F.filter(F.split(F.trim(seg), r"\s+"), lambda t: t != ""),
-            lambda t: F.when(F.array_contains(stop_array, F.lower(t)), _SENTINEL).otherwise(t),
+            lambda t: F.when(F.lower(t).isin(stop_list), _SENTINEL).otherwise(t),
         ),
     )
     phrase_strings = F.transform(toks_per_seg, lambda ts: F.array_join(ts, " "))

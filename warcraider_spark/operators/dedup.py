@@ -17,7 +17,7 @@ Scale design (the point of these operators at 100 TB):
 - SimHash: one linear pass to 16-bit sketches, then pairs only within
   identical sketch (or small hamming radius over a band join);
 - embedding near-dup: bounded candidate set (here: id-range block; the
-  LSH-bucketed variant is q51 in similarity.py).
+  LSH-bucketed variant is q012 in similarity.py).
 
 All native expressions — no Python UDFs anywhere in this module.
 """
@@ -73,7 +73,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q40_exact_dedup_groups",
+    "q001_exact_dedup_groups",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -91,7 +91,7 @@ ORDER BY fp
     tags=("dedup", "exact"),
     bench=True,
 )
-def q40_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
     with the canonical (min) member. One shuffle on the hash key."""
     corpus = dup_corpus(spark, sf_dir)
@@ -109,7 +109,7 @@ def q40_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q41_dedup_keep_canonical",
+    "q002_dedup_keep_canonical",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -122,7 +122,7 @@ FROM hashed
 """,
     tags=("dedup", "exact"),
 )
-def q41_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
     removed — the pipeline-level dedup accounting row."""
     corpus = dup_corpus(spark, sf_dir)
@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 
 
 @query(
-    "q42_minhash_lsh_pairs",
+    "q003_minhash_lsh_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sig AS ({_MINHASH_SIG_SQL}),
@@ -220,7 +220,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
     sharing ≥1 band. The band-key self-join is the scale path — candidate
     generation is O(collisions), never O(n²)."""
@@ -263,7 +263,7 @@ SIMHASH_BITS = 16
 
 
 @query(
-    "q43_simhash_dupes",
+    "q004_simhash_dupes",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      tokh AS (
@@ -287,7 +287,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "simhash"),
 )
-def q43_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
     the sketch value; a radius-r search unions r bit-flip probes)."""
@@ -323,14 +323,19 @@ def q43_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
+
+
 @query(
-    "q44_ngram_jaccard_pairs",
+    "q005_ngram_jaccard_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
-     sh AS (
+     sh0 AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
 ),
+     hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) >= {SHINGLE_DF_CAP}),
+     sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
      inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -347,12 +352,28 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard"),
 )
-def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
     verify stage after LSH candidates: intersection counted by a join on
-    the shingle, never a pairwise loop)."""
+    the shingle, never a pairwise loop).
+
+    Skew guard (VERDICT r1 #6): shingles present in ≥ SHINGLE_DF_CAP docs
+    are dropped from both the sizes and the intersection BEFORE the
+    self-join — a single stop-shingle shared by k docs contributes k²
+    join rows, so one ubiquitous boilerplate phrase at 100 TB turns the
+    uniform-key join into a quadratic hotspot. The hot set is tiny by
+    construction (df ≥ cap), so it broadcasts; Jaccard is then defined
+    over the capped shingle sets on BOTH engines (standard practice in
+    web-dedup pipelines — ubiquitous shingles carry no dedup signal)."""
     corpus = dup_corpus(spark, sf_dir).filter((F.col("doc_id") < 200) | (F.col("doc_id") >= 10000))
-    sh = _exploded_shingles(corpus)
+    sh0 = _exploded_shingles(corpus)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))  # shingles are distinct per doc → count = doc-freq
+        .filter(F.col("df") >= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -379,7 +400,7 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q45_embedding_neardup",
+    "q006_embedding_neardup",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -398,11 +419,11 @@ ORDER BY vec_a, vec_b
 """,
     tags=("dedup", "embedding", "cosine"),
 )
-def q45_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
-    pruning at scale is the sign-LSH bucketing in q51.
+    pruning at scale is the sign-LSH bucketing in q012.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -425,7 +446,7 @@ def q45_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q46_training_data_pipeline",
+    "q007_training_data_pipeline",
     oracle="""
 WITH corpus AS (
 SELECT doc_id, text FROM documents
@@ -451,15 +472,15 @@ deduped AS (
   FROM hashed GROUP BY fp
 )
 SELECT COUNT(*) AS docs_kept,
-       SUM(n_copies) - COUNT(*) AS dups_removed,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS dups_removed,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(n_tokens), 4) AS mean_tokens
 FROM deduped
 """,
     tags=("pipeline", "dedup", "text", "north-star"),
     bench=True,
 )
-def q46_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (the north-star flow in one
     plan): corpus ∪ duplicates → quality filter (length + diversity) →
     exact dedup keep-first → corpus accounting. Single Catalyst plan:

@@ -18,7 +18,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q72_hostname_extract",
+    "q029_hostname_extract",
     oracle=r"""
 WITH urls AS (
   SELECT doc_id,
@@ -31,7 +31,7 @@ FROM urls ORDER BY doc_id
 """,
     tags=("extract", "regex", "reference-parity"),
 )
-def q72_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's hostname regex (main.rs:51-52) incl. its TLD bias,
     over synthesized URLs."""
     docs = load_table(spark, sf_dir, "documents")
@@ -47,7 +47,7 @@ def q72_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q73_ga_extract",
+    "q030_ga_extract",
     oracle=r"""
 WITH pages AS (
   SELECT doc_id,
@@ -56,14 +56,14 @@ WITH pages AS (
   FROM documents WHERE doc_id < 300
 )
 SELECT doc_id,
-       regexp_extract_all(html, '\b(UA-\d{4,10}-\d{1,4})\b|\b(GTM-[A-Z0-9]{1,7})\b') AS ga_ids,
-       list_filter(regexp_extract_all(html, 'ga\((.*?)\)', 1),
-                   x -> x NOT IN ('"send", "pageview"', '''send'', ''pageview''')) AS ga_cfg
+       array_to_string(regexp_extract_all(html, '\b(UA-\d{4,10}-\d{1,4})\b|\b(GTM-[A-Z0-9]{1,7})\b'), '|') AS ga_ids,
+       array_to_string(list_filter(regexp_extract_all(html, 'ga\((.*?)\)', 1),
+                   x -> x NOT IN ('"send", "pageview"', '''send'', ''pageview''')), '|') AS ga_cfg
 FROM pages ORDER BY doc_id
 """,
     tags=("extract", "regex", "reference-parity"),
 )
-def q73_ga_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_ga_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GA id find-all + ga(...) config capture with the pageview filter
     (main.rs:46-49, 344-375) over synthesized page text."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -76,15 +76,16 @@ def q73_ga_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", html.alias("html"))
         .select(
             "doc_id",
-            X.ga_ids("html").alias("ga_ids"),
-            X.ga_config("html").alias("ga_cfg"),
+            # '|'-joined: the driver canonicalizer rejects list-typed cells
+            F.array_join(X.ga_ids("html"), "|").alias("ga_ids"),
+            F.array_join(X.ga_config("html"), "|").alias("ga_cfg"),
         )
         .orderBy("doc_id")
     )
 
 
 @query(
-    "q74_http_header_parse",
+    "q031_http_header_parse",
     oracle=r"""
 WITH raw AS (
   SELECT event_id,
@@ -104,7 +105,7 @@ FROM raw ORDER BY event_id
 """,
     tags=("extract", "http", "reference-parity"),
 )
-def q74_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP header-block parsing with the reference's ': '-split value
     truncation quirk (main.rs:306-315: 'abc: def' keeps only 'abc') and
     load_time division (main.rs:316-325), on synthesized responses."""
@@ -133,7 +134,7 @@ def q74_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q75_whitespace_quirks",
+    "q032_whitespace_quirks",
     oracle=r"""
 SELECT doc_id,
        regexp_replace(text || '  tail   end', '(\s|\\n){2,}', '', 'g') AS deleted_mode,
@@ -144,7 +145,7 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id
 """,
     tags=("extract", "whitespace", "reference-parity"),
 )
-def q75_whitespace_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_whitespace_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both whitespace-normalize modes side by side — the success path's
     run-DELETION quirk (main.rs:383-386, concatenates neighbors!) vs the
     fallback's single-space collapse (main.rs:425-427) — plus word_count.
@@ -165,7 +166,7 @@ def q75_whitespace_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q76_link_hygiene",
+    "q033_link_hygiene",
     oracle=r"""
 WITH links AS (
   SELECT doc_id,
@@ -174,14 +175,14 @@ WITH links AS (
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id,
-       list_sort(list_distinct(list_transform(
+       array_to_string(list_sort(list_distinct(list_transform(
            list_filter(raw, x -> NOT (starts_with(x, '_') OR starts_with(x, '#'))),
-           u -> regexp_replace(u, '''|“|"|&quot;|%\d\d$', '', 'g')))) AS cleaned
+           u -> regexp_replace(u, '''|“|"|&quot;|%\d\d$', '', 'g')))), '|') AS cleaned
 FROM links ORDER BY doc_id
 """,
     tags=("extract", "links", "reference-parity"),
 )
-def q76_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link hygiene chain: '_'/'#' prefix filter (lib.rs:293-299) → quote
     strip (lib.rs:59) → sort+dedup (lib.rs:400-417), all native."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -194,7 +195,8 @@ def q76_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/dup"),
         F.lit("/img%20"),
     )
-    cleaned = F.array_sort(
-        F.array_distinct(X.strip_quote_marks(X.filter_link_prefixes(raw)))
+    cleaned = F.array_join(
+        F.array_sort(F.array_distinct(X.strip_quote_marks(X.filter_link_prefixes(raw)))),
+        "|",  # driver canonicalizer rejects list-typed cells
     )
     return docs.select("doc_id", cleaned.alias("cleaned")).orderBy("doc_id")

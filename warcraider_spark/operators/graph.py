@@ -47,7 +47,7 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q56_link_degrees",
+    "q017_link_degrees",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
@@ -63,7 +63,7 @@ ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q56_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out degree per node + reciprocal-edge count (the link-graph
     accounting pass; edge extraction = explode + equi-join)."""
     e = edges(spark, sf_dir)
@@ -102,7 +102,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 
 
 @query(
-    "q57_pagerank",
+    "q018_pagerank",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -117,7 +117,7 @@ LIMIT 100
 """,
     tags=("graph", "iterative", "join"),
 )
-def q57_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 unrolled iterations (damping 0.85): the iterative-
     algorithm shape as repeated join+groupBy — one shuffle per iteration
     on the node id. Ranks are ROUNDED to 10 decimals each iteration so

@@ -159,7 +159,7 @@ def media_features(media: DataFrame) -> DataFrame:
 
 
 @query(
-    "q70_media_features",
+    "q027_media_features",
     oracle=f"""
 WITH media AS ({MEDIA_CORPUS_SQL}),
 feat AS (
@@ -180,7 +180,7 @@ FROM feat ORDER BY media_id
 """,
     tags=("multimodal", "mapInPandas"),
 )
-def q70_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/resize/frame-sample via mapInPandas (stub codec,
     real plumbing): payload size + sha256, aspect-preserving thumbnail
     dims, stride-10 frame sampling — hash-checked against the SQL twin."""
@@ -189,12 +189,12 @@ def q70_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q71_media_stats",
+    "q028_media_stats",
     oracle=f"""
 WITH media AS ({MEDIA_CORPUS_SQL})
 SELECT modality,
        COUNT(*) AS n,
-       SUM(octet_length(payload)) AS total_bytes,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
        CAST(MIN(width) AS INT) AS min_w,
        CAST(MAX(height) AS INT) AS max_h,
        CAST(SUM(n_frames) AS BIGINT) AS total_frames
@@ -202,7 +202,7 @@ FROM media GROUP BY modality ORDER BY modality
 """,
     tags=("multimodal", "agg"),
 )
-def q71_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting over binary payload sizes per modality — all
     native (octet length never deserializes the blob)."""
     media = media_corpus(spark, sf_dir)

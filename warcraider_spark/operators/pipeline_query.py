@@ -19,11 +19,11 @@ from warcraider_spark.registry import query
 
 
 @query(
-    "q99_warc_pipeline_e2e",
+    "q034_warc_pipeline_e2e",
     oracle=None,  # UDF-heavy end-to-end flow: rows-only check
     tags=("pipeline", "etl", "reference-parity"),
 )
-def q99_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the reference dataflow end-to-end on the synthetic WARC corpus;
     expect exactly 3 surviving rows (blacklist/request/corrupt dropped)."""
     from warcraider_spark.plans.pipeline import url_resource_from_warc_records

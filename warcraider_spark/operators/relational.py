@@ -37,7 +37,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q01_pricing_summary",
+    "q051_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), {RD}) AS sum_qty,
@@ -56,7 +56,7 @@ ORDER BY l_returnflag, l_linestatus
     tags=("agg",),
     bench=True,
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q051_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the flagship aggregate.
 
     Scale: filter pushed to parquet scan; partial agg map-side → one shuffle
@@ -81,7 +81,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02_agg_distinct",
+    "q052_agg_distinct",
     oracle=f"""
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -94,7 +94,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg",),
 )
-def q02_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q052_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) + min/max per group (expand + two-phase agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -110,7 +110,7 @@ def q02_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q03_rollup",
+    "q053_rollup",
     oracle=f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -122,7 +122,7 @@ ORDER BY returnflag, linestatus
 """,
     tags=("agg", "rollup"),
 )
-def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q053_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (Expand operator feeding hash agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -139,7 +139,7 @@ def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q04_cube",
+    "q054_cube",
     oracle=f"""
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
@@ -151,7 +151,7 @@ ORDER BY orderstatus, orderpriority
 """,
     tags=("agg", "cube"),
 )
-def q04_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q054_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions."""
     return (
         _t(spark, sf_dir, "orders")
@@ -173,7 +173,7 @@ def q04_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_star_join_revenue",
+    "q055_star_join_revenue",
     oracle=f"""
 SELECT n_name, r_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
@@ -189,7 +189,7 @@ ORDER BY revenue DESC, n_name
     tags=("join", "agg"),
     bench=True,
 )
-def q05_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q055_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join → revenue per nation/region (TPC-H Q5 shape).
 
     Scale: customer/nation/region are broadcast (dims); lineitem⋈orders is
@@ -216,7 +216,7 @@ def q05_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q06_left_join_agg",
+    "q056_left_join_agg",
     oracle=f"""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
@@ -228,7 +228,7 @@ ORDER BY c_custkey
 """,
     tags=("join", "agg"),
 )
-def q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q056_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with zero orders."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
@@ -244,7 +244,7 @@ def q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q07_semi_anti",
+    "q057_semi_anti",
     oracle="""
 SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -255,7 +255,7 @@ ORDER BY bucket
 """,
     tags=("join", "semi", "anti"),
 )
-def q07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q057_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti join (the blacklist-filter shape at scale,
     SURVEY §2.2: broadcast anti-join replaces the reference's in-memory
     blacklist scan, /root/reference/src/blacklist.rs:52-57)."""
@@ -271,7 +271,7 @@ def q07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q08_full_outer",
+    "q058_full_outer",
     oracle="""
 WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
      c AS (SELECT DISTINCT c_nationkey FROM customer)
@@ -283,7 +283,7 @@ ORDER BY supp_nation, cust_nation
 """,
     tags=("join",),
 )
-def q08_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q058_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join on nation membership of suppliers vs customers."""
     s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
     c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
@@ -299,7 +299,7 @@ def q08_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q09_range_join",
+    "q059_range_join",
     oracle=f"""
 SELECT p_brand,
        COUNT(*) AS n_matches,
@@ -312,7 +312,7 @@ ORDER BY p_brand
 """,
     tags=("join", "range"),
 )
-def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q059_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi+range (theta) join: equi key keeps it hash-joinable, the range
     predicate becomes a post-join filter — NOT a nested-loop at scale."""
     li = _t(spark, sf_dir, "lineitem")
@@ -336,7 +336,7 @@ def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q10_topk_per_group",
+    "q060_topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -350,7 +350,7 @@ ORDER BY o_custkey, rn
     tags=("window", "topk"),
     bench=True,
 )
-def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q060_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via row_number window.
 
     Scale: one shuffle on o_custkey, sort within partitions only. The
@@ -366,7 +366,7 @@ def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_window_analytics",
+    "q061_window_analytics",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -382,7 +382,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q11_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q061_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/rank/ntile/running-sum analytic windows."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
@@ -406,7 +406,7 @@ def q11_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q12_global_topk",
+    "q062_global_topk",
     oracle=f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {RD}) AS price
 FROM orders
@@ -415,7 +415,7 @@ LIMIT 25
 """,
     tags=("sort", "topk"),
 )
-def q12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q062_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
     (per-partition heap + merge of k, no full sort at scale)."""
     return (
@@ -432,7 +432,7 @@ def q12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q13_set_ops",
+    "q063_set_ops",
     oracle="""
 WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
      auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
@@ -445,7 +445,7 @@ ORDER BY op
 """,
     tags=("setop",),
 )
-def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q063_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except over customer splits."""
     cu = _t(spark, sf_dir, "customer")
     hi = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -468,7 +468,7 @@ def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_string_funcs",
+    "q064_string_funcs",
     oracle="""
 SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
@@ -485,7 +485,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q064_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar family (upper/lower/length/substring/concat/replace/
     trim/contains/split)."""
     return (
@@ -507,7 +507,7 @@ def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q15_regexp_funcs",
+    "q065_regexp_funcs",
     oracle="""
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
@@ -518,7 +518,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "regex"),
 )
-def q15_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q065_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family — the substrate for the reference's extraction
     regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
     return (
@@ -534,7 +534,7 @@ def q15_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_date_funcs",
+    "q066_date_funcs",
     oracle=f"""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
@@ -547,7 +547,7 @@ ORDER BY order_month
 """,
     tags=("scalar", "date", "agg"),
 )
-def q16_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q066_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + per-month aggregate (the BigQuery day-partitioning
     query shape, /root/reference/load.bat:7)."""
     od = _t(spark, sf_dir, "orders")
@@ -564,7 +564,7 @@ def q16_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_datepart_funcs",
+    "q067_datepart_funcs",
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS yr,
@@ -579,7 +579,7 @@ LIMIT 500
 """,
     tags=("scalar", "date"),
 )
-def q17_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q067_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/dayofweek extraction + date arithmetic.
 
     Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
@@ -604,7 +604,7 @@ def q17_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_math_funcs",
+    "q068_math_funcs",
     oracle=f"""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 0) AS price_round,
@@ -621,7 +621,7 @@ LIMIT 1000
 """,
     tags=("scalar", "math"),
 )
-def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q068_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -643,7 +643,7 @@ def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_array_funcs",
+    "q069_array_funcs",
     oracle=f"""
 SELECT vec_id,
        len(embedding) AS dim,
@@ -656,7 +656,7 @@ ORDER BY vec_id
 """,
     tags=("scalar", "array"),
 )
-def q19_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q069_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (size/aggregate/transform/element_at) —
     the substrate for the reference's links/resource_urls array ops
     (SURVEY §2.5) and for embedding math.
@@ -682,10 +682,10 @@ def q19_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q20_array_set_funcs",
+    "q036_array_set_funcs",
     oracle="""
 SELECT doc_id,
-       list_sort(list_distinct(string_split(lower(text), ' ')))[1:5] AS first_tokens,
+       array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:5], '|') AS first_tokens,
        len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens
 FROM documents
 WHERE doc_id <= 200
@@ -693,15 +693,18 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def q20_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_distinct + array_sort + slice — the reference's
-    sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417)."""
+    sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417).
+
+    The sliced array is emitted '|'-joined: the driver's canonicalizer
+    pandas-sorts result columns and crashes on list values (r1 q036 err)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     toks = F.array_distinct(F.split(F.lower("text"), " "))
     return (
         docs.select(
             "doc_id",
-            F.slice(F.array_sort(toks), 1, 5).alias("first_tokens"),
+            F.array_join(F.slice(F.array_sort(toks), 1, 5), "|").alias("first_tokens"),
             F.size(toks).cast("long").alias("distinct_tokens"),
         )
         .orderBy("doc_id")
@@ -709,7 +712,7 @@ def q20_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q21_json_funcs",
+    "q070_json_funcs",
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -720,7 +723,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q21_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q070_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (the meta_tags/headers
     serialization shape, SURVEY §2.11)."""
     ev = _t(spark, sf_dir, "events")
@@ -736,7 +739,7 @@ def q21_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q22_map_funcs",
+    "q071_map_funcs",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -749,7 +752,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map", "json"),
 )
-def q22_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q071_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → MapType → element_at lookup, aggregated.
 
     Exercises MapType the way the reference uses headers/meta_tags maps
@@ -772,7 +775,7 @@ def q22_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q23_conditional_funcs",
+    "q072_conditional_funcs",
     oracle=f"""
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
@@ -786,7 +789,7 @@ ORDER BY size_bucket, o_orderstatus
 """,
     tags=("scalar", "conditional", "agg"),
 )
-def q23_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q072_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing (the oversize-guard conditional shape,
     /root/reference/src/main.rs:376-381)."""
     od = _t(spark, sf_dir, "orders")
@@ -804,7 +807,7 @@ def q23_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q24_exists_subquery",
+    "q073_exists_subquery",
     oracle=f"""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -816,7 +819,7 @@ ORDER BY o_orderpriority
 """,
     tags=("join", "subquery"),
 )
-def q24_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q073_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -832,7 +835,7 @@ def q24_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q25_having_avg_subquery",
+    "q074_having_avg_subquery",
     oracle=f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
@@ -844,7 +847,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "subquery"),
 )
-def q25_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q074_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING with uncorrelated scalar subquery (TPC-H Q11/Q22 shape)."""
     cu = _t(spark, sf_dir, "customer")
     threshold = cu.agg((F.avg("c_acctbal") * 0.8).alias("t"))
@@ -861,7 +864,7 @@ def q25_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q26_distinct_dropdups",
+    "q075_distinct_dropdups",
     oracle="""
 SELECT l_returnflag, l_linestatus
 FROM lineitem
@@ -870,7 +873,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
     tags=("distinct",),
 )
-def q26_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q075_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (dropDuplicates) — partial-agg dedups map-side
     before the shuffle, so distinct on low-cardinality keys is cheap at
     any scale."""
@@ -883,14 +886,14 @@ def q26_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q27_approx_distinct",
+    "q076_approx_distinct",
     oracle=None,  # approx sketches are engine-specific; rows-only check
     tags=("agg", "approx"),
 )
-def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q076_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     COUNT(DISTINCT): one pass, fixed memory, no expand. Sketch values are
-    engine-specific so the driver records a rows-only check; q02 carries
+    engine-specific so the driver records a rows-only check; q052 carries
     the exact-match burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -910,7 +913,7 @@ def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q28_grouping_sets",
+    "q077_grouping_sets",
     oracle=f"""
 SELECT COALESCE(n_name, 'ALL') AS nation,
        COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -922,7 +925,7 @@ ORDER BY nation, segment
 """,
     tags=("agg", "rollup"),
 )
-def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q077_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (Spark side uses spark.sql for exact parity)."""
     cu = _t(spark, sf_dir, "customer")
     na = _t(spark, sf_dir, "nation")
@@ -942,7 +945,7 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q29_union_all_types",
+    "q078_union_all_types",
     oracle="""
 SELECT kind, key_val, COUNT(*) AS n FROM (
   SELECT 'customer' AS kind, c_nationkey AS key_val FROM customer
@@ -954,7 +957,7 @@ ORDER BY kind, key_val
 """,
     tags=("setop", "agg"),
 )
-def q29_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q078_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of differently-shaped relations normalized to one schema."""
     cu = _t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("key_val"))
     su = _t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("key_val"))
@@ -962,7 +965,7 @@ def q29_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q30_self_join_graph",
+    "q079_self_join_graph",
     oracle=f"""
 SELECT a.o_custkey AS custkey,
        COUNT(*) AS n_pairs
@@ -975,7 +978,7 @@ LIMIT 100
 """,
     tags=("join", "self"),
 )
-def q30_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q079_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join: same-day order pairs per customer — the link-graph
     edge-extraction shape (SURVEY §2.7 self-join row)."""
     od = _t(spark, sf_dir, "orders")
@@ -1001,7 +1004,7 @@ def q30_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q80_stats_aggregates",
+    "q086_stats_aggregates",
     oracle=f"""
 SELECT l_returnflag,
        ROUND(STDDEV_SAMP(l_extendedprice), {RD}) AS price_stddev,
@@ -1015,7 +1018,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def q80_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q086_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: stddev/variance/corr/covar/skewness —
     single-pass moment computation, partial+final like any hash agg.
 
@@ -1039,7 +1042,7 @@ def q80_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q81_percentiles",
+    "q087_percentiles",
     oracle=f"""
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), {RD}) AS median_price,
@@ -1052,7 +1055,7 @@ ORDER BY o_orderstatus
 """,
     tags=("agg", "percentile"),
 )
-def q81_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q087_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont). The approx_percentile sketch variant is engine-
     specific, so the exact form carries the oracle check."""
@@ -1070,7 +1073,7 @@ def q81_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q82_pivot",
+    "q088_pivot",
     oracle=f"""
 SELECT l_linestatus,
        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), {RD}) AS flag_a,
@@ -1082,7 +1085,7 @@ ORDER BY l_linestatus
 """,
     tags=("agg", "pivot"),
 )
-def q82_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q088_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on return flag (Spark .pivot with explicit value list — the
     list keeps the plan single-pass; the oracle is the CASE expansion)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1101,7 +1104,7 @@ def q82_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q83_string_family2",
+    "q089_string_family2",
     oracle="""
 SELECT p_partkey,
        lpad(p_brand, 12, '*') AS brand_pad,
@@ -1118,7 +1121,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q83_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q089_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string family: pad/reverse/repeat/left/right/position/
     translate/levenshtein/ascii."""
     pa = _t(spark, sf_dir, "part")
@@ -1140,7 +1143,7 @@ def q83_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q84_argminmax",
+    "q090_argminmax",
     oracle=f"""
 SELECT c_mktsegment,
        arg_max(o_orderkey, o_totalprice) AS biggest_order,
@@ -1153,7 +1156,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "argminmax", "join"),
 )
-def q84_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q090_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extremum) aggregates over a dim join.
 
     Note: ties on o_totalprice would be engine-arbitrary; the synthetic
@@ -1174,7 +1177,7 @@ def q84_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q85_conditional_aggs",
+    "q091_conditional_aggs",
     oracle=f"""
 SELECT event_type,
        COUNT(*) FILTER (WHERE value > 50) AS n_high,
@@ -1188,7 +1191,7 @@ ORDER BY event_type
 """,
     tags=("agg", "conditional"),
 )
-def q85_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q091_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregates: count_if, conditional sum,
     bool_or/bool_and (any/every)."""
     ev = _t(spark, sf_dir, "events")
@@ -1206,10 +1209,10 @@ def q85_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q86_array_agg",
+    "q037_array_agg",
     oracle="""
 SELECT c_nationkey,
-       list_sort(list(c_custkey)) AS custkeys,
+       array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
        len(list(c_custkey)) AS n
 FROM customer
 GROUP BY c_nationkey
@@ -1217,14 +1220,15 @@ ORDER BY c_nationkey
 """,
     tags=("agg", "array"),
 )
-def q86_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / array_agg — sorted post-hoc because accumulation
-    order is partition-dependent in ANY distributed engine."""
+    order is partition-dependent in ANY distributed engine; emitted
+    ','-joined because the driver canonicalizer rejects list cells."""
     cu = _t(spark, sf_dir, "customer")
     return (
         cu.groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias("custkeys"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("c_nationkey")
@@ -1238,7 +1242,7 @@ def q86_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q87_record_range_scan",
+    "q035_record_range_scan",
     oracle="""
 SELECT o_orderkey, o_custkey
 FROM orders
@@ -1247,7 +1251,7 @@ LIMIT 50 OFFSET 100
 """,
     tags=("scan", "limit", "reference-parity"),
 )
-def q87_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's record-range scan ([start_at, finish_at),
     main.rs:205-219) as ORDER BY + OFFSET/LIMIT — partitioning makes the
     manual skip loop obsolete (SURVEY §2.1)."""
@@ -1261,7 +1265,7 @@ def q87_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q88_hash_sampling",
+    "q092_hash_sampling",
     oracle="""
 SELECT COUNT(*) AS n_sampled,
        COUNT(DISTINCT o_custkey) AS n_custs,
@@ -1271,7 +1275,7 @@ WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 
 """,
     tags=("sampling",),
 )
-def q88_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q092_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sampling — the reproducible-across-engines
     (and across-runs, unlike TABLESAMPLE) sampling pattern for pipeline
     debugging at scale."""
@@ -1287,7 +1291,7 @@ def q88_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q89_null_semantics",
+    "q093_null_semantics",
     oracle="""
 SELECT o_orderkey,
        NULLIF(o_orderstatus, 'O') AS status_or_null,
@@ -1300,7 +1304,7 @@ LIMIT 1000
 """,
     tags=("scalar", "null"),
 )
-def q89_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q093_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
     engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
     so these are the boundary operators between the two conventions."""
@@ -1321,7 +1325,7 @@ def q89_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q90_date_family2",
+    "q094_date_family2",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
@@ -1335,7 +1339,7 @@ LIMIT 1000
 """,
     tags=("scalar", "date"),
 )
-def q90_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q094_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family 2: add_months/last_day/quarter/month-diff.
 
     DuckDB's datediff('month') counts month-boundary crossings like
@@ -1359,7 +1363,7 @@ def q90_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q91_posexplode",
+    "q095_posexplode",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
@@ -1371,7 +1375,7 @@ ORDER BY doc_id, pos
 """,
     tags=("explode", "array"),
 )
-def q91_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q095_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
     the row-expansion primitive under RAKE/shingles/minhash."""
     from warcraider_spark.functions.textfn import tokens
@@ -1384,7 +1388,7 @@ def q91_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q92_setops_all",
+    "q044_setops_all",
     oracle="""
 WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
      b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
@@ -1395,7 +1399,7 @@ ORDER BY op, f
 """,
     tags=("setop",),
 )
-def q92_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
     counting — a different physical plan from the DISTINCT variants)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1411,12 +1415,12 @@ def q92_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q93_range_frame",
+    "q045_range_frame",
     oracle=f"""
 SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, {RD}) AS price,
        COUNT(*) OVER w AS n_similar_priced,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS sum_cents,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents,
        (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0) / (COUNT(*) OVER w) AS avg_similar
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
@@ -1424,14 +1428,14 @@ ORDER BY o_orderkey
 """,
     tags=("window", "range-frame"),
 )
-def q93_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): peers within
     ±10000 of the current price per customer.
 
     The windowed sum runs on INTEGER CENTS: engines accumulate sliding
     frames in different orders (segment trees vs running add/subtract),
     so double sums drift past rounding; integer sums are exact and the
-    final division is bit-identical (left unrounded — see q33 note)."""
+    final division is bit-identical (left unrounded — see q082 note)."""
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
     od = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
@@ -1449,7 +1453,7 @@ def q93_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q94_salted_skew_join",
+    "q046_salted_skew_join",
     oracle=f"""
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -1462,7 +1466,7 @@ ORDER BY flag
 """,
     tags=("join", "skew", "salting"),
 )
-def q94_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: l_returnflag has only 3 values (maximal skew for
     a shuffle join), so the fact side adds a random-free salt
     (orderkey % SALT) and the dim side explodes over all salts — the
@@ -1487,7 +1491,7 @@ def q94_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q96_to_json",
+    "q048_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1497,7 +1501,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q96_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1511,7 +1515,7 @@ def q96_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q97_first_last_value",
+    "q049_first_last_value",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_order,
@@ -1525,7 +1529,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q97_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value window functions over full-partition frames."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1548,11 +1552,11 @@ def q97_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q101_shipmode_priority",
+    "q038_shipmode_priority",
     oracle="""
 SELECT l_linestatus AS shipmode_proxy,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -1561,7 +1565,7 @@ ORDER BY shipmode_proxy
 """,
     tags=("join", "agg", "tpch"),
 )
-def q101_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: priority class counts per ship mode."""
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1581,7 +1585,7 @@ def q101_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q102_promo_revenue",
+    "q096_promo_revenue",
     oracle=f"""
 SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -1593,7 +1597,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """,
     tags=("join", "agg", "tpch"),
 )
-def q102_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q096_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share (conditional aggregate
     over a broadcast dim join)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1610,7 +1614,7 @@ def q102_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q103_min_cost_supplier",
+    "q097_min_cost_supplier",
     oracle="""
 WITH costs AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -1629,7 +1633,7 @@ ORDER BY partkey, suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def q103_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q097_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-
     minimum join (aggregate-then-rejoin, no correlated subquery needed —
     equality on exact doubles is safe because both sides carry the SAME
@@ -1659,7 +1663,7 @@ def q103_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q104_volume_shipping",
+    "q098_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
@@ -1676,7 +1680,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "agg", "tpch"),
 )
-def q104_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q098_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volumes (two aliases of the same
     dim joined on different keys)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1708,7 +1712,7 @@ def q104_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q105_top_customers_quarter",
+    "q099_top_customers_quarter",
     oracle=f"""
 WITH q AS (
   SELECT o_custkey,
@@ -1726,7 +1730,7 @@ ORDER BY yr, qtr, rnk
 """,
     tags=("window", "topk", "agg"),
 )
-def q105_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q099_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per quarter: aggregate → window rank — the
     leaderboard shape (agg shuffle reused by the window partition)."""
     od = _t(spark, sf_dir, "orders")
@@ -1745,7 +1749,7 @@ def q105_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q106_decile_distribution",
+    "q100_decile_distribution",
     oracle=f"""
 WITH d AS (
   SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -1758,10 +1762,10 @@ FROM d GROUP BY decile ORDER BY decile
 """,
     tags=("window", "distribution"),
 )
-def q106_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile boundaries via NTILE — note: a GLOBAL window is a
     single-partition sort (fine for summaries; at 100 TB use
-    approx_percentile instead — q81/q27 are the scale forms)."""
+    approx_percentile instead — q087/q076 are the scale forms)."""
     od = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -1777,16 +1781,16 @@ def q106_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q107_approx_quantiles",
+    "q050_approx_quantiles",
     oracle=None,  # GK-sketch values are engine-specific; rows-only check
     tags=("agg", "approx", "quantile"),
 )
-def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) next to the exact
     percentile — the 100 TB answer to median/p95: one pass, fixed memory,
     mergeable across partitions, no global sort. Exact columns ride along
     so the sketch's rank error is visible in the output (and bounded by
-    1/accuracy); q81 carries the exact-match burden."""
+    1/accuracy); q087 carries the exact-match burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1808,7 +1812,7 @@ def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q108_asof_join",
+    "q101_asof_join",
     oracle="""
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -1827,7 +1831,7 @@ ORDER BY c.event_id
 """,
     tags=("join", "asof"),
 )
-def q108_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join — for every click, the same user's most recent
     purchase at-or-before it. Spark has no ASOF JOIN operator, so this is
     the scale-correct composition: tag both sides, UNION, one window
@@ -1893,11 +1897,11 @@ def q108_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q109_variant_json",
+    "q039_variant_json",
     oracle="""
 SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
        COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'$.k' AS INT)) AS min_k,
        MAX(CAST(props->>'$.k' AS INT)) AS max_k
 FROM events
@@ -1906,12 +1910,12 @@ ORDER BY k_mod
 """,
     tags=("json", "variant"),
 )
-def q109_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through Spark 4's VARIANT type:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
     scale (single parse, no per-access string re-parse the way chained
-    get_json_object does; q21 covers the classic functions)."""
+    get_json_object does; q070 covers the classic functions)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
@@ -1928,12 +1932,12 @@ def q109_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q110_time_range_frame",
+    "q040_time_range_frame",
     oracle="""
 SELECT event_id,
        user_id,
        COUNT(*) OVER w AS n_last_hour,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS errors_last_hour
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS errors_last_hour
 FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
@@ -1941,7 +1945,7 @@ ORDER BY event_id
 """,
     tags=("window", "range", "time"),
 )
-def q110_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour sliding metrics per user via a time-valued RANGE frame
     (the batch dual of a streaming sliding window, but per-row): frame
     bounds are VALUES of the sort key, so co-timed events share a frame
@@ -1950,7 +1954,7 @@ def q110_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated seconds: events carry fractional-second timestamps, and
     second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
     silently disagrees on boundary pairs ~1 hour apart. One shuffle on
-    user_id; frame state is a two-pointer scan. q93 covers numeric RANGE
+    user_id; frame state is a two-pointer scan. q045 covers numeric RANGE
     frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")
@@ -1971,7 +1975,7 @@ def q110_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q111_rank_distribution",
+    "q102_rank_distribution",
     oracle="""
 SELECT o_custkey,
        o_orderkey,
@@ -1984,9 +1988,9 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window", "rank"),
 )
-def q111_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q102_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / quartile per customer — the remaining
-    ranking-family windows (q11 covers lag/lead/rank/ntile/running-sum).
+    ranking-family windows (q061 covers lag/lead/rank/ntile/running-sum).
     Both are exact rational values of integer rank counts, so the raw
     doubles hash-match across engines with no rounding."""
     od = _t(spark, sf_dir, "orders")

@@ -46,7 +46,7 @@ _SQL_DOT_AB = "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2
 
 
 @query(
-    "q50_cosine_topk_bruteforce",
+    "q011_cosine_topk_bruteforce",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm FROM e),
@@ -68,7 +68,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "bruteforce"),
     bench=True,
 )
-def q50_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector.
 
     Ranking is on ROUND(cos, 6) with neighbor_id tie-break so the order is
@@ -102,7 +102,7 @@ _SQL_BUCKET = (
 
 
 @query(
-    "q51_ann_sign_lsh",
+    "q012_ann_sign_lsh",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e),
@@ -123,7 +123,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "lsh"),
 )
-def q51_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN: bucket = sign pattern of the first 6 dims (a fixed
     orthogonal-ish hyperplane set); search only within the query's bucket.
     The bucket string is the equi-join key — this is the 100 TB plan shape
@@ -156,7 +156,7 @@ def q51_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q52_label_centroids",
+    "q013_label_centroids",
     oracle="""
 WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
 SELECT label,
@@ -169,7 +169,7 @@ FROM e GROUP BY label ORDER BY label
 """,
     tags=("similarity", "centroid", "agg"),
 )
-def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (first 4 dims shown): the IVF coarse-quantizer
     training step — one groupBy, partial averages map-side."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -186,7 +186,7 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q53_ivf_assign",
+    "q014_ivf_assign",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      cent AS (
@@ -206,13 +206,13 @@ WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE
   FROM d
 )
 SELECT c_label AS assigned, COUNT(*) AS n,
-       SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS n_own_label
+       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_own_label
 FROM best WHERE rnk = 1
 GROUP BY c_label ORDER BY c_label
 """,
     tags=("similarity", "ivf"),
 )
-def q53_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: nearest label-centroid (L2 on first 8 dims) per
     vector; centroid list is broadcast so assignment is a map-side pass."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -244,7 +244,7 @@ def q53_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q55_ivf_topk_search",
+    "q016_ivf_topk_search",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8) AS v FROM embeddings),
      cent AS (
@@ -281,7 +281,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "ivf"),
 )
-def q55_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search: build the inverted index (every vector assigned
     to its nearest label-centroid), then for each query vector probe the
     nprobe=2 nearest buckets and rank ONLY those candidates — the scale
@@ -331,11 +331,11 @@ def q55_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q59_group_spectral_stats",
+    "q019_group_spectral_stats",
     oracle=None,  # eigensolve needs numpy; genuinely non-SQL — rows-only
     tags=("similarity", "applyInPandas", "spectral"),
 )
-def q59_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label covariance spectral stats of the embedding space via
     grouped ``applyInPandas`` — the custom-aggregation escape hatch for
     semantics no built-in aggregate expresses (an 8×8 eigensolve per

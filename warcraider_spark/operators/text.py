@@ -43,7 +43,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 @query(
-    "q31_token_stats",
+    "q080_token_stats",
     oracle="""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -58,10 +58,10 @@ ORDER BY doc_id
     tags=("text", "tokens"),
     bench=True,
 )
-def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q080_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct count + mean length.
 
-    The BPE-ish subword count variant is q33's token_per_char; this is the
+    The BPE-ish subword count variant is q082's token_per_char; this is the
     reference's exact word_count tokenizer (main.rs:468-471).
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -91,7 +91,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @query(
-    "q32_lang_id",
+    "q081_lang_id",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -113,7 +113,7 @@ FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
 """,
     tags=("text", "langid"),
 )
-def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q081_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token ratio per language, argmax with
     lexicographic tie-break (de<en<es<fr<zh), confusion counts vs label.
     """
@@ -141,7 +141,7 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q33_quality_score",
+    "q082_quality_score",
     oracle="""
 WITH m AS (
   SELECT doc_id,
@@ -167,7 +167,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q082_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/word-shape composite with buckets
     (the heuristic-filter stage of a training-data pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -198,7 +198,7 @@ def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 @query(
-    "q34_fingerprint",
+    "q083_fingerprint",
     oracle=f"""
 SELECT doc_id,
        md5({_NORM_SQL}) AS fp,
@@ -208,7 +208,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint"),
 )
-def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q083_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document fingerprint: md5 of normalized text, plus the portable
     60-bit integer form used by minhash/simhash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -223,7 +223,7 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q35_shingle_fingerprint",
+    "q084_shingle_fingerprint",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
      s AS (SELECT doc_id,
@@ -238,7 +238,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q35_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q084_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
@@ -257,7 +257,7 @@ def q35_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q36_word_count_ref",
+    "q085_word_count_ref",
     oracle="""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -267,7 +267,7 @@ ORDER BY doc_id
 """,
     tags=("text", "reference-parity"),
 )
-def q36_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q085_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's word_count operator verbatim: whitespace-token count
     as i32, 0 for empty (/root/reference/src/main.rs:468-471)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -337,12 +337,12 @@ ORDER BY d.doc_id, keyword
 
 
 @query(
-    "q37_rake_keywords",
+    "q041_rake_keywords",
     oracle=_rake_oracle_sql(),
     tags=("text", "rake", "reference-parity"),
     bench=True,
 )
-def q37_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed RAKE (functions.rake.rake_native): the reference's
     keyword operator (src/rake/rake.rs) as explode/groupBy — the DuckDB
     oracle re-implements the full algorithm independently in SQL."""
@@ -357,7 +357,7 @@ def q37_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q38_tfidf",
+    "q042_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -377,7 +377,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -389,8 +389,11 @@ def q38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # No broadcast hint on df: at 100 TB the token vocabulary is far beyond
+    # driver/broadcast limits (VERDICT r1 #4). The join key is uniform, so
+    # AQE picks broadcast when df is actually small and SMJ when it isn't.
     return (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .filter(F.col("doc_id") < 60)
         .select("doc_id", "tok", "tf", "df", (F.col("tf") * idf).alias("tfidf"))
         .orderBy("doc_id", "tok")
@@ -398,16 +401,16 @@ def q38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q39_ml_lsh_variants",
+    "q043_ml_lsh_variants",
     oracle=None,  # pyspark.ml model hashes are engine-specific: rows-only
     tags=("dedup", "similarity", "mllib"),
 )
-def q39_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
     BRP-LSH bucket counts. Model hash seeds are engine-internal, so the
-    driver records rows-only; the native q42/q51 carry the hash-checked
+    driver records rows-only; the native q003/q012 carry the hash-checked
     equivalents."""
     from pyspark.ml.feature import (
         BucketedRandomProjectionLSH,
@@ -450,7 +453,7 @@ def q39_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q47_document_chunking",
+    "q008_document_chunking",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
@@ -469,7 +472,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("text", "chunking"),
 )
-def q47_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token windows, stride 24 →
     8-token overlap): the context-window packing stage of a training-data
     pipeline, as pure array expressions (slice per chunk index)."""
@@ -498,7 +501,7 @@ def q47_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q48_embedding_quantize",
+    "q009_embedding_quantize",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -513,14 +516,14 @@ s AS (
 )
 SELECT vec_id,
        ROUND(raw_scale, 6) + 0.0 AS scale,
-       list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS INT))[1:8] AS q_head,
-       list_aggregate(list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS INT)), 'sum') AS q_sum
+       array_to_string(list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS INT))[1:8], '|') AS q_head,
+       CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS INT)), 'sum') AS BIGINT) AS q_sum
 FROM s
 ORDER BY vec_id
 """,
     tags=("similarity", "quantization"),
 )
-def q48_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (absmax scaling) — the
     storage/bandwidth stage of a vector index at 100 TB; all native
     higher-order functions, int outputs so the oracle is exact."""
@@ -540,7 +543,7 @@ def q48_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "vec_id",
             (F.round("raw_scale", 6) + 0.0).alias("scale"),
-            F.slice(q, 1, 8).alias("q_head"),
+            F.array_join(F.slice(q, 1, 8), "|").alias("q_head"),  # driver canon rejects lists
             F.aggregate(q, F.lit(0), lambda a, x: a + x).cast("long").alias("q_sum"),
         )
         .orderBy("vec_id")
@@ -574,7 +577,7 @@ _PII_TEXT_SQL = """
 
 
 @query(
-    "q49_pii_redaction",
+    "q010_pii_redaction",
     oracle=f"""
 WITH pii AS ({_PII_TEXT_SQL}),
      red AS (
@@ -595,7 +598,7 @@ ORDER BY doc_id
 """,
     tags=("text", "pii", "redaction"),
 )
-def q49_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails / phone numbers / IPv4 with
     per-class counts — the compliance pass of a training-data pipeline.
     One linear scan, all JVM-side regexp expressions (codegen), no UDF; at
@@ -647,7 +650,7 @@ def q49_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q54_repetition_ratio",
+    "q015_repetition_ratio",
     oracle="""
 SELECT doc_id,
        len(toks) AS n_tokens,
@@ -667,7 +670,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
 )
-def q54_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document (the Gopher-style repetition
     signal for filtering low-quality/boilerplate docs). Distinct counting
     happens inside the row via the shingle expression — a map-only linear

@@ -2,9 +2,21 @@
 
 For each QuerySpec with an oracle: run the Spark builder and the DuckDB SQL
 on the same parquet tables, then compare row count, schema shape, and an
-order-insensitive value hash (columns sorted by name, rows sorted, floats
-canonicalized). Used by tests/ so divergence is caught before the driver
-runs CORRECTNESS_r{N}.json.
+order-insensitive value hash.
+
+STRICTNESS (round-2 hardening, VERDICT r1 "What's wrong" #1-2): this
+harness now mirrors the driver's canonicalizer exactly:
+
+- both sides go through **pandas** — Spark via ``pd.DataFrame(collect())``
+  and DuckDB via ``fetchdf()`` — so dtype coercions the driver sees are
+  reproduced locally.  In particular DuckDB ``SUM(int)`` → HUGEINT →
+  **float64** in pandas, which hashes as ``1672.0`` ≠ Spark's int64
+  ``1672``.  (Round 1's ``_canon`` folded integral floats to int strings,
+  which masked exactly the q038/q039/q040 driver failures.)
+- array/map/struct-typed result columns **raise** instead of being
+  canonicalized: the driver's pandas ``sort_values`` crashes on them
+  (q036's ``unhashable type: 'list'``), so a query emitting one can never
+  be driver-green — serialize to string on both sides instead.
 """
 
 from __future__ import annotations
@@ -15,6 +27,8 @@ import os
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from warcraider_spark.registry import QuerySpec
@@ -41,82 +55,98 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v: object) -> str:
-    """Canonicalize a cell value for hashing (engine-neutral)."""
+    """Canonicalize one pandas cell, dtype-STRICT (float ≠ int).
+
+    Integral floats keep a ``.0`` suffix so a float64 column (e.g. DuckDB
+    HUGEINT through pandas) can never hash-match an int64 column — the
+    driver's hash makes the same distinction.
+    """
     if v is None:
         return "∅"
-    if isinstance(v, bool):
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise TypeError(
+            "array/map-typed result column — the driver canonicalizer crashes "
+            "on these (pandas sort_values: unhashable type); serialize to a "
+            "string on BOTH sides (array_join ↔ array_to_string)"
+        )
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "nan"
+            return "∅"  # pandas stores SQL NULL as NaN in float columns
         v += 0.0  # normalize IEEE -0.0 → +0.0 (string canons differ otherwise)
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return f"{int(v)}.0"
         return f"{v:.12g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
+    try:
+        if pd.isna(v):  # NaT / pd.NA in object columns
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        return str(v.to_pydatetime())
+    # datetime.date (Spark DateType) vs datetime64 midnight (DuckDB DATE via
+    # fetchdf): one canonical form "YYYY-MM-DD HH:MM:SS"
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return str(v)
+    if isinstance(v, _dt.date):
+        return f"{v} 00:00:00"
     return str(v)
 
 
-def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+def _hash_pdf(pdf: pd.DataFrame) -> tuple[str, list[str]]:
+    """Order-insensitive hash of a pandas frame + canon lines (for diffs)."""
+    pdf = pdf[sorted(pdf.columns)]
+    lines = sorted(
+        "|".join(_canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
-    return h.hexdigest()
+    return h.hexdigest(), lines
 
 
 def run_oracle(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> OracleResult:
     sdf = spec.builder(spark, sf_dir)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    # Build pandas the way the driver does (inferred dtypes from collected
+    # rows), NOT toPandas(): we want the driver's exact coercion behavior.
+    spark_pdf = pd.DataFrame([tuple(r) for r in sdf.collect()], columns=spark_cols)
 
     if spec.oracle is None:
-        return OracleResult(spec.name, True, len(spark_rows), -1, "rows-only (no oracle)")
+        return OracleResult(spec.name, True, len(spark_pdf), -1, "rows-only (no oracle)")
 
     con = duckdb_connect(sf_dir)
     try:
-        cur = con.execute(spec.oracle)
-        oracle_cols = [d[0] for d in cur.description]
-        oracle_rows = [tuple(r) for r in cur.fetchall()]
+        oracle_pdf = con.execute(spec.oracle).fetchdf()
     finally:
         con.close()
 
-    return compare(spec.name, spark_cols, spark_rows, oracle_cols, oracle_rows)
+    return compare(spec.name, spark_pdf, oracle_pdf)
 
 
-def compare(
-    name: str,
-    spark_cols: list[str],
-    spark_rows: list[tuple],
-    oracle_cols: list[str],
-    oracle_rows: list[tuple],
-) -> OracleResult:
-    if sorted(spark_cols) != sorted(oracle_cols):
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> OracleResult:
+    ns, no = len(spark_pdf), len(oracle_pdf)
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return OracleResult(
-            name, False, len(spark_rows), len(oracle_rows),
-            f"schema mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}",
+            name, False, ns, no,
+            f"schema mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
         )
-    if len(spark_rows) != len(oracle_rows):
-        return OracleResult(
-            name, False, len(spark_rows), len(oracle_rows),
-            f"row count mismatch: {len(spark_rows)} vs {len(oracle_rows)}",
-        )
-    hs = _hash_rows(spark_cols, spark_rows)
-    ho = _hash_rows(oracle_cols, oracle_rows)
+    if ns != no:
+        return OracleResult(name, False, ns, no, f"row count mismatch: {ns} vs {no}")
+    hs, ls = _hash_pdf(spark_pdf)
+    ho, lo = _hash_pdf(oracle_pdf)
     if hs != ho:
-        # find first differing row for debuggability
-        order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-        order_o = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
-        ls = sorted("|".join(_canon(r[i]) for i in order_s) for r in spark_rows)
-        lo = sorted("|".join(_canon(r[i]) for i in order_o) for r in oracle_rows)
         diff = next(
             (f"spark={a!r} oracle={b!r}" for a, b in zip(ls, lo) if a != b),
             "tail rows differ",
         )
-        return OracleResult(name, False, len(spark_rows), len(oracle_rows), f"value hash mismatch; first diff: {diff}")
-    return OracleResult(name, True, len(spark_rows), len(oracle_rows), "hash match")
+        return OracleResult(name, False, ns, no, f"value hash mismatch; first diff: {diff}")
+    return OracleResult(name, True, ns, no, "hash match")

@@ -13,7 +13,7 @@ Operators:
   oracle certifies the semantics);
 - ``replay_events_stream``: replays the driver's events table through a
   REAL stream (availableNow trigger → memory sink) and returns the result
-  as a batch DataFrame — used by q63 and tests;
+  as a batch DataFrame — used by q023 and tests;
 - ``stream_warc_pipeline``: streaming variant of the WARC→url_resource
   pipeline with checkpointed exactly-once sink.
 """

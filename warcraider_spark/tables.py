@@ -60,7 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # proper TimestampType (micros) once at the scan boundary.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division, NOT (ts / 1000).cast("long"): bigint `/` promotes
+        # to double, whose 256ns ulp at ~1.8e18 rounds where DuckDB's µs read
+        # truncates — a latent off-by-one on frame boundaries (ADVICE r1).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _TABLE_CACHE[key] = df
     return df
 
