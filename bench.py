@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count() forces the full plan; results
-are not collected to the driver so the measurement is engine time, not
-driver serialization)."""
+Each query is executed to completion with a noop datasource write: unlike
+count(), which lets Catalyst prune top-level sorts/projections, the noop
+sink consumes every row of the FULL physical plan while writing nothing, so
+the measurement is engine time without driver serialization."""
 
 from __future__ import annotations
 
@@ -29,13 +30,23 @@ def main() -> None:
 
     specs = {name: s for name, s in all_specs().items() if s.bench}
 
-    # warm the JVM + parquet footers with one cheap action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm-up pass (JMH-style): run every bench plan once at the smallest
+    # scale factor before timing. The generated whole-stage-codegen classes
+    # are keyed by plan structure, not data path, so this compiles/JITs the
+    # exact code the timed run executes — timings then measure steady-state
+    # engine throughput (the number that extrapolates to a long-running
+    # cluster job) instead of one-time classload/JIT cost, which was ~2-3s
+    # of whichever query happened to run first.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in sorted(specs):
+        specs[name].builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
         t0 = time.perf_counter()
-        specs[name].builder(spark, sf_dir).count()
+        specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

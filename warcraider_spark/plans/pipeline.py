@@ -179,8 +179,12 @@ def url_resource_from_warc_records(records: DataFrame) -> DataFrame:
 def write_url_resource(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     """Persist the output table.
 
-    - ``avro``: exact reference sink (needs the spark-avro package; falls
-      back to parquet if absent — this container has no spark-avro jar);
+    - ``avro``: exact reference sink (main.rs:189-191, 486-492). Uses the
+      spark-avro connector when it is on the classpath; otherwise the
+      dependency-free OCF writer in ``sinks.avro_sink`` (same schema, same
+      container-file layout, one file per partition) — either way the
+      output IS Avro, verified by the JVM avro reader in
+      tests/test_avro_sink.py;
     - ``parquet``: the query-layer layout replacing BigQuery
       (load.bat:5-9): partitioned by source WARC, sorted within partitions
       by domain_name so min/max row-group stats give BigQuery-cluster-like
@@ -196,7 +200,10 @@ def write_url_resource(df: DataFrame, path: str, fmt: str = "parquet") -> str:
             )
             return "avro"
         except Exception:
-            fmt = "parquet"
+            from warcraider_spark.sinks.avro_sink import write_avro_distributed
+
+            write_avro_distributed(df, path, URL_RESOURCE_AVRO_JSON)
+            return "avro-ocf"
     (
         df.repartition("source")
         .sortWithinPartitions("domain_name")
