@@ -377,3 +377,106 @@ def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("label").applyInPandas(spectral, schema).orderBy("label")
+
+
+@query(
+    "q106_two_stage_rerank",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+     s AS (
+  SELECT vec_id, v,
+         greatest(abs(list_aggregate(v, 'max')), abs(list_aggregate(v, 'min'))) AS raw_scale
+  FROM e
+),
+     z AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x / raw_scale * 127 + 0.5) AS BIGINT)) AS q8,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM s
+),
+     qs AS (SELECT * FROM z WHERE vec_id % 50 = 0),
+     coarse AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(list_aggregate(list_transform(list_zip(q.q8, a.q8), p -> p[1] * p[2]), 'sum') AS BIGINT) AS cscore,
+         q.v AS qv, q.nrm AS qnrm, a.v AS av, a.nrm AS anrm
+  FROM qs q JOIN z a ON a.vec_id <> q.vec_id
+),
+     cr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, neighbor_id) AS crnk
+  FROM coarse
+),
+     ex AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_aggregate(list_transform(list_zip(qv, av), p -> p[1] * p[2]), 'sum')
+               / (qnrm * anrm), 6) + 0.0 AS cosine
+  FROM cr WHERE crnk <= 20
+),
+     r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM ex
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "ann", "rerank"),
+)
+def q106_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving pattern: a CHEAP
+    int8-quantized dot-product pass over the whole corpus selects top-20
+    candidates per query, then the EXPENSIVE exact double-precision cosine
+    re-ranks only those 20 → top-3.
+
+    Scale shape: the coarse stage streams the corpus once against a
+    broadcast query set doing integer multiply-adds on 1-byte codes (8×
+    less memory bandwidth than doubles — at 100 TB the scan IS the cost);
+    the exact stage touches 20 rows per query. Quantization is the q009
+    absmax scheme (floor(x/scale*127+0.5), bit-deterministic in both
+    engines); integer coarse scores are exact cross-engine, so the
+    candidate set — and therefore the oracle hash — is stable. Ties broken
+    by neighbor_id at both stages.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    v = _vec_double()
+    s = em.select("vec_id", v.alias("v")).withColumn(
+        "raw_scale", F.greatest(F.abs(F.array_max("v")), F.abs(F.array_min("v")))
+    )
+    z = s.select(
+        "vec_id",
+        "v",
+        F.transform("v", lambda x: F.floor(x / F.col("raw_scale") * 127 + 0.5)).alias("q8"),
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    qs = z.filter(F.col("vec_id") % 50 == 0)
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    ddot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    coarse = (
+        z.alias("a")
+        .join(F.broadcast(qs.alias("q")), F.col("a.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("a.vec_id").alias("neighbor_id"),
+            idot(F.col("q.q8"), F.col("a.q8")).alias("cscore"),
+            F.col("q.v").alias("qv"),
+            F.col("q.nrm").alias("qnrm"),
+            F.col("a.v").alias("av"),
+            F.col("a.nrm").alias("anrm"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("neighbor_id"))
+    cand = coarse.withColumn("crnk", F.row_number().over(wc)).filter(F.col("crnk") <= 20)
+    ex = cand.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(ddot(F.col("qv"), F.col("av")) / (F.col("qnrm") * F.col("anrm")), 6) + 0.0).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        ex.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,152 @@
+"""Mergeable-sketch aggregates (Apache DataSketches via Spark 4 built-ins):
+Theta distinct-count + set algebra, HLL rollups, KLL quantiles.
+
+Why these are first-class at 100 TB: a sketch is a bounded-size partial
+aggregate that re-aggregates — per-partition sketches merge map-side, per-
+day sketches merge into months WITHOUT re-scanning raw data, and Theta
+sketches support set algebra (union/intersection/difference) on the
+sketches themselves. COUNT(DISTINCT) at scale forces one shuffle of every
+distinct value per re-grouping; sketch columns turn that into kilobytes.
+This replaces the reference's BigQuery-side APPROX_COUNT_DISTINCT analytics
+(SURVEY §2.11 approx-agg family; q076 covers approx_count_distinct itself).
+
+Oracle strategy: below their configured capacity (theta/HLL default
+k=4096 entries / lgK=12) DataSketches estimators are in EXACT mode — the
+estimate is definitionally the retained-value count. The queries bound key
+cardinality (user_id % 300) so the oracle can pin the estimates against
+DuckDB COUNT(DISTINCT) *exactly*, proving the sketch path end-to-end;
+beyond capacity the same plan degrades gracefully to ±1.6% error. KLL
+compaction is randomized, so the quantile query is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+_KEY_MOD = 300  # bounds distinct-key cardinality → sketches stay exact
+
+
+def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        (F.col("user_id") % _KEY_MOD).cast("long").alias("k"),
+        "value",
+    )
+
+
+@query(
+    "q103_sketch_distinct_rollup",
+    oracle=f"""
+WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events)
+SELECT event_type, COUNT(DISTINCT k) AS theta_users, COUNT(DISTINCT k) AS hll_users
+FROM d GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, COUNT(DISTINCT k) AS theta_users, COUNT(DISTINCT k) AS hll_users
+FROM d
+ORDER BY event_type
+""",
+    tags=("sketch", "approx", "distinct"),
+)
+def q103_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-type Theta AND HLL sketches,
+    then the grand total by merging the PER-TYPE SKETCHES (theta_union_agg /
+    hll_union_agg) — never re-scanning events. This two-level shape is the
+    scale pattern: daily sketch partitions roll up to any period for the
+    cost of a sketch merge."""
+    d = _keyed_events(spark, sf_dir)
+    per = d.groupBy("event_type").agg(
+        F.theta_sketch_agg("k").alias("ts"),
+        F.hll_sketch_agg("k").alias("hs"),
+    )
+    per_rows = per.select(
+        "event_type",
+        F.theta_sketch_estimate("ts").alias("theta_users"),
+        F.hll_sketch_estimate("hs").alias("hll_users"),
+    )
+    total = per.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("ts")).alias("theta_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("hll_users"),
+    ).select(F.lit("ALL").alias("event_type"), "theta_users", "hll_users")
+    return per_rows.unionAll(total).orderBy("event_type")
+
+
+@query(
+    "q104_sketch_theta_setops",
+    oracle=f"""
+WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events),
+     v AS (SELECT DISTINCT k FROM d WHERE event_type = 'view'),
+     p AS (SELECT DISTINCT k FROM d WHERE event_type = 'purchase')
+SELECT (SELECT COUNT(*) FROM (SELECT k FROM v UNION SELECT k FROM p)) AS either_users,
+       (SELECT COUNT(*) FROM (SELECT k FROM v INTERSECT SELECT k FROM p)) AS both_users,
+       (SELECT COUNT(*) FROM (SELECT k FROM v EXCEPT SELECT k FROM p)) AS view_only_users
+""",
+    tags=("sketch", "approx", "setops"),
+)
+def q104_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra on SKETCHES: viewers ∪/∩/∖ purchasers computed
+    with theta_union / theta_intersection / theta_difference over two
+    pre-built Theta sketches — the raw events are scanned once, then every
+    combination is sketch arithmetic. At 100 TB this is how audience-
+    overlap matrices are built without an n-way self-join of the fact
+    table."""
+    d = _keyed_events(spark, sf_dir)
+    # conditional aggregation (sketch aggs skip NULLs) → both sketches in
+    # ONE scan pass; pivot can't wrap theta_sketch_agg (its lgNomEntries
+    # argument must stay a literal)
+    sketches = d.agg(
+        F.theta_sketch_agg(F.when(F.col("event_type") == "view", F.col("k"))).alias("view"),
+        F.theta_sketch_agg(F.when(F.col("event_type") == "purchase", F.col("k"))).alias("purchase"),
+    )
+    return sketches.select(
+        F.theta_sketch_estimate(F.theta_union(F.col("view"), F.col("purchase"))).alias(
+            "either_users"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("view"), F.col("purchase"))
+        ).alias("both_users"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("view"), F.col("purchase"))
+        ).alias("view_only_users"),
+    )
+
+
+@query(
+    "q105_sketch_kll_quantiles",
+    oracle=None,  # KLL compaction is randomized → estimates are run-dependent
+    tags=("sketch", "approx", "quantile"),
+)
+def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches per event_type: mergeable streaming quantiles
+    (p50/p95/p99 + exact n) — the bounded-memory alternative to exact
+    percentile_disc's full sort at scale. q087 pins exact percentiles
+    against the oracle; this exercises the sketch API family end-to-end
+    (agg → merge → get_quantile / get_rank / get_n)."""
+    d = _keyed_events(spark, sf_dir)
+    per = d.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("ks"))
+    # kll_sketch_merge_* is the SCALAR two-sketch merge (no merge-agg exists
+    # for KLL): build view+purchase sketches in one conditional-agg pass,
+    # merge them into a combined sketch — the cross-partition rollup shape
+    merged = d.agg(
+        F.kll_sketch_agg_double(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("kv"),
+        F.kll_sketch_agg_double(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("kp"),
+    ).select(
+        F.lit("view+purchase").alias("event_type"),
+        F.kll_sketch_merge_double("kv", "kp").alias("ks"),
+    )
+    both = per.unionAll(merged)
+    return both.select(
+        "event_type",
+        F.kll_sketch_get_n_double("ks").alias("n"),
+        F.round(F.kll_sketch_get_quantile_double("ks", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("ks", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.kll_sketch_get_rank_double("ks", F.lit(50.0)), 4).alias("rank_of_50"),
+    ).orderBy("event_type")

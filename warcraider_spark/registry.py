@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         pipeline_query,
         relational,
         similarity,
+        sketches,
         text,
         udtf_ops,
         windows_events,
