@@ -199,9 +199,9 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-@query(
-    "q003_minhash_lsh_pairs",
-    oracle=f"""
+# bands + distinct candidate pairs, shared by q003 and q107 (SQL twin of
+# _lsh_pairs below)
+_LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sig AS ({_MINHASH_SIG_SQL}),
      bands AS (
@@ -215,16 +215,11 @@ WITH corpus AS ({DUP_CORPUS_SQL}),
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
-""",
-    tags=("dedup", "minhash", "lsh"),
-    bench=True,
-)
-def q003_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
-    sharing ≥1 band. The band-key self-join is the scale path — candidate
-    generation is O(collisions), never O(n²)."""
-    corpus = dup_corpus(spark, sf_dir)
+"""
+
+
+def _lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from the dup corpus."""
     sig = _minhash_sig_spark(corpus)
     # ONE posexplode instead of a 4-way union: a union would recompute the
     # signature aggregation per branch (and per self-join side) — 8× the
@@ -251,8 +246,23 @@ def q003_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q003_minhash_lsh_pairs",
+    oracle=f"""
+{_LSH_PAIRS_SQL}
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q003_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
+    sharing ≥1 band. The band-key self-join is the scale path — candidate
+    generation is O(collisions), never O(n²)."""
+    return _lsh_pairs(dup_corpus(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -509,4 +519,89 @@ def q007_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_copies") - F.count(F.lit(1))).alias("dups_removed"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
+
+
+@query(
+    "q107_dedup_clusters",
+    oracle=f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+     edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+     nodes AS (SELECT DISTINCT src AS node FROM edges),
+     -- transitive closure by recursive expansion; UNION dedups so this
+     -- terminates; components are tiny (dup groups), so the closure is small
+     reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, MIN(lbl) AS comp FROM r GROUP BY node
+)
+SELECT comp AS cluster_id,
+       COUNT(*) AS n_members,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM reach
+GROUP BY comp
+ORDER BY cluster_id
+""",
+    tags=("dedup", "graph", "connected-components"),
+)
+def q107_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
+    generation (q003) feeds in a real dedup pipeline: near-duplicates are
+    transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
+    unit of deduplication is the connected component of the candidate
+    graph, keeping min(doc_id) per component.
+
+    Spark side: min-label propagation — each round every node takes the
+    minimum label among itself and its neighbors (one join + one groupBy
+    per round, both on uniform doc-id keys). CC_ROUNDS=6 bounds the
+    propagation; labels converge once rounds ≥ graph diameter, and dup
+    clusters are shallow (exact-copy stars + short near-dup chains; the
+    q005 Jaccard-verify stage prunes long spurious chains before
+    clustering in a production flow). At 100 TB diameter can't be assumed:
+    use the alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which converges
+    in O(log n) rounds of exactly this join+groupBy shape.
+
+    Oracle: independent formulation — DuckDB recursive-CTE transitive
+    closure, then MIN label per node. Output: one row per cluster with the
+    canonical (min) member and the ','-joined membership.
+    """
+    pairs = _lsh_pairs(dup_corpus(spark, sf_dir))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(CC_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        labels = (
+            nbr.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.array_sort(F.collect_list("node")), ",").alias("members"),
+        )
+        .orderBy("cluster_id")
     )

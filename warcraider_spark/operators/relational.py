@@ -2005,3 +2005,65 @@ def q102_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "q109_variant_nested_paths",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         '{"meta":{"type":"' || event_type || '","uid":' || CAST(user_id AS VARCHAR)
+           || '},"tags":["t' || CAST(user_id % 5 AS VARCHAR) || '","x"],"orig":' || props
+           || ',"maybe":null}' AS js
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       js->>'$.meta.type' AS typ,
+       CAST(js->>'$.meta.uid' AS BIGINT) AS uid,
+       js->>'$.tags[0]' AS tag0,
+       CAST(js->>'$.orig.k' AS BIGINT) AS k,
+       TRY_CAST(js->>'$.meta' AS INT) AS meta_as_int,
+       json_type(js, '$.maybe') = 'NULL' AS maybe_is_null
+FROM j ORDER BY event_id
+""",
+    tags=("json", "variant"),
+)
+def q109_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep VARIANT path surface (Spark 4), beyond q039's flat
+    aggregation: a nested document (object-in-object, array, an embedded
+    pre-existing JSON column, an explicit null) is parse_json'd ONCE into
+    the binary variant encoding, then every access is a typed
+    variant_get path — nested fields ($.meta.uid), array indexing
+    ($.tags[0]), re-exposed embedded JSON ($.orig.k), a type-mismatch
+    probed with try_variant_get (object as int → NULL, no error), and
+    is_variant_null distinguishing a present-but-null field from a
+    missing one. The oracle recomputes everything with DuckDB's
+    independent JSON pointer/TRY_CAST machinery."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    js = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","uid":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"tags":["t'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('","x"],"orig":'),
+        F.col("props"),
+        F.lit(',"maybe":null}'),
+    )
+    v = F.parse_json(js)
+    return (
+        ev.select("event_id", v.alias("v"))
+        .select(
+            "event_id",
+            F.variant_get(F.col("v"), "$.meta.type", "string").alias("typ"),
+            F.variant_get(F.col("v"), "$.meta.uid", "long").alias("uid"),
+            F.variant_get(F.col("v"), "$.tags[0]", "string").alias("tag0"),
+            F.variant_get(F.col("v"), "$.orig.k", "long").alias("k"),
+            F.try_variant_get(F.col("v"), "$.meta", "int").alias("meta_as_int"),
+            F.is_variant_null(F.variant_get(F.col("v"), "$.maybe", "variant")).alias(
+                "maybe_is_null"
+            ),
+        )
+        .orderBy("event_id")
+    )

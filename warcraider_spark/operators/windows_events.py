@@ -273,3 +273,29 @@ def q026_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "q108_stream_stream_join",
+    oracle="""
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+ORDER BY user_id, view_id, purchase_id
+""",
+    tags=("streaming", "join", "stream-stream"),
+)
+def q108_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join run through a REAL structured
+    stream (see streaming.windows.replay_attribution_stream): purchases
+    matched to any view by the same user within the preceding hour. The
+    oracle is the batch self-join dual — the streaming engine, draining
+    the same rows, must emit the identical match set."""
+    from warcraider_spark.streaming.windows import replay_attribution_stream
+
+    return replay_attribution_stream(spark, sf_dir)

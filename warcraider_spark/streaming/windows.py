@@ -194,3 +194,68 @@ def stream_warc_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replay_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join through a real micro-batch run: the view stream
+    joined to the purchase stream on user_id with an event-time range
+    (purchase within 1 hour after the view) — the attribution-join shape.
+
+    Both sides carry watermarks (required: they bound the join state the
+    engine must retain — without them an unmatched view would be buffered
+    forever). The replay uses a 30-day delay so no replayed row is ever
+    late-dropped and the drained result equals the batch dual exactly; in
+    production the delay is the real out-of-orderness bound and state is
+    evicted past it. Time bounds compare INTEGRAL MICROSECONDS
+    (unix_micros ↔ epoch_us) — events carry fractional-second timestamps
+    and engines disagree at ns/µs boundaries otherwise.
+
+    Inner stream-stream joins emit each match as soon as both rows have
+    arrived (append mode); the availableNow trigger drains the staged
+    files and terminates.
+    """
+    from warcraider_spark.tables import load_table
+
+    staged = os.path.join(tempfile.gettempdir(), f"events_attr_{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(staged)
+
+    views = (
+        stream_events(spark, staged, ev.schema)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.unix_micros("ts").alias("view_us"),
+        )
+        .withWatermark("view_ts", "30 days")
+    )
+    buys = (
+        stream_events(spark, staged, ev.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("buy_ts"),
+            F.unix_micros("ts").alias("buy_us"),
+        )
+        .withWatermark("buy_ts", "30 days")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_us") >= F.col("view_us"))
+        & (F.col("buy_us") <= F.col("view_us") + 3_600_000_000),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("user_id", "view_id", "purchase_id")
