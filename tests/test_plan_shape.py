@@ -219,3 +219,43 @@ def test_pipeline_query_no_joins(spark):
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
+
+
+def test_two_stage_rerank_broadcasts_queries(spark):
+    """q106: the coarse stage must be a BroadcastNestedLoopJoin with the
+    (tiny) query set as build side — the corpus streams once; a cartesian
+    product or a shuffle of the corpus against queries would be the 100 TB
+    killer."""
+    df = all_specs()["q106_two_stage_rerank"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """q112: the benchmark shingle set must broadcast so the corpus-side
+    shingles never shuffle for the join (the corpus is the 100 TB side)."""
+    df = all_specs()["q112_benchmark_contamination"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_aggs_are_partial_final(spark):
+    """q103: sketch aggregates must plan as partial ObjectHashAggregate →
+    Exchange → final — the sketches merge map-side, so the shuffle carries
+    one bounded sketch per group, not raw values (the whole point of
+    mergeable sketches)."""
+    df = all_specs()["q103_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("ObjectHashAggregate") >= 4  # partial+final × two levels
+    assert "Exchange" in plan
+
+
+def test_mixture_weights_broadcast(spark):
+    """q111: the weight recipe joins as a broadcast and the keep decision
+    stays a map-side expression (no shuffle before the accounting agg)."""
+    df = all_specs()["q111_weighted_mixture"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

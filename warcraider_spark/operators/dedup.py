@@ -605,3 +605,57 @@ def q107_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_benchmark_contamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({shingles_sql("toks", 5)}) AS shingle
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 10)
+),
+     cand AS (
+  SELECT doc_id, unnest({shingles_sql("toks", 5)}) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id >= 10)
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_overlap_shingles
+FROM cand c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+ORDER BY doc_id
+""",
+    tags=("dedup", "contamination", "pipeline"),
+)
+def q112_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with a held-out benchmark set (here: doc_id < 10 stands in for
+    the eval suite) — the standard n-gram contamination check run before
+    training. The benchmark shingle set is tiny and broadcast, so the
+    check is a map-side semi-join over the corpus: the 100 TB side is
+    scanned once, no shuffle of corpus shingles. Output: contaminated
+    doc → overlapping-shingle count (drop list = these doc_ids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") < 10)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(F.explode(shingles(F.col("toks"), 5)).alias("shingle"))
+        .distinct()
+    )
+    cand = (
+        docs.filter(F.col("doc_id") >= 10)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingles(F.col("toks"), 5)).alias("shingle"))
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
+        .orderBy("doc_id")
+    )

@@ -687,3 +687,111 @@ def q015_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct.cast("long").alias("distinct_5grams"),
         (F.lit(1.0) - distinct / total.cast("double")).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# GPT-style pretokenization, weighted mixture sampling (training-data ops)
+# ---------------------------------------------------------------------------
+
+# GPT-2's pretokenizer splits runs of letters / digits / punctuation with an
+# optional leading space (public pattern from the GPT-2 encoder). The
+# contraction alternatives and the \s+(?!\S) lookahead are dropped: DuckDB's
+# RE2 has no lookahead, and the oracle must run the IDENTICAL pattern — the
+# remaining pattern still yields subword-ish counts that track BPE token
+# counts far better than whitespace words.
+BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+@query(
+    "q110_bpe_pretokenize",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+       ROUND(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+             / CAST(length(text) AS DOUBLE), 6) AS tokens_per_char
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def q110_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation with a BPE-style pretokenizer regex: the
+    unit LLM data budgets are measured in is (sub)tokens, not words.
+    regexp_count keeps the whole computation in codegen — one pass over
+    the text, no explode — so the per-document token ledger is a
+    map-only stage at any scale."""
+    from warcraider_spark.functions.textfn import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_pre = F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
+    return (
+        docs.select(
+            "doc_id",
+            n_pre.cast("long").alias("n_pretokens"),
+            word_count("text").cast("long").alias("n_words"),
+            F.round(n_pre / F.length("text").cast("double"), 6).alias("tokens_per_char"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Target sampling rate per source, in thousandths (a data-mixture recipe:
+# up/down-weight corpora to hit a target blend). Literal map mirrored in SQL.
+MIXTURE_WEIGHTS = {"web": 250, "wiki": 1000, "news": 500, "social": 100, "docs": 750}
+_DEFAULT_WEIGHT = 300
+
+
+@query(
+    "q111_weighted_mixture",
+    oracle=f"""
+WITH w(source_name, keep_permille) AS (
+  VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items()))}
+),
+     sampled AS (
+  SELECT d.source,
+         CASE WHEN {md5_int_sql("'mix|' || CAST(d.doc_id AS VARCHAR)")} % 1000
+                   < COALESCE(w.keep_permille, {_DEFAULT_WEIGHT})
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d LEFT JOIN w ON d.source = w.source_name
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       ROUND(SUM(keep) / CAST(COUNT(*) AS DOUBLE), 4) AS kept_rate
+FROM sampled
+GROUP BY source
+ORDER BY source
+""",
+    tags=("sampling", "mixture", "pipeline"),
+)
+def q111_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling: each source corpus is
+    down-sampled to its recipe weight by hashing the DOCUMENT ID, not by
+    rand() — so the sample is reproducible across runs/engines, stable
+    under retries, and needs no shuffle (the keep decision is a map-side
+    expression; only the accounting aggregates). The weight table is a
+    broadcast-size literal joined on source. This is how a 100 TB blend
+    ('25% web, 100% wiki, …') is cut without materializing an ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    from warcraider_spark.functions.textfn import md5_int
+
+    w = spark.createDataFrame(
+        sorted(MIXTURE_WEIGHTS.items()), "source_name string, keep_permille int"
+    )
+    h = md5_int(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) % 1000
+    keep = F.when(
+        h < F.coalesce(F.col("keep_permille"), F.lit(_DEFAULT_WEIGHT)), 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(w), docs.source == w.source_name, "left")
+        .select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.sum("keep") / F.count(F.lit(1)).cast("double"), 4).alias("kept_rate"),
+        )
+        .orderBy("source")
+    )
