@@ -1,0 +1,54 @@
+"""Unit tests for the dependency-free PPM/WAV codecs (q113's real
+encode/decode pair): round-trip values, header validation, and
+malformed-input rejection — spark-free, so failures localize."""
+
+from __future__ import annotations
+
+import pytest
+
+from warcraider_spark.operators.multimodal import (
+    SAMPLE_RATE,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+)
+
+
+def test_ppm_roundtrip():
+    b = encode_ppm(37)
+    meta = decode_ppm(b)
+    assert (meta["width"], meta["height"]) == (37 % 64 + 8, 37 % 48 + 8)
+    assert meta["maxval"] == 255
+    assert meta["n_units"] == meta["width"] * meta["height"]
+    assert meta["mean_val"] == 37 % 256
+
+
+def test_wav_roundtrip():
+    b = encode_wav(123, 4567)
+    meta = decode_wav(b)
+    assert meta["n_units"] == 4567 % 2000 + 100
+    assert meta["sample_rate"] == SAMPLE_RATE
+    assert meta["n_channels"] == 1
+    assert meta["mean_val"] == pytest.approx(123 % 1000 * 16)  # RMS of a constant
+
+
+def test_ppm_rejects_garbage():
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"GIF89a....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"\x00" * 64)
+    # valid RIFF wrapper but non-PCM format code
+    import struct
+
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36, b"WAVE", b"fmt ", 16, 3, 1, 8000, 16000, 2, 16, b"data", 0,
+    )
+    with pytest.raises(ValueError, match="not PCM"):
+        decode_wav(hdr)

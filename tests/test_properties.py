@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from warcraider_spark.functions.rake import rake_text
@@ -19,6 +19,9 @@ texts = st.lists(words, min_size=0, max_size=60).map(" ".join)
 
 @settings(max_examples=200, deadline=None)
 @given(st.lists(url_paths, max_size=10))
+@example(["//h"])  # protocol-relative link whose host is a prefix of
+# "http": the old empty-path normalization substring-replaced the netloc
+# and produced "h/ttp://h" (hypothesis-found regression)
 def test_absolutize_idempotent(links):
     """absolutize(absolutize(x)) == absolutize(x) — resolved URLs resolve
     to themselves (lib.rs:400-417 semantics)."""

@@ -9,7 +9,7 @@ the per-row cost is a dict lookup + urljoin.
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin, urlparse
+from urllib.parse import urljoin, urlparse, urlunparse
 
 import pandas as pd
 
@@ -52,10 +52,12 @@ def make_urls_absolute(url: str, links: list[str]) -> list[str]:
             # which preserves ';'. Pre+post stripping is idempotent.
             absu = urljoin(url, _QUOTE_MARKS_RE.sub("", link))
             # rust-url renders an empty path as "/" (http://google.com →
-            # http://google.com/); mirror that normalization
+            # http://google.com/); mirror that normalization. Rebuild via
+            # urlunparse — a substring replace of the netloc can hit an
+            # earlier occurrence (e.g. the 'h' of 'http' for host 'h').
             p = urlparse(absu)
             if p.scheme in ("http", "https") and p.netloc and p.path == "":
-                absu = absu.replace(p.netloc, p.netloc + "/", 1)
+                absu = urlunparse((p.scheme, p.netloc, "/", p.params, p.query, p.fragment))
             resolved.append(absu)
         except ValueError:
             resolved.append(link)

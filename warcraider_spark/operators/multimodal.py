@@ -5,11 +5,14 @@ structs, exactly how a 100 TB training-data pipeline carries them: the
 bytes never leave the executor, Arrow batches move them across the Python
 boundary, and per-modality transforms are ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (documented, clearly marked) behind the same UDF
-signature a real libjpeg/ffmpeg-backed implementation would use — the
-Spark-side plumbing (schema, batching, partitioning, null-safety) is real
-and tested, per the driver brief.
+The container has no image/audio codec LIBRARIES, so q027's jpeg/mp4-
+shaped decode step is a deterministic fake (documented, clearly marked)
+behind the same UDF signature a real libjpeg/ffmpeg-backed implementation
+would use. For library-free formats the codec IS real: q113 encodes
+genuine binary PPM images and PCM WAV audio, ships them through Arrow,
+and the decode stage parses the actual formats (header validation, PCM
+unpacking) and computes content statistics over real pixel/sample data —
+hash-verified against the oracle's analytic expectations.
 
 The synthetic corpus derives binary payloads deterministically from the
 ``documents`` table so correctness is oracle-checkable end-to-end.
@@ -217,3 +220,201 @@ def q028_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: PPM images + WAV audio, dependency-free
+# ---------------------------------------------------------------------------
+#
+# The stub above stands in for libjpeg/ffmpeg. For formats that need no
+# library — binary PPM (P6) and PCM WAV are fully specified public formats
+# parseable with struct — the encode AND decode are real: q113 generates
+# actual PPM/WAV payloads (deterministic content), ships them through
+# Arrow as binary columns, and the decode stage parses the real headers
+# and computes real content statistics (mean pixel / RMS amplitude) from
+# the sample data. The content generation rule is simple enough that the
+# DuckDB oracle knows every decoded value analytically — so the full
+# encode→binary→decode loop is hash-verified, not just the plumbing.
+
+SAMPLE_RATE = 8000
+
+
+def _img_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 64 + 8, doc_id % 48 + 8
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Binary PPM (P6): header + w*h RGB pixels, every byte = doc_id%256."""
+    w, h = _img_dims(doc_id)
+    return f"P6\n{w} {h}\n255\n".encode() + bytes([doc_id % 256]) * (w * h * 3)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL P6 parser: magic, whitespace-separated dims/maxval, then the
+    pixel plane; mean computed over the actual pixel bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    pixels = parts[3]
+    n = w * h * 3
+    if len(pixels) < n:
+        raise ValueError("truncated pixel plane")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "n_units": w * h,
+        "mean_val": sum(pixels[:n]) / n,
+    }
+
+
+def _n_samples(n_chars: int) -> int:
+    return n_chars % 2000 + 100
+
+
+def encode_wav(doc_id: int, n_chars: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + 16-bit mono PCM, constant
+    amplitude doc_id%1000*16."""
+    n = _n_samples(n_chars)
+    amp = doc_id % 1000 * 16
+    data = _struct.pack(f"<{n}h", *([amp] * n))
+    hdr = _struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAVE parser: validates chunk ids, reads the fmt block,
+    unpacks the PCM samples, computes RMS amplitude over the samples."""
+    riff, _, wave = _struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_id, fmt_sz, audio_fmt, n_ch, rate = _struct.unpack_from("<4sIHHI", payload, 12)
+    if fmt_id != b"fmt " or audio_fmt != 1:
+        raise ValueError("not PCM")
+    data_id, data_sz = _struct.unpack_from("<4sI", payload, 20 + fmt_sz)
+    if data_id != b"data":
+        raise ValueError("missing data chunk")
+    n = data_sz // 2
+    samples = _struct.unpack_from(f"<{n}h", payload, 28 + fmt_sz)
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    return {
+        "width": None,
+        "height": None,
+        "maxval": None,
+        "n_units": n,
+        "mean_val": rms,
+        "sample_rate": rate,
+        "n_channels": n_ch,
+    }
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_units", LongType(), False),
+        StructField("mean_val", StringType(), False),  # rounded, stringified below
+    ]
+)
+
+
+@query(
+    "q113_media_codec_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id AS media_id,
+       modality,
+       CASE WHEN modality = 'image' THEN CAST(doc_id % 64 + 8 AS INT) END AS width,
+       CASE WHEN modality = 'image' THEN CAST(doc_id % 48 + 8 AS INT) END AS height,
+       CASE WHEN modality = 'image'
+            THEN CAST((doc_id % 64 + 8) * (doc_id % 48 + 8) AS BIGINT)
+            ELSE CAST(n_chars % 2000 + 100 AS BIGINT) END AS n_units,
+       CASE WHEN modality = 'image' THEN CAST(CAST(doc_id % 256 AS DOUBLE) AS VARCHAR)
+            ELSE CAST(CAST(doc_id % 1000 * 16 AS DOUBLE) AS VARCHAR) END AS mean_val
+FROM base ORDER BY media_id
+""",
+    tags=("multimodal", "codec", "mapInPandas"),
+)
+def q113_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip, no stub: an encode mapInPandas stage emits
+    genuine binary PPM images / PCM WAV audio (deterministic content:
+    constant pixel value / constant amplitude), and the decode stage
+    parses the actual formats — header validation, dimension extraction,
+    PCM unpacking — and computes content statistics over the real pixel/
+    sample data. Because the content rule is analytic, the DuckDB oracle
+    knows every decoded value (mean pixel = doc_id%256, RMS of a constant
+    = the amplitude), so encode→Arrow→decode is hash-verified end to end.
+
+    Scale notes: payload bytes exist only between the two Python stages
+    and are dropped before any shuffle; both stages are map-only over
+    Arrow record batches (bounded by spark.sql.execution.arrow
+    .maxRecordsPerBatch). The jpeg/mp4 modalities of q027 still need a
+    library and keep the documented stub."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
+        )
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import encode_ppm, encode_wav
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = (
+                    encode_ppm(int(row.doc_id))
+                    if row.modality == "image"
+                    else encode_wav(int(row.doc_id), int(row.n_chars))
+                )
+                out.append(
+                    {"media_id": row.doc_id, "modality": row.modality, "payload": payload}
+                )
+            yield pd.DataFrame(out)
+
+    encoded = docs.mapInPandas(
+        encode, "media_id long, modality string, payload binary"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import decode_ppm, decode_wav
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                meta = decode_ppm(payload) if row.modality == "image" else decode_wav(payload)
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "modality": row.modality,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_units": meta["n_units"],
+                        # constant-content stats are exact integers in double
+                        # form; stringified so the driver canon is dtype-stable
+                        "mean_val": str(float(meta["mean_val"])),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(decode, DECODED_SCHEMA).orderBy("media_id")
