@@ -194,3 +194,23 @@ def test_warc_python_datasource(spark, warc_path):
     b = {(r.record_idx, r.version, r.headers.get("WARC-Target-URI")) for r in via_map.collect()}
     assert a == b
     assert len(a) == 6
+
+
+def test_observed_metrics(spark, warc_path):
+    """Observation counters mirror the reference's per-batch logging
+    (records in / responses / blacklist survivors / gzip-decodable /
+    fallbacks) and are computed DURING the action — no extra passes."""
+    records = read_warc(spark, warc_path)
+    metrics: dict = {}
+    df = url_resource_from_warc_records(records, metrics=metrics)
+    n_out = df.count()
+
+    m = {name: obs.get for name, obs in metrics.items()}
+    assert m["input"]["n_records"] == 6
+    assert m["responses"]["n_responses"] == 5  # request-type record dropped
+    assert m["post_blacklist"]["n_kept"] == 4  # blacklisted host dropped
+    assert m["decompressed"]["n_ok_gzip"] == 3  # corrupt gzip dropped
+    assert m["parsed"]["n_rows"] == n_out == 3
+    # the oversize record takes the regex-fallback path (html.ok = false)
+    assert m["parsed"]["n_oversize"] == 1
+    assert m["parsed"]["n_parse_fallback"] >= 1

@@ -102,6 +102,11 @@ def test_root_domain():
     assert root_domain("example.com") == "example.com"
     assert root_domain("sub.example.com") == "example.com"
     assert root_domain("") == ""
+    # extended embedded PSL subset (exotic ccTLD second-level registries)
+    assert root_domain("foo.bar.co.jp") == "bar.co.jp"
+    assert root_domain("x.y.gov.br") == "y.gov.br"
+    assert root_domain("a.schools.nsw.au") == "schools.nsw.au"
+    assert root_domain("a.b.example.dev") == "example.dev"
 
 
 # --- FIXTURES B5: RAKE micro-fixtures --------------------------------------

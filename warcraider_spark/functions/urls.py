@@ -21,17 +21,64 @@ __all__ = ["make_urls_absolute", "root_domain", "absolutize_udf", "root_domain_u
 # lib.rs:59 — quote marks anywhere, %dd only at end-of-string
 _QUOTE_MARKS_RE = re.compile(r"'|“|\"|&quot;|%\d\d$")
 
-# Minimal embedded public-suffix rules for the crawl's domain space (the
-# full PSL is overkill for .gov.au-centric data; extend as needed). Two-
-# label suffixes first so "foo.gov.au" → "foo.gov.au" roots at 3 labels.
+# Embedded public-suffix subset (the PSL itself is public; no PSL library
+# ships in this container). Covers the major ccTLD second-level registries
+# so exotic hosts root correctly — still a subset; swap in the full list
+# via the `publicsuffix2` package when available. Two-label suffixes first
+# so "foo.gov.au" → "foo.gov.au" roots at 3 labels.
 _TWO_LABEL_SUFFIXES = frozenset(
     {
+        # au (incl. state registries)
         "gov.au", "com.au", "net.au", "org.au", "edu.au", "asn.au", "id.au",
-        "co.uk", "org.uk", "gov.uk", "ac.uk",
-        "co.nz", "org.nz", "govt.nz",
+        "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au", "wa.au",
+        # uk
+        "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk", "ltd.uk",
+        "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+        # nz
+        "co.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz", "iwi.nz",
+        "maori.nz", "mil.nz", "net.nz", "school.nz", "cri.nz", "health.nz", "parliament.nz",
+        # jp
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+        # br
+        "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+        # in
+        "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+        "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+        # za
+        "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+        # cn
+        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+        # kr
+        "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+        # mx / ar
+        "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+        "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+        # sg / hk / tw
+        "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+        "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+        "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
+        # il / tr / ua
+        "co.il", "org.il", "net.il", "gov.il", "ac.il", "muni.il",
+        "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr",
+        "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
+        # th / id / my / pl
+        "co.th", "or.th", "go.th", "ac.th", "in.th",
+        "co.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
+        "com.my", "net.my", "org.my", "gov.my", "edu.my",
+        "com.pl", "net.pl", "org.pl", "gov.pl", "edu.pl",
     }
 )
-_ONE_LABEL_SUFFIXES = frozenset({"au", "com", "net", "org", "edu", "gov", "io", "info", "biz", "uk", "nz"})
+_ONE_LABEL_SUFFIXES = frozenset(
+    {
+        "au", "com", "net", "org", "edu", "gov", "io", "info", "biz", "uk", "nz",
+        "dev", "app", "ai", "co", "me", "tv", "cc", "xyz", "online", "site",
+        "store", "tech", "blog", "cloud", "us", "ca", "de", "fr", "it", "es",
+        "nl", "se", "no", "fi", "dk", "ch", "at", "be", "ie", "jp", "br", "in",
+        "za", "cn", "kr", "mx", "ar", "sg", "hk", "tw", "il", "ru", "tr", "ua",
+        "th", "id", "my", "pl", "eu", "int", "mil", "pro", "mobi", "name",
+        "aero", "coop", "jobs", "museum", "travel", "cat",
+    }
+)
 
 
 def make_urls_absolute(url: str, links: list[str]) -> list[str]:

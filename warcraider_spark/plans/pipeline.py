@@ -83,9 +83,29 @@ def apply_blacklist(records: DataFrame, hostname_col: str, url_col: str) -> Data
     return out
 
 
-def url_resource_from_warc_records(records: DataFrame) -> DataFrame:
-    """WARC_RECORD_SCHEMA rows → the 18-column url_resource DataFrame."""
+def url_resource_from_warc_records(records: DataFrame, metrics: dict | None = None) -> DataFrame:
+    """WARC_RECORD_SCHEMA rows → the 18-column url_resource DataFrame.
+
+    Pass ``metrics={}`` to attach ``Observation`` points mirroring the
+    reference's per-batch counters (records in, responses kept, blacklist
+    survivors, gzip-decodable, parse fallbacks — main.rs logs these as it
+    loops): the dict is filled with name → Observation, and each
+    ``Observation.get`` yields its counts after any action on the result —
+    computed DURING the action as accumulator-style stream aggregates, so
+    the accounting costs no extra pass over 100 TB (vs. the .count()-per-
+    stage alternative, which re-runs the prefix plan per counter).
+    """
+
+    def _observe(df: DataFrame, name: str, *exprs: Column) -> DataFrame:
+        if metrics is None:
+            return df
+        from pyspark.sql import Observation
+
+        metrics[name] = Observation(name)
+        return df.observe(metrics[name], *exprs)
+
     # --- native pre-filters (before any Python) ---------------------------
+    records = _observe(records, "input", F.count(F.lit(1)).alias("n_records"))
     base = (
         records.filter((F.col("version") != "0") & (F.element_at("headers", "WARC-Type") == F.lit("response")))
         .withColumn("url", F.coalesce(F.element_at("headers", "WARC-Target-URI"), F.lit("")))
@@ -96,7 +116,9 @@ def url_resource_from_warc_records(records: DataFrame) -> DataFrame:
         )
         .withColumn("source", F.element_at(F.split("warc_file", "/"), -1))
     )
+    base = _observe(base, "responses", F.count(F.lit(1)).alias("n_responses"))
     filtered = apply_blacklist(base, "regex_hostname", "url")
+    filtered = _observe(filtered, "post_blacklist", F.count(F.lit(1)).alias("n_kept"))
 
     # --- UDF crossing 1: gzip decompress (bad rows dropped) ---------------
     gunzip = _decompress_udf()
@@ -104,6 +126,9 @@ def url_resource_from_warc_records(records: DataFrame) -> DataFrame:
         filtered.withColumn("content_str", gunzip(F.col("content")))
         .filter(F.col("content_str").isNotNull())
         .drop("content")
+    )
+    decompressed = _observe(
+        decompressed, "decompressed", F.count(F.lit(1)).alias("n_ok_gzip")
     )
 
     # --- native HTTP split + header map + scalars -------------------------
@@ -119,9 +144,15 @@ def url_resource_from_warc_records(records: DataFrame) -> DataFrame:
     # --- UDF crossing 2: HTML parse (single struct call) ------------------
     parse = parse_html_udf()
     oversize = (F.col("size_bytes") > OVERSIZE_BYTES) | (F.length("content_str") > OVERSIZE_BYTES)
-    parsed = with_http.withColumn(
-        "html", parse(F.when(oversize, F.lit("")).otherwise(F.col("raw_html")))
-    ).drop("content_str")
+    parsed = (
+        with_http.withColumn(
+            "html", parse(F.when(oversize, F.lit("")).otherwise(F.col("raw_html")))
+        )
+        # materialized before content_str is dropped; the observation below
+        # needs it, and shaped's explicit select discards it again
+        .withColumn("_oversize", oversize)
+        .drop("content_str")
+    )
 
     ok = F.col("html.ok")
     # ok path: joined text chunks with whitespace-run DELETION quirk;
@@ -133,6 +164,13 @@ def url_resource_from_warc_records(records: DataFrame) -> DataFrame:
     raw_links = F.when(ok, F.col("html.links")).otherwise(X.links_fallback("raw_html"))
     raw_resources = F.when(ok, F.col("html.resource_urls")).otherwise(X.resources_fallback("raw_html"))
 
+    parsed = _observe(
+        parsed,
+        "parsed",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~ok).cast("long")).alias("n_parse_fallback"),
+        F.sum(F.col("_oversize").cast("long")).alias("n_oversize"),
+    )
     shaped = parsed.select(
         "url",
         "hostname",
