@@ -2067,3 +2067,49 @@ def q109_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q114_sql_text_interface",
+    oracle="""
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name, order_year
+ORDER BY n_name, order_year
+""",
+    tags=("sql-text", "join", "agg"),
+)
+def q114_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual-SQL front door: the whole query is a spark.sql() string
+    over registered views — the surface a user migrating off the
+    reference's BigQuery layer actually types. Catalyst produces the same
+    plan as the DataFrame API (broadcast dims, partial aggs, pushdown),
+    proving SQL-text and DataFrame users get identical semantics AND
+    identical physical strategies."""
+    from warcraider_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_orders,
+               -- integer-cents sum: bit-exact under any summation order
+               -- (ROUND(SUM(double),2) drifts at cent boundaries) and
+               -- floor(x+0.5), not round(): engine round() half-cases
+               -- diverge; floor of the identical double is deterministic
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n_name, order_year
+        ORDER BY n_name, order_year
+    """)
