@@ -259,3 +259,34 @@ def test_mixture_weights_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dim_profile_shuffle_is_bounded(spark):
+    """q116: the per-dimension profile must partial-aggregate before its
+    single exchange — the shuffle key domain is the embedding width, so
+    the exchange moves ~dims rows per input partition no matter the
+    corpus size."""
+    df = all_specs()["q116_embedding_dim_profile"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "partial_sum" in plan or "partial_count" in plan
+    # exactly one agg shuffle + the orderBy range exchange, nothing else
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") <= 2
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_lm_score_vocab_is_broadcast(spark):
+    """q117: the vocabulary-size scalar must ride a broadcast nested-loop
+    cross join — a shuffled cross join against a 1-row side would
+    repartition the full scored-bigram stream."""
+    df = all_specs()["q117_lm_score"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sequence_packing_single_window_shuffle(spark):
+    """q115: packing is ONE hash exchange on the shard key feeding the
+    running-sum window — no join, no second shuffle before the sort."""
+    df = all_specs()["q115_sequence_packing"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert plan.count("hashpartitioning") == 1

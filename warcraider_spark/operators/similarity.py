@@ -480,3 +480,53 @@ def q106_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "q116_embedding_dim_profile",
+    oracle="""
+WITH ex AS (
+  SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS dim,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS micro
+  FROM embeddings
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(micro) AS BIGINT) AS sum_micro,
+       CAST(MIN(micro) AS BIGINT) AS min_micro,
+       CAST(MAX(micro) AS BIGINT) AS max_micro,
+       CAST(SUM(micro * micro) AS BIGINT) AS sumsq_micro
+FROM ex
+GROUP BY dim
+ORDER BY dim
+""",
+    tags=("similarity", "profiling", "training-pipeline"),
+)
+def q116_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the corpus embedding matrix (count, sum,
+    min, max, sum-of-squares) — the statistics pass feeding feature
+    normalization, whitening, or PQ codebook training. Values are scaled
+    to integer micros (float32→double is exact, ×1e6 then half-up floor)
+    so every aggregate is bit-exact across engines.
+
+    Scale: posexplode then groupBy(dim) with a bounded key domain (the
+    embedding width), so the map-side partial aggregation collapses each
+    input partition to ~dims rows before the shuffle — the exchange moves
+    kilobytes regardless of corpus size.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    micro = F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        em.select(F.posexplode("embedding").alias("dim", "x"))
+        .select(F.col("dim").cast("int").alias("dim"), micro.alias("micro"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("micro").alias("sum_micro"),
+            F.min("micro").alias("min_micro"),
+            F.max("micro").alias("max_micro"),
+            F.sum(F.expr("micro * micro")).alias("sumsq_micro"),
+        )
+        .orderBy("dim")
+    )

@@ -795,3 +795,168 @@ def q111_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q115_sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+  FROM t
+)
+SELECT source, doc_id, n_tok,
+       cum - n_tok AS start_offset,
+       (cum - n_tok) // 2048 AS bin_id,
+       (n_tok > 0 AND (cum - n_tok) // 2048 <> (cum - 1) // 2048) AS straddles
+FROM c
+ORDER BY source, doc_id
+""",
+    tags=("text", "packing", "training-pipeline"),
+)
+def q115_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: concatenate each source's token
+    stream (doc_id order) and assign every document the 2048-token context
+    window its first token lands in — the packing stage that turns a
+    deduped corpus into fixed-length training sequences. `straddles` marks
+    documents split across a window boundary (the fraction a loss-masking
+    policy cares about).
+
+    Scale: one window cumsum per source shard. At 100 TB the shard key
+    becomes (source, doc_id div N) so no single partition holds a whole
+    source's stream; bin ids then offset by a per-shard base computed from
+    an order-of-magnitude-smaller per-shard total (two tiny passes), which
+    keeps the heavy pass embarrassingly parallel. Integer-only outputs so
+    the oracle is bit-exact.
+    """
+    from pyspark.sql.window import Window
+
+    CAP = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "doc_id", word_count("text").cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = base.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("cum") - F.col("n_tok")).alias("start_offset"),
+            F.expr(f"(cum - n_tok) div {CAP}").alias("bin_id"),
+            (
+                (F.col("n_tok") > 0)
+                & (
+                    F.expr(f"(cum - n_tok) div {CAP}")
+                    != F.expr(f"(cum - 1) div {CAP}")
+                )
+            ).alias("straddles"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "q117_lm_score",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+  WHERE trim(text) <> ''
+    AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS u
+  FROM (SELECT unnest(t) AS w FROM base)
+  GROUP BY w
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+db AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (
+    SELECT doc_id,
+           unnest(t[1:len(t)-1]) AS w1,
+           unnest(t[2:len(t)]) AS w2
+    FROM base
+  )
+  GROUP BY doc_id, w1, w2
+),
+bg AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS b FROM db GROUP BY w1, w2)
+SELECT db.doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(SUM(k * ((b * 1000000) // (u + vocab))) AS BIGINT)
+         // CAST(SUM(k) AS BIGINT) AS lm_micro
+FROM db
+JOIN bg USING (w1, w2)
+JOIN uni ON db.w1 = uni.w
+CROSS JOIN v
+GROUP BY db.doc_id
+ORDER BY db.doc_id
+""",
+    tags=("text", "quality", "training-pipeline"),
+)
+def q117_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring (the CCNet/KenLM-style
+    perplexity filter of a pretraining pipeline): score every document by
+    the corpus's own smoothed bigram model, p(w2|w1) ≈ B(w1,w2)/(U(w1)+V).
+    All math is integer-scaled (micro-probabilities, integer division) so
+    the score is bit-exact across engines — a float log-prob would diverge
+    in the last ulp between libm implementations.
+
+    Scale: the model IS an aggregation of the corpus (two groupBys on
+    uniform-ish token keys with map-side partial aggs), and scoring is two
+    shuffled equi-joins on (w1,w2)/(w1). Stop-word keys are the skew
+    hazard; AQE skew-join splits them, and at 100 TB the top-K head of the
+    vocabulary (tiny) would be broadcast while the tail joins shuffled.
+    The V scalar rides a broadcast cross join.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    # per-doc bigram counts: (w1, w2) from zipping t[0:n-1] with t[1:n]
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    db = (
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    bg = db.groupBy("w1", "w2").agg(F.sum("k").alias("b"))
+    scored = (
+        db.join(bg, ["w1", "w2"])
+        .join(uni, db.w1 == uni.w)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "k",
+            F.expr("k * ((b * 1000000) div (u + vocab))").alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.expr("sum(contrib) div sum(k)").alias("lm_micro"),
+        )
+        .orderBy("doc_id")
+    )
