@@ -147,3 +147,56 @@ def q018_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.orderBy(F.desc("pr"), F.asc("node")).limit(100)
+
+
+@query(
+    "q120_recursive_reachability",
+    oracle=f"""
+WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
+walk(seed, node, depth) AS (
+  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src < 3)
+  UNION ALL
+  SELECT w.seed, e.dst, w.depth + 1
+  FROM walk w JOIN e ON w.node = e.src
+  WHERE w.depth < 3
+),
+first_reach AS (
+  SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS depth
+  FROM walk GROUP BY seed, node
+)
+SELECT seed, depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM first_reach
+GROUP BY seed, depth
+ORDER BY seed, depth
+""",
+    tags=("graph", "recursive-cte"),
+)
+def q120_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via Spark 4's WITH RECURSIVE: BFS from
+    three seed nodes over the link graph, reporting how many nodes are
+    first reached at each hop count (min-depth reachability, depth ≤ 3).
+    The recursive CTE is the declarative dual of the iterative-join
+    PageRank loop in q018 — Catalyst unrolls it into one equi-join +
+    depth-guard per level, each shuffling only the frontier on the node
+    key, so a 100 TB edge table pays |frontier| per hop, never all paths.
+    """
+    edges(spark, sf_dir).createOrReplaceTempView("link_edges_r")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(seed, node, depth) AS (
+          SELECT src, src, 0L FROM (SELECT DISTINCT src FROM link_edges_r WHERE src < 3)
+          UNION ALL
+          SELECT w.seed, e.dst, w.depth + 1
+          FROM walk w JOIN link_edges_r e ON w.node = e.src
+          WHERE w.depth < 3
+        ),
+        first_reach AS (
+          SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS depth
+          FROM walk GROUP BY seed, node
+        )
+        SELECT seed, depth, COUNT(*) AS n_nodes
+        FROM first_reach
+        GROUP BY seed, depth
+        ORDER BY seed, depth
+        """
+    )

@@ -2113,3 +2113,51 @@ def q114_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, order_year
         ORDER BY n_name, order_year
     """)
+
+
+@query(
+    "q119_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, ROUND(val, 6) + 0.0 AS val
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS l_quantity,
+         CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+         CAST(l_discount AS DOUBLE) AS l_discount,
+         CAST(l_tax AS DOUBLE) AS l_tax
+  FROM lineitem WHERE l_orderkey < 100
+)
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+    tags=("relational", "unpivot"),
+)
+def q119_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the lineitem measures — the inverse of
+    q088's pivot and the normalization step feeding generic metric
+    pipelines. Narrow-to-long is a per-row Generate (no shuffle, no UDF);
+    the only exchange is the presentation sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ],
+    )
+    return (
+        wide.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "raw_val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            (F.round("raw_val", 6) + F.lit(0.0)).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )

@@ -299,3 +299,94 @@ def q108_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcraider_spark.streaming.windows import replay_attribution_stream
 
     return replay_attribution_stream(spark, sf_dir)
+
+
+@query(
+    "q118_gapfill_locf",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+  FROM events
+  GROUP BY event_type, bucket
+),
+bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+spine AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS g(bucket)
+),
+j AS (
+  SELECT s.event_type, s.bucket, b.sum_micro,
+         (b.sum_micro IS NULL) AS was_gap
+  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+)
+SELECT event_type,
+       strftime(bucket, '{_FMT_SQL}') AS window_start,
+       was_gap,
+       COALESCE(last_value(sum_micro IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS filled_micro
+FROM j
+ORDER BY event_type, window_start
+""",
+    tags=("window", "gapfill", "timeseries"),
+)
+def q118_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: densify the hourly per-type rollup to
+    a complete time spine, then carry the last observation forward (LOCF)
+    into the empty buckets — `was_gap` preserves which rows are real.
+    Buckets sum value in integer micros so the hash is exact; buckets
+    before a type's first observation fill with -1 (NULL would flip the
+    pandas column to float64 and break the driver's dtype-strict hash).
+
+    Scale: the heavy input collapses via partial aggregation to
+    |types|x|hours| rows BEFORE any join; the spine is the same tiny
+    cardinality (cross join of two broadcast sides), so the gap-fill join
+    and the LOCF window never touch event-grain data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        ).agg(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")).alias(
+                "sum_micro"
+            )
+        )
+    )
+    bounds = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        "sum_micro",
+        F.col("sum_micro").isNull().alias("was_gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "event_type",
+            F.date_format("bucket", _FMT).alias("window_start"),
+            "was_gap",
+            F.coalesce(
+                F.last("sum_micro", ignorenulls=True).over(w), F.lit(-1).cast("long")
+            ).alias("filled_micro"),
+        )
+        .orderBy("event_type", "window_start")
+    )
