@@ -178,9 +178,9 @@ def test_salted_join_no_single_hot_partition(spark):
 
 
 def test_approx_quantile_error_bound(spark):
-    """q050: the GK sketch at accuracy 10000 must stay within 1% of the
+    """q107: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF — rank error ≤ n/accuracy."""
-    rows = all_specs()["q050_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    rows = all_specs()["q107_approx_quantiles"].builder(spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.01
@@ -222,11 +222,11 @@ def test_pipeline_query_no_joins(spark):
 
 
 def test_two_stage_rerank_broadcasts_queries(spark):
-    """q106: the coarse stage must be a BroadcastNestedLoopJoin with the
+    """q050: the coarse stage must be a BroadcastNestedLoopJoin with the
     (tiny) query set as build side — the corpus streams once; a cartesian
     product or a shuffle of the corpus against queries would be the 100 TB
     killer."""
-    df = all_specs()["q106_two_stage_rerank"].builder(spark, SF_CORRECT)
+    df = all_specs()["q050_two_stage_rerank"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan

@@ -164,3 +164,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# Round-2 window swap (after q103-q120 were added): the two ROWS-ONLY
+# specs occupying certified window slots traded places with two
+# never-driver-checked oracle-backed flagships, so the driver's 50-name
+# window certifies dedup clustering and two-stage rerank instead of
+# re-running weak rows-only checks:
+#   q107_dedup_clusters    -> q043_dedup_clusters     (into window)
+#   q106_two_stage_rerank  -> q050_two_stage_rerank   (into window)
+#   q043_ml_lsh_variants   -> q106_ml_lsh_variants    (out; rows-only)
+#   q050_approx_quantiles  -> q107_approx_quantiles   (out; rows-only)

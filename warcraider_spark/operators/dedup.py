@@ -199,7 +199,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q003 and q107 (SQL twin of
+# bands + distinct candidate pairs, shared by q003 and q043 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -530,7 +530,7 @@ CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
 
 
 @query(
-    "q107_dedup_clusters",
+    "q043_dedup_clusters",
     oracle=f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
      edges AS (
@@ -558,7 +558,7 @@ ORDER BY cluster_id
 """,
     tags=("dedup", "graph", "connected-components"),
 )
-def q107_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
     generation (q003) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
@@ -584,6 +584,14 @@ def q107_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # Materialize the loop state: without this, round k's plan embeds TWO
+    # copies of round k-1 (join input + union input), so the lineage — and
+    # the MinHash subtree it re-derives — doubles per round: 2^6 recomputes
+    # of the LSH pipeline (~40s at sf0.01, unbounded at scale). This is the
+    # standard Spark idiom for iterative algorithms: cut lineage each
+    # round; the materialized state is |nodes| rows, trivially small
+    # relative to the corpus.
+    edges = edges.localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -596,6 +604,7 @@ def q107_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             nbr.unionAll(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))

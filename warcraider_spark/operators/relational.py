@@ -1781,11 +1781,11 @@ def q100_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q050_approx_quantiles",
+    "q107_approx_quantiles",
     oracle=None,  # GK-sketch values are engine-specific; rows-only check
     tags=("agg", "approx", "quantile"),
 )
-def q050_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) next to the exact
     percentile — the 100 TB answer to median/p95: one pass, fixed memory,
     mergeable across partitions, no global sort. Exact columns ride along

@@ -380,7 +380,7 @@ def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q106_two_stage_rerank",
+    "q050_two_stage_rerank",
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      s AS (
@@ -421,7 +421,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "rerank"),
 )
-def q106_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production ANN serving pattern: a CHEAP
     int8-quantized dot-product pass over the whole corpus selects top-20
     candidates per query, then the EXPENSIVE exact double-precision cosine

@@ -401,11 +401,11 @@ def q042_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q043_ml_lsh_variants",
+    "q106_ml_lsh_variants",
     oracle=None,  # pyspark.ml model hashes are engine-specific: rows-only
     tags=("dedup", "similarity", "mllib"),
 )
-def q043_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q106_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
