@@ -86,3 +86,15 @@ def test_stream_static_join_equals_batch(spark, sf_smoke):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_smoke):
+    """Every event fed twice (second copy in a separate file / possibly a
+    later micro-batch); the watermark-bounded dedup must emit each
+    event_id exactly once — equal to the batch distinct set."""
+    from warcraider_spark.streaming.windows import replay_dedup_stream
+
+    out = replay_dedup_stream(spark, sf_smoke)
+    n_distinct = load_table(spark, sf_smoke, "events").select("event_id").distinct().count()
+    assert out.select("event_id").distinct().count() == n_distinct
+    assert out.count() == n_distinct

@@ -259,3 +259,45 @@ def replay_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(name).orderBy("user_id", "view_id", "purchase_id")
+
+
+def dedup_within_watermark_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup via the built-in ``dropDuplicatesWithinWatermark``:
+    the engine keeps one state row per key only until the watermark passes
+    the key's event time, then evicts — bounded state for an unbounded
+    stream, unlike plain ``dropDuplicates`` whose state grows forever.
+    Complements streaming/stateful.py's applyInPandasWithState variant,
+    which demonstrates the same policy hand-rolled with explicit timers.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def replay_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed each event TWICE (duplicated in a second file, so dups can
+    arrive in a later micro-batch) through dedup_within_watermark_stream;
+    exactly-once output = the distinct event set."""
+    from warcraider_spark.tables import load_table
+
+    staged = os.path.join(tempfile.gettempdir(), f"events_dup_{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.write.mode("overwrite").parquet(os.path.join(staged, "a"))
+    ev.write.mode("overwrite").parquet(os.path.join(staged, "b"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(os.path.join(staged, "*"))
+    )
+    deduped = dedup_within_watermark_stream(stream)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
