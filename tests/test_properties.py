@@ -70,3 +70,54 @@ def test_parse_html_never_raises(raw):
     assert set(out) == {
         "ok", "html_errors", "title", "text", "headings_text", "links", "resource_urls", "meta_tags",
     }
+
+
+def _pack_model(counts: list[int], cap: int) -> list[tuple[int, int, bool]]:
+    """Reference model for sequence packing: walk the concatenated token
+    stream; each doc's bin is where its first token lands; it straddles
+    iff its first and last token land in different bins."""
+    out, offset = [], 0
+    for n in counts:
+        start_bin = offset // cap
+        end_bin = (offset + n - 1) // cap if n > 0 else start_bin
+        out.append((offset, start_bin, n > 0 and start_bin != end_bin))
+        offset += n
+    return out
+
+
+def test_sequence_pack_edge_cases(spark):
+    """Zero-token docs, a doc wider than a whole window, an exact-boundary
+    fit, and a boundary-crossing doc — Spark result must equal the
+    walk-the-stream reference model."""
+    from warcraider_spark.operators.text import sequence_pack
+
+    cap = 10
+    counts = [3, 0, 7, 10, 25, 0, 5, 10, 1]  # exact fit at 3+7, giant 25, zeros
+    rows = [("s", i, n) for i, n in enumerate(counts)]
+    base = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"], r["straddles"])
+        for r in sequence_pack(base, cap=cap).collect()
+    }
+    expect = {i: v for i, v in enumerate(_pack_model(counts, cap))}
+    assert got == expect
+    # bin ids are monotone non-decreasing in stream order
+    bins = [got[i][1] for i in range(len(counts))]
+    assert bins == sorted(bins)
+
+
+def test_sequence_pack_shards_independent(spark):
+    """Packing is per-shard: identical token streams in two shards get
+    identical offsets/bins (no cross-shard leakage)."""
+    from warcraider_spark.operators.text import sequence_pack
+
+    counts = [4, 9, 2, 11]
+    rows = [(s, i, n) for s in ("a", "b") for i, n in enumerate(counts)]
+    base = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = sequence_pack(base, cap=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["source"], {})[r["doc_id"]] = (
+            r["start_offset"], r["bin_id"], r["straddles"],
+        )
+    assert by_shard["a"] == by_shard["b"]

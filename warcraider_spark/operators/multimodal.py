@@ -418,3 +418,90 @@ def q113_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return encoded.mapInPandas(decode, DECODED_SCHEMA).orderBy("media_id")
+
+
+@query(
+    "q121_image_content_dedup",
+    oracle="""
+WITH img AS (SELECT doc_id FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0)
+SELECT CAST(doc_id % 256 AS INT) AS pixel_value,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(DISTINCT (doc_id % 64, doc_id % 48)) AS BIGINT) AS n_resolutions,
+       array_to_string(list_sort(list(doc_id)), ',') AS members
+FROM img
+GROUP BY pixel_value
+ORDER BY pixel_value
+""",
+    tags=("multimodal", "dedup", "mapInPandas"),
+)
+def q121_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-resolution image deduplication over REAL decoded pixels: the
+    encode stage writes genuine binary PPMs, the decode stage parses them
+    and fingerprints the pixel plane (constant-plane value, validated
+    min==max — the flat-image analogue of a perceptual hash), and a
+    groupBy on the fingerprint clusters duplicates ACROSS different
+    resolutions — the image-dedup stage of a multimodal training corpus,
+    where the same picture recurs at many sizes. Because content is
+    analytic (plane = doc_id%256, dims = doc_id%64/%48), the oracle knows
+    every cluster exactly.
+
+    Scale: payloads live only between the two Arrow stages and are
+    dropped before the groupBy shuffle, which moves one short row per
+    image on a ~256-ary uniform key with map-side partial aggs."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    imgs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 400) & (F.col("doc_id") % 2 == 0))
+        .select("doc_id")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import encode_ppm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [encode_ppm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    encoded = imgs.mapInPandas(encode, "media_id long, payload binary")
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import decode_ppm
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                meta = decode_ppm(payload)
+                n = meta["width"] * meta["height"] * 3
+                plane = payload[-n:]
+                lo, hi = min(plane), max(plane)
+                if lo != hi:  # fingerprint claim only holds for flat planes
+                    raise ValueError("non-constant pixel plane")
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "pixel_value": lo,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    decoded = encoded.mapInPandas(
+        fingerprint, "media_id long, pixel_value int, width int, height int"
+    )
+    return (
+        decoded.groupBy("pixel_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("width", "height").alias("n_resolutions"),
+            F.array_join(F.array_sort(F.collect_list("media_id")), ",").alias("members"),
+        )
+        .orderBy("pixel_value")
+    )

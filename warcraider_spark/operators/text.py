@@ -797,6 +797,28 @@ def q111_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
+    """Core packing transform: (shard, order, n_tok) → start_offset /
+    bin_id / straddles via one window cumsum per shard. Factored from
+    q115 so edge cases (zero-token docs, docs wider than a window,
+    exact-boundary fits) are unit-testable against a reference model."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    c = base.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        shard_col,
+        order_col,
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).alias("start_offset"),
+        F.expr(f"(cum - n_tok) div {cap}").alias("bin_id"),
+        (
+            (F.col("n_tok") > 0)
+            & (F.expr(f"(cum - n_tok) div {cap}") != F.expr(f"(cum - 1) div {cap}"))
+        ).alias("straddles"),
+    )
+
+
 @query(
     "q115_sequence_packing",
     oracle="""
@@ -835,32 +857,11 @@ def q115_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the heavy pass embarrassingly parallel. Integer-only outputs so
     the oracle is bit-exact.
     """
-    from pyspark.sql.window import Window
-
-    CAP = 2048
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "source", "doc_id", word_count("text").cast("long").alias("n_tok")
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    c = base.withColumn("cum", F.sum("n_tok").over(w))
-    return (
-        c.select(
-            "source",
-            "doc_id",
-            "n_tok",
-            (F.col("cum") - F.col("n_tok")).alias("start_offset"),
-            F.expr(f"(cum - n_tok) div {CAP}").alias("bin_id"),
-            (
-                (F.col("n_tok") > 0)
-                & (
-                    F.expr(f"(cum - n_tok) div {CAP}")
-                    != F.expr(f"(cum - 1) div {CAP}")
-                )
-            ).alias("straddles"),
-        )
-        .orderBy("source", "doc_id")
-    )
+    return sequence_pack(base, cap=2048).orderBy("source", "doc_id")
 
 
 @query(
