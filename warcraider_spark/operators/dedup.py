@@ -668,3 +668,114 @@ def q112_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: q-gram blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+
+ER_GRAM = 6  # q-gram width
+ER_DF_CAP = 50  # drop grams shared by more names (the "Customer#0000…" prefix)
+
+
+@query(
+    "q122_entity_resolution",
+    oracle=f"""
+WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey < 500),
+base AS (
+  SELECT key, name, 'clean' AS reg FROM cust
+  UNION ALL
+  SELECT key,
+         CASE WHEN key % 3 = 0
+              THEN substr(name, 1, 10) || 'X' || substr(name, 12, 7)
+              ELSE name END AS name,
+         'dirty' AS reg
+  FROM cust
+),
+grams AS (
+  SELECT DISTINCT reg, key, name, substr(name, i, {ER_GRAM}) AS gram
+  FROM base, LATERAL unnest(generate_series(1, len(name) - {ER_GRAM - 1})) AS g(i)
+),
+keep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {ER_DF_CAP}),
+cands AS (
+  SELECT DISTINCT a.key AS clean_key, a.name AS clean_name,
+                  b.key AS dirty_key, b.name AS dirty_name
+  FROM grams a
+  JOIN keep USING (gram)
+  JOIN grams b USING (gram)
+  WHERE a.reg = 'clean' AND b.reg = 'dirty'
+)
+SELECT clean_key, dirty_key,
+       CAST(levenshtein(clean_name, dirty_name) AS INT) AS dist,
+       CASE WHEN clean_name = dirty_name THEN 'exact' ELSE 'fuzzy' END AS match_type
+FROM cands
+WHERE levenshtein(clean_name, dirty_name) <= 1
+ORDER BY clean_key, dirty_key
+""",
+    tags=("dedup", "entity-resolution", "fuzzy-join"),
+)
+def q122_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (fuzzy record linkage): a deterministically
+    corrupted 'dirty' registry (one character mutated for every third
+    key — the standard corrupted-duplicate ER benchmark construction) is
+    matched back to the clean registry by q-gram blocking: explode each
+    name into 6-grams, DROP high-document-frequency grams (the shared
+    'Customer#…' prefix — same skew-cap rationale as q005's shingle DF
+    cap), equi-join on the surviving distinctive grams, then verify
+    candidates with edit distance ≤ 1.
+
+    Scale: this is the MinHash-dedup skeleton applied to short strings —
+    blocking turns an O(n²) fuzzy join into an equi-join whose cost is
+    O(gram collisions), the DF cap removes the quadratic hot keys, and
+    the expensive levenshtein runs only on surviving candidate pairs.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(F.col("c_custkey").alias("key"), F.col("c_name").alias("name"))
+    )
+    dirty_name = F.when(
+        F.col("key") % 3 == 0,
+        F.concat(
+            F.substring("name", 1, 10), F.lit("X"), F.substring("name", 12, 7)
+        ),
+    ).otherwise(F.col("name"))
+    base = cust.select("key", "name", F.lit("clean").alias("reg")).unionAll(
+        cust.select("key", dirty_name.alias("name"), F.lit("dirty").alias("reg"))
+    )
+    grams = (
+        base.select(
+            "reg",
+            "key",
+            "name",
+            F.explode(
+                F.sequence(F.lit(1), F.length("name") - F.lit(ER_GRAM - 1))
+            ).alias("i"),
+        )
+        .select("reg", "key", "name", F.expr(f"substring(name, i, {ER_GRAM})").alias("gram"))
+        .distinct()
+    )
+    keep = grams.groupBy("gram").count().filter(F.col("count") <= ER_DF_CAP).select("gram")
+    a = grams.filter(F.col("reg") == "clean").select(
+        F.col("key").alias("clean_key"), F.col("name").alias("clean_name"), "gram"
+    )
+    b = grams.filter(F.col("reg") == "dirty").select(
+        F.col("key").alias("dirty_key"), F.col("name").alias("dirty_name"), "gram"
+    )
+    cands = (
+        a.join(keep, "gram").join(b, "gram")
+        .select("clean_key", "clean_name", "dirty_key", "dirty_name")
+        .distinct()
+    )
+    return (
+        cands.filter(F.levenshtein("clean_name", "dirty_name") <= 1)
+        .select(
+            "clean_key",
+            "dirty_key",
+            F.levenshtein("clean_name", "dirty_name").cast("int").alias("dist"),
+            F.when(F.col("clean_name") == F.col("dirty_name"), "exact")
+            .otherwise("fuzzy")
+            .alias("match_type"),
+        )
+        .orderBy("clean_key", "dirty_key")
+    )
