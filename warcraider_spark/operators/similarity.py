@@ -530,3 +530,132 @@ def q116_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means codebook training (Lloyd iterations, integer-exact)
+# ---------------------------------------------------------------------------
+
+KM_DIMS = 16
+KM_ITERS = 2
+_KM_INIT = (0, 50, 100, 150)  # deterministic seeds: these vectors ARE c0
+
+
+def _km_assign_sql(cent_cte: str, n: int) -> str:
+    return f"""
+a{n} AS (
+  SELECT vec_id, j FROM (
+    SELECT ex.vec_id, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY ex.vec_id
+             ORDER BY SUM((ex.mv - c.cv) * (ex.mv - c.cv)), c.j) AS rnk
+    FROM ex JOIN {cent_cte} c USING (dim)
+    GROUP BY ex.vec_id, c.j
+  ) WHERE rnk = 1
+)"""
+
+
+def _km_update_sql(assign_cte: str, n: int) -> str:
+    return f"""
+c{n} AS (
+  SELECT j, dim, CAST(SUM(mv) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cv
+  FROM ex JOIN {assign_cte} USING (vec_id)
+  GROUP BY j, dim
+)"""
+
+
+@query(
+    "q123_kmeans_codebook",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS mv
+  FROM embeddings CROSS JOIN LATERAL unnest(generate_series(1, {KM_DIMS})) AS g(i)
+  WHERE vec_id < 300
+),
+c0 AS (
+  SELECT CAST(vec_id // 50 AS INT) AS j, dim, mv AS cv
+  FROM ex WHERE vec_id IN {_KM_INIT}
+),{_km_assign_sql("c0", 1)},{_km_update_sql("a1", 1)},{_km_assign_sql("c1", 2)},{_km_update_sql("a2", 2)}
+SELECT a.j AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(a.vec_id) AS first_member,
+       MAX(a.vec_id) AS last_member,
+       s.centroid_sum
+FROM a2 a
+JOIN (SELECT j, CAST(SUM(cv) AS BIGINT) AS centroid_sum FROM c2 GROUP BY j) s
+  ON a.j = s.j
+GROUP BY a.j, s.centroid_sum
+ORDER BY cluster_id
+""",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def q123_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook training: {KM_ITERS} Lloyd iterations of k-means over
+    integer-quantized embeddings (micro-scaled, so distances, argmins and
+    centroid means are EXACT integers — a float k-means could never be
+    hash-compared across engines: ties and mean rounding diverge). Seeds
+    are four fixed vectors; assignment ties break on cluster id.
+
+    Scale shape — the canonical distributed k-means: vectors live in long
+    (vec, dim, value) form; each iteration is (broadcast tiny centroids →
+    map-side distance partial-agg → per-vector argmin) + (groupBy
+    (cluster, dim) mean with map-side combine). Loop state is
+    localCheckpoint'ed per round (q043's lineage lesson); the vector
+    table is checkpointed ONCE and reused by all {2 * KM_ITERS} passes.
+    """
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ex = (
+        em.select("vec_id", F.posexplode("embedding").alias("p", "x"))
+        .filter(F.col("p") < KM_DIMS)
+        .select(
+            "vec_id",
+            (F.col("p") + 1).cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("mv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cent = (
+        ex.filter(F.col("vec_id").isin(*_KM_INIT))
+        .select(F.expr("vec_id div 50").cast("int").alias("j"), "dim", F.col("mv").alias("cv"))
+    )
+    assign = None
+    for _ in range(KM_ITERS):
+        d = (
+            ex.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "j")
+            .agg(F.sum((F.col("mv") - F.col("cv")) * (F.col("mv") - F.col("cv"))).alias("dist"))
+        )
+        wn = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("j"))
+        assign = (
+            d.withColumn("rnk", F.row_number().over(wn))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "j")
+            .localCheckpoint(eager=False)
+        )
+        cent = (
+            ex.join(assign, "vec_id")
+            .groupBy("j", "dim")
+            .agg(F.expr("CAST(sum(mv) AS BIGINT) div count(1)").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    sums = cent.groupBy("j").agg(F.sum("cv").alias("centroid_sum"))
+    return (
+        assign.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("first_member"),
+            F.max("vec_id").alias("last_member"),
+        )
+        .join(sums, "j")
+        .select(
+            F.col("j").alias("cluster_id"),
+            "n_members",
+            "first_member",
+            "last_member",
+            "centroid_sum",
+        )
+        .orderBy("cluster_id")
+    )
