@@ -290,3 +290,34 @@ def test_sequence_packing_single_window_shuffle(spark):
     plan = plan_of(df)
     assert "Window" in plan
     assert plan.count("hashpartitioning") == 1
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """q123: a Lloyd assignment step must join the vector table against a
+    BROADCAST of the (k x dims)-row centroid table — a shuffled centroid
+    join would repartition the full corpus once per iteration. Asserted on
+    the raw step subplan (the final q123 plan hides iterations behind
+    localCheckpoint leaves)."""
+    from warcraider_spark.operators.similarity import _km_assign
+
+    ex = spark.createDataFrame(
+        [(v, d, (v * 7 + d) % 100) for v in range(20) for d in range(1, 5)],
+        "vec_id long, dim int, mv long",
+    )
+    cent = spark.createDataFrame(
+        [(j, d, (j * 13 + d) % 100) for j in range(2) for d in range(1, 5)],
+        "j int, dim int, cv long",
+    )
+    plan = plan_of(_km_assign(ex, cent))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_layers_reaggregate_partials(spark):
+    """q124: the daily layer's input must be the hourly AGGREGATE, not raw
+    events — three stacked partial+final agg pairs over ONE scan.
+    (explain('formatted') prints each node twice: tree + details.)"""
+    df = all_specs()["q124_rollup_layers"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 2  # one scan node
+    assert plan.count("HashAggregate") >= 12  # >= 6 nodes: 3 layers x 2 phases

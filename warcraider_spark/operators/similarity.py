@@ -564,6 +564,33 @@ c{n} AS (
 )"""
 
 
+def _km_assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment: broadcast the (k·dims)-row centroid table,
+    map-side partial-agg the per-(vector, cluster) squared distance, pick
+    the argmin (ties → lowest cluster id). Factored so plan CI can assert
+    the broadcast on the raw (un-checkpointed) subplan."""
+    d = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("mv") - F.col("cv")) * (F.col("mv") - F.col("cv"))).alias("dist"))
+    )
+    wn = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("j"))
+    return (
+        d.withColumn("rnk", F.row_number().over(wn))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "j")
+    )
+
+
+def _km_update(ex: DataFrame, assign: DataFrame) -> DataFrame:
+    """One Lloyd update: exact integer centroid means per (cluster, dim)."""
+    return (
+        ex.join(assign, "vec_id")
+        .groupBy("j", "dim")
+        .agg(F.expr("CAST(sum(mv) AS BIGINT) div count(1)").alias("cv"))
+    )
+
+
 @query(
     "q123_kmeans_codebook",
     oracle=f"""
@@ -623,24 +650,8 @@ def q123_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = None
     for _ in range(KM_ITERS):
-        d = (
-            ex.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "j")
-            .agg(F.sum((F.col("mv") - F.col("cv")) * (F.col("mv") - F.col("cv"))).alias("dist"))
-        )
-        wn = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("j"))
-        assign = (
-            d.withColumn("rnk", F.row_number().over(wn))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "j")
-            .localCheckpoint(eager=False)
-        )
-        cent = (
-            ex.join(assign, "vec_id")
-            .groupBy("j", "dim")
-            .agg(F.expr("CAST(sum(mv) AS BIGINT) div count(1)").alias("cv"))
-            .localCheckpoint(eager=False)
-        )
+        assign = _km_assign(ex, cent).localCheckpoint(eager=False)
+        cent = _km_update(ex, assign).localCheckpoint(eager=False)
     sums = cent.groupBy("j").agg(F.sum("cv").alias("centroid_sum"))
     return (
         assign.groupBy("j")

@@ -390,3 +390,73 @@ def q118_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+@query(
+    "q124_rollup_layers",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+         CAST(MAX(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS max_micro
+  FROM events GROUP BY event_type, h
+),
+daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', h) AS d,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sum_micro) AS BIGINT) AS sum_micro,
+         CAST(MAX(max_micro) AS BIGINT) AS max_micro
+  FROM hourly GROUP BY event_type, d
+)
+SELECT event_type, strftime(time_bucket(INTERVAL '1 month', d), '{_FMT_SQL}') AS month_start,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(sum_micro) AS BIGINT) AS sum_micro,
+       CAST(MAX(max_micro) AS BIGINT) AS max_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM daily
+GROUP BY event_type, month_start
+ORDER BY event_type, month_start
+""",
+    tags=("window", "rollup", "timeseries"),
+)
+def q124_rollup_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered continuous-aggregate rollup (the hypertable pattern):
+    event-grain → hourly → daily → monthly, each layer re-aggregating
+    ONLY the layer below. count/sum/max are mergeable, so the monthly
+    answer from daily partials is bit-equal to aggregating raw events —
+    the invariant that lets a 100 TB store serve month queries from
+    KB-sized partials and refresh incrementally (only dirty hours
+    recompute). Integer-micro sums keep every layer exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro).alias("sum_micro"),
+            F.max(micro).alias("max_micro"),
+        )
+    )
+    daily = (
+        hourly.groupBy("event_type", F.date_trunc("day", "h").alias("d"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_micro").alias("sum_micro"),
+            F.max("max_micro").alias("max_micro"),
+        )
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("month", "d"), _FMT).alias("month_start"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_micro").alias("sum_micro"),
+            F.max("max_micro").alias("max_micro"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type", "month_start")
+    )
