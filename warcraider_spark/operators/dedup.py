@@ -779,3 +779,67 @@ def q122_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clean_key", "dirty_key")
     )
+
+
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") removes duplicated SUBSTRINGS, not just duplicated documents —
+# the highest-value spans to cut are exactly the ones repeated across many
+# documents (boilerplate, licenses, navigation chrome).
+SPAN_N = 8
+
+
+@query(
+    "q126_duplicate_spans",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= {SPAN_N}
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i + {SPAN_N - 1}], ' ') AS gram
+  FROM b CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {SPAN_N - 1})) AS s(i)
+)
+SELECT gram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM g
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, gram
+LIMIT 100
+""",
+    tags=("dedup", "spans", "training-pipeline"),
+)
+def q126_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) duplicate detection: every word-level
+    {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
+    document frequency — the discovery pass of substring dedup (the spans
+    a Lee-et-al-style pipeline would excise from the training corpus).
+
+    Scale shape: sliding n-grams are a native transform over the token
+    array (no UDF, no self-join — unlike pairwise Jaccard, span discovery
+    is pure aggregation), then ONE shuffle on the gram hash with map-side
+    partial aggs; count(distinct doc_id) expands to a two-phase agg under
+    AQE. The output is the top-k head only, so no all-pairs product ever
+    materializes; downstream excision is a broadcast semi-join of this
+    head against the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {SPAN_N - 1}),"
+        f" i -> array_join(slice(t, i, {SPAN_N}), ' '))"
+    )
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= SPAN_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "gram")
+        .limit(100)
+    )

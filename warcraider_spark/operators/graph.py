@@ -200,3 +200,78 @@ def q120_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY seed, depth
         """
     )
+
+
+@query(
+    "q128_triangle_count",
+    oracle=f"""
+WITH e AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY node
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri)
+SELECT node, n_tri, (SELECT total_triangles FROM tot) AS total_triangles
+FROM pern ORDER BY node
+""",
+    tags=("graph", "join"),
+)
+def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the link graph (the clustering-coefficient /
+    community-structure primitive). Edges are canonicalized to undirected
+    (a < b) — which IS the classic orientation trick: every triangle is
+    enumerated exactly once as a < b < c, so the two equi-joins see only
+    'forward' wedges instead of 6 rotations. At 100 TB-scale graphs the
+    orientation would be by degree (low→high) to cap wedge fan-out on hub
+    nodes; id-order is the degree proxy here (the synthetic graph is
+    near-regular). Both joins shuffle on the node key — the same
+    partitioning, reused — and the per-node rollup is one more groupBy on
+    that key. No driver-side iteration: the whole count is a static
+    3-join DAG."""
+    e = edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wedges = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    tri = (
+        wedges.alias("w")
+        .join(
+            und.alias("e3"),
+            (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        )
+        .select("w.a", "w.b", "w.c")
+        .localCheckpoint(eager=False)
+    )
+    pern = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    return (
+        pern.crossJoin(F.broadcast(total))
+        .select("node", "n_tri", "total_triangles")
+        .orderBy("node")
+    )

@@ -961,3 +961,224 @@ def q117_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BPE merge training -----------------------------------------------------
+# Distributed byte-pair-encoding trainer (the tokenizer-training stage of a
+# pretraining pipeline; HuggingFace-tokenizers semantics: greedy left-to-right
+# non-overlapping merges within a word, global best pair per round, ties to
+# the lexicographically smallest (left, right)). Words are represented as
+# '<sym><sym>…' strings: every symbol individually wrapped, so one codegen
+# string replace('<l><r>' -> '<lr>') IS the greedy non-overlapping merge —
+# adjacent matches share no characters, unlike a space-separated encoding.
+# Symbols stay in [a-z]+ (the pretokenizer below), so '<'/'>' are safe fences.
+BPE_MERGES = 6
+BPE_VOCAB_TOP = 400
+
+
+def _bpe_iter_sql(prev: str, i: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: pair counts from the
+    wrapped string, global argmax with (pc DESC, l, r) tie-break, merge by
+    string replace. w CTEs are MATERIALIZED — each is referenced twice
+    (pair count + merge), so inlining would copy the chain 2^rounds times."""
+    return f"""p{i} AS (
+  SELECT syms[k] AS l, syms[k + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(trim(s, '<>'), '><') AS syms, cnt FROM {prev}) t
+       CROSS JOIN LATERAL unnest(generate_series(1, len(t.syms) - 1)) AS g(k)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(s, '<' || l || '><' || r || '>', '<' || l || r || '>') AS s, cnt
+  FROM {prev} CROSS JOIN b{i}
+)"""
+
+
+_BPE_CHAIN = ",\n".join(_bpe_iter_sql(f"w{i - 1}", i) for i in range(1, BPE_MERGES + 1))
+_BPE_OUT = "\nUNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym,"
+    f" l || r AS merged, pc AS pair_count FROM b{i}"
+    for i in range(1, BPE_MERGES + 1)
+)
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the wrapped-word table: unwrap to the symbol
+    array, zip-with-next, weight by word frequency. One shuffle on the
+    (l, r) key with map-side partial aggs."""
+    syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+    return (
+        words.select(syms.alias("syms"), "cnt")
+        .filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " k -> struct(syms[k - 1] AS l, syms[k] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+@query(
+    "q125_bpe_merge_train",
+    oracle=f"""
+WITH wtok AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY 1 ORDER BY cnt DESC, word LIMIT {BPE_VOCAB_TOP}
+),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, cnt FROM wtok
+),
+{_BPE_CHAIN}
+SELECT * FROM ({_BPE_OUT})
+ORDER BY merge_rank
+""",
+    tags=("text", "bpe", "iterative", "training-pipeline"),
+)
+def q125_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
+    scale work is exactly ONE tokenize + groupBy shuffle down to the
+    (word, count) vocabulary; every Lloyd-style merge round after that
+    touches only the vocabulary table (size = distinct words, independent
+    of corpus bytes) — the shape that makes distributed BPE viable at
+    100 TB. Per round: pair counts (map-side partial agg on a uniform
+    (l, r) key), a 1-row global top-1, then the merge as a broadcast
+    cross join + whole-stage-codegen string replace — no driver collect
+    in the loop. Loop state is localCheckpoint'ed per round (q043's
+    lineage-doubling lesson: words_i references words_{{i-1}} twice,
+    directly and through best_i). Counts are exact integers, ties break
+    lexicographically, so the merge table is hash-identical to the
+    independently-unrolled DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wtok = (
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(BPE_VOCAB_TOP)
+    )
+    words = wtok.select(
+        F.regexp_replace("word", "(.)", "<$1>").alias("s"), "cnt"
+    ).localCheckpoint(eager=False)
+    merge_rows = []
+    for i in range(1, BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pc"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(i).cast("long").alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                F.expr(
+                    "replace(s, concat('<', l, '><', r, '>'),"
+                    " concat('<', l, r, '>'))"
+                ).alias("s"),
+                "cnt",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
+
+
+@query(
+    "q127_token_budget_select",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+           * 1000000 // length(text) AS score_milli,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS tok
+  FROM documents WHERE length(text) > 0
+),
+t AS (
+  SELECT doc_id, score_milli, tok,
+         CAST(SUM(tok) OVER (ORDER BY score_milli DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM d
+),
+bdg AS (SELECT CAST(SUM(tok) * 2 AS BIGINT) // 5 AS budget FROM d)
+SELECT doc_id, score_milli, tok, cum_tok
+FROM t CROSS JOIN bdg
+WHERE cum_tok <= budget
+ORDER BY score_milli DESC, doc_id
+""",
+    tags=("text", "selection", "training-pipeline"),
+)
+def q127_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: order every
+    document by an integer quality score (alphabetic-character ratio in
+    micro-units), take documents greedily until 40% of the corpus's
+    tokens are spent — the 'best data first' selection pass of a
+    pretraining mix.
+
+    The naive plan is a window cumsum over a GLOBAL order — which
+    Catalyst executes as a single partition holding the whole corpus: a
+    100 TB non-starter. This implements the distributed prefix-sum
+    instead: bucket by score range (the bucket is a prefix of the sort
+    key, so bucket order refines to row order), compute per-bucket token
+    totals (tiny table), turn those into per-bucket offsets with a window
+    over the TINY table only, then add offset + within-bucket cumsum —
+    the heavy pass is one window per bucket partition, fully parallel.
+    The oracle states the same result as the naive global window, which
+    is exactly the equivalence the bucketed plan must preserve."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"
+                " * 1000000 div length(text)"
+            ).alias("score_milli"),
+            F.expr(
+                "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = d.withColumn("bucket", F.expr("score_milli div 50000"))
+    per_bucket = b.groupBy("bucket").agg(F.sum("tok").alias("btok"))
+    # ~21 rows: the single-partition window is over the bucket summary only.
+    w_off = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("score_milli"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = d.agg(F.expr("CAST(sum(tok) * 2 AS BIGINT) div 5").alias("budget"))
+    return (
+        b.withColumn("c_in", F.sum("tok").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_tok", F.col("offset") + F.col("c_in"))
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select("doc_id", "score_milli", "tok", "cum_tok")
+        .orderBy(F.desc("score_milli"), "doc_id")
+    )
