@@ -242,11 +242,11 @@ def test_contamination_broadcasts_benchmark(spark):
 
 
 def test_sketch_aggs_are_partial_final(spark):
-    """q103: sketch aggregates must plan as partial ObjectHashAggregate →
+    """q048: sketch aggregates must plan as partial ObjectHashAggregate →
     Exchange → final — the sketches merge map-side, so the shuffle carries
     one bounded sketch per group, not raw values (the whole point of
     mergeable sketches)."""
-    df = all_specs()["q103_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
+    df = all_specs()["q048_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("ObjectHashAggregate") >= 4  # partial+final × two levels
     assert "Exchange" in plan
@@ -284,19 +284,19 @@ def test_lm_score_vocab_is_broadcast(spark):
 
 
 def test_sequence_packing_single_window_shuffle(spark):
-    """q115: packing is ONE hash exchange on the shard key feeding the
+    """q044: packing is ONE hash exchange on the shard key feeding the
     running-sum window — no join, no second shuffle before the sort."""
-    df = all_specs()["q115_sequence_packing"].builder(spark, SF_CORRECT)
+    df = all_specs()["q044_sequence_packing"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Window" in plan
     assert plan.count("hashpartitioning") == 1
 
 
 def test_kmeans_broadcasts_centroids(spark):
-    """q123: a Lloyd assignment step must join the vector table against a
+    """q045: a Lloyd assignment step must join the vector table against a
     BROADCAST of the (k x dims)-row centroid table — a shuffled centroid
     join would repartition the full corpus once per iteration. Asserted on
-    the raw step subplan (the final q123 plan hides iterations behind
+    the raw step subplan (the final q045 plan hides iterations behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.similarity import _km_assign
 

@@ -174,3 +174,20 @@ if __name__ == "__main__":
 #   q106_two_stage_rerank  -> q050_two_stage_rerank   (into window)
 #   q043_ml_lsh_variants   -> q106_ml_lsh_variants    (out; rows-only)
 #   q050_approx_quantiles  -> q107_approx_quantiles   (out; rows-only)
+#
+# Round-2 window swap #2 (after q121-q128 were added): five relational
+# breadth slots whose operator families are already certified by in-window
+# or round-1-green siblings traded places with five never-driver-checked
+# oracle-backed training-pipeline flagships, so the driver's 50-name
+# window certifies the tokenizer trainer, packing, codebook, sketch and
+# substring-dedup surfaces:
+#   q125_bpe_merge_train        -> q037_bpe_merge_train        (in)
+#   q115_sequence_packing       -> q044_sequence_packing       (in)
+#   q123_kmeans_codebook        -> q045_kmeans_codebook        (in)
+#   q103_sketch_distinct_rollup -> q048_sketch_distinct_rollup (in)
+#   q126_duplicate_spans        -> q049_duplicate_spans        (in)
+#   q037_array_agg              -> q125_array_agg    (out; q036/q069 cover arrays)
+#   q044_setops_all             -> q115_setops_all   (out; q063/q078 cover set ops)
+#   q045_range_frame            -> q123_range_frame  (out; q040 covers RANGE frames)
+#   q048_to_json                -> q103_to_json      (out; q039/q070 cover JSON)
+#   q049_first_last_value       -> q126_first_last_value (out; q061/q102 cover windows)

@@ -789,7 +789,7 @@ SPAN_N = 8
 
 
 @query(
-    "q126_duplicate_spans",
+    "q049_duplicate_spans",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -811,7 +811,7 @@ LIMIT 100
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q126_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: every word-level
     {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
     document frequency — the discovery pass of substring dedup (the spans

@@ -1209,7 +1209,7 @@ def q091_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q037_array_agg",
+    "q125_array_agg",
     oracle="""
 SELECT c_nationkey,
        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
@@ -1220,7 +1220,7 @@ ORDER BY c_nationkey
 """,
     tags=("agg", "array"),
 )
-def q037_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / array_agg — sorted post-hoc because accumulation
     order is partition-dependent in ANY distributed engine; emitted
     ','-joined because the driver canonicalizer rejects list cells."""
@@ -1388,7 +1388,7 @@ def q095_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q044_setops_all",
+    "q115_setops_all",
     oracle="""
 WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
      b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
@@ -1399,7 +1399,7 @@ ORDER BY op, f
 """,
     tags=("setop",),
 )
-def q044_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q115_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
     counting — a different physical plan from the DISTINCT variants)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1415,7 +1415,7 @@ def q044_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q045_range_frame",
+    "q123_range_frame",
     oracle=f"""
 SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -1428,7 +1428,7 @@ ORDER BY o_orderkey
 """,
     tags=("window", "range-frame"),
 )
-def q045_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q123_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): peers within
     ±10000 of the current price per customer.
 
@@ -1491,7 +1491,7 @@ def q046_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q048_to_json",
+    "q103_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1501,7 +1501,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q048_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q103_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1515,7 +1515,7 @@ def q048_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_first_last_value",
+    "q126_first_last_value",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_order,
@@ -1529,7 +1529,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q049_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value window functions over full-partition frames."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1954,7 +1954,7 @@ def q040_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated seconds: events carry fractional-second timestamps, and
     second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
     silently disagrees on boundary pairs ~1 hour apart. One shuffle on
-    user_id; frame state is a two-pointer scan. q045 covers numeric RANGE
+    user_id; frame state is a two-pointer scan. q123 covers numeric RANGE
     frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")

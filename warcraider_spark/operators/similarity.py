@@ -592,7 +592,7 @@ def _km_update(ex: DataFrame, assign: DataFrame) -> DataFrame:
 
 
 @query(
-    "q123_kmeans_codebook",
+    "q045_kmeans_codebook",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -617,7 +617,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "kmeans", "iterative"),
 )
-def q123_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook training: {KM_ITERS} Lloyd iterations of k-means over
     integer-quantized embeddings (micro-scaled, so distances, argmins and
     centroid means are EXACT integers — a float k-means could never be

@@ -40,7 +40,7 @@ def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q103_sketch_distinct_rollup",
+    "q048_sketch_distinct_rollup",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events)
 SELECT event_type, COUNT(DISTINCT k) AS theta_users, COUNT(DISTINCT k) AS hll_users
@@ -52,7 +52,7 @@ ORDER BY event_type
 """,
     tags=("sketch", "approx", "distinct"),
 )
-def q103_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counts: per-type Theta AND HLL sketches,
     then the grand total by merging the PER-TYPE SKETCHES (theta_union_agg /
     hll_union_agg) — never re-scanning events. This two-level shape is the

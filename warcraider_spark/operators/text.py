@@ -800,7 +800,7 @@ def q111_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
     """Core packing transform: (shard, order, n_tok) → start_offset /
     bin_id / straddles via one window cumsum per shard. Factored from
-    q115 so edge cases (zero-token docs, docs wider than a window,
+    q044 so edge cases (zero-token docs, docs wider than a window,
     exact-boundary fits) are unit-testable against a reference model."""
     from pyspark.sql.window import Window
 
@@ -820,7 +820,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 
 @query(
-    "q115_sequence_packing",
+    "q044_sequence_packing",
     oracle="""
 WITH t AS (
   SELECT source, doc_id,
@@ -842,7 +842,7 @@ ORDER BY source, doc_id
 """,
     tags=("text", "packing", "training-pipeline"),
 )
-def q115_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: concatenate each source's token
     stream (doc_id order) and assign every document the 2048-token context
     window its first token lands in — the packing stage that turns a
@@ -1025,7 +1025,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 @query(
-    "q125_bpe_merge_train",
+    "q037_bpe_merge_train",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1041,7 +1041,7 @@ ORDER BY merge_rank
 """,
     tags=("text", "bpe", "iterative", "training-pipeline"),
 )
-def q125_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
     scale work is exactly ONE tokenize + groupBy shuffle down to the
     (word, count) vocabulary; every Lloyd-style merge round after that
