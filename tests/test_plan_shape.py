@@ -321,3 +321,55 @@ def test_rollup_layers_reaggregate_partials(spark):
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 2  # one scan node
     assert plan.count("HashAggregate") >= 12  # >= 6 nodes: 3 layers x 2 phases
+
+
+def test_bpe_pair_counts_partial_final(spark):
+    """q037: the per-round pair count must partial-aggregate before its one
+    exchange on the uniform (l, r) key — per merge round the shuffle moves
+    bounded partial counts over the vocabulary, never the corpus. Asserted
+    on the round subplan (the full q037 plan hides rounds behind
+    localCheckpoint leaves)."""
+    from warcraider_spark.operators.text import _bpe_pair_counts
+
+    words = spark.createDataFrame(
+        [("<l><o><w>", 5), ("<l><o><g>", 3)], "s string, cnt long"
+    )
+    plan = plan_of(_bpe_pair_counts(words))
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_duplicate_spans_single_shuffle_topk(spark):
+    """q049: span discovery is pure aggregation — ONE hash exchange on the
+    gram key (count-distinct expands to a two-phase agg on that same key),
+    a TakeOrderedAndProject head, and NO self-join anywhere (the all-pairs
+    product that makes naive substring dedup intractable)."""
+    df = all_specs()["q049_duplicate_spans"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_token_budget_window_is_partitioned(spark):
+    """q127: the corpus-side cumulative sum must run under a PARTITIONED
+    window (bucketed prefix-sum) — the only orderBy-without-partitionBy
+    windows allowed are over the ~21-row bucket summary. A global window
+    over the document table is a single-partition non-starter at 100 TB."""
+    df = all_specs()["q127_token_budget_select"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "windowspecdefinition(bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """q128: both triangle joins must be key-equi joins (shuffle or
+    broadcast on the node key) and the total-count attach must ride a
+    broadcast — any CartesianProduct means the orientation trick failed
+    and the plan is all-pairs."""
+    df = all_specs()["q128_triangle_count"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
