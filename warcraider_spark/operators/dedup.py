@@ -218,12 +218,13 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
 """
 
 
-def _lsh_pairs(corpus: DataFrame) -> DataFrame:
-    """Distinct LSH candidate pairs (doc_a < doc_b) from the dup corpus."""
-    sig = _minhash_sig_spark(corpus)
-    # ONE posexplode instead of a 4-way union: a union would recompute the
-    # signature aggregation per branch (and per self-join side) — 8× the
-    # work; with a single subplan Spark reuses the exchange across the join
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """Banded LSH keys from a minhash signature: doc_id → (band, bh) rows.
+
+    ONE posexplode instead of a 4-way union: a union would recompute the
+    signature aggregation per branch (and per self-join side) — 8× the
+    work; with a single subplan Spark reuses the exchange across the join.
+    """
     band_hashes = F.array(
         *[
             F.md5(
@@ -234,7 +235,12 @@ def _lsh_pairs(corpus: DataFrame) -> DataFrame:
             for band in range(N_HASHES // BAND_SIZE)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def _lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from the dup corpus."""
+    bands = _sig_bands(_minhash_sig_spark(corpus))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -842,4 +848,138 @@ def q049_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), "gram")
         .limit(100)
+    )
+
+
+# --- Incremental (batch-vs-base) dedup --------------------------------------
+# The daily-ingestion shape: a small incoming batch is probed against the
+# full base corpus for exact and near duplicates before admission. Contrast
+# with q001/q003, which dedup a corpus against ITSELF.
+
+_INC_SQL = """
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[2:], ' ') AS text
+  FROM documents WHERE doc_id >= 60 AND doc_id < 120
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id,
+         array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ') AS text
+  FROM documents WHERE doc_id >= 120 AND doc_id < 180
+"""
+
+
+def _sig_sql_for(table: str) -> str:
+    """The minhash-signature SQL over an arbitrary corpus CTE name."""
+    return _MINHASH_SIG_SQL.replace("FROM corpus)", f"FROM {table})")
+
+
+def _bands_sql_for(sig: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band,"
+        f" md5(CAST(m{2 * band} AS VARCHAR) || '_' || CAST(m{2 * band + 1} AS VARCHAR)) AS bh"
+        f" FROM {sig}"
+        for band in range(N_HASHES // BAND_SIZE)
+    )
+
+
+@query(
+    "q129_incremental_dedup",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+inc AS ({_INC_SQL}),
+base_fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         MIN(doc_id) AS bdoc
+  FROM base GROUP BY fp
+),
+inc_fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM inc
+),
+base_sig AS ({_sig_sql_for("base")}),
+inc_sig AS ({_sig_sql_for("inc")}),
+base_bands AS ({_bands_sql_for("base_sig")}),
+inc_bands AS ({_bands_sql_for("inc_sig")}),
+cand AS (
+  SELECT i.doc_id AS inc_doc, MIN(b.doc_id) AS near_base
+  FROM inc_bands i JOIN base_bands b ON i.band = b.band AND i.bh = b.bh
+  GROUP BY i.doc_id
+)
+SELECT i.doc_id,
+       CASE WHEN e.bdoc IS NOT NULL THEN 'exact_dup'
+            WHEN c.near_base IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status,
+       CAST(COALESCE(e.bdoc, c.near_base, -1) AS BIGINT) AS base_match
+FROM inc_fp i
+LEFT JOIN base_fp e ON i.fp = e.fp
+LEFT JOIN cand c ON i.doc_id = c.inc_doc
+ORDER BY doc_id
+""",
+    tags=("dedup", "incremental", "training-pipeline"),
+)
+def q129_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an incoming batch (exact copies, head-
+    truncated near copies, token-reversed genuinely-new docs) against the
+    base corpus as exact_dup / near_dup / new, with the minimum matching
+    base doc (-1 for new).
+
+    100 TB shape: the BASE side is the big one and must never shuffle for
+    the probe. Both probes therefore stream base through a BroadcastHashJoin
+    against the (tiny) batch keys — base rows are filtered to matches
+    BEFORE any aggregation, so the only full-base shuffle left is the
+    minhash signature groupBy, which a production pipeline amortizes by
+    persisting the signature/band table and appending each admitted batch
+    (the plan here recomputes it because nothing persists between queries).
+    The final assembly joins touch only batch-sized tables."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens("text")
+    inc = (
+        base.filter(F.col("doc_id") < 60)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionAll(
+            base.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.array_join(F.slice(tok, 2, F.size(tok) - 1), " ").alias("text"),
+            )
+        )
+        .unionAll(
+            base.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 180)).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.array_join(F.reverse(tok), " ").alias("text"),
+            )
+        )
+    )
+    inc_fp = inc.select("doc_id", doc_fingerprint("text").alias("fp"))
+    # exact probe: base scans, probes the broadcast batch-fingerprint set,
+    # and only the matching base rows reach the (tiny) min-doc aggregation
+    exact_hits = (
+        base.select(doc_fingerprint("text").alias("fp"), F.col("doc_id").alias("bdoc"))
+        .join(F.broadcast(inc_fp.select("fp").distinct()), "fp")
+        .groupBy("fp")
+        .agg(F.min("bdoc").alias("bdoc"))
+    )
+    # near probe: base band keys probe the broadcast batch band keys
+    base_bands = _sig_bands(_minhash_sig_spark(base)).select(
+        F.col("doc_id").alias("bdoc"), "band", "bh"
+    )
+    inc_bands = _sig_bands(_minhash_sig_spark(inc)).select(
+        F.col("doc_id").alias("inc_doc"), "band", "bh"
+    )
+    cand = (
+        base_bands.join(F.broadcast(inc_bands), ["band", "bh"])
+        .groupBy("inc_doc")
+        .agg(F.min("bdoc").alias("near_base"))
+    )
+    return (
+        inc_fp.join(F.broadcast(exact_hits), "fp", "left")
+        .join(F.broadcast(cand), inc_fp.doc_id == F.col("inc_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("bdoc").isNotNull(), "exact_dup")
+            .when(F.col("near_base").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+            F.coalesce("bdoc", "near_base", F.lit(-1)).cast("long").alias("base_match"),
+        )
+        .orderBy("doc_id")
     )
