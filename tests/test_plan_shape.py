@@ -373,3 +373,15 @@ def test_triangle_count_no_cartesian(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """q130: the interval join must be an EQUI hash join on the bin key —
+    a pure range predicate plans as BroadcastNestedLoopJoin (O(n·m)
+    compares), which is exactly what the binned rewrite exists to kill.
+    Every join in the plan must be hash-based."""
+    df = all_specs()["q130_interval_bin_join"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

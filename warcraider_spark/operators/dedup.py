@@ -983,3 +983,88 @@ def q129_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q131_span_excision",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= {SPAN_N}
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i + {SPAN_N - 1}], ' ') AS gram
+  FROM b CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {SPAN_N - 1})) AS s(i)
+),
+head AS (
+  SELECT gram FROM g
+  GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+  ORDER BY COUNT(DISTINCT doc_id) DESC, COUNT(*) DESC, gram
+  LIMIT 100
+),
+sp AS (SELECT list_sort(list(gram)) AS spans FROM head),
+d AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS orig_len,
+       CAST(length(trim(list_reduce(
+              list_prepend(' ' || norm || ' ', spans),
+              (acc, s) -> replace(acc, ' ' || s || ' ', ' ')))) AS BIGINT) AS clean_len
+FROM d CROSS JOIN sp
+ORDER BY doc_id
+""",
+    tags=("dedup", "spans", "training-pipeline"),
+)
+def q131_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup APPLY stage: excise the q049 head (the 100 most
+    cross-document-repeated word {SPAN_N}-grams) from every document and
+    report original vs cleaned normalized length — the Lee-et-al-style
+    'remove duplicated substrings' pass, completing discovery (q049) →
+    excision.
+
+    Scale shape: the span head is corpus-derived but TINY (one aggregation
+    → a 1-row array), so it rides a broadcast cross join and the excision
+    itself is a map-side higher-order fold (aggregate + replace) inside
+    whole-stage codegen — no shuffle, no UDF, no per-doc join. Spans are
+    applied in sorted order with space-fenced matching on normalized text,
+    so both engines remove identical byte ranges. (At 100 TB the fold's
+    100 linear scans per doc would justify an Aho-Corasick pandas UDF;
+    the native fold keeps the hot path JVM-side here.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {SPAN_N - 1}),"
+        f" i -> array_join(slice(t, i, {SPAN_N}), ' '))"
+    )
+    head = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= SPAN_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "gram")
+        .limit(100)
+    )
+    spans1 = head.agg(F.array_sort(F.collect_list("gram")).alias("spans"))
+    d = docs.select("doc_id", F.array_join(t, " ").alias("norm"))
+    return (
+        d.crossJoin(F.broadcast(spans1))
+        .select(
+            "doc_id",
+            F.length("norm").cast("long").alias("orig_len"),
+            F.expr(
+                "CAST(length(trim(aggregate(spans, concat(' ', norm, ' '),"
+                " (acc, s) -> replace(acc, concat(' ', s, ' '), ' ')))) AS BIGINT)"
+            ).alias("clean_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2161,3 +2161,101 @@ def q119_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned interval join (pure range predicate, no equi key)
+# ---------------------------------------------------------------------------
+
+_IVL_BIN_US = 3_600_000_000  # 1 hour, ≈ the median interval length
+_IVL_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+@query(
+    "q130_interval_bin_join",
+    oracle=f"""
+WITH ivl AS (
+  SELECT i AS interval_id,
+         {_IVL_BASE_US} + i * 25200000000 AS lo_us,
+         {_IVL_BASE_US} + i * 25200000000 + (3 + i % 5) * 3600000000 AS hi_us
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+),
+ev AS (
+  SELECT epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+hit AS (
+  SELECT interval_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM ivl JOIN ev ON ev.us >= ivl.lo_us AND ev.us < ivl.hi_us
+  GROUP BY interval_id
+)
+SELECT i.interval_id,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(h.sum_cents, 0) AS BIGINT) AS sum_cents
+FROM ivl i LEFT JOIN hit h USING (interval_id)
+ORDER BY interval_id
+""",
+    tags=("join", "interval", "binned"),
+)
+def q130_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no equi key): events against 100 variable-length
+    [lo, hi) windows, aggregated per window. The naive plan is a
+    BroadcastNestedLoopJoin — O(events × intervals) comparisons, a 100 TB
+    non-starter the moment the interval table outgrows trivial. This is
+    the BINNED rewrite: both sides map to fixed-width time bins (interval
+    rows explode into the ≤8 bins they cover; each event lands in exactly
+    ONE bin, so every qualifying pair meets exactly once and needs no
+    post-join dedup), the join becomes an EQUI join on the bin key, and
+    the range predicate is a residual filter. Scales as O(events +
+    intervals × len/bin) with a shuffle-free broadcast of the exploded
+    interval side; with both sides huge it degrades gracefully to a
+    shuffle hash join on the bin key. Timestamps are integral epoch-micros
+    on both engines (fractional-second safety)."""
+    ivl = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("interval_id"),
+            (F.lit(_IVL_BASE_US) + F.col("id") * 25_200_000_000).alias("lo_us"),
+            (
+                F.lit(_IVL_BASE_US)
+                + F.col("id") * 25_200_000_000
+                + (F.lit(3) + F.col("id") % 5) * 3_600_000_000
+            ).alias("hi_us"),
+        )
+    )
+    ivl_bins = ivl.select(
+        "interval_id",
+        "lo_us",
+        "hi_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo_us div {_IVL_BIN_US}"), F.expr(f"(hi_us - 1) div {_IVL_BIN_US}")
+            )
+        ).alias("bin"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(f"unix_micros(ts) div {_IVL_BIN_US}").alias("bin"),
+    )
+    hit = (
+        ev.join(
+            F.broadcast(ivl_bins),
+            (ev.bin == ivl_bins.bin) & (ev.us >= ivl_bins.lo_us) & (ev.us < ivl_bins.hi_us),
+        )
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    return (
+        ivl.join(F.broadcast(hit), "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+        )
+        .orderBy("interval_id")
+    )

@@ -1055,6 +1055,17 @@ def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly and through best_i). Counts are exact integers, ties break
     lexicographically, so the merge table is hash-identical to the
     independently-unrolled DuckDB oracle."""
+    _, merge_rows = _bpe_train(spark, sf_dir)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared BPE training loop: returns (final merged-word table,
+    one 1-row merge DataFrame per round). See q037's docstring for the
+    per-round plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
         docs.select(
@@ -1096,10 +1107,50 @@ def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("merge_rank")
+    return words, merge_rows
+
+
+@query(
+    "q132_bpe_encode",
+    oracle=f"""
+WITH wtok AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY 1 ORDER BY cnt DESC, word LIMIT {BPE_VOCAB_TOP}
+),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, cnt FROM wtok
+),
+{_BPE_CHAIN}
+SELECT array_to_string(string_split(trim(s, '<>'), '><'), '') AS word,
+       cnt,
+       array_to_string(string_split(trim(s, '<>'), '><'), '|') AS segmentation,
+       CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT) AS n_tokens
+FROM w{BPE_MERGES}
+ORDER BY cnt DESC, word
+""",
+    tags=("text", "bpe", "training-pipeline"),
+)
+def q132_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (the apply half of q037): the vocabulary segmented by the
+    {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
+    resulting token count. Tokenizing a corpus with trained merges is the
+    same chain of broadcast-merge string replaces the trainer runs, so the
+    encode path reuses the trainer loop's final word table: per document
+    at scale this is a broadcast join from word to segmentation (the
+    vocabulary IS the lookup table), with out-of-vocab words falling back
+    to character symbols — zero additional shuffles over the corpus."""
+    words, _ = _bpe_train(spark, sf_dir)
+    syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+    return (
+        words.select(
+            F.array_join(syms, "").alias("word"),
+            "cnt",
+            F.array_join(syms, "|").alias("segmentation"),
+            F.size(syms).cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("cnt"), "word")
+    )
 
 
 @query(
