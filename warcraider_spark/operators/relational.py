@@ -2259,3 +2259,130 @@ def q130_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout + data-skipping stats
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _interleave_sql(xb: str, yb: str) -> str:
+    return " + ".join(
+        f"((({xb} >> {j}) & 1) << {2 * j + 1}) + ((({yb} >> {j}) & 1) << {2 * j})"
+        for j in range(_Z_BITS)
+    )
+
+
+@query(
+    "q133_zorder_layout",
+    oracle=f"""
+WITH mx AS (
+  SELECT MAX(l_partkey) AS xmax, MAX(l_suppkey) AS ymax FROM lineitem
+),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         ({_interleave_sql(f"(l_partkey * {1 << _Z_BITS} // (xmax + 1))",
+                           f"(l_suppkey * {1 << _Z_BITS} // (ymax + 1))")}) AS zval
+  FROM lineitem CROSS JOIN mx
+)
+SELECT zval // 256 AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM z
+GROUP BY file_id
+ORDER BY file_id
+""",
+    tags=("layout", "zorder"),
+)
+def q133_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: bucket two independent columns
+    to {_Z_BITS}-bit ranks, interleave the bits into a space-filling-curve
+    key, range-partition rows into 'files' by curve position, and emit
+    each file's per-column min/max zone map. The payoff the output makes
+    visible: BOTH columns' per-file ranges are narrow, so a point/range
+    predicate on EITHER column prunes most files at scan time — the
+    Delta/Iceberg OPTIMIZE ZORDER technique, expressed as pure integer
+    DataFrame ops. At 100 TB the same plan is repartitionByRange(zval) +
+    sortWithinPartitions + write; here files are zval-range cells so the
+    accounting is hash-exact with no global row numbering (which would
+    serialize the corpus through one partition). One broadcast of the
+    1-row column maxima, one shuffle for the per-file stats."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mx = li.agg(F.max("l_partkey").alias("xmax"), F.max("l_suppkey").alias("ymax"))
+    withz = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            _interleave_sql(
+                f"(l_partkey * {1 << _Z_BITS} div (xmax + 1))",
+                f"(l_suppkey * {1 << _Z_BITS} div (ymax + 1))",
+            )
+        ).alias("zval"),
+    )
+    return (
+        withz.groupBy(F.expr("zval div 256").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("file_id")
+    )
+
+
+@query(
+    "q134_key_skew_profile",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM freq
+)
+SELECT key, cnt,
+       cnt * 1000000 // total_rows AS share_ppm,
+       cnt * distinct_keys * 100 // total_rows AS x_mean_pct,
+       total_rows, distinct_keys
+FROM freq CROSS JOIN tot
+ORDER BY cnt DESC, key
+LIMIT 20
+""",
+    tags=("diagnostics", "skew"),
+)
+def q134_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic you run BEFORE choosing a
+    join strategy at 100 TB: the 20 heaviest values of a prospective
+    shuffle key with absolute count, corpus share (ppm), and
+    multiple-of-mean percentage (x_mean_pct = 100 → a perfectly uniform
+    key; ≫100 → salt it or let AQE split it). Shape: one partial+final
+    count on the key, a 1-row broadcast of the global totals, and a
+    TakeOrderedAndProject head — the profile costs one shuffle of
+    key-cardinality rows regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 div total_rows").alias("share_ppm"),
+            F.expr("cnt * distinct_keys * 100 div total_rows").alias("x_mean_pct"),
+            "total_rows",
+            "distinct_keys",
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )

@@ -1233,3 +1233,77 @@ def q127_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score_milli", "tok", "cum_tok")
         .orderBy(F.desc("score_milli"), "doc_id")
     )
+
+
+SOURCE_CAP = 30
+
+
+@query(
+    "q135_source_cap",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+           * 1000000 // length(text) AS score_milli,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS tok
+  FROM documents WHERE length(text) > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY score_milli DESC, doc_id) AS rk
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN rk > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(MIN(CASE WHEN rk <= {SOURCE_CAP} THEN score_milli END) AS BIGINT) AS cutoff_score
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "sampling", "training-pipeline"),
+)
+def q135_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the anti-over-representation pass of a
+    training mix (no single domain/crawl may contribute more than
+    {SOURCE_CAP} docs, best-quality-first): rank docs within source by
+    integer quality score, keep the top {SOURCE_CAP}, and report per-source
+    admission accounting (total/kept/dropped/kept-token mass/score cutoff).
+
+    Scale shape: ONE shuffle on the source key serves both the ranking
+    window and the accounting aggregation (same partitioning, reused —
+    no second exchange), rank is computed per-partition after the
+    window sort, and nothing global exists anywhere. Skewed sources
+    (one giant crawl) are the known hazard at 100 TB — the cap itself
+    is the mitigation downstream, and AQE skew-split handles the
+    window partition; the aggregation emits |sources| rows."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"
+            " * 1000000 div length(text)"
+        ).alias("score_milli"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
+        ).alias("tok"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_milli"), "doc_id")
+    r = d.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= SOURCE_CAP
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("kept_docs"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("dropped_docs"),
+            F.sum(F.when(kept, F.col("tok")).otherwise(0)).alias("kept_tokens"),
+            F.min(F.when(kept, F.col("score_milli"))).alias("cutoff_score"),
+        )
+        .orderBy("source")
+    )
