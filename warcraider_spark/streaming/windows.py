@@ -301,3 +301,47 @@ def replay_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def foreach_batch_idempotent_sink(out_dir: str):
+    """``foreachBatch`` writer with REPLAY-SAFE (idempotent) semantics: each
+    micro-batch lands in its own ``batch_id=N`` directory with
+    mode=overwrite, so a batch re-delivered after a failure (Structured
+    Streaming's at-least-once foreachBatch contract) overwrites its own
+    previous output instead of duplicating rows — the standard
+    batchId-keyed exactly-once sink pattern for stores without
+    transactional MERGE. Readers see the union of batch directories
+    (a partitioned parquet layout, so batch_id is also a prune key)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def replay_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the events table through a real stream into the idempotent
+    foreachBatch parquet sink; returns the sink contents read back
+    (basePath keeps batch_id out of the schema)."""
+    from warcraider_spark.tables import load_table
+
+    root = os.path.join(tempfile.gettempdir(), f"fbsink_{uuid.uuid4().hex[:8]}")
+    staged, out = os.path.join(root, "in"), os.path.join(root, "out")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.write.mode("overwrite").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_idempotent_sink(out))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.option("basePath", out).parquet(os.path.join(out, "batch_id=*")).drop("batch_id")
