@@ -670,3 +670,204 @@ def q045_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encode
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = ((1, 8), (9, 16))  # two 8-dim subspaces over the 16 micro dims
+
+
+def _pq_assign_sql(ex: str, cent: str, name: str) -> str:
+    """Nearest-codeword assignment WITH the squared error, per subspace."""
+    return f"""
+{name} AS (
+  SELECT vec_id, j, dist FROM (
+    SELECT e.vec_id, c.j,
+           CAST(SUM((e.mv - c.cv) * (e.mv - c.cv)) AS BIGINT) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY SUM((e.mv - c.cv) * (e.mv - c.cv)), c.j) AS rnk
+    FROM {ex} e JOIN {cent} c USING (dim)
+    GROUP BY e.vec_id, c.j
+  ) WHERE rnk = 1
+)"""
+
+
+def _pq_chain_sql(idx: int, lo: int, hi: int) -> str:
+    return f"""
+ex{idx} AS (SELECT * FROM exm WHERE dim BETWEEN {lo} AND {hi}),
+cb{idx}_0 AS (
+  SELECT CAST(vec_id // 50 AS INT) AS j, dim, mv AS cv
+  FROM ex{idx} WHERE vec_id IN {_KM_INIT}
+),{_pq_assign_sql(f"ex{idx}", f"cb{idx}_0", f"pa{idx}")},
+cb{idx}_1 AS (
+  SELECT j, dim, CAST(SUM(mv) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cv
+  FROM ex{idx} JOIN pa{idx} USING (vec_id) GROUP BY j, dim
+),{_pq_assign_sql(f"ex{idx}", f"cb{idx}_1", f"code{idx}")}"""
+
+
+def _pq_assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """Spark twin of _pq_assign_sql: _km_assign plus the retained error."""
+    d = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum((F.col("mv") - F.col("cv")) * (F.col("mv") - F.col("cv")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    wn = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("j"))
+    return (
+        d.withColumn("rnk", F.row_number().over(wn))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "j", "dist")
+    )
+
+
+@query(
+    "q136_pq_encode",
+    oracle=f"""
+WITH exm AS (
+  SELECT vec_id, CAST(i AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS mv
+  FROM embeddings CROSS JOIN LATERAL unnest(generate_series(1, {KM_DIMS})) AS g(i)
+  WHERE vec_id < 300
+),{_pq_chain_sql(0, *_PQ_SUBS[0])},{_pq_chain_sql(1, *_PQ_SUBS[1])}
+SELECT c0.vec_id,
+       CAST(c0.j AS INT) AS code_s0, c0.dist AS err_s0,
+       CAST(c1.j AS INT) AS code_s1, c1.dist AS err_s1,
+       c0.dist + c1.dist AS err_total
+FROM code0 c0 JOIN code1 c1 USING (vec_id)
+ORDER BY vec_id
+""",
+    tags=("similarity", "ann", "pq", "training-pipeline"),
+)
+def q136_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the compression half of an IVF-PQ
+    index (q016 is the IVF half): the 16-dim embedding splits into two
+    8-dim subspaces, each trains a 4-codeword codebook (seeded + one
+    Lloyd refinement, all integer-micro exact), and every vector encodes
+    as a (code_s0, code_s1) byte pair plus its exact reconstruction
+    error. 64 bytes of float embedding → 2 bytes of codes.
+
+    Scale shape: codebooks are (k × subdims) rows — always broadcast;
+    encoding is a map-side distance partial-agg + per-vector argmin per
+    subspace, so the corpus is never shuffled on anything but vec_id;
+    subspaces train/encode independently (they'd run as parallel stages
+    on a cluster). The exploded vector table is checkpointed once and
+    shared by both subspace chains and all Lloyd passes. ADC search at
+    query time is a (query × codebook) lookup-table join — tiny —
+    against the 2-byte codes."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ex = (
+        em.select("vec_id", F.posexplode("embedding").alias("p", "x"))
+        .filter(F.col("p") < KM_DIMS)
+        .select(
+            "vec_id",
+            (F.col("p") + 1).cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("mv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    codes = []
+    for lo, hi in _PQ_SUBS:
+        sub = ex.filter((F.col("dim") >= lo) & (F.col("dim") <= hi)).localCheckpoint(
+            eager=False
+        )
+        c0 = sub.filter(F.col("vec_id").isin(*_KM_INIT)).select(
+            F.expr("vec_id div 50").cast("int").alias("j"), "dim", F.col("mv").alias("cv")
+        )
+        a1 = _km_assign(sub, c0).localCheckpoint(eager=False)
+        c1 = _km_update(sub, a1).localCheckpoint(eager=False)
+        codes.append(_pq_assign(sub, c1))
+    c0df, c1df = (
+        codes[0].select("vec_id", F.col("j").alias("code_s0"), F.col("dist").alias("err_s0")),
+        codes[1].select("vec_id", F.col("j").alias("code_s1"), F.col("dist").alias("err_s1")),
+    )
+    return (
+        c0df.join(c1df, "vec_id")
+        .select(
+            "vec_id",
+            "code_s0",
+            "err_s0",
+            "code_s1",
+            "err_s1",
+            (F.col("err_s0") + F.col("err_s1")).alias("err_total"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q137_dim_covariance",
+    oracle=f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{KM_DIMS}],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+  FROM embeddings
+),
+pairs AS (
+  SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+         mv[i] AS mi, mv[j] AS mj
+  FROM m
+  CROSS JOIN LATERAL unnest(generate_series(1, {KM_DIMS})) AS gi(i)
+  CROSS JOIN LATERAL unnest(generate_series(i, {KM_DIMS})) AS gj(j)
+)
+SELECT dim_i, dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(mi) AS BIGINT) AS sum_i,
+       CAST(SUM(mj) AS BIGINT) AS sum_j,
+       CAST(SUM(mi * mj) AS BIGINT) AS sum_ij,
+       CAST(COUNT(*) * SUM(mi * mj) - SUM(mi) * SUM(mj) AS BIGINT) AS cov_num
+FROM pairs
+GROUP BY dim_i, dim_j
+ORDER BY dim_i, dim_j
+""",
+    tags=("similarity", "stats", "training-pipeline"),
+)
+def q137_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle) in exact integer
+    micros — the one-pass sufficient statistic for whitening / PCA /
+    Mahalanobis-style outlier pruning over the corpus embedding matrix:
+    cov_num(i,j) = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (divide by n² downstream).
+
+    Scale shape: the dim-pair outer product is generated INSIDE the row
+    (nested transform over the micro array, materialized once per row in
+    its own projection — HOF discipline) — no self-join, no per-vector
+    shuffle; the single exchange carries dims²/2 keys with map-side
+    partial sums, so the shuffle is ~136 rows per input partition no
+    matter how many vectors the corpus holds. Magnitudes stay within
+    int64 by construction (n·Σxy ≤ 3.6e17 at micro scale)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    m = em.select(
+        F.expr(
+            f"transform(slice(embedding, 1, {KM_DIMS}),"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("mv")
+    )
+    pairs = m.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {KM_DIMS}), i ->"
+                f" transform(sequence(i, {KM_DIMS}), j ->"
+                " struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,"
+                "        mv[i - 1] AS mi, mv[j - 1] AS mj))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mi").alias("sum_i"),
+            F.sum("mj").alias("sum_j"),
+            F.sum(F.expr("mi * mj")).alias("sum_ij"),
+        )
+        .withColumn("cov_num", F.expr("n * sum_ij - sum_i * sum_j"))
+        .orderBy("dim_i", "dim_j")
+    )
