@@ -2386,3 +2386,75 @@ def q134_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build (change-log → versioned dimension)
+# ---------------------------------------------------------------------------
+
+_SCD2_OPEN_US = 253_402_214_400_000_000  # 9999-12-31, the open-interval sentinel
+
+
+@query(
+    "q139_scd2_intervals",
+    oracle=f"""
+WITH log AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS us
+  FROM events WHERE user_id < 50
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT user_id, state, us,
+           lag(state) OVER (PARTITION BY user_id ORDER BY us, state) AS prev_state
+    FROM log
+  ) WHERE prev_state IS NULL OR state <> prev_state
+),
+v AS (
+  SELECT user_id, state, us AS valid_from_us,
+         COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, state),
+                  {_SCD2_OPEN_US}) AS valid_to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, state) AS version
+  FROM dedup
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, state,
+       valid_from_us, valid_to_us
+FROM v ORDER BY user_id, version
+""",
+    tags=("relational", "scd2", "window"),
+)
+def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) build: compress a change
+    log into versioned validity intervals — consecutive rows with an
+    unchanged state collapse (only CHANGES open a new version), each
+    version spans [its change, the next change), and the current version
+    closes at the 9999-12-31 sentinel (kept non-null so the interval
+    columns stay int64). The output is what an as-of join (q101) probes.
+
+    Scale shape: ONE shuffle on the entity key serves all three window
+    passes (lag-dedup, lead-close, version numbering share the same
+    partitioning — Catalyst plans one Exchange, three Window nodes);
+    event-time is integral micros on both engines. At 100 TB the change
+    log is append-only and the build is incremental per partition-of-
+    entities, never global."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.filter(F.col("user_id") < 50).select(
+        "user_id", F.col("event_type").alias("state"), F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "state")
+    dedup = (
+        log.withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+    return (
+        dedup.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            "state",
+            F.col("us").alias("valid_from_us"),
+            F.coalesce(F.lead("us").over(w), F.lit(_SCD2_OPEN_US)).alias("valid_to_us"),
+        )
+        .orderBy("user_id", "version")
+    )

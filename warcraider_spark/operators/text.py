@@ -1307,3 +1307,84 @@ def q135_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Stop-term cap as a FRACTION of the corpus (df*10 <= n_docs*8, i.e. 80%):
+# integer arithmetic on both engines, and the guard scales with the corpus
+# instead of silently indexing nothing (or everything) at a different sf.
+IDX_DF_NUM, IDX_DF_DEN = 8, 10
+
+
+@query(
+    "q138_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents
+  ) d
+  CROSS JOIN LATERAL unnest(generate_series(1, len(d.ts))) AS g(i)
+),
+postings AS (
+  SELECT term, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(pos) AS BIGINT) AS first_pos
+  FROM tok GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(list_transform(
+         list_sort(list(doc_id || ':' || tf || ':' || first_pos)), x -> x), '|')
+         AS posting_list
+FROM postings
+GROUP BY term
+HAVING COUNT(*) * {IDX_DF_DEN} <= (SELECT COUNT(*) FROM documents) * {IDX_DF_NUM}
+ORDER BY term
+""",
+    tags=("text", "index", "training-pipeline"),
+)
+def q138_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → (document frequency, collection
+    frequency, serialized posting list of doc:tf:first_position entries) —
+    the retrieval-side artifact a corpus pipeline builds next to the
+    training shards.
+
+    Scale shape: tokenize+posexplode is map-side; ONE shuffle on
+    (term, doc_id) builds postings with partial aggs, and the final
+    term-level rollup reuses the term prefix of that key. The DF cap
+    (df > 80% of the corpus → stop-term, dropped) bounds every posting
+    list — the same skew guard as q005's shingle cap: without it one
+    stop-term's list is the whole corpus concatenated onto a single
+    reducer. The corpus size joins in as a broadcast 1-row aggregate, and
+    the compare is integer (df*10 <= n_docs*8) so both engines agree
+    exactly. Postings serialize sorted, so the output is
+    order-insensitive-hash stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "p", "term"
+        ),
+    ).select("doc_id", "term", (F.col("p") + 1).cast("long").alias("pos"))
+    postings = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", "doc_id", "tf", "first_pos"))
+                ),
+                "|",
+            ).alias("posting_list"),
+        )
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") * IDX_DF_DEN <= F.col("n_docs") * IDX_DF_NUM)
+        .drop("n_docs")
+        .orderBy("term")
+    )
