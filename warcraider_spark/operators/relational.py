@@ -2458,3 +2458,57 @@ def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral (correlated table subquery) join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o ON TRUE
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+""",
+    tags=("sql-text", "join", "lateral", "topk"),
+)
+def q141_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    "top-2 orders for each customer" shape a SQL-text user writes
+    naturally (the declarative dual of q060's window top-k). Exercises
+    Catalyst's lateral-join decorrelation: naively this is one subquery
+    execution per outer row; Spark rewrites it into a WindowGroupLimit
+    (rank-limit pushed BELOW the shuffle as a partial pass, so each map
+    task forwards at most 2 rows per customer) plus one equi-join.
+
+    Scale shape (verified via explain): no nested-loop, no per-row
+    re-execution — the orders side is pre-pruned map-side to ≤2 rows per
+    key before its single hash shuffle, and the customer side joins by
+    broadcast. Values are raw parquet doubles (no arithmetic), so the
+    hash is engine-exact."""
+    from warcraider_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """)

@@ -871,3 +871,154 @@ def q137_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cov_num", F.expr("n * sum_ij - sum_i * sum_j"))
         .orderBy("dim_i", "dim_j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster, then prune near-identical embeddings)
+# ---------------------------------------------------------------------------
+
+# cosine threshold 3/4 as an exact rational: cos >= 3/4  <=>  dot > 0 AND
+# 16*dot^2 >= 9*|a|^2*|b|^2 — integer-only, no sqrt, no float compare.
+_SEM_THR_NUM2 = 9
+_SEM_THR_DEN2 = 16
+
+
+@query(
+    "q140_semantic_dedup",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS mv
+  FROM embeddings CROSS JOIN LATERAL unnest(generate_series(1, {KM_DIMS})) AS g(i)
+  WHERE vec_id < 300
+),
+c0 AS (
+  SELECT CAST(vec_id // 50 AS INT) AS j, dim, mv AS cv
+  FROM ex WHERE vec_id IN {_KM_INIT}
+),{_km_assign_sql("c0", 1)},{_km_update_sql("a1", 1)},{_km_assign_sql("c1", 2)},{_km_update_sql("a2", 2)},
+sv AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{KM_DIMS}],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS s
+  FROM embeddings WHERE vec_id < 300
+),
+mem AS (
+  SELECT a.vec_id, a.j, s.s,
+         CAST(list_aggregate(list_transform(s.s, x -> x * x), 'sum') AS BIGINT) AS n2
+  FROM a2 a JOIN sv s USING (vec_id)
+),
+pairs AS (
+  SELECT a.j, b.vec_id AS ib, a.n2 AS na, b.n2 AS nb,
+         CAST(list_aggregate(list_transform(list_zip(a.s, b.s), p -> p[1] * p[2]), 'sum')
+              AS BIGINT) AS dot
+  FROM mem a JOIN mem b ON a.j = b.j AND a.vec_id < b.vec_id
+),
+dup AS (
+  SELECT DISTINCT j, ib AS vec_id FROM pairs
+  WHERE dot > 0 AND {_SEM_THR_DEN2} * dot * dot >= {_SEM_THR_NUM2} * na * nb
+)
+SELECT CAST(m.j AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CAST(d.vec_id AS VARCHAR), '|' ORDER BY d.vec_id), '') AS dropped_ids
+FROM mem m LEFT JOIN dup d ON m.j = d.j AND m.vec_id = d.vec_id
+GROUP BY m.j
+ORDER BY cluster_id
+""",
+    tags=("similarity", "dedup", "kmeans", "training-pipeline"),
+)
+def q140_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus embeddings with k-means, then WITHIN each cluster
+    drop every vector whose cosine to an earlier (lower-id) member is
+    >= 3/4 — keep-first greedy pruning of semantic near-duplicates that
+    exact/minhash dedup (q001/q003) cannot see (paraphrases, re-renders).
+
+    All math is integer-exact so the oracle hash is engine-stable: the
+    assignment chain is q045's micro-quantized Lloyd iterations verbatim,
+    and the pair test compares 16*dot^2 >= 9*|a|^2*|b|^2 on milli-
+    quantized vectors (no sqrt, no float: max |term| ~3e14 << int64).
+
+    Scale shape — the reason SemDeDup works at 100 TB where all-pairs
+    cosine cannot: pairwise comparison happens ONLY within a cluster, and
+    k grows with the corpus so expected cluster size stays bounded — the
+    self-join is an equi-join on the cluster key whose per-key fan-out is
+    (cluster size)^2, not (corpus)^2. Centroids stay broadcast-tiny in
+    every Lloyd pass; the membership table is localCheckpoint'ed once and
+    reused by both sides of the pair join; the dropped set re-enters as a
+    (tiny) equi-join, in production the build side of a broadcast
+    anti-join that filters the corpus."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ex = (
+        em.select("vec_id", F.posexplode("embedding").alias("p", "x"))
+        .filter(F.col("p") < KM_DIMS)
+        .select(
+            "vec_id",
+            (F.col("p") + 1).cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("mv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cent = ex.filter(F.col("vec_id").isin(*_KM_INIT)).select(
+        F.expr("vec_id div 50").cast("int").alias("j"), "dim", F.col("mv").alias("cv")
+    )
+    assign = None
+    for _ in range(KM_ITERS):
+        assign = _km_assign(ex, cent).localCheckpoint(eager=False)
+        cent = _km_update(ex, assign).localCheckpoint(eager=False)
+    sv = em.select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {KM_DIMS}),"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("s"),
+    )
+    mem = (
+        assign.join(sv, "vec_id")
+        .withColumn("n2", F.expr("aggregate(s, 0L, (acc, x) -> acc + x * x)"))
+        .localCheckpoint(eager=False)
+    )
+    a = mem.select("j", F.col("vec_id").alias("ia"), F.col("s").alias("sa"), F.col("n2").alias("na"))
+    b = mem.select("j", F.col("vec_id").alias("ib"), F.col("s").alias("sb"), F.col("n2").alias("nb"))
+    pairs = (
+        a.join(b, "j")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "dot", F.expr("aggregate(zip_with(sa, sb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+        )
+    )
+    dup = (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (F.lit(_SEM_THR_DEN2) * F.col("dot") * F.col("dot")
+               >= F.lit(_SEM_THR_NUM2) * F.col("na") * F.col("nb"))
+        )
+        .select("j", F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        mem.select("j", "vec_id")
+        .join(dup, ["j", "vec_id"], "left")
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_dup").alias("n_dropped"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(F.col("is_dup") == 1, F.col("vec_id")))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("dropped_ids"),
+        )
+        .select(
+            F.col("j").cast("int").alias("cluster_id"),
+            "n_members",
+            "n_dropped",
+            "dropped_ids",
+        )
+        .orderBy("cluster_id")
+    )

@@ -55,15 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the correctness driver constructs its own.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as raw nanos (see session.py nanosAsLong); convert to a
-        # proper TimestampType (micros) once at the scan boundary.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # Integer division, NOT (ts / 1000).cast("long"): bigint `/` promotes
-        # to double, whose 256ns ulp at ~1.8e18 rounds where DuckDB's µs read
-        # truncates — a latent off-by-one on frame boundaries (ADVICE r1).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts arrives as raw nanos (see session.py nanosAsLong); convert to
+            # a proper TimestampType (micros) once at the scan boundary.
+            # Integer division, NOT (ts / 1000).cast("long"): bigint `/`
+            # promotes to double, whose 256ns ulp at ~1.8e18 rounds where
+            # DuckDB's µs read truncates — a latent off-by-one on frame
+            # boundaries (ADVICE r1).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet timestamp[us] without isAdjustedToUTC infers as
+            # TIMESTAMP_NTZ under Spark 4; watermarks/window state require
+            # TimestampType (LTZ). Session tz is pinned to UTC (session.py),
+            # so this cast is value-preserving — same wall clock, same
+            # unix_micros — and matches what timestamp_micros produced when
+            # the table shipped as int64 nanos.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
