@@ -385,3 +385,70 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Semi-join reduction via Catalyst's runtime bloom filter: when a
+    selective dim filter can't broadcast (think a 50 GB filtered dim at
+    100 TB), InjectRuntimeFilter must build a bloom_filter_agg over the
+    dim keys and pre-filter the fact scan BEFORE its shuffle — otherwise
+    the full fact table shuffles only to be thrown away by the join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force the non-broadcast regime the rule exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        od = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderpriority").agg(
+            F.sum("l_quantity").alias("sum_qty")
+        )
+        plan = plan_of(df)
+        assert "bloom_filter_agg" in plan, "runtime bloom filter was not injected"
+        assert "might_contain" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_merge_upsert_base_never_shuffles(spark):
+    """q142: the MERGE batch (deletes + updates) must ride broadcast joins
+    — the base relation shuffling for a maintenance batch is the classic
+    full-outer MERGE mistake at 100 TB."""
+    df = all_specs()["q142_merge_upsert"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_shard_window_is_partitioned(spark):
+    """q145: the position window must be PARTITIONED BY shard — a global
+    row_number() OVER (ORDER BY hash) would funnel the whole corpus
+    through one reducer."""
+    df = all_specs()["q145_corpus_shard"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    # the Window operator spec must carry a partition spec on `shard`
+    assert "windowspecdefinition(shard" in plan, "position window is not partitioned by shard"
+
+
+def test_skyline_local_pass_is_bucket_partitioned(spark):
+    """q148: the first (full-data) skyline pass must run per hash-bucket;
+    only survivors may enter the unpartitioned global window."""
+    df = all_specs()["q148_skyline_docs"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "bucket" in plan, "local skyline pass lost its bucket partitioning"

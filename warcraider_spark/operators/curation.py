@@ -1,0 +1,409 @@
+"""Corpus-curation operators a 100 TB training-data pipeline needs beyond
+dedup/similarity: MERGE-style upsert maintenance, deterministic stratified
+sampling, per-source winsorization, shard assignment (the "global shuffle"
+of a training corpus), null-safe joins, exact heavy hitters, and Pareto
+(skyline) selection.
+
+Scale notes (the reason each query is shaped the way it is):
+
+- **merge upsert** (q142): the daily-maintenance shape. The change batch is
+  orders of magnitude smaller than the base, so deletes are a broadcast
+  LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
+  NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
+- **stratified sample** (q143): rank-within-stratum over a portable hash →
+  one shuffle on the stratum key. A mega-stratum (one language = 40 % of
+  the corpus) makes that window a hot partition; the fix at scale is the
+  q127 distributed-prefix-sum shape (hash-bucket within stratum, offsets
+  from the per-bucket summary). At driver SF the direct window is right.
+- **winsorize** (q144): exact per-group percentiles are a two-phase
+  ObjectHashAggregate; the ~|groups| bounds table re-joins as a broadcast,
+  so the fact side never shuffles for the clamp pass.
+- **corpus shard** (q145): shard = hash % N gives uniform partitions by
+  construction; position = row_number PARTITIONED BY shard, so no global
+  single-partition sort anywhere (the classic mistake is
+  row_number() OVER (ORDER BY hash) — one reducer for the whole corpus).
+- **skyline** (q148): dominance is checked per hash-bucket first (local
+  skyline), and only the surviving points — O(skyline) ≪ n — enter the
+  global pass, so the unpartitioned window touches a tiny set. The naive
+  all-pairs NOT EXISTS (which the DuckDB oracle deliberately uses as an
+  independent formulation) would be O(n²).
+
+All-native expressions; no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warcraider_spark.functions.textfn import md5_int, md5_int_sql, tokens
+from warcraider_spark.registry import query
+from warcraider_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert (SCD1 maintenance batch against a base table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q142_merge_upsert",
+    oracle="""
+WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+upd AS (
+  SELECT c_custkey, c_acctbal + 100 AS new_bal
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 97 <> 0
+),
+kept AS (
+  SELECT c.c_custkey, c.c_name,
+         ROUND(COALESCE(u.new_bal, c.c_acctbal), 2) AS acctbal,
+         c.c_mktsegment
+  FROM customer c
+  LEFT JOIN upd u USING (c_custkey)
+  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.c_custkey = c.c_custkey)
+)
+SELECT * FROM kept
+UNION ALL
+SELECT c_custkey + 100000 AS c_custkey,
+       'NEW#' || CAST(c_custkey AS VARCHAR) AS c_name,
+       CAST(1000.0 AS DOUBLE) AS acctbal,
+       'NEWSEG' AS c_mktsegment
+FROM customer WHERE c_custkey <= 40
+""",
+    tags=("curation", "merge", "join"),
+)
+def q142_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (matched-update / matched-delete / not-matched-
+    insert) applied as a maintenance batch to the customer base table.
+
+    The change batch is derived deterministically from the base so the
+    oracle can rebuild it: keys %97==0 are deletes, keys %10==0 (and not
+    deleted) are +100 balance updates, keys <=40 spawn inserts at
+    key+100000.
+
+    Scale shape: deletes → broadcast LEFT ANTI join, updates → broadcast
+    LEFT OUTER join, inserts → unionAll. The base relation never shuffles;
+    a full-outer MERGE formulation would sort-merge the whole base.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    ck = F.col("c_custkey")
+    dels = cust.filter(ck % 97 == 0).select("c_custkey")
+    upd = cust.filter((ck % 10 == 0) & (ck % 97 != 0)).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("new_bal")
+    )
+    ins = cust.filter(ck <= 40).select(
+        (ck + 100000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), ck.cast("string")).alias("c_name"),
+        F.lit(1000.0).alias("acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    merged = (
+        cust.join(F.broadcast(dels), "c_custkey", "left_anti")
+        .join(F.broadcast(upd), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+            "c_mktsegment",
+        )
+    )
+    return merged.unionAll(ins)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, rk FROM ranked WHERE rk <= CAST(CEIL(n * 0.2) AS BIGINT)
+""",
+    tags=("curation", "sampling", "window"),
+)
+def q143_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20 % stratified sample per language: rank docs inside each
+    stratum by a portable md5-derived hash (reproducible across engines and
+    runs — .sample() is not) and keep rk <= ceil(0.2 * |stratum|).
+
+    One shuffle, on the stratum key. For a mega-stratum the window becomes
+    a hot partition; the scale-out fix is the q127 distributed-prefix-sum
+    shape (hash-bucket within stratum, per-bucket offsets). At driver SF
+    the direct window is the right plan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = md5_int(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    wc = Window.partitionBy("lang")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") <= F.ceil(F.col("n") * 0.2).cast("bigint"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source winsorization (outlier clamping at exact p05/p95)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       ROUND(b.lo, 2) AS lo,
+       ROUND(b.hi, 2) AS hi,
+       ROUND(AVG(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)), 2) AS avg_winsorized
+FROM documents d JOIN bounds b USING (source)
+GROUP BY d.source, b.lo, b.hi
+ORDER BY d.source
+""",
+    tags=("curation", "percentile", "aggregate"),
+)
+def q144_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document lengths per source at exact p05/p95: clamp
+    outliers to the percentile bounds and report clip counts + the
+    winsorized mean.
+
+    Exact ``percentile`` (not approx) so the oracle hash is meaningful —
+    both engines linearly interpolate at q*(n-1). The ~|sources| bounds
+    table re-joins as a broadcast: the document side never shuffles for
+    the clamp pass; the only wide exchange is the final groupBy(source).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    bounds = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, array(0.05, 0.95))").alias("p")
+    ).select("source", F.col("p")[0].alias("lo"), F.col("p")[1].alias("hi"))
+    clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi"))
+    return (
+        docs.join(F.broadcast(bounds), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("lo"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi"), 1).otherwise(0)).alias("n_high"),
+            F.round(F.avg(clamped), 2).alias("avg_winsorized"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_low",
+            "n_high",
+            F.round("lo", 2).alias("lo"),
+            F.round("hi", 2).alias("hi"),
+            "avg_winsorized",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus shard assignment (the "global shuffle" of training data)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+@query(
+    "q145_corpus_shard",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, {md5_int_sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents
+)
+SELECT doc_id,
+       h % {N_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) AS pos
+FROM hashed
+""",
+    tags=("curation", "shuffle", "window"),
+)
+def q145_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment: every doc lands in
+    shard = hash % N with a reproducible position inside its shard — the
+    write-side layout step before training-data export.
+
+    The hash is uniform, so shards are balanced by construction, and the
+    position window is PARTITIONED BY shard — never the single-reducer
+    ``row_number() OVER (ORDER BY hash)`` global sort. At 100 TB each
+    shard's window runs on its own executor subset.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = md5_int(F.col("doc_id").cast("string"))
+    df = docs.select("doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARDS)).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return df.withColumn("pos", F.row_number().over(w)).select("doc_id", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_nullsafe_join",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer WHERE c_custkey <= 200
+),
+b AS (
+  SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer WHERE c_custkey BETWEEN 100 AND 300
+)
+SELECT COALESCE(CAST(a.nk AS VARCHAR), 'NULL') AS nk_s,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+GROUP BY 1
+""",
+    tags=("curation", "join", "null"),
+)
+def q146_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics MERGE/dedup
+    pipelines need when the join key is nullable.
+
+    ``eqNullSafe`` stays a hash-partitionable equi condition (NULL hashes
+    like any other key value), so this remains a shuffle/broadcast hash
+    join — not the nested-loop a general ``a.nk = b.nk OR (a.nk IS NULL
+    AND b.nk IS NULL)`` predicate would force.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nk = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_nationkey"))
+    a = cust.filter(F.col("c_custkey") <= 200).select(nk.alias("nk_a"))
+    b = cust.filter(F.col("c_custkey").between(100, 300)).select(nk.alias("nk_b"))
+    return (
+        a.join(b, F.col("nk_a").eqNullSafe(F.col("nk_b")))
+        .groupBy(F.coalesce(F.col("nk_a").cast("string"), F.lit("NULL")).alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (frequency-threshold tokens)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+SELECT token, cnt, ROUND(cnt / CAST(total AS DOUBLE), 6) AS share
+FROM c, t
+WHERE cnt >= 0.005 * total
+""",
+    tags=("curation", "aggregate", "text"),
+)
+def q147_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
+    tokens, with their share. The stoplist-discovery step of a curation
+    pipeline (the sketch-based approximate twin is the q104/q105 surface).
+
+    Two-phase token count (map-side partial agg on the token key), then the
+    1-row total broadcast back over the ~|vocab| counts — no second
+    full-data pass and no driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.lower(F.col("text")))
+    counts = (
+        docs.select(F.explode(tok).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") >= 0.005 * F.col("total"))
+        .select("token", "cnt", F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-optimal) document selection
+# ---------------------------------------------------------------------------
+
+
+def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """One skyline pass over points (x, y): keep rows not dominated within
+    their partition. Dominated ⇔ ∃ point with x'≥x, y'≥y and one strict.
+
+    Implemented with two windows, no self-join: ``by`` = best y among
+    strictly-larger x (desc range frame), ``my`` = best y at the same x.
+    A row survives iff y > by (or no larger x exists) and y == my.
+    Duplicate (x, y) points don't dominate each other — both survive.
+    """
+    w_higher = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy(*partition_cols, "x")
+    return (
+        df.withColumn("by", F.max("y").over(w_higher))
+        .withColumn("my", F.max("y").over(w_same))
+        .filter((F.col("by").isNull() | (F.col("y") > F.col("by"))) & (F.col("y") == F.col("my")))
+        .drop("by", "my")
+    )
+
+
+@query(
+    "q148_skyline_docs",
+    oracle="""
+WITH pts AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS y
+  FROM documents
+)
+SELECT doc_id, x, y FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+)
+""",
+    tags=("curation", "skyline", "window"),
+)
+def q148_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of documents over (length, vocabulary
+    richness): docs where no other doc is ≥ on both axes and > on one —
+    the multi-criteria "keep the best exemplars" selection step.
+
+    Two-phase: a local skyline per hash-bucket (window partitioned by
+    bucket — fully parallel, prunes all interior points), then the global
+    skyline over the few survivors. Dominance filtering is monotone, so
+    local-then-global is exact. The DuckDB oracle deliberately uses the
+    independent O(n²) NOT-EXISTS formulation as cross-validation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.size(F.array_distinct(tokens(F.lower(F.col("text"))))).cast("bigint")
+    pts = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        y.alias("y"),
+        F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(32)).alias("bucket"),
+    )
+    local = _skyline_pass(pts, ["bucket"])
+    return _skyline_pass(local.drop("bucket"), []).select("doc_id", "x", "y")

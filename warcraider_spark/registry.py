@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from warcraider_spark.operators import (  # noqa: F401
+        curation,
         dedup,
         extraction,
         graph,
