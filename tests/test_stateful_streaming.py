@@ -43,3 +43,51 @@ def test_stateful_seen_filter(spark, sf_smoke):
     # with maxFilesPerTrigger=8 and a single staged file this is exact)
     for r in rows:
         assert r.first_ts == truth[r.user_id], r
+
+
+def test_transform_with_state_spend_tracker(spark, sf_smoke):
+    """transformWithStateInPandas running-total operator vs batch truth.
+
+    Skips where the transformWithState Python driver worker can't start
+    (needs the `protobuf` package — see stateful.tws_available)."""
+    import pytest
+
+    from warcraider_spark.streaming.stateful import (
+        streaming_spend_tracker,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState needs google.protobuf (not in container)")
+
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value")
+    staged = os.path.join(tempfile.gettempdir(), f"ev_tws_{uuid.uuid4().hex[:8]}")
+    ev.write.mode("overwrite").parquet(staged)
+
+    stream = stream_events(spark, staged, ev.schema).select("user_id", "value")
+    out = streaming_spend_tracker(stream)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per user must equal the batch truth
+    got = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in spark.table(name).orderBy("n_events").collect()
+    }
+    truth = {
+        r.user_id: (r.total, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for u in truth:
+        assert got[u][1] == truth[u][1]
+        assert abs(got[u][0] - truth[u][0]) < 1e-6

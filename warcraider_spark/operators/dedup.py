@@ -1068,3 +1068,87 @@ def q131_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+LINE_K = 8  # tokens per "line" (the corpus has no punctuation; fixed-width
+# segments stand in for natural lines, same algebra)
+
+
+@query(
+    "q149_line_dedup",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+tokd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tok[(i*{LINE_K}+1):(i*{LINE_K}+{LINE_K})], ' ') AS line
+  FROM tokd, LATERAL (
+    SELECT unnest(generate_series(0, (len(tok) + {LINE_K - 1}) // {LINE_K} - 1)) AS i
+  )
+),
+dfreq AS (
+  SELECT md5(line) AS line_fp, COUNT(DISTINCT doc_id) AS df
+  FROM lines GROUP BY md5(line)
+)
+SELECT l.doc_id,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN df = 1 THEN line END, ' ' ORDER BY l.pos), ''))
+         AS new_fp
+FROM lines l JOIN dfreq ON dfreq.line_fp = md5(l.line)
+GROUP BY l.doc_id
+""",
+    tags=("dedup", "line"),
+)
+def q149_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup (the CCNet/RefinedWeb pipeline stage): drop every
+    line that appears in MORE THAN ONE document, reassemble each doc from
+    its surviving lines in original order, and report kept/dropped counts
+    plus the md5 of the cleaned text.
+
+    "Lines" are fixed 8-token segments (the synthetic corpus has no
+    punctuation); exact-duplicate and near-duplicate docs in the dup
+    corpus share most segments, so the operator has real positives.
+
+    Scale shape: lines shuffle on their md5 fingerprint (uniform 128-bit
+    key) for the document-frequency count, join back on the same
+    fingerprint (each occurrence matches exactly one DF row — linear, not
+    quadratic), then one reassembly shuffle on doc_id. Three keyed
+    exchanges, no self-join, no skew amplification: a stop-line is just a
+    high-count DF row, never a fan-out.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    tok = tokens("text")
+    seg = F.expr(
+        f"transform(sequence(0, (size(tok) + {LINE_K - 1}) div {LINE_K} - 1),"
+        f" i -> array_join(slice(tok, i*{LINE_K} + 1, {LINE_K}), ' '))"
+    )
+    lines = (
+        corpus.select("doc_id", tok.alias("tok"))
+        .select("doc_id", F.posexplode(seg).alias("pos", "line"))
+        .withColumn("line_fp", F.md5("line"))
+    )
+    dfreq = lines.groupBy("line_fp").agg(F.countDistinct("doc_id").alias("df"))
+    kept_struct = F.when(F.col("df") == 1, F.struct("pos", "line"))
+    return (
+        lines.join(dfreq, "line_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                    ),
+                    " ",
+                )
+            ).alias("new_fp"),
+        )
+    )

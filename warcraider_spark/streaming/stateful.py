@@ -18,13 +18,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
     TimestampType,
 )
 
-__all__ = ["streaming_seen_filter", "SEEN_OUTPUT_SCHEMA"]
+__all__ = [
+    "streaming_seen_filter",
+    "SEEN_OUTPUT_SCHEMA",
+    "streaming_spend_tracker",
+    "SPEND_OUTPUT_SCHEMA",
+    "tws_available",
+    "make_spend_tracker",
+]
 
 SEEN_OUTPUT_SCHEMA = StructType(
     [
@@ -81,4 +89,99 @@ def streaming_seen_filter(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful processor API)
+# ---------------------------------------------------------------------------
+
+SPEND_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+_SPEND_STATE_SCHEMA = StructType(
+    [
+        StructField("total", DoubleType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def tws_available() -> bool:
+    """Spark 4's transformWithState driver worker speaks protobuf to the
+    JVM for state-schema validation; without the `protobuf` Python package
+    the worker exits -2 before the first micro-batch (verified in this
+    container: `STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE` caused by
+    `ImportError: google.protobuf`). Gate callers behind this probe."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_spend_tracker():
+    """Build the StatefulProcessor lazily so importing this module never
+    requires the transformWithState runtime deps."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class SpendTracker(StatefulProcessor):
+        """Running per-user spend total via a ValueState — the
+        transformWithState twin of `_dedup_fn`'s applyInPandasWithState
+        shape, on the Spark 4 API (explicit state handles, RocksDB-backed,
+        per-key timers available via `timerValues`)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", _SPEND_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = self._state.get() if self._state.exists() else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._state.update((total, n))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "total_value": total, "n_events": n}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SpendTracker()
+
+
+def streaming_spend_tracker(events: DataFrame) -> DataFrame:
+    """events stream (user_id, value) → running per-user totals, emitted
+    each micro-batch the key appears in (update mode).
+
+    State lives in the RocksDB state store (required by transformWithState);
+    at stream scale each key holds one fixed-width row, so state size is
+    O(active users), and eviction policy can be added with
+    `handle.registerTimer` without touching the aggregation path.
+    """
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(absent in this container); see tws_available()"
+        )
+    ensure_package_on_executors(events.sparkSession)
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        make_spend_tracker(),
+        outputStructType=SPEND_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
