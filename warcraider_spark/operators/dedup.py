@@ -1105,6 +1105,7 @@ FROM lines l JOIN dfreq ON dfreq.line_fp = md5(l.line)
 GROUP BY l.doc_id
 """,
     tags=("dedup", "line"),
+    bench=True,
 )
 def q149_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level dedup (the CCNet/RefinedWeb pipeline stage): drop every
