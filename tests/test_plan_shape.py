@@ -452,3 +452,14 @@ def test_skyline_local_pass_is_bucket_partitioned(spark):
     df = all_specs()["q148_skyline_docs"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "bucket" in plan, "local skyline pass lost its bucket partitioning"
+
+
+def test_concat_chunk_corpus_window_is_bucketed(spark):
+    """q150: the corpus-side cumsum window must be PARTITIONED BY bucket —
+    the only unpartitioned window allowed is the one over the ~|buckets|
+    summary table."""
+    df = all_specs()["q150_concat_chunk_blocks"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "windowspecdefinition(bucket" in plan, (
+        "corpus cumsum window lost its bucket partitioning"
+    )

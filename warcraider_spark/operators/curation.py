@@ -407,3 +407,95 @@ def q148_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = _skyline_pass(pts, ["bucket"])
     return _skyline_pass(local.drop("bucket"), []).select("doc_id", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Concat-then-chunk training blocks (GPT-style packing across doc boundaries)
+# ---------------------------------------------------------------------------
+
+BLOCK_TOKENS = 512
+CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
+
+
+@query(
+    "q150_concat_chunk_blocks",
+    oracle=f"""
+WITH wcs AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS wc FROM documents
+),
+cum AS (
+  SELECT doc_id, wc,
+         CAST(SUM(wc) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wc AS BIGINT) AS start
+  FROM wcs WHERE wc > 0
+),
+blocks AS (
+  SELECT b AS block_id, doc_id,
+         LEAST(start + wc, (b + 1) * {BLOCK_TOKENS})
+           - GREATEST(start, b * {BLOCK_TOKENS}) AS overlap
+  FROM cum, LATERAL (
+    SELECT unnest(generate_series(start // {BLOCK_TOKENS},
+                                  (start + wc - 1) // {BLOCK_TOKENS})) AS b
+  )
+)
+SELECT block_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(overlap) AS BIGINT) AS n_tokens
+FROM blocks GROUP BY block_id
+""",
+    tags=("curation", "packing", "prefix-sum"),
+)
+def q150_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk: documents are conceptually concatenated
+    in doc_id order and sliced into fixed 512-token training blocks that
+    CROSS document boundaries (the complement of q044's pack-without-
+    splitting). Emits per-block accounting: docs spanned, first/last doc,
+    tokens (== 512 for every interior block).
+
+    The global token offset of each doc is a distributed prefix-sum (the
+    q127 shape): per-bucket totals → bucket offsets via a window over the
+    ~|buckets| summary only → within-bucket cumsum PARTITIONED BY bucket.
+    No unpartitioned window ever touches the corpus. Doc→block assignment
+    explodes each doc into only the blocks it overlaps (interval→bin, the
+    q130 pattern), then one groupBy on the uniform block key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wcs = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("wc"),
+        (F.col("doc_id") / CHUNK_BUCKET).cast("bigint").alias("bucket"),
+    ).filter(F.col("wc") > 0)
+    btot = wcs.groupBy("bucket").agg(F.sum("wc").alias("btot"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.withColumn("boff", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        wcs.join(F.broadcast(offsets.select("bucket", "boff")), "bucket")
+        .withColumn("start", F.col("boff") + F.sum("wc").over(w_in) - F.col("wc"))
+    )
+    B = BLOCK_TOKENS
+    blocks = cum.select(
+        "doc_id",
+        "wc",
+        "start",
+        F.explode(
+            F.sequence(F.expr(f"start div {B}"), F.expr(f"(start + wc - 1) div {B}"))
+        ).alias("block_id"),
+    ).select(
+        "block_id",
+        "doc_id",
+        (
+            F.least(F.col("start") + F.col("wc"), (F.col("block_id") + 1) * B)
+            - F.greatest(F.col("start"), F.col("block_id") * B)
+        ).alias("overlap"),
+    )
+    return blocks.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("overlap").alias("n_tokens"),
+    )
