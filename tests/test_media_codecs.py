@@ -52,3 +52,38 @@ def test_wav_rejects_garbage():
     )
     with pytest.raises(ValueError, match="not PCM"):
         decode_wav(hdr)
+
+
+def test_png_roundtrip_exact_pixels():
+    """Encoder/decoder agree byte-exactly and every one of the five PNG
+    scanline filter types is exercised (encoder cycles them per row)."""
+    from warcraider_spark.operators.multimodal import (
+        _img_dims,
+        _png_pixel,
+        decode_png,
+        encode_png,
+    )
+
+    for doc_id in (0, 13, 100, 255):
+        meta = decode_png(encode_png(doc_id))
+        w, h = _img_dims(doc_id)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["filters_seen"] == "0,1,2,3,4"
+        expect = sum(
+            _png_pixel(doc_id, x, y, c)
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+        assert meta["pixel_sum"] == expect
+
+
+def test_png_rejects_corruption():
+    from warcraider_spark.operators.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    blob = bytearray(encode_png(42))
+    blob[20] ^= 0x01  # flip a bit inside IHDR data → CRC must catch it
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(blob))
