@@ -87,3 +87,39 @@ def test_png_rejects_corruption():
     blob[20] ^= 0x01  # flip a bit inside IHDR data → CRC must catch it
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(blob))
+
+
+def test_wav_square_fft_dominant_bin():
+    """numpy FFT finds the analytic fundamental for the whole-period
+    square wave, for a spread of periods and lengths."""
+    from warcraider_spark.operators.multimodal import (
+        _n_samples,
+        analyze_wav_spectrum,
+        encode_wav_square,
+    )
+
+    for doc_id, n_chars in ((0, 100), (13, 999), (77, 1500), (299, 2098)):
+        meta = analyze_wav_spectrum(encode_wav_square(doc_id, n_chars))
+        period = 2 * (doc_id % 40 + 2)
+        n = _n_samples(n_chars)
+        n_fft = period * (n // period)
+        amp = doc_id % 900 * 16 + 16
+        assert meta["n_samples"] == n_fft
+        assert meta["dominant_bin"] == n_fft // period, (doc_id, meta)
+        assert meta["energy"] == n_fft * amp * amp
+
+
+def test_ppm_stream_parser_rejects_bad_frame():
+    from warcraider_spark.operators.multimodal import (
+        encode_ppm_stream,
+        sample_ppm_stream,
+    )
+
+    stream = encode_ppm_stream(5)
+    meta = sample_ppm_stream(stream)
+    assert meta["n_frames"] == 5 % 12 + 3
+    # corrupt the second frame's magic
+    second = stream.index(b"P6", 2)
+    bad = stream[:second] + b"XX" + stream[second + 2 :]
+    with pytest.raises(ValueError, match="bad frame magic"):
+        sample_ppm_stream(bad)

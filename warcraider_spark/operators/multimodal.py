@@ -736,3 +736,253 @@ def q151_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, n_units long, "
         "mean_milli long, filters_seen string",
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio DSP: dominant frequency via a REAL numpy FFT over real WAV bytes
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_square(doc_id: int, n_chars: int) -> bytes:
+    """16-bit mono PCM WAV carrying a square wave: period P = 2*(d%40+2)
+    samples, amplitude d%900*16+16 (never zero), truncated to whole
+    periods so the spectrum is leakage-free and analytic."""
+    n = _n_samples(n_chars)
+    period = 2 * (doc_id % 40 + 2)
+    n_fft = period * (n // period)
+    amp = doc_id % 900 * 16 + 16
+    half = period // 2
+    samples = [amp if (i % period) < half else -amp for i in range(n_fft)]
+    data = _struct.pack(f"<{n_fft}h", *samples)
+    hdr = _struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def analyze_wav_spectrum(payload: bytes) -> dict:
+    """REAL DSP: parse the WAV (decode_wav's RIFF walk), then numpy rfft
+    over the PCM samples; dominant bin = argmax |X[k]| for k >= 1. For the
+    whole-period square wave the fundamental is bin n_fft/period — the
+    oracle knows it analytically, so the FFT path itself is verified."""
+    import numpy as np
+
+    riff, _, wave = _struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_id, fmt_sz, audio_fmt, n_ch, rate = _struct.unpack_from("<4sIHHI", payload, 12)
+    if fmt_id != b"fmt " or audio_fmt != 1:
+        raise ValueError("not PCM")
+    data_id, data_sz = _struct.unpack_from("<4sI", payload, 20 + fmt_sz)
+    if data_id != b"data":
+        raise ValueError("missing data chunk")
+    n = data_sz // 2
+    x = np.frombuffer(payload, dtype="<i2", count=n, offset=28 + fmt_sz).astype(np.float64)
+    mag = np.abs(np.fft.rfft(x))
+    dominant = int(np.argmax(mag[1:])) + 1  # skip DC
+    energy = int((x.astype(np.int64) ** 2).sum())
+    return {"n_samples": n, "dominant_bin": dominant, "energy": energy}
+
+
+@query(
+    "q152_audio_dominant_freq",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(n_chars % 2000 + 100 AS BIGINT) AS n,
+         CAST(2 * (doc_id % 40 + 2) AS BIGINT) AS period,
+         CAST(doc_id % 900 * 16 + 16 AS BIGINT) AS amp
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id AS media_id,
+       period * (n // period) AS n_samples,
+       period,
+       (n // period) AS dominant_bin,
+       period * (n // period) * amp * amp AS energy
+FROM base ORDER BY media_id
+""",
+    tags=("multimodal", "audio", "fft", "mapInPandas"),
+)
+def q152_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with a REAL FFT: synthesize square-wave
+    PCM WAVs (whole periods only → leakage-free), ship the bytes through
+    Arrow, parse the RIFF container, and run numpy.fft.rfft; the dominant
+    bin must equal the analytic fundamental (n_samples/period) and the
+    energy the exact integer Σs² = n·amp² — so the DSP path is
+    hash-verified, not just the plumbing.
+
+    Scale notes: both stages are map-only Arrow batches; the FFT is
+    vectorized numpy per record (the pandas-UDF form of a feature
+    extractor); payloads are dropped before the output sort."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "n_chars")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import encode_wav_square
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "period": [2 * (int(d) % 40 + 2) for d in pdf["doc_id"]],
+                    "payload": [
+                        encode_wav_square(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    encoded = docs.mapInPandas(encode, "media_id long, period long, payload binary")
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import analyze_wav_spectrum
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = analyze_wav_spectrum(bytes(row.payload))
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "n_samples": meta["n_samples"],
+                        "period": row.period,
+                        "dominant_bin": meta["dominant_bin"],
+                        "energy": meta["energy"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(
+        analyze,
+        "media_id long, n_samples long, period long, dominant_bin long, energy long",
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Video: frame sampling over a REAL PPM pipe stream (ffmpeg image2pipe)
+# ---------------------------------------------------------------------------
+
+
+def _video_params(doc_id: int) -> tuple[int, int, int]:
+    return doc_id % 16 + 8, doc_id % 12 + 8, doc_id % 12 + 3  # w, h, n_frames
+
+
+def encode_ppm_stream(doc_id: int) -> bytes:
+    """Concatenated binary-PPM frames — the actual byte stream
+    `ffmpeg -f image2pipe -vcodec ppm` produces; frames are
+    self-delimiting (header + w*h*3 pixel bytes). Frame f is a constant
+    plane (doc_id + 7*f) % 256."""
+    w, h, n_frames = _video_params(doc_id)
+    out = bytearray()
+    for f in range(n_frames):
+        out += f"P6\n{w} {h}\n255\n".encode() + bytes([(doc_id + 7 * f) % 256]) * (
+            w * h * 3
+        )
+    return bytes(out)
+
+
+def sample_ppm_stream(payload: bytes, every: int = 2) -> dict:
+    """REAL stream parser: walk frame headers (validating each magic),
+    slice the exact pixel plane, keep every k-th frame, and sum its
+    actual pixel bytes. Raises on a malformed frame boundary."""
+    pos = 0
+    n_frames = 0
+    sampled_sum = 0
+    n_sampled = 0
+    first_mean = None
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        nl1 = payload.index(b"\n", pos)
+        nl2 = payload.index(b"\n", nl1 + 1)
+        nl3 = payload.index(b"\n", nl2 + 1)
+        w, h = (int(v) for v in payload[nl1 + 1 : nl2].split())
+        plane = payload[nl3 + 1 : nl3 + 1 + w * h * 3]
+        if len(plane) != w * h * 3:
+            raise ValueError("truncated frame")
+        if n_frames == 0:
+            first_mean = plane[0]
+        if n_frames % every == 0:
+            sampled_sum += sum(plane)
+            n_sampled += 1
+        n_frames += 1
+        pos = nl3 + 1 + w * h * 3
+    return {
+        "n_frames": n_frames,
+        "n_sampled": n_sampled,
+        "sampled_pixel_sum": sampled_sum,
+        "first_frame_val": first_mean,
+    }
+
+
+@query(
+    "q153_video_frame_sample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+         CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+         CAST(doc_id % 12 + 3 AS BIGINT) AS nf
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id AS media_id,
+       nf AS n_frames,
+       (nf + 1) // 2 AS n_sampled,
+       CAST(list_sum(list_transform(generate_series(0, nf - 1), f ->
+         CASE WHEN f % 2 = 0 THEN (doc_id + 7*f) % 256 * w * h * 3 ELSE 0 END))
+         AS BIGINT) AS sampled_pixel_sum,
+       CAST(doc_id % 256 AS BIGINT) AS first_frame_val
+FROM base ORDER BY media_id
+""",
+    tags=("multimodal", "video", "frame-sample", "mapInPandas"),
+)
+def q153_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over a REAL container format: the PPM pipe
+    stream ffmpeg's image2pipe emits (self-delimiting concatenated P6
+    frames). The sampler walks actual frame boundaries, keeps every 2nd
+    frame, and sums real pixel bytes — all analytic, so the oracle
+    hash-verifies the parser, the stride, and the content.
+
+    Scale notes: frame payloads stay inside one map-only Arrow stage —
+    the decoded per-frame data is reduced to counters BEFORE anything
+    shuffles, which is the only workable shape when a frame is MBs and a
+    video is GBs at production scale."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import (
+            encode_ppm_stream,
+            sample_ppm_stream,
+        )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                meta = sample_ppm_stream(encode_ppm_stream(int(d)))
+                out.append(
+                    {
+                        "media_id": int(d),
+                        "n_frames": meta["n_frames"],
+                        "n_sampled": meta["n_sampled"],
+                        "sampled_pixel_sum": meta["sampled_pixel_sum"],
+                        "first_frame_val": meta["first_frame_val"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_frames long, n_sampled long, "
+        "sampled_pixel_sum long, first_frame_val long",
+    ).orderBy("media_id")
