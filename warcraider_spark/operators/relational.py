@@ -2512,3 +2512,133 @@ def q141_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# Quantified comparison subqueries (ANY / ALL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_quantified_subqueries",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN c_acctbal > ALL (
+         SELECT AVG(c_acctbal) FROM customer GROUP BY c_nationkey
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+       CAST(SUM(CASE WHEN c_acctbal < ANY (
+         SELECT AVG(c_acctbal) FROM customer GROUP BY c_nationkey
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_below_any
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("relational", "subquery"),
+)
+def q154_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries: per segment, customers whose
+    balance beats ALL per-nation averages / trails ANY of them.
+
+    Spark has no `> ALL` parser surface, so this implements the standard
+    Catalyst-style rewrite explicitly: `x > ALL (S)` ⇔ `x > max(S)` and
+    `x < ANY (S)` ⇔ `x < max(S)` for a non-empty NULL-free S — the
+    per-nation average set is aggregated to one broadcast row, so the
+    quantified predicate costs one scalar join, not |S| probes per row.
+    The DuckDB oracle runs the literal ANSI ALL/ANY forms, so the rewrite
+    is verified against the real quantifier semantics.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat_avgs = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nav"))
+    bounds = nat_avgs.agg(F.max("nav").alias("max_nav"))
+    return (
+        cust.join(F.broadcast(bounds))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") > F.col("max_nav"), 1).otherwise(0)).alias(
+                "n_above_all"
+            ),
+            F.sum(F.when(F.col("c_acctbal") < F.col("max_nav"), 1).otherwise(0)).alias(
+                "n_below_any"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer (null-preserving lateral view)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_explode_outer",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> strlen(t) > 8)
+           AS longs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(longs) AS BIGINT) AS n_long,
+       CAST(CASE WHEN len(longs) = 0 THEN 1 ELSE 0 END AS BIGINT) AS exploded_as_null
+FROM toks
+""",
+    tags=("relational", "explode", "null"),
+)
+def q155_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows whose array is empty survive the lateral
+    view as a single NULL element instead of vanishing (plain explode
+    drops them — silently losing every short document). Counting
+    non-null exploded tokens per doc and flagging the null-row docs
+    reconstructs exactly the filter-side truth the oracle computes
+    WITHOUT exploding, so the null-preserving semantics are verified.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    longs = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 8
+    )
+    return (
+        docs.select("doc_id", F.explode_outer(longs).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_long"),
+            F.max(F.when(F.col("tok").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exploded_as_null"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# df.stat.crosstab (contingency table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_crosstab",
+    oracle="""
+SELECT source AS source_lang,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("relational", "stat", "pivot"),
+)
+def q156_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
+    surface (backed by the same two-phase pivot-count plan as
+    groupBy().pivot().count()). The oracle is independent conditional
+    aggregation. lang is a closed 5-value set, so the pivoted schema is
+    stable across engines and scale factors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ct = docs.stat.crosstab("source", "lang")
+    return ct.select(
+        "source_lang", *[F.col(c).alias(c) for c in ("de", "en", "es", "fr", "zh")]
+    ).orderBy("source_lang")
