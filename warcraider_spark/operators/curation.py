@@ -499,3 +499,103 @@ def q150_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum("overlap").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed supervised training: integer-exact batch perceptron
+# ---------------------------------------------------------------------------
+
+PCT_ROUNDS = 3
+_PCT_FEATS = 4  # bias, n_tokens, n_distinct, n_chars/10
+
+
+def _pct_feature_sql() -> str:
+    return """
+  SELECT CASE WHEN lang IN ('en', 'fr') THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS x1,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS x2,
+         n_chars // 10 AS x3
+  FROM documents
+"""
+
+
+def _pct_oracle() -> str:
+    margin = lambda r: f"y * ({r}.w0*x0 + {r}.w1*x1 + {r}.w2*x2 + {r}.w3*x3)"
+    # round 1: w = 0 → every margin is 0 → the whole set is misclassified
+    r1 = ", ".join(f"CAST(SUM(y * x{i}) AS BIGINT) AS w{i}" for i in range(_PCT_FEATS))
+    rounds = [f"r1 AS (SELECT {r1} FROM f)"]
+    for t in range(2, PCT_ROUNDS + 1):
+        prev = f"r{t-1}"
+        cols = ", ".join(
+            f"CAST(MAX({prev}.w{i}) + COALESCE(SUM(CASE WHEN {margin(prev)} <= 0 "
+            f"THEN y * x{i} END), 0) AS BIGINT) AS w{i}"
+            for i in range(_PCT_FEATS)
+        )
+        rounds.append(f"r{t} AS (SELECT {cols} FROM f, {prev})")
+    last = f"r{PCT_ROUNDS}"
+    final_cols = ", ".join(f"MAX({last}.w{i}) AS w{i}" for i in range(_PCT_FEATS))
+    return f"""
+WITH f AS ({_pct_feature_sql()}),
+{", ".join(rounds)}
+SELECT {final_cols},
+       CAST(SUM(CASE WHEN {margin(last)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM f, {last}
+"""
+
+
+@query(
+    "q157_perceptron_train",
+    oracle=_pct_oracle(),
+    tags=("curation", "ml", "training"),
+)
+def q157_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed supervised training: 3 rounds of BATCH perceptron over
+    integer document features (bias, token count, distinct tokens,
+    n_chars/10) with labels from the language rule. The batch gradient
+    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q045
+    integer k-means — every round is exactly reproducible and the final
+    weights hash-match a DuckDB unrolled-CTE replay of the same algebra
+    (float SGD could never cross-engine-compare: update order changes the
+    trajectory).
+
+    Scale shape — the canonical data-parallel training step: the weight
+    vector is a 1-row broadcast, the gradient a map-side partial agg
+    (one shuffle row per partition per round), the feature table
+    localCheckpoint'ed once and re-scanned per round. Driver never sees
+    data — loop state stays in DataFrames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    feats = docs.select(
+        F.when(F.col("lang").isin("en", "fr"), 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.size(tok).cast("long").alias("x1"),
+        F.size(F.array_distinct(tok)).cast("long").alias("x2"),
+        F.expr("n_chars div 10").alias("x3"),
+    ).localCheckpoint(eager=False)
+
+    margin = F.col("y") * sum(
+        F.col(f"w{i}") * F.col(f"x{i}") for i in range(_PCT_FEATS)
+    )
+    wdf = spark.createDataFrame([(0, 0, 0, 0)], "w0 long, w1 long, w2 long, w3 long")
+    for _ in range(PCT_ROUNDS):
+        joined = feats.crossJoin(F.broadcast(wdf))
+        wdf = joined.agg(
+            *[
+                (
+                    F.max(f"w{i}")
+                    + F.coalesce(
+                        F.sum(F.when(margin <= 0, F.col("y") * F.col(f"x{i}"))),
+                        F.lit(0),
+                    )
+                ).alias(f"w{i}")
+                for i in range(_PCT_FEATS)
+            ]
+        ).localCheckpoint(eager=False)
+    return feats.crossJoin(F.broadcast(wdf)).agg(
+        *[F.max(f"w{i}").alias(f"w{i}") for i in range(_PCT_FEATS)],
+        F.sum(F.when(margin > 0, 1).otherwise(0)).alias("n_correct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
