@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Scaling-curve harness: self-replicate the sf0.1 documents table with id
+offsets to Kx copies and time the document-bound headline operators to
+completion (noop sink, median of 3, codegen warmed). Prints one JSON line
+mapping query → {K: seconds}. Evidence for SCALE.md §10: growth at or
+below the data factor means no quadratic candidate blow-up is hiding in
+the dedup family.
+
+Usage: python tools/scale_bench.py [base_sf_dir] [factors…, default 1 4 8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from warcraider_spark.registry import all_specs  # noqa: E402
+from warcraider_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "q001_exact_dedup_groups",
+    "q003_minhash_lsh_pairs",
+    "q147_heavy_hitters",
+    "q149_line_dedup",
+    "q007_training_data_pipeline",
+]
+
+OTHER_TABLES = "region nation customer supplier part orders lineitem events embeddings".split()
+
+
+def build_scaled(base: str, k: int, root: str) -> str:
+    d = os.path.join(root, f"x{k}")
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    sel = " UNION ALL ".join(
+        f"SELECT doc_id + {i * 1000000} AS doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{base}/documents.parquet')"
+        for i in range(k)
+    )
+    con.execute(f"COPY ({sel}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    for t in OTHER_TABLES:
+        dst = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    return d
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 8]
+    root = "/tmp/scalebench"
+    dirs = {k: build_scaled(base, k, root) for k in factors}
+
+    spark = get_spark(app_name="scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    warm = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.001")
+    for q in QUERIES:
+        specs[q].builder(spark, warm if os.path.isdir(warm) else base).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    results: dict[str, dict[int, float]] = {}
+    for k in factors:
+        for q in QUERIES:
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                specs[q].builder(spark, dirs[k]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps.append(time.perf_counter() - t0)
+            reps.sort()
+            results.setdefault(q, {})[k] = round(reps[1], 2)
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
