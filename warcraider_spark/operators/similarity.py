@@ -349,6 +349,10 @@ def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per label: n, top-eigenvalue of the covariance (variance along
     the principal axis), trace (total variance), and the anisotropy ratio
     top_eig/trace — floats rounded to 6 for cross-run stability.
+
+    Rows-only by design: an eigensolve is not expressible in DuckDB SQL,
+    so there is no oracle twin (the exact integer covariance surface that
+    IS SQL-expressible is hash-verified separately as q137).
     """
     import numpy as np  # noqa: F401 (driver-side check that numpy exists)
 
