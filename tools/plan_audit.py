@@ -81,6 +81,8 @@ KNOWN_OK = {
     # q100: global NTILE is a deliberate single-partition summary; its
     # docstring names q087/q076 as the 100 TB forms
     "q100_decile_distribution",
+    # q161: TPC-H Q22 scalar cutoff — a 1-row broadcast attach
+    "q161_dormant_rich_customers",
 }
 
 

@@ -2642,3 +2642,181 @@ def q156_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.select(
         "source_lang", *[F.col(c).alias(c) for c in ("de", "en", "es", "fr", "zh")]
     ).orderBy("source_lang")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped correlated-subquery batch (Q4 / Q19 / Q21 / Q22 analogs,
+# adapted to the synthetic schema: no commitdate/receiptdate/phone, so the
+# "late" marker is l_returnflag='R' and the country code is custkey-derived)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_order_priority_exists",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational", "tpch", "subquery"),
+)
+def q158_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped after the
+    order date, counted by priority. The correlated EXISTS with a
+    NON-equi conjunct (l_shipdate > o_orderdate) decorrelates to a
+    LeftSemi hash join on the equi key with the range residual evaluated
+    in the join — one shuffle pair, no per-order probe."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q159_disjunctive_part_join",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 5  AND 25)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type  = 'ECONOMY'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+    tags=("relational", "tpch", "join"),
+)
+def q159_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of brand/size/quantity envelopes
+    over a part⋈lineitem join. The planner must still extract the common
+    equi key (l_partkey = p_partkey) and run a hash join with the OR-of-
+    ANDs as a residual filter — the naive reading (join condition is a
+    disjunction → nested loop) would be quadratic at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    q, sz, br, ty = F.col("l_quantity"), F.col("p_size"), F.col("p_brand"), F.col("p_type")
+    cond = (
+        ((br == "Brand#2") & sz.between(1, 15) & q.between(5, 25))
+        | ((br == "Brand#17") & sz.between(10, 30) & q.between(10, 40))
+        | ((ty == "ECONOMY") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), RD).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q160_waiting_suppliers",
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("relational", "tpch", "subquery"),
+)
+def q160_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'kept waiting' = the sole R-flagged
+    supplier in a multi-supplier order): one correlated EXISTS and one
+    correlated NOT EXISTS, both with a non-equality conjunct
+    (l2.suppkey <> l1.suppkey). Decorrelates to LeftSemi + LeftAnti hash
+    joins that REUSE the l_orderkey partitioning, then a broadcast
+    supplier join and TakeOrdered top-20 — no per-row subquery probes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q161_dormant_rich_customers",
+    oracle="""
+WITH eligible AS (
+  SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS VARCHAR) AS cntrycode
+  FROM customer WHERE c_custkey % 7 IN (1, 3, 5)
+),
+cutoff AS (SELECT AVG(c_acctbal) AS avg_bal FROM eligible WHERE c_acctbal > 0)
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM eligible, cutoff
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    tags=("relational", "tpch", "subquery"),
+)
+def q161_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (country code derived from custkey — the synthetic
+    schema has no phone column): above-average-balance customers in
+    selected codes with NO orders. Composition of a scalar aggregate
+    subquery (1-row broadcast), a NOT EXISTS (LeftAnti hash join on
+    o_custkey), and the final rollup — the classic three-subquery-forms-
+    in-one-query decorrelation test."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    eligible = cust.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 7).cast("string").alias("cntrycode"),
+    )
+    cutoff = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        eligible.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(od, eligible.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
