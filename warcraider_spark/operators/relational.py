@@ -2820,3 +2820,94 @@ def q161_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_* functions and Spark 4 collations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_try_functions",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       ROUND(SUM(o_totalprice / NULLIF(o_custkey % 5, 0)), {RD}) AS sum_div,
+       CAST(SUM(CASE WHEN o_custkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_ok,
+       CAST(SUM(CASE WHEN len(string_split(o_orderpriority, '-')) < 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_elem_null
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("relational", "ansi", "null"),
+)
+def q162_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` family: division by zero, bad casts, and
+    out-of-bounds element access produce NULL instead of failing the job
+    — the semantics a 100 TB batch needs (one dirty row must not kill an
+    8-hour run, and a fail-open `ansi=false` silently corrupts instead).
+    The DuckDB oracle reproduces each NULL path with its native guards
+    (NULLIF, list bounds), so the null-counting semantics are verified.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    div = F.expr("try_divide(o_totalprice, o_custkey % 5)")
+    cast_ok = F.expr(
+        "try_cast(CASE WHEN o_custkey % 3 = 0 THEN 'not-a-number' "
+        "ELSE CAST(o_custkey AS STRING) END AS INT)"
+    )
+    elem = F.expr("try_element_at(split(o_orderpriority, '-'), 3)")
+    return (
+        od.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(div.isNull(), 1).otherwise(0)).alias("n_div_null"),
+            F.round(F.sum(div), RD).alias("sum_div"),
+            F.sum(F.when(cast_ok.isNotNull(), 1).otherwise(0)).alias("n_cast_ok"),
+            F.sum(F.when(elem.isNull(), 1).otherwise(0)).alias("n_elem_null"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q163_collated_grouping",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_mixed
+  FROM customer
+)
+SELECT lower(seg_mixed) AS seg_ci, CAST(COUNT(*) AS BIGINT) AS n
+FROM mixed
+GROUP BY lower(seg_mixed)
+ORDER BY seg_ci
+""",
+    tags=("relational", "collation", "spark4"),
+)
+def q163_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: case-insensitive grouping via
+    ``collate(col, 'UTF8_LCASE')`` — the COLLATION does the bucketing
+    (hash and equality are collation-aware all the way through the
+    exchange), with lower() only canonicalizing the emitted key. The
+    oracle groups by lower() — identical buckets, independent mechanism.
+    At scale this beats wrapping every comparison in lower(): the
+    collated column keeps its value (no derived column to carry) and
+    comparisons stay codegen'd.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_mixed")
+    )
+    return (
+        mixed.groupBy(F.expr("collate(seg_mixed, 'UTF8_LCASE')").alias("seg_key"))
+        .agg(
+            F.min(F.lower("seg_mixed")).alias("seg_ci"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("seg_ci", "n")
+        .orderBy("seg_ci")
+    )
