@@ -28,3 +28,14 @@ def test_unpartitioned_window_detector():
     part = "Window [row_number() windowspecdefinition(shard#1L, h#2L ASC NULLS FIRST, frame) AS rn]"
     assert _unpartitioned_windows(unpart) == 1
     assert _unpartitioned_windows(part) == 0
+
+
+def test_known_ok_names_exist():
+    """KNOWN_OK must reference live registry names — a renamed query must
+    not leave a stale exemption behind (it would silently re-allow the
+    shape under the old name while flagging the new one)."""
+    from tools.plan_audit import KNOWN_OK
+    from warcraider_spark.registry import all_specs
+
+    stale = KNOWN_OK - set(all_specs())
+    assert stale == set(), f"stale KNOWN_OK entries: {sorted(stale)}"
