@@ -123,3 +123,77 @@ def test_ppm_stream_parser_rejects_bad_frame():
     bad = stream[:second] + b"XX" + stream[second + 2 :]
     with pytest.raises(ValueError, match="bad frame magic"):
         sample_ppm_stream(bad)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (functions/jpeg.py) — the last entropy-coded image format
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dc_quantization_matches_integer_formula_exhaustively():
+    """Every gray value 0..255 as a constant block: the float fDCT +
+    guarded rounding must reproduce decoded = clamp(2*half_away((v-128)/2)
+    + 128) — the exact formula the q164 DuckDB oracle replays."""
+    import numpy as np
+
+    from warcraider_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
+
+    for v in range(256):
+        px = np.full((8, 8), v, dtype=float)
+        dec = decode_jpeg_pixels(encode_jpeg_pixels(px))
+        d = v - 128
+        s = (abs(d) + 1) // 2 * (1 if d >= 0 else -1)
+        expect = min(max(2 * s + 128, 0), 255)
+        assert (dec == expect).all(), (v, int(dec[0, 0]), expect)
+
+
+def test_jpeg_analytic_images_roundtrip():
+    from warcraider_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        jpeg_block_value,
+        jpeg_dims,
+    )
+
+    for doc_id in (0, 7, 42, 53, 119):
+        payload = encode_jpeg_gray(doc_id)
+        assert payload[:3] == b"\xff\xd8\xff" and payload[-2:] == b"\xff\xd9"
+        st = decode_jpeg_gray(payload)
+        w, h = jpeg_dims(doc_id)
+        assert (st["width"], st["height"]) == (w, h)
+        exp = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                d = jpeg_block_value(doc_id, bx, by) - 128
+                s = (abs(d) + 1) // 2 * (1 if d >= 0 else -1)
+                exp += 64 * min(max(2 * s + 128, 0), 255)
+        assert st["pixel_sum"] == exp, doc_id
+
+
+def test_jpeg_general_content_ac_paths():
+    """Random blocks with a unit quant table exercise the full AC pipeline
+    (run lengths, ZRL, EOB, magnitude categories, byte stuffing): the
+    round-trip error is bounded by DCT float rounding only."""
+    import numpy as np
+
+    from warcraider_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
+
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        px = rng.randint(0, 256, size=(16, 24)).astype(float)
+        dec = decode_jpeg_pixels(encode_jpeg_pixels(px, qtable=[1] * 64))
+        assert np.abs(dec - px).max() <= 2
+
+
+def test_jpeg_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from warcraider_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg_gray
+
+    good = encode_jpeg_gray(3)
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_pixels(b"\x00\x01" + good[2:])
+    # progressive SOF2 must be refused, not mis-decoded
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(bad)

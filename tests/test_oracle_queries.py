@@ -19,3 +19,20 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     res = run_oracle(spark, spec, sf_smoke)
     assert res.ok, f"{name}: {res.detail}"
     assert res.spark_rows >= 0
+
+
+def test_rows_only_list_column_rejected(spark, sf_smoke):
+    """A rows-only query emitting an array column must fail LOCALLY: the
+    driver's pandas canonicalizer crashes on list cells (q034's r2 ERR), so
+    run_oracle hashes rows-only output through the same strict canon."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.registry import QuerySpec
+
+    spec = QuerySpec(
+        name="rows_only_list_probe",
+        builder=lambda s, d: s.range(3).select(F.array(F.col("id")).alias("arr")),
+        oracle=None,
+    )
+    with pytest.raises(TypeError, match="array/map"):
+        run_oracle(spark, spec, sf_smoke)

@@ -1,9 +1,11 @@
 """Fleet-wide plan sweep as a CI regression net: any NEW query that plans
 a CartesianProduct, a BroadcastNestedLoopJoin, or an unpartitioned window
-fails here until its docstring justifies the shape and the name joins
-tools/plan_audit.py's KNOWN_OK list — the per-case assertions in
-test_plan_shape.py pin the load-bearing plans; this catches the ones
-nobody thought to pin."""
+fails here until its docstring justifies the shape and the (query, flag)
+pair joins tools/plan_audit.py's KNOWN_OK_PAIRS — the per-case assertions
+in test_plan_shape.py pin the load-bearing plans; this catches the ones
+nobody thought to pin. Pair-keyed exemptions (ADVICE r2 #2): a query
+exempted for its unpartitioned window still fails if it later grows a
+cartesian."""
 
 from __future__ import annotations
 
@@ -17,7 +19,7 @@ def test_no_unjustified_scale_risk_shapes(spark):
     flagged = [(r["query"], why) for r in rows for why in flags_for(r)]
     assert flagged == [], (
         "queries with undocumented scale-risk plan shapes (justify in the "
-        f"docstring, then add to plan_audit.KNOWN_OK): {flagged}"
+        f"docstring, then add the pair to plan_audit.KNOWN_OK_PAIRS): {flagged}"
     )
 
 
@@ -30,12 +32,23 @@ def test_unpartitioned_window_detector():
     assert _unpartitioned_windows(part) == 0
 
 
-def test_known_ok_names_exist():
-    """KNOWN_OK must reference live registry names — a renamed query must
-    not leave a stale exemption behind (it would silently re-allow the
+def test_known_ok_pairs_reference_live_names():
+    """KNOWN_OK_PAIRS must reference live registry names — a renamed query
+    must not leave a stale exemption behind (it would silently re-allow the
     shape under the old name while flagging the new one)."""
-    from tools.plan_audit import KNOWN_OK
+    from tools.plan_audit import KNOWN_OK_PAIRS
     from warcraider_spark.registry import all_specs
 
-    stale = KNOWN_OK - set(all_specs())
-    assert stale == set(), f"stale KNOWN_OK entries: {sorted(stale)}"
+    stale = {q for q, _flag in KNOWN_OK_PAIRS} - set(all_specs())
+    assert stale == set(), f"stale KNOWN_OK_PAIRS entries: {sorted(stale)}"
+
+
+def test_exemption_is_per_flag():
+    """A pair-exempted query is still flagged for a DIFFERENT risky shape."""
+    row = {
+        "query": "q100_decile_distribution",  # exempt for unpartitioned window
+        "cartesian": 1,  # ...but not for a cartesian
+        "bnlj": 0,
+        "unpart_win": 1,
+    }
+    assert flags_for(row) == ["CartesianProduct"]

@@ -153,7 +153,11 @@ def test_python_streaming_source_exactly_once_restart(spark, tmp_path):
     ckpt = os.path.join(str(tmp_path), "ckpt")
     out = os.path.join(str(tmp_path), "out")
 
-    def run_once(seconds: float) -> None:
+    def run_once(min_batches: int, timeout_s: float = 120.0) -> None:
+        """Run until at least ``min_batches`` micro-batches COMMIT (polled
+        via recentProgress), not for a fixed wall-clock sleep — on a loaded
+        machine fixed sleeps can cover zero completed batches and the test
+        flakes instead of failing meaningfully (ADVICE r2 #4)."""
         q = (
             spark.readStream.format("eventgen")
             .load()
@@ -163,14 +167,22 @@ def test_python_streaming_source_exactly_once_restart(spark, tmp_path):
             .trigger(processingTime="500 milliseconds")
             .start()
         )
-        time.sleep(seconds)
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= min_batches:
+                break
+            time.sleep(0.25)
+        else:
+            q.stop()
+            raise AssertionError(f"fewer than {min_batches} committed batches in {timeout_s}s")
         q.stop()
         q.awaitTermination(60)
 
-    run_once(5)
+    run_once(min_batches=3)
     first = sorted(r.event_seq for r in spark.read.parquet(out).collect())
-    assert len(first) >= 20, "stream produced no batches"
-    run_once(4)
+    assert len(first) >= 1, "stream produced no rows"
+    run_once(min_batches=2)
     rows = sorted(
         (r.event_seq, r.user_id, r.value) for r in spark.read.parquet(out).collect()
     )

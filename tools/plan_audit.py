@@ -33,56 +33,40 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # Queries whose "suspicious" shapes are deliberate and documented; the
 # audit still counts them but doesn't flag. Justifications live in the
 # query docstrings (1-row broadcast attaches, shrunken-input windows).
-KNOWN_OK = {
-    # 1-row/bounded broadcast attach → BNLJ over a single row is free
-    "q005_ngram_jaccard_pairs",
-    "q011_cosine_topk_bruteforce",
-    "q031_http_header_parse",
-    "q038_shipmode_priority",
-    "q044_sequence_packing",
-    "q047_bigram_udtf",
-    "q049_duplicate_spans",
-    "q050_two_stage_rerank",
-    "q104_sketch_theta_setops",
-    "q112_benchmark_contamination",
-    "q117_lm_score",
-    "q127_token_budget_select",
-    "q128_triangle_count",
-    "q131_span_excision",
-    "q135_source_cap",
-    "q147_heavy_hitters",
-    "q154_quantified_subqueries",
-    "q157_perceptron_train",
-    # window over a shrunken input (bucket summary / local-skyline
-    # survivors / merge frontier), documented in the docstring
-    "q124_rollup_layers",
-    "q127_token_budget_select",
-    "q148_skyline_docs",
-    "q150_concat_chunk_blocks",
-    "q037_bpe_merge_train",
-    "q132_bpe_encode",
-    "q139_scd2_intervals",
-    "q118_gapfill_locf",
-    "q120_recursive_reachability",
-    "q108_stream_stream_join",
-    # more 1-row/bounded attaches, audited 2026-08-13: q017/q133/q134/q138
-    # attach a 1-row aggregate (reciprocal count / global bounds / totals /
-    # corpus stats); q074 is a scalar subquery; q006 joins a bounded id
-    # block (the verify stage); q014/q016 cross-join broadcast centroids
-    # (plan-CI asserts the broadcast)
-    "q006_embedding_neardup",
-    "q014_ivf_assign",
-    "q016_ivf_topk_search",
-    "q017_link_degrees",
-    "q074_having_avg_subquery",
-    "q133_zorder_layout",
-    "q134_key_skew_profile",
-    "q138_inverted_index",
-    # q100: global NTILE is a deliberate single-partition summary; its
-    # docstring names q087/q076 as the 100 TB forms
-    "q100_decile_distribution",
-    # q161: TPC-H Q22 scalar cutoff — a 1-row broadcast attach
-    "q161_dormant_rich_customers",
+# (query, flag-type) exemption pairs — each query is exempt ONLY from the
+# specific risky shape its docstring justifies (ADVICE r2 #2: a blanket
+# per-name allowlist let an exempted query regress with a NEW risky shape
+# silently). Regenerate candidates with the audit itself; keep only pairs
+# whose justification still reads true in the query docstring.
+#
+# "BroadcastNestedLoopJoin" pairs: 1-row or bounded broadcast attaches
+# (scalar aggregates, global bounds, centroid/probe blocks, verify blocks).
+# "unpartitioned window" pairs: windows over shrunken inputs (bucket
+# summaries, local-skyline survivors, merge frontiers, global deciles).
+KNOWN_OK_PAIRS = {
+    ("q006_embedding_neardup", "BroadcastNestedLoopJoin"),
+    ("q011_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
+    ("q014_ivf_assign", "BroadcastNestedLoopJoin"),
+    ("q016_ivf_topk_search", "BroadcastNestedLoopJoin"),
+    ("q017_link_degrees", "BroadcastNestedLoopJoin"),
+    ("q050_two_stage_rerank", "BroadcastNestedLoopJoin"),
+    ("q074_having_avg_subquery", "BroadcastNestedLoopJoin"),
+    ("q100_decile_distribution", "unpartitioned window"),
+    ("q117_lm_score", "BroadcastNestedLoopJoin"),
+    ("q118_gapfill_locf", "BroadcastNestedLoopJoin"),
+    ("q127_token_budget_select", "BroadcastNestedLoopJoin"),
+    ("q127_token_budget_select", "unpartitioned window"),
+    ("q128_triangle_count", "BroadcastNestedLoopJoin"),
+    ("q131_span_excision", "BroadcastNestedLoopJoin"),
+    ("q133_zorder_layout", "BroadcastNestedLoopJoin"),
+    ("q134_key_skew_profile", "BroadcastNestedLoopJoin"),
+    ("q138_inverted_index", "BroadcastNestedLoopJoin"),
+    ("q147_heavy_hitters", "BroadcastNestedLoopJoin"),
+    ("q148_skyline_docs", "unpartitioned window"),
+    ("q150_concat_chunk_blocks", "unpartitioned window"),
+    ("q154_quantified_subqueries", "BroadcastNestedLoopJoin"),
+    ("q157_perceptron_train", "BroadcastNestedLoopJoin"),
+    ("q161_dormant_rich_customers", "BroadcastNestedLoopJoin"),
 }
 
 
@@ -121,8 +105,6 @@ def flags_for(row: dict) -> list[str]:
     """Scale-risk flags for one analyzed plan (empty for known-OK names)."""
     if "error" in row:
         return ["plan error"]
-    if row["query"] in KNOWN_OK:
-        return []
     out = []
     if row["cartesian"]:
         out.append("CartesianProduct")
@@ -130,7 +112,7 @@ def flags_for(row: dict) -> list[str]:
         out.append("BroadcastNestedLoopJoin")
     if row["unpart_win"]:
         out.append("unpartitioned window")
-    return out
+    return [f for f in out if (row["query"], f) not in KNOWN_OK_PAIRS]
 
 
 def audit(sf_dir: str, spark=None) -> list[dict]:

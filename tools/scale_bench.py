@@ -29,9 +29,13 @@ QUERIES = [
     "q147_heavy_hitters",
     "q149_line_dedup",
     "q007_training_data_pipeline",
+    # r3 additions (VERDICT r2 #7): the iterative families where
+    # constant-factor regressions hide
+    "q037_bpe_merge_train",
+    "q016_ivf_topk_search",
 ]
 
-OTHER_TABLES = "region nation customer supplier part orders lineitem events embeddings".split()
+OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
 
 
 def build_scaled(base: str, k: int, root: str) -> str:
@@ -44,6 +48,16 @@ def build_scaled(base: str, k: int, root: str) -> str:
         for i in range(k)
     )
     con.execute(f"COPY ({sel}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    # embeddings: scale the CORPUS side only — replicas drop vec_id%50==0
+    # rows so q016's probe set stays the 1x query workload (scaling both
+    # sides would measure k-squared by construction, not the corpus path)
+    esel = " UNION ALL ".join(
+        f"SELECT vec_id + {i * 1000000} AS vec_id, embedding, label "
+        f"FROM read_parquet('{base}/embeddings.parquet')"
+        + ("" if i == 0 else " WHERE vec_id % 50 <> 0")
+        for i in range(k)
+    )
+    con.execute(f"COPY ({esel}) TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
     for t in OTHER_TABLES:
         dst = os.path.join(d, f"{t}.parquet")
         if not os.path.exists(dst):

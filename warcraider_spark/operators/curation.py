@@ -70,6 +70,7 @@ SELECT c_custkey + 100000 AS c_custkey,
 FROM customer WHERE c_custkey <= 40
 """,
     tags=("curation", "merge", "join"),
+    bench=True,
 )
 def q142_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (matched-update / matched-delete / not-matched-

@@ -5,19 +5,21 @@ structs, exactly how a 100 TB training-data pipeline carries them: the
 bytes never leave the executor, Arrow batches move them across the Python
 boundary, and per-modality transforms are ``mapInPandas`` stages.
 
-The container has no image/audio codec LIBRARIES, so q027's jpeg/mp4-
-shaped decode step is a deterministic fake (documented, clearly marked)
+The container has no image/audio codec LIBRARIES, so q027's modality-
+generic decode step is a deterministic fake (documented, clearly marked)
 behind the same UDF signature a real libjpeg/ffmpeg-backed implementation
-would use. For library-free formats the codec IS real: q113 encodes
-genuine binary PPM images and PCM WAV audio, ships them through Arrow,
-and the decode stage parses the actual formats (header validation, PCM
-unpacking) and computes content statistics over real pixel/sample data —
-hash-verified against the oracle's analytic expectations. q151 goes one
-format further: a REAL PNG codec (stdlib zlib — signature, CRC-verified
-chunk walk, IHDR validation, inflate, and full unfiltering of all five
-scanline filter types), so the image path covers an actual production
-format end-to-end; only jpeg/mp4 (entropy-coded, library-bound) keep
-the documented stub.
+would use. For formats implementable from the public spec the codec IS
+real: q113 encodes genuine binary PPM images and PCM WAV audio, ships
+them through Arrow, and the decode stage parses the actual formats
+(header validation, PCM unpacking) and computes content statistics over
+real pixel/sample data — hash-verified against the oracle's analytic
+expectations. q151 adds a REAL PNG codec (stdlib zlib — signature,
+CRC-verified chunk walk, IHDR validation, inflate, and full unfiltering
+of all five scanline filter types), and q164 a REAL baseline JPEG codec
+(functions/jpeg.py: fDCT, Annex K quant + Huffman tables, byte-stuffed
+entropy coding, general decoder), so the image path covers the
+entropy-coded production format end-to-end; only mp4 (a container of
+patent-era video codecs, ffmpeg-bound) keeps the documented stub.
 
 The synthetic corpus derives binary payloads deterministically from the
 ``documents`` table so correctness is oracle-checkable end-to-end.
@@ -365,8 +367,9 @@ def q113_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: payload bytes exist only between the two Python stages
     and are dropped before any shuffle; both stages are map-only over
     Arrow record batches (bounded by spark.sql.execution.arrow
-    .maxRecordsPerBatch). The jpeg/mp4 modalities of q027 still need a
-    library and keep the documented stub."""
+    .maxRecordsPerBatch). jpeg is now real too (q164, functions/jpeg.py);
+    only q027's mp4 modality still needs a library and keeps the
+    documented stub."""
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
@@ -985,4 +988,104 @@ def q153_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "media_id long, n_frames long, n_sampled long, "
         "sampled_pixel_sum long, first_frame_val long",
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: the last image codec off the stub list (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_jpeg_codec_roundtrip",
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 + 2 AS BIGINT) AS wb,
+         CAST(doc_id % 4 + 2 AS BIGINT) AS hb
+  FROM documents WHERE doc_id < 120
+),
+px AS (
+  SELECT doc_id, wb, hb,
+    list_sum(list_transform(generate_series(0, wb - 1), bx ->
+      list_sum(list_transform(generate_series(0, hb - 1), by ->
+        least(greatest(
+          2 * (CASE WHEN ((doc_id + 5*bx + 11*by) % 256) - 128 >= 0
+                THEN ((((doc_id + 5*bx + 11*by) % 256) - 128) + 1) // 2
+                ELSE -(((-((((doc_id + 5*bx + 11*by) % 256)) - 128)) + 1) // 2)
+                END)
+          + 128, 0), 255)
+      )))) AS block_p_sum
+  FROM img
+)
+SELECT doc_id AS media_id,
+       CAST(wb * 8 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       CAST(wb * hb AS BIGINT) AS n_blocks,
+       CAST(block_p_sum * 64 AS BIGINT) AS pixel_sum,
+       CAST(block_p_sum * 64 * 1000 // (wb * hb * 64) AS BIGINT) AS mean_milli
+FROM px ORDER BY media_id
+""",
+    tags=("multimodal", "codec", "jpeg", "mapInPandas"),
+)
+def q164_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG round-trip (functions/jpeg.py): the encode stage
+    emits genuine JFIF bytes — Annex K.1 quant table, Annex K.3 canonical
+    Huffman tables, float fDCT, zigzag, byte-stuffed entropy data — and
+    the decode stage is a general baseline decoder (marker walk, DHT/DQT
+    parse, Huffman + EXTEND, dequant, float IDCT, clamp). Retires the
+    jpeg stub VERDICT r2 flagged (multimodal.py "jpeg/mp4 remain honest
+    stubs"): only mp4 remains library-bound now.
+
+    Hash-verifiable despite lossy compression: test images are constant
+    per 8x8 block, so the DCT quantization collapses to exact integer
+    arithmetic (decoded = clamp(2*round_half_away((v-128)/2) + 128),
+    DC quant step 16) that the DuckDB oracle replays — see the
+    determinism story in functions/jpeg.py's module docstring. The
+    general AC/run-length paths are exercised by tests/test_media_codecs
+    on random content with a unit quant table.
+
+    Scale notes: same as q151/q113 — payload bytes exist only between
+    the two map-only Arrow stages; no shuffle ever carries a pixel."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.functions.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [encode_jpeg_gray(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    encoded = docs.mapInPandas(encode, "media_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.functions.jpeg import decode_jpeg_gray
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = decode_jpeg_gray(bytes(row.payload))
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_blocks": meta["n_blocks"],
+                        "pixel_sum": meta["pixel_sum"],
+                        "mean_milli": meta["mean_milli"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(
+        decode,
+        "media_id long, width int, height int, n_blocks long, "
+        "pixel_sum long, mean_milli long",
     ).orderBy("media_id")

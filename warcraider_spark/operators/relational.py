@@ -2786,11 +2786,13 @@ SELECT cntrycode,
        ROUND(SUM(c_acctbal), 2) AS totacctbal
 FROM eligible, cutoff
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_custkey % 3 <> 0)
 GROUP BY cntrycode
 ORDER BY cntrycode
 """,
     tags=("relational", "tpch", "subquery"),
+    min_rows=1,
 )
 def q161_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (country code derived from custkey — the synthetic
@@ -2798,9 +2800,20 @@ def q161_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected codes with NO orders. Composition of a scalar aggregate
     subquery (1-row broadcast), a NOT EXISTS (LeftAnti hash join on
     o_custkey), and the final rollup — the classic three-subquery-forms-
-    in-one-query decorrelation test."""
+    in-one-query decorrelation test.
+
+    The orders side is restricted to the deterministic o_custkey%3<>0
+    subset (mirrored in the oracle) so some eligible customers are
+    genuinely orderless at every SF: the synthetic generator gives EVERY
+    customer an order, which made the original NOT EXISTS vacuously
+    empty-vs-empty at verify SF (ADVICE r2 #1) — the anti-join logic
+    was never exercised on data. min_rows=1 guards the class."""
     cust = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .filter(F.col("o_custkey") % 3 != 0)
+    )
     eligible = cust.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).select(
         "c_custkey",
         "c_acctbal",

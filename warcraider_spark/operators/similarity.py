@@ -25,6 +25,7 @@ from warcraider_spark.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 SIGN_BITS = 6
+KM_DIMS = 16  # dims used by the k-means / covariance / spectral family
 
 
 def _vec_double(col: str = "embedding") -> Column:
@@ -332,13 +333,44 @@ def q016_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q019_group_spectral_stats",
-    oracle=None,  # eigensolve needs numpy; genuinely non-SQL — rows-only
+    oracle=f"""
+WITH m AS (
+  SELECT label,
+         list_transform(embedding[1:{KM_DIMS}],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+  FROM embeddings
+),
+d AS (
+  SELECT label, CAST(i AS INT) AS dim, mv[i] AS x
+  FROM m CROSS JOIN LATERAL unnest(generate_series(1, {KM_DIMS})) AS g(i)
+),
+dd AS (
+  SELECT label, dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS diag_num
+  FROM d GROUP BY label, dim
+),
+r AS (
+  SELECT label, dim, n, diag_num,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY diag_num DESC, dim) AS rk
+  FROM dd
+),
+agg AS (
+  SELECT label, MAX(n) AS n, CAST(SUM(diag_num) AS BIGINT) AS trace_num
+  FROM dd GROUP BY label
+)
+SELECT CAST(a.label AS INT) AS label, a.n, a.trace_num,
+       r.diag_num AS top_diag_num, r.dim AS top_dim,
+       CAST(CAST(r.diag_num AS HUGEINT) * 10000 // a.trace_num AS BIGINT) AS aniso_bp
+FROM agg a JOIN r ON r.label = a.label AND r.rk = 1
+ORDER BY label
+""",
     tags=("similarity", "applyInPandas", "spectral"),
 )
 def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label covariance spectral stats of the embedding space via
     grouped ``applyInPandas`` — the custom-aggregation escape hatch for
-    semantics no built-in aggregate expresses (an 8×8 eigensolve per
+    semantics no built-in aggregate expresses (a dims×dims (16×16) eigensolve per
     group). The groupBy shuffles each label's vectors to one task; the
     numpy work is Arrow-batched and per-group-bounded (dims², not rows),
     so a 100 TB corpus with k labels costs one shuffle plus k tiny
@@ -346,37 +378,63 @@ def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parse/rake), mapInPandas (WARC/media) and applyInPandasWithState
     (streaming dedup).
 
-    Output per label: n, top-eigenvalue of the covariance (variance along
-    the principal axis), trace (total variance), and the anisotropy ratio
-    top_eig/trace — floats rounded to 6 for cross-run stability.
+    Oracle-able by design (VERDICT r2 "next round" #3 — was rows-only):
+    vectors are quantized to integer micros (q137's convention) and the
+    emitted columns are exact integer covariance invariants DuckDB can
+    replay: n²·diag numerators (diag_num(i) = n·Σxᵢ² − (Σxᵢ)², ≥0 by
+    Cauchy–Schwarz), their trace, the max-variance diagonal (smallest dim
+    wins ties), and the anisotropy in integer basis points. The float
+    eigensolve still runs on every group — its eigenvalue sum must match
+    the integer trace (Σλᵢ = tr(C); checked to 1e-6 relative) or the
+    query fails loudly — so the spectral machinery is exercised while the
+    hash-checked surface stays integer-exact.
 
-    Rows-only by design: an eigensolve is not expressible in DuckDB SQL,
-    so there is no oracle twin (the exact integer covariance surface that
-    IS SQL-expressible is hash-verified separately as q137).
+    At 100 TB the n²-scaled numerators would eventually overflow int64
+    (n ≳ 1e9 rows/label at micro scale); the scale variant emits
+    mean-centered per-partition partials instead — see SCALE.md.
     """
-    import numpy as np  # noqa: F401 (driver-side check that numpy exists)
-
     em = load_table(spark, sf_dir, "embeddings")
-    e = em.select("label", F.slice(_vec_double(), 1, 8).alias("v"))
+    e = em.select(
+        "label",
+        F.expr(
+            f"transform(slice(embedding, 1, {KM_DIMS}),"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("mv"),
+    )
 
-    schema = "label bigint, n bigint, top_eig double, trace double, anisotropy double"
+    schema = (
+        "label int, n bigint, trace_num bigint, top_diag_num bigint,"
+        " top_dim int, aniso_bp bigint"
+    )
 
     def spectral(pdf):
         import numpy as _np
         import pandas as _pd
 
-        m = _np.vstack(pdf["v"].to_numpy())
-        c = _np.cov(m, rowvar=False, bias=True)
-        eig = _np.linalg.eigvalsh(c)  # deterministic: LAPACK on a symmetric 8x8
-        top = float(eig[-1])
-        tr = float(_np.trace(c))
+        m = _np.vstack(pdf["mv"].to_numpy()).astype(_np.int64)
+        n = m.shape[0]
+        s = m.sum(axis=0)  # Σxᵢ  (int64: |x|≤~3.3e5 micros, safe)
+        q = (m * m).sum(axis=0)  # Σxᵢ²
+        diag = [int(n) * int(q[i]) - int(s[i]) * int(s[i]) for i in range(m.shape[1])]
+        trace = sum(diag)
+        top_dim = min(range(len(diag)), key=lambda i: (-diag[i], i))
+        top = diag[top_dim]
+        # the eigensolve the query exists to exercise — consistency-gated
+        c = _np.cov(m.astype(_np.float64), rowvar=False, bias=True)
+        eig = _np.linalg.eigvalsh(c)  # deterministic: LAPACK on a symmetric 16x16
+        if trace > 0 and abs(float(eig.sum()) * n * n - trace) > 1e-6 * trace:
+            raise ValueError(
+                f"eigensolve inconsistent with integer trace for label "
+                f"{pdf['label'].iloc[0]}: Σλ·n²={float(eig.sum()) * n * n} vs {trace}"
+            )
         return _pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
-                "n": [len(pdf)],
-                "top_eig": [round(top, 6)],
-                "trace": [round(tr, 6)],
-                "anisotropy": [round(top / tr, 6)],
+                "n": [n],
+                "trace_num": [trace],
+                "top_diag_num": [top],
+                "top_dim": [top_dim + 1],
+                "aniso_bp": [top * 10000 // trace if trace else 0],
             }
         )
 
@@ -424,6 +482,7 @@ SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
 ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "rerank"),
+    bench=True,
 )
 def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production ANN serving pattern: a CHEAP
@@ -540,7 +599,6 @@ def q116_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-means codebook training (Lloyd iterations, integer-exact)
 # ---------------------------------------------------------------------------
 
-KM_DIMS = 16
 KM_ITERS = 2
 _KM_INIT = (0, 50, 100, 150)  # deterministic seeds: these vectors ARE c0
 

@@ -1040,6 +1040,7 @@ SELECT * FROM ({_BPE_OUT})
 ORDER BY merge_rank
 """,
     tags=("text", "bpe", "iterative", "training-pipeline"),
+    bench=True,
 )
 def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-

@@ -136,18 +136,35 @@ def q022_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q023_watermark_semantics",
-    oracle=None,  # streaming-only semantics: rows-only check
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
     tags=("streaming", "watermark"),
 )
 def q023_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + late-data accounting, run through a REAL structured
-    stream: the events table is replayed as a file stream with a 1-hour
-    watermark; results come from the streaming engine itself (not a batch
-    rewrite), so the driver's rows-check certifies the streaming path runs.
+    """Watermarked windowed aggregation run through a REAL structured
+    stream: the events table is replayed as a file stream (availableNow,
+    maxFilesPerTrigger micro-batches) with a 1-hour watermark; results come
+    from the streaming engine itself, not a batch rewrite.
+
+    Oracle-paired (was rows-only, VERDICT r2 "next round" #4): in complete
+    output mode the watermark governs state accounting but drops nothing,
+    so the final table must EQUAL the batch dual — a property DuckDB can
+    replay as a plain time_bucket aggregation. Values are summed in integer
+    milli-units so the result is bit-identical regardless of how files
+    slice into micro-batches (float sums are order-dependent; integer sums
+    are not). The hash check therefore certifies streaming-equals-batch
+    end-to-end on every round, strictly stronger than the old rows-check.
     """
     from warcraider_spark.streaming.windows import replay_events_stream
 
-    return replay_events_stream(spark, sf_dir, watermark="1 hour")
+    return replay_events_stream(spark, sf_dir, watermark="1 hour", integer_units=True)
 
 
 @query(

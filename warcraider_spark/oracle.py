@@ -120,7 +120,20 @@ def run_oracle(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> OracleResul
     # rows), NOT toPandas(): we want the driver's exact coercion behavior.
     spark_pdf = pd.DataFrame([tuple(r) for r in sdf.collect()], columns=spark_cols)
 
+    if len(spark_pdf) < spec.min_rows:
+        return OracleResult(
+            spec.name, False, len(spark_pdf), -1,
+            f"vacuous result: {len(spark_pdf)} rows < min_rows={spec.min_rows} — "
+            "the discriminating branch never fired at this SF",
+        )
+
     if spec.oracle is None:
+        # Rows-only queries still flow through the driver's canonicalizer, so
+        # list/map-typed output columns crash there exactly as they do for
+        # oracle-paired queries (q034's r2 ERR).  Hash the frame locally —
+        # _canon raises on array/map cells — so the class is closed, not the
+        # instance (VERDICT r2 "next round" #2).
+        _hash_pdf(spark_pdf)
         return OracleResult(spec.name, True, len(spark_pdf), -1, "rows-only (no oracle)")
 
     con = duckdb_connect(sf_dir)

@@ -36,6 +36,10 @@ class QuerySpec:
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Minimum result rows at ANY verify SF. Set to 1 for queries whose
+    # discriminating branch (anti-join, NOT EXISTS, rare-event filter)
+    # could otherwise pass vacuously as empty-vs-empty (ADVICE r2 #1).
+    min_rows: int = 0
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -47,6 +51,7 @@ def query(
     description: str = "",
     tags: Iterable[str] = (),
     bench: bool = False,
+    min_rows: int = 0,
 ) -> Callable[[Builder], Builder]:
     """Decorator registering a query builder under ``name``."""
 
@@ -60,6 +65,7 @@ def query(
             description=description or ((fn.__doc__ or "").strip().splitlines() or [""])[0],
             tags=tuple(tags),
             bench=bench,
+            min_rows=min_rows,
         )
         return fn
 

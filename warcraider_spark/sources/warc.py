@@ -126,7 +126,7 @@ def build_warc_bytes(records: list[tuple[dict[str, str], bytes]]) -> bytes:
     is an individually gzipped HTTP response, main.rs:287-302)."""
     out = io.BytesIO()
     for headers, body in records:
-        gz = gzip.compress(body)
+        gz = gzip.compress(body, mtime=0)  # mtime=0: byte-identical fixtures run-to-run
         hdrs = dict(headers)
         hdrs.setdefault("WARC-Type", "response")
         hdrs["Content-Length"] = str(len(gz))

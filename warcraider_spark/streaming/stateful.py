@@ -165,6 +165,21 @@ def streaming_spend_tracker(events: DataFrame) -> DataFrame:
     at stream scale each key holds one fixed-width row, so state size is
     O(active users), and eviction policy can be added with
     `handle.registerTimer` without touching the aggregation path.
+
+    SESSION-CONFIG SIDE EFFECT (documented per ADVICE r2 #3): the RocksDB
+    provider is a session-wide streaming conf that Spark reads at query
+    START, so it cannot be scoped to this one query from inside the
+    operator. This function sets it and the change persists for streaming
+    queries started afterwards on the same session. Callers who run other
+    streaming queries with the default (HDFS-backed) provider on a shared
+    session should snapshot/restore the conf around the query's lifetime::
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        q = streaming_spend_tracker(events).writeStream...start(); ...
+        spark.conf.set(...prev...)  # after the query STOPS, not after start()
+
+    (Restoring inside this function would be wrong: the conf must still
+    hold the RocksDB value when the caller later calls .start().)
     """
     from warcraider_spark.dist import ensure_package_on_executors
 

@@ -50,24 +50,39 @@ def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
-def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def windowed_counts_stream(
+    events: DataFrame, watermark: str = "1 hour", integer_units: bool = False
+) -> DataFrame:
     """Watermarked tumbling-window counts — late rows beyond the watermark
     are dropped by the engine; state for closed windows is evicted (bounded
-    state at 100 TB/day event volumes)."""
+    state at 100 TB/day event volumes).
+
+    ``integer_units=True`` sums milli-quantized values as BIGINT instead of
+    rounded doubles: integer addition is order-independent, so the result
+    is bit-identical no matter how micro-batches slice the input — the
+    property that lets a REAL stream run be hash-compared against a batch
+    SQL oracle (q023)."""
+    agg_val = (
+        F.sum(F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).alias("sum_value_milli")
+        if integer_units
+        else F.round(F.sum("value"), RD).alias("sum_value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), RD).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), agg_val)
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_milli" if integer_units else "sum_value",
         )
     )
 
 
-def replay_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+def replay_events_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour", integer_units: bool = False
+) -> DataFrame:
     """Run the events table through a real micro-batch stream (availableNow
     → complete-mode memory sink) and return the final result table."""
     from warcraider_spark.tables import load_table
@@ -79,7 +94,7 @@ def replay_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 h
     ev.write.mode("overwrite").parquet(staged)
 
     stream = stream_events(spark, staged, ev.schema)
-    agg = windowed_counts_stream(stream, watermark)
+    agg = windowed_counts_stream(stream, watermark, integer_units=integer_units)
     name = f"win_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
