@@ -197,3 +197,105 @@ def test_jpeg_decoder_rejects_corruption():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(ValueError, match="baseline"):
         decode_jpeg_pixels(bad)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (functions/mp4.py — q165's real mux/demux pair)
+# ---------------------------------------------------------------------------
+
+
+def _mk_frames(doc_id: int, n: int):
+    from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
+
+    w, h = jpeg_dims(doc_id)
+    return [encode_jpeg_gray(doc_id + 12 * f) for f in range(n)], w, h
+
+
+def test_mp4_roundtrip_single_chunk():
+    from warcraider_spark.functions.mp4 import demux_mp4, mux_mjpeg_mp4
+
+    frames, w, h = _mk_frames(7, 4)
+    info = demux_mp4(mux_mjpeg_mp4(frames, w, h, delta_ms=40))
+    assert info["brand"] == "isom"
+    assert info["handler"] == "vide"
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["timescale"] == 1000 and info["duration"] == 4 * 40
+    assert info["sample_deltas"] == [40] * 4
+    assert info["samples"] == frames  # byte-exact sample extraction
+
+
+def test_mp4_multi_chunk_stsc_resolution():
+    """samples_per_chunk=2 with an odd frame count forces two stsc runs
+    and a short final chunk — the general §8.7.4 resolution path."""
+    from warcraider_spark.functions.mp4 import demux_mp4, mux_mjpeg_mp4
+
+    frames, w, h = _mk_frames(13, 5)
+    payload = mux_mjpeg_mp4(frames, w, h, delta_ms=33, samples_per_chunk=2)
+    info = demux_mp4(payload)
+    assert info["n_samples"] == 5
+    assert info["samples"] == frames
+    assert info["duration"] == 5 * 33
+
+
+def test_mp4_largesize_and_to_eof_boxes():
+    """Demuxer handles 64-bit largesize and size==0 (extends to EOF)."""
+    import struct
+
+    from warcraider_spark.functions.mp4 import demux_mp4, mux_mjpeg_mp4
+
+    frames, w, h = _mk_frames(2, 2)
+    payload = mux_mjpeg_mp4(frames, w, h)
+    # rewrite ftyp with a 64-bit largesize header (shifts mdat by 8 — so
+    # patch stco too: single chunk, offset field at a known layout)
+    ftyp_size = struct.unpack(">I", payload[0:4])[0]
+    ftyp = payload[:ftyp_size]
+    rest = payload[ftyp_size:]
+    big_ftyp = struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 8 + len(ftyp)) + ftyp[8:]
+    shifted = big_ftyp + rest
+    # fix the single stco offset (+8)
+    co = shifted.rfind(b"stco")
+    (old_off,) = struct.unpack(">I", shifted[co + 12 : co + 16])
+    shifted = shifted[: co + 12] + struct.pack(">I", old_off + 8) + shifted[co + 16 :]
+    info = demux_mp4(shifted)
+    assert info["samples"] == frames
+    # size==0 moov: moov is the last top-level box, so "to EOF" is legal
+    moov_at = payload.rfind(b"moov") - 4
+    zeroed = payload[:moov_at] + struct.pack(">I", 0) + payload[moov_at + 4 :]
+    assert demux_mp4(zeroed)["samples"] == frames
+
+
+def test_mp4_frame_stats_integer_exact():
+    from warcraider_spark.functions.mp4 import mp4_frame_stats, mux_mjpeg_mp4
+
+    d, nf = 9, 3
+    frames, w, h = _mk_frames(d, nf)
+    stats = mp4_frame_stats(mux_mjpeg_mp4(frames, w, h, delta_ms=40))
+
+    def dec(v):
+        dd = v - 128
+        s = (abs(dd) + 1) // 2 * (1 if dd >= 0 else -1)
+        return min(max(2 * s + 128, 0), 255)
+
+    wb, hb = w // 8, h // 8
+    exp = sum(
+        64 * dec((d + 12 * f + 5 * bx + 11 * by) % 256)
+        for f in range(nf)
+        for bx in range(wb)
+        for by in range(hb)
+    )
+    assert stats["pixel_sum"] == exp
+    assert stats["n_frames"] == nf and stats["duration_ms"] == nf * 40
+
+
+def test_mp4_rejects_corruption():
+    import pytest as _pytest
+
+    from warcraider_spark.functions.mp4 import demux_mp4, mux_mjpeg_mp4
+
+    frames, w, h = _mk_frames(1, 2)
+    payload = mux_mjpeg_mp4(frames, w, h)
+    with _pytest.raises(ValueError, match="no moov"):
+        demux_mp4(payload[: payload.rfind(b"moov") - 4])
+    with _pytest.raises(ValueError, match="corrupt box"):
+        demux_mp4(b"\x00\x00\x00\x03xxxx")

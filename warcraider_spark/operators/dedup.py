@@ -1153,3 +1153,90 @@ def q149_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out eval set)
+# ---------------------------------------------------------------------------
+
+DECONTAM_MIN_OVERLAP = 3
+
+
+@query(
+    "q166_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+),
+eval_grams AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, gram FROM sh WHERE doc_id % 17 <> 0),
+agg AS (
+  SELECT t.doc_id,
+         COUNT(*) AS total_grams,
+         SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS overlap_grams
+  FROM train t LEFT JOIN eval_grams e ON t.gram = e.gram
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(total_grams AS BIGINT) AS total_grams,
+       CAST(overlap_grams AS BIGINT) AS overlap_grams,
+       CAST(overlap_grams * 1000 // total_grams AS BIGINT) AS contam_milli
+FROM agg
+WHERE overlap_grams >= {DECONTAM_MIN_OVERLAP}
+ORDER BY doc_id
+""",
+    tags=("dedup", "decontamination", "llm-pipeline"),
+    min_rows=1,
+)
+def q166_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-RATE decontamination, completing q112's flag.
+
+    q112 answers "does this doc share any benchmark n-gram?" (inner
+    join, binary drop list). The standard pipeline also needs the
+    fraction-based rule (cf. GPT-3 App. C's 13-gram rule and PaLM §6.5,
+    which drop on overlap FRACTION, not presence): this query reports,
+    per training doc, total distinct grams, grams also present in the
+    eval set, and the contamination rate in milli-units, thresholded at
+    K=3 shared grams (3-token shingles; K and n scaled to the corpus).
+    That needs a different plan than q112: a LEFT join so misses still
+    count toward the denominator, with total and overlap folded into ONE
+    aggregation pass instead of a count-join-count re-scan.
+
+    Eval set = every 17th document (a stand-in benchmark suite).
+
+    Scale shape — the one that matters at 100 TB: the eval-gram set is
+    BROADCAST (benchmark suites are ~MBs against a ~100 TB corpus), so
+    the contamination probe is a map-side hash lookup on the training
+    explode; the only shuffle is the per-doc groupBy on uniform doc_id
+    keys. The corpus-sized side is never re-partitioned by gram — a
+    gram-keyed join would shuffle the whole corpus on skewed stop-gram
+    keys. Left-join + conditional count keeps total and overlap in ONE
+    aggregation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs.select("doc_id", "text")).withColumnRenamed(
+        "shingle", "gram"
+    )
+    eval_grams = (
+        sh.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 17 != 0)
+    probed = train.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("overlap_grams"),
+    )
+    return (
+        agg.filter(F.col("overlap_grams") >= DECONTAM_MIN_OVERLAP)
+        .select(
+            "doc_id",
+            F.col("total_grams").cast("bigint").alias("total_grams"),
+            "overlap_grams",
+            (F.col("overlap_grams") * 1000 / F.col("total_grams"))
+            .cast("bigint")
+            .alias("contam_milli"),
+        )
+        .orderBy("doc_id")
+    )
