@@ -493,7 +493,16 @@ def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the coarse stage streams the corpus once against a
     broadcast query set doing integer multiply-adds on 1-byte codes (8×
     less memory bandwidth than doubles — at 100 TB the scan IS the cost);
-    the exact stage touches 20 rows per query. Quantization is the q009
+    the exact stage touches 20 rows per query. LATE MATERIALIZATION: the
+    coarse output is only the narrow (query_id, neighbor_id, cscore)
+    triplet — the top-20-per-query window never shuffles a vector. The
+    surviving candidate ids (|queries|×20, tiny) are broadcast back
+    against the corpus to fetch neighbor vectors map-side, and query
+    vectors ride the same broadcast as the coarse pass — so the ONLY
+    all-corpus shuffle in the whole query is 12 bytes of ids+score per
+    scanned pair, not two 64-dim double arrays (≈30× fewer shuffle
+    bytes; an earlier draft carried qv/av through the rank window and
+    the shuffle dominated the runtime). Quantization is the q009
     absmax scheme (floor(x/scale*127+0.5), bit-deterministic in both
     engines); integer coarse scores are exact cross-engine, so the
     candidate set — and therefore the oracle hash — is stable. Ties broken
@@ -519,20 +528,35 @@ def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coarse = (
         z.alias("a")
-        .join(F.broadcast(qs.alias("q")), F.col("a.vec_id") != F.col("q.vec_id"))
+        .join(
+            F.broadcast(qs.select("vec_id", "q8").alias("q")),
+            F.col("a.vec_id") != F.col("q.vec_id"),
+        )
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("a.vec_id").alias("neighbor_id"),
             idot(F.col("q.q8"), F.col("a.q8")).alias("cscore"),
-            F.col("q.v").alias("qv"),
-            F.col("q.nrm").alias("qnrm"),
-            F.col("a.v").alias("av"),
-            F.col("a.nrm").alias("anrm"),
         )
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("neighbor_id"))
-    cand = coarse.withColumn("crnk", F.row_number().over(wc)).filter(F.col("crnk") <= 20)
-    ex = cand.select(
+    cand = (
+        coarse.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    # late materialization: broadcast the tiny candidate id set against the
+    # corpus (map-side vector fetch), query vectors via a second broadcast
+    fetched = z.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("av"), F.col("nrm").alias("anrm")
+    ).join(F.broadcast(cand), "neighbor_id")
+    ex = fetched.join(
+        F.broadcast(
+            qs.select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+            )
+        ),
+        "query_id",
+    ).select(
         "query_id",
         "neighbor_id",
         (F.round(ddot(F.col("qv"), F.col("av")) / (F.col("qnrm") * F.col("anrm")), 6) + 0.0).alias("cosine"),
