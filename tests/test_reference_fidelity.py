@@ -2,8 +2,10 @@
 
 The moneysmart golden compares our single-parser output against the
 reference's own insta snapshot for the fields FIXTURES B3 declares
-comparable (title, links, meta_tags, headings presence); html_errors is
-tidy-subprocess-specific so only its type is checked.
+comparable (title, links, meta_tags, headings presence) — including, as
+of round 3, the full tidy-stderr html_errors CONTENT byte-for-byte
+(functions.html.tidy_diagnostics reproduces the subprocess's message
+text, phase ordering, and tab-expanded line/column accounting).
 """
 
 from __future__ import annotations
@@ -78,6 +80,69 @@ def test_moneysmart_headings(parsed, golden):
 def test_moneysmart_ok_flag(parsed):
     assert parsed["ok"] is True
     assert isinstance(parsed["html_errors"], str)
+
+
+def test_moneysmart_html_errors_content(parsed, golden):
+    # FULL tidy-stderr parity: all 217 warnings — 9 repeated-attribute
+    # drops, 12 CDATA bad-close, 1 link-lacks-rel, 195 empty-<ul> trims —
+    # with tidy's exact message text, phase order, and tab-expanded
+    # line/column numbers (lib.rs:206,240; golden snapshot field)
+    assert parsed["html_errors"] == golden["html_errors"]
+
+
+# --- tidy_diagnostics unit coverage (each warning class in isolation) ------
+
+
+def test_tidy_diag_clean_and_empty():
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    assert tidy_diagnostics("") == ""
+    assert tidy_diagnostics("<p>hello</p>") == ""
+    # attributes exempt an empty element from trimming (tidy CanPrune)
+    assert tidy_diagnostics('<ul class="menu"></ul>') == ""
+
+
+def test_tidy_diag_repeated_attribute():
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    out = tidy_diagnostics('<img src="a" src="b">')
+    assert out == (
+        'line 1 column 1 - Warning: <img> dropping value "a" '
+        'for repeated attribute "src"\n'
+    )
+
+
+def test_tidy_diag_cdata_badclose_and_own_close_ok():
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    # </b inside script content warns; the matching </script does not
+    # '<' of </b at column 19; tidy reports col('<') + len(name) = 20
+    out = tidy_diagnostics("<script>var s = 'x</b>';</script>")
+    assert out == "line 1 column 20 - Warning: '<' + '/' + letter not allowed here\n"
+    assert tidy_diagnostics("<script>var x = 1;</script>") == ""
+
+
+def test_tidy_diag_link_lacks_rel_and_trim_order():
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    # trims report after attribute checks, both after parse-time warnings
+    html = '<link href="a.css">\n<ul>\n</ul>\n<img src="x" src="x">'
+    out = tidy_diagnostics(html)
+    assert out.split("\n")[:-1] == [
+        'line 4 column 1 - Warning: <img> dropping value "x" '
+        'for repeated attribute "src"',
+        'line 1 column 1 - Warning: <link> lacks "rel" attribute',
+        "line 2 column 1 - Warning: trimming empty <ul>",
+    ]
+
+
+def test_tidy_diag_tab_columns():
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    # tab advances to the next multiple-of-8 stop: <ul> lands at column 9
+    assert tidy_diagnostics("\t<ul></ul>") == (
+        "line 1 column 9 - Warning: trimming empty <ul>\n"
+    )
 
 
 # --- FIXTURES B4: make_urls_absolute unit tests ported verbatim ------------

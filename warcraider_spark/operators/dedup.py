@@ -278,12 +278,18 @@ def q003_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 16
 
 
-@query(
-    "q004_simhash_dupes",
-    oracle=f"""
-WITH corpus AS ({DUP_CORPUS_SQL}),
+def _simhash_sketch_sql(bits: int) -> str:
+    """corpus→sketch CTE chain for a ``bits``-wide simhash (q004 uses 16;
+    q169's radius search uses 32 so accidental radius-2 collisions stay
+    rare at corpus scale)."""
+    body = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""corpus AS ({DUP_CORPUS_SQL}),
      tokh AS (
-  SELECT doc_id, {md5_int_sql("tok")} % 65536 AS h
+  SELECT doc_id, {md5_int_sql("tok")} % {1 << bits} AS h
   FROM (
     SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
     FROM corpus
@@ -291,10 +297,34 @@ WITH corpus AS ({DUP_CORPUS_SQL}),
 ),
      sketch AS (
   SELECT doc_id,
-         {" + ".join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))}
+         {body}
          AS simhash
   FROM tokh GROUP BY doc_id
-)
+)"""
+
+
+def _simhash_sketch(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """doc_id → ``bits``-wide simhash sketch (majority vote per bit over
+    distinct-token hashes; one explode + one map-side-combined groupBy)."""
+    tokh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).select("doc_id", (md5_int(F.col("tok")) % (1 << bits)).alias("h"))
+    bit_sums = [
+        F.sum(F.when((F.shiftright(F.col("h"), j).bitwiseAND(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sketch = tokh.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sketch.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@query(
+    "q004_simhash_dupes",
+    oracle=f"""
+WITH {_simhash_sketch_sql(SIMHASH_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sketch a JOIN sketch b
@@ -306,21 +336,8 @@ ORDER BY doc_a, doc_b
 def q004_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
-    the sketch value; a radius-r search unions r bit-flip probes)."""
-    corpus = dup_corpus(spark, sf_dir)
-    tokh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).select("doc_id", (md5_int(F.col("tok")) % 65536).alias("h"))
-    bit_sums = [
-        F.sum(F.when((F.shiftright(F.col("h"), j).bitwiseAND(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sketch = tokh.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    sketch = sketch.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    the sketch value; the radius-r banded search is q169)."""
+    sketch = _simhash_sketch(dup_corpus(spark, sf_dir))
     a = sketch.alias("a")
     b = sketch.alias("b")
     return (
@@ -1239,4 +1256,266 @@ def q166_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contam_milli"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe (incremental dedup at 100 TB)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # filter bits
+BLOOM_WORD = 32  # bits packed per word → BLOOM_M/32 = 256 words
+# k=4 independent positions from one 30-bit base hash (same universal-hash
+# trick as the minhash family above)
+_BLOOM_AB = ((3, 11), (5, 101), (7, 1009), (11, 10007))
+
+_BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
+
+
+@query(
+    "q167_bloom_dedup_probe",
+    oracle=f"""
+WITH base AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+),
+batch AS (
+  SELECT doc_id + 10000 AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         md5(trim(regexp_replace(lower(
+           array_to_string(string_split_regex(trim(text), '\\s+')[2:], ' ')
+         ), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id >= 60 AND doc_id < 120
+),
+baseh AS (
+  SELECT DISTINCT fp, CAST('0x' || substr(fp, 1, 15) AS BIGINT) % {1 << 30} AS h30
+  FROM base
+),
+bloom AS (
+  SELECT pos // {BLOOM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos % {BLOOM_WORD})) AS bits
+  FROM (SELECT unnest([{_BLOOM_POS}]) AS pos FROM baseh)
+  GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, fp, unnest([{_BLOOM_POS}]) AS pos
+  FROM (SELECT doc_id, fp, CAST('0x' || substr(fp, 1, 15) AS BIGINT) % {1 << 30} AS h30
+        FROM batch)
+),
+hits AS (
+  SELECT p.doc_id, p.fp,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << (p.pos % {BLOOM_WORD}))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probe p LEFT JOIN bloom b ON b.word = p.pos // {BLOOM_WORD}
+),
+perdoc AS (
+  SELECT doc_id, fp, CASE WHEN MIN(hit) = 1 THEN 1 ELSE 0 END AS maybe_present
+  FROM hits GROUP BY doc_id, fp
+)
+SELECT d.doc_id,
+       CAST(d.maybe_present AS INT) AS maybe_present,
+       CAST(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+       CASE WHEN e.fp IS NOT NULL THEN 'dup'
+            WHEN d.maybe_present = 1 THEN 'false_positive'
+            ELSE 'new' END AS verdict
+FROM perdoc d LEFT JOIN (SELECT DISTINCT fp FROM base) e ON d.fp = e.fp
+ORDER BY doc_id
+""",
+    tags=("dedup", "bloom", "llm-pipeline"),
+    min_rows=1,
+)
+def q167_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe: the streaming/incremental dedup
+    front door (cf. the reference's blacklist pre-filter idea at
+    blacklist.rs:1-58 — reject early, touch the base corpus never).
+
+    Build: every base-corpus fingerprint sets k=4 bit positions in an
+    m=8192-bit filter, materialized as 256 packed 32-bit words via
+    groupBy(word)+BIT_OR — partial OR runs map-side, so the build is one
+    scan of the base and one tiny shuffle of ≤256×partitions rows. Probe:
+    each batch doc checks its 4 positions against the BROADCAST word
+    table (the filter is m/8 bytes ≈ 1 KB here, ~GBs even for 10^11 docs
+    with m sized properly — always broadcastable); a doc with all k bits
+    set is "maybe present", which the query then labels against exact
+    membership as dup / false_positive / new. No false negatives by
+    construction — the oracle's MIN(hit)=1 per true dup proves it.
+
+    100 TB shape: the base is scanned ONCE to build a constant-size
+    filter; the incoming batch never joins the base at all (the exact
+    label join here exists only to audit the filter's verdict). This is
+    the cheap pre-screen in front of q129's broadcast-key incremental
+    dedup — the filter rejects the overwhelmingly-new majority map-side,
+    and only "maybe" docs proceed to exact verification."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_fp = docs.select(doc_fingerprint("text").alias("fp"))
+    tok = tokens("text")
+    batch = (
+        docs.filter(F.col("doc_id") < 60)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), doc_fingerprint("text").alias("fp"))
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                doc_fingerprint(
+                    F.array_join(F.slice(tok, 2, F.size(tok) - 1), " ")
+                ).alias("fp"),
+            )
+        )
+    )
+
+    def h30(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "h30", F.conv(F.substring("fp", 1, 15), 16, 10).cast("bigint") % (1 << 30)
+        )
+
+    pos_arr = F.array(
+        *[(F.lit(a) * F.col("h30") + F.lit(b)) % BLOOM_M for a, b in _BLOOM_AB]
+    )
+    bloom = (
+        h30(base_fp.distinct())
+        .select(F.explode(pos_arr).alias("pos"))
+        .select(
+            (F.col("pos") / BLOOM_WORD).cast("int").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD} as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = h30(batch).select("doc_id", "fp", F.explode(pos_arr).alias("pos"))
+    hits = probe.join(
+        F.broadcast(bloom), bloom.word == (probe.pos / BLOOM_WORD).cast("int"), "left"
+    ).select(
+        "doc_id",
+        "fp",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(
+                    F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD} as int))")
+                )
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    perdoc = hits.groupBy("doc_id", "fp").agg(
+        F.when(F.min("hit") == 1, 1).otherwise(0).alias("maybe_present")
+    )
+    exact = base_fp.distinct().withColumnRenamed("fp", "efp")
+    return (
+        perdoc.join(F.broadcast(exact), perdoc.fp == exact.efp, "left")
+        .select(
+            "doc_id",
+            F.col("maybe_present").cast("int").alias("maybe_present"),
+            F.when(F.col("efp").isNotNull(), 1).otherwise(0).cast("int").alias("is_dup"),
+            F.when(F.col("efp").isNotNull(), "dup")
+            .when(F.col("maybe_present") == 1, "false_positive")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-radius search (banded, exact-recall)
+# ---------------------------------------------------------------------------
+
+SIMHASH_RADIUS = 2
+SIMHASH_WIDE_BITS = 32  # 2^16 values saturate at corpus scale; 32 bits keep
+# accidental radius-2 collisions ~1e-7 per pair, so candidates ≈ true dups
+# 3 bands over the 32 sketch bits: 11+11+10. Pigeonhole: r=2 differing bits
+# touch at most 2 bands, so every pair within radius 2 agrees on >= 1 band.
+_SIMHASH_BANDS = ((0, 11), (11, 11), (22, 10))
+
+
+@query(
+    "q169_simhash_radius",
+    oracle=f"""
+WITH {_simhash_sketch_sql(SIMHASH_WIDE_BITS)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sketch a JOIN sketch b
+    ON a.doc_id < b.doc_id
+   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(doc_a * 100003 + doc_b) % 9007199254740881 AS BIGINT) AS pair_checksum,
+       CAST(MIN(doc_a) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_b) AS BIGINT) AS last_doc
+FROM pairs
+GROUP BY hamming
+ORDER BY hamming
+""",
+    tags=("dedup", "simhash", "lsh"),
+    min_rows=1,
+)
+def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup at hamming radius ≤ 2 via banded candidate
+    generation — the scale path q004's docstring promises.
+
+    The 32-bit sketch splits into 3 bands (11+11+10 bits); any two
+    sketches within hamming distance 2 differ in at most 2 bands, so they MUST
+    agree on at least one (pigeonhole) — the band-value equi-join has
+    EXACT recall at this radius, never a similarity miss. Candidates are
+    verified with one bit_count(xor), deduped, then folded to per-hamming
+    aggregates (count + order-free pair checksum + id extrema): the
+    synthetic corpus's shared vocabulary makes radius-2 pair LISTS large
+    (1.2M at sf0.1), and collecting those would stress the driver, not
+    the operator — the checksum still pins the exact pair set.
+
+    The oracle is deliberately a DIFFERENT mechanism: DuckDB brute-forces
+    all O(n²) pairs with the hamming predicate. A hash match therefore
+    PROVES the banded plan found exactly the brute-force answer — the
+    recall guarantee is certified, not asserted.
+
+    100 TB shape: the join key is (band_idx, band_value) — uniform under
+    the hash family, cardinality 3 × 2^11 here and widened with the
+    sketch at larger corpora; candidates are O(collisions) and the verify
+    step is per-candidate O(1). The brute quadratic join exists only
+    oracle-side at verify SF."""
+    sketch = _simhash_sketch(dup_corpus(spark, sf_dir), SIMHASH_WIDE_BITS)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << width) - 1)
+            for lo, width in _SIMHASH_BANDS
+        ]
+    )
+    bands = sketch.select("doc_id", "simhash", F.posexplode(band_vals).alias("band", "val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_RADIUS)
+        .distinct()
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.sum(F.col("doc_a") * 100003 + F.col("doc_b")) % F.lit(9007199254740881))
+            .cast("bigint")
+            .alias("pair_checksum"),
+            F.min("doc_a").cast("bigint").alias("first_doc"),
+            F.max("doc_b").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("hamming")
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from warcraider_spark.functions.textfn import md5_int, tokens
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -150,3 +151,111 @@ def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("ks", F.lit(0.95)), 4).alias("p95"),
         F.round(F.kll_sketch_get_rank_double("ks", F.lit(50.0)), 4).alias("rank_of_50"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation over a token stream)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # depth: independent hash rows
+CMS_W = 512  # width: counters per row
+# universal-hash family per row over the shared 30-bit token hash
+_CMS_AB = ((3, 17), (5, 257), (7, 4099), (11, 65539))
+
+
+@query(
+    "q168_countmin_freq",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+tokh AS (
+  SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {1 << 30} AS h30
+  FROM toks
+),
+cms AS (
+  SELECT row_i, pos, COUNT(*) AS cnt
+  FROM (
+    SELECT unnest([{", ".join(f"{i}" for i in range(CMS_D))}]) AS row_i,
+           unnest([{", ".join(f"({a} * h30 + {b}) % {CMS_W}" for a, b in _CMS_AB)}]) AS pos
+    FROM tokh
+  )
+  GROUP BY row_i, pos
+),
+probes AS (
+  SELECT tok, MIN(h30) AS h30, COUNT(*) AS exact_cnt
+  FROM tokh GROUP BY tok HAVING COUNT(*) >= 40
+),
+est AS (
+  SELECT p.tok, p.exact_cnt,
+         MIN(c.cnt) AS cm_estimate
+  FROM (
+    SELECT tok, exact_cnt,
+           unnest([{", ".join(f"{i}" for i in range(CMS_D))}]) AS row_i,
+           unnest([{", ".join(f"({a} * h30 + {b}) % {CMS_W}" for a, b in _CMS_AB)}]) AS pos
+    FROM probes
+  ) p JOIN cms c ON c.row_i = p.row_i AND c.pos = p.pos
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_cnt AS BIGINT) AS overestimate
+FROM est
+ORDER BY tok
+""",
+    tags=("sketch", "countmin", "llm-pipeline"),
+    min_rows=1,
+)
+def q168_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: d=4 hash rows ×
+    w=512 counters, probed for every token whose true frequency ≥ 40,
+    reporting exact count, CM estimate, and the (always ≥ 0) collision
+    overestimate — the oracle hash certifies the one-sided error bound,
+    not just "some estimate came back".
+
+    Why CMS at 100 TB: the sketch is a CONSTANT-SIZE (d×w) mergeable
+    partial aggregate — per-partition updates combine map-side through
+    the same groupBy(row,pos) SUM that merges per-day sketches into
+    months without rescanning raw data. Point queries then probe d cells
+    against the BROADCAST table instead of shuffling the corpus per key
+    (the heavy-hitter twin q147 re-scans; the sketch answers from
+    kilobytes). Same one-base-hash universal family as the minhash/bloom
+    operators (dedup.py:145) — one md5 per token, d derived positions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokh = docs.select(F.explode(tokens("text")).alias("tok")).select(
+        "tok", (md5_int(F.col("tok")) % (1 << 30)).alias("h30")
+    )
+    row_pos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                ((F.lit(a) * F.col("h30") + F.lit(b)) % CMS_W).alias("pos"),
+            )
+            for i, (a, b) in enumerate(_CMS_AB)
+        ]
+    )
+    cms = (
+        tokh.select(F.explode(row_pos).alias("rp"))
+        .groupBy(F.col("rp.row_i").alias("row_i"), F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        tokh.groupBy("tok")
+        .agg(F.min("h30").alias("h30"), F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= 40)
+    )
+    est = (
+        probes.select("tok", "exact_cnt", F.explode(row_pos).alias("rp"))
+        .select("tok", "exact_cnt", F.col("rp.row_i").alias("row_i"), F.col("rp.pos").alias("pos"))
+        .join(F.broadcast(cms), ["row_i", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    ).orderBy("tok")
