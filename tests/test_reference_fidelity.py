@@ -206,3 +206,30 @@ def test_rake_last_wins_duplicate():
 
 def test_rake_empty():
     assert rake_text("") == {}
+
+
+def test_tidy_diag_edge_cases():
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    # comments are masked — tags inside never parse
+    assert td("<!-- <ul></ul> -->") == ""
+    # style is CDATA too, case-insensitive; col = col('<') + len(name)
+    assert td("<STYLE>a { content: '</b>' }</STYLE>") == (
+        "line 1 column 23 - Warning: '<' + '/' + letter not allowed here\n"
+    )
+    # a self-closed <ul/> is not an empty open/close pair
+    assert td("<ul/>") == ""
+    # an element with a child is never trimmed; a nested empty leaf is
+    assert td("<ul><li>x</li></ul>") == ""
+    assert td("<ul><ul></ul></ul>") == (
+        "line 1 column 5 - Warning: trimming empty <ul>\n"
+    )
+    # attribute values may contain '<' without starting a tag
+    assert td("<p foo='a<b' foo='c'>") == (
+        'line 1 column 1 - Warning: <p> dropping value "a<b" '
+        'for repeated attribute "foo"\n'
+    )
+    # script-own close is fine even when the open tag has attributes
+    assert td("<script src='x'>var a='</i>';</script>") == (
+        "line 1 column 25 - Warning: '<' + '/' + letter not allowed here\n"
+    )

@@ -33,6 +33,12 @@ QUERIES = [
     # constant-factor regressions hide
     "q037_bpe_merge_train",
     "q016_ivf_topk_search",
+    # r3 round-3 families: bloom probe is the broadcast-filter shape,
+    # simhash radius is the banded-candidate shape — both must stay
+    # sub-linear in candidates as the corpus grows
+    "q167_bloom_dedup_probe",
+    "q169_simhash_radius",
+    "q168_countmin_freq",
 ]
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()

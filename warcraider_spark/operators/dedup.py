@@ -1325,6 +1325,7 @@ FROM perdoc d LEFT JOIN (SELECT DISTINCT fp FROM base) e ON d.fp = e.fp
 ORDER BY doc_id
 """,
     tags=("dedup", "bloom", "llm-pipeline"),
+    bench=True,
     min_rows=1,
 )
 def q167_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,6 +1455,7 @@ GROUP BY hamming
 ORDER BY hamming
 """,
     tags=("dedup", "simhash", "lsh"),
+    bench=True,
     min_rows=1,
 )
 def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
