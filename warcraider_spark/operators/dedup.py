@@ -1447,7 +1447,7 @@ pairs AS (
 )
 SELECT CAST(hamming AS BIGINT) AS hamming,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(SUM(doc_a * 100003 + doc_b) % 9007199254740881 AS BIGINT) AS pair_checksum,
+       CAST(SUM((doc_a * 100003 + doc_b) % 1000003) AS BIGINT) AS pair_checksum,
        CAST(MIN(doc_a) AS BIGINT) AS first_doc,
        CAST(MAX(doc_b) AS BIGINT) AS last_doc
 FROM pairs
@@ -1513,7 +1513,11 @@ def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("hamming")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            (F.sum(F.col("doc_a") * 100003 + F.col("doc_b")) % F.lit(9007199254740881))
+            # per-term mod keeps the order-free checksum exact in int64:
+            # terms < 1e6, so the SUM is overflow-safe to ~9e12 pairs
+            # (summing raw doc_a*100003+doc_b overflowed at 8x replication
+            # in tools/scale_bench.py — doc_ids ~8e6 x ~77M pairs)
+            F.sum((F.col("doc_a") * 100003 + F.col("doc_b")) % 1000003)
             .cast("bigint")
             .alias("pair_checksum"),
             F.min("doc_a").cast("bigint").alias("first_doc"),
