@@ -497,3 +497,10 @@ def test_simhash_radius_band_join_is_equi(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+    # exactly-once pair emission is a per-row bit test, never a
+    # (doc_a, doc_b)-keyed distinct: a re-shuffle of the candidate set
+    # is the quadratic-at-8x shape SCALE.md §10 measured at 80s
+    assert "hashpartitioning(doc_a" not in plan, (
+        "q169 candidate pairs re-shuffled for dedup — the first-matching-"
+        "band filter regressed to a distinct()"
+    )

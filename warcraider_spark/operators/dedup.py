@@ -24,7 +24,7 @@ All native expressions — no Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions.textfn import (
@@ -1466,11 +1466,23 @@ def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches within hamming distance 2 differ in at most 2 bands, so they MUST
     agree on at least one (pigeonhole) — the band-value equi-join has
     EXACT recall at this radius, never a similarity miss. Candidates are
-    verified with one bit_count(xor), deduped, then folded to per-hamming
-    aggregates (count + order-free pair checksum + id extrema): the
-    synthetic corpus's shared vocabulary makes radius-2 pair LISTS large
-    (1.2M at sf0.1), and collecting those would stress the driver, not
-    the operator — the checksum still pins the exact pair set.
+    verified with one bit_count(xor) and folded to per-hamming aggregates
+    (count + order-free pair checksum + id extrema): the synthetic
+    corpus's shared vocabulary makes radius-2 pair LISTS large (1.2M at
+    sf0.1), and collecting those would stress the driver, not the
+    operator — the checksum still pins the exact pair set.
+
+    Exactly-once emission WITHOUT a distinct: a pair within the radius
+    can agree on up to 3 bands, so the naive plan dedupes candidates with
+    a (doc_a, doc_b)-keyed shuffle — at 8x replication that shuffle moves
+    the full quadratic candidate set (~270M rows) and dominates runtime.
+    Instead each pair is kept only at its LOWEST agreeing band index,
+    decided by a constant-time bit test on the two simhashes already in
+    the join row (band j values differ for all j < matched band) — the
+    dedup cost moves from a corpus-pairs shuffle to a per-row predicate.
+    Both explode sides are repartitioned on the (band, val) join key so
+    the self-join reuses ONE shuffled sketch subplan (ReusedExchange)
+    instead of broadcasting a corpus-sized build side.
 
     The oracle is deliberately a DIFFERENT mechanism: DuckDB brute-forces
     all O(n²) pairs with the hamming predicate. A hash match therefore
@@ -1489,9 +1501,22 @@ def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lo, width in _SIMHASH_BANDS
         ]
     )
-    bands = sketch.select("doc_id", "simhash", F.posexplode(band_vals).alias("band", "val"))
+    bands = sketch.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "val")
+    ).repartition("band", "val")
     a = bands.alias("a")
     b = bands.alias("b")
+
+    def _bandv(col: Column, lo: int, width: int) -> Column:
+        return F.shiftright(col, lo).bitwiseAND((1 << width) - 1)
+
+    sa, sb = F.col("a.simhash"), F.col("b.simhash")
+    first_match = F.lit(False)
+    for i, (_lo, _w) in enumerate(_SIMHASH_BANDS):
+        cond = F.col("a.band") == i
+        for lj, wj in _SIMHASH_BANDS[:i]:
+            cond = cond & (_bandv(sa, lj, wj) != _bandv(sb, lj, wj))
+        first_match = first_match | cond
     pairs = (
         a.join(
             b,
@@ -1499,15 +1524,13 @@ def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("bigint")
-            .alias("hamming"),
+            F.bit_count(sa.bitwiseXOR(sb)).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_RADIUS)
-        .distinct()
     )
     return (
         pairs.groupBy("hamming")

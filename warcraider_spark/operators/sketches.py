@@ -205,6 +205,7 @@ FROM est
 ORDER BY tok
 """,
     tags=("sketch", "countmin", "llm-pipeline"),
+    bench=True,
     min_rows=1,
 )
 def q168_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
