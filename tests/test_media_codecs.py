@@ -133,7 +133,7 @@ def test_ppm_stream_parser_rejects_bad_frame():
 def test_jpeg_dc_quantization_matches_integer_formula_exhaustively():
     """Every gray value 0..255 as a constant block: the float fDCT +
     guarded rounding must reproduce decoded = clamp(2*half_away((v-128)/2)
-    + 128) — the exact formula the q164 DuckDB oracle replays."""
+    + 128) — the exact formula the q029 DuckDB oracle replays."""
     import numpy as np
 
     from warcraider_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
@@ -200,7 +200,7 @@ def test_jpeg_decoder_rejects_corruption():
 
 
 # ---------------------------------------------------------------------------
-# MP4 / ISO-BMFF (functions/mp4.py — q165's real mux/demux pair)
+# MP4 / ISO-BMFF (functions/mp4.py — q030's real mux/demux pair)
 # ---------------------------------------------------------------------------
 
 

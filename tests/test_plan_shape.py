@@ -466,10 +466,10 @@ def test_concat_chunk_corpus_window_is_bucketed(spark):
 
 
 def test_bloom_probe_filter_is_broadcast(spark):
-    """q167: both the bloom word-table probe and the exact-membership
+    """q032: both the bloom word-table probe and the exact-membership
     audit must ride BROADCAST joins — the batch is never shuffled against
     the base, and nothing may fall back to SMJ or a cartesian."""
-    df = all_specs()["q167_bloom_dedup_probe"].builder(spark, SF_CORRECT)
+    df = all_specs()["q032_bloom_dedup_probe"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
@@ -477,20 +477,20 @@ def test_bloom_probe_filter_is_broadcast(spark):
 
 
 def test_countmin_probe_is_broadcast(spark):
-    """q168: the d×w counter table is constant-size; the point-query
+    """q033: the d×w counter table is constant-size; the point-query
     probe must broadcast it, never shuffle the probe set by cell key."""
-    df = all_specs()["q168_countmin_freq"].builder(spark, SF_CORRECT)
+    df = all_specs()["q033_countmin_freq"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_simhash_radius_band_join_is_equi(spark):
-    """q169: candidate generation must be the (band, value) EQUI
+    """q036: candidate generation must be the (band, value) EQUI
     self-join — a BroadcastNestedLoopJoin or CartesianProduct means the
     hamming predicate leaked into the join and the plan went all-pairs
     (that quadratic form exists only oracle-side)."""
-    df = all_specs()["q169_simhash_radius"].builder(spark, SF_CORRECT)
+    df = all_specs()["q036_simhash_radius"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -501,6 +501,6 @@ def test_simhash_radius_band_join_is_equi(spark):
     # (doc_a, doc_b)-keyed distinct: a re-shuffle of the candidate set
     # is the quadratic-at-8x shape SCALE.md §10 measured at 80s
     assert "hashpartitioning(doc_a" not in plan, (
-        "q169 candidate pairs re-shuffled for dedup — the first-matching-"
+        "q036 candidate pairs re-shuffled for dedup — the first-matching-"
         "band filter regressed to a distinct()"
     )

@@ -36,9 +36,9 @@ QUERIES = [
     # r3 round-3 families: bloom probe is the broadcast-filter shape,
     # simhash radius is the banded-candidate shape — both must stay
     # sub-linear in candidates as the corpus grows
-    "q167_bloom_dedup_probe",
-    "q169_simhash_radius",
-    "q168_countmin_freq",
+    "q032_bloom_dedup_probe",
+    "q036_simhash_radius",
+    "q033_countmin_freq",
 ]
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()

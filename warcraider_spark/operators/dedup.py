@@ -280,7 +280,7 @@ SIMHASH_BITS = 16
 
 def _simhash_sketch_sql(bits: int) -> str:
     """corpus→sketch CTE chain for a ``bits``-wide simhash (q004 uses 16;
-    q169's radius search uses 32 so accidental radius-2 collisions stay
+    q036's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -336,7 +336,7 @@ ORDER BY doc_a, doc_b
 def q004_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
-    the sketch value; the radius-r banded search is q169)."""
+    the sketch value; the radius-r banded search is q036)."""
     sketch = _simhash_sketch(dup_corpus(spark, sf_dir))
     a = sketch.alias("a")
     b = sketch.alias("b")
@@ -1180,7 +1180,7 @@ DECONTAM_MIN_OVERLAP = 3
 
 
 @query(
-    "q166_decontaminate",
+    "q031_decontaminate",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
@@ -1206,7 +1206,7 @@ ORDER BY doc_id
     tags=("dedup", "decontamination", "llm-pipeline"),
     min_rows=1,
 )
-def q166_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-RATE decontamination, completing q112's flag.
 
     q112 answers "does this doc share any benchmark n-gram?" (inner
@@ -1273,7 +1273,7 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
 
 
 @query(
-    "q167_bloom_dedup_probe",
+    "q032_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
@@ -1328,7 +1328,7 @@ ORDER BY doc_id
     bench=True,
     min_rows=1,
 )
-def q167_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe: the streaming/incremental dedup
     front door (cf. the reference's blacklist pre-filter idea at
     blacklist.rs:1-58 — reject early, touch the base corpus never).
@@ -1435,7 +1435,7 @@ _SIMHASH_BANDS = ((0, 11), (11, 11), (22, 10))
 
 
 @query(
-    "q169_simhash_radius",
+    "q036_simhash_radius",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_WIDE_BITS)},
 pairs AS (
@@ -1458,7 +1458,7 @@ ORDER BY hamming
     bench=True,
     min_rows=1,
 )
-def q169_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
     generation — the scale path q004's docstring promises.
 

@@ -15,10 +15,10 @@ them through Arrow, and the decode stage parses the actual formats
 real pixel/sample data — hash-verified against the oracle's analytic
 expectations. q151 adds a REAL PNG codec (stdlib zlib — signature,
 CRC-verified chunk walk, IHDR validation, inflate, and full unfiltering
-of all five scanline filter types), and q164 a REAL baseline JPEG codec
+of all five scanline filter types), and q029 a REAL baseline JPEG codec
 (functions/jpeg.py: fDCT, Annex K quant + Huffman tables, byte-stuffed
 entropy coding, general decoder), so the image path covers the
-entropy-coded production format end-to-end. q165 closes the set with a
+entropy-coded production format end-to-end. q030 closes the set with a
 REAL MP4 container (functions/mp4.py: ISO-BMFF mux/demux, full sample
 tables) carrying Motion-JPEG samples decoded by the real JPEG decoder —
 no stubbed codec remains. q027's modality-generic ``decode_media``
@@ -372,8 +372,8 @@ def q113_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: payload bytes exist only between the two Python stages
     and are dropped before any shuffle; both stages are map-only over
     Arrow record batches (bounded by spark.sql.execution.arrow
-    .maxRecordsPerBatch). jpeg is real too (q164, functions/jpeg.py) and
-    mp4 as well (q165, functions/mp4.py) — no stubbed codec remains."""
+    .maxRecordsPerBatch). jpeg is real too (q029, functions/jpeg.py) and
+    mp4 as well (q030, functions/mp4.py) — no stubbed codec remains."""
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
@@ -1001,7 +1001,7 @@ def q153_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q164_jpeg_codec_roundtrip",
+    "q029_jpeg_codec_roundtrip",
     oracle="""
 WITH img AS (
   SELECT doc_id,
@@ -1032,14 +1032,14 @@ FROM px ORDER BY media_id
 """,
     tags=("multimodal", "codec", "jpeg", "mapInPandas"),
 )
-def q164_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG round-trip (functions/jpeg.py): the encode stage
     emits genuine JFIF bytes — Annex K.1 quant table, Annex K.3 canonical
     Huffman tables, float fDCT, zigzag, byte-stuffed entropy data — and
     the decode stage is a general baseline decoder (marker walk, DHT/DQT
     parse, Huffman + EXTEND, dequant, float IDCT, clamp). Retires the
     jpeg stub VERDICT r2 flagged (multimodal.py "jpeg/mp4 remain honest
-    stubs"); q165 then retired mp4 via functions/mp4.py.
+    stubs"); q030 then retired mp4 via functions/mp4.py.
 
     Hash-verifiable despite lossy compression: test images are constant
     per 8x8 block, so the DCT quantization collapses to exact integer
@@ -1101,7 +1101,7 @@ def q164_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q165_mp4_demux_decode",
+    "q030_mp4_demux_decode",
     oracle="""
 WITH vid AS (
   SELECT doc_id,
@@ -1135,7 +1135,7 @@ FROM px ORDER BY media_id
 """,
     tags=("multimodal", "codec", "mp4", "video", "mapInPandas"),
 )
-def q165_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 video round-trip (functions/mp4.py): the encode stage
     muxes genuine Motion-JPEG-in-MP4 files — ftyp/mdat/moov with full
     sample tables (stsd/stts/stsc/stsz/stco) per ISO/IEC 14496-12, each
@@ -1148,7 +1148,7 @@ def q165_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frame f of doc d uses JPEG seed d + 12*f: congruent mod 12 so all
     frames share the track's declared dims, while block values differ
     per frame — the DuckDB oracle replays the exact integer decode (see
-    q164's determinism story). Alternate docs are muxed multi-chunk
+    q029's determinism story). Alternate docs are muxed multi-chunk
     (samples_per_chunk=2) so the demuxer's general chunk-offset walk is
     exercised on the oracle path, not just in unit tests.
 

@@ -682,7 +682,7 @@ def q069_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q036_array_set_funcs",
+    "q169_array_set_funcs",
     oracle="""
 SELECT doc_id,
        array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:5], '|') AS first_tokens,
@@ -693,12 +693,12 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def q036_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q169_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_distinct + array_sort + slice — the reference's
     sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417).
 
     The sliced array is emitted '|'-joined: the driver's canonicalizer
-    pandas-sorts result columns and crashes on list values (r1 q036 err)."""
+    pandas-sorts result columns and crashes on list values (r1 q169 err)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     toks = F.array_distinct(F.split(F.lower("text"), " "))
     return (

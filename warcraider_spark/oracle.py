@@ -15,7 +15,7 @@ harness now mirrors the driver's canonicalizer exactly:
   which masked exactly the q038/q039/q040 driver failures.)
 - array/map/struct-typed result columns **raise** instead of being
   canonicalized: the driver's pandas ``sort_values`` crashes on them
-  (q036's ``unhashable type: 'list'``), so a query emitting one can never
+  (q169's ``unhashable type: 'list'``), so a query emitting one can never
   be driver-green — serialize to string on both sides instead.
 """
 
