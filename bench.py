@@ -59,6 +59,22 @@ def main() -> None:
         timings[name] = round(reps[len(reps) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # Stable round-over-round comparator: the round-1 10-query subset.
+    # The headline total grows as the bench set widens, so cross-round
+    # drift is only meaningful on this frozen subset (VERDICT r3 #3).
+    comparable = [
+        "q001_exact_dedup_groups",
+        "q003_minhash_lsh_pairs",
+        "q007_training_data_pipeline",
+        "q011_cosine_topk_bruteforce",
+        "q020_tumbling_window",
+        "q041_rake_keywords",
+        "q051_pricing_summary",
+        "q055_star_join_revenue",
+        "q060_topk_per_group",
+        "q080_token_stats",
+    ]
+    comparable_total = round(sum(timings[q] for q in comparable if q in timings), 3)
     print(
         json.dumps(
             {
@@ -66,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "comparable_subset": comparable_total,
                 "sf": sf_dir,
             }
         )

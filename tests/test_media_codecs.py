@@ -299,3 +299,39 @@ def test_mp4_rejects_corruption():
         demux_mp4(payload[: payload.rfind(b"moov") - 4])
     with _pytest.raises(ValueError, match="corrupt box"):
         demux_mp4(b"\x00\x00\x00\x03xxxx")
+
+
+def test_decode_media_sniffs_and_dispatches_real_codecs():
+    """q027's modality-generic path: magic-byte sniffing routes to the
+    real JPEG/WAV/MP4 decoders; features come from the bitstream."""
+    from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
+    from warcraider_spark.functions.mp4 import mux_mjpeg_mp4
+    from warcraider_spark.operators.multimodal import decode_media
+
+    # JPEG: dims from the SOF header, mean from the decoded plane
+    d = 9
+    m = decode_media(encode_jpeg_gray(d))
+    w, h = jpeg_dims(d)
+    assert m["detected"] == "jpeg"
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 1)
+    assert m["n_units"] == w * h and m["content_milli"] is not None
+
+    # WAV: sample count from the data chunk, RMS of a constant = amp
+    m = decode_media(encode_wav(123, 4567))
+    assert m["detected"] == "wav"
+    assert m["n_units"] == 4567 % 2000 + 100
+    assert m["content_milli"] == 123 * 16 * 1000
+
+    # MP4: frame count from the stsz sample table, dims from stsd
+    d = 14
+    w, h = jpeg_dims(d)
+    frames = [encode_jpeg_gray(d + 12 * f) for f in range(3)]
+    m = decode_media(mux_mjpeg_mp4(frames, w, h))
+    assert m["detected"] == "mp4"
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 3)
+    assert m["n_units"] == 3 * w * h
+
+    # unknown magic → honest opaque fallback (byte stats only)
+    m = decode_media(b"\x00\x01\x02 not a known container")
+    assert m["detected"] == "opaque"
+    assert m["n_units"] == 25 and m["content_milli"] is None

