@@ -1528,15 +1528,23 @@ def q036_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall guarantee is certified, not asserted.
 
     100 TB shape: the join key is (band_idx, band_value) — uniform under
-    the hash family, cardinality 3 × 2^11 here and widened with the
-    sketch at larger corpora; candidates are O(collisions) and the verify
-    step is per-candidate O(1). The brute quadratic join exists only
-    oracle-side at verify SF."""
-    sketch = _simhash_sketch(dup_corpus(spark, sf_dir), SIMHASH_WIDE_BITS)
+    the hash family; candidates are O(collisions) and the verify step is
+    per-candidate O(1). Since round 4 the band width is COUPLED to corpus
+    size (simhash_band_plan: one cheap metadata count, then width grows
+    with log2(n) so expected distinct-sketch occupancy per band bucket
+    stays <= 2^SIMHASH_BUCKET_LOG2; at every driver SF the rule
+    reproduces exactly the 32-bit/(11,11,10) layout the static oracle
+    replays — pinned by tests/test_simhash_band_plan.py). The brute
+    quadratic join exists only oracle-side at verify SF."""
+    corpus = dup_corpus(spark, sf_dir)
+    # one count() against parquet metadata — production would read table
+    # stats; the plan must know n BEFORE choosing the band layout
+    bits, band_layout = simhash_band_plan(corpus.count())
+    sketch = _simhash_sketch(corpus, bits)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << width) - 1)
-            for lo, width in _SIMHASH_BANDS
+            for lo, width in band_layout
         ]
     )
     bands = sketch.select(
@@ -1550,9 +1558,9 @@ def q036_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sa, sb = F.col("a.simhash"), F.col("b.simhash")
     first_match = F.lit(False)
-    for i, (_lo, _w) in enumerate(_SIMHASH_BANDS):
+    for i, (_lo, _w) in enumerate(band_layout):
         cond = F.col("a.band") == i
-        for lj, wj in _SIMHASH_BANDS[:i]:
+        for lj, wj in band_layout[:i]:
             cond = cond & (_bandv(sa, lj, wj) != _bandv(sb, lj, wj))
         first_match = first_match | cond
     pairs = (
