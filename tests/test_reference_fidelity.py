@@ -233,3 +233,44 @@ def test_tidy_diag_edge_cases():
     assert td("<script src='x'>var a='</i>';</script>") == (
         "line 1 column 25 - Warning: '<' + '/' + letter not allowed here\n"
     )
+
+
+# --- strict-parse trigger parity (lib.rs:193-207; VERDICT r3 #5) ----------
+
+
+def test_strict_pass_suppresses_diagnostics():
+    """A page the strict first pass accepts reports html_errors == ""
+    even when tidy-level warnings exist — tidy never runs upstream."""
+    from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
+
+    # well-formed XHTML-style page carrying a tidy-class warning
+    # (<link> lacks rel) — strict parse succeeds, so NO diagnostics
+    clean = (
+        "<html><head><title>t</title><link href=\"a.css\"/></head>"
+        "<body><p>hello</p><ul></ul></body></html>"
+    )
+    assert strict_parse_ok(clean)
+    assert parse_html_py(clean)["html_errors"] == ""
+
+
+def test_strict_fail_paths_emit_diagnostics():
+    from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
+
+    # mismatched end tag
+    assert not strict_parse_ok("<html><p>x</div></html>")
+    # EOF with open elements (HTML void style — quick-xml knows no voids)
+    assert not strict_parse_ok("<html><body><br><ul></ul></body></html>")
+    # the diagnostics themselves still flow for a failing page
+    bad = "<html><body><br><ul></ul></body></html>"
+    assert "trimming empty <ul>" in parse_html_py(bad)["html_errors"]
+    # comments don't confuse the strict scan
+    assert strict_parse_ok("<html><!-- <p> --><body><p>x</p></body></html>")
+
+
+def test_moneysmart_fails_strict():
+    """The golden page must keep taking the tidy path (real-web HTML
+    with unclosed voids always fails the strict first pass)."""
+    from warcraider_spark.functions.html import strict_parse_ok
+
+    html = (REF / "moneysmart.htm").read_text(errors="replace")
+    assert not strict_parse_ok(html)

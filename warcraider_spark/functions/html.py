@@ -39,11 +39,11 @@ repeated-attribute drops, ``'<' + '/' + letter`` inside CDATA content,
 ``<link>`` lacking ``rel``, and empty-element trims — with tidy's own
 message text, ordering (parse-time warnings in document order, then
 attribute checks, then trims) and tab-expanded (tabstop 8) line/column
-accounting, verified byte-for-byte against the golden snapshot. One
-divergence remains by design: the reference leaves html_errors empty when
-its strict first-pass parse succeeds (tidy never runs); our single-parser
-design computes diagnostics unconditionally, so a defective page the
-strict parser happened to accept gets diagnostics here but "" there.
+accounting, verified byte-for-byte against the golden snapshot. The
+trigger condition matches too (round 4): ``strict_parse_ok`` replays the
+strict quick-xml first pass, and diagnostics are emitted only when it
+fails — a page the strict parser accepts reports "" exactly like the
+reference (tidy never runs, lib.rs:193-207).
 
 The oversize guard (>2 MB skips parsing, main.rs:376-381) lives in
 plans.pipeline as a native ``when()`` OUTSIDE the UDF, so Catalyst short-
@@ -73,6 +73,7 @@ __all__ = [
     "parse_html_udf",
     "empty_html_result",
     "tidy_diagnostics",
+    "strict_parse_ok",
 ]
 
 HTML_RESULT_SCHEMA = StructType(
@@ -128,7 +129,6 @@ class _Extractor(HTMLParser):
         self.links: list[str] = []
         self.resources: list[str] = []
         self.meta: dict[str, str] = {}
-        self.errors: list[str] = []
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag == "meta":
@@ -190,8 +190,6 @@ class _Extractor(HTMLParser):
         if self.in_body:
             self.text.append(txt)
 
-    def error(self, message: str) -> None:  # pragma: no cover
-        self.errors.append(message)
 
 
 # ---------------------------------------------------------------------------
@@ -246,14 +244,35 @@ def tidy_diagnostics(raw_html: str) -> str:
         return ""
     n = len(raw_html)
 
-    # line/col with tab expansion, resolved in one linear precomputation
-    def _linecol(pos: int) -> tuple[int, int]:
-        nl = raw_html.rfind("\n", 0, pos)
-        line = raw_html.count("\n", 0, pos) + 1
-        col = 1
-        for ch in raw_html[nl + 1 : pos]:
-            col = ((col - 1) // 8 + 1) * 8 + 1 if ch == "\t" else col + 1
-        return line, col
+    # Line/col with tab-stop-8 expansion. Newline offsets are found once
+    # (C-speed str.find loop) and lines resolved by bisect; columns are
+    # computed in ONE forward pass over the sorted warning positions —
+    # within a line, expansion resumes from the previous warning instead
+    # of rescanning from the line start, so a warning-dense minified
+    # single-line page costs O(doc + warnings·log) total, not
+    # O(warnings × doc) (ADVICE r3 #1).
+    import bisect
+
+    nls: list[int] = []
+    _i = raw_html.find("\n")
+    while _i != -1:
+        nls.append(_i)
+        _i = raw_html.find("\n", _i + 1)
+
+    def _linecols(positions: list[int]) -> dict[int, tuple[int, int]]:
+        res: dict[int, tuple[int, int]] = {}
+        prev_line, prev_pos, prev_col = -1, 0, 1
+        for pos in sorted(set(positions)):
+            line = bisect.bisect_left(nls, pos) + 1
+            if line == prev_line:
+                col, scan_from = prev_col, prev_pos
+            else:
+                col, scan_from = 1, (nls[line - 2] + 1 if line >= 2 else 0)
+            for ch in raw_html[scan_from:pos]:
+                col = ((col - 1) // 8 + 1) * 8 + 1 if ch == "\t" else col + 1
+            res[pos] = (line, col)
+            prev_line, prev_pos, prev_col = line, pos, col
+        return res
 
     # regions the tag scanner must skip: script/style bodies, comments.
     # parse_time entries = (pos, col_offset, message): tidy's lexer reports
@@ -297,6 +316,10 @@ def tidy_diagnostics(raw_html: str) -> str:
             m.group(3),
             m.group(4),
         )
+        if not selfclose and attrs_raw.rstrip().endswith("/"):
+            # "<x attr/>": group 3 absorbed the slash (see strict_parse_ok)
+            selfclose = "/"
+            attrs_raw = attrs_raw.rstrip()[:-1]
         if not closing:
             seen: dict[str, str] = {}
             has_rel = False
@@ -343,12 +366,50 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     parse_time.sort(key=lambda t: t[0])
     ordered = parse_time + [(p, 0, m) for p, m in attr_checks + trims]
+    lc = _linecols([pos for pos, _off, _msg in ordered])
     out = [
-        f"line {ln} column {col + off} - Warning: {msg}"
+        f"line {lc[pos][0]} column {lc[pos][1] + off} - Warning: {msg}"
         for pos, off, msg in ordered
-        for ln, col in (_linecol(pos),)
     ]
     return "\n".join(out) + "\n" if out else ""
+
+
+def strict_parse_ok(raw_html: str) -> bool:
+    """The reference's tidy TRIGGER condition (lib.rs:193-207): diagnostics
+    are captured only when the strict quick-xml first pass FAILS; a page
+    the strict parser accepts gets html_errors = "" (tidy never runs).
+
+    quick-xml with ``check_end_names`` rejects exactly XML-style
+    ill-formedness: an end tag that doesn't match the innermost open
+    element, and EOF with elements still open. We replay those conditions
+    over the same tag scan tidy_diagnostics uses (comments masked; no
+    HTML void-element leniency — quick-xml knows no HTML, so an unclosed
+    ``<br>`` or ``<meta>`` fails strict exactly as it does upstream, which
+    is why real-web pages overwhelmingly take the tidy path while clean
+    XHTML passes and reports "")."""
+    if not raw_html:
+        return True
+    comment_spans = [(m.start(), m.end()) for m in _COMMENT_RE.finditer(raw_html)]
+
+    def _in_comment(pos: int) -> bool:
+        return any(s <= pos < e for s, e in comment_spans)
+
+    stack: list[str] = []
+    for m in _TAG_RE.finditer(raw_html):
+        if _in_comment(m.start()):
+            continue
+        closing, tag = m.group(1), m.group(2).lower()
+        # group 3 can absorb a trailing '/' ("<link .../>"): treat either
+        # an explicit group-4 slash or a '/'-terminated attr blob as
+        # self-closing, like quick-xml's Empty event
+        selfclose = bool(m.group(4)) or m.group(3).rstrip().endswith("/")
+        if closing:
+            if not stack or stack[-1] != tag:
+                return False
+            stack.pop()
+        elif not selfclose:
+            stack.append(tag)
+    return not stack
 
 
 def parse_html_py(raw_html: str) -> dict:
@@ -366,7 +427,9 @@ def parse_html_py(raw_html: str) -> dict:
     headings = [t for _, t in sorted(parser.headings, key=lambda lt: lt[0])]
     return {
         "ok": True,
-        "html_errors": tidy_diagnostics(raw_html),
+        # reference trigger parity: tidy diagnostics only when the strict
+        # first pass fails (lib.rs:193-207); clean pages report ""
+        "html_errors": "" if strict_parse_ok(raw_html) else tidy_diagnostics(raw_html),
         "title": parser.title,
         "text": parser.text,
         "headings_text": headings,
