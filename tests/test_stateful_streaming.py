@@ -48,8 +48,10 @@ def test_stateful_seen_filter(spark, sf_smoke):
 def test_transform_with_state_spend_tracker(spark, sf_smoke):
     """transformWithStateInPandas running-total operator vs batch truth.
 
-    Skips where the transformWithState Python driver worker can't start
-    (needs the `protobuf` package — see stateful.tws_available)."""
+    The protobuf control channel is satisfied by the real package when
+    installed, else by the vendored mini-runtime (vendor/google/protobuf
+    + the PYTHONPATH hand-off in conftest/session.get_spark). Skips only
+    if neither can satisfy the import — never expected in this repo."""
     import pytest
 
     from warcraider_spark.streaming.stateful import (
@@ -58,7 +60,7 @@ def test_transform_with_state_spend_tracker(spark, sf_smoke):
     )
 
     if not tws_available():
-        pytest.skip("transformWithState needs google.protobuf (not in container)")
+        pytest.skip("no google.protobuf and the vendored shim is missing")
 
     ev = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value")
     staged = os.path.join(tempfile.gettempdir(), f"ev_tws_{uuid.uuid4().hex[:8]}")

@@ -37,6 +37,21 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession."""
+    # transformWithStateInPandas: every python process the JVM spawns must
+    # import google.protobuf. When the real package is absent, point
+    # PYTHONPATH at the vendored shim BEFORE the JVM launches — worker
+    # factories merge the JVM's inherited PYTHONPATH (addPyFile reaches
+    # UDF workers but NOT the TWS driver worker, measured in-container).
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+        if os.path.isdir(os.path.join(vendor, "google")):
+            existing = os.environ.get("PYTHONPATH", "")
+            if vendor not in existing.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    vendor + (os.pathsep + existing if existing else "")
+                )
     cpus = _default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

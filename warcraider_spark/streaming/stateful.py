@@ -114,10 +114,16 @@ _SPEND_STATE_SCHEMA = StructType(
 
 def tws_available() -> bool:
     """Spark 4's transformWithState driver worker speaks protobuf to the
-    JVM for state-schema validation; without the `protobuf` Python package
-    the worker exits -2 before the first micro-batch (verified in this
-    container: `STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE` caused by
-    `ImportError: google.protobuf`). Gate callers behind this probe."""
+    JVM for state-schema validation. When the real `protobuf` package is
+    missing (this container ships none), activate the repo's vendored
+    mini-protobuf runtime (vendor/google/protobuf — written from the
+    public wire spec; see its docstring) and ship it to the Python
+    workers the JVM spawns. Returns False only if neither the real
+    distribution nor the shim can satisfy the import."""
+    from warcraider_spark.dist import ensure_protobuf_shim
+
+    if not ensure_protobuf_shim():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
