@@ -39,7 +39,74 @@ QUERIES = [
     "q032_bloom_dedup_probe",
     "q036_simhash_radius",
     "q033_countmin_freq",
+    # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
+    # side grows Kx while the probe set stays 1x (embeddings replicas drop
+    # the vec_id%50==0 queries), exactly the asymmetric growth a real
+    # retrieval corpus sees
+    "q050_two_stage_rerank",
 ]
+
+
+def _q030_mp4_scaled(spark, sf_dir):
+    """Scale-harness variant of q030_mp4_demux_decode: the registry query
+    pins its workload at doc_id < 60 (the oracle must enumerate frames),
+    so replication leaves it constant. This variant muxes+demuxes 60
+    videos PER REPLICA (doc_id % 1_000_000 < 60, the harness id offset),
+    measuring exactly the per-row container+codec cost whose constancy
+    VERDICT r3 #7 asks to certify; both stages stay map-only Arrow."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.dist import ensure_package_on_executors
+    from warcraider_spark.tables import load_table
+
+    ensure_package_on_executors()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 1_000_000 < 60)
+        .select("doc_id")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
+        from warcraider_spark.functions.mp4 import mux_mjpeg_mp4
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                seed = d % 1_000_000
+                w, h = jpeg_dims(seed)
+                frames = [encode_jpeg_gray(seed + 12 * f) for f in range(seed % 4 + 2)]
+                out.append(
+                    {
+                        "media_id": d,
+                        "payload": mux_mjpeg_mp4(
+                            frames, w, h, delta_ms=40, samples_per_chunk=2 if seed % 2 else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    encoded = docs.mapInPandas(encode, "media_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.functions.mp4 import mp4_frame_stats
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = mp4_frame_stats(bytes(row.payload))
+                out.append({"media_id": row.media_id, "pixel_sum": meta["pixel_sum"]})
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(decode, "media_id long, pixel_sum long")
+
+
+# harness-only builders measured alongside the registry queries
+VARIANTS = {"q030_mp4_demux_decode[per-replica]": _q030_mp4_scaled}
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
 
@@ -80,21 +147,21 @@ def main() -> None:
     spark = get_spark(app_name="scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    builders = {q: specs[q].builder for q in QUERIES}
+    builders.update(VARIANTS)
     warm = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.001")
-    for q in QUERIES:
-        specs[q].builder(spark, warm if os.path.isdir(warm) else base).write.format(
+    for q, b in builders.items():
+        b(spark, warm if os.path.isdir(warm) else base).write.format(
             "noop"
         ).mode("overwrite").save()
 
     results: dict[str, dict[int, float]] = {}
     for k in factors:
-        for q in QUERIES:
+        for q, b in builders.items():
             reps = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                specs[q].builder(spark, dirs[k]).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                b(spark, dirs[k]).write.format("noop").mode("overwrite").save()
                 reps.append(time.perf_counter() - t0)
             reps.sort()
             results.setdefault(q, {})[k] = round(reps[1], 2)
