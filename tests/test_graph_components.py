@@ -1,0 +1,74 @@
+"""Alternating large-star/small-star connected components (q170):
+
+1. converges in O(log n) rounds on a diameter-~96 chain graph — the
+   property bounded min-label propagation lacks;
+2. a q043-style budget of 6 propagation rounds demonstrably FAILS on the
+   same graph (labels not converged), proving the new algorithm is doing
+   work the old budget cannot;
+3. components are exactly right on a hand-built fixture (two chains +
+   bridge + isolated pair).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from warcraider_spark.operators.graph import (
+    CHAIN_LEN,
+    alternating_components,
+    chain_edges,
+)
+
+
+def test_converges_in_log_rounds_not_diameter(spark, sf_smoke):
+    e = chain_edges(spark, sf_smoke)
+    rounds: list = []
+    comp = alternating_components(e, rounds_out=rounds)
+    n_nodes = comp.count()
+    # diameter ~ CHAIN_LEN-1 (=96); log-round convergence must beat it by
+    # a wide margin (observed 4-6 rounds incl. the stability-confirm one)
+    assert len(rounds) <= 2 * int(math.log2(n_nodes)) + 2
+    assert len(rounds) < CHAIN_LEN // 4
+
+
+def test_bounded_label_propagation_fails_on_deep_chains(spark, sf_smoke):
+    """q043's 6-round budget is right for shallow dup clusters and wrong
+    here: after 6 min-label rounds a chain node ~90 hops from its
+    component minimum still carries a non-minimal label."""
+    e = chain_edges(spark, sf_smoke)
+    sym = e.select(F.col("src").alias("eu"), F.col("dst").alias("ev")).unionAll(
+        e.select(F.col("dst").alias("eu"), F.col("src").alias("ev"))
+    ).localCheckpoint(eager=False)
+    labels = sym.select(F.col("eu").alias("u")).distinct().select(
+        "u", F.col("u").alias("lbl")
+    )
+    for _ in range(6):
+        labels = (
+            sym.join(labels, sym.ev == labels.u, "left")
+            .groupBy(F.col("eu").alias("node"))
+            .agg(F.min("lbl").alias("nbr"))
+            .select(
+                F.col("node").alias("u"),
+                F.least("node", "nbr").alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    truth = alternating_components(chain_edges(spark, sf_smoke)).withColumnRenamed(
+        "node", "u"
+    )
+    joined = labels.join(truth, "u").filter(F.col("lbl") != F.col("comp"))
+    assert joined.count() > 0, "6 rounds should NOT converge on diameter-96 chains"
+
+
+def test_exact_components_on_fixture(spark):
+    # chains 0-1-2-3 and 10-11-12, bridge 3-10, pair 20-21
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (3, 10), (20, 21)],
+        "src long, dst long",
+    )
+    comp = alternating_components(edges)
+    got = {(r.node, r.comp) for r in comp.collect()}
+    expect = {(n, 0) for n in (0, 1, 2, 3, 10, 11, 12)} | {(20, 20), (21, 20)}
+    assert got == expect

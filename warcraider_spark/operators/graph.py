@@ -275,3 +275,173 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "n_tri", "total_triangles")
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components at scale: alternating large-star / small-star
+# ---------------------------------------------------------------------------
+
+# Deep-chain corpus: q043's min-label propagation bounds its rounds (fine
+# for shallow dup clusters) and its docstring defers deep graphs to the
+# alternating contraction — this operator implements that promise on a
+# graph where bounded propagation WOULD fail: chains of ~CHAIN_LEN nodes
+# (diameter ~CHAIN_LEN-1 >> any constant round budget) plus sparse
+# long-range bridges merging every 4th chain.
+CHAIN_LEN = 97
+
+CHAIN_EDGES_SQL = f"""
+SELECT src, dst FROM (
+  SELECT doc_id AS src, doc_id + 1 AS dst
+  FROM documents CROSS JOIN (SELECT COUNT(*) AS n FROM documents)
+  WHERE doc_id % {CHAIN_LEN} <> {CHAIN_LEN - 1} AND doc_id + 1 < n
+  UNION ALL
+  SELECT doc_id AS src, doc_id + 4 * {CHAIN_LEN} AS dst
+  FROM documents CROSS JOIN (SELECT COUNT(*) AS n FROM documents)
+  WHERE doc_id % (4 * {CHAIN_LEN}) = 0 AND doc_id + 4 * {CHAIN_LEN} < n
+)
+"""
+
+
+def chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    chain = docs.filter(
+        (F.col("doc_id") % CHAIN_LEN != CHAIN_LEN - 1) & (F.col("doc_id") + 1 < n)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    bridge = docs.filter(
+        (F.col("doc_id") % (4 * CHAIN_LEN) == 0) & (F.col("doc_id") + 4 * CHAIN_LEN < n)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 4 * CHAIN_LEN).alias("dst"))
+    return chain.unionAll(bridge)
+
+
+def alternating_components(
+    edges_df: DataFrame, max_rounds: int = 50, rounds_out: list | None = None
+) -> DataFrame:
+    """node → component (min node id) via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm, reimplemented).
+
+    Each half-round is one groupBy + one join on the node id:
+      large-star: every neighbor v > u re-attaches to m(u) = min(N(u)∪{u})
+      small-star: every neighbor v <= u attaches to m(u)
+    The edge set contracts toward stars centered at component minima in
+    O(log n) rounds REGARDLESS of diameter — the property bounded label
+    propagation lacks. Convergence is detected by an order-free edge-set
+    checksum (count + sum of pair hashes): one tiny action per round,
+    exactly the driver-side iteration contract of q018/q045 (state is
+    O(|edges|), lineage cut per round with localCheckpoint).
+    """
+    # canonical undirected set, no self-loops
+    e = (
+        edges_df.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        # large-star: (v, m(u)) for v > u
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+        )
+        e = ls.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
+
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        # small-star: (v, m(u)) for v <= u, plus (u, m(u))
+        ss = (
+            sym.join(m, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m"))
+            .unionAll(m.select(F.col("u").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
+        )
+        e = ss.distinct().localCheckpoint(eager=False)
+
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR-fold, not SUM: order-free and cannot overflow int64
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if rounds_out is not None:
+            rounds_out.append(cur)
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+
+    # stars: every edge is (component_min, member); isolated minima are
+    # their own component
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+    minima = e.select(F.col("a").alias("node"), F.col("a").alias("comp")).distinct()
+    return members.unionAll(minima).distinct()
+
+
+@query(
+    "q170_connected_components",
+    oracle=f"""
+WITH RECURSIVE e AS MATERIALIZED ({CHAIN_EDGES_SQL}),
+edges2 AS (
+  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges2),
+r(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.v, r.lbl FROM r JOIN edges2 e2 ON e2.u = r.node WHERE r.lbl < e2.v
+),
+comp AS (SELECT node, MIN(lbl) AS comp FROM r GROUP BY node)
+SELECT comp AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS member_checksum
+FROM comp
+GROUP BY comp
+ORDER BY component_id
+""",
+    tags=("graph", "connected-components", "iterative"),
+    bench=True,
+    min_rows=2,
+)
+def q170_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    O(log n)-round contraction q043's docstring defers deep graphs to,
+    now implemented and certified on a graph that DEFEATS bounded label
+    propagation: ~CHAIN_LEN-long chains (diameter ~96 vs q043's 6-round
+    budget) with sparse bridges merging chain groups.
+
+    The oracle is an independent mechanism (DuckDB recursive-CTE
+    transitive min-label closure), so a hash match proves the contraction
+    found exactly the true components — including that bridged chains
+    merged and unbridged ones did not (min_rows guards vacuity).
+
+    100 TB shape: each half-round is one groupBy(min) + one equi-join on
+    the node id (uniform key), edge set only contracts, lineage cut per
+    round; rounds grow with log(n), not diameter. Convergence costs one
+    count+checksum action per round. tests/test_graph_components.py pins
+    the round count at ~O(log n) << diameter."""
+    comp = alternating_components(chain_edges(spark, sf_dir))
+    return (
+        comp.groupBy(F.col("comp").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+            F.sum("node").cast("bigint").alias("member_checksum"),
+        )
+        .orderBy("component_id")
+    )
