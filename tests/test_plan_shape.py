@@ -504,3 +504,44 @@ def test_simhash_radius_band_join_is_equi(spark):
         "q036 candidate pairs re-shuffled for dedup — the first-matching-"
         "band filter regressed to a distinct()"
     )
+
+
+def test_containment_join_broadcasts_query_terms(spark):
+    """q171: the query-term list must ride a broadcast join onto the
+    exploded postings — a shuffle of the corpus postings keyed by the tiny
+    query set would serialize on a handful of term keys at scale. No
+    cartesian anywhere."""
+    df = all_specs()["q171_set_containment_join"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sparse_dot_query_weights_broadcast(spark):
+    """q172: the query-side weight table broadcasts; the top-k window is
+    partitioned by query (never a global sort); no nested-loop joins."""
+    df = all_specs()["q172_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus count resolves driver-side (q036 idiom), so there is no
+    # 1-row cross-join subtree left to duplicate through the lineage
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(qid" in plan.lower().replace(" ", "") or "qid" in plan
+
+
+def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
+    """q170: the contraction's half-round plan is groupBy + equi-join on
+    the node id — a cartesian or nested-loop would be quadratic in edges."""
+    from warcraider_spark.operators.graph import chain_edges
+
+    e = chain_edges(spark, sf_smoke)
+    sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("u", "mv").alias("m"))
+    half_round = sym.join(m, "u").filter(F.col("v") > F.col("u"))
+    plan = plan_of(half_round)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

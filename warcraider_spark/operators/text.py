@@ -1389,3 +1389,219 @@ def q138_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_docs")
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval joins over the term index (round 4)
+# ---------------------------------------------------------------------------
+
+SCJ_QMOD = 100  # every 100th doc poses a query
+SCJ_K = 5  # termset size
+
+# Term convention for the retrieval joins: adjacent-token BIGRAMS. The
+# synthetic corpus draws from a ~31-word vocabulary by design, so unigram
+# presence is non-discriminative (every common word is in ~80% of docs);
+# bigrams span ~900+ values with median df ~ n/20 — the standard IR move
+# for tiny vocabularies, and exactly what makes the df skew-guard
+# meaningful instead of vacuous.
+BIGRAMS_SQL = """
+SELECT doc_id,
+       list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1]) AS ts
+FROM (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+)
+"""
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """doc_id -> array of adjacent-token bigrams (1-based element_at both
+    engines; Spark's ts[i] subscript is 0-based, so element_at keeps the
+    twin honest)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select("doc_id", toks.alias("ts")).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(ts) - 1), "
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+        ).alias("ts"),
+    )
+
+
+@query(
+    "q171_set_containment_join",
+    oracle=f"""
+WITH tl AS ({BIGRAMS_SQL}),
+q AS (
+  SELECT doc_id AS qid, list_sort(list_distinct(ts))[1:{SCJ_K}] AS qterms
+  FROM tl WHERE doc_id % {SCJ_QMOD} = 0 AND len(list_distinct(ts)) >= {SCJ_K}
+),
+qt AS (SELECT qid, unnest(qterms) AS term FROM q),
+p AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tl),
+c AS (
+  SELECT qt.qid, p.doc_id
+  FROM qt JOIN p USING (term)
+  GROUP BY qt.qid, p.doc_id
+  HAVING COUNT(*) = {SCJ_K}
+)
+SELECT qid AS query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_containing,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY qid ORDER BY query_id
+""",
+    tags=("text", "join", "set-containment", "training-pipeline"),
+    min_rows=1,
+)
+def q171_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join by COUNTING: for each query termset (the 5
+    lexicographically-first distinct bigrams of every 100th document),
+    find all documents containing EVERY query term — "docs matching all
+    required phrases", the retrieval shape a filter-by-topic curation
+    pass needs.
+
+    The scale insight is that containment never becomes a subset test per
+    pair: exploded distinct postings equi-join the (broadcast, tiny)
+    query-term list on the TERM key, and a per-(query, doc) count equal
+    to |termset| certifies containment — one shuffle on (qid, doc_id)
+    after a map-side join, candidates bounded by the posting lists of the
+    query terms, never |docs| x |queries|. The query doc matches itself,
+    a natural fixed point the oracle replays (min_rows guards vacuity).
+
+    At 100 TB the same plan stands, with stop-terms pruned from termsets
+    (a query containing only ultra-common terms degenerates to a corpus
+    scan by definition, not by plan shape)."""
+    tl = _bigrams(load_table(spark, sf_dir, "documents"))
+    qsets = (
+        tl.filter(F.col("doc_id") % SCJ_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.slice(F.array_sort(F.array_distinct("ts")), 1, SCJ_K).alias("qterms"),
+            F.size(F.array_distinct("ts")).alias("n_distinct"),
+        )
+        .filter(F.col("n_distinct") >= SCJ_K)
+    )
+    qterms = qsets.select("qid", F.explode("qterms").alias("term"))
+    postings = tl.select("doc_id", F.explode(F.array_distinct("ts")).alias("term"))
+    contain = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == SCJ_K)
+    )
+    return (
+        contain.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_containing"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SDOT_TF_CAP = 50  # tf saturation (BM25-style), keeps integer dots in int64
+SDOT_DF_NUM, SDOT_DF_DEN = 1, 5  # drop terms with df > n_docs/5 (skew guard)
+SDOT_TOPK = 5
+
+
+@query(
+    "q172_sparse_dot_topk",
+    oracle=f"""
+WITH tl AS ({BIGRAMS_SQL}),
+tok AS (
+  SELECT doc_id, term, LEAST(CAST(COUNT(*) AS BIGINT), {SDOT_TF_CAP}) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tl)
+  GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+keep AS (
+  SELECT term, df FROM dfs
+  WHERE df * {SDOT_DF_DEN} <= (SELECT COUNT(*) * {SDOT_DF_NUM} FROM documents)
+),
+w AS (
+  SELECT tok.doc_id, tok.term, tok.tf * (1000000 // keep.df) AS wt
+  FROM tok JOIN keep USING (term)
+),
+qw AS (SELECT doc_id AS qid, term, wt AS qwt FROM w WHERE doc_id % {SCJ_QMOD} = 0),
+dots AS (
+  SELECT qw.qid, w.doc_id, CAST(SUM(qw.qwt * w.wt) AS BIGINT) AS dot
+  FROM w JOIN qw USING (term)
+  WHERE w.doc_id <> qw.qid
+  GROUP BY qw.qid, w.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, doc_id) AS rnk
+  FROM dots
+)
+SELECT qid AS query_id, CAST(rnk AS INT) AS rank, doc_id AS neighbor_id, dot
+FROM ranked WHERE rnk <= {SDOT_TOPK}
+ORDER BY query_id, rank
+""",
+    tags=("text", "similarity", "index", "training-pipeline"),
+    bench=True,
+    min_rows=1,
+)
+def q172_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF dot-product top-k via the inverted index — lexical
+    nearest neighbors, the retrieval dual of q050's dense rerank and the
+    pairing stage of a lexical near-dup miner. Terms are adjacent-token
+    bigrams (see BIGRAMS_SQL — the corpus's 31-word vocabulary makes
+    unigram presence non-discriminative).
+
+    Integer-exact by construction so the oracle hash is stable: weights
+    are tf (saturated at 50, BM25-style) x an integer idf
+    (1_000_000 // df) — floating summation order can never flip a rank.
+    Terms with df > n_docs/5 are dropped before the join: the SAME skew
+    guard as q138/q005 (one stop-term would otherwise put the whole
+    corpus under one join key), applied identically in the oracle, so
+    the cap is part of the certified semantics, not a silent
+    approximation.
+
+    Plan: one shuffle builds (doc, term, tf); df rolls up on the term
+    prefix; the query-side weight table (|queries| x terms, KB-scale)
+    BROADCASTS onto the corpus weights — the corpus shuffles once more on
+    (qid, doc_id) for the dot aggregation and once per-query-partition
+    for the windowed top-k. Candidates are bounded by posting-list
+    intersections of df-capped terms, never |docs| x |queries|."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one metadata count (the q036 idiom): resolving n_docs driver-side
+    # keeps the df-cap filter a literal predicate instead of a 1-row
+    # cross-join subtree that the w/qw lineages would duplicate
+    n_docs = docs.count()
+    tok = (
+        _bigrams(docs)
+        .select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.least(F.count(F.lit(1)), F.lit(SDOT_TF_CAP)).cast("bigint").alias("tf"))
+    )
+    dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfs.filter(F.col("df") * SDOT_DF_DEN <= F.lit(n_docs * SDOT_DF_NUM))
+    w = tok.join(keep.select("term", "df"), "term").select(
+        "doc_id", "term", (F.col("tf") * F.expr("1000000 div df")).alias("wt")
+    )
+    qw = w.filter(F.col("doc_id") % SCJ_QMOD == 0).select(
+        F.col("doc_id").alias("qid"), "term", F.col("wt").alias("qwt")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qwt") * F.col("wt")).cast("bigint").alias("dot"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("doc_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= SDOT_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").alias("neighbor_id"),
+            "dot",
+        )
+        .orderBy("query_id", "rank")
+    )
