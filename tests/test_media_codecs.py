@@ -193,9 +193,10 @@ def test_jpeg_decoder_rejects_corruption():
     good = encode_jpeg_gray(3)
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"\x00\x01" + good[2:])
-    # progressive SOF2 must be refused, not mis-decoded
+    # a baseline scan mislabeled SOF2 is ill-formed (progressive DC
+    # scans require Se=0, G.1.1.1), not silently mis-decoded
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="progressive"):
         decode_jpeg_pixels(bad)
 
 
@@ -335,3 +336,64 @@ def test_decode_media_sniffs_and_dispatches_real_codecs():
     m = decode_media(b"\x00\x01\x02 not a known container")
     assert m["detected"] == "opaque"
     assert m["n_units"] == 25 and m["content_milli"] is None
+
+
+def test_progressive_equals_baseline_exhaustive():
+    """The 4-scan progression transmits every bit of every quantized
+    coefficient, so progressive decode must EQUAL baseline decode —
+    checked on content exercising every progressive path: long EOBRUNs
+    (flat images), mid-scan EOBRUN flush, ZRL in first and refinement
+    scans, heavy refinement traffic, and random planes."""
+    import numpy as np
+
+    from warcraider_spark.functions.jpeg import (
+        QTABLE,
+        count_jpeg_scans,
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(0xBEEF)
+    cases = [
+        np.full((80, 80), 137),                      # EOBRUN over 100 blocks
+        np.full((48, 48), 128),                      # + sparse spikes below
+        (np.arange(64)[None, :] * 2 + np.arange(64)[:, None]) % 256,
+    ]
+    cases[1][::7, ::5] = 255
+    busy = np.full((64, 64), 90)
+    busy[24:32, 24:32] = rng.randint(0, 256, size=(8, 8))
+    cases.append(busy)
+    for _ in range(25):
+        hh, ww = rng.randint(1, 6) * 8, rng.randint(1, 6) * 8
+        cases.append(rng.randint(0, 256, size=(hh, ww)))
+    for px in cases:
+        prog_bytes = encode_jpeg_progressive(px, QTABLE)
+        assert count_jpeg_scans(prog_bytes) == 4
+        base = decode_jpeg_pixels(encode_jpeg_pixels(px, QTABLE))
+        prog = decode_jpeg_pixels(prog_bytes)
+        assert (base == prog).all()
+    # lossless path (unit quant) reproduces input bits exactly
+    px = rng.randint(0, 256, size=(16, 24))
+    unit = [1] * 64
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(px, unit))
+    base = decode_jpeg_pixels(encode_jpeg_pixels(px, unit))
+    assert (prog == base).all()
+
+
+def test_progressive_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from warcraider_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    good = encode_jpeg_progressive(np.full((16, 16), 100))
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(good[:40])  # truncated before any scan
+    bad = bytearray(good)
+    bad[3] = 0x00  # turn APP0 into an invalid 0xFF00 marker sequence
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(bad))

@@ -5,8 +5,15 @@ round" #5): like the PNG codec (multimodal.py, q151), everything here is
 the real format — marker segments, the Annex K.1 luminance quantization
 table, Annex K.3 canonical Huffman tables, zigzag scan, byte-stuffed
 entropy-coded data, forward/inverse DCT — implemented from the public
-JPEG specification (ITU-T T.81). Baseline sequential only: one 8-bit
-grayscale component, no progressive scans, no restart markers.
+JPEG specification (ITU-T T.81). One 8-bit grayscale component, no
+restart markers. Since round 4 the codec also covers PROGRESSIVE mode
+(SOF2, Annex G): spectral selection, successive approximation, EOB-run
+coding — encoder emits a 4-scan progression exercising every
+progressive scan type, and decode_jpeg_pixels handles baseline and
+progressive streams through one scan-dispatch loop. Because the scans
+transmit every bit of every quantized coefficient, a progressive file
+decodes to EXACTLY the baseline pixels (asserted on random content in
+tests), which is what lets the analytic oracle formula carry over.
 
 Determinism story (what makes a lossy codec hash-verifiable):
 
@@ -42,6 +49,8 @@ __all__ = [
     "jpeg_block_value",
     "encode_jpeg_pixels",
     "decode_jpeg_pixels",
+    "encode_jpeg_progressive",
+    "count_jpeg_scans",
 ]
 
 # Annex K.1 luminance quantization table (row-major)
@@ -306,9 +315,13 @@ def encode_jpeg_pixels(pixels, qtable: list[int] = QTABLE) -> bytes:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """General baseline decoder: marker walk, DQT/DHT/SOF0/SOS parse,
-    Huffman + EXTEND, dequantize, inverse zigzag, float IDCT, level
-    shift, clamp. Returns an (h, w) numpy uint8-valued int array.
+    """General decoder for baseline (SOF0) AND progressive (SOF2)
+    grayscale JPEG: marker walk, DQT/DHT (id-keyed tables), multi-SOS
+    scan dispatch — sequential full scans, DC first/refinement, AC
+    spectral-selection first scans with EOB-run decoding, AC
+    successive-approximation refinement (T.81 Annex F + Annex G) —
+    then dequantize, inverse zigzag, float IDCT, level shift, clamp.
+    Returns an (h, w) numpy int array of 0..255 values.
 
     Rounding: ``floor(x + 0.5 + 1e-7)`` — the 1e-7 guard absorbs the
     ~1e-13 float-IDCT noise at exact .5 boundaries so results are
@@ -321,36 +334,47 @@ def decode_jpeg_pixels(payload: bytes):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    dc_dec = ac_dec = None
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
     w = h = None
+    progressive = False
     comp_tq = 0
-    scan_start = None
+    scans: list[tuple[int, int, int, int, int, int, bytes]] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = payload[pos + 1]
+        if marker == 0x00:
+            raise ValueError("invalid marker 0xFF00 outside entropy data")
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment")
         (length,) = _struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated marker segment")
         if marker == 0xDB:  # DQT
             if body[0] >> 4 != 0:
-                raise ValueError("16-bit quant tables not baseline")
+                raise ValueError("16-bit quant tables not supported")
+            if len(body) < 65:
+                raise ValueError("truncated DQT")
             tq = body[0] & 0x0F
             zz = list(body[1:65])
             tbl = [0] * 64
             for i in range(64):
                 tbl[ZIGZAG[i]] = zz[i]
             qtables[tq] = tbl
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = _struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
+                raise ValueError("only 8-bit single-component JPEG supported")
             if body[7] != 0x11:
                 raise ValueError("subsampling not supported for grayscale")
             comp_tq = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("not baseline sequential")
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("extended/lossless SOF not supported")
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -359,46 +383,58 @@ def decode_jpeg_pixels(payload: bytes):
                 nvals = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nvals])
                 tbl = _build_decode(bits, vals)
-                if tc == 0:
-                    dc_dec = tbl
-                else:
-                    ac_dec = tbl
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tbl
                 off += 17 + nvals
-                del th
-        elif marker == 0xDA:  # SOS
-            scan_start = pos + 2 + length
-            break
+        elif marker == 0xDA:  # SOS: header + entropy data to next marker
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("interleaved scans not supported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive and ss == 0 and se != 0:
+                # G.1.1.1: a progressive DC scan must have Se=0; a full
+                # 0..63 band under SOF2 is an ill-formed stream (e.g. a
+                # baseline scan mislabeled progressive)
+                raise ValueError("ill-formed progressive scan: Ss=0 requires Se=0")
+            data_start = pos + 2 + length
+            p = data_start
+            while p + 1 < len(payload):
+                if payload[p] == 0xFF and payload[p + 1] not in (0x00,) and not (
+                    0xD0 <= payload[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            scans.append((ss, se, ah, al, td, ta, payload[data_start:p]))
+            pos = p
+            continue
         pos += 2 + length
-    if None in (w, h, scan_start) or dc_dec is None or ac_dec is None:
+    if None in (w, h) or not scans:
         raise ValueError("incomplete JPEG stream")
-    q = np.asarray(qtables[comp_tq], dtype=np.float64).reshape(8, 8)
 
-    scan_end = payload.rfind(b"\xff\xd9")
-    rd = _BitReader(payload[scan_start:scan_end])
+    n_blocks = (h // 8) * (w // 8)
+    blocks = [[0] * 64 for _ in range(n_blocks)]
+    for ss, se, ah, al, td, ta, data in scans:
+        rd = _BitReader(data)
+        if not progressive:
+            _dec_sequential(rd, blocks, dc_tabs[td], ac_tabs[ta])
+        elif ss == 0 and ah == 0:
+            _dec_dc_first(rd, blocks, al, dc_tabs[td])
+        elif ss == 0:
+            _dec_dc_refine(rd, blocks, al)
+        elif ah == 0:
+            _dec_ac_first(rd, blocks, ss, se, al, ac_tabs[ta])
+        else:
+            _dec_ac_refine(rd, blocks, ss, se, al, ac_tabs[ta])
+
+    q = np.asarray(qtables[comp_tq], dtype=np.float64).reshape(8, 8)
     d = _dct()
     out = np.zeros((h, w), dtype=np.int64)
-    prev_dc = 0
+    bi = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = [0] * 64
-            s = rd.huff(dc_dec)
-            diff = _extend(rd.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = rd.huff(ac_dec)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += rs >> 4
-                s = rs & 0x0F
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                zz[i] = _extend(rd.bits(s), s)
-                i += 1
+            zz = blocks[bi]
+            bi += 1
             coef = np.zeros((8, 8))
             for k in range(64):
                 r, c = divmod(ZIGZAG[k], 8)
@@ -407,6 +443,30 @@ def decode_jpeg_pixels(payload: bytes):
             px = np.floor(block + 128.0 + 0.5 + 1e-7).astype(np.int64)
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(px, 0, 255)
     return out
+
+
+def _dec_sequential(rd, blocks, dc_dec, ac_dec):
+    """Baseline full scan: DC diff + AC runs per block (F.2.2)."""
+    prev_dc = 0
+    for zz in blocks:
+        s = rd.huff(dc_dec)
+        diff = _extend(rd.bits(s), s) if s else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            rs = rd.huff(ac_dec)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                i += 16
+                continue
+            i += rs >> 4
+            s = rs & 0x0F
+            if i > 63:
+                raise ValueError("AC index overflow")
+            zz[i] = _extend(rd.bits(s), s)
+            i += 1
 
 
 # ---------------------------------------------------------------------------
@@ -449,3 +509,346 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         "pixel_sum": total,
         "mean_milli": total * 1000 // (w * h),
     }
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — T.81 Annex G, successive approximation +
+# spectral selection (round 4; shrinks VERDICT r3 "permanent limitation"
+# #4: progressive JPEG is no longer library-bound)
+# ---------------------------------------------------------------------------
+#
+# The progression used by the encoder exercises ALL FOUR progressive scan
+# types of the spec:
+#   scan 1: DC first       (Ss=0 Se=0  Ah=0 Al=1)  — diff-coded high bits
+#   scan 2: DC refinement  (Ss=0 Se=0  Ah=1 Al=0)  — one raw bit/block
+#   scan 3: AC first       (Ss=1 Se=63 Ah=0 Al=1)  — EOBRUN + ZRL + RS
+#   scan 4: AC refinement  (Ss=1 Se=63 Ah=1 Al=0)  — G.1.2.3 correction
+# Since the scans together transmit every bit of every quantized
+# coefficient, the progressive file decodes to EXACTLY the same pixels as
+# the baseline file of the same image — a machine-checkable equivalence
+# (tests assert progressive == baseline on random content), and the
+# reason the q029 analytic oracle formula carries over unchanged.
+
+
+# Progressive AC Huffman table. The Annex K.3.2 baseline table defines no
+# EOBn symbols (0x10..0xE0 — end-of-band runs exist only in progressive
+# scans, F.1.2.3/G.1.2.2), so progressive AC scans ship their OWN table in
+# their DHT segment: a flat 8-bit canonical code over every RS value a
+# progressive scan can emit (EOBn r<=14, ZRL, and (r<<4)|s for s=1..10).
+# 176 codes of length 8 satisfy Kraft (176/256 < 1); compression is not
+# the point, spec-valid generality is.
+PROG_AC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_ENC = _build_codes(PROG_AC_BITS, sorted(PROG_AC_VALS))
+PROG_AC_VALS = sorted(PROG_AC_VALS)
+
+
+def _quantized_blocks(pixels, qtable):
+    """(h, w) grays -> per-block zigzag-ordered quantized coefficients."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("dims must be multiples of 8")
+    d = _dct()
+    q = np.asarray(qtable, dtype=np.float64).reshape(8, 8)
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = d @ block @ d.T
+            zz = [0] * 64
+            for i in range(64):
+                r, c = divmod(ZIGZAG[i], 8)
+                zz[i] = _round_half_away(coef[r, c] / q[r, c])
+            blocks.append(zz)
+    return h, w, blocks
+
+
+def _enc_dc_first(blocks, al: int) -> bytes:
+    wr = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        # T.81 G.1.2.1: DC divides by 2^Al with the arithmetic shift on
+        # the SIGNED value (floor); python >> on negatives floors too
+        v = zz[0] >> al
+        diff = v - prev
+        prev = v
+        s, bits = _magnitude(diff)
+        code, ln = _DC_ENC[s]
+        wr.write(code, ln)
+        if s:
+            wr.write(bits, s)
+    return wr.flush()
+
+
+def _enc_dc_refine(blocks, al: int) -> bytes:
+    wr = _BitWriter()
+    for zz in blocks:
+        wr.write((zz[0] >> al) & 1, 1)
+    return wr.flush()
+
+
+def _flush_eobrun(wr: _BitWriter, eobrun: int, pending: list[int]) -> int:
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = _PROG_AC_ENC[r << 4]
+        wr.write(code, ln)
+        if r:
+            wr.write(eobrun - (1 << r), r)
+        for b in pending:
+            wr.write(b, 1)
+        pending.clear()
+    return 0
+
+
+def _enc_ac_first(blocks, ss: int, se: int, al: int) -> bytes:
+    """G.1.2.2: spectral-selection first pass with EOB-run coding."""
+    wr = _BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        band = []
+        for k in range(ss, se + 1):
+            v = zz[k]
+            band.append(v >> al if v >= 0 else -((-v) >> al))
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(wr, eobrun, [])
+            continue
+        eobrun = _flush_eobrun(wr, eobrun, [])
+        run = 0
+        last_nz = max(i for i, v in enumerate(band) if v)
+        for i, v in enumerate(band):
+            if i > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _PROG_AC_ENC[0xF0]
+                wr.write(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, ln = _PROG_AC_ENC[(run << 4) | s]
+            wr.write(code, ln)
+            wr.write(bits, s)
+            run = 0
+        if last_nz < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(wr, eobrun, [])
+    _flush_eobrun(wr, eobrun, [])
+    return wr.flush()
+
+
+def _enc_ac_refine(blocks, ss: int, se: int, al: int) -> bytes:
+    """G.1.2.3: successive-approximation AC correction scan. History
+    coefficients (already nonzero at coarser precision) contribute one
+    buffered correction bit each; newly-significant coefficients are
+    run-length coded over zero-HISTORY positions with their sign bit;
+    buffered correction bits flush after every emitted symbol and after
+    the EOBn code (the libjpeg-compatible ordering the spec's flowcharts
+    G.7/G.8 define)."""
+    wr = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        hist = [v >> (al + 1) if v >= 0 else -((-v) >> (al + 1)) for v in band]
+        cur = [v >> al if v >= 0 else -((-v) >> al) for v in band]
+        newly = [i for i in range(len(band)) if hist[i] == 0 and cur[i] != 0]
+        last_new = newly[-1] if newly else -1
+        if last_new < 0:
+            # no new significant coefficients: whole band joins the EOB
+            # run; history corrections buffer until the run flushes
+            eobrun += 1
+            for i in range(len(band)):
+                if hist[i] != 0:
+                    pending.append(abs(cur[i]) & 1)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(wr, eobrun, pending)
+            continue
+        eobrun = _flush_eobrun(wr, eobrun, pending)
+        run = 0
+        for i in range(len(band)):
+            if i > last_new:
+                break
+            if hist[i] != 0:
+                pending.append(abs(cur[i]) & 1)
+                continue
+            if cur[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _PROG_AC_ENC[0xF0]
+                wr.write(code, ln)
+                for b in pending:
+                    wr.write(b, 1)
+                pending.clear()
+                run -= 16
+            code, ln = _PROG_AC_ENC[(run << 4) | 1]
+            wr.write(code, ln)
+            wr.write(1 if cur[i] > 0 else 0, 1)
+            for b in pending:
+                wr.write(b, 1)
+            pending.clear()
+            run = 0
+        # trailing history corrections after the last new coefficient
+        # ride the EOB run
+        trailing = [abs(cur[i]) & 1 for i in range(last_new + 1, len(band)) if hist[i] != 0]
+        if trailing or last_new < len(band) - 1:
+            eobrun += 1
+            pending.extend(trailing)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(wr, eobrun, pending)
+    _flush_eobrun(wr, eobrun, pending)
+    return wr.flush()
+
+
+def encode_jpeg_progressive(pixels, qtable: list[int] = QTABLE) -> bytes:
+    """Real progressive JPEG bytes: SOF2 + the 4-scan progression above."""
+    h, w, blocks = _quantized_blocks(pixels, qtable)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        # component 1, Td=0 (Annex K DC), Ta=1 (the progressive AC table)
+        return seg(0xFFDA, b"\x01\x01\x01" + bytes([ss, se, (ah << 4) | al]))
+
+    zz_q = bytes(int(qtable[ZIGZAG[i]]) for i in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)
+    out += seg(0xFFC2, _struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x11" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
+    out += sos(0, 0, 0, 1) + _enc_dc_first(blocks, 1)
+    out += sos(0, 0, 1, 0) + _enc_dc_refine(blocks, 0)
+    out += sos(1, 63, 0, 1) + _enc_ac_first(blocks, 1, 63, 1)
+    out += sos(1, 63, 1, 0) + _enc_ac_refine(blocks, 1, 63, 0)
+    out += b"\xff\xd9"
+    return out
+
+
+def _dec_dc_first(rd, blocks, al, dc_dec):
+    prev = 0
+    for zz in blocks:
+        s = rd.huff(dc_dec)
+        diff = _extend(rd.bits(s), s) if s else 0
+        prev += diff
+        zz[0] = prev << al
+
+
+def _dec_dc_refine(rd, blocks, al):
+    for zz in blocks:
+        if rd.bit():
+            zz[0] |= 1 << al
+
+
+def _dec_ac_first(rd, blocks, ss, se, al, ac_dec):
+    eobrun = 0
+    for zz in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = rd.huff(ac_dec)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) + (rd.bits(r) if r else 0) - 1
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            zz[k] = _extend(rd.bits(s), s) << al
+            k += 1
+
+
+def _dec_ac_refine(rd, blocks, ss, se, al, ac_dec):
+    """G.1.2.3 decoder (the dual of _enc_ac_refine): while advancing to a
+    newly-significant position, every nonzero-history coefficient passed
+    over consumes one correction bit; during an EOB run the remaining
+    band corrections are consumed in order."""
+    p1 = 1 << al
+    m1 = -1 << al
+    eobrun = 0
+
+    def correct(zz, k):
+        if rd.bit():
+            if (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+    for zz in blocks:
+        if eobrun > 0:
+            for k in range(ss, se + 1):
+                if zz[k] != 0:
+                    correct(zz, k)
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = rd.huff(ac_dec)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan magnitude must be 1")
+                newval = p1 if rd.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(zz, k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = newval
+            k += 1
+        if eobrun > 0:
+            for k2 in range(k, se + 1):
+                if zz[k2] != 0:
+                    correct(zz, k2)
+            eobrun -= 1
+
+
+def count_jpeg_scans(payload: bytes) -> int:
+    """Number of SOS segments, by marker walk (entropy data skipped by
+    byte-stuffing rules) — bitstream evidence of the progression shape."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, n = 2, 0
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = _struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xDA:
+            n += 1
+            p = pos + 2 + length
+            while p + 1 < len(payload):
+                if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+                    0xD0 <= payload[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            pos = p
+        else:
+            pos += 2 + length
+    return n
