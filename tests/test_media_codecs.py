@@ -397,3 +397,41 @@ def test_progressive_rejects_malformed():
     bad[3] = 0x00  # turn APP0 into an invalid 0xFF00 marker sequence
     with pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(bad))
+
+
+def test_restart_markers_and_parallel_segment_decode():
+    """DRI/RSTn: monolithic decode of a restart stream equals the
+    no-restart decode, and independent per-segment decode reassembles to
+    the identical plane — the parallel-decode correctness contract."""
+    import numpy as np
+
+    from warcraider_spark.functions.jpeg import (
+        QTABLE,
+        decode_jpeg_pixels,
+        decode_jpeg_segment,
+        encode_jpeg_pixels,
+        split_jpeg_restart_segments,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape, dri in [((64, 96), 16), ((40, 40), 7), ((16, 16), 4)]:
+        px = rng.randint(0, 256, size=shape)
+        pay = encode_jpeg_pixels(px, QTABLE, restart_interval=dri)
+        mono = decode_jpeg_pixels(pay)
+        assert (mono == decode_jpeg_pixels(encode_jpeg_pixels(px, QTABLE))).all()
+        info = split_jpeg_restart_segments(pay)
+        assert info["restart_interval"] == dri
+        wb = info["width"] // 8
+        out = np.zeros((info["height"], info["width"]), dtype=np.int64)
+        for first, n, s, e in info["segments"]:
+            blocks = decode_jpeg_segment(info["header"], pay[s:e], n)
+            for j in range(n):
+                by, bx = divmod(first + j, wb)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blocks[j]
+        assert (out == mono).all()
+    # a stream without DRI refuses to split
+    import pytest
+
+    plain = encode_jpeg_pixels(rng.randint(0, 256, size=(16, 16)), QTABLE)
+    with pytest.raises(ValueError, match="DRI"):
+        split_jpeg_restart_segments(plain)

@@ -50,7 +50,10 @@ __all__ = [
     "encode_jpeg_pixels",
     "decode_jpeg_pixels",
     "encode_jpeg_progressive",
+    "encode_jpeg_gray_progressive",
     "count_jpeg_scans",
+    "split_jpeg_restart_segments",
+    "decode_jpeg_segment",
 ]
 
 # Annex K.1 luminance quantization table (row-major)
@@ -183,10 +186,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def marker(self, byte2: int) -> None:
+        """Emit a raw marker (e.g. RSTn) into the stream: byte-aligned and
+        NOT byte-stuffed (markers are the one legal 0xFF use in scan data)."""
+        self.byte_align()
+        self.out += bytes((0xFF, byte2))
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -246,10 +258,16 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def encode_jpeg_pixels(pixels, qtable: list[int] = QTABLE) -> bytes:
+def encode_jpeg_pixels(
+    pixels, qtable: list[int] = QTABLE, restart_interval: int = 0
+) -> bytes:
     """General baseline encoder: ``pixels`` is an (h, w) array-like of
     0..255 grays with 8-divisible dims. Real fDCT (numpy, separable),
-    quantization, zigzag, Huffman, byte stuffing."""
+    quantization, zigzag, Huffman, byte stuffing. ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs (B.2.4.4 /
+    E.2.4): the bit stream byte-aligns, the marker cycles D0..D7, and DC
+    prediction resets — which is exactly what makes the entropy segments
+    independently decodable (see split_jpeg_restart_segments)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.float64)
@@ -261,8 +279,13 @@ def encode_jpeg_pixels(pixels, qtable: list[int] = QTABLE) -> bytes:
 
     wr = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wr.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu += 1
             block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = d @ block @ d.T
             zz = []
@@ -308,6 +331,8 @@ def encode_jpeg_pixels(pixels, qtable: list[int] = QTABLE) -> bytes:
     out += seg(0xFFC0, _struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, _struct.pack(">H", restart_interval))
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -339,6 +364,7 @@ def decode_jpeg_pixels(payload: bytes):
     w = h = None
     progressive = False
     comp_tq = 0
+    dri = 0
     scans: list[tuple[int, int, int, int, int, int, bytes]] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -385,6 +411,8 @@ def decode_jpeg_pixels(payload: bytes):
                 tbl = _build_decode(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tbl
                 off += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (dri,) = _struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: header + entropy data to next marker
             ns = body[0]
             if ns != 1:
@@ -415,10 +443,27 @@ def decode_jpeg_pixels(payload: bytes):
     n_blocks = (h // 8) * (w // 8)
     blocks = [[0] * 64 for _ in range(n_blocks)]
     for ss, se, ah, al, td, ta, data in scans:
-        rd = _BitReader(data)
         if not progressive:
-            _dec_sequential(rd, blocks, dc_tabs[td], ac_tabs[ta])
-        elif ss == 0 and ah == 0:
+            if dri:
+                # E.2.4: split at RSTn markers; every interval decodes
+                # independently (byte-aligned start, DC prediction reset)
+                first = 0
+                for chunk in _split_restart_chunks(data):
+                    n = min(dri, n_blocks - first) or n_blocks
+                    _dec_sequential(
+                        _BitReader(chunk),
+                        blocks[first : first + n],
+                        dc_tabs[td],
+                        ac_tabs[ta],
+                    )
+                    first += n
+                if first != n_blocks:
+                    raise ValueError("restart segments do not cover the image")
+                continue
+            _dec_sequential(_BitReader(data), blocks, dc_tabs[td], ac_tabs[ta])
+            continue
+        rd = _BitReader(data)
+        if ss == 0 and ah == 0:
             _dec_dc_first(rd, blocks, al, dc_tabs[td])
         elif ss == 0:
             _dec_dc_refine(rd, blocks, al)
@@ -495,6 +540,22 @@ def encode_jpeg_gray(doc_id: int) -> bytes:
                 doc_id, bx, by
             )
     return encode_jpeg_pixels(px)
+
+
+def encode_jpeg_gray_progressive(doc_id: int) -> bytes:
+    """Block-constant analytic image -> real PROGRESSIVE (SOF2) bytes.
+    Decodes to exactly the same plane as encode_jpeg_gray(doc_id) (the
+    progression is bit-complete), so every analytic oracle carries over."""
+    import numpy as np
+
+    w, h = jpeg_dims(doc_id)
+    px = np.zeros((h, w), dtype=np.float64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_block_value(
+                doc_id, bx, by
+            )
+    return encode_jpeg_progressive(px)
 
 
 def decode_jpeg_gray(payload: bytes) -> dict:
@@ -852,3 +913,150 @@ def count_jpeg_scans(payload: bytes) -> int:
         else:
             pos += 2 + length
     return n
+
+
+def _split_restart_chunks(data: bytes) -> list[bytes]:
+    """Split one scan's entropy data at RSTn markers (non-stuffed 0xFF
+    0xD0..0xD7). Returns the between-marker byte chunks in order."""
+    chunks = []
+    start = 0
+    p = 0
+    while p + 1 < len(data):
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                chunks.append(data[start:p])
+                p += 2
+                start = p
+                continue
+        p += 1
+    chunks.append(data[start:])
+    return [c for c in chunks if c]
+
+
+def split_jpeg_restart_segments(payload: bytes) -> dict:
+    """Metadata-only parse of a restart-interval baseline JPEG: header
+    bytes (everything before the scan data), image dims, the restart
+    interval, and per-segment (first_mcu, n_mcus, byte_start, byte_end)
+    ranges into ``payload``.
+
+    This is the SPLIT step of parallel single-object decode: after an
+    RSTn marker the bit stream is byte-aligned and DC prediction resets
+    (T.81 E.2.4), so every segment decodes independently given only the
+    header — tasks need a byte range of the object, never the whole scan.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    w = h = None
+    dri = 0
+    scan_start = None
+    while pos + 1 < len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = _struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xC0:
+            _, h, w, _ = _struct.unpack_from(">BHHB", payload, pos + 4)
+        elif marker == 0xC2:
+            raise ValueError("restart splitting implemented for baseline scans")
+        elif marker == 0xDD:
+            (dri,) = _struct.unpack_from(">H", payload, pos + 4)
+        elif marker == 0xDA:
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if w is None or scan_start is None:
+        raise ValueError("incomplete JPEG stream")
+    if not dri:
+        raise ValueError("no DRI segment: stream is not restart-splittable")
+    scan_end = payload.rfind(b"\xff\xd9")
+    n_blocks = (h // 8) * (w // 8)
+
+    segments = []
+    first = 0
+    seg_begin = scan_start
+    p = scan_start
+    while p + 1 < scan_end:
+        if payload[p] == 0xFF:
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append((first, min(dri, n_blocks - first), seg_begin, p))
+                first += dri
+                p += 2
+                seg_begin = p
+                continue
+        p += 1
+    segments.append((first, n_blocks - first, seg_begin, scan_end))
+    return {
+        "width": w,
+        "height": h,
+        "restart_interval": dri,
+        "n_blocks": n_blocks,
+        "header": payload[:scan_start],
+        "segments": segments,
+    }
+
+
+def decode_jpeg_segment(header: bytes, seg_bytes: bytes, n_mcus: int):
+    """Decode ONE restart segment independently: parse tables/dims from
+    the (KB-sized) header, entropy-decode exactly ``n_mcus`` blocks from
+    the byte-aligned segment with DC prediction starting at 0, then
+    dequantize + IDCT. Returns an (n_mcus, 8, 8) numpy int array of
+    pixel blocks — position-free, the caller knows the segment's
+    first_mcu from split_jpeg_restart_segments."""
+    import numpy as np
+
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comp_tq = 0
+    td = ta = 0
+    while pos + 1 < len(header):
+        marker = header[pos + 1]
+        (length,) = _struct.unpack_from(">H", header, pos + 2)
+        body = header[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            tq = body[0] & 0x0F
+            zz = list(body[1:65])
+            tbl = [0] * 64
+            for i in range(64):
+                tbl[ZIGZAG[i]] = zz[i]
+            qtables[tq] = tbl
+        elif marker == 0xC0:
+            comp_tq = body[8]
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_decode(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xDA:
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            break
+        pos += 2 + length
+
+    blocks = [[0] * 64 for _ in range(n_mcus)]
+    _dec_sequential(_BitReader(seg_bytes), blocks, dc_tabs[td], ac_tabs[ta])
+    q = np.asarray(qtables[comp_tq], dtype=np.float64).reshape(8, 8)
+    d = _dct()
+    out = np.zeros((n_mcus, 8, 8), dtype=np.int64)
+    for bi, zz in enumerate(blocks):
+        coef = np.zeros((8, 8))
+        for k in range(64):
+            r, c = divmod(ZIGZAG[k], 8)
+            coef[r, c] = zz[k] * q[r, c]
+        block = d.T @ coef @ d
+        px = np.floor(block + 128.0 + 0.5 + 1e-7).astype(np.int64)
+        out[bi] = np.clip(px, 0, 255)
+    return out

@@ -93,7 +93,11 @@ def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
+        from warcraider_spark.functions.jpeg import (
+            encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
+            jpeg_dims,
+        )
         from warcraider_spark.functions.mp4 import mux_mjpeg_mp4
         from warcraider_spark.operators.multimodal import REAL_MEDIA_N, encode_wav
 
@@ -104,7 +108,14 @@ def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if d >= REAL_MEDIA_N:
                     modality, payload = "blob", str(row.text).encode("utf-8")
                 elif d % 3 == 0:
-                    modality, payload = "image", encode_jpeg_gray(d)
+                    # alternate baseline / progressive bitstreams: the
+                    # sniffing decoder handles both via one SOF-dispatching
+                    # path, and the decoded features are provably identical
+                    # (the progression is bit-complete), so the analytic
+                    # oracle is unchanged while the generic path now
+                    # exercises multi-scan decode too
+                    enc = encode_jpeg_gray if (d // 3) % 2 == 0 else encode_jpeg_gray_progressive
+                    modality, payload = "image", enc(d)
                 elif d % 3 == 1:
                     modality, payload = "audio", encode_wav(d, int(row.n_chars))
                 else:
@@ -1482,3 +1493,108 @@ def q173_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "media_id long, n_scans int, width int, height int, pixel_sum long, mean_milli long",
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Parallel single-object JPEG decode via restart markers (round 4)
+# ---------------------------------------------------------------------------
+
+PJ_WB, PJ_HB = 32, 24  # 256 x 192 image = 768 MCUs
+PJ_DRI = 32  # restart interval -> 24 independently-decodable segments
+
+
+@query(
+    "q174_parallel_jpeg_decode",
+    oracle=f"""
+WITH p AS (SELECT CAST(COUNT(*) % 256 AS BIGINT) AS seed FROM documents),
+segs AS (SELECT unnest(generate_series(0, {PJ_WB * PJ_HB // PJ_DRI - 1})) AS seg_idx),
+px AS (
+  SELECT seg_idx,
+    list_sum(list_transform(generate_series(seg_idx * {PJ_DRI}, seg_idx * {PJ_DRI} + {PJ_DRI} - 1), b ->
+      least(greatest(
+        2 * (CASE WHEN ((seed + 5*(b % {PJ_WB}) + 11*(b // {PJ_WB})) % 256) - 128 >= 0
+              THEN ((((seed + 5*(b % {PJ_WB}) + 11*(b // {PJ_WB})) % 256) - 128) + 1) // 2
+              ELSE -(((-((((seed + 5*(b % {PJ_WB}) + 11*(b // {PJ_WB})) % 256)) - 128)) + 1) // 2)
+              END)
+        + 128, 0), 255)
+    )) AS bsum
+  FROM segs CROSS JOIN p
+)
+SELECT CAST(seg_idx AS INT) AS seg_idx,
+       CAST(seg_idx * {PJ_DRI} AS BIGINT) AS first_mcu,
+       CAST({PJ_DRI} AS BIGINT) AS n_blocks,
+       CAST(bsum * 64 AS BIGINT) AS pixel_sum
+FROM px ORDER BY seg_idx
+""",
+    tags=("multimodal", "codec", "jpeg", "restart", "parallel-decode"),
+    bench=True,
+    min_rows=2,
+)
+def q174_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARALLEL decode of ONE JPEG across executors via restart markers —
+    the shape that matters when a single object is huge: a DRI/RSTn
+    baseline stream (T.81 B.2.4.4/E.2.4, functions/jpeg.py round 4)
+    byte-aligns and resets DC prediction at every interval, so the scan
+    splits into independently-decodable byte ranges.
+
+    The driver does a METADATA-ONLY parse (split_jpeg_restart_segments:
+    header + segment byte offsets — KB of work, like reading a parquet
+    footer); each task receives its segment's bytes plus the KB-sized
+    header and runs the full entropy+IDCT decode for its 32 MCUs. At
+    100 TB the rows carry (object key, byte range) and tasks range-read
+    from the store — no machine ever holds the whole image, which is the
+    difference between "decode needs a 40 GB executor" and "decode is
+    1000 embarrassingly-parallel range reads".
+
+    The image is the q029 analytic block-constant rule seeded by the
+    corpus count, so the DuckDB oracle replays every per-segment pixel
+    sum exactly; the reassembly identity (segments == monolithic decode)
+    is pinned by tests/test_media_codecs.py on random content."""
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    import numpy as np
+
+    from warcraider_spark.functions.jpeg import (
+        encode_jpeg_pixels,
+        jpeg_block_value,
+        split_jpeg_restart_segments,
+    )
+
+    seed = load_table(spark, sf_dir, "documents").count() % 256
+    w, h = PJ_WB * 8, PJ_HB * 8
+    px = np.zeros((h, w), dtype=np.float64)
+    for by in range(PJ_HB):
+        for bx in range(PJ_WB):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_block_value(seed, bx, by)
+    payload = encode_jpeg_pixels(px, restart_interval=PJ_DRI)
+    info = split_jpeg_restart_segments(payload)
+    header = info["header"]
+    rows = [
+        (i, first, n, bytes(payload[s:e]))
+        for i, (first, n, s, e) in enumerate(info["segments"])
+    ]
+    seg_df = spark.createDataFrame(
+        rows, "seg_idx int, first_mcu long, n_mcus long, data binary"
+    ).repartition(min(len(rows), 8))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.functions.jpeg import decode_jpeg_segment
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blocks = decode_jpeg_segment(header, bytes(row.data), int(row.n_mcus))
+                out.append(
+                    {
+                        "seg_idx": row.seg_idx,
+                        "first_mcu": row.first_mcu,
+                        "n_blocks": int(blocks.shape[0]),
+                        "pixel_sum": int(blocks.sum()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return seg_df.mapInPandas(
+        decode, "seg_idx int, first_mcu long, n_blocks long, pixel_sum long"
+    ).orderBy("seg_idx")
