@@ -67,6 +67,7 @@ KNOWN_OK_PAIRS = {
     ("q154_quantified_subqueries", "BroadcastNestedLoopJoin"),
     ("q157_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q161_dormant_rich_customers", "BroadcastNestedLoopJoin"),
+    ("q175_split_leakage", "BroadcastNestedLoopJoin"),
 }
 
 

@@ -600,3 +600,198 @@ def q157_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(margin > 0, 1).otherwise(0)).alias("n_correct"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split hygiene + corpus snapshot diff (round 4)
+# ---------------------------------------------------------------------------
+
+SPLIT_TEST_MOD = 10  # naive doc-hash split: ~10% test
+
+
+@query(
+    "q175_split_leakage",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+),
+fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         {md5_int_sql("CAST(doc_id AS VARCHAR)")} % {SPLIT_TEST_MOD} = 0 AS is_test
+  FROM corpus
+),
+naive AS (
+  SELECT fp,
+         SUM(CASE WHEN is_test THEN 0 ELSE 1 END) AS n_train,
+         SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+         MIN(doc_id) AS grp
+  FROM fps GROUP BY fp
+),
+grouped AS (
+  SELECT f.doc_id,
+         {md5_int_sql("CAST(n.grp AS VARCHAR)")} % {SPLIT_TEST_MOD} = 0 AS is_test,
+         f.fp
+  FROM fps f JOIN naive n USING (fp)
+),
+g2 AS (
+  SELECT fp,
+         SUM(CASE WHEN is_test THEN 0 ELSE 1 END) AS n_train,
+         SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test
+  FROM grouped GROUP BY fp
+)
+SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_groups,
+       CAST((SELECT COUNT(*) FROM naive WHERE n_train > 0 AND n_test > 0) AS BIGINT) AS naive_leaky_groups,
+       CAST((SELECT COALESCE(SUM(n_train + n_test), 0) FROM naive WHERE n_train > 0 AND n_test > 0) AS BIGINT) AS naive_leaky_docs,
+       CAST((SELECT COUNT(*) FROM g2 WHERE n_train > 0 AND n_test > 0) AS BIGINT) AS grouped_leaky_groups,
+       CAST((SELECT SUM(CASE WHEN is_test THEN 1 ELSE 0 END) FROM grouped) AS BIGINT) AS grouped_test_docs
+""",
+    tags=("curation", "dedup", "training-pipeline"),
+    min_rows=1,
+)
+def q175_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit + group-aware split — the hygiene step a
+    benchmark-quality corpus requires: a naive per-document hash split
+    puts exact duplicates on both sides (the eval set then scores
+    memorization), while splitting by the duplicate GROUP's canonical id
+    structurally eliminates leakage.
+
+    The corpus is documents + the exact-dup block (q001's construction),
+    so naive leakage provably exists; the output certifies (a) how many
+    fingerprint groups and docs leak under the per-doc split and (b)
+    that the group-keyed split has ZERO leaky groups — a property the
+    oracle replays, not asserts.
+
+    Scale shape: one shuffle on the fingerprint to form groups; the
+    group-id map joins back on fp (same key, reused partitioning); both
+    splits are pure hash expressions. No window, no driver data. The
+    final cross-joins are BNLJ over three SINGLE-ROW global aggregates
+    (1x1x1 — bounded by construction, exempted in plan_audit)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    fps = corpus.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"),
+        (md5_int(F.col("doc_id").cast("string")) % SPLIT_TEST_MOD == 0).alias("is_test"),
+    )
+    naive = fps.groupBy("fp").agg(
+        F.sum(F.when(F.col("is_test"), 0).otherwise(1)).alias("n_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+        F.min("doc_id").alias("grp"),
+    )
+    grouped = fps.join(naive.select("fp", "grp"), "fp").select(
+        "fp",
+        (md5_int(F.col("grp").cast("string")) % SPLIT_TEST_MOD == 0).alias("is_test"),
+    )
+    g2 = grouped.groupBy("fp").agg(
+        F.sum(F.when(F.col("is_test"), 0).otherwise(1)).alias("n_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+    )
+    leaky = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    a = naive.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("bigint").alias("naive_leaky_groups"),
+        F.coalesce(
+            F.sum(F.when(leaky, F.col("n_train") + F.col("n_test"))), F.lit(0)
+        ).cast("bigint").alias("naive_leaky_docs"),
+    )
+    b = g2.agg(
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("bigint").alias("grouped_leaky_groups")
+    )
+    c = grouped.agg(
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).cast("bigint").alias("grouped_test_docs")
+    )
+    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+
+
+@query(
+    "q176_corpus_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END),
+             '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         md5(trim(regexp_replace(lower(text || ' new'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 29 = 0
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.fp <> v2.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(MIN(doc_id) AS BIGINT) AS first_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_id
+FROM j GROUP BY status ORDER BY status
+""",
+    tags=("curation", "versioning", "join"),
+    min_rows=4,
+)
+def q176_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — dataset versioning's core operator: given
+    two corpus versions (v2 is v1 with deterministic deletions, edits and
+    additions), classify every doc id as added / removed / changed /
+    unchanged by comparing content fingerprints across a full outer join
+    on the id, and certify per-class counts + id checksums.
+
+    Scale shape: ONE sort-merge full outer join on the uniform doc_id
+    key (both sides shuffle once — unavoidable and optimal for a
+    full-corpus diff); fingerprints are computed map-side before the
+    join so only (id, 32-byte fp) rows shuffle, never text. min_rows=4
+    guards that all four classes actually occur."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = lambda c: F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))  # noqa: E731
+    v1 = docs.select("doc_id", fp(F.col("text")).alias("fp"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            fp(
+                F.when(F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                    F.col("text")
+                )
+            ).alias("fp"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                fp(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min("doc_id").cast("bigint").alias("first_id"),
+            F.max("doc_id").cast("bigint").alias("last_id"),
+        )
+        .orderBy("status")
+    )
