@@ -68,6 +68,7 @@ KNOWN_OK_PAIRS = {
     ("q157_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q161_dormant_rich_customers", "BroadcastNestedLoopJoin"),
     ("q175_split_leakage", "BroadcastNestedLoopJoin"),
+    ("q177_pmi_collocations", "BroadcastNestedLoopJoin"),
 }
 
 

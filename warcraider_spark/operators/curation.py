@@ -795,3 +795,95 @@ def q176_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match routing join (round 4)
+# ---------------------------------------------------------------------------
+
+# (prefix, category) rule table — prefixes are unique, lengths 1..6, chosen
+# so every category AND the no-match default occur in the driver corpus and
+# the longest-wins semantics is exercised (e.g. 'scan' beats 'sc' beats 's').
+LPM_RULES = [
+    ("s", "cat_s"),
+    ("sc", "cat_sc"),
+    ("scan", "cat_scan"),
+    ("c", "cat_c"),
+    ("col", "cat_col"),
+    ("w", "cat_w"),
+    ("window", "cat_window"),
+    ("qu", "cat_qu"),
+    ("m", "cat_m"),
+    ("merge", "cat_merge"),
+]
+LPM_MAXLEN = max(len(p) for p, _ in LPM_RULES)
+
+_LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
+
+
+@query(
+    "q179_longest_prefix_route",
+    oracle=f"""
+WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
+d AS (
+  SELECT doc_id, (string_split_regex(trim(text), '\\s+'))[1] AS ft FROM documents
+),
+cat AS (
+  SELECT doc_id,
+         COALESCE((SELECT r.category FROM rules r
+                   WHERE starts_with(d.ft, r.prefix)
+                   ORDER BY len(r.prefix) DESC LIMIT 1), 'other') AS category
+  FROM d
+)
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM cat GROUP BY category ORDER BY category
+""",
+    tags=("curation", "join", "routing"),
+    min_rows=8,
+)
+def q179_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST-prefix-match join — the URL-categorization / IP-routing /
+    taxonomy-labeling primitive: each document's routing key (first
+    token) is matched against a rule table of prefixes and the LONGEST
+    matching rule wins; unmatched keys fall through to 'other'.
+
+    Scale shape (the reason this isn't a LIKE-join): a prefix-predicate
+    theta-join is a cartesian at scale, so the key is expanded into its
+    ≤ LPM_MAXLEN prefixes map-side (bounded ×6 fan-out of tiny strings)
+    and EQUI-joined against the broadcast rule table; longest-wins is a
+    max over struct(prefix_len, category) in the same doc_id groupBy —
+    ties impossible since a key has exactly one prefix per length and
+    rule prefixes are unique. One doc-keyed shuffle total; the rule
+    table (real deployments: ~1e5 URL patterns) stays broadcast. The
+    oracle replays the semantics as the naive correlated scalar
+    subquery — an independent O(n·rules) formulation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.element_at(tokens(F.col("text")), 1).alias("ft")
+    )
+    rules = spark.createDataFrame(LPM_RULES, "prefix string, category string")
+    pfx = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, least(length(ft), {LPM_MAXLEN})), i -> substr(ft, 1, i))")
+        ).alias("p"),
+    )
+    best = (
+        pfx.join(F.broadcast(rules), pfx.p == rules.prefix)
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.length("prefix").alias("l"), F.col("category"))).alias("b"))
+        .select("doc_id", F.col("b.category").alias("category"))
+    )
+    return (
+        d.join(best, "doc_id", "left")
+        .select("doc_id", F.coalesce("category", F.lit("other")).alias("category"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("category")
+    )

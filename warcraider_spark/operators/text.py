@@ -1629,3 +1629,166 @@ def q172_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining + corpus novelty (round 4)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # drop hapax-ish bigrams before ranking (standard practice)
+PMI_TOPK = 100
+
+
+@query(
+    "q177_pmi_collocations",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+bg AS (
+  SELECT w1, w2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> {{'w1': toks[i], 'w2': toks[i + 1]}}), recursive := true)
+    FROM t WHERE len(toks) >= 2
+  )
+),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg GROUP BY w1, w2),
+x AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY w1),
+y AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY w2),
+n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS nn FROM c)
+SELECT c.w1, c.w2, n_xy, n_x, n_y,
+       CAST((n_xy * nn * 1000000) // (n_x * n_y) AS BIGINT) AS pmi_scaled
+FROM c JOIN x ON c.w1 = x.w1 JOIN y ON c.w2 = y.w2 CROSS JOIN n
+WHERE n_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_scaled DESC, c.w1, c.w2
+LIMIT {PMI_TOPK}
+""",
+    tags=("text", "collocations", "training-pipeline"),
+    min_rows=20,
+)
+def q177_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — rank adjacent-bigram collocations by
+    pointwise mutual information, the standard phrase-detection pass
+    (word2vec-style phrase merging) a tokenizer-training pipeline runs
+    before BPE (complements q037/q110/q132).
+
+    PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
+    scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
+    integer ratio induces the identical ranking with no cross-engine
+    float drift. Marginals n_x/n_y are bigram-positional (sum over the
+    bigram-count table), so everything derives from ONE bigram groupBy.
+
+    Scale shape: one O(len) zip-of-shifted-slices bigram expansion
+    (never element_at-per-element), ONE shuffle on the bigram key; the
+    two marginal tables are vocab-sized re-aggregations of the count
+    table, broadcast back; the grand total is a single-row broadcast
+    (bounded BNLJ, exempted); final top-k is TakeOrderedAndProject.
+    At a true 100 TB corpus the int64 headroom (n_xy*N*1e6 < 2^63)
+    forces the log-domain double variant — noted, not needed at cert SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select(tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+            F.slice("toks", 2, F.size("toks") - 1).alias("b"),
+        )
+    )
+    bg = d.select(F.explode(F.arrays_zip("a", "b")).alias("z")).select(
+        F.col("z.a").alias("w1"), F.col("z.b").alias("w2")
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    x = c.groupBy("w1").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    y = c.groupBy("w2").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    n = c.agg(F.sum("n_xy").cast("bigint").alias("nn"))
+    return (
+        c.join(F.broadcast(x), "w1")
+        .join(F.broadcast(y), "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_xy") >= PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr("CAST((n_xy * nn * 1000000) DIV (n_x * n_y) AS BIGINT)").alias(
+                "pmi_scaled"
+            ),
+        )
+        .orderBy(F.desc("pmi_scaled"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
+
+
+@query(
+    "q178_ngram_novelty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {NOVELTY_K}),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 1)), i -> toks[i + 0] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS gram FROM d
+),
+firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+SELECT dg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((CAST(SUM(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000) // COUNT(*) AS BIGINT) AS novelty_bp
+FROM dg JOIN firsts f USING (gram)
+GROUP BY dg.doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "dedup", "training-pipeline"),
+    min_rows=100,
+)
+def q178_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY rate — the corpus-diversity metric the
+    substring-dedup literature (Lee et al., "Deduplicating Training Data
+    Makes LMs Better") uses to decide how much of each new document is
+    genuinely new text: the fraction of its distinct 5-grams whose FIRST
+    corpus occurrence (min doc_id) is this document. Late crawl
+    snapshots score low → prime pruning candidates; complements q049's
+    duplicate-span finder with a doc-level score.
+
+    Integer-exact: counts and a basis-point ratio via integer div.
+
+    Scale shape: distinct grams come from the certified shingles()
+    zip-of-slices expansion (O(k·len) per row, dedup inside the array —
+    no explode-then-distinct shuffle); shuffle 1 groups by gram for the
+    min-doc table; the join back is on the SAME gram key (partitioning
+    reused, no extra exchange); shuffle 2 re-groups by doc_id. No
+    windows, no driver state, no skew beyond natural gram frequency
+    (hot grams cap at corpus doc count, and only (gram, first_doc)
+    pairs — 16-byte rows — flow through the join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= NOVELTY_K
+    )
+    dg = d.select("doc_id", F.explode(shingles(F.col("toks"), NOVELTY_K)).alias("gram"))
+    firsts = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        dg.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST((n_novel * 10000) DIV n_grams AS BIGINT)").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
