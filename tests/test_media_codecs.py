@@ -435,3 +435,40 @@ def test_restart_markers_and_parallel_segment_decode():
     plain = encode_jpeg_pixels(rng.randint(0, 256, size=(16, 16)), QTABLE)
     with pytest.raises(ValueError, match="DRI"):
         split_jpeg_restart_segments(plain)
+
+
+def test_png_pixel_decode_and_box_pyramid():
+    """decode_png_pixels returns the exact analytic pixel grid, its sum
+    agrees with decode_png, and the 2x2 box-filter halving matches the
+    per-pixel floor formula the q180 oracle replays."""
+    import numpy as np
+
+    from warcraider_spark.operators.multimodal import (
+        _img_dims,
+        _png_pixel,
+        decode_png,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    for doc_id in (0, 7, 55):  # odd and even dims both covered
+        payload = encode_png(doc_id)
+        w, h, raw = decode_png_pixels(payload)
+        assert (w, h) == _img_dims(doc_id)
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+        expect = np.fromfunction(
+            lambda y, x, c: (doc_id + x + 2 * y + c) % 256, (h, w, 3), dtype=np.int64
+        )
+        assert (a == expect).all()
+        assert int(a.sum()) == decode_png(payload)["pixel_sum"]
+        ev = a[: h // 2 * 2, : w // 2 * 2]
+        l1 = (ev[0::2, 0::2] + ev[0::2, 1::2] + ev[1::2, 0::2] + ev[1::2, 1::2]) // 4
+        for yy in (0, h // 2 - 1):
+            for xx in (0, w // 2 - 1):
+                for cc in range(3):
+                    s = sum(
+                        _png_pixel(doc_id, 2 * xx + dx, 2 * yy + dy, cc)
+                        for dx in (0, 1)
+                        for dy in (0, 1)
+                    )
+                    assert l1[yy, xx, cc] == s // 4

@@ -1598,3 +1598,156 @@ def q174_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg_df.mapInPandas(
         decode, "seg_idx int, first_mcu long, n_blocks long, pixel_sum long"
     ).orderBy("seg_idx")
+
+
+# ---------------------------------------------------------------------------
+# Image RESIZE: 2x2 box-filter mip pyramid over REAL decoded PNG pixels
+# ---------------------------------------------------------------------------
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Full PNG decode returning the RAW RGB pixel buffer (w, h, bytes) —
+    same chunk walk / CRC verify / unfilter paths as decode_png, but
+    keeps the reconstructed scanlines instead of folding them into a
+    sum, so downstream ops (resize, hashing) see actual pixels."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        (length,) = _struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = _struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError("bad CRC")
+        if ctype == b"IHDR":
+            w, h = _struct.unpack_from(">II", body, 0)
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw_all = zlib.decompress(bytes(idat))
+    stride = w * _BPP
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        ft = raw_all[y * (stride + 1)]
+        line = bytearray(raw_all[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            left = line[i - _BPP] if i >= _BPP else 0
+            up = prev[i]
+            ul = prev[i - _BPP] if i >= _BPP else 0
+            if ft == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
+@query(
+    "q180_image_pyramid_resize",
+    oracle="""WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 64 + 8 AS BIGINT) AS w,
+         CAST(doc_id % 48 + 8 AS BIGINT) AS h
+  FROM documents WHERE doc_id < 60
+),
+lv AS (
+  SELECT doc_id AS media_id, 0 AS level, w AS width, h AS height,
+         list_sum(list_transform(generate_series(0, w - 1), x -> list_sum(list_transform(generate_series(0, h - 1), y -> list_sum(list_transform(generate_series(0, 2), c -> CAST(((doc_id + x + 2*(y) + c) % 256) AS BIGINT))))))) AS pixel_sum
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, w // 2, h // 2,
+         list_sum(list_transform(generate_series(0, (w // 2) - 1), x -> list_sum(list_transform(generate_series(0, (h // 2) - 1), y -> list_sum(list_transform(generate_series(0, 2), c -> CAST(((((doc_id + 2*(x) + 2*(2*(y)) + c) % 256) + ((doc_id + 2*(x)+1 + 2*(2*(y)) + c) % 256) + ((doc_id + 2*(x) + 2*(2*(y)+1) + c) % 256) + ((doc_id + 2*(x)+1 + 2*(2*(y)+1) + c) % 256)) // 4) AS BIGINT)))))))
+  FROM base
+  UNION ALL
+  SELECT doc_id, 2, w // 4, h // 4,
+         list_sum(list_transform(generate_series(0, (w // 4) - 1), x -> list_sum(list_transform(generate_series(0, (h // 4) - 1), y -> list_sum(list_transform(generate_series(0, 2), c -> CAST(((((((doc_id + 2*(2*(x)) + 2*(2*(2*(y))) + c) % 256) + ((doc_id + 2*(2*(x))+1 + 2*(2*(2*(y))) + c) % 256) + ((doc_id + 2*(2*(x)) + 2*(2*(2*(y))+1) + c) % 256) + ((doc_id + 2*(2*(x))+1 + 2*(2*(2*(y))+1) + c) % 256)) // 4) + ((((doc_id + 2*(2*(x)+1) + 2*(2*(2*(y))) + c) % 256) + ((doc_id + 2*(2*(x)+1)+1 + 2*(2*(2*(y))) + c) % 256) + ((doc_id + 2*(2*(x)+1) + 2*(2*(2*(y))+1) + c) % 256) + ((doc_id + 2*(2*(x)+1)+1 + 2*(2*(2*(y))+1) + c) % 256)) // 4) + ((((doc_id + 2*(2*(x)) + 2*(2*(2*(y)+1)) + c) % 256) + ((doc_id + 2*(2*(x))+1 + 2*(2*(2*(y)+1)) + c) % 256) + ((doc_id + 2*(2*(x)) + 2*(2*(2*(y)+1)+1) + c) % 256) + ((doc_id + 2*(2*(x))+1 + 2*(2*(2*(y)+1)+1) + c) % 256)) // 4) + ((((doc_id + 2*(2*(x)+1) + 2*(2*(2*(y)+1)) + c) % 256) + ((doc_id + 2*(2*(x)+1)+1 + 2*(2*(2*(y)+1)) + c) % 256) + ((doc_id + 2*(2*(x)+1) + 2*(2*(2*(y)+1)+1) + c) % 256) + ((doc_id + 2*(2*(x)+1)+1 + 2*(2*(2*(y)+1)+1) + c) % 256)) // 4)) // 4) AS BIGINT)))))))
+  FROM base
+)
+SELECT media_id, CAST(level AS INT) AS level, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(pixel_sum * 1000 // (width * height * 3) AS BIGINT) AS mean_milli
+FROM lv ORDER BY media_id, level""",
+    tags=("multimodal", "resize", "image", "mapInPandas"),
+    min_rows=150,
+)
+def q180_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a mip pyramid: encode real PNGs, decode them back
+    to RAW pixels (decode_png_pixels — full CRC/unfilter walk), then
+    2x2 BOX-FILTER downscale twice (vectorized numpy, floor-div-4 — the
+    interpolation mode every training-data image pipeline runs for
+    thumbnail/low-res variants). Odd dimensions crop to even before each
+    halving, like real mip chains. Per (image, level) the exact integer
+    pixel_sum is certified: the DuckDB oracle replays the gradient
+    content rule AND the box-filter floor arithmetic for all three
+    levels analytically — a hash match proves encode, decode, unfilter
+    and both resize passes bit-exactly.
+
+    Scale notes: pixels exist only inside the two map-only Arrow
+    stages (no shuffle ever carries a pixel — same story as q151/q029);
+    the resize itself is whole-array numpy per image, the shape a
+    Pandas-UDF image pipeline should have (batch-columnar, not
+    per-pixel Python). Output is 3 rows of scalars per image.
+    """
+    import numpy as np  # noqa: F401  (used inside the udf closure)
+
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from warcraider_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [encode_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    encoded = docs.mapInPandas(encode, "media_id long, payload binary")
+
+    def pyramid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from warcraider_spark.operators.multimodal import decode_png_pixels
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, raw = decode_png_pixels(bytes(row.payload))
+                a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+                for level in range(3):
+                    hh, ww = a.shape[0], a.shape[1]
+                    ps = int(a.sum())
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "level": level,
+                            "width": ww,
+                            "height": hh,
+                            "pixel_sum": ps,
+                            "mean_milli": ps * 1000 // (ww * hh * 3),
+                        }
+                    )
+                    if level < 2:
+                        a = a[: hh // 2 * 2, : ww // 2 * 2]
+                        a = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(
+        pyramid,
+        "media_id long, level int, width int, height int, pixel_sum long, mean_milli long",
+    ).orderBy("media_id", "level")
