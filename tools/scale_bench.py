@@ -44,6 +44,10 @@ QUERIES = [
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
     # retrieval corpus sees
     "q050_two_stage_rerank",
+    # r4 text additions: PMI is the vocab-saturating shape, novelty the
+    # linear-gram-join shape — both must hold their §10 curves
+    "q177_pmi_collocations",
+    "q178_ngram_novelty",
 ]
 
 
