@@ -440,7 +440,7 @@ def test_restart_markers_and_parallel_segment_decode():
 def test_png_pixel_decode_and_box_pyramid():
     """decode_png_pixels returns the exact analytic pixel grid, its sum
     agrees with decode_png, and the 2x2 box-filter halving matches the
-    per-pixel floor formula the q180 oracle replays."""
+    per-pixel floor formula the q042 oracle replays."""
     import numpy as np
 
     from warcraider_spark.operators.multimodal import (

@@ -532,7 +532,7 @@ def test_sparse_dot_query_weights_broadcast(spark):
 
 
 def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
-    """q170: the contraction's half-round plan is groupBy + equi-join on
+    """q025: the contraction's half-round plan is groupBy + equi-join on
     the node id — a cartesian or nested-loop would be quadratic in edges."""
     from warcraider_spark.operators.graph import chain_edges
 

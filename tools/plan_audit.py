@@ -67,8 +67,8 @@ KNOWN_OK_PAIRS = {
     ("q154_quantified_subqueries", "BroadcastNestedLoopJoin"),
     ("q157_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q161_dormant_rich_customers", "BroadcastNestedLoopJoin"),
-    ("q175_split_leakage", "BroadcastNestedLoopJoin"),
-    ("q177_pmi_collocations", "BroadcastNestedLoopJoin"),
+    ("q035_split_leakage", "BroadcastNestedLoopJoin"),
+    ("q038_pmi_collocations", "BroadcastNestedLoopJoin"),
 }
 
 

@@ -46,8 +46,8 @@ QUERIES = [
     "q050_two_stage_rerank",
     # r4 text additions: PMI is the vocab-saturating shape, novelty the
     # linear-gram-join shape — both must hold their §10 curves
-    "q177_pmi_collocations",
-    "q178_ngram_novelty",
+    "q038_pmi_collocations",
+    "q039_ngram_novelty",
 ]
 
 

@@ -610,7 +610,7 @@ SPLIT_TEST_MOD = 10  # naive doc-hash split: ~10% test
 
 
 @query(
-    "q175_split_leakage",
+    "q035_split_leakage",
     oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -651,7 +651,7 @@ SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_groups,
     tags=("curation", "dedup", "training-pipeline"),
     min_rows=1,
 )
-def q175_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test LEAKAGE audit + group-aware split — the hygiene step a
     benchmark-quality corpus requires: a naive per-document hash split
     puts exact duplicates on both sides (the eval set then scores

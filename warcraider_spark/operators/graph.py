@@ -391,7 +391,7 @@ def alternating_components(
 
 
 @query(
-    "q170_connected_components",
+    "q025_connected_components",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({CHAIN_EDGES_SQL}),
 edges2 AS (
@@ -417,7 +417,7 @@ ORDER BY component_id
     bench=True,
     min_rows=2,
 )
-def q170_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating large-star/small-star — the
     O(log n)-round contraction q043's docstring defers deep graphs to,
     now implemented and certified on a graph that DEFEATS bounded label

@@ -1388,7 +1388,7 @@ def q030_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q173_progressive_jpeg",
+    "q026_progressive_jpeg",
     oracle="""
 WITH img AS (
   SELECT doc_id,
@@ -1419,7 +1419,7 @@ FROM px ORDER BY media_id
 """,
     tags=("multimodal", "codec", "jpeg", "progressive", "mapInPandas"),
 )
-def q173_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive JPEG round-trip (T.81 Annex G): the encode stage
     emits genuine SOF2 bitstreams — a 4-scan progression covering every
     progressive scan type (DC first with successive approximation, DC
@@ -1654,7 +1654,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
 
 @query(
-    "q180_image_pyramid_resize",
+    "q042_image_pyramid_resize",
     oracle="""WITH base AS (
   SELECT doc_id,
          CAST(doc_id % 64 + 8 AS BIGINT) AS w,
@@ -1681,7 +1681,7 @@ FROM lv ORDER BY media_id, level""",
     tags=("multimodal", "resize", "image", "mapInPandas"),
     min_rows=150,
 )
-def q180_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image RESIZE as a mip pyramid: encode real PNGs, decode them back
     to RAW pixels (decode_png_pixels — full CRC/unfilter walk), then
     2x2 BOX-FILTER downscale twice (vectorized numpy, floor-div-4 — the

@@ -1242,7 +1242,7 @@ def q125_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_record_range_scan",
+    "q175_record_range_scan",
     oracle="""
 SELECT o_orderkey, o_custkey
 FROM orders
@@ -1251,7 +1251,7 @@ LIMIT 50 OFFSET 100
 """,
     tags=("scan", "limit", "reference-parity"),
 )
-def q035_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q175_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's record-range scan ([start_at, finish_at),
     main.rs:205-219) as ORDER BY + OFFSET/LIMIT — partitioning makes the
     manual skip loop obsolete (SURVEY §2.1)."""
@@ -1552,7 +1552,7 @@ def q126_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q038_shipmode_priority",
+    "q177_shipmode_priority",
     oracle="""
 SELECT l_linestatus AS shipmode_proxy,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -1565,7 +1565,7 @@ ORDER BY shipmode_proxy
 """,
     tags=("join", "agg", "tpch"),
 )
-def q038_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q177_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: priority class counts per ship mode."""
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1897,7 +1897,7 @@ def q101_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q039_variant_json",
+    "q178_variant_json",
     oracle="""
 SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
        COUNT(*) AS n,
@@ -1910,7 +1910,7 @@ ORDER BY k_mod
 """,
     tags=("json", "variant"),
 )
-def q039_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q178_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through Spark 4's VARIANT type:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
@@ -2029,7 +2029,7 @@ FROM j ORDER BY event_id
     tags=("json", "variant"),
 )
 def q109_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deep VARIANT path surface (Spark 4), beyond q039's flat
+    """Deep VARIANT path surface (Spark 4), beyond q178's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
     the binary variant encoding, then every access is a typed

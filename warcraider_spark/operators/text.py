@@ -357,7 +357,7 @@ def q041_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q042_tfidf",
+    "q180_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -377,7 +377,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q042_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q180_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -1640,7 +1640,7 @@ PMI_TOPK = 100
 
 
 @query(
-    "q177_pmi_collocations",
+    "q038_pmi_collocations",
     oracle=f"""
 WITH t AS (
   SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -1666,7 +1666,7 @@ LIMIT {PMI_TOPK}
     tags=("text", "collocations", "training-pipeline"),
     min_rows=20,
 )
-def q177_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
@@ -1726,7 +1726,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
 
 
 @query(
-    "q178_ngram_novelty",
+    "q039_ngram_novelty",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -1748,7 +1748,7 @@ ORDER BY doc_id
     tags=("text", "dedup", "training-pipeline"),
     min_rows=100,
 )
-def q178_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY rate — the corpus-diversity metric the
     substring-dedup literature (Lee et al., "Deduplicating Training Data
     Makes LMs Better") uses to decide how much of each new document is

@@ -194,7 +194,7 @@ def q024_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q025_retention_cohorts",
+    "q170_retention_cohorts",
     oracle="""
 WITH first_seen AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
@@ -212,7 +212,7 @@ ORDER BY cohort_day, day_n
 """,
     tags=("window", "cohort", "retention"),
 )
-def q025_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q170_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-seen day, counted
     distinct on each day-offset they return. Two shuffles on user_id
     (first-seen agg + join back — co-partitioned, so AQE can plan a
@@ -235,7 +235,7 @@ def q025_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q026_funnel_conversion",
+    "q173_funnel_conversion",
     oracle="""
 WITH stage_ts AS (
   SELECT user_id,
@@ -260,7 +260,7 @@ ORDER BY stage
 """,
     tags=("window", "funnel"),
 )
-def q026_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q173_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → first later click → first later purchase):
     one groupBy(user) computes the three stage timestamps with conditional
     MIN (map-side combine, single shuffle), then the strictly-increasing
