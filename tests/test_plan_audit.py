@@ -10,7 +10,12 @@ cartesian."""
 from __future__ import annotations
 
 from tests.conftest import SF_CORRECT
-from tools.plan_audit import _unpartitioned_windows, audit, flags_for
+from tools.plan_audit import (
+    _broadcast_unbounded_aggs,
+    _unpartitioned_windows,
+    audit,
+    flags_for,
+)
 
 
 def test_no_unjustified_scale_risk_shapes(spark):
@@ -30,6 +35,40 @@ def test_unpartitioned_window_detector():
     part = "Window [row_number() windowspecdefinition(shard#1L, h#2L ASC NULLS FIRST, frame) AS rn]"
     assert _unpartitioned_windows(unpart) == 1
     assert _unpartitioned_windows(part) == 0
+
+
+def test_broadcast_unbounded_agg_detector():
+    """The r5 rule (VERDICT r4 directive #1): an explicit broadcast HINT
+    over a keyed aggregate flags — it would have caught q018's out-degree
+    broadcast and q038's marginal broadcasts. Bounded shapes don't flag:
+    a global (key-less) aggregate is single-row, a Limit caps the build
+    side, and hint-less plans are AQE's call, not a forced broadcast."""
+    keyed = (
+        "Join Inner, (k#1L = k#2L)\n"
+        ":- Relation [k#1L]\n"
+        "+- ResolvedHint (strategy=broadcast)\n"
+        "   +- Aggregate [k#2L], [k#2L, count(1) AS c#3L]\n"
+        "      +- Relation [k#2L]\n"
+    )
+    assert _broadcast_unbounded_aggs(keyed) == 1
+    global_over_keyed = (
+        "Join Cross\n"
+        ":- Relation [k#1L]\n"
+        "+- ResolvedHint (strategy=broadcast)\n"
+        "   +- Aggregate [sum(c#3L) AS s#4L]\n"
+        "      +- Aggregate [k#2L], [k#2L, count(1) AS c#3L]\n"
+        "         +- Relation [k#2L]\n"
+    )
+    assert _broadcast_unbounded_aggs(global_over_keyed) == 0
+    limited = keyed.replace(
+        "   +- Aggregate [k#2L]",
+        "   +- GlobalLimit 5\n      +- Aggregate [k#2L]",
+    )
+    assert _broadcast_unbounded_aggs(limited) == 0
+    # same keyed aggregate, no hint: stats-chosen broadcasts are adaptive
+    assert _broadcast_unbounded_aggs(keyed.replace(
+        "+- ResolvedHint (strategy=broadcast)\n   ", "+- "
+    )) == 0
 
 
 def test_known_ok_pairs_reference_live_names():

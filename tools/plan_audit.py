@@ -68,8 +68,89 @@ KNOWN_OK_PAIRS = {
     ("q157_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q161_dormant_rich_customers", "BroadcastNestedLoopJoin"),
     ("q035_split_leakage", "BroadcastNestedLoopJoin"),
-    ("q038_pmi_collocations", "BroadcastNestedLoopJoin"),
+    # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
+    # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
+    # fixed k centroids (q014/q016), fixed bloom word count m/64 (q032),
+    # fixed d*w count-min table (q033), <=21 score buckets — score is
+    # milli-scaled in [0,1e6] div 50000 (q127), ingest-batch-sized
+    # increment tables — the delta is a bounded batch, never the corpus
+    # (q129), 100-row interval dimension (q130), bucket-summary prefix
+    # sums sized by bucketing policy (q150 — same justification as its
+    # unpartitioned-window exemption), fixed probe/query set (q172).
+    # Data-coupled hints were FIXED instead, not exempted: q018 out-
+    # degrees folded into the rank table, q038 marginals via shuffle
+    # joins, q005 hot-shingle anti-join and q144 per-source bounds left
+    # to AQE (broadcast while small, shuffle at scale).
+    ("q014_ivf_assign", "broadcast of unbounded aggregate"),
+    ("q016_ivf_topk_search", "broadcast of unbounded aggregate"),
+    ("q032_bloom_dedup_probe", "broadcast of unbounded aggregate"),
+    ("q033_countmin_freq", "broadcast of unbounded aggregate"),
+    ("q127_token_budget_select", "broadcast of unbounded aggregate"),
+    ("q129_incremental_dedup", "broadcast of unbounded aggregate"),
+    ("q130_interval_bin_join", "broadcast of unbounded aggregate"),
+    ("q150_concat_chunk_blocks", "broadcast of unbounded aggregate"),
+    ("q172_sparse_dot_topk", "broadcast of unbounded aggregate"),
 }
+
+
+_ANALYZED_LINE = re.compile(r"^([ :+\-]*)([A-Za-z][\w]*)(.*)$")
+_KEYED_AGG = re.compile(r"^ \[(.*?)\], \[")
+_LIMIT_NODES = {"GlobalLimit", "LocalLimit", "Limit", "Sample"}
+
+
+def _broadcast_unbounded_aggs(analyzed: str) -> int:
+    """Count EXPLICIT `F.broadcast()` hints whose build side is an
+    UNBOUNDED keyed aggregate — a per-key table (out-degrees, vocab
+    marginals, per-doc fingerprints ...) whose cardinality grows with
+    the data. A broadcast HINT forces the broadcast regardless of size,
+    so at 100 TB it OOMs every executor; the fix is a shuffle join on
+    the key the pipeline already partitions by. This rule would have
+    caught both r4 scale-killers (q018's per-node out-degree broadcast,
+    q038's per-token marginal broadcasts).
+
+    Deliberately scoped to the ANALYZED plan's ResolvedHint nodes:
+    stats-chosen auto-broadcasts in the physical plan are ADAPTIVE —
+    Catalyst/AQE re-plans them as SMJ when the same aggregate is big at
+    scale — and flagging those would drown the signal in false alarms.
+
+    Bounded shapes are excused: global (key-less) aggregates print as
+    `Aggregate [aggs]` (one bracket list → single row), and a Limit /
+    Sample under the hint bounds the build side. `Aggregate [keys],
+    [aggs]` (two lists, non-empty first) with no limit below it flags.
+    """
+    tree = []
+    for ln in analyzed.splitlines():
+        m = _ANALYZED_LINE.match(ln)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    flagged = 0
+    for i, (depth, node, rest) in enumerate(tree):
+        if node != "ResolvedHint" or "broadcast" not in rest:
+            continue
+        # walk the hint's subtree; a bounding node (Limit/Sample, or a
+        # key-less Aggregate — single row) caps the cardinality of its
+        # WHOLE subtree, so everything strictly below it is skipped.
+        has_keyed_agg = False
+        skip_below = None  # depth of the innermost active bounding node
+        for d2, n2, rest2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            if skip_below is not None:
+                if d2 > skip_below:
+                    continue
+                skip_below = None
+            if n2 in _LIMIT_NODES:
+                skip_below = d2
+                continue
+            if n2 == "Aggregate":
+                km = _KEYED_AGG.match(rest2)
+                if km and km.group(1).strip():
+                    has_keyed_agg = True
+                else:  # global aggregate → 1 row, subtree bounded
+                    skip_below = d2
+        if has_keyed_agg:
+            flagged += 1
+    return flagged
 
 
 def _unpartitioned_windows(plan: str) -> int:
@@ -114,6 +195,8 @@ def flags_for(row: dict) -> list[str]:
         out.append("BroadcastNestedLoopJoin")
     if row["unpart_win"]:
         out.append("unpartitioned window")
+    if row.get("bcast_agg"):
+        out.append("broadcast of unbounded aggregate")
     return [f for f in out if (row["query"], f) not in KNOWN_OK_PAIRS]
 
 
@@ -129,10 +212,13 @@ def audit(sf_dir: str, spark=None) -> list[dict]:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
+            analyzed = df._jdf.queryExecution().analyzed().toString()
         except Exception as exc:  # plan-time failure is itself a finding
             rows.append({"query": name, "error": str(exc)[:120]})
             continue
-        rows.append(analyze_plan(name, plan))
+        row = analyze_plan(name, plan)
+        row["bcast_agg"] = _broadcast_unbounded_aggs(analyzed)
+        rows.append(row)
     if own_session:
         spark.stop()
     return rows
@@ -150,17 +236,17 @@ def render(rows: list[dict], sf_dir: str) -> str:
         "(1-row totals, bucket summaries, local-skyline survivors …) — the",
         "known-OK list in the tool mirrors those docstrings.",
         "",
-        "| query | xchg | bcast | BHJ | SMJ | SHJ | BNLJ | cart | unpart-win | pushed |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | xchg | bcast | BHJ | SMJ | SHJ | BNLJ | cart | unpart-win | bc-agg | pushed |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     flagged = []
     for r in rows:
         if "error" in r:
-            out.append(f"| {r['query']} | PLAN ERROR: {r['error']} |" + " |" * 8)
+            out.append(f"| {r['query']} | PLAN ERROR: {r['error']} |" + " |" * 9)
         else:
             out.append(
                 "| {query} | {exchange} | {bcast} | {bhj} | {smj} | {shj} | {bnlj} "
-                "| {cartesian} | {unpart_win} | {pushed} |".format(**r)
+                "| {cartesian} | {unpart_win} | {bcast_agg} | {pushed} |".format(**r)
             )
         flagged.extend((r["query"], why) for why in flags_for(r))
     out.append("")

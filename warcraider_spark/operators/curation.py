@@ -189,8 +189,10 @@ def q144_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact ``percentile`` (not approx) so the oracle hash is meaningful —
     both engines linearly interpolate at q*(n-1). The ~|sources| bounds
-    table re-joins as a broadcast: the document side never shuffles for
-    the clamp pass; the only wide exchange is the final groupBy(source).
+    table re-joins WITHOUT a forced broadcast: 'source' cardinality is a
+    property of the catalog, not a constant, so the join is left to AQE —
+    broadcast while the bounds table is small, shuffle on the source key
+    (which the percentile groupBy already produced) when it isn't.
     """
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     bounds = docs.groupBy("source").agg(
@@ -198,7 +200,7 @@ def q144_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", F.col("p")[0].alias("lo"), F.col("p")[1].alias("hi"))
     clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi"))
     return (
-        docs.join(F.broadcast(bounds), "source")
+        docs.join(bounds, "source")
         .groupBy("source", "lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

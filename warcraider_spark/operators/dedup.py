@@ -394,8 +394,11 @@ def q005_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped from both the sizes and the intersection BEFORE the
     self-join — a single stop-shingle shared by k docs contributes k²
     join rows, so one ubiquitous boilerplate phrase at 100 TB turns the
-    uniform-key join into a quadratic hotspot. The hot set is tiny by
-    construction (df ≥ cap), so it broadcasts; Jaccard is then defined
+    uniform-key join into a quadratic hotspot. The hot set is NOT force-
+    broadcast — at a fixed cap its cardinality grows ~linearly with the
+    corpus (≤ total_shingles/cap), so the anti-join is left to AQE:
+    broadcast while small, shuffle on the same shingle key the df-groupBy
+    already partitioned by once it isn't. Jaccard is then defined
     over the capped shingle sets on BOTH engines (standard practice in
     web-dedup pipelines — ubiquitous shingles carry no dedup signal)."""
     corpus = dup_corpus(spark, sf_dir).filter((F.col("doc_id") < 200) | (F.col("doc_id") >= 10000))
@@ -406,7 +409,7 @@ def q005_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= SHINGLE_DF_CAP)
         .select("shingle")
     )
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh0.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1681,10 +1681,21 @@ def q038_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one O(len) zip-of-shifted-slices bigram expansion
     (never element_at-per-element), ONE shuffle on the bigram key; the
     two marginal tables are vocab-sized re-aggregations of the count
-    table, broadcast back; the grand total is a single-row broadcast
-    (bounded BNLJ, exempted); final top-k is TakeOrderedAndProject.
-    At a true 100 TB corpus the int64 headroom (n_xy*N*1e6 < 2^63)
-    forces the log-domain double variant — noted, not needed at cert SF.
+    table joined back on w1/w2 via PLAIN shuffle joins — a web-scale
+    vocab (typos, URLs, code) is 10^8..10^9 terms under Heaps' law, so
+    broadcasting the marginals OOMs executors (r4 verdict "What's
+    wrong" #2); the bigram table is already key-compatible, so the
+    joins reuse the same hash partitioning. The grand total nn comes
+    from one single-row driver action (the iterative-operator contract)
+    and is inlined as a literal — no 1-row cross join remains. Final
+    top-k is TakeOrderedAndProject.
+
+    Int64 headroom guard (ENFORCED): the integer path needs
+    max(n_xy)*nn*1e6 < 2^63; when a corpus exceeds it, the builder
+    switches to the log-domain double variant (pmi_scaled = micro-nats,
+    floor-scaled) — same schema, same monotone ranking. Cert SFs always
+    take the integer path; tests/test_oracle_queries.py pins the log
+    path's ranking against driver-side math.log on synthetic counts.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = (
@@ -1701,11 +1712,13 @@ def q038_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
     x = c.groupBy("w1").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
     y = c.groupBy("w2").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
-    n = c.agg(F.sum("n_xy").cast("bigint").alias("nn"))
+    tot = c.agg(
+        F.sum("n_xy").cast("bigint").alias("nn"), F.max("n_xy").cast("bigint").alias("mx")
+    ).first()
+    nn, mx = int(tot["nn"]), int(tot["mx"])
     return (
-        c.join(F.broadcast(x), "w1")
-        .join(F.broadcast(y), "w2")
-        .crossJoin(F.broadcast(n))
+        c.join(x, "w1")
+        .join(y, "w2")
         .filter(F.col("n_xy") >= PMI_MIN_COUNT)
         .select(
             "w1",
@@ -1713,12 +1726,37 @@ def q038_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_xy",
             "n_x",
             "n_y",
-            F.expr("CAST((n_xy * nn * 1000000) DIV (n_x * n_y) AS BIGINT)").alias(
-                "pmi_scaled"
-            ),
+            _pmi_rank_expr(nn, use_log=pmi_needs_log_domain(mx, nn)).alias("pmi_scaled"),
         )
         .orderBy(F.desc("pmi_scaled"), "w1", "w2")
         .limit(PMI_TOPK)
+    )
+
+
+def pmi_needs_log_domain(max_nxy: int, nn: int) -> bool:
+    """True when the integer-exact PMI ratio would overflow int64: the
+    numerator's worst case is max(n_xy) * nn * PMI_SCALE. Python ints
+    are unbounded, so the check itself cannot overflow."""
+    return max_nxy * nn * 1_000_000 > 2**63 - 1
+
+
+def _pmi_rank_expr(nn: int, use_log: bool):
+    """Ranking column over a (n_xy, n_x, n_y) bigram-count table.
+
+    Integer path: n_xy*nn*1e6 div (n_x*n_y) — exact, cross-engine
+    hash-safe (DuckDB `//` and Spark DIV both floor for positives).
+    Log path (beyond int64 headroom): floor(1e6 * ln-PMI) micro-nats —
+    log is monotone, so ranking is preserved; values are doubles
+    floored once at the end, never compared across engines (the guard
+    only fires beyond cert scale).
+    """
+    if use_log:
+        return F.expr(
+            f"CAST(FLOOR(1000000.0 * (LN(CAST(n_xy AS DOUBLE)) + LN({float(nn)}D) "
+            "- LN(CAST(n_x AS DOUBLE)) - LN(CAST(n_y AS DOUBLE)))) AS BIGINT)"
+        )
+    return F.expr(
+        f"CAST((n_xy * CAST({nn} AS BIGINT) * 1000000) DIV (n_x * n_y) AS BIGINT)"
     )
 
 
