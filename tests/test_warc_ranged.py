@@ -1,0 +1,132 @@
+"""Byte-range-parallel WARC scan (VERDICT r4 directive #3): a single
+multi-member file fans out to >= 4 independent range tasks whose union
+reproduces the monolithic parse byte-for-byte, including the tolerant
+parser's sentinel-and-stop behavior on malformed tails."""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcraider_spark.sources.warc import (
+    build_warc_bytes,
+    index_warc_members,
+    parse_warc_stream,
+    plan_warc_splits,
+    read_warc,
+    read_warc_ranged,
+)
+
+
+def _fixture_bytes(n=24) -> bytes:
+    recs = []
+    for i in range(n):
+        body = f"<html><title>t{i}</title>".encode() + b"x" * ((i * 911) % 9000 + 50)
+        recs.append(
+            ({"WARC-Type": "response", "WARC-Target-URI": f"https://h{i}.gov.au/"}, body)
+        )
+    return build_warc_bytes(recs)
+
+
+def _write(payload: bytes, name: str) -> str:
+    d = tempfile.mkdtemp(prefix="warc_ranged_test_")
+    p = os.path.join(d, name)
+    with open(p, "wb") as f:
+        f.write(payload)
+    return p
+
+
+def test_index_offsets_slice_parity():
+    """Each indexed member, parsed from its own byte slice, equals the
+    corresponding record of the monolithic parse."""
+    payload = _fixture_bytes()
+    offsets = index_warc_members(io.BufferedReader(io.BytesIO(payload)))
+    mono = list(parse_warc_stream(payload))
+    assert len(offsets) == len(mono) == 24
+    bounds = offsets + [len(payload)]
+    for i in range(len(offsets)):
+        sliced = list(parse_warc_stream(payload[bounds[i] : bounds[i + 1]]))
+        assert sliced == [mono[i]]
+
+
+def test_split_planning_invariants():
+    payload = _fixture_bytes()
+    offsets = index_warc_members(io.BufferedReader(io.BytesIO(payload)))
+    splits = plan_warc_splits(offsets, len(payload), 6)
+    assert 4 <= len(splits) <= 6
+    # contiguous coverage of the whole file, each range on a member boundary
+    assert splits[0][1] == offsets[0] == 0
+    for (i1, o1, l1), (i2, o2, _l2) in zip(splits, splits[1:]):
+        assert o1 + l1 == o2
+        assert o2 in offsets and offsets[i2] == o2
+        assert i2 > i1
+    last_i, last_o, last_l = splits[-1]
+    assert last_o + last_l == len(payload)
+    # malformed-only file still yields one whole-file range
+    assert plan_warc_splits([], 100, 4) == [(0, 0, 100)]
+    assert plan_warc_splits([], 0, 4) == []
+
+
+def _rows(df):
+    return sorted(
+        (
+            r["record_idx"],
+            r["version"],
+            tuple(sorted(r["headers"].items())),
+            bytes(r["content"]) if r["content"] is not None else None,
+        )
+        for r in df.collect()
+    )
+
+
+def test_ranged_equals_monolithic(spark):
+    p = _write(_fixture_bytes(), "big.warc")
+    mono = _rows(read_warc(spark, os.path.dirname(p)))
+    ranged = _rows(read_warc_ranged(spark, p, num_splits=6))
+    assert ranged == mono
+    assert len(ranged) == 24
+
+
+def test_ranged_runs_parallel(spark):
+    """The scale claim itself: records of ONE file are produced by >= 4
+    distinct tasks (spark_partition_id), not one straggler."""
+    p = _write(_fixture_bytes(), "big.warc")
+    parts = (
+        read_warc_ranged(spark, p, num_splits=6)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts >= 4
+
+
+@pytest.mark.parametrize(
+    "tail",
+    [
+        b"GARBAGE not a warc header\r\nmore garbage",
+        b"WARC/1.0\r\nContent-Length: NOT_A_NUMBER\r\n\r\nxx",
+    ],
+    ids=["non-warc-tail", "bad-content-length"],
+)
+def test_malformed_tail_sentinel_parity(spark, tail):
+    """A malformed tail lands inside the last range and reproduces the
+    monolithic parser's sentinel-row-and-stop behavior exactly."""
+    payload = _fixture_bytes(8) + tail
+    p = _write(payload, "tail.warc")
+    mono = _rows(read_warc(spark, os.path.dirname(p)))
+    ranged = _rows(read_warc_ranged(spark, p, num_splits=4))
+    assert ranged == mono
+    assert ranged[-1][1] == "0"  # sentinel version from the malformed tail
+
+
+def test_malformed_first_record(spark):
+    """A file whose FIRST record is malformed has an empty index but must
+    still produce the monolithic sentinel row via the whole-file range."""
+    p = _write(b"NOT A WARC AT ALL\r\njunk", "junk.warc")
+    mono = _rows(read_warc(spark, os.path.dirname(p)))
+    ranged = _rows(read_warc_ranged(spark, p, num_splits=4))
+    assert ranged == mono == [(0, "0", (), b"")]

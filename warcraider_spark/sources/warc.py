@@ -7,11 +7,18 @@ streamed out in Arrow batches. The REPLICAS/OFFSET env-var sharding and the
 2×50k record batching (main.rs:129-164) disappear — Spark's scheduler and
 Arrow batching bound parallelism and memory instead.
 
-Scale notes: WARC members are individually gzipped, so a single .warc file
-is NOT byte-splittable — parallelism comes from many files (the reference's
-corpus is 96 files; a 100 TB crawl is ~100k files, far more than executor
-slots). ``spark.sql.files.maxPartitionBytes`` never splits mid-file because
-binaryFile reads whole files.
+Scale notes: ``read_warc`` is one task per FILE (binaryFile never splits
+mid-file) — right when the corpus is many files. For the skewed-file-size
+case (one 100 GB WARC = one straggler task), ``read_warc_ranged`` byte-
+splits a single file the way Common Crawl's CDX sidecars do: WARC members
+are individually gzipped, so a member-offset index turns one file into N
+(path, offset, length) range tasks, each independently parseable — the
+same shape as q174's restart-segment parallel JPEG decode, applied to the
+container. ``index_warc_members`` is the index builder (header-only scan,
+payloads seek-skipped); at production scale the index is computed once at
+ingest and persisted as a CDX-style sidecar table instead of being rebuilt
+per read (the reference's intra-file record-range scan, main.rs:159-160,
+205-219, is the sequential ancestor of this shape).
 
 Also provides ``write_warc_gz_records`` to synthesize test fixtures
 (FIXTURES B1) and a Spark 4 Python DataSource (``warc`` format) wrapping
@@ -38,6 +45,9 @@ __all__ = [
     "WARC_RECORD_SCHEMA",
     "parse_warc_stream",
     "read_warc",
+    "read_warc_ranged",
+    "index_warc_members",
+    "plan_warc_splits",
     "build_warc_bytes",
 ]
 
@@ -118,6 +128,136 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     yield pd.DataFrame(out)
 
     return binary.mapInPandas(split_files, WARC_RECORD_SCHEMA)
+
+
+def index_warc_members(stream: io.BufferedReader) -> list[int]:
+    """CDX-style member index: byte offsets of each WARC record start.
+
+    Header-only scan — Content-Length is read from the headers and the
+    payload is seek-skipped, so the pass is I/O-bound on headers alone
+    (the payloads, i.e. ~all the bytes, are never touched). Indexing
+    stops at the first malformed record header, leaving the malformed
+    tail inside the LAST member's range so a ranged parse reproduces the
+    monolithic parser's sentinel-and-stop behavior byte-for-byte.
+    """
+    offsets: list[int] = []
+    while True:
+        start = stream.tell()
+        line = stream.readline()
+        if not line:
+            return offsets
+        if line.strip() == b"":
+            continue
+        if not line.startswith(b"WARC/"):
+            return offsets  # malformed tail stays in the previous range
+        length = 0
+        while True:
+            hline = stream.readline()
+            if not hline or hline.strip() == b"":
+                break
+            if hline.startswith(b"Content-Length:"):
+                try:
+                    length = int(hline.split(b":", 1)[1].strip())
+                except ValueError:
+                    offsets.append(start)
+                    return offsets  # parser yields sentinel here and stops
+        stream.seek(length, io.SEEK_CUR)
+        offsets.append(start)
+
+
+def plan_warc_splits(
+    offsets: list[int], file_size: int, num_splits: int
+) -> list[tuple[int, int, int]]:
+    """Group consecutive members into ≤ num_splits byte-balanced ranges:
+    (first_record_idx, offset, length) triples. Ranges always start on a
+    member boundary and run to the next range's start (so trailing
+    separators — and any malformed tail after the last indexed member —
+    land inside a range and parse exactly as they would monolithically).
+    """
+    if not offsets:
+        # no indexable member (e.g. malformed first record): one whole-file
+        # range so the parser's sentinel-row behavior is reproduced
+        return [(0, 0, file_size)] if file_size > 0 else []
+    target = max(1, file_size // max(1, num_splits))
+    splits: list[tuple[int, int, int]] = []
+    start_i = 0
+    for i in range(1, len(offsets)):
+        if offsets[i] - offsets[start_i] >= target and len(splits) < num_splits - 1:
+            splits.append((start_i, offsets[start_i], offsets[i] - offsets[start_i]))
+            start_i = i
+    splits.append((start_i, offsets[start_i], file_size - offsets[start_i]))
+    return splits
+
+
+def read_warc_ranged(spark: SparkSession, path: str, num_splits: int = 8) -> DataFrame:
+    """Byte-range-parallel WARC read: same output as ``read_warc`` (same
+    schema, same rows, same record_idx), but a single large file fans out
+    to up to ``num_splits`` independent range tasks instead of one
+    straggler task.
+
+    Stage 1 (one small task per file) builds the member-offset index and
+    emits (path, first_idx, offset, length) split descriptors — metadata
+    only, no payload crosses the shuffle. Stage 2 repartitions the
+    descriptors across the cluster and each task seeks to its offset and
+    parses only its slice. With a persisted CDX sidecar stage 1 becomes a
+    metadata-table scan; the descriptor shuffle is bytes per task either
+    way.
+    """
+    from warcraider_spark.dist import ensure_package_on_executors
+
+    ensure_package_on_executors()
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.warc")))
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string")
+
+    def make_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                size = _os.path.getsize(p)
+                with open(p, "rb") as f:
+                    offsets = index_warc_members(io.BufferedReader(f))
+                for first_idx, off, length in plan_warc_splits(offsets, size, num_splits):
+                    rows.append(
+                        {"path": p, "first_idx": first_idx, "offset": off, "length": length}
+                    )
+            yield pd.DataFrame(rows, columns=["path", "first_idx", "offset", "length"])
+
+    splits = paths_df.mapInPandas(
+        make_splits, "path string, first_idx int, offset long, length long"
+    ).repartition(num_splits)
+
+    def read_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with open(row["path"], "rb") as f:
+                    f.seek(int(row["offset"]))
+                    data = f.read(int(row["length"]))
+                out: list[dict] = []
+                for i, (version, headers, content) in enumerate(parse_warc_stream(data)):
+                    out.append(
+                        {
+                            "warc_file": row["path"],
+                            "record_idx": int(row["first_idx"]) + i,
+                            "version": version,
+                            "headers": headers,
+                            "content": content,
+                        }
+                    )
+                    if len(out) >= 2000:
+                        yield pd.DataFrame(out)
+                        out = []
+                if out:
+                    yield pd.DataFrame(out)
+
+    return splits.mapInPandas(read_range, WARC_RECORD_SCHEMA)
 
 
 def build_warc_bytes(records: list[tuple[dict[str, str], bytes]]) -> bytes:
