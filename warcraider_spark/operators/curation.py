@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions.textfn import md5_int, md5_int_sql, tokens
+from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -577,7 +578,7 @@ def q157_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).cast("long").alias("x1"),
         F.size(F.array_distinct(tok)).cast("long").alias("x2"),
         F.expr("n_chars div 10").alias("x3"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
 
     margin = F.col("y") * sum(
         F.col(f"w{i}") * F.col(f"x{i}") for i in range(_PCT_FEATS)
@@ -596,7 +597,7 @@ def q157_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"w{i}")
                 for i in range(_PCT_FEATS)
             ]
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage)
     return feats.crossJoin(F.broadcast(wdf)).agg(
         *[F.max(f"w{i}").alias(f"w{i}") for i in range(_PCT_FEATS)],
         F.sum(F.when(margin > 0, 1).otherwise(0)).alias("n_correct"),

@@ -35,6 +35,7 @@ from warcraider_spark.functions.textfn import (
     shingles_sql,
     tokens,
 )
+from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -617,7 +618,7 @@ def q043_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard Spark idiom for iterative algorithms: cut lineage each
     # round; the materialized state is |nodes| rows, trivially small
     # relative to the corpus.
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(cut_lineage)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -630,7 +631,7 @@ def q043_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             nbr.unionAll(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))

@@ -8,7 +8,12 @@ in the oracle, so degree/reciprocity/PageRank are hash-checked.
 
 Scale notes: every step is an equi-join or groupBy on the node id — the
 join key IS the partition key, so iterative PageRank is one shuffle per
-iteration; out-degrees are broadcast (|nodes| ≪ |edges|).
+iteration; out-degrees ride along inside the rank table (r5 — never a
+per-node broadcast). Per-round lineage cuts go through
+``warcraider_spark.lineage.cut_lineage``: localCheckpoint locally,
+reliable checkpoint() when WARCRAIDER_CHECKPOINT_DIR points at
+fault-tolerant storage (executor loss then costs one partition
+recompute, not the job).
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -256,7 +262,7 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     wedges = (
         und.alias("e1")
@@ -270,7 +276,7 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
         )
         .select("w.a", "w.b", "w.c")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     pern = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -344,7 +350,7 @@ def alternating_components(
         edges_df.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     prev_sig = None
     for _ in range(max_rounds):
@@ -360,7 +366,7 @@ def alternating_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
         )
-        e = ls.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
+        e = ls.filter(F.col("a") != F.col("b")).distinct().transform(cut_lineage)
 
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -377,7 +383,7 @@ def alternating_components(
             .filter(F.col("x") != F.col("m"))
             .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
         )
-        e = ss.distinct().localCheckpoint(eager=False)
+        e = ss.distinct().transform(cut_lineage)
 
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -728,7 +729,7 @@ def q045_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("mv"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     cent = (
         ex.filter(F.col("vec_id").isin(*_KM_INIT))
@@ -736,8 +737,8 @@ def q045_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = None
     for _ in range(KM_ITERS):
-        assign = _km_assign(ex, cent).localCheckpoint(eager=False)
-        cent = _km_update(ex, assign).localCheckpoint(eager=False)
+        assign = _km_assign(ex, cent).transform(cut_lineage)
+        cent = _km_update(ex, assign).transform(cut_lineage)
     sums = cent.groupBy("j").agg(F.sum("cv").alias("centroid_sum"))
     return (
         assign.groupBy("j")
@@ -857,18 +858,18 @@ def q136_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("mv"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     codes = []
     for lo, hi in _PQ_SUBS:
-        sub = ex.filter((F.col("dim") >= lo) & (F.col("dim") <= hi)).localCheckpoint(
-            eager=False
+        sub = ex.filter((F.col("dim") >= lo) & (F.col("dim") <= hi)).transform(
+            cut_lineage
         )
         c0 = sub.filter(F.col("vec_id").isin(*_KM_INIT)).select(
             F.expr("vec_id div 50").cast("int").alias("j"), "dim", F.col("mv").alias("cv")
         )
-        a1 = _km_assign(sub, c0).localCheckpoint(eager=False)
-        c1 = _km_update(sub, a1).localCheckpoint(eager=False)
+        a1 = _km_assign(sub, c0).transform(cut_lineage)
+        c1 = _km_update(sub, a1).transform(cut_lineage)
         codes.append(_pq_assign(sub, c1))
     c0df, c1df = (
         codes[0].select("vec_id", F.col("j").alias("code_s0"), F.col("dist").alias("err_s0")),
@@ -1045,15 +1046,15 @@ def q140_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("mv"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     cent = ex.filter(F.col("vec_id").isin(*_KM_INIT)).select(
         F.expr("vec_id div 50").cast("int").alias("j"), "dim", F.col("mv").alias("cv")
     )
     assign = None
     for _ in range(KM_ITERS):
-        assign = _km_assign(ex, cent).localCheckpoint(eager=False)
-        cent = _km_update(ex, assign).localCheckpoint(eager=False)
+        assign = _km_assign(ex, cent).transform(cut_lineage)
+        cent = _km_update(ex, assign).transform(cut_lineage)
     sv = em.select(
         "vec_id",
         F.expr(
@@ -1064,7 +1065,7 @@ def q140_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = (
         assign.join(sv, "vec_id")
         .withColumn("n2", F.expr("aggregate(s, 0L, (acc, x) -> acc + x * x)"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     a = mem.select("j", F.col("vec_id").alias("ia"), F.col("s").alias("sa"), F.col("n2").alias("na"))
     b = mem.select("j", F.col("vec_id").alias("ib"), F.col("s").alias("sb"), F.col("n2").alias("nb"))

@@ -26,6 +26,7 @@ from warcraider_spark.functions.textfn import (
     tokens,
     word_count,
 )
+from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -1079,14 +1080,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
     )
     words = wtok.select(
         F.regexp_replace("word", "(.)", "<$1>").alias("s"), "cnt"
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     merge_rows = []
     for i in range(1, BPE_MERGES + 1):
         best = (
             _bpe_pair_counts(words)
             .orderBy(F.desc("pc"), "l", "r")
             .limit(1)
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         merge_rows.append(
             best.select(
@@ -1106,7 +1107,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
                 ).alias("s"),
                 "cnt",
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return words, merge_rows
 
@@ -1210,7 +1211,7 @@ def q127_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
             ).alias("tok"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     b = d.withColumn("bucket", F.expr("score_milli div 50000"))
     per_bucket = b.groupBy("bucket").agg(F.sum("tok").alias("btok"))
