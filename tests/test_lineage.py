@@ -7,6 +7,7 @@ results, and the reliable path must actually write checkpoint data."""
 from __future__ import annotations
 
 from warcraider_spark.lineage import (
+    clear_reliable_checkpoint_dir,
     cut_lineage,
     reliable_checkpoint_dir,
     set_reliable_checkpoint_dir,
@@ -18,15 +19,19 @@ ITERATIVE = ("q025_connected_components", "q045_kmeans_codebook")
 
 def test_dir_resolution(monkeypatch):
     monkeypatch.delenv("WARCRAIDER_CHECKPOINT_DIR", raising=False)
+    clear_reliable_checkpoint_dir()
     assert reliable_checkpoint_dir() is None
     monkeypatch.setenv("WARCRAIDER_CHECKPOINT_DIR", "/ckpt/env")
     assert reliable_checkpoint_dir() == "/ckpt/env"
     set_reliable_checkpoint_dir("/ckpt/explicit")  # explicit beats env
     try:
         assert reliable_checkpoint_dir() == "/ckpt/explicit"
-    finally:
+        # explicit None DISABLES even with the env var set (ADVICE r5)
         set_reliable_checkpoint_dir(None)
-    assert reliable_checkpoint_dir() == "/ckpt/env"
+        assert reliable_checkpoint_dir() is None
+    finally:
+        clear_reliable_checkpoint_dir()
+    assert reliable_checkpoint_dir() == "/ckpt/env"  # clear restores env fallback
 
 
 def test_iterative_ops_identical_through_both_paths(spark, sf_smoke, tmp_path):

@@ -25,20 +25,37 @@ import os
 
 from pyspark.sql import DataFrame
 
-__all__ = ["cut_lineage", "set_reliable_checkpoint_dir", "reliable_checkpoint_dir"]
+__all__ = [
+    "cut_lineage",
+    "set_reliable_checkpoint_dir",
+    "clear_reliable_checkpoint_dir",
+    "reliable_checkpoint_dir",
+]
 
-_dir: str | None = None
+_UNSET = object()  # distinguishes "never configured" from an explicit None
+_dir: object = _UNSET
+_last_set: str | None = None  # the dir we last pushed to the JVM context
 
 
 def set_reliable_checkpoint_dir(path: str | None) -> None:
-    """Set (or clear with None) the fault-tolerant checkpoint directory.
-    Takes precedence over WARCRAIDER_CHECKPOINT_DIR."""
+    """Set the fault-tolerant checkpoint directory. Takes precedence over
+    WARCRAIDER_CHECKPOINT_DIR; an explicit ``None`` DISABLES reliable
+    checkpointing even when the env var is set. Use
+    ``clear_reliable_checkpoint_dir`` to restore the env-var fallback."""
     global _dir
     _dir = path
 
 
+def clear_reliable_checkpoint_dir() -> None:
+    """Forget any explicit setting; WARCRAIDER_CHECKPOINT_DIR applies again."""
+    global _dir
+    _dir = _UNSET
+
+
 def reliable_checkpoint_dir() -> str | None:
-    return _dir or os.environ.get("WARCRAIDER_CHECKPOINT_DIR") or None
+    if _dir is not _UNSET:
+        return _dir  # type: ignore[return-value]
+    return os.environ.get("WARCRAIDER_CHECKPOINT_DIR") or None
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
@@ -46,11 +63,16 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     directory is configured, localCheckpoint otherwise. Lazy in both
     paths — materialization happens at the round's action, exactly like
     the localCheckpoint(eager=False) it replaces."""
+    global _last_set
     d = reliable_checkpoint_dir()
     if d:
         sc = df.sparkSession.sparkContext
-        current = sc._jsc.sc().getCheckpointDir()
-        if not current.isDefined():
+        # getCheckpointDir() returns a per-set UUID subdirectory, so it
+        # can't be compared to `d` directly; track the dir we last pushed
+        # ourselves and re-point the JVM context whenever the configured
+        # one changes (or nothing was ever set for this context).
+        if d != _last_set or not sc._jsc.sc().getCheckpointDir().isDefined():
             sc.setCheckpointDir(d)
+            _last_set = d
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)

@@ -1710,7 +1710,12 @@ def q038_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select(F.explode(F.arrays_zip("a", "b")).alias("z")).select(
         F.col("z.a").alias("w1"), F.col("z.b").alias("w2")
     )
-    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    # cut_lineage before the totals action so the totals job and the
+    # returned plan share ONE materialization of the bigram-count shuffle
+    # (without it the corpus is tokenized and bigram-shuffled twice).
+    c = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    ).transform(cut_lineage)
     x = c.groupBy("w1").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
     y = c.groupBy("w2").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
     tot = c.agg(

@@ -189,11 +189,40 @@ def plan_warc_splits(
     return splits
 
 
-def read_warc_ranged(spark: SparkSession, path: str, num_splits: int = 8) -> DataFrame:
+DEFAULT_SPLIT_BYTES = 128 << 20  # mirrors spark.sql.files.maxPartitionBytes
+
+
+def _enumerate_warc_files(path: str) -> list[str]:
+    """Match ``binaryFile``'s file enumeration: a directory yields every
+    non-hidden regular file (not just ``*.warc``); otherwise the argument
+    is treated as a glob, falling back to the literal path."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        return sorted(
+            _os.path.join(path, e)
+            for e in _os.listdir(path)
+            if not e.startswith((".", "_")) and _os.path.isfile(_os.path.join(path, e))
+        )
+    return sorted(_glob.glob(path)) or [path]
+
+
+def read_warc_ranged(
+    spark: SparkSession,
+    path: str,
+    num_splits: int = 8,
+    target_split_bytes: int = DEFAULT_SPLIT_BYTES,
+) -> DataFrame:
     """Byte-range-parallel WARC read: same output as ``read_warc`` (same
-    schema, same rows, same record_idx), but a single large file fans out
-    to up to ``num_splits`` independent range tasks instead of one
-    straggler task.
+    schema — ``warc_file`` normalized to the same ``file:`` URI form —
+    same rows, same record_idx), but a single large file fans out to
+    independent range tasks instead of one straggler task.
+
+    Per-file fan-out is ``max(num_splits, ceil(size / target_split_bytes))``
+    so per-task memory is bounded by ``target_split_bytes`` (default 128
+    MiB, mirroring spark.sql.files.maxPartitionBytes) regardless of file
+    size — a 100 GB file becomes ~800 bounded tasks, not 8 × 12.5 GB ones.
 
     Stage 1 (one small task per file) builds the member-offset index and
     emits (path, first_idx, offset, length) split descriptors — metadata
@@ -206,25 +235,30 @@ def read_warc_ranged(spark: SparkSession, path: str, num_splits: int = 8) -> Dat
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
-    import glob as _glob
     import os as _os
 
     import pandas as pd
 
-    if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.warc")))
-    else:
-        files = sorted(_glob.glob(path)) or [path]
-    paths_df = spark.createDataFrame([(p,) for p in files], "path string")
+    files = _enumerate_warc_files(path)
+    # Driver-side stat: per-file split count honors the byte budget, and
+    # the known total lets the descriptor shuffle target one task per split.
+    per_file: dict[str, int] = {}
+    for p in files:
+        size = _os.path.getsize(p) if _os.path.exists(p) else 0
+        per_file[p] = max(num_splits, -(-size // max(1, target_split_bytes)))
+    total_splits = max(1, sum(per_file.values()))
+    paths_df = spark.createDataFrame(
+        [(p, n) for p, n in per_file.items()], "path string, n_splits int"
+    )
 
     def make_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for p in pdf["path"]:
+            for p, n in zip(pdf["path"], pdf["n_splits"]):
                 size = _os.path.getsize(p)
                 with open(p, "rb") as f:
                     offsets = index_warc_members(io.BufferedReader(f))
-                for first_idx, off, length in plan_warc_splits(offsets, size, num_splits):
+                for first_idx, off, length in plan_warc_splits(offsets, size, int(n)):
                     rows.append(
                         {"path": p, "first_idx": first_idx, "offset": off, "length": length}
                     )
@@ -232,7 +266,7 @@ def read_warc_ranged(spark: SparkSession, path: str, num_splits: int = 8) -> Dat
 
     splits = paths_df.mapInPandas(
         make_splits, "path string, first_idx int, offset long, length long"
-    ).repartition(num_splits)
+    ).repartition(total_splits)
 
     def read_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,11 +274,12 @@ def read_warc_ranged(spark: SparkSession, path: str, num_splits: int = 8) -> Dat
                 with open(row["path"], "rb") as f:
                     f.seek(int(row["offset"]))
                     data = f.read(int(row["length"]))
+                uri = "file:" + _os.path.abspath(row["path"])
                 out: list[dict] = []
                 for i, (version, headers, content) in enumerate(parse_warc_stream(data)):
                     out.append(
                         {
-                            "warc_file": row["path"],
+                            "warc_file": uri,
                             "record_idx": int(row["first_idx"]) + i,
                             "version": version,
                             "headers": headers,
@@ -300,14 +335,7 @@ try:  # Python DataSource API (Spark 4+)
                 raise ValueError("warc datasource requires a path")
 
         def partitions(self):
-            import glob as _glob
-            import os as _os
-
-            if _os.path.isdir(self.path):
-                files = sorted(_glob.glob(_os.path.join(self.path, "*.warc")))
-            else:
-                files = sorted(_glob.glob(self.path)) or [self.path]
-            return [_WarcInputPartition(p) for p in files]
+            return [_WarcInputPartition(p) for p in _enumerate_warc_files(self.path)]
 
         def read(self, partition):
             with open(partition.path, "rb") as f:
