@@ -214,3 +214,29 @@ def test_observed_metrics(spark, warc_path):
     # the oversize record takes the regex-fallback path (html.ok = false)
     assert m["parsed"]["n_oversize"] == 1
     assert m["parsed"]["n_parse_fallback"] >= 1
+
+
+def test_ranged_read_path_e2e(spark, warc_path, output):
+    """The production dataflow through the byte-range-parallel read path
+    (VERDICT r5 directive #7): read_warc_auto with a threshold below the
+    fixture size must route through read_warc_ranged and produce the SAME
+    url_resource rows (incl. the `source` column, i.e. warc_file URI
+    normalization holds) and the same row accounting as the whole-file
+    path."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.sources.warc import read_warc_auto
+
+    _, whole_rows = output
+    ranged = read_warc_auto(
+        spark, warc_path, ranged_threshold_bytes=1, target_split_bytes=2000
+    )
+    # really routed through the ranged reader: ONE file's records come from
+    # multiple tasks (the whole-file path is one task per file)
+    pids = ranged.select(F.spark_partition_id().alias("pid")).distinct().count()
+    assert pids >= 2
+    df = url_resource_from_warc_records(ranged)
+    got = {r["url"]: r.asDict() for r in df.collect()}
+    assert set(got) == set(whole_rows)
+    for url, row in got.items():
+        assert row == whole_rows[url], url

@@ -477,9 +477,9 @@ def test_bloom_probe_filter_is_broadcast(spark):
 
 
 def test_countmin_probe_is_broadcast(spark):
-    """q033: the d×w counter table is constant-size; the point-query
+    """q181: the d×w counter table is constant-size; the point-query
     probe must broadcast it, never shuffle the probe set by cell key."""
-    df = all_specs()["q033_countmin_freq"].builder(spark, SF_CORRECT)
+    df = all_specs()["q181_countmin_freq"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -519,9 +519,9 @@ def test_containment_join_broadcasts_query_terms(spark):
 
 
 def test_sparse_dot_query_weights_broadcast(spark):
-    """q172: the query-side weight table broadcasts; the top-k window is
+    """q015: the query-side weight table broadcasts; the top-k window is
     partitioned by query (never a global sort); no nested-loop joins."""
-    df = all_specs()["q172_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q015_sparse_dot_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

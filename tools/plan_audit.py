@@ -71,12 +71,12 @@ KNOWN_OK_PAIRS = {
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
     # fixed k centroids (q014/q016), fixed bloom word count m/64 (q032),
-    # fixed d*w count-min table (q033), <=21 score buckets — score is
+    # fixed d*w count-min table (q181), <=21 score buckets — score is
     # milli-scaled in [0,1e6] div 50000 (q127), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
     # (q129), 100-row interval dimension (q130), bucket-summary prefix
     # sums sized by bucketing policy (q150 — same justification as its
-    # unpartitioned-window exemption), fixed probe/query set (q172).
+    # unpartitioned-window exemption), fixed probe/query set (q015).
     # Data-coupled hints were FIXED instead, not exempted: q018 out-
     # degrees folded into the rank table, q038 marginals via shuffle
     # joins, q005 hot-shingle anti-join and q144 per-source bounds left
@@ -84,12 +84,12 @@ KNOWN_OK_PAIRS = {
     ("q014_ivf_assign", "broadcast of unbounded aggregate"),
     ("q016_ivf_topk_search", "broadcast of unbounded aggregate"),
     ("q032_bloom_dedup_probe", "broadcast of unbounded aggregate"),
-    ("q033_countmin_freq", "broadcast of unbounded aggregate"),
+    ("q181_countmin_freq", "broadcast of unbounded aggregate"),
     ("q127_token_budget_select", "broadcast of unbounded aggregate"),
     ("q129_incremental_dedup", "broadcast of unbounded aggregate"),
     ("q130_interval_bin_join", "broadcast of unbounded aggregate"),
     ("q150_concat_chunk_blocks", "broadcast of unbounded aggregate"),
-    ("q172_sparse_dot_topk", "broadcast of unbounded aggregate"),
+    ("q015_sparse_dot_topk", "broadcast of unbounded aggregate"),
 }
 
 

@@ -38,7 +38,7 @@ QUERIES = [
     # sub-linear in candidates as the corpus grows
     "q032_bloom_dedup_probe",
     "q036_simhash_radius",
-    "q033_countmin_freq",
+    "q181_countmin_freq",
     # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
     # side grows Kx while the probe set stays 1x (embeddings replicas drop
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
@@ -109,8 +109,72 @@ def _q030_mp4_scaled(spark, sf_dir):
     return encoded.mapInPandas(decode, "media_id long, pixel_sum long")
 
 
+def _chain_edges_per_replica(spark, sf_dir):
+    """Per-replica form of graph.chain_edges: the registry version gates
+    edges on doc_id + 1 < count(*), so offset replicas (doc_id + i*1e6)
+    contribute NO edges and the graph stays 1x under replication. Here the
+    chain/bridge arithmetic runs on the replica-local id (doc_id % 1e6),
+    making each replica an isomorphic copy of the 1x graph — nodes and
+    edges genuinely grow Kx."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.graph import CHAIN_LEN
+    from warcraider_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_local = docs.filter(F.col("doc_id") < 1_000_000).count()
+    local = F.col("doc_id") % 1_000_000
+    chain = docs.filter(
+        (local % CHAIN_LEN != CHAIN_LEN - 1) & (local + 1 < n_local)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    bridge = docs.filter(
+        (local % (4 * CHAIN_LEN) == 0) & (local + 4 * CHAIN_LEN < n_local)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 4 * CHAIN_LEN).alias("dst"))
+    return chain.unionAll(bridge)
+
+
+def _q025_cc_scaled(spark, sf_dir):
+    """Scale-harness variant of q025_connected_components over the
+    per-replica chain graph (see _chain_edges_per_replica) — the curve
+    VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.graph import alternating_components
+
+    comp = alternating_components(_chain_edges_per_replica(spark, sf_dir))
+    return (
+        comp.groupBy(F.col("comp").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+            F.sum("node").cast("bigint").alias("member_checksum"),
+        )
+        .orderBy("component_id")
+    )
+
+
+def _q015_sdot_scaled(spark, sf_dir):
+    """Scale-harness variant of q015_sparse_dot_topk: the registry query's
+    query side (doc_id % SCJ_QMOD == 0) replicates with the corpus, which
+    would measure k-squared by construction; pinning queries to replica 0
+    (doc_id < 1e6) keeps the workload fixed at 1x while the corpus —
+    posting lists, df table, dot fan-in — grows Kx."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.text import sparse_dot_topk_plan
+    from warcraider_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_dot_topk_plan(docs, docs.count(), F.col("doc_id") < 1_000_000)
+
+
 # harness-only builders measured alongside the registry queries
-VARIANTS = {"q030_mp4_demux_decode[per-replica]": _q030_mp4_scaled}
+VARIANTS = {
+    "q030_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
+    "q025_connected_components[per-replica]": _q025_cc_scaled,
+    "q015_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
+}
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
 
@@ -207,6 +271,23 @@ def main() -> None:
         )
         band_audit[k] = {"n_docs": n, "sketch_bits": bits, "max_bucket_occupancy": int(max_occ)}
     results["q036_band_plan_audit"] = band_audit  # type: ignore[assignment]
+
+    # q025 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
+    # measured on the per-replica graph. Replication adds disjoint
+    # isomorphic copies of the chain graph, so rounds should stay FLAT
+    # while nodes grow Kx — rounds track log(component size), not corpus
+    # size.
+    from warcraider_spark.operators.graph import alternating_components  # noqa: E402
+
+    cc_audit: dict[int, dict[str, int]] = {}
+    for k in factors:
+        rounds_out: list = []  # one (count, checksum) signature per round
+        comp = alternating_components(
+            _chain_edges_per_replica(spark, dirs[k]), rounds_out=rounds_out
+        )
+        n_nodes = comp.count()
+        cc_audit[k] = {"n_nodes": int(n_nodes), "rounds": len(rounds_out)}
+    results["q025_rounds_audit"] = cc_audit  # type: ignore[assignment]
     print(json.dumps(results))
     spark.stop()
 

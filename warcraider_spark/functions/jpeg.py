@@ -1,7 +1,7 @@
 """Dependency-free baseline JPEG (JFIF, grayscale) encoder + decoder.
 
 Retires the last stubbed codec branch (VERDICT r2 "missing" #4 / "next
-round" #5): like the PNG codec (multimodal.py, q151), everything here is
+round" #5): like the PNG codec (multimodal.py, q004), everything here is
 the real format — marker segments, the Annex K.1 luminance quantization
 table, Annex K.3 canonical Huffman tables, zigzag scan, byte-stuffed
 entropy-coded data, forward/inverse DCT — implemented from the public

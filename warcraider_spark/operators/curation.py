@@ -714,7 +714,7 @@ def q035_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q176_corpus_snapshot_diff",
+    "q021_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -748,7 +748,7 @@ FROM j GROUP BY status ORDER BY status
     tags=("curation", "versioning", "join"),
     min_rows=4,
 )
-def q176_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — dataset versioning's core operator: given
     two corpus versions (v2 is v1 with deterministic deletions, edits and
     additions), classify every doc id as added / removed / changed /
@@ -825,7 +825,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
 
 
 @query(
-    "q179_longest_prefix_route",
+    "q024_longest_prefix_route",
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
@@ -846,7 +846,7 @@ FROM cat GROUP BY category ORDER BY category
     tags=("curation", "join", "routing"),
     min_rows=8,
 )
-def q179_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LONGEST-prefix-match join — the URL-categorization / IP-routing /
     taxonomy-labeling primitive: each document's routing key (first
     token) is matched against a rule table of prefixes and the LONGEST

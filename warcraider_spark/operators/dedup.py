@@ -17,7 +17,7 @@ Scale design (the point of these operators at 100 TB):
 - SimHash: one linear pass to 16-bit sketches, then pairs only within
   identical sketch (or small hamming radius over a band join);
 - embedding near-dup: bounded candidate set (here: id-range block; the
-  LSH-bucketed variant is q012 in similarity.py).
+  LSH-bucketed variant is q152 in similarity.py).
 
 All native expressions — no Python UDFs anywhere in this module.
 """
@@ -110,7 +110,7 @@ def q001_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_dedup_keep_canonical",
+    "q114_dedup_keep_canonical",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -123,7 +123,7 @@ FROM hashed
 """,
     tags=("dedup", "exact"),
 )
-def q002_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q114_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
     removed — the pipeline-level dedup accounting row."""
     corpus = dup_corpus(spark, sf_dir)
@@ -280,7 +280,7 @@ SIMHASH_BITS = 16
 
 
 def _simhash_sketch_sql(bits: int) -> str:
-    """corpus→sketch CTE chain for a ``bits``-wide simhash (q004 uses 16;
+    """corpus→sketch CTE chain for a ``bits``-wide simhash (q151 uses 16;
     q036's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
@@ -323,7 +323,7 @@ def _simhash_sketch(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 @query(
-    "q004_simhash_dupes",
+    "q151_simhash_dupes",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -334,7 +334,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "simhash"),
 )
-def q004_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q151_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
     the sketch value; the radius-r banded search is q036)."""
@@ -460,7 +460,7 @@ def q006_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
-    pruning at scale is the sign-LSH bucketing in q012.
+    pruning at scale is the sign-LSH bucketing in q152.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -1502,7 +1502,7 @@ ORDER BY hamming
 )
 def q036_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
-    generation — the scale path q004's docstring promises.
+    generation — the scale path q151's docstring promises.
 
     The 32-bit sketch splits into 3 bands (11+11+10 bits); any two
     sketches within hamming distance 2 differ in at most 2 bands, so they MUST

@@ -159,7 +159,7 @@ def q018_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit((1 - DAMPING) / n) + DAMPING * F.coalesce(F.col("in_sum"), F.lit(0.0)), 10
                 ).alias("pr"),
             )
-        )
+        ).transform(cut_lineage)  # per-round lineage cut (reliable when dir configured)
     return pr.select("node", "pr").orderBy(F.desc("pr"), F.asc("node")).limit(100)
 
 

@@ -8,7 +8,7 @@ boundary, and per-modality transforms are ``mapInPandas`` stages.
 Every codec in this module is REAL, written from the public specs —
 the container has no image/audio codec LIBRARIES (no PIL/ffmpeg), so
 each format is implemented from its specification: q113 binary PPM +
-PCM WAV (header validation, PCM unpacking), q151 PNG (stdlib zlib —
+PCM WAV (header validation, PCM unpacking), q004 PNG (stdlib zlib —
 signature, CRC-verified chunk walk, IHDR validation, inflate, full
 unfiltering of all five scanline filter types), q029 baseline JPEG
 (functions/jpeg.py: fDCT, Annex K quant + Huffman tables, byte-stuffed
@@ -54,7 +54,7 @@ from warcraider_spark.tables import load_table
 # repo's own codecs (round-robin by doc_id % 3):
 #   image → baseline JPEG (functions/jpeg.py — JFIF markers, Annex K
 #           tables, entropy-coded scan)
-#   audio → RIFF/WAVE 16-bit PCM (encode_wav below, the q152 path)
+#   audio → RIFF/WAVE 16-bit PCM (encode_wav below, the q012 path)
 #   video → MJPEG-in-MP4 (functions/mp4.py — ISO-BMFF with full sample
 #           tables; each sample a real JPEG)
 # doc_id in [REAL_MEDIA_N, BLOB_HI) rows are opaque blobs (raw UTF-8
@@ -376,7 +376,7 @@ def q027_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_media_stats",
+    "q180_media_stats",
     oracle=f"""
 WITH {MEDIA_FEAT_SQL}
 SELECT modality,
@@ -389,7 +389,7 @@ FROM feat GROUP BY modality ORDER BY modality
 """,
     tags=("multimodal", "codec", "agg"),
 )
-def q028_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q180_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting per modality over DECODED features (real codec
     output): decoded-unit totals, bitstream dims extrema, frame counts.
     Aggregates the q027 feature stage — one map-only decode pass, one
@@ -838,7 +838,7 @@ def decode_png(payload: bytes) -> dict:
 
 
 @query(
-    "q151_png_codec_roundtrip",
+    "q004_png_codec_roundtrip",
     oracle="""
 WITH img AS (
   SELECT doc_id,
@@ -863,7 +863,7 @@ FROM img ORDER BY media_id
 """,
     tags=("multimodal", "codec", "png", "mapInPandas"),
 )
-def q151_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG round-trip: the encode stage emits genuine PNG files
     (zlib IDAT, CRC-checked chunks, all five scanline filter types cycled
     per row), the decode stage walks chunks, VERIFIES CRCs, inflates and
@@ -969,7 +969,7 @@ def analyze_wav_spectrum(payload: bytes) -> dict:
 
 
 @query(
-    "q152_audio_dominant_freq",
+    "q012_audio_dominant_freq",
     oracle="""
 WITH base AS (
   SELECT doc_id,
@@ -987,7 +987,7 @@ FROM base ORDER BY media_id
 """,
     tags=("multimodal", "audio", "fft", "mapInPandas"),
 )
-def q152_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction with a REAL FFT: synthesize square-wave
     PCM WAVs (whole periods only → leakage-free), ship the bytes through
     Arrow, parse the RIFF container, and run numpy.fft.rfft; the dominant
@@ -1106,7 +1106,7 @@ def sample_ppm_stream(payload: bytes, every: int = 2) -> dict:
 
 
 @query(
-    "q153_video_frame_sample",
+    "q013_video_frame_sample",
     oracle="""
 WITH base AS (
   SELECT doc_id,
@@ -1126,7 +1126,7 @@ FROM base ORDER BY media_id
 """,
     tags=("multimodal", "video", "frame-sample", "mapInPandas"),
 )
-def q153_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling over a REAL container format: the PPM pipe
     stream ffmpeg's image2pipe emits (self-delimiting concatenated P6
     frames). The sampler walks actual frame boundaries, keeps every 2nd
@@ -1224,7 +1224,7 @@ def q029_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     general AC/run-length paths are exercised by tests/test_media_codecs
     on random content with a unit quant table.
 
-    Scale notes: same as q151/q113 — payload bytes exist only between
+    Scale notes: same as q004/q113 — payload bytes exist only between
     the two map-only Arrow stages; no shuffle ever carries a pixel."""
     from warcraider_spark.dist import ensure_package_on_executors
 
@@ -1694,7 +1694,7 @@ def q042_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both resize passes bit-exactly.
 
     Scale notes: pixels exist only inside the two map-only Arrow
-    stages (no shuffle ever carries a pixel — same story as q151/q029);
+    stages (no shuffle ever carries a pixel — same story as q004/q029);
     the resize itself is whole-array numpy per image, the shape a
     Pandas-UDF image pipeline should have (batch-columnar, not
     per-pixel Python). Output is 3 rows of scalars per image.

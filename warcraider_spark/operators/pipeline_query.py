@@ -49,7 +49,7 @@ def q034_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     expect exactly 3 surviving rows (blacklist/request/corrupt dropped),
     hash-verified column-by-column against the VALUES golden above."""
     from warcraider_spark.plans.pipeline import url_resource_from_warc_records
-    from warcraider_spark.sources.warc import build_warc_bytes, read_warc
+    from warcraider_spark.sources.warc import build_warc_bytes, read_warc_auto
 
     good = (
         b"HTTP/1.1 200 OK\nContent-Type: text/html\n"
@@ -133,7 +133,10 @@ def q034_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(payload)
         os.replace(tmp, dest)
 
-    out = url_resource_from_warc_records(read_warc(spark, d))
+    # Production read path: read_warc_auto switches to byte-range-parallel
+    # scan when any file exceeds the split budget (VERDICT r5 #7), so the
+    # e2e dataflow inherits the straggler/OOM fix q033 proved.
+    out = url_resource_from_warc_records(read_warc_auto(spark, d))
     return out.select(
         "url",
         "hostname",
@@ -202,11 +205,11 @@ def _range_fixture_oracle() -> str:
 
 
 @query(
-    "q181_warc_range_scan",
+    "q033_warc_range_scan",
     oracle=_range_fixture_oracle(),
     tags=("pipeline", "source", "range-scan"),
 )
-def q181_warc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_warc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE multi-member WARC file read through byte-range-parallel tasks
     (read_warc_ranged: CDX-style member-offset index → (path, offset,
     length) split descriptors → per-task seek+parse), hash-matched against

@@ -2070,7 +2070,7 @@ def q109_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q114_sql_text_interface",
+    "q002_sql_text_interface",
     oracle="""
 SELECT n_name,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
@@ -2086,7 +2086,7 @@ ORDER BY n_name, order_year
 """,
     tags=("sql-text", "join", "agg"),
 )
-def q114_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The textual-SQL front door: the whole query is a spark.sql() string
     over registered views — the surface a user migrating off the
     reference's BigQuery layer actually types. Catalyst produces the same

@@ -104,7 +104,7 @@ _SQL_BUCKET = (
 
 
 @query(
-    "q012_ann_sign_lsh",
+    "q152_ann_sign_lsh",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e),
@@ -125,7 +125,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "lsh"),
 )
-def q012_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q152_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN: bucket = sign pattern of the first 6 dims (a fixed
     orthogonal-ish hyperplane set); search only within the query's bucket.
     The bucket string is the equi-join key — this is the 100 TB plan shape
@@ -158,7 +158,7 @@ def q012_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q013_label_centroids",
+    "q153_label_centroids",
     oracle="""
 WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
 SELECT label,
@@ -171,7 +171,7 @@ FROM e GROUP BY label ORDER BY label
 """,
     tags=("similarity", "centroid", "agg"),
 )
-def q013_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q153_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (first 4 dims shown): the IVF coarse-quantizer
     training step — one groupBy, partial averages map-side."""
     em = load_table(spark, sf_dir, "embeddings")

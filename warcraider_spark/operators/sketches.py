@@ -164,7 +164,7 @@ _CMS_AB = ((3, 17), (5, 257), (7, 4099), (11, 65539))
 
 
 @query(
-    "q033_countmin_freq",
+    "q181_countmin_freq",
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
@@ -208,7 +208,7 @@ ORDER BY tok
     bench=True,
     min_rows=1,
 )
-def q033_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q181_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream: d=4 hash rows ×
     w=512 counters, probed for every token whose true frequency ≥ 40,
     reporting exact count, CM estimate, and the (always ≥ 0) collision

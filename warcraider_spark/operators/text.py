@@ -358,7 +358,7 @@ def q041_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q180_tfidf",
+    "q028_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -378,7 +378,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q180_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -411,7 +411,7 @@ def q106_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
     BRP-LSH bucket counts. Model hash seeds are engine-internal, so the
-    driver records rows-only; the native q003/q012 carry the hash-checked
+    driver records rows-only; the native q003/q152 carry the hash-checked
     equivalents."""
     from pyspark.ml.feature import (
         BucketedRandomProjectionLSH,
@@ -651,7 +651,7 @@ def q010_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q015_repetition_ratio",
+    "q172_repetition_ratio",
     oracle="""
 SELECT doc_id,
        len(toks) AS n_tokens,
@@ -671,7 +671,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
 )
-def q015_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q172_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document (the Gopher-style repetition
     signal for filtering low-quality/boilerplate docs). Distinct counting
     happens inside the row via the shingle expression — a map-only linear
@@ -1516,7 +1516,7 @@ SDOT_TOPK = 5
 
 
 @query(
-    "q172_sparse_dot_topk",
+    "q015_sparse_dot_topk",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 tok AS (
@@ -1558,7 +1558,7 @@ ORDER BY query_id, rank
     bench=True,
     min_rows=1,
 )
-def q172_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF dot-product top-k via the inverted index — lexical
     nearest neighbors, the retrieval dual of q050's dense rerank and the
     pairing stage of a lexical near-dup miner. Terms are adjacent-token
@@ -1580,13 +1580,20 @@ def q172_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qid, doc_id) for the dot aggregation and once per-query-partition
     for the windowed top-k. Candidates are bounded by posting-list
     intersections of df-capped terms, never |docs| x |queries|."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     # one metadata count (the q036 idiom): resolving n_docs driver-side
     # keeps the df-cap filter a literal predicate instead of a 1-row
     # cross-join subtree that the w/qw lineages would duplicate
-    n_docs = docs.count()
+    return sparse_dot_topk_plan(docs, docs.count())
+
+
+def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataFrame:
+    """The q015 plan over an arbitrary documents DataFrame. ``query_pred``
+    optionally restricts the query side further (tools/scale_bench.py pins
+    queries to replica 0 so the §10 curve measures fixed-workload corpus
+    growth, not k-squared by construction)."""
+    from pyspark.sql import Window
+
     tok = (
         _bigrams(docs)
         .select("doc_id", F.explode("ts").alias("term"))
@@ -1605,8 +1612,11 @@ def q172_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here. Applied IDENTICALLY in the oracle (deterministic tie-break on
     # the term string), so the truncation is certified semantics.
     qwin = Window.partitionBy("qid").orderBy(F.desc("qwt"), F.asc("term"))
+    qfilter = F.col("doc_id") % SCJ_QMOD == 0
+    if query_pred is not None:
+        qfilter = qfilter & query_pred
     qw = (
-        w.filter(F.col("doc_id") % SCJ_QMOD == 0)
+        w.filter(qfilter)
         .select(F.col("doc_id").alias("qid"), "term", F.col("wt").alias("qwt"))
         .withColumn("qrnk", F.row_number().over(qwin))
         .filter(F.col("qrnk") <= SDOT_QTERMS)

@@ -65,7 +65,7 @@ def q020_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q021_sliding_window",
+    "q176_sliding_window",
     oracle=f"""
 WITH assigned AS (
   SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '{_FMT_SQL}') AS window_start, value FROM events
@@ -79,7 +79,7 @@ ORDER BY window_start
 """,
     tags=("streaming", "window", "agg"),
 )
-def q021_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q176_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min: each event lands in exactly two
     windows — the oracle materializes that as a union of two offset
     bucketings."""
@@ -168,7 +168,7 @@ def q023_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q024_stream_static_enrich",
+    "q179_stream_static_enrich",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        COALESCE(c_mktsegment, 'unknown') AS segment,
@@ -180,7 +180,7 @@ ORDER BY window_start, segment
 """,
     tags=("streaming", "join", "window"),
 )
-def q024_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q179_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join run through a REAL structured stream: events
     replayed as a file stream, broadcast-joined per micro-batch to the
     static customer dimension, then watermarked windowed revenue per
