@@ -274,3 +274,81 @@ def test_moneysmart_fails_strict():
 
     html = (REF / "moneysmart.htm").read_text(errors="replace")
     assert not strict_parse_ok(html)
+
+
+# --- adversarial golden #2 (VERDICT r5 #5): classes beyond moneysmart -----
+
+ADVERSARIAL_HTML = """<html>
+<body>
+<form action="/search" method=get>
+<input name=q>
+<form action="/inner">
+<input name=r>
+</form>
+<a href="/broken>dangling</a>
+<div class="x" class="y">dup</div>
+<span></span>
+</form>
+</body>
+</html>"""
+
+
+def test_adversarial_golden_strict_fails():
+    """The page must take the tidy path: the dangling-quote anchor makes
+    the strict first pass fail (lib.rs:193-207 trigger condition)."""
+    from warcraider_spark.functions.html import strict_parse_ok
+
+    assert strict_parse_ok(ADVERSARIAL_HTML) is False
+
+
+def test_adversarial_golden_html_errors():
+    """Second html_errors golden: a strict-parse-failing page exercising
+    the two r6 catalog classes absent from moneysmart — missing-quote
+    attribute recovery (class 5) and nested-form discard (class 6) —
+    interleaved with a repeated-attribute drop (class 1) and an empty-
+    element trim (class 4), pinning cross-class phase ordering: parse-time
+    warnings in document order first, trims last."""
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    assert tidy_diagnostics(ADVERSARIAL_HTML) == (
+        "line 5 column 1 - Warning: discarding unexpected <form>\n"
+        "line 8 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+        'line 9 column 1 - Warning: <div> dropping value "x" for repeated attribute "class"\n'
+        "line 10 column 1 - Warning: trimming empty <span>\n"
+    )
+
+
+def test_missing_quote_recovery_cases():
+    """Class-5 unit coverage: single-line closed values (even with '<' or
+    '>' inside) never warn; unterminated-at-EOL and unterminated-at-EOF
+    both do; the warning anchors at the element's '<'."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    assert td("<a href='ok'>x</a>") == ""
+    assert td("<p title='a<b'>x</p>") == ""
+    assert td("<p title='a>b'>x</p>") == ""
+    assert (
+        td('<a href="broken>\n</a>')
+        == "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+    )
+    assert (
+        td('<img src="eof')
+        == "line 1 column 1 - Warning: <img> attribute with missing trailing quote mark\n"
+    )
+
+
+def test_nested_form_discard_cases():
+    """Class-6 unit coverage: the inner <form> start is discarded (its
+    content survives as the outer form's content — no spurious trim of
+    the outer form), sibling forms are legal, triple nesting warns once
+    per discarded tag."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    assert td("<form><input></form><form><input></form>") == ""
+    assert td("<form><form><input></form></form>") == (
+        "line 1 column 7 - Warning: discarding unexpected <form>\n"
+    )
+    assert td("<form><form><form></form></form></form>") == (
+        "line 1 column 7 - Warning: discarding unexpected <form>\n"
+        "line 1 column 13 - Warning: discarding unexpected <form>\n"
+    )

@@ -221,7 +221,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden:
+    stderr), byte-for-byte on that golden, plus two classes (r6) pinned by
+    our own adversarial fixture:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -232,13 +233,26 @@ def tidy_diagnostics(raw_html: str) -> str:
     3. ``<link> lacks "rel" attribute`` — tidy's attribute checker;
     4. ``trimming empty <tag>`` — whitespace-empty, attribute-less,
        prunable elements (tidy drop-empty-elements), leaf-level only.
+    5. ``<tag> attribute with missing trailing quote mark`` — a quoted
+       attribute value interrupted by ``<`` before its closing quote
+       (tidy lexer MISSING_QUOTEMARK: the value ends at the ``<``, the
+       warning anchors at the element's own ``<``);
+    6. ``discarding unexpected <form>`` — a ``<form>`` start tag while a
+       form is already open (forms cannot nest; tidy parser
+       DISCARDING_UNEXPECTED drops the inner tag, keeping its content).
 
-    Ordering matches tidy's phases: lexer/parse-time warnings (1+2) in
+    Ordering matches tidy's phases: lexer/parse-time warnings (1+2+5+6) in
     document order, then attribute checks (3), then trims (4), each in
     document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
+
+    KNOWN DIVERGENCE (documented, r4→r6): real tidy's catalog is larger
+    still (missing/implicit end tags, proprietary attributes, doctype
+    checks …) — strict-parse-failing pages triggering classes outside
+    these six diverge in html_errors CONTENT; the trigger condition and
+    the six classes above are the certified surface.
     """
     if not raw_html:
         return ""
@@ -303,6 +317,54 @@ def tidy_diagnostics(raw_html: str) -> str:
         for i in range(m.start(), m.end()):
             masked[i] = 1
 
+    # class 5: missing trailing quote. _TAG_RE cannot match a tag whose
+    # quoted value runs into '<', so these are found by replaying tidy's
+    # attribute lexer LINEARLY over the document: each candidate tag
+    # consumes its quote-balanced attribute text (so a '<' inside a
+    # closed quoted value never spawns a nested candidate); a quote
+    # still open when '<' (or EOF) arrives is MISSING_QUOTEMARK,
+    # anchored at the element's '<' like class 1.
+    _tag_start = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+    scan = 0
+    while True:
+        m = _tag_start.search(raw_html, scan)
+        if m is None:
+            break
+        if masked[m.start()]:
+            scan = m.end()
+            continue
+        i = m.end()
+        while i < n:
+            c = raw_html[i]
+            if c in "\"'":
+                close = raw_html.find(c, i + 1)
+                eol = raw_html.find("\n", i + 1)
+                if eol == -1:
+                    eol = n
+                # tidy's heuristic: a quoted value may contain '<'/'>', but
+                # a quote still open at end-of-line means the trailing
+                # quote mark is missing (values don't span lines in the
+                # recovery lexer); the value ends at the next '<' or EOL
+                if close == -1 or close > eol:
+                    parse_time.append(
+                        (
+                            m.start(),
+                            0,
+                            f"<{m.group(1).lower()}> attribute with missing "
+                            "trailing quote mark",
+                        )
+                    )
+                    nxt = raw_html.find("<", i + 1)
+                    i = nxt if nxt != -1 and nxt < eol else eol
+                    break
+                i = close + 1
+            elif c in "<>":
+                i += 1 if c == ">" else 0
+                break  # '>' ends a well-formed tag; '<' is not this class
+            else:
+                i += 1
+        scan = max(i, m.end())
+
     attr_checks: list[tuple[int, str]] = []  # class 3
     trims: list[tuple[int, str]] = []  # class 4
     # stack frames: [tag, start_pos, has_attrs, content_start, has_child]
@@ -321,6 +383,13 @@ def tidy_diagnostics(raw_html: str) -> str:
             selfclose = "/"
             attrs_raw = attrs_raw.rstrip()[:-1]
         if not closing:
+            # class 6: forms cannot nest — tidy discards the inner <form>
+            # start tag (content kept), DISCARDING_UNEXPECTED
+            if tag == "form" and any(fr[0] == "form" for fr in stack):
+                parse_time.append((m.start(), 0, "discarding unexpected <form>"))
+                for fr in stack:
+                    fr[4] = True  # the discarded tag is still content
+                continue
             seen: dict[str, str] = {}
             has_rel = False
             for am in _ATTR_RE.finditer(attrs_raw):
