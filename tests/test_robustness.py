@@ -61,3 +61,35 @@ def test_ignore_corrupt_files(spark, tmp_path):
 
     with pytest.raises(Exception, match="[Cc]orrupt|[Ff]ooter|[Pp]arquet"):
         spark.read.parquet(path).count()
+
+
+def test_cdc_chunking_is_shift_resistant(spark):
+    """The property q182 exists for: prepending a sentence to a document
+    re-aligns chunk boundaries after the insertion point, so most chunk
+    hashes survive — while fixed-stride chunking (q008's scheme) shifts
+    every downstream block. Also pins determinism: same text -> same
+    chunks."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.dedup import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles stand quietly on the old stone wall near the "
+        "river where children played every warm summer afternoon until "
+        "sunset painted the entire valley in shades of amber and gold "
+        "and the church bells rang across the quiet fields once more"
+    ) * 3
+    shifted = "breaking news inserted here. " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, base)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).groupBy("doc_id").agg(
+        F.collect_list("chunk").alias("chunks")
+    ).collect()
+    by_id = {r["doc_id"]: r["chunks"] for r in rows}
+    assert by_id[1] == by_id[3]  # deterministic
+    shared = set(by_id[1]) & set(by_id[2])
+    # the insertion destroys at most the chunks up to the first boundary
+    # after it; the majority of base chunks must re-align and survive
+    assert len(shared) >= len(set(by_id[1])) * 0.6, (len(shared), len(set(by_id[1])))

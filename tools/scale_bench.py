@@ -288,6 +288,89 @@ def main() -> None:
         n_nodes = comp.count()
         cc_audit[k] = {"n_nodes": int(n_nodes), "rounds": len(rounds_out)}
     results["q025_rounds_audit"] = cc_audit  # type: ignore[assignment]
+
+    # q046 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
+    # at the LARGEST replication factor, joined salted vs unsalted with
+    # broadcast and AQE skew-rescue disabled (salting is the MANUAL remedy
+    # being certified — AQE skew-join is the automatic one, measured
+    # separately by leaving it on in the normal bench). Reported: wall
+    # time and max-rows-per-shuffle-partition (the direct cause of task-
+    # time spread) for both variants, plus how many partitions the hot
+    # key's rows land in after salting.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from warcraider_spark.tables import load_table  # noqa: E402
+
+    kmax = max(factors)
+    SALT = 8
+    docs = load_table(spark, dirs[kmax], "documents")
+    fact = (
+        docs.select(
+            F.when(F.col("doc_id") % 1000 != 0, F.lit(0))
+            .otherwise(F.col("doc_id"))
+            .alias("key"),
+            "doc_id",
+            F.col("n_chars"),
+        )
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(25))))
+        .drop("rep")
+    )
+    dim = fact.select("key").distinct().withColumn("w", (F.col("key") % 7 + 1).cast("double"))
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def timed(df):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 2)
+
+        unsalted = fact.join(dim, "key").groupBy("key").agg(
+            F.sum(F.col("n_chars") * F.col("w")).alias("s")
+        )
+        dim_s = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+        # salt from the high-cardinality row id (q046 uses l_orderkey % SALT);
+        # n_chars would correlate with the data and could itself skew
+        fact_s = fact.withColumn("salt", (F.col("doc_id") % SALT).cast("int"))
+        salted = fact_s.join(dim_s, ["key", "salt"]).groupBy("key").agg(
+            F.sum(F.col("n_chars") * F.col("w")).alias("s")
+        )
+        t_unsalted = timed(unsalted)
+        t_salted = timed(salted)
+
+        def max_part_rows(df, *cols):
+            return (
+                df.repartition(32, *[F.col(c) for c in cols])
+                .groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+            )
+
+        hot_pids = (
+            fact_s.filter(F.col("key") == 0)
+            .repartition(32, F.col("key"), F.col("salt"))
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        results["q046_skew_audit"] = {  # type: ignore[assignment]
+            "factor": kmax,
+            "n_fact_rows": fact.count(),
+            "unsalted_sec": t_unsalted,
+            "salted_sec": t_salted,
+            "unsalted_max_partition_rows": int(max_part_rows(fact, "key")),
+            "salted_max_partition_rows": int(max_part_rows(fact_s, "key", "salt")),
+            "hot_key_partitions_salted": int(hot_pids),
+        }
+    finally:
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
     print(json.dumps(results))
     spark.stop()
 

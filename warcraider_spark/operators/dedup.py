@@ -1598,3 +1598,141 @@ def q036_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup (round 6)
+# ---------------------------------------------------------------------------
+
+CDC_W = 16  # rolling-hash window (chars)
+CDC_B = 131  # polynomial base
+CDC_M = 1000003  # modulus (prime)
+CDC_MASK = 63  # boundary when H % 64 == 0 -> ~64-char average chunks
+_CDC_POWS = [pow(CDC_B, j, CDC_M) for j in range(CDC_W)]
+_CDC_POW_SQL = "[" + ",".join(str(p) for p in _CDC_POWS) + "]"
+_CDC_POW_SPARK = "array(" + ",".join(f"{p}L" for p in _CDC_POWS) + ")"
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, chunk): the CDC chunker as
+    map-only array expressions (see q182_cdc_chunk_dedup for constants
+    and the scale argument). Exposed for the shift-resistance property
+    test and for composition with span-excision (q131)."""
+    cuts = f"""
+    CASE WHEN length(s) >= {CDC_W} THEN
+      filter(
+        transform(sequence(1, length(s) - {CDC_W} + 1),
+          i -> CASE WHEN
+            aggregate(sequence(0, {CDC_W} - 1), 0L,
+              (acc, j) -> acc + CAST(ascii(substring(s, i + j, 1)) AS BIGINT)
+                          * element_at({_CDC_POW_SPARK}, j + 1)
+            ) % {CDC_M} % {CDC_MASK + 1} = 0
+          THEN i + {CDC_W} - 1 ELSE NULL END),
+        x -> x IS NOT NULL AND x < length(s))
+    ELSE array() END
+    """
+    chunks_expr = (
+        "transform(sequence(1, size(starts)), "
+        "k -> substring(s, CAST(element_at(starts, k) + 1 AS INT), "
+        "CAST(element_at(ends, k) - element_at(starts, k) AS INT)))"
+    )
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.expr("lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))").alias("s"),
+        )
+        .select("doc_id", "s", F.expr(cuts).alias("cuts"))
+        .select(
+            "doc_id",
+            "s",
+            F.expr("concat(array(0L), cuts)").alias("starts"),
+            F.expr("concat(cuts, array(CAST(length(s) AS BIGINT)))").alias("ends"),
+        )
+        .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
+    )
+
+
+
+@query(
+    "q182_cdc_chunk_dedup",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
+  FROM documents WHERE length(text) > 0
+),
+h AS (
+  SELECT doc_id, s,
+    CASE WHEN length(s) >= {CDC_W} THEN
+      list_filter(
+        list_transform(range(1, length(s) - {CDC_W} + 2),
+          i -> CASE WHEN
+            list_sum(list_transform(range(0, {CDC_W}),
+              j -> ascii(substr(s, CAST(i + j AS INT), 1)) * ({_CDC_POW_SQL})[j + 1]
+            )) % {CDC_M} % {CDC_MASK + 1} = 0
+          THEN i + {CDC_W} - 1 ELSE NULL END),
+        x -> x IS NOT NULL AND x < length(s))
+    ELSE [] END AS cuts
+  FROM n
+),
+c AS (
+  SELECT doc_id, s, list_prepend(0, cuts) AS starts,
+         list_append(cuts, length(s)) AS ends
+  FROM h
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(starts) + 1),
+           k -> substr(s, CAST(starts[k] + 1 AS INT),
+                       CAST(ends[k] - starts[k] AS INT)))) AS chunk
+  FROM c
+)
+SELECT {md5_int_sql("chunk")} AS chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ch
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+ORDER BY n_occurrences DESC, chunk_hash
+""",
+    tags=("dedup", "cdc", "training-pipeline"),
+    min_rows=1,
+)
+def q182_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the shift-resistant dedup
+    primitive (rsync/LBFS lineage; the CDC stage of modern
+    training-data dedup pipelines): chunk boundaries are placed where a
+    W-char polynomial rolling hash H(i) = sum c[i+j]*B^j mod M hits
+    H % 64 == 0, so inserting one sentence into a near-duplicate
+    document RE-ALIGNS every later chunk — fixed-stride chunking (q008)
+    would shift every downstream block and miss all of them. Output is
+    the corpus-level repeated-chunk map (which variable-size chunks
+    recur, in how many docs) — the unit a span-excision pass (q131)
+    or a storage dedup layer consumes.
+
+    Integer-exact cross-engine: char codes from a [a-z0-9 ]-normalized
+    text, per-term mod-M products against precomputed B^j mod M
+    literals (no int64 overflow: W·M·128 ≈ 2e9), md5-based 60-bit chunk
+    hashes — both engines floor identically, so the oracle hash
+    certifies boundary placement AND chunk content byte-for-byte.
+
+    Scale shape: chunking is MAP-ONLY whole-stage-codegen array
+    expressions (transform/aggregate/filter — no UDF, no shuffle,
+    O(len·W) per doc); the only shuffle is the final groupBy on the
+    uniform md5 chunk key. 100 TB: identical plan, chunk-key groupBy
+    partitions by hash — no skew (the mask bounds expected chunk count
+    per doc at len/64, and a pathological all-boundary doc still emits
+    at most len chunks of length 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cdc_chunks(docs)
+        .groupBy(md5_int(F.col("chunk")).alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+    )
