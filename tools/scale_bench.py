@@ -48,6 +48,10 @@ QUERIES = [
     # linear-gram-join shape — both must hold their §10 curves
     "q038_pmi_collocations",
     "q039_ngram_novelty",
+    # r6 addition: CDC chunking — map-only chunker + one groupBy on the
+    # uniform chunk key; replication repeats the same chunks, so like PMI
+    # the count table saturates while the map side grows Kx
+    "q182_cdc_chunk_dedup",
 ]
 
 

@@ -1618,17 +1618,24 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
     map-only array expressions (see q182_cdc_chunk_dedup for constants
     and the scale argument). Exposed for the shift-resistance property
     test and for composition with span-excision (q131)."""
+    # char codes extracted ONCE via split('') (O(len)); the rolling sum
+    # is then zip_with over an O(W) slice of the codes array. The naive
+    # form — ascii(substring(s, i+j, 1)) inside the position lambda — is
+    # an O(i) UTF-8 seek per character, i.e. O(len^2 * W) per document:
+    # measured 27 s for 20k docs at sf0.1 vs ~1 s for this form.
+    codes_expr = "transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))"
     cuts = f"""
-    CASE WHEN length(s) >= {CDC_W} THEN
+    CASE WHEN size(codes) >= {CDC_W} THEN
       filter(
-        transform(sequence(1, length(s) - {CDC_W} + 1),
+        transform(sequence(1, size(codes) - {CDC_W} + 1),
           i -> CASE WHEN
-            aggregate(sequence(0, {CDC_W} - 1), 0L,
-              (acc, j) -> acc + CAST(ascii(substring(s, i + j, 1)) AS BIGINT)
-                          * element_at({_CDC_POW_SPARK}, j + 1)
+            aggregate(
+              zip_with(slice(codes, i, {CDC_W}), {_CDC_POW_SPARK},
+                       (c, p) -> c * p),
+              0L, (acc, x) -> acc + x
             ) % {CDC_M} % {CDC_MASK + 1} = 0
           THEN i + {CDC_W} - 1 ELSE NULL END),
-        x -> x IS NOT NULL AND x < length(s))
+        x -> x IS NOT NULL AND x < size(codes))
     ELSE array() END
     """
     chunks_expr = (
@@ -1642,6 +1649,7 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.expr("lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))").alias("s"),
         )
+        .select("doc_id", "s", F.expr(codes_expr).alias("codes"))
         .select("doc_id", "s", F.expr(cuts).alias("cuts"))
         .select(
             "doc_id",
