@@ -1705,6 +1705,7 @@ HAVING COUNT(*) > 1
 ORDER BY n_occurrences DESC, chunk_hash
 """,
     tags=("dedup", "cdc", "training-pipeline"),
+    bench=True,
     min_rows=1,
 )
 def q182_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -310,7 +310,13 @@ def read_warc_auto(
     the monolithic straggler/OOM task SCALE.md §1 measured. In ranged
     mode per-file fan-out comes purely from the byte budget
     (``ceil(size / target_split_bytes)``), so small files in a mixed
-    corpus stay one task while big ones split."""
+    corpus stay one task while big ones split.
+
+    Local/POSIX paths only for the ranged branch (driver-side stat +
+    executor-side seek); on an object store the stat raises and the
+    function degrades to the ``binaryFile`` route, whose Hadoop
+    connector does its own range reads — the production pattern there
+    is the persisted CDX sidecar (see ``read_warc_ranged``)."""
     import os as _os
 
     try:
