@@ -114,3 +114,23 @@ def test_exemption_is_per_flag():
         "unpart_win": 1,
     }
     assert flags_for(row) == ["CartesianProduct"]
+
+
+def test_committed_coverage_ledger_covers_registry():
+    """COVERAGE.md's generated certification ledger must have one row per
+    registry query — same drift class as the PLAN_AUDIT pin: a query
+    added without regenerating the ledger (tools/coverage_ledger.py)
+    fails here instead of shipping a stale audit artifact."""
+    import re
+    from pathlib import Path
+
+    from warcraider_spark.registry import all_specs
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    ledger = text[text.index("## Driver-certification ledger"):]
+    listed = set(re.findall(r"^\| (q\d{3}_\w+) \|", ledger, re.M))
+    registry = set(all_specs())
+    assert listed == registry, (
+        f"COVERAGE.md ledger drift — missing: {sorted(registry - listed)}; "
+        f"stale: {sorted(listed - registry)}"
+    )
