@@ -1614,10 +1614,11 @@ _CDC_POW_SPARK = "array(" + ",".join(f"{p}L" for p in _CDC_POWS) + ")"
 
 
 def cdc_chunks(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, text) -> (doc_id, chunk): the CDC chunker as
-    map-only array expressions (see q182_cdc_chunk_dedup for constants
-    and the scale argument). Exposed for the shift-resistance property
-    test and for composition with span-excision (q131)."""
+    """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
+    chunker as map-only array expressions (see q182_cdc_chunk_dedup for
+    constants and the scale argument); chunk_idx is the 1-based in-doc
+    position so consumers can reassemble (q183 excision). Exposed for
+    the shift-resistance property test and for composition."""
     # char codes extracted ONCE via split('') (O(len)); the rolling sum
     # is then zip_with over an O(W) slice of the codes array. The naive
     # form — ascii(substring(s, i+j, 1)) inside the position lambda — is
@@ -1657,7 +1658,11 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
             F.expr("concat(array(0L), cuts)").alias("starts"),
             F.expr("concat(cuts, array(CAST(length(s) AS BIGINT)))").alias("ends"),
         )
-        .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(chunks_expr)).alias("pos0", "chunk"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("chunk_idx"), "chunk")
     )
 
 
@@ -1744,4 +1749,101 @@ def q182_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
         .orderBy(F.desc("n_occurrences"), "chunk_hash")
+    )
+
+
+@query(
+    "q183_cdc_excision",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
+  FROM documents WHERE length(text) > 0
+),
+h AS (
+  SELECT doc_id, s,
+    CASE WHEN length(s) >= {CDC_W} THEN
+      list_filter(
+        list_transform(range(1, length(s) - {CDC_W} + 2),
+          i -> CASE WHEN
+            list_sum(list_transform(range(0, {CDC_W}),
+              j -> ascii(substr(s, CAST(i + j AS INT), 1)) * ({_CDC_POW_SQL})[j + 1]
+            )) % {CDC_M} % {CDC_MASK + 1} = 0
+          THEN i + {CDC_W} - 1 ELSE NULL END),
+        x -> x IS NOT NULL AND x < length(s))
+    ELSE [] END AS cuts
+  FROM n
+),
+c AS (
+  SELECT doc_id, s, list_prepend(0, cuts) AS starts,
+         list_append(cuts, length(s)) AS ends
+  FROM h
+),
+ch AS (
+  SELECT doc_id, k AS chunk_idx,
+         substr(s, CAST(starts[k] + 1 AS INT),
+                CAST(ends[k] - starts[k] AS INT)) AS chunk
+  FROM c, unnest(range(1, len(starts) + 1)) AS u(k)
+),
+kp AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rnk
+  FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (rnk = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (rnk > 1) AS BIGINT) AS n_excised,
+       CAST(COALESCE(SUM(length(chunk)) FILTER (rnk > 1), 0) AS BIGINT) AS chars_removed,
+       md5(COALESCE(string_agg(chunk, '' ORDER BY chunk_idx) FILTER (rnk = 1), '')) AS clean_md5
+FROM kp GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("dedup", "cdc", "excision", "training-pipeline"),
+    min_rows=10,
+)
+def q183_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q182:
+    every chunk keeps only its globally-first occurrence (ordered by
+    doc_id, then in-doc position — unique, so both engines pick the
+    identical keeper), later occurrences are excised, and each document
+    is reassembled from its surviving chunks in order. This is the
+    CDC-based form of the span-excision pass (q131) a training-data
+    pipeline runs to strip cross-document boilerplate — headers,
+    navigation, license blocks — without q131's fixed gram width, and
+    shift-resistant per q182's docstring. clean_md5 certifies the
+    reassembled text byte-for-byte.
+
+    Scale shape: map-only chunker (q182), then ONE shuffle for the
+    keeper window — partitionBy(chunk), i.e. the dedup key itself, so
+    partitioning is as uniform as the chunk distribution; a
+    pathologically repeated boilerplate chunk concentrates only its own
+    occurrence ROWS (~64 chars each), linear in occurrences, the same
+    bound as q039's min-doc gram join — and one shuffle back on doc_id
+    for reassembly. No self-join, no candidate blow-up; output rows =
+    |docs|.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kp = cdc_chunks(docs).withColumn("rnk", F.row_number().over(w))
+    kept_struct = "CASE WHEN rnk = 1 THEN struct(chunk_idx, chunk) END"
+    return (
+        kp.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rnk") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_excised"),
+            F.sum(F.when(F.col("rnk") > 1, F.length("chunk")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.md5(
+                F.expr(
+                    f"array_join(transform(array_sort(collect_list({kept_struct})), "
+                    "x -> x.chunk), '')"
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
     )
