@@ -316,9 +316,9 @@ def test_lm_score_vocab_is_broadcast(spark):
 
 
 def test_sequence_packing_single_window_shuffle(spark):
-    """q044: packing is ONE hash exchange on the shard key feeding the
+    """q182: packing is ONE hash exchange on the shard key feeding the
     running-sum window — no join, no second shuffle before the sort."""
-    df = all_specs()["q044_sequence_packing"].builder(spark, SF_CORRECT)
+    df = all_specs()["q182_sequence_packing"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Window" in plan
     assert plan.count("hashpartitioning") == 1
@@ -373,11 +373,11 @@ def test_bpe_pair_counts_partial_final(spark):
 
 
 def test_duplicate_spans_single_shuffle_topk(spark):
-    """q049: span discovery is pure aggregation — ONE hash exchange on the
+    """q183: span discovery is pure aggregation — ONE hash exchange on the
     gram key (count-distinct expands to a two-phase agg on that same key),
     a TakeOrderedAndProject head, and NO self-join anywhere (the all-pairs
     product that makes naive substring dedup intractable)."""
-    df = all_specs()["q049_duplicate_spans"].builder(spark, SF_CORRECT)
+    df = all_specs()["q183_duplicate_spans"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan

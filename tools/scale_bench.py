@@ -51,7 +51,7 @@ QUERIES = [
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
-    "q182_cdc_chunk_dedup",
+    "q044_cdc_chunk_dedup",
 ]
 
 

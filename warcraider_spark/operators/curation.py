@@ -454,7 +454,7 @@ FROM blocks GROUP BY block_id
 def q150_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
-    CROSS document boundaries (the complement of q044's pack-without-
+    CROSS document boundaries (the complement of q182's pack-without-
     splitting). Emits per-block accounting: docs spanned, first/last doc,
     tokens (== 512 for every interior block).
 

@@ -816,7 +816,7 @@ SPAN_N = 8
 
 
 @query(
-    "q049_duplicate_spans",
+    "q183_duplicate_spans",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -838,7 +838,7 @@ LIMIT 100
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q049_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q183_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: every word-level
     {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
     document frequency — the discovery pass of substring dedup (the spans
@@ -1042,10 +1042,10 @@ ORDER BY doc_id
     tags=("dedup", "spans", "training-pipeline"),
 )
 def q131_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-dedup APPLY stage: excise the q049 head (the 100 most
+    """Substring-dedup APPLY stage: excise the q183 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
-    'remove duplicated substrings' pass, completing discovery (q049) →
+    'remove duplicated substrings' pass, completing discovery (q183) →
     excision.
 
     Scale shape: the span head is corpus-derived but TINY (one aggregation
@@ -1615,9 +1615,9 @@ _CDC_POW_SPARK = "array(" + ",".join(f"{p}L" for p in _CDC_POWS) + ")"
 
 def cdc_chunks(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
-    chunker as map-only array expressions (see q182_cdc_chunk_dedup for
+    chunker as map-only array expressions (see q044_cdc_chunk_dedup for
     constants and the scale argument); chunk_idx is the 1-based in-doc
-    position so consumers can reassemble (q183 excision). Exposed for
+    position so consumers can reassemble (q049 excision). Exposed for
     the shift-resistance property test and for composition."""
     # char codes extracted ONCE via split('') (O(len)); the rolling sum
     # is then zip_with over an O(W) slice of the codes array. The naive
@@ -1668,7 +1668,7 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "q182_cdc_chunk_dedup",
+    "q044_cdc_chunk_dedup",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1713,7 +1713,7 @@ ORDER BY n_occurrences DESC, chunk_hash
     bench=True,
     min_rows=1,
 )
-def q182_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the shift-resistant dedup
     primitive (rsync/LBFS lineage; the CDC stage of modern
     training-data dedup pipelines): chunk boundaries are placed where a
@@ -1753,7 +1753,7 @@ def q182_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q183_cdc_excision",
+    "q049_cdc_excision",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1799,8 +1799,8 @@ FROM kp GROUP BY doc_id ORDER BY doc_id
     tags=("dedup", "cdc", "excision", "training-pipeline"),
     min_rows=10,
 )
-def q183_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level boilerplate excision — the ACTIONABLE half of q182:
+def q049_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q044:
     every chunk keeps only its globally-first occurrence (ordered by
     doc_id, then in-doc position — unique, so both engines pick the
     identical keeper), later occurrences are excised, and each document
@@ -1808,10 +1808,10 @@ def q183_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC-based form of the span-excision pass (q131) a training-data
     pipeline runs to strip cross-document boilerplate — headers,
     navigation, license blocks — without q131's fixed gram width, and
-    shift-resistant per q182's docstring. clean_md5 certifies the
+    shift-resistant per q044's docstring. clean_md5 certifies the
     reassembled text byte-for-byte.
 
-    Scale shape: map-only chunker (q182), then ONE shuffle for the
+    Scale shape: map-only chunker (q044), then ONE shuffle for the
     keeper window — partitionBy(chunk), i.e. the dedup key itself, so
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own

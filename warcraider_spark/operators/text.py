@@ -801,7 +801,7 @@ def q111_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
     """Core packing transform: (shard, order, n_tok) → start_offset /
     bin_id / straddles via one window cumsum per shard. Factored from
-    q044 so edge cases (zero-token docs, docs wider than a window,
+    q182 so edge cases (zero-token docs, docs wider than a window,
     exact-boundary fits) are unit-testable against a reference model."""
     from pyspark.sql.window import Window
 
@@ -821,7 +821,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 
 @query(
-    "q044_sequence_packing",
+    "q182_sequence_packing",
     oracle="""
 WITH t AS (
   SELECT source, doc_id,
@@ -843,7 +843,7 @@ ORDER BY source, doc_id
 """,
     tags=("text", "packing", "training-pipeline"),
 )
-def q044_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q182_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: concatenate each source's token
     stream (doc_id order) and assign every document the 2048-token context
     window its first token lands in — the packing stage that turns a
@@ -1808,7 +1808,7 @@ def q039_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Makes LMs Better") uses to decide how much of each new document is
     genuinely new text: the fraction of its distinct 5-grams whose FIRST
     corpus occurrence (min doc_id) is this document. Late crawl
-    snapshots score low → prime pruning candidates; complements q049's
+    snapshots score low → prime pruning candidates; complements q183's
     duplicate-span finder with a doc-level score.
 
     Integer-exact: counts and a basis-point ratio via integer div.
