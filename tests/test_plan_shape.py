@@ -397,11 +397,11 @@ def test_token_budget_window_is_partitioned(spark):
 
 
 def test_triangle_count_no_cartesian(spark):
-    """q128: both triangle joins must be key-equi joins (shuffle or
+    """q005: both triangle joins must be key-equi joins (shuffle or
     broadcast on the node key) and the total-count attach must ride a
     broadcast — any CartesianProduct means the orientation trick failed
     and the plan is all-pairs."""
-    df = all_specs()["q128_triangle_count"].builder(spark, SF_CORRECT)
+    df = all_specs()["q005_triangle_count"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
@@ -459,10 +459,10 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
 
 
 def test_merge_upsert_base_never_shuffles(spark):
-    """q142: the MERGE batch (deletes + updates) must ride broadcast joins
+    """q043: the MERGE batch (deletes + updates) must ride broadcast joins
     — the base relation shuffling for a maintenance batch is the classic
     full-outer MERGE mistake at 100 TB."""
-    df = all_specs()["q142_merge_upsert"].builder(spark, SF_CORRECT)
+    df = all_specs()["q043_merge_upsert"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan

@@ -44,7 +44,7 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # "unpartitioned window" pairs: windows over shrunken inputs (bucket
 # summaries, local-skyline survivors, merge frontiers, global deciles).
 KNOWN_OK_PAIRS = {
-    ("q006_embedding_neardup", "BroadcastNestedLoopJoin"),
+    ("q122_embedding_neardup", "BroadcastNestedLoopJoin"),
     ("q011_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
     ("q014_ivf_assign", "BroadcastNestedLoopJoin"),
     ("q016_ivf_topk_search", "BroadcastNestedLoopJoin"),
@@ -56,12 +56,12 @@ KNOWN_OK_PAIRS = {
     ("q118_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q127_token_budget_select", "BroadcastNestedLoopJoin"),
     ("q127_token_budget_select", "unpartitioned window"),
-    ("q128_triangle_count", "BroadcastNestedLoopJoin"),
+    ("q005_triangle_count", "BroadcastNestedLoopJoin"),
     ("q131_span_excision", "BroadcastNestedLoopJoin"),
     ("q133_zorder_layout", "BroadcastNestedLoopJoin"),
     ("q134_key_skew_profile", "BroadcastNestedLoopJoin"),
     ("q138_inverted_index", "BroadcastNestedLoopJoin"),
-    ("q147_heavy_hitters", "BroadcastNestedLoopJoin"),
+    ("q008_heavy_hitters", "BroadcastNestedLoopJoin"),
     ("q148_skyline_docs", "unpartitioned window"),
     ("q150_concat_chunk_blocks", "unpartitioned window"),
     ("q154_quantified_subqueries", "BroadcastNestedLoopJoin"),
@@ -79,7 +79,7 @@ KNOWN_OK_PAIRS = {
     # unpartitioned-window exemption), fixed probe/query set (q015).
     # Data-coupled hints were FIXED instead, not exempted: q018 out-
     # degrees folded into the rank table, q038 marginals via shuffle
-    # joins, q005 hot-shingle anti-join and q144 per-source bounds left
+    # joins, q128 hot-shingle anti-join and q144 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
     ("q014_ivf_assign", "broadcast of unbounded aggregate"),
     ("q016_ivf_topk_search", "broadcast of unbounded aggregate"),

@@ -26,7 +26,7 @@ from warcraider_spark.session import get_spark  # noqa: E402
 QUERIES = [
     "q001_exact_dedup_groups",
     "q003_minhash_lsh_pairs",
-    "q147_heavy_hitters",
+    "q008_heavy_hitters",
     "q149_line_dedup",
     "q007_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where

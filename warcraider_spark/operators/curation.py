@@ -6,7 +6,7 @@ of a training corpus), null-safe joins, exact heavy hitters, and Pareto
 
 Scale notes (the reason each query is shaped the way it is):
 
-- **merge upsert** (q142): the daily-maintenance shape. The change batch is
+- **merge upsert** (q043): the daily-maintenance shape. The change batch is
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
@@ -47,7 +47,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q142_merge_upsert",
+    "q043_merge_upsert",
     oracle="""
 WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
 upd AS (
@@ -73,7 +73,7 @@ FROM customer WHERE c_custkey <= 40
     tags=("curation", "merge", "join"),
     bench=True,
 )
-def q142_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (matched-update / matched-delete / not-matched-
     insert) applied as a maintenance batch to the customer base table.
 
@@ -309,7 +309,7 @@ def q146_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q147_heavy_hitters",
+    "q008_heavy_hitters",
     oracle="""
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
@@ -322,7 +322,7 @@ WHERE cnt >= 0.005 * total
 """,
     tags=("curation", "aggregate", "text"),
 )
-def q147_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
     pipeline (the sketch-based approximate twin is the q104/q105 surface).

@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q003 and q043 (SQL twin of
+# bands + distinct candidate pairs, shared by q003 and q142 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -361,7 +361,7 @@ SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
 
 
 @query(
-    "q005_ngram_jaccard_pairs",
+    "q128_ngram_jaccard_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -386,7 +386,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard"),
 )
-def q005_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q128_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
     verify stage after LSH candidates: intersection counted by a join on
     the shingle, never a pairwise loop).
@@ -437,7 +437,7 @@ def q005_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_embedding_neardup",
+    "q122_embedding_neardup",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -456,7 +456,7 @@ ORDER BY vec_a, vec_b
 """,
     tags=("dedup", "embedding", "cosine"),
 )
-def q006_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q122_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
@@ -557,7 +557,7 @@ CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
 
 
 @query(
-    "q043_dedup_clusters",
+    "q142_dedup_clusters",
     oracle=f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
      edges AS (
@@ -585,7 +585,7 @@ ORDER BY cluster_id
 """,
     tags=("dedup", "graph", "connected-components"),
 )
-def q043_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q142_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
     generation (q003) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
@@ -597,7 +597,7 @@ def q043_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, both on uniform doc-id keys). CC_ROUNDS=6 bounds the
     propagation; labels converge once rounds ≥ graph diameter, and dup
     clusters are shallow (exact-copy stars + short near-dup chains; the
-    q005 Jaccard-verify stage prunes long spurious chains before
+    q128 Jaccard-verify stage prunes long spurious chains before
     clustering in a production flow). At 100 TB diameter can't be assumed:
     use the alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce"), which converges
@@ -706,7 +706,7 @@ ER_DF_CAP = 50  # drop grams shared by more names (the "Customer#0000…" prefix
 
 
 @query(
-    "q122_entity_resolution",
+    "q006_entity_resolution",
     oracle=f"""
 WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey < 500),
 base AS (
@@ -741,13 +741,13 @@ ORDER BY clean_key, dirty_key
 """,
     tags=("dedup", "entity-resolution", "fuzzy-join"),
 )
-def q122_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (fuzzy record linkage): a deterministically
     corrupted 'dirty' registry (one character mutated for every third
     key — the standard corrupted-duplicate ER benchmark construction) is
     matched back to the clean registry by q-gram blocking: explode each
     name into 6-grams, DROP high-document-frequency grams (the shared
-    'Customer#…' prefix — same skew-cap rationale as q005's shingle DF
+    'Customer#…' prefix — same skew-cap rationale as q128's shingle DF
     cap), equi-join on the surviving distinctive grams, then verify
     candidates with edit distance ≤ 1.
 
@@ -1719,7 +1719,7 @@ def q044_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data dedup pipelines): chunk boundaries are placed where a
     W-char polynomial rolling hash H(i) = sum c[i+j]*B^j mod M hits
     H % 64 == 0, so inserting one sentence into a near-duplicate
-    document RE-ALIGNS every later chunk — fixed-stride chunking (q008)
+    document RE-ALIGNS every later chunk — fixed-stride chunking (q147)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
     recur, in how many docs) — the unit a span-excision pass (q131)

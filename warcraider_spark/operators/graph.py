@@ -164,7 +164,7 @@ def q018_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q120_recursive_reachability",
+    "q009_recursive_reachability",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
 walk(seed, node, depth) AS (
@@ -185,7 +185,7 @@ ORDER BY seed, depth
 """,
     tags=("graph", "recursive-cte"),
 )
-def q120_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded transitive closure via Spark 4's WITH RECURSIVE: BFS from
     three seed nodes over the link graph, reporting how many nodes are
     first reached at each hop count (min-depth reachability, depth ≤ 3).
@@ -217,7 +217,7 @@ def q120_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q128_triangle_count",
+    "q005_triangle_count",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 und AS MATERIALIZED (
@@ -245,7 +245,7 @@ FROM pern ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the link graph (the clustering-coefficient /
     community-structure primitive). Edges are canonicalized to undirected
     (a < b) — which IS the classic orientation trick: every triangle is
@@ -295,7 +295,7 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components at scale: alternating large-star / small-star
 # ---------------------------------------------------------------------------
 
-# Deep-chain corpus: q043's min-label propagation bounds its rounds (fine
+# Deep-chain corpus: q142's min-label propagation bounds its rounds (fine
 # for shallow dup clusters) and its docstring defers deep graphs to the
 # alternating contraction — this operator implements that promise on a
 # graph where bounded propagation WOULD fail: chains of ~CHAIN_LEN nodes
@@ -433,9 +433,9 @@ ORDER BY component_id
 )
 def q025_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating large-star/small-star — the
-    O(log n)-round contraction q043's docstring defers deep graphs to,
+    O(log n)-round contraction q142's docstring defers deep graphs to,
     now implemented and certified on a graph that DEFEATS bounded label
-    propagation: ~CHAIN_LEN-long chains (diameter ~96 vs q043's 6-round
+    propagation: ~CHAIN_LEN-long chains (diameter ~96 vs q142's 6-round
     budget) with sparse bridges merging chain groups.
 
     The oracle is an independent mechanism (DuckDB recursive-CTE

@@ -503,7 +503,7 @@ def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-corpus shuffle in the whole query is 12 bytes of ids+score per
     scanned pair, not two 64-dim double arrays (≈30× fewer shuffle
     bytes; an earlier draft carried qv/av through the rank window and
-    the shuffle dominated the runtime). Quantization is the q009
+    the shuffle dominated the runtime). Quantization is the q120
     absmax scheme (floor(x/scale*127+0.5), bit-deterministic in both
     engines); integer coarse scores are exact cross-engine, so the
     candidate set — and therefore the oracle hash — is stable. Ties broken
@@ -715,7 +715,7 @@ def q045_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, dim, value) form; each iteration is (broadcast tiny centroids →
     map-side distance partial-agg → per-vector argmin) + (groupBy
     (cluster, dim) mean with map-side combine). Loop state is
-    localCheckpoint'ed per round (q043's lineage lesson); the vector
+    localCheckpoint'ed per round (q142's lineage lesson); the vector
     table is checkpointed ONCE and reused by all {2 * KM_ITERS} passes.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)

@@ -220,7 +220,7 @@ def q181_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same groupBy(row,pos) SUM that merges per-day sketches into
     months without rescanning raw data. Point queries then probe d cells
     against the BROADCAST table instead of shuffling the corpus per key
-    (the heavy-hitter twin q147 re-scans; the sketch answers from
+    (the heavy-hitter twin q008 re-scans; the sketch answers from
     kilobytes). Same one-base-hash universal family as the minhash/bloom
     operators (dedup.py:145) — one md5 per token, d derived positions.
     """

@@ -454,7 +454,7 @@ def q106_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_document_chunking",
+    "q147_document_chunking",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
@@ -473,7 +473,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("text", "chunking"),
 )
-def q008_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q147_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token windows, stride 24 →
     8-token overlap): the context-window packing stage of a training-data
     pipeline, as pure array expressions (slice per chunk index)."""
@@ -502,7 +502,7 @@ def q008_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_embedding_quantize",
+    "q120_embedding_quantize",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -524,7 +524,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "quantization"),
 )
-def q009_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q120_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (absmax scaling) — the
     storage/bandwidth stage of a vector index at 100 TB; all native
     higher-order functions, int outputs so the oracle is exact."""
@@ -1052,7 +1052,7 @@ def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Per round: pair counts (map-side partial agg on a uniform
     (l, r) key), a 1-row global top-1, then the merge as a broadcast
     cross join + whole-stage-codegen string replace — no driver collect
-    in the loop. Loop state is localCheckpoint'ed per round (q043's
+    in the loop. Loop state is localCheckpoint'ed per round (q142's
     lineage-doubling lesson: words_i references words_{{i-1}} twice,
     directly and through best_i). Counts are exact integers, ties break
     lexicographically, so the merge table is hash-identical to the
@@ -1356,7 +1356,7 @@ def q138_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc_id) builds postings with partial aggs, and the final
     term-level rollup reuses the term prefix of that key. The DF cap
     (df > 80% of the corpus → stop-term, dropped) bounds every posting
-    list — the same skew guard as q005's shingle cap: without it one
+    list — the same skew guard as q128's shingle cap: without it one
     stop-term's list is the whole corpus concatenated onto a single
     reducer. The corpus size joins in as a broadcast 1-row aggregate, and
     the compare is integer (df*10 <= n_docs*8) so both engines agree
@@ -1569,7 +1569,7 @@ def q015_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q138/q005 (one stop-term would otherwise put the whole
+    guard as q138/q128 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
