@@ -577,3 +577,46 @@ def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
     plan = plan_of(half_round)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    """q076: HLL++ at rsd=0.01 must land within 3 standard deviations
+    (3%) of the exact distinct count per group — turns the rows-only
+    driver check into a quantitatively certified estimate."""
+    rows = all_specs()["q076_approx_distinct"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.03, r
+
+
+def test_kll_quantile_error_bound(spark):
+    """q105: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
+    ≈ 1.2%; assert each reported quantile's TRUE rank among the exact
+    values is within 2% of the requested rank — the sketch's actual
+    contract, checked without fixing its randomized internals."""
+    import bisect
+
+    from warcraider_spark.operators.sketches import _keyed_events
+
+    rows = {
+        r["event_type"]: r
+        for r in all_specs()["q105_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
+    }
+    vals = (
+        _keyed_events(spark, SF_CORRECT)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    )
+    by_type = {r["event_type"]: list(r["vs"]) for r in vals}
+    checked = 0
+    for et, vs in by_type.items():
+        if et not in rows or not vs:
+            continue
+        n = len(vs)
+        assert rows[et]["n"] == n
+        for q, est in ((0.5, rows[et]["p50"]), (0.95, rows[et]["p95"])):
+            true_rank = bisect.bisect_right(vs, est) / n
+            assert abs(true_rank - q) < 0.02, (et, q, est, true_rank)
+            checked += 1
+    assert checked >= 4
