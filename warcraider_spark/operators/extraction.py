@@ -200,3 +200,102 @@ def q168_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|",  # driver canonicalizer rejects list-typed cells
     )
     return docs.select("doc_id", cleaned.alias("cleaned")).orderBy("doc_id")
+
+
+_CANON_URL_SPARK = r"""
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+  regexp_replace(lower(regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), '^([^:]*)', 1)), '\\.+$', '') ||
+  CASE WHEN regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) NOT IN ('', '80', '443')
+       THEN ':' || regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) ELSE '' END ||
+  CASE WHEN regexp_extract(url, '://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+       ELSE regexp_extract(url, '://[^/?#]*([^?#]*)', 1) END ||
+  CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''
+       ELSE '?' || array_join(sort_array(split(regexp_extract(url, '\\?([^#]*)', 1), '&')), '&') END
+"""
+
+
+@query(
+    "q184_url_canonical_dedup",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         source || '-' || lang || '.gov.au' AS host,
+         'a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=' || CAST(doc_id % 3 AS VARCHAR) AS q1,
+         'b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=' || CAST(doc_id % 5 AS VARCHAR) AS q2
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest([
+    'HTTPS://' || upper(host) || ':443/docs/' || CAST(doc_id AS VARCHAR) || '?' || q2 || '#sec',
+    'https://' || host || '/docs/' || CAST(doc_id AS VARCHAR) || '?' || q1,
+    'https://' || host || './docs/' || CAST(doc_id AS VARCHAR) || '?' || q2
+  ]) AS url
+  FROM base
+),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+    rtrim(lower(regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), '^([^:]*)', 1)), '.') ||
+    CASE WHEN regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) NOT IN ('', '80', '443')
+         THEN ':' || regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) ELSE '' END ||
+    CASE WHEN regexp_extract(url, '://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(url, '://[^/?#]*([^?#]*)', 1) END ||
+    CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN ''
+         ELSE '?' || array_to_string(list_sort(string_split(regexp_extract(url, '\?([^#]*)', 1), '&')), '&') END
+    AS canonical_url
+  FROM u
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM c
+GROUP BY canonical_url
+ORDER BY canonical_url
+""",
+    tags=("extract", "url", "dedup", "training-pipeline"),
+    min_rows=10,
+)
+def q184_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup — the crawl-frontier
+    primitive that precedes every content fetch: scheme and host
+    lowercased, trailing host dots stripped, default ports (80/443)
+    removed, fragments dropped, query parameters sorted, empty paths
+    normalized to '/'. Three deterministically-messy variants per
+    document (uppercase+port+fragment+reversed-query, clean, trailing-
+    dot+reversed-query) must collapse to ONE canonical URL each —
+    hash-certified, so the oracle proves every rule fires (a missed
+    rule leaves a variant uncollapsed and changes the group count).
+
+    Scale shape: canonicalization is pure regexp/split/sort_array
+    whole-stage codegen (no UDF — the URL never leaves the JVM), then
+    one groupBy on the canonical string — the same uniform-key shuffle
+    as exact dedup. At crawl scale this runs on the frontier before
+    fetch scheduling; the reference's absolutize+root_domain UDFs
+    (functions/urls.py) handle the harder RFC-3986 *relative* cases,
+    while canonical equivalence stays native."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("source || '-' || lang || '.gov.au'").alias("host"),
+        F.expr("'a=' || CAST(doc_id % 5 AS STRING) || '&b=' || CAST(doc_id % 3 AS STRING)").alias("q1"),
+        F.expr("'b=' || CAST(doc_id % 3 AS STRING) || '&a=' || CAST(doc_id % 5 AS STRING)").alias("q2"),
+    )
+    u = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.expr("'HTTPS://' || upper(host) || ':443/docs/' || CAST(doc_id AS STRING) || '?' || q2 || '#sec'"),
+                F.expr("'https://' || host || '/docs/' || CAST(doc_id AS STRING) || '?' || q1"),
+                F.expr("'https://' || host || './docs/' || CAST(doc_id AS STRING) || '?' || q2"),
+            )
+        ).alias("url"),
+    )
+    return (
+        u.select("doc_id", F.expr(_CANON_URL_SPARK).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
