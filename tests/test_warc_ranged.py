@@ -130,3 +130,53 @@ def test_malformed_first_record(spark):
     mono = _rows(read_warc(spark, os.path.dirname(p)))
     ranged = _rows(read_warc_ranged(spark, p, num_splits=4))
     assert ranged == mono == [(0, "0", (), b"")]
+
+
+def test_auto_mixed_directory_per_file_fanout(spark):
+    """read_warc_auto on a directory mixing a small and a large file with
+    a tiny byte budget: output equals the whole-file read, and the split
+    planner gives the big file MORE range tasks than the small one (the
+    mixed-corpus property the per-file byte budget exists for)."""
+    from warcraider_spark.sources.warc import read_warc_auto
+
+    import random
+
+    d = tempfile.mkdtemp(prefix="warc_mixed_test_")
+    small = build_warc_bytes(
+        [({"WARC-Type": "response", "WARC-Target-URI": "https://s.test/"}, b"tiny")]
+    )
+    rng = random.Random(7)  # incompressible bodies: gzip can't shrink them
+    big = build_warc_bytes(
+        [
+            (
+                {"WARC-Type": "response", "WARC-Target-URI": f"https://h{i}.test/"},
+                bytes(rng.randrange(256) for _ in range(2000)),
+            )
+            for i in range(24)
+        ]
+    )
+    with open(os.path.join(d, "a-small.warc"), "wb") as f:
+        f.write(small)
+    with open(os.path.join(d, "b-big.warc"), "wb") as f:
+        f.write(big)
+
+    whole = _rows(read_warc(spark, d))
+    auto = read_warc_auto(spark, d, ranged_threshold_bytes=1, target_split_bytes=4096)
+    assert _rows(auto) == whole
+    # per-file fan-out: count distinct producing tasks per file
+    from pyspark.sql import functions as F
+
+    per_file = {
+        r["f"]: r["parts"]
+        for r in (
+            auto.select(
+                F.element_at(F.split("warc_file", "/"), -1).alias("f"),
+                F.spark_partition_id().alias("pid"),
+            )
+            .groupBy("f")
+            .agg(F.countDistinct("pid").alias("parts"))
+            .collect()
+        )
+    }
+    assert per_file["a-small.warc"] == 1
+    assert per_file["b-big.warc"] >= 2
