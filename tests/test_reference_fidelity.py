@@ -319,14 +319,18 @@ def test_adversarial_golden_html_errors():
 
 
 def test_missing_quote_recovery_cases():
-    """Class-5 unit coverage: single-line closed values (even with '<' or
-    '>' inside) never warn; unterminated-at-EOL and unterminated-at-EOF
-    both do; the warning anchors at the element's '<'."""
+    """Class-5 unit coverage (r7 semantics = tidy ParseValue): closed
+    values never warn even when they contain '<', '>' or a NEWLINE
+    (values may span lines — ADVICE r6 #1 killed the EOL trigger);
+    '</' before the closing quote and unterminated-at-EOF both warn;
+    the warning anchors at the element's '<'."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     assert td("<a href='ok'>x</a>") == ""
     assert td("<p title='a<b'>x</p>") == ""
     assert td("<p title='a>b'>x</p>") == ""
+    # legitimate multi-line quoted value: no spurious warning (r7 fix)
+    assert td('<p title="a\nb">x</p>') == ""
     assert (
         td('<a href="broken>\n</a>')
         == "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
@@ -335,6 +339,61 @@ def test_missing_quote_recovery_cases():
         td('<img src="eof')
         == "line 1 column 1 - Warning: <img> attribute with missing trailing quote mark\n"
     )
+
+
+def test_missing_quote_post_breakage_recovery():
+    """After a class-5 breakage the tag pass resumes at the interrupting
+    '</' (ADVICE r6 #1): a later paired quote must not swallow subsequent
+    real tags into one pseudo-tag — the repeated-attribute drop on the
+    tag AFTER the broken one still fires, at its own position."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    assert td('<a href="broken>\n<div class="x" class="y">dup</div>') == (
+        "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+        'line 2 column 1 - Warning: <div> dropping value "x" '
+        'for repeated attribute "class"\n'
+    )
+    # pairing that would swallow <b>bold</b> into the <a> pseudo-tag:
+    # the value ends at '</b' (tidy keeps the bare '<b>' as value text),
+    # and the x="1" x="2" garbage after the breakage stays unlexed
+    assert td('<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
+        "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+    )
+
+
+def test_nested_form_attributes_still_lexed():
+    """Class-1/class-6 interaction (ADVICE r6 #2): tidy lexes attributes
+    before the parser discards a nested <form>, so the repeated-attribute
+    drop fires first, then the discard, both at the inner form's '<'."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    assert td('<form><form a="1" a="2"><input></form></form>') == (
+        'line 1 column 7 - Warning: <form> dropping value "1" '
+        'for repeated attribute "a"\n'
+        "line 1 column 7 - Warning: discarding unexpected <form>\n"
+    )
+
+
+def test_missing_end_tag_cases():
+    """Class-7 unit coverage (VERDICT r6 #4): required-end-tag elements
+    closed implicitly warn — by an ancestor's end tag (anchored there,
+    innermost first) or by EOF (anchored at end-of-document); optional-
+    end-tag elements (li, p, td …) close silently per the HTML spec."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    # closed over by the ancestor's end tag, innermost popped first
+    assert td("<div><span><b>x</div>") == (
+        "line 1 column 16 - Warning: missing </b>\n"
+        "line 1 column 16 - Warning: missing </span>\n"
+    )
+    # EOF leaves required elements open (div requires; body is optional)
+    assert td("<body><div><span>x") == (
+        "line 1 column 19 - Warning: missing </span>\n"
+        "line 1 column 19 - Warning: missing </div>\n"
+    )
+    # optional-end-tag elements: silent implied close, no warning
+    assert td("<ul><li>a<li>b</ul>") == ""
+    assert td("<table><tr><td>x</table>") == ""
 
 
 def test_nested_form_discard_cases():

@@ -207,6 +207,14 @@ _NO_TRIM_TAGS = frozenset(
     "html head body title textarea iframe script style a td th canvas".split()
 )
 
+# elements whose end tag the HTML spec makes optional — tidy infers the
+# close silently, so implicitly closing one is NOT a missing-end-tag
+# warning (class 7 below); every other element requires its end tag
+_OPTIONAL_END_TAGS = frozenset(
+    "html head body p li dt dd td th tr tbody thead tfoot option optgroup "
+    "colgroup caption rb rt rtc rp".split()
+)
+
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
@@ -240,19 +248,31 @@ def tidy_diagnostics(raw_html: str) -> str:
     6. ``discarding unexpected <form>`` — a ``<form>`` start tag while a
        form is already open (forms cannot nest; tidy parser
        DISCARDING_UNEXPECTED drops the inner tag, keeping its content).
+    7. ``missing </tag>`` — (r7) an element whose end tag the spec
+       REQUIRES is closed implicitly: by an ancestor's end tag closing
+       over it (anchored at that end tag, innermost-popped first — tidy
+       parser MISSING_ENDTAG_FOR) or by end-of-document (anchored at
+       EOF). Optional-end-tag elements (p/li/td/tr …,
+       ``_OPTIONAL_END_TAGS``) close silently, as in HTML. Start-tag-
+       triggered implied closes (tidy's "missing </x> before <y>"
+       variant) are not modelled — our scanner implies closes only at
+       end tags and EOF.
 
-    Ordering matches tidy's phases: lexer/parse-time warnings (1+2+5+6) in
-    document order, then attribute checks (3), then trims (4), each in
+    Ordering matches tidy's phases: lexer/parse-time warnings (1+2+5+6+7)
+    in document order, then attribute checks (3), then trims (4), each in
     document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
 
-    KNOWN DIVERGENCE (documented, r4→r6): real tidy's catalog is larger
-    still (missing/implicit end tags, proprietary attributes, doctype
-    checks …) — strict-parse-failing pages triggering classes outside
-    these six diverge in html_errors CONTENT; the trigger condition and
-    the six classes above are the certified surface.
+    KNOWN DIVERGENCE (documented, r4→r7): real tidy's catalog is larger
+    still (proprietary attributes, doctype checks …) — strict-parse-
+    failing pages triggering classes outside this catalog diverge in
+    html_errors CONTENT; the trigger condition and the classes above are
+    the certified surface. A class-5-broken tag's attributes lexed
+    BEFORE the broken quote are not re-scanned for classes 1/3 (tidy
+    lexes them; the warning classes they could add are rare on a tag
+    already being reported broken).
     """
     if not raw_html:
         return ""
@@ -317,14 +337,23 @@ def tidy_diagnostics(raw_html: str) -> str:
         for i in range(m.start(), m.end()):
             masked[i] = 1
 
-    # class 5: missing trailing quote. _TAG_RE cannot match a tag whose
-    # quoted value runs into '<', so these are found by replaying tidy's
-    # attribute lexer LINEARLY over the document: each candidate tag
-    # consumes its quote-balanced attribute text (so a '<' inside a
-    # closed quoted value never spawns a nested candidate); a quote
-    # still open when '<' (or EOF) arrives is MISSING_QUOTEMARK,
-    # anchored at the element's '<' like class 1.
+    # class 5: missing trailing quote. _TAG_RE cannot usually match a tag
+    # whose quoted value runs into '<', so these are found by replaying
+    # tidy's attribute lexer LINEARLY over the document: each candidate
+    # tag consumes its quote-balanced attribute text (so a '<' inside a
+    # closed quoted value never spawns a nested candidate). tidy's actual
+    # recovery signal (ADVICE r6 #1; tidy ParseValue) is '</' appearing
+    # BEFORE the closing quote — a bare '<' or a newline inside the value
+    # stays literal and does NOT warn — the value ends at the '</' and
+    # the lexer resumes on that tag; a quote still open at EOF (no
+    # closing quote, no '</') swallows the rest of the document exactly
+    # like tidy's value parser. Both are MISSING_QUOTEMARK, anchored at
+    # the element's '<' like class 1. Each breakage records its recovery
+    # point so the main _TAG_RE pass below also resumes at the
+    # interrupting '</' instead of letting a later paired quote swallow
+    # real tags into one pseudo-tag (post-breakage tag recovery).
     _tag_start = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+    broken_recovery: dict[int, int] = {}  # broken tag's '<' -> resume pos
     scan = 0
     while True:
         m = _tag_start.search(raw_html, scan)
@@ -338,14 +367,11 @@ def tidy_diagnostics(raw_html: str) -> str:
             c = raw_html[i]
             if c in "\"'":
                 close = raw_html.find(c, i + 1)
-                eol = raw_html.find("\n", i + 1)
-                if eol == -1:
-                    eol = n
-                # tidy's heuristic: a quoted value may contain '<'/'>', but
-                # a quote still open at end-of-line means the trailing
-                # quote mark is missing (values don't span lines in the
-                # recovery lexer); the value ends at the next '<' or EOL
-                if close == -1 or close > eol:
+                lt = raw_html.find("</", i + 1)
+                if close == -1 and lt == -1:
+                    # unterminated at EOF: the value swallows the rest of
+                    # the document (tidy ParseValue reads to EndOfStream) —
+                    # mask it so the main pass sees no phantom tags either
                     parse_time.append(
                         (
                             m.start(),
@@ -354,8 +380,21 @@ def tidy_diagnostics(raw_html: str) -> str:
                             "trailing quote mark",
                         )
                     )
-                    nxt = raw_html.find("<", i + 1)
-                    i = nxt if nxt != -1 and nxt < eol else eol
+                    for j in range(i + 1, n):
+                        masked[j] = 1
+                    i = n
+                    break
+                if lt != -1 and (close == -1 or lt < close):
+                    parse_time.append(
+                        (
+                            m.start(),
+                            0,
+                            f"<{m.group(1).lower()}> attribute with missing "
+                            "trailing quote mark",
+                        )
+                    )
+                    i = lt
+                    broken_recovery[m.start()] = i
                     break
                 i = close + 1
             elif c in "<>":
@@ -369,8 +408,17 @@ def tidy_diagnostics(raw_html: str) -> str:
     trims: list[tuple[int, str]] = []  # class 4
     # stack frames: [tag, start_pos, has_attrs, content_start, has_child]
     stack: list[list] = []
-    for m in _TAG_RE.finditer(raw_html):
+    pos = 0
+    while (m := _TAG_RE.search(raw_html, pos)) is not None:
+        pos = m.end()
         if masked[m.start()]:
+            continue
+        if m.start() in broken_recovery:
+            # class-5 breakage: the tag's quoted value was interrupted by
+            # '<'; a later paired quote can make _TAG_RE swallow real tags
+            # into one pseudo-tag — resume at the interrupting '<' exactly
+            # like tidy's lexer (ADVICE r6 #1 post-breakage recovery)
+            pos = broken_recovery[m.start()]
             continue
         closing, tag, attrs_raw, selfclose = (
             m.group(1),
@@ -383,13 +431,9 @@ def tidy_diagnostics(raw_html: str) -> str:
             selfclose = "/"
             attrs_raw = attrs_raw.rstrip()[:-1]
         if not closing:
-            # class 6: forms cannot nest — tidy discards the inner <form>
-            # start tag (content kept), DISCARDING_UNEXPECTED
-            if tag == "form" and any(fr[0] == "form" for fr in stack):
-                parse_time.append((m.start(), 0, "discarding unexpected <form>"))
-                for fr in stack:
-                    fr[4] = True  # the discarded tag is still content
-                continue
+            # tidy lexes attributes BEFORE the parser can discard the tag
+            # (ADVICE r6 #2): a nested <form a="1" a="2"> still emits its
+            # class-1 repeated-attribute warning, then the class-6 discard
             seen: dict[str, str] = {}
             has_rel = False
             for am in _ATTR_RE.finditer(attrs_raw):
@@ -410,6 +454,13 @@ def tidy_diagnostics(raw_html: str) -> str:
                     )
                 else:
                     seen[name] = val
+            # class 6: forms cannot nest — tidy discards the inner <form>
+            # start tag (content kept), DISCARDING_UNEXPECTED
+            if tag == "form" and any(fr[0] == "form" for fr in stack):
+                parse_time.append((m.start(), 0, "discarding unexpected <form>"))
+                for fr in stack:
+                    fr[4] = True  # the discarded tag is still content
+                continue
             if tag == "link" and not has_rel:
                 attr_checks.append((m.start(), '<link> lacks "rel" attribute'))
             for fr in stack:  # a child start tag = content for every parent
@@ -428,10 +479,27 @@ def tidy_diagnostics(raw_html: str) -> str:
                         and (not inner or inner.isspace())
                     ):
                         trims.append((fr[1], f"trimming empty <{tag}>"))
+                    # class 7: the end tag closes OVER still-open children —
+                    # tidy's parser pops them, warning MISSING_ENDTAG_FOR
+                    # for each whose end tag the spec requires (innermost
+                    # first, the pop order), anchored at the triggering
+                    # end tag like the lexer's other parse-time warnings;
+                    # optional-end-tag elements close silently
+                    for child_fr in reversed(stack[i + 1 :]):
+                        if child_fr[0] not in _OPTIONAL_END_TAGS:
+                            parse_time.append(
+                                (m.start(), 0, f"missing </{child_fr[0]}>")
+                            )
                     for p in stack[:i]:  # closed child = content for parents
                         p[4] = True
                     del stack[i:]
                     break
+
+    # class 7 at EOF: elements still open when the document ends — tidy
+    # reports missing required end tags at the end-of-file position
+    for fr in reversed(stack):
+        if fr[0] not in _OPTIONAL_END_TAGS:
+            parse_time.append((n, 0, f"missing </{fr[0]}>"))
 
     parse_time.sort(key=lambda t: t[0])
     ordered = parse_time + [(p, 0, m) for p, m in attr_checks + trims]

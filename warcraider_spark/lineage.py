@@ -34,7 +34,11 @@ __all__ = [
 
 _UNSET = object()  # distinguishes "never configured" from an explicit None
 _dir: object = _UNSET
-_last_set: str | None = None  # the dir we last pushed to the JVM context
+# (applicationId, dir) we last pushed — keyed by context so a context
+# restart (new applicationId) always re-points, even when the configured
+# dir string is unchanged and the NEW context has a user-set dir of its
+# own that would otherwise satisfy isDefined() (ADVICE r6).
+_last_set: tuple[str, str] | None = None
 
 
 def set_reliable_checkpoint_dir(path: str | None) -> None:
@@ -71,8 +75,9 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         # can't be compared to `d` directly; track the dir we last pushed
         # ourselves and re-point the JVM context whenever the configured
         # one changes (or nothing was ever set for this context).
-        if d != _last_set or not sc._jsc.sc().getCheckpointDir().isDefined():
+        key = (sc.applicationId, d)
+        if key != _last_set or not sc._jsc.sc().getCheckpointDir().isDefined():
             sc.setCheckpointDir(d)
-            _last_set = d
+            _last_set = key
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)

@@ -205,8 +205,12 @@ def q168_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANON_URL_SPARK = r"""
   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
   regexp_replace(lower(regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), '^([^:]*)', 1)), '\\.+$', '') ||
-  CASE WHEN regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) NOT IN ('', '80', '443')
-       THEN ':' || regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) ELSE '' END ||
+  CASE WHEN regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) = '' THEN ''
+       WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+            AND regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) = '80' THEN ''
+       WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+            AND regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) = '443' THEN ''
+       ELSE ':' || regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) END ||
   CASE WHEN regexp_extract(url, '://[^/?#]*([^?#]*)', 1) = '' THEN '/'
        ELSE regexp_extract(url, '://[^/?#]*([^?#]*)', 1) END ||
   CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''
@@ -236,8 +240,12 @@ c AS (
   SELECT doc_id,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
     rtrim(lower(regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), '^([^:]*)', 1)), '.') ||
-    CASE WHEN regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) NOT IN ('', '80', '443')
-         THEN ':' || regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) ELSE '' END ||
+    CASE WHEN regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) = '' THEN ''
+         WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+              AND regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) = '80' THEN ''
+         WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+              AND regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) = '443' THEN ''
+         ELSE ':' || regexp_extract(regexp_extract(url, '://([^/?#]*)', 1), ':([0-9]+)$', 1) END ||
     CASE WHEN regexp_extract(url, '://[^/?#]*([^?#]*)', 1) = '' THEN '/'
          ELSE regexp_extract(url, '://[^/?#]*([^?#]*)', 1) END ||
     CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN ''
@@ -258,9 +266,11 @@ ORDER BY canonical_url
 def q184_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup — the crawl-frontier
     primitive that precedes every content fetch: scheme and host
-    lowercased, trailing host dots stripped, default ports (80/443)
-    removed, fragments dropped, query parameters sorted, empty paths
-    normalized to '/'. Three deterministically-messy variants per
+    lowercased, trailing host dots stripped, scheme-default ports
+    removed (80 for http, 443 for https — a non-default port such as
+    http://host:443 is preserved; ports are only equivalent to their
+    own scheme's default), fragments dropped, query parameters sorted,
+    empty paths normalized to '/'. Three deterministically-messy variants per
     document (uppercase+port+fragment+reversed-query, clean, trailing-
     dot+reversed-query) must collapse to ONE canonical URL each —
     hash-certified, so the oracle proves every rule fires (a missed

@@ -319,12 +319,24 @@ def read_warc_auto(
     is the persisted CDX sidecar (see ``read_warc_ranged``)."""
     import os as _os
 
+    def _statable_sizes():
+        # Per-file OSError handling (ADVICE r6): one unreadable file must
+        # not abort the scan and silently route a directory that also
+        # holds a 100 GB WARC down the monolithic whole-file path.
+        for p in files:
+            try:
+                yield _os.path.getsize(p)
+            except OSError:
+                continue
+
     try:
-        big = any(
-            _os.path.getsize(p) > ranged_threshold_bytes for p in _enumerate_warc_files(path)
-        )
+        files = _enumerate_warc_files(path)
     except OSError:
+        # Non-local scheme / unlistable path: degrade to binaryFile, whose
+        # Hadoop connector does its own range reads.
         big = False
+    else:
+        big = any(s > ranged_threshold_bytes for s in _statable_sizes())
     if big:
         return read_warc_ranged(
             spark, path, num_splits=1, target_split_bytes=target_split_bytes
