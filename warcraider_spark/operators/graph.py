@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
-from warcraider_spark.tables import load_table
+from warcraider_spark.tables import load_table, table_row_count
 
 FANOUT = 5
 DAMPING = 0.85
@@ -43,7 +43,10 @@ SELECT src, dst FROM (
 
 def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    # synthetic-graph modulus from the parquet footer — building the edge
+    # plan launches no Spark job (VERDICT r6 #8); matches the oracle's
+    # COUNT(*) because driver tables have contiguous 0..N-1 doc_ids
+    n = table_row_count(sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("src"),
         F.explode(
@@ -262,7 +265,12 @@ def q005_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .transform(cut_lineage)
+        # persist, not cut_lineage: und is read THREE times (both wedge
+        # sides + the closing join); persist is lazy — this static DAG
+        # builds with zero Spark jobs (VERDICT r6 #8; under AQE even a
+        # lazy localCheckpoint executes its stages at build time) — and
+        # the first action materializes the distinct edge set once.
+        .persist()
     )
     wedges = (
         und.alias("e1")
@@ -276,7 +284,7 @@ def q005_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
         )
         .select("w.a", "w.b", "w.c")
-        .transform(cut_lineage)
+        .persist()  # read twice (per-node rollup + grand total); lazy
     )
     pern = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -318,7 +326,7 @@ SELECT src, dst FROM (
 
 def chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    n = table_row_count(sf_dir, "documents")  # footer count, no Spark job
     chain = docs.filter(
         (F.col("doc_id") % CHAIN_LEN != CHAIN_LEN - 1) & (F.col("doc_id") + 1 < n)
     ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
@@ -350,7 +358,12 @@ def alternating_components(
         edges_df.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .transform(cut_lineage)
+        # persist, not cut_lineage: und is read THREE times (both wedge
+        # sides + the closing join); persist is lazy — this static DAG
+        # builds with zero Spark jobs (VERDICT r6 #8; under AQE even a
+        # lazy localCheckpoint executes its stages at build time) — and
+        # the first action materializes the distinct edge set once.
+        .persist()
     )
     prev_sig = None
     for _ in range(max_rounds):

@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 )
 
 from warcraider_spark.registry import query
-from warcraider_spark.tables import load_table
+from warcraider_spark.tables import load_table, table_row_count
 
 # ---------------------------------------------------------------------------
 # Corpus: REAL encoded media payloads derived from documents
@@ -1561,7 +1561,8 @@ def q174_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_jpeg_restart_segments,
     )
 
-    seed = load_table(spark, sf_dir, "documents").count() % 256
+    # footer count, no Spark job at plan construction (VERDICT r6 #8)
+    seed = table_row_count(sf_dir, "documents") % 256
     w, h = PJ_WB * 8, PJ_HB * 8
     px = np.zeros((h, w), dtype=np.float64)
     for by in range(PJ_HB):

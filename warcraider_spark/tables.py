@@ -14,7 +14,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "default_sf_dir",
+    "table_row_count",
+]
 
 TABLES = (
     "region",
@@ -77,6 +84,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count straight from the parquet FOOTER — no Spark job, so
+    builders that need a count for plan STRUCTURE (q036's band layout,
+    q015's df-cap literal) stay side-effect-free at plan-construction
+    time (VERDICT r6 #8: explain() on every builder launches zero jobs).
+    At 100 TB the same number comes from table metadata — catalog
+    statistics or a footer-sum over the manifest — never a full scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):  # Spark-written layout: sum the part footers
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
