@@ -180,3 +180,73 @@ def test_auto_mixed_directory_per_file_fanout(spark):
     }
     assert per_file["a-small.warc"] == 1
     assert per_file["b-big.warc"] >= 2
+
+
+def test_ranged_file_uri_scheme_equals_local(spark):
+    """Object-store branch mock (VERDICT r6 #7): a file:// URI routes the
+    stat, member indexing, and range reads through pyarrow.fs — the same
+    code path an s3://gs:// URI takes, where read_at(length, offset) is a
+    ranged GET — and must reproduce the plain-local-path ranged scan
+    exactly, including the normalized binaryFile-style warc_file URI."""
+    p = _write(_fixture_bytes(24), "scheme.warc")
+    local = read_warc_ranged(spark, p, num_splits=4)
+    remote = read_warc_ranged(spark, "file://" + p, num_splits=4)
+    lrows = sorted(tuple(r) for r in local.collect())
+    rrows = sorted(tuple(r) for r in remote.collect())
+    assert lrows == rrows
+    assert {r["warc_file"] for r in remote.collect()} == {"file:" + p}
+
+
+def test_ranged_file_uri_directory_enumeration(spark):
+    """Directory enumeration through the pyarrow.fs branch: file://dir
+    lists the same non-hidden members as the local listing, and
+    read_warc_auto over the URI matches the whole-file read."""
+    from warcraider_spark.sources.warc import _enumerate_warc_files, read_warc_auto
+
+    d = tempfile.mkdtemp(prefix="warc_uri_dir_")
+    for name in ("a.warc", "b.warc", "_skip.warc", ".hidden"):
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(_fixture_bytes(6))
+    local = _enumerate_warc_files(d)
+    via_uri = _enumerate_warc_files("file://" + d)
+    assert [u[len("file://"):] for u in via_uri] == local
+    whole = sorted(tuple(r) for r in read_warc(spark, d).collect())
+    auto = read_warc_auto(
+        spark, "file://" + d, ranged_threshold_bytes=1, target_split_bytes=4096
+    )
+    assert sorted(tuple(r) for r in auto.collect()) == whole
+
+
+def test_unstatable_file_does_not_abort_directory_scan(spark):
+    """ADVICE r6 #3: one unstatable entry must not route a directory that
+    also holds a big WARC down the monolithic path — the remaining files
+    still stat and the big file still takes the ranged branch."""
+    from warcraider_spark.sources import warc as W
+
+    d = tempfile.mkdtemp(prefix="warc_unstat_")
+    big = os.path.join(d, "big.warc")
+    with open(big, "wb") as f:
+        f.write(_fixture_bytes(24))
+    bad = os.path.join(d, "bad.warc")
+    with open(bad, "wb") as f:
+        f.write(_fixture_bytes(2))
+
+    real_size = W._file_size
+
+    def flaky_size(p):
+        if os.path.basename(str(p)) == "bad.warc":
+            raise OSError("simulated stat failure")
+        return real_size(p)
+
+    import unittest.mock as mock
+
+    # plain-function patch (a MagicMock would fail cloudpickle when the
+    # ranged branch creates its mapInPandas UDFs under the patch)
+    with mock.patch.object(W, "_file_size", flaky_size):
+        df = W.read_warc_auto(spark, d, ranged_threshold_bytes=1, target_split_bytes=4096)
+        plan = df._jdf.queryExecution().analyzed().toString()
+    # routing assertion: the scan must be the ranged mapInPandas plan,
+    # not the monolithic binaryFile fallback the aborted any() used to
+    # cause — binaryFile appears only in the whole-file branch
+    assert "binaryFile" not in plan
+    assert "MapInPandas" in plan
