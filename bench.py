@@ -63,12 +63,12 @@ def main() -> None:
     # The headline total grows as the bench set widens, so cross-round
     # drift is only meaningful on this frozen subset (VERDICT r3 #3).
     comparable = [
-        "q001_exact_dedup_groups",
-        "q003_minhash_lsh_pairs",
-        "q007_training_data_pipeline",
-        "q011_cosine_topk_bruteforce",
-        "q020_tumbling_window",
-        "q041_rake_keywords",
+        "q086_exact_dedup_groups",
+        "q088_minhash_lsh_pairs",
+        "q092_training_data_pipeline",
+        "q103_cosine_topk_bruteforce",
+        "q119_tumbling_window",
+        "q156_rake_keywords",
         "q051_pricing_summary",
         "q055_star_join_revenue",
         "q060_topk_per_group",

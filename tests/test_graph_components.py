@@ -1,4 +1,4 @@
-"""Alternating large-star/small-star connected components (q025):
+"""Alternating large-star/small-star connected components (q130):
 
 1. converges in O(log n) rounds on a diameter-~96 chain graph — the
    property bounded min-label propagation lacks;

@@ -14,7 +14,7 @@ from warcraider_spark.lineage import (
 )
 from warcraider_spark.registry import all_specs
 
-ITERATIVE = ("q025_connected_components", "q045_kmeans_codebook", "q018_pagerank")
+ITERATIVE = ("q130_connected_components", "q160_kmeans_codebook", "q117_pagerank")
 
 
 def test_dir_resolution(monkeypatch):

@@ -23,7 +23,7 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 
 def test_rows_only_list_column_rejected(spark, sf_smoke):
     """A rows-only query emitting an array column must fail LOCALLY: the
-    driver's pandas canonicalizer crashes on list cells (q034's r2 ERR), so
+    driver's pandas canonicalizer crashes on list cells (q143's r2 ERR), so
     run_oracle hashes rows-only output through the same strict canon."""
     from pyspark.sql import functions as F
 
@@ -39,7 +39,7 @@ def test_rows_only_list_column_rejected(spark, sf_smoke):
 
 
 def test_pmi_log_domain_guard(spark):
-    """q038's int64 headroom guard (ENFORCED this round, VERDICT r4
+    """q148's int64 headroom guard (ENFORCED this round, VERDICT r4
     "What's wrong" #2): counts large enough that n_xy*nn*1e6 overflows
     int64 must switch to the log-domain micro-nat path, and that path
     must rank identically to driver-side math.log PMI."""

@@ -62,8 +62,8 @@ def test_unpartitioned_window_detector():
 
 def test_broadcast_unbounded_agg_detector():
     """The r5 rule (VERDICT r4 directive #1): an explicit broadcast HINT
-    over a keyed aggregate flags — it would have caught q018's out-degree
-    broadcast and q038's marginal broadcasts. Bounded shapes don't flag:
+    over a keyed aggregate flags — it would have caught q117's out-degree
+    broadcast and q148's marginal broadcasts. Bounded shapes don't flag:
     a global (key-less) aggregate is single-row, a Limit caps the build
     side, and hint-less plans are AQE's call, not a forced broadcast."""
     keyed = (

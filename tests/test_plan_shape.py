@@ -142,7 +142,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 
 def test_minhash_signature_single_tokenize(spark):
-    """q003 regression: tokenization must stay in its own Project (evaluated
+    """q088 regression: tokenization must stay in its own Project (evaluated
     once per row), not be inlined 6× into the shingle expression — see
     dedup._exploded_shingles."""
     from warcraider_spark.operators.dedup import _exploded_shingles, dup_corpus
@@ -170,9 +170,9 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_salted_join_no_single_hot_partition(spark):
-    """q046: the salted skew join must key the shuffle on (key, salt) —
+    """q161: the salted skew join must key the shuffle on (key, salt) —
     plan shows the salt column in the join keys."""
-    df = all_specs()["q046_salted_skew_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q161_salted_skew_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "salt" in plan
 
@@ -180,7 +180,7 @@ def test_salted_join_no_single_hot_partition(spark):
 def test_salting_spreads_hot_key_across_partitions(spark):
     """The salting mechanism itself (VERDICT r5 #6): on a synthesized
     1000:1-skewed key, hash-partitioning on the bare key puts EVERY hot
-    row in one partition, while q046's (key, salt-from-row-id) scheme
+    row in one partition, while q161's (key, salt-from-row-id) scheme
     splits the hot key across >= 4 of 32 partitions — the executable form
     of the 'no single hot partition' claim (deterministic: fixed values,
     fixed partitioning)."""
@@ -232,12 +232,12 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_ivf_search_broadcasts_centroids(spark):
-    """q016: the vectors×centroids cross join must BUILD on a broadcast of
+    """q112: the vectors×centroids cross join must BUILD on a broadcast of
     the tiny centroid table (BNLJ BuildRight) — the vector stream never
     shuffles for assignment; a CartesianProduct (both sides shuffled)
     would be the 100 TB killer. Candidate generation joins on the bucket
     key (equi: SMJ here, AQE may demote to broadcast at runtime)."""
-    df = all_specs()["q016_ivf_topk_search"].builder(spark, SF_CORRECT)
+    df = all_specs()["q112_ivf_topk_search"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "CartesianProduct" not in plan
@@ -245,40 +245,40 @@ def test_ivf_search_broadcasts_centroids(spark):
 
 
 def test_pipeline_query_no_joins(spark):
-    """q007 (the entry flagship): quality filter → dedup → accounting must
+    """q092 (the entry flagship): quality filter → dedup → accounting must
     stay a linear agg pipeline — two exchanges, no joins."""
-    df = all_specs()["q007_training_data_pipeline"].builder(spark, SF_CORRECT)
+    df = all_specs()["q092_training_data_pipeline"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
 
 
 def test_two_stage_rerank_broadcasts_queries(spark):
-    """q050: the coarse stage must be a BroadcastNestedLoopJoin with the
+    """q184: the coarse stage must be a BroadcastNestedLoopJoin with the
     (tiny) query set as build side — the corpus streams once; a cartesian
     product or a shuffle of the corpus against queries would be the 100 TB
     killer."""
-    df = all_specs()["q050_two_stage_rerank"].builder(spark, SF_CORRECT)
+    df = all_specs()["q184_two_stage_rerank"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_contamination_broadcasts_benchmark(spark):
-    """q112: the benchmark shingle set must broadcast so the corpus-side
+    """q016: the benchmark shingle set must broadcast so the corpus-side
     shingles never shuffle for the join (the corpus is the 100 TB side)."""
-    df = all_specs()["q112_benchmark_contamination"].builder(spark, SF_CORRECT)
+    df = all_specs()["q016_benchmark_contamination"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_sketch_aggs_are_partial_final(spark):
-    """q048: sketch aggregates must plan as partial ObjectHashAggregate →
+    """q163: sketch aggregates must plan as partial ObjectHashAggregate →
     Exchange → final — the sketches merge map-side, so the shuffle carries
     one bounded sketch per group, not raw values (the whole point of
     mergeable sketches)."""
-    df = all_specs()["q048_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
+    df = all_specs()["q163_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("ObjectHashAggregate") >= 4  # partial+final × two levels
     assert "Exchange" in plan
@@ -294,11 +294,11 @@ def test_mixture_weights_broadcast(spark):
 
 
 def test_dim_profile_shuffle_is_bounded(spark):
-    """q116: the per-dimension profile must partial-aggregate before its
+    """q017: the per-dimension profile must partial-aggregate before its
     single exchange — the shuffle key domain is the embedding width, so
     the exchange moves ~dims rows per input partition no matter the
     corpus size."""
-    df = all_specs()["q116_embedding_dim_profile"].builder(spark, SF_CORRECT)
+    df = all_specs()["q017_embedding_dim_profile"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
     # exactly one agg shuffle + the orderBy range exchange, nothing else
@@ -307,10 +307,10 @@ def test_dim_profile_shuffle_is_bounded(spark):
 
 
 def test_lm_score_vocab_is_broadcast(spark):
-    """q117: the vocabulary-size scalar must ride a broadcast nested-loop
+    """q018: the vocabulary-size scalar must ride a broadcast nested-loop
     cross join — a shuffled cross join against a 1-row side would
     repartition the full scored-bigram stream."""
-    df = all_specs()["q117_lm_score"].builder(spark, SF_CORRECT)
+    df = all_specs()["q018_lm_score"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
@@ -325,10 +325,10 @@ def test_sequence_packing_single_window_shuffle(spark):
 
 
 def test_kmeans_broadcasts_centroids(spark):
-    """q045: a Lloyd assignment step must join the vector table against a
+    """q160: a Lloyd assignment step must join the vector table against a
     BROADCAST of the (k x dims)-row centroid table — a shuffled centroid
     join would repartition the full corpus once per iteration. Asserted on
-    the raw step subplan (the final q045 plan hides iterations behind
+    the raw step subplan (the final q160 plan hides iterations behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.similarity import _km_assign
 
@@ -356,10 +356,10 @@ def test_rollup_layers_reaggregate_partials(spark):
 
 
 def test_bpe_pair_counts_partial_final(spark):
-    """q037: the per-round pair count must partial-aggregate before its one
+    """q146: the per-round pair count must partial-aggregate before its one
     exchange on the uniform (l, r) key — per merge round the shuffle moves
     bounded partial counts over the vocabulary, never the corpus. Asserted
-    on the round subplan (the full q037 plan hides rounds behind
+    on the round subplan (the full q146 plan hides rounds behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.text import _bpe_pair_counts
 
@@ -385,11 +385,11 @@ def test_duplicate_spans_single_shuffle_topk(spark):
 
 
 def test_token_budget_window_is_partitioned(spark):
-    """q127: the corpus-side cumulative sum must run under a PARTITIONED
+    """q023: the corpus-side cumulative sum must run under a PARTITIONED
     window (bucketed prefix-sum) — the only orderBy-without-partitionBy
     windows allowed are over the ~21-row bucket summary. A global window
     over the document table is a single-partition non-starter at 100 TB."""
-    df = all_specs()["q127_token_budget_select"].builder(spark, SF_CORRECT)
+    df = all_specs()["q023_token_budget_select"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
@@ -397,22 +397,22 @@ def test_token_budget_window_is_partitioned(spark):
 
 
 def test_triangle_count_no_cartesian(spark):
-    """q005: both triangle joins must be key-equi joins (shuffle or
+    """q090: both triangle joins must be key-equi joins (shuffle or
     broadcast on the node key) and the total-count attach must ride a
     broadcast — any CartesianProduct means the orientation trick failed
     and the plan is all-pairs."""
-    df = all_specs()["q005_triangle_count"].builder(spark, SF_CORRECT)
+    df = all_specs()["q090_triangle_count"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
 
 
 def test_interval_join_is_equi_not_nested_loop(spark):
-    """q130: the interval join must be an EQUI hash join on the bin key —
+    """q025: the interval join must be an EQUI hash join on the bin key —
     a pure range predicate plans as BroadcastNestedLoopJoin (O(n·m)
     compares), which is exactly what the binned rewrite exists to kill.
     Every join in the plan must be hash-based."""
-    df = all_specs()["q130_interval_bin_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q025_interval_bin_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -459,29 +459,29 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
 
 
 def test_merge_upsert_base_never_shuffles(spark):
-    """q043: the MERGE batch (deletes + updates) must ride broadcast joins
+    """q158: the MERGE batch (deletes + updates) must ride broadcast joins
     — the base relation shuffling for a maintenance batch is the classic
     full-outer MERGE mistake at 100 TB."""
-    df = all_specs()["q043_merge_upsert"].builder(spark, SF_CORRECT)
+    df = all_specs()["q158_merge_upsert"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
 
 
 def test_corpus_shard_window_is_partitioned(spark):
-    """q145: the position window must be PARTITIONED BY shard — a global
+    """q036: the position window must be PARTITIONED BY shard — a global
     row_number() OVER (ORDER BY hash) would funnel the whole corpus
     through one reducer."""
-    df = all_specs()["q145_corpus_shard"].builder(spark, SF_CORRECT)
+    df = all_specs()["q036_corpus_shard"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     # the Window operator spec must carry a partition spec on `shard`
     assert "windowspecdefinition(shard" in plan, "position window is not partitioned by shard"
 
 
 def test_skyline_local_pass_is_bucket_partitioned(spark):
-    """q148: the first (full-data) skyline pass must run per hash-bucket;
+    """q038: the first (full-data) skyline pass must run per hash-bucket;
     only survivors may enter the unpartitioned global window."""
-    df = all_specs()["q148_skyline_docs"].builder(spark, SF_CORRECT)
+    df = all_specs()["q038_skyline_docs"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "bucket" in plan, "local skyline pass lost its bucket partitioning"
 
@@ -498,10 +498,10 @@ def test_concat_chunk_corpus_window_is_bucketed(spark):
 
 
 def test_bloom_probe_filter_is_broadcast(spark):
-    """q032: both the bloom word-table probe and the exact-membership
+    """q140: both the bloom word-table probe and the exact-membership
     audit must ride BROADCAST joins — the batch is never shuffled against
     the base, and nothing may fall back to SMJ or a cartesian."""
-    df = all_specs()["q032_bloom_dedup_probe"].builder(spark, SF_CORRECT)
+    df = all_specs()["q140_bloom_dedup_probe"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
@@ -518,11 +518,11 @@ def test_countmin_probe_is_broadcast(spark):
 
 
 def test_simhash_radius_band_join_is_equi(spark):
-    """q036: candidate generation must be the (band, value) EQUI
+    """q145: candidate generation must be the (band, value) EQUI
     self-join — a BroadcastNestedLoopJoin or CartesianProduct means the
     hamming predicate leaked into the join and the plan went all-pairs
     (that quadratic form exists only oracle-side)."""
-    df = all_specs()["q036_simhash_radius"].builder(spark, SF_CORRECT)
+    df = all_specs()["q145_simhash_radius"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -533,17 +533,17 @@ def test_simhash_radius_band_join_is_equi(spark):
     # (doc_a, doc_b)-keyed distinct: a re-shuffle of the candidate set
     # is the quadratic-at-8x shape SCALE.md §10 measured at 80s
     assert "hashpartitioning(doc_a" not in plan, (
-        "q036 candidate pairs re-shuffled for dedup — the first-matching-"
+        "q145 candidate pairs re-shuffled for dedup — the first-matching-"
         "band filter regressed to a distinct()"
     )
 
 
 def test_containment_join_broadcasts_query_terms(spark):
-    """q171: the query-term list must ride a broadcast join onto the
+    """q049: the query-term list must ride a broadcast join onto the
     exploded postings — a shuffle of the corpus postings keyed by the tiny
     query set would serialize on a handful of term keys at scale. No
     cartesian anywhere."""
-    df = all_specs()["q171_set_containment_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q049_set_containment_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -551,20 +551,20 @@ def test_containment_join_broadcasts_query_terms(spark):
 
 
 def test_sparse_dot_query_weights_broadcast(spark):
-    """q015: the query-side weight table broadcasts; the top-k window is
+    """q110: the query-side weight table broadcasts; the top-k window is
     partitioned by query (never a global sort); no nested-loop joins."""
-    df = all_specs()["q015_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q110_sparse_dot_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the corpus count resolves driver-side (q036 idiom), so there is no
+    # the corpus count resolves driver-side (q145 idiom), so there is no
     # 1-row cross-join subtree left to duplicate through the lineage
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(qid" in plan.lower().replace(" ", "") or "qid" in plan
 
 
 def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
-    """q025: the contraction's half-round plan is groupBy + equi-join on
+    """q130: the contraction's half-round plan is groupBy + equi-join on
     the node id — a cartesian or nested-loop would be quadratic in edges."""
     from warcraider_spark.operators.graph import chain_edges
 
@@ -632,22 +632,22 @@ def test_kll_quantile_error_bound(spark):
 BUILD_TIME_EXECUTION_OK = {
     # iterative operators: the driver-side loop (per-round lineage cut /
     # convergence check) is the operator's documented contract
-    "q018_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
-    "q025_connected_components": "large/small-star loop, data-dependent convergence check",
-    "q037_bpe_merge_train": "per-round best-pair selection is data-dependent",
-    "q045_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
-    "q132_bpe_encode": "replays the q037 merge-train loop to build the vocab",
-    "q136_pq_encode": "per-subspace k-means loops (q045 contract)",
-    "q140_semantic_dedup": "k-means clustering loop (q045 contract)",
-    "q142_dedup_clusters": "connected-components loop (q025 contract)",
-    "q157_perceptron_train": "per-epoch gradient rounds with lineage cuts",
+    "q117_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
+    "q130_connected_components": "large/small-star loop, data-dependent convergence check",
+    "q146_bpe_merge_train": "per-round best-pair selection is data-dependent",
+    "q160_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
+    "q027_bpe_encode": "replays the q146 merge-train loop to build the vocab",
+    "q028_pq_encode": "per-subspace k-means loops (q160 contract)",
+    "q032_semantic_dedup": "k-means clustering loop (q160 contract)",
+    "q142_dedup_clusters": "connected-components loop (q130 contract)",
+    "q042_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
-    "q023_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
-    "q108_stream_stream_join": "executes a stream-stream join replay",
+    "q127_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
+    "q013_stream_stream_join": "executes a stream-stream join replay",
     "q179_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
     "q106_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
-    "q156_crosstab": "df.stat.crosstab computes its pivot eagerly",
+    "q041_crosstab": "df.stat.crosstab computes its pivot eagerly",
 }
 
 
@@ -656,7 +656,7 @@ def test_plan_construction_launches_no_jobs(spark):
     what plan-audit explains) must launch zero Spark jobs outside the
     justified list above: a build-time count()/first() means every
     explain() pays a scan, and under AQE an eager-or-lazy checkpoint at
-    build time executes the whole upstream DAG (q038's r6 shape). Table
+    build time executes the whole upstream DAG (q148's r6 shape). Table
     footer-read jobs are excluded by pre-warming the load_table cache —
     that cost is per-(session, table), not per-build."""
     from warcraider_spark.tables import load_tables

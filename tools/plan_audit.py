@@ -45,51 +45,55 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # summaries, local-skyline survivors, merge frontiers, global deciles).
 KNOWN_OK_PAIRS = {
     ("q122_embedding_neardup", "BroadcastNestedLoopJoin"),
-    ("q011_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
-    ("q014_ivf_assign", "BroadcastNestedLoopJoin"),
-    ("q016_ivf_topk_search", "BroadcastNestedLoopJoin"),
-    ("q017_link_degrees", "BroadcastNestedLoopJoin"),
-    ("q050_two_stage_rerank", "BroadcastNestedLoopJoin"),
+    ("q103_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
+    ("q109_ivf_assign", "BroadcastNestedLoopJoin"),
+    ("q112_ivf_topk_search", "BroadcastNestedLoopJoin"),
+    ("q116_link_degrees", "BroadcastNestedLoopJoin"),
+    ("q184_two_stage_rerank", "BroadcastNestedLoopJoin"),
     ("q074_having_avg_subquery", "BroadcastNestedLoopJoin"),
     ("q100_decile_distribution", "unpartitioned window"),
-    ("q117_lm_score", "BroadcastNestedLoopJoin"),
-    ("q118_gapfill_locf", "BroadcastNestedLoopJoin"),
-    ("q127_token_budget_select", "BroadcastNestedLoopJoin"),
-    ("q127_token_budget_select", "unpartitioned window"),
-    ("q005_triangle_count", "BroadcastNestedLoopJoin"),
-    ("q131_span_excision", "BroadcastNestedLoopJoin"),
+    ("q018_lm_score", "BroadcastNestedLoopJoin"),
+    ("q019_gapfill_locf", "BroadcastNestedLoopJoin"),
+    ("q023_token_budget_select", "BroadcastNestedLoopJoin"),
+    ("q023_token_budget_select", "unpartitioned window"),
+    ("q090_triangle_count", "BroadcastNestedLoopJoin"),
+    ("q026_span_excision", "BroadcastNestedLoopJoin"),
     ("q133_zorder_layout", "BroadcastNestedLoopJoin"),
     ("q134_key_skew_profile", "BroadcastNestedLoopJoin"),
-    ("q138_inverted_index", "BroadcastNestedLoopJoin"),
-    ("q008_heavy_hitters", "BroadcastNestedLoopJoin"),
-    ("q148_skyline_docs", "unpartitioned window"),
+    ("q030_inverted_index", "BroadcastNestedLoopJoin"),
+    ("q093_heavy_hitters", "BroadcastNestedLoopJoin"),
+    ("q038_skyline_docs", "unpartitioned window"),
     ("q150_concat_chunk_blocks", "unpartitioned window"),
-    ("q154_quantified_subqueries", "BroadcastNestedLoopJoin"),
-    ("q157_perceptron_train", "BroadcastNestedLoopJoin"),
-    ("q161_dormant_rich_customers", "BroadcastNestedLoopJoin"),
-    ("q035_split_leakage", "BroadcastNestedLoopJoin"),
+    ("q040_quantified_subqueries", "BroadcastNestedLoopJoin"),
+    ("q042_perceptron_train", "BroadcastNestedLoopJoin"),
+    ("q046_dormant_rich_customers", "BroadcastNestedLoopJoin"),
+    ("q144_split_leakage", "BroadcastNestedLoopJoin"),
+    # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
+    # EXACTLY one row by construction; the 1-row broadcast cross join
+    # replaced the r6 build-time .first() (VERDICT r6 #8)
+    ("q148_pmi_collocations", "BroadcastNestedLoopJoin"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
-    # fixed k centroids (q014/q016), fixed bloom word count m/64 (q032),
+    # fixed k centroids (q109/q112), fixed bloom word count m/64 (q140),
     # fixed d*w count-min table (q181), <=21 score buckets — score is
-    # milli-scaled in [0,1e6] div 50000 (q127), ingest-batch-sized
+    # milli-scaled in [0,1e6] div 50000 (q023), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
-    # (q129), 100-row interval dimension (q130), bucket-summary prefix
+    # (q024), 100-row interval dimension (q025), bucket-summary prefix
     # sums sized by bucketing policy (q150 — same justification as its
-    # unpartitioned-window exemption), fixed probe/query set (q015).
-    # Data-coupled hints were FIXED instead, not exempted: q018 out-
-    # degrees folded into the rank table, q038 marginals via shuffle
-    # joins, q128 hot-shingle anti-join and q144 per-source bounds left
+    # unpartitioned-window exemption), fixed probe/query set (q110).
+    # Data-coupled hints were FIXED instead, not exempted: q117 out-
+    # degrees folded into the rank table, q148 marginals via shuffle
+    # joins, q128 hot-shingle anti-join and q035 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
-    ("q014_ivf_assign", "broadcast of unbounded aggregate"),
-    ("q016_ivf_topk_search", "broadcast of unbounded aggregate"),
-    ("q032_bloom_dedup_probe", "broadcast of unbounded aggregate"),
+    ("q109_ivf_assign", "broadcast of unbounded aggregate"),
+    ("q112_ivf_topk_search", "broadcast of unbounded aggregate"),
+    ("q140_bloom_dedup_probe", "broadcast of unbounded aggregate"),
     ("q181_countmin_freq", "broadcast of unbounded aggregate"),
-    ("q127_token_budget_select", "broadcast of unbounded aggregate"),
-    ("q129_incremental_dedup", "broadcast of unbounded aggregate"),
-    ("q130_interval_bin_join", "broadcast of unbounded aggregate"),
+    ("q023_token_budget_select", "broadcast of unbounded aggregate"),
+    ("q024_incremental_dedup", "broadcast of unbounded aggregate"),
+    ("q025_interval_bin_join", "broadcast of unbounded aggregate"),
     ("q150_concat_chunk_blocks", "broadcast of unbounded aggregate"),
-    ("q015_sparse_dot_topk", "broadcast of unbounded aggregate"),
+    ("q110_sparse_dot_topk", "broadcast of unbounded aggregate"),
 }
 
 
@@ -105,8 +109,8 @@ def _broadcast_unbounded_aggs(analyzed: str) -> int:
     the data. A broadcast HINT forces the broadcast regardless of size,
     so at 100 TB it OOMs every executor; the fix is a shuffle join on
     the key the pipeline already partitions by. This rule would have
-    caught both r4 scale-killers (q018's per-node out-degree broadcast,
-    q038's per-token marginal broadcasts).
+    caught both r4 scale-killers (q117's per-node out-degree broadcast,
+    q148's per-token marginal broadcasts).
 
     Deliberately scoped to the ANALYZED plan's ResolvedHint nodes:
     stats-chosen auto-broadcasts in the physical plan are ADAPTIVE —

@@ -6,23 +6,23 @@ of a training corpus), null-safe joins, exact heavy hitters, and Pareto
 
 Scale notes (the reason each query is shaped the way it is):
 
-- **merge upsert** (q043): the daily-maintenance shape. The change batch is
+- **merge upsert** (q158): the daily-maintenance shape. The change batch is
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
-- **stratified sample** (q143): rank-within-stratum over a portable hash →
+- **stratified sample** (q034): rank-within-stratum over a portable hash →
   one shuffle on the stratum key. A mega-stratum (one language = 40 % of
   the corpus) makes that window a hot partition; the fix at scale is the
-  q127 distributed-prefix-sum shape (hash-bucket within stratum, offsets
+  q023 distributed-prefix-sum shape (hash-bucket within stratum, offsets
   from the per-bucket summary). At driver SF the direct window is right.
-- **winsorize** (q144): exact per-group percentiles are a two-phase
+- **winsorize** (q035): exact per-group percentiles are a two-phase
   ObjectHashAggregate; the ~|groups| bounds table re-joins as a broadcast,
   so the fact side never shuffles for the clamp pass.
-- **corpus shard** (q145): shard = hash % N gives uniform partitions by
+- **corpus shard** (q036): shard = hash % N gives uniform partitions by
   construction; position = row_number PARTITIONED BY shard, so no global
   single-partition sort anywhere (the classic mistake is
   row_number() OVER (ORDER BY hash) — one reducer for the whole corpus).
-- **skyline** (q148): dominance is checked per hash-bucket first (local
+- **skyline** (q038): dominance is checked per hash-bucket first (local
   skyline), and only the surviving points — O(skyline) ≪ n — enter the
   global pass, so the unpartitioned window touches a tiny set. The naive
   all-pairs NOT EXISTS (which the DuckDB oracle deliberately uses as an
@@ -47,7 +47,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q043_merge_upsert",
+    "q158_merge_upsert",
     oracle="""
 WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
 upd AS (
@@ -73,7 +73,7 @@ FROM customer WHERE c_custkey <= 40
     tags=("curation", "merge", "join"),
     bench=True,
 )
-def q043_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q158_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (matched-update / matched-delete / not-matched-
     insert) applied as a maintenance batch to the customer base table.
 
@@ -119,7 +119,7 @@ def q043_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q143_stratified_sample",
+    "q034_stratified_sample",
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, lang,
@@ -134,13 +134,13 @@ SELECT doc_id, lang, rk FROM ranked WHERE rk <= CAST(CEIL(n * 0.2) AS BIGINT)
 """,
     tags=("curation", "sampling", "window"),
 )
-def q143_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 20 % stratified sample per language: rank docs inside each
     stratum by a portable md5-derived hash (reproducible across engines and
     runs — .sample() is not) and keep rk <= ceil(0.2 * |stratum|).
 
     One shuffle, on the stratum key. For a mega-stratum the window becomes
-    a hot partition; the scale-out fix is the q127 distributed-prefix-sum
+    a hot partition; the scale-out fix is the q023 distributed-prefix-sum
     shape (hash-bucket within stratum, per-bucket offsets). At driver SF
     the direct window is the right plan.
     """
@@ -162,7 +162,7 @@ def q143_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q144_winsorize",
+    "q035_winsorize",
     oracle="""
 WITH bounds AS (
   SELECT source,
@@ -183,7 +183,7 @@ ORDER BY d.source
 """,
     tags=("curation", "percentile", "aggregate"),
 )
-def q144_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize document lengths per source at exact p05/p95: clamp
     outliers to the percentile bounds and report clip counts + the
     winsorized mean.
@@ -230,7 +230,7 @@ N_SHARDS = 8
 
 
 @query(
-    "q145_corpus_shard",
+    "q036_corpus_shard",
     oracle=f"""
 WITH hashed AS (
   SELECT doc_id, {md5_int_sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents
@@ -242,7 +242,7 @@ FROM hashed
 """,
     tags=("curation", "shuffle", "window"),
 )
-def q145_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + shard assignment: every doc lands in
     shard = hash % N with a reproducible position inside its shard — the
     write-side layout step before training-data export.
@@ -265,7 +265,7 @@ def q145_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q146_nullsafe_join",
+    "q037_nullsafe_join",
     oracle="""
 WITH a AS (
   SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
@@ -282,7 +282,7 @@ GROUP BY 1
 """,
     tags=("curation", "join", "null"),
 )
-def q146_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
     match each other instead of vanishing — the semantics MERGE/dedup
     pipelines need when the join key is nullable.
@@ -309,7 +309,7 @@ def q146_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_heavy_hitters",
+    "q093_heavy_hitters",
     oracle="""
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
@@ -322,10 +322,10 @@ WHERE cnt >= 0.005 * total
 """,
     tags=("curation", "aggregate", "text"),
 )
-def q008_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q093_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q104/q105 surface).
+    pipeline (the sketch-based approximate twin is the q012/q105 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -375,7 +375,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
 
 
 @query(
-    "q148_skyline_docs",
+    "q038_skyline_docs",
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
@@ -390,7 +390,7 @@ WHERE NOT EXISTS (
 """,
     tags=("curation", "skyline", "window"),
 )
-def q148_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) of documents over (length, vocabulary
     richness): docs where no other doc is ≥ on both axes and > on one —
     the multi-criteria "keep the best exemplars" selection step.
@@ -459,11 +459,11 @@ def q150_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (== 512 for every interior block).
 
     The global token offset of each doc is a distributed prefix-sum (the
-    q127 shape): per-bucket totals → bucket offsets via a window over the
+    q023 shape): per-bucket totals → bucket offsets via a window over the
     ~|buckets| summary only → within-bucket cumsum PARTITIONED BY bucket.
     No unpartitioned window ever touches the corpus. Doc→block assignment
     explodes each doc into only the blocks it overlaps (interval→bin, the
-    q130 pattern), then one groupBy on the uniform block key.
+    q025 pattern), then one groupBy on the uniform block key.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wcs = docs.select(
@@ -550,15 +550,15 @@ FROM f, {last}
 
 
 @query(
-    "q157_perceptron_train",
+    "q042_perceptron_train",
     oracle=_pct_oracle(),
     tags=("curation", "ml", "training"),
 )
-def q157_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed supervised training: 3 rounds of BATCH perceptron over
     integer document features (bias, token count, distinct tokens,
     n_chars/10) with labels from the language rule. The batch gradient
-    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q045
+    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q160
     integer k-means — every round is exactly reproducible and the final
     weights hash-match a DuckDB unrolled-CTE replay of the same algebra
     (float SGD could never cross-engine-compare: update order changes the
@@ -613,7 +613,7 @@ SPLIT_TEST_MOD = 10  # naive doc-hash split: ~10% test
 
 
 @query(
-    "q035_split_leakage",
+    "q144_split_leakage",
     oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -654,14 +654,14 @@ SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_groups,
     tags=("curation", "dedup", "training-pipeline"),
     min_rows=1,
 )
-def q035_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test LEAKAGE audit + group-aware split — the hygiene step a
     benchmark-quality corpus requires: a naive per-document hash split
     puts exact duplicates on both sides (the eval set then scores
     memorization), while splitting by the duplicate GROUP's canonical id
     structurally eliminates leakage.
 
-    The corpus is documents + the exact-dup block (q001's construction),
+    The corpus is documents + the exact-dup block (q086's construction),
     so naive leakage provably exists; the output certifies (a) how many
     fingerprint groups and docs leak under the per-doc split and (b)
     that the group-keyed split has ZERO leaky groups — a property the
@@ -714,7 +714,7 @@ def q035_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q021_corpus_snapshot_diff",
+    "q123_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -748,7 +748,7 @@ FROM j GROUP BY status ORDER BY status
     tags=("curation", "versioning", "join"),
     min_rows=4,
 )
-def q021_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q123_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — dataset versioning's core operator: given
     two corpus versions (v2 is v1 with deterministic deletions, edits and
     additions), classify every doc id as added / removed / changed /
@@ -825,7 +825,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
 
 
 @query(
-    "q024_longest_prefix_route",
+    "q129_longest_prefix_route",
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
@@ -846,7 +846,7 @@ FROM cat GROUP BY category ORDER BY category
     tags=("curation", "join", "routing"),
     min_rows=8,
 )
-def q024_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q129_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LONGEST-prefix-match join — the URL-categorization / IP-routing /
     taxonomy-labeling primitive: each document's routing key (first
     token) is matched against a rule table of prefixes and the LONGEST

@@ -74,7 +74,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q001_exact_dedup_groups",
+    "q086_exact_dedup_groups",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -92,7 +92,7 @@ ORDER BY fp
     tags=("dedup", "exact"),
     bench=True,
 )
-def q001_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q086_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
     with the canonical (min) member. One shuffle on the hash key."""
     corpus = dup_corpus(spark, sf_dir)
@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q003 and q142 (SQL twin of
+# bands + distinct candidate pairs, shared by q088 and q142 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -257,7 +257,7 @@ def _lsh_pairs(corpus: DataFrame) -> DataFrame:
 
 
 @query(
-    "q003_minhash_lsh_pairs",
+    "q088_minhash_lsh_pairs",
     oracle=f"""
 {_LSH_PAIRS_SQL}
 ORDER BY doc_a, doc_b
@@ -265,7 +265,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def q003_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q088_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
     sharing ≥1 band. The band-key self-join is the scale path — candidate
     generation is O(collisions), never O(n²)."""
@@ -281,7 +281,7 @@ SIMHASH_BITS = 16
 
 def _simhash_sketch_sql(bits: int) -> str:
     """corpus→sketch CTE chain for a ``bits``-wide simhash (q151 uses 16;
-    q036's radius search uses 32 so accidental radius-2 collisions stay
+    q145's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -337,7 +337,7 @@ ORDER BY doc_a, doc_b
 def q151_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
-    the sketch value; the radius-r banded search is q036)."""
+    the sketch value; the radius-r banded search is q145)."""
     sketch = _simhash_sketch(dup_corpus(spark, sf_dir))
     a = sketch.alias("a")
     b = sketch.alias("b")
@@ -483,7 +483,7 @@ def q122_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q007_training_data_pipeline",
+    "q092_training_data_pipeline",
     oracle="""
 WITH corpus AS (
 SELECT doc_id, text FROM documents
@@ -517,7 +517,7 @@ FROM deduped
     tags=("pipeline", "dedup", "text", "north-star"),
     bench=True,
 )
-def q007_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q092_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (the north-star flow in one
     plan): corpus ∪ duplicates → quality filter (length + diversity) →
     exact dedup keep-first → corpus accounting. Single Catalyst plan:
@@ -587,7 +587,7 @@ ORDER BY cluster_id
 )
 def q142_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
-    generation (q003) feeds in a real dedup pipeline: near-duplicates are
+    generation (q088) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
     unit of deduplication is the connected component of the candidate
     graph, keeping min(doc_id) per component.
@@ -649,7 +649,7 @@ def q142_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q112_benchmark_contamination",
+    "q016_benchmark_contamination",
     oracle=f"""
 WITH bench AS (
   SELECT DISTINCT unnest({shingles_sql("toks", 5)}) AS shingle
@@ -669,7 +669,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "contamination", "pipeline"),
 )
-def q112_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     5-gram with a held-out benchmark set (here: doc_id < 10 stands in for
     the eval suite) — the standard n-gram contamination check run before
@@ -706,7 +706,7 @@ ER_DF_CAP = 50  # drop grams shared by more names (the "Customer#0000…" prefix
 
 
 @query(
-    "q006_entity_resolution",
+    "q091_entity_resolution",
     oracle=f"""
 WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey < 500),
 base AS (
@@ -741,7 +741,7 @@ ORDER BY clean_key, dirty_key
 """,
     tags=("dedup", "entity-resolution", "fuzzy-join"),
 )
-def q006_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q091_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (fuzzy record linkage): a deterministically
     corrupted 'dirty' registry (one character mutated for every third
     key — the standard corrupted-duplicate ER benchmark construction) is
@@ -875,7 +875,7 @@ def q183_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Incremental (batch-vs-base) dedup --------------------------------------
 # The daily-ingestion shape: a small incoming batch is probed against the
 # full base corpus for exact and near duplicates before admission. Contrast
-# with q001/q003, which dedup a corpus against ITSELF.
+# with q086/q088, which dedup a corpus against ITSELF.
 
 _INC_SQL = """
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
@@ -905,7 +905,7 @@ def _bands_sql_for(sig: str) -> str:
 
 
 @query(
-    "q129_incremental_dedup",
+    "q024_incremental_dedup",
     oracle=f"""
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS ({_INC_SQL}),
@@ -938,7 +938,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "incremental", "training-pipeline"),
 )
-def q129_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: classify an incoming batch (exact copies, head-
     truncated near copies, token-reversed genuinely-new docs) against the
     base corpus as exact_dup / near_dup / new, with the minimum matching
@@ -1007,7 +1007,7 @@ def q129_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q131_span_excision",
+    "q026_span_excision",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -1041,7 +1041,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q131_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup APPLY stage: excise the q183 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
@@ -1100,7 +1100,7 @@ LINE_K = 8  # tokens per "line" (the corpus has no punctuation; fixed-width
 
 
 @query(
-    "q149_line_dedup",
+    "q039_line_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
 tokd AS (
@@ -1128,7 +1128,7 @@ GROUP BY l.doc_id
     tags=("dedup", "line"),
     bench=True,
 )
-def q149_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level dedup (the CCNet/RefinedWeb pipeline stage): drop every
     line that appears in MORE THAN ONE document, reassemble each doc from
     its surviving lines in original order, and report kept/dropped counts
@@ -1184,7 +1184,7 @@ DECONTAM_MIN_OVERLAP = 3
 
 
 @query(
-    "q031_decontaminate",
+    "q139_decontaminate",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
@@ -1210,17 +1210,17 @@ ORDER BY doc_id
     tags=("dedup", "decontamination", "llm-pipeline"),
     min_rows=1,
 )
-def q031_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination-RATE decontamination, completing q112's flag.
+def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-RATE decontamination, completing q016's flag.
 
-    q112 answers "does this doc share any benchmark n-gram?" (inner
+    q016 answers "does this doc share any benchmark n-gram?" (inner
     join, binary drop list). The standard pipeline also needs the
     fraction-based rule (cf. GPT-3 App. C's 13-gram rule and PaLM §6.5,
     which drop on overlap FRACTION, not presence): this query reports,
     per training doc, total distinct grams, grams also present in the
     eval set, and the contamination rate in milli-units, thresholded at
     K=3 shared grams (3-token shingles; K and n scaled to the corpus).
-    That needs a different plan than q112: a LEFT join so misses still
+    That needs a different plan than q016: a LEFT join so misses still
     count toward the denominator, with total and overlap folded into ONE
     aggregation pass instead of a count-join-count re-scan.
 
@@ -1277,7 +1277,7 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
 
 
 @query(
-    "q032_bloom_dedup_probe",
+    "q140_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
@@ -1332,7 +1332,7 @@ ORDER BY doc_id
     bench=True,
     min_rows=1,
 )
-def q032_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q140_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe: the streaming/incremental dedup
     front door (cf. the reference's blacklist pre-filter idea at
     blacklist.rs:1-58 — reject early, touch the base corpus never).
@@ -1351,7 +1351,7 @@ def q032_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the base is scanned ONCE to build a constant-size
     filter; the incoming batch never joins the base at all (the exact
     label join here exists only to audit the filter's verdict). This is
-    the cheap pre-screen in front of q129's broadcast-key incremental
+    the cheap pre-screen in front of q024's broadcast-key incremental
     dedup — the filter rejects the overwhelmingly-new majority map-side,
     and only "maybe" docs proceed to exact verification."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1477,7 +1477,7 @@ def simhash_band_plan(
 
 
 @query(
-    "q036_simhash_radius",
+    "q145_simhash_radius",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_WIDE_BITS)},
 pairs AS (
@@ -1500,7 +1500,7 @@ ORDER BY hamming
     bench=True,
     min_rows=1,
 )
-def q036_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q145_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
     generation — the scale path q151's docstring promises.
 
@@ -1665,10 +1665,10 @@ def _cdc_cuts_arrow_udf():
 def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
     chunker; chunk_idx is the 1-based in-doc position so consumers can
-    reassemble (q049 excision). Exposed for the shift-resistance
+    reassemble (q171 excision). Exposed for the shift-resistance
     property test and for composition.
 
-    Two equivalent cut computations (see q044_cdc_chunk_dedup for
+    Two equivalent cut computations (see q159_cdc_chunk_dedup for
     constants and the scale argument): the default Arrow/numpy rolling
     hash (``_cdc_cuts_arrow_udf``), and the pure-Catalyst array
     expression (``vectorized=False``) kept as the no-Python oracle-
@@ -1729,7 +1729,7 @@ def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
 
 
 @query(
-    "q044_cdc_chunk_dedup",
+    "q159_cdc_chunk_dedup",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1774,7 +1774,7 @@ ORDER BY n_occurrences DESC, chunk_hash
     bench=True,
     min_rows=1,
 )
-def q044_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q159_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the shift-resistant dedup
     primitive (rsync/LBFS lineage; the CDC stage of modern
     training-data dedup pipelines): chunk boundaries are placed where a
@@ -1783,7 +1783,7 @@ def q044_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document RE-ALIGNS every later chunk — fixed-stride chunking (q147)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
-    recur, in how many docs) — the unit a span-excision pass (q131)
+    recur, in how many docs) — the unit a span-excision pass (q026)
     or a storage dedup layer consumes.
 
     Integer-exact cross-engine: char codes from a [a-z0-9 ]-normalized
@@ -1818,7 +1818,7 @@ def q044_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_cdc_excision",
+    "q171_cdc_excision",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1864,24 +1864,24 @@ FROM kp GROUP BY doc_id ORDER BY doc_id
     tags=("dedup", "cdc", "excision", "training-pipeline"),
     min_rows=10,
 )
-def q049_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level boilerplate excision — the ACTIONABLE half of q044:
+def q171_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q159:
     every chunk keeps only its globally-first occurrence (ordered by
     doc_id, then in-doc position — unique, so both engines pick the
     identical keeper), later occurrences are excised, and each document
     is reassembled from its surviving chunks in order. This is the
-    CDC-based form of the span-excision pass (q131) a training-data
+    CDC-based form of the span-excision pass (q026) a training-data
     pipeline runs to strip cross-document boilerplate — headers,
-    navigation, license blocks — without q131's fixed gram width, and
-    shift-resistant per q044's docstring. clean_md5 certifies the
+    navigation, license blocks — without q026's fixed gram width, and
+    shift-resistant per q159's docstring. clean_md5 certifies the
     reassembled text byte-for-byte.
 
-    Scale shape: map-only chunker (q044), then ONE shuffle for the
+    Scale shape: map-only chunker (q159), then ONE shuffle for the
     keeper window — partitionBy(chunk), i.e. the dedup key itself, so
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own
     occurrence ROWS (~64 chars each), linear in occurrences, the same
-    bound as q039's min-doc gram join — and one shuffle back on doc_id
+    bound as q149's min-doc gram join — and one shuffle back on doc_id
     for reassembly. No self-join, no candidate blow-up; output rows =
     |docs|.
     """

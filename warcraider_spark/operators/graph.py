@@ -56,7 +56,7 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_link_degrees",
+    "q116_link_degrees",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
@@ -72,7 +72,7 @@ ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q017_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q116_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out degree per node + reciprocal-edge count (the link-graph
     accounting pass; edge extraction = explode + equi-join)."""
     e = edges(spark, sf_dir)
@@ -111,7 +111,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 
 
 @query(
-    "q018_pagerank",
+    "q117_pagerank",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -126,7 +126,7 @@ LIMIT 100
 """,
     tags=("graph", "iterative", "join"),
 )
-def q018_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 unrolled iterations (damping 0.85): the iterative-
     algorithm shape as repeated join+groupBy — one shuffle per iteration
     on the node id. Ranks are ROUNDED to 10 decimals each iteration so
@@ -167,7 +167,7 @@ def q018_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_recursive_reachability",
+    "q094_recursive_reachability",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
 walk(seed, node, depth) AS (
@@ -188,12 +188,12 @@ ORDER BY seed, depth
 """,
     tags=("graph", "recursive-cte"),
 )
-def q009_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q094_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded transitive closure via Spark 4's WITH RECURSIVE: BFS from
     three seed nodes over the link graph, reporting how many nodes are
     first reached at each hop count (min-depth reachability, depth ≤ 3).
     The recursive CTE is the declarative dual of the iterative-join
-    PageRank loop in q018 — Catalyst unrolls it into one equi-join +
+    PageRank loop in q117 — Catalyst unrolls it into one equi-join +
     depth-guard per level, each shuffling only the frontier on the node
     key, so a 100 TB edge table pays |frontier| per hop, never all paths.
     """
@@ -220,7 +220,7 @@ def q009_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q005_triangle_count",
+    "q090_triangle_count",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 und AS MATERIALIZED (
@@ -248,7 +248,7 @@ FROM pern ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q005_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q090_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the link graph (the clustering-coefficient /
     community-structure primitive). Edges are canonicalized to undirected
     (a < b) — which IS the classic orientation trick: every triangle is
@@ -350,7 +350,7 @@ def alternating_components(
     O(log n) rounds REGARDLESS of diameter — the property bounded label
     propagation lacks. Convergence is detected by an order-free edge-set
     checksum (count + sum of pair hashes): one tiny action per round,
-    exactly the driver-side iteration contract of q018/q045 (state is
+    exactly the driver-side iteration contract of q117/q160 (state is
     O(|edges|), lineage cut per round with localCheckpoint).
     """
     # canonical undirected set, no self-loops
@@ -418,7 +418,7 @@ def alternating_components(
 
 
 @query(
-    "q025_connected_components",
+    "q130_connected_components",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({CHAIN_EDGES_SQL}),
 edges2 AS (
@@ -444,7 +444,7 @@ ORDER BY component_id
     bench=True,
     min_rows=2,
 )
-def q025_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q130_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating large-star/small-star — the
     O(log n)-round contraction q142's docstring defers deep graphs to,
     now implemented and certified on a graph that DEFEATS bounded label

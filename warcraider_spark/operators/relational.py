@@ -1004,7 +1004,7 @@ def q079_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q086_stats_aggregates",
+    "q001_stats_aggregates",
     oracle=f"""
 SELECT l_returnflag,
        ROUND(STDDEV_SAMP(l_extendedprice), {RD}) AS price_stddev,
@@ -1018,7 +1018,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def q086_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: stddev/variance/corr/covar/skewness —
     single-pass moment computation, partial+final like any hash agg.
 
@@ -1042,7 +1042,7 @@ def q086_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q087_percentiles",
+    "q002_percentiles",
     oracle=f"""
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), {RD}) AS median_price,
@@ -1055,7 +1055,7 @@ ORDER BY o_orderstatus
 """,
     tags=("agg", "percentile"),
 )
-def q087_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont). The approx_percentile sketch variant is engine-
     specific, so the exact form carries the oracle check."""
@@ -1073,7 +1073,7 @@ def q087_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q088_pivot",
+    "q003_pivot",
     oracle=f"""
 SELECT l_linestatus,
        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), {RD}) AS flag_a,
@@ -1085,7 +1085,7 @@ ORDER BY l_linestatus
 """,
     tags=("agg", "pivot"),
 )
-def q088_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on return flag (Spark .pivot with explicit value list — the
     list keeps the plan single-pass; the oracle is the CASE expansion)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1104,7 +1104,7 @@ def q088_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q089_string_family2",
+    "q004_string_family2",
     oracle="""
 SELECT p_partkey,
        lpad(p_brand, 12, '*') AS brand_pad,
@@ -1121,7 +1121,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q089_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string family: pad/reverse/repeat/left/right/position/
     translate/levenshtein/ascii."""
     pa = _t(spark, sf_dir, "part")
@@ -1143,7 +1143,7 @@ def q089_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q090_argminmax",
+    "q005_argminmax",
     oracle=f"""
 SELECT c_mktsegment,
        arg_max(o_orderkey, o_totalprice) AS biggest_order,
@@ -1156,7 +1156,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "argminmax", "join"),
 )
-def q090_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extremum) aggregates over a dim join.
 
     Note: ties on o_totalprice would be engine-arbitrary; the synthetic
@@ -1177,7 +1177,7 @@ def q090_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q091_conditional_aggs",
+    "q006_conditional_aggs",
     oracle=f"""
 SELECT event_type,
        COUNT(*) FILTER (WHERE value > 50) AS n_high,
@@ -1191,7 +1191,7 @@ ORDER BY event_type
 """,
     tags=("agg", "conditional"),
 )
-def q091_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregates: count_if, conditional sum,
     bool_or/bool_and (any/every)."""
     ev = _t(spark, sf_dir, "events")
@@ -1265,7 +1265,7 @@ def q175_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q092_hash_sampling",
+    "q007_hash_sampling",
     oracle="""
 SELECT COUNT(*) AS n_sampled,
        COUNT(DISTINCT o_custkey) AS n_custs,
@@ -1275,7 +1275,7 @@ WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 
 """,
     tags=("sampling",),
 )
-def q092_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sampling — the reproducible-across-engines
     (and across-runs, unlike TABLESAMPLE) sampling pattern for pipeline
     debugging at scale."""
@@ -1291,7 +1291,7 @@ def q092_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q093_null_semantics",
+    "q008_null_semantics",
     oracle="""
 SELECT o_orderkey,
        NULLIF(o_orderstatus, 'O') AS status_or_null,
@@ -1304,7 +1304,7 @@ LIMIT 1000
 """,
     tags=("scalar", "null"),
 )
-def q093_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
     engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
     so these are the boundary operators between the two conventions."""
@@ -1325,7 +1325,7 @@ def q093_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q094_date_family2",
+    "q009_date_family2",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
@@ -1339,7 +1339,7 @@ LIMIT 1000
 """,
     tags=("scalar", "date"),
 )
-def q094_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family 2: add_months/last_day/quarter/month-diff.
 
     DuckDB's datediff('month') counts month-boundary crossings like
@@ -1363,7 +1363,7 @@ def q094_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q095_posexplode",
+    "q010_posexplode",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
@@ -1375,7 +1375,7 @@ ORDER BY doc_id, pos
 """,
     tags=("explode", "array"),
 )
-def q095_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
     the row-expansion primitive under RAKE/shingles/minhash."""
     from warcraider_spark.functions.textfn import tokens
@@ -1415,7 +1415,7 @@ def q115_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q123_range_frame",
+    "q021_range_frame",
     oracle=f"""
 SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -1428,7 +1428,7 @@ ORDER BY o_orderkey
 """,
     tags=("window", "range-frame"),
 )
-def q123_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): peers within
     ±10000 of the current price per customer.
 
@@ -1453,7 +1453,7 @@ def q123_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q046_salted_skew_join",
+    "q161_salted_skew_join",
     oracle=f"""
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -1466,7 +1466,7 @@ ORDER BY flag
 """,
     tags=("join", "skew", "salting"),
 )
-def q046_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q161_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: l_returnflag has only 3 values (maximal skew for
     a shuffle join), so the fact side adds a random-free salt
     (orderkey % SALT) and the dim side explodes over all salts — the
@@ -1491,7 +1491,7 @@ def q046_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q103_to_json",
+    "q011_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1501,7 +1501,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q103_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1515,7 +1515,7 @@ def q103_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q126_first_last_value",
+    "q022_first_last_value",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_order,
@@ -1529,7 +1529,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q126_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value window functions over full-partition frames."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1765,7 +1765,7 @@ FROM d GROUP BY decile ORDER BY decile
 def q100_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile boundaries via NTILE — note: a GLOBAL window is a
     single-partition sort (fine for summaries; at 100 TB use
-    approx_percentile instead — q087/q076 are the scale forms)."""
+    approx_percentile instead — q002/q076 are the scale forms)."""
     od = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -1790,7 +1790,7 @@ def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile — the 100 TB answer to median/p95: one pass, fixed memory,
     mergeable across partitions, no global sort. Exact columns ride along
     so the sketch's rank error is visible in the output (and bounded by
-    1/accuracy); q087 carries the exact-match burden."""
+    1/accuracy); q002 carries the exact-match burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1932,7 +1932,7 @@ def q178_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q040_time_range_frame",
+    "q154_time_range_frame",
     oracle="""
 SELECT event_id,
        user_id,
@@ -1945,7 +1945,7 @@ ORDER BY event_id
 """,
     tags=("window", "range", "time"),
 )
-def q040_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q154_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour sliding metrics per user via a time-valued RANGE frame
     (the batch dual of a streaming sliding window, but per-row): frame
     bounds are VALUES of the sort key, so co-timed events share a frame
@@ -1954,7 +1954,7 @@ def q040_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated seconds: events carry fractional-second timestamps, and
     second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
     silently disagrees on boundary pairs ~1 hour apart. One shuffle on
-    user_id; frame state is a two-pointer scan. q123 covers numeric RANGE
+    user_id; frame state is a two-pointer scan. q021 covers numeric RANGE
     frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")
@@ -2008,7 +2008,7 @@ def q102_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q109_variant_nested_paths",
+    "q014_variant_nested_paths",
     oracle="""
 WITH j AS (
   SELECT event_id,
@@ -2028,7 +2028,7 @@ FROM j ORDER BY event_id
 """,
     tags=("json", "variant"),
 )
-def q109_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep VARIANT path surface (Spark 4), beyond q178's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
@@ -2070,7 +2070,7 @@ def q109_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_sql_text_interface",
+    "q087_sql_text_interface",
     oracle="""
 SELECT n_name,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
@@ -2086,7 +2086,7 @@ ORDER BY n_name, order_year
 """,
     tags=("sql-text", "join", "agg"),
 )
-def q002_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q087_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The textual-SQL front door: the whole query is a spark.sql() string
     over registered views — the surface a user migrating off the
     reference's BigQuery layer actually types. Catalyst produces the same
@@ -2116,7 +2116,7 @@ def q002_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q119_unpivot_measures",
+    "q020_unpivot_measures",
     oracle="""
 SELECT l_orderkey, l_linenumber, measure, ROUND(val, 6) + 0.0 AS val
 FROM (
@@ -2132,9 +2132,9 @@ ORDER BY l_orderkey, l_linenumber, measure
 """,
     tags=("relational", "unpivot"),
 )
-def q119_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of the lineitem measures — the inverse of
-    q088's pivot and the normalization step feeding generic metric
+    q003's pivot and the normalization step feeding generic metric
     pipelines. Narrow-to-long is a per-row Generate (no shuffle, no UDF);
     the only exchange is the presentation sort."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
@@ -2172,7 +2172,7 @@ _IVL_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
 
 
 @query(
-    "q130_interval_bin_join",
+    "q025_interval_bin_join",
     oracle=f"""
 WITH ivl AS (
   SELECT i AS interval_id,
@@ -2198,7 +2198,7 @@ ORDER BY interval_id
 """,
     tags=("join", "interval", "binned"),
 )
-def q130_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure interval join (no equi key): events against 100 variable-length
     [lo, hi) windows, aggregated per window. The naive plan is a
     BroadcastNestedLoopJoin — O(events × intervals) comparisons, a 100 TB
@@ -2396,7 +2396,7 @@ _SCD2_OPEN_US = 253_402_214_400_000_000  # 9999-12-31, the open-interval sentine
 
 
 @query(
-    "q139_scd2_intervals",
+    "q031_scd2_intervals",
     oracle=f"""
 WITH log AS (
   SELECT user_id, event_type AS state, epoch_us(ts) AS us
@@ -2422,7 +2422,7 @@ FROM v ORDER BY user_id, version
 """,
     tags=("relational", "scd2", "window"),
 )
-def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2 slowly-changing-dimension) build: compress a change
     log into versioned validity intervals — consecutive rows with an
     unchanged state collapse (only CHANGES open a new version), each
@@ -2466,7 +2466,7 @@ def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q141_lateral_topk",
+    "q033_lateral_topk",
     oracle="""
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
 FROM customer c
@@ -2482,7 +2482,7 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 """,
     tags=("sql-text", "join", "lateral", "topk"),
 )
-def q141_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     "top-2 orders for each customer" shape a SQL-text user writes
     naturally (the declarative dual of q060's window top-k). Exercises
@@ -2520,7 +2520,7 @@ def q141_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q154_quantified_subqueries",
+    "q040_quantified_subqueries",
     oracle="""
 SELECT c_mktsegment,
        CAST(SUM(CASE WHEN c_acctbal > ALL (
@@ -2535,7 +2535,7 @@ ORDER BY c_mktsegment
 """,
     tags=("relational", "subquery"),
 )
-def q154_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified comparison subqueries: per segment, customers whose
     balance beats ALL per-nation averages / trails ANY of them.
 
@@ -2616,7 +2616,7 @@ def q155_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q156_crosstab",
+    "q041_crosstab",
     oracle="""
 SELECT source AS source_lang,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
@@ -2630,7 +2630,7 @@ ORDER BY source
 """,
     tags=("relational", "stat", "pivot"),
 )
-def q156_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
     surface (backed by the same two-phase pivot-count plan as
     groupBy().pivot().count()). The oracle is independent conditional
@@ -2652,7 +2652,7 @@ def q156_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q158_order_priority_exists",
+    "q043_order_priority_exists",
     oracle="""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders
@@ -2665,7 +2665,7 @@ ORDER BY o_orderpriority
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q158_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one line shipped after the
     order date, counted by priority. The correlated EXISTS with a
     NON-equi conjunct (l_shipdate > o_orderdate) decorrelates to a
@@ -2686,7 +2686,7 @@ def q158_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q159_disjunctive_part_join",
+    "q044_disjunctive_part_join",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue
@@ -2697,7 +2697,7 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """,
     tags=("relational", "tpch", "join"),
 )
-def q159_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: a disjunction of brand/size/quantity envelopes
     over a part⋈lineitem join. The planner must still extract the common
     equi key (l_partkey = p_partkey) and run a hash join with the OR-of-
@@ -2724,7 +2724,7 @@ def q159_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q160_waiting_suppliers",
+    "q045_waiting_suppliers",
     oracle="""
 SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
 FROM supplier
@@ -2745,7 +2745,7 @@ LIMIT 20
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q160_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: 'kept waiting' = the sole R-flagged
     supplier in a multi-supplier order): one correlated EXISTS and one
     correlated NOT EXISTS, both with a non-equality conjunct
@@ -2774,7 +2774,7 @@ def q160_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q161_dormant_rich_customers",
+    "q046_dormant_rich_customers",
     oracle="""
 WITH eligible AS (
   SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS VARCHAR) AS cntrycode
@@ -2794,7 +2794,7 @@ ORDER BY cntrycode
     tags=("relational", "tpch", "subquery"),
     min_rows=1,
 )
-def q161_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (country code derived from custkey — the synthetic
     schema has no phone column): above-average-balance customers in
     selected codes with NO orders. Composition of a scalar aggregate
@@ -2841,7 +2841,7 @@ def q161_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q162_try_functions",
+    "q047_try_functions",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2856,7 +2856,7 @@ ORDER BY o_orderstatus
 """,
     tags=("relational", "ansi", "null"),
 )
-def q162_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe `try_*` family: division by zero, bad casts, and
     out-of-bounds element access produce NULL instead of failing the job
     — the semantics a 100 TB batch needs (one dirty row must not kill an
@@ -2885,7 +2885,7 @@ def q162_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q163_collated_grouping",
+    "q048_collated_grouping",
     oracle="""
 WITH mixed AS (
   SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
@@ -2899,7 +2899,7 @@ ORDER BY seg_ci
 """,
     tags=("relational", "collation", "spark4"),
 )
-def q163_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 string collations: case-insensitive grouping via
     ``collate(col, 'UTF8_LCASE')`` — the COLLATION does the bucketing
     (hash and equality are collation-aware all the way through the

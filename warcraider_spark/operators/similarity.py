@@ -48,7 +48,7 @@ _SQL_DOT_AB = "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2
 
 
 @query(
-    "q011_cosine_topk_bruteforce",
+    "q103_cosine_topk_bruteforce",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm FROM e),
@@ -70,7 +70,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "bruteforce"),
     bench=True,
 )
-def q011_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q103_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector.
 
     Ranking is on ROUND(cos, 6) with neighbor_id tie-break so the order is
@@ -188,7 +188,7 @@ def q153_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q014_ivf_assign",
+    "q109_ivf_assign",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      cent AS (
@@ -214,7 +214,7 @@ GROUP BY c_label ORDER BY c_label
 """,
     tags=("similarity", "ivf"),
 )
-def q014_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q109_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: nearest label-centroid (L2 on first 8 dims) per
     vector; centroid list is broadcast so assignment is a map-side pass."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -246,7 +246,7 @@ def q014_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q016_ivf_topk_search",
+    "q112_ivf_topk_search",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8) AS v FROM embeddings),
      cent AS (
@@ -283,7 +283,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "ivf"),
 )
-def q016_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q112_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search: build the inverted index (every vector assigned
     to its nearest label-centroid), then for each query vector probe the
     nprobe=2 nearest buckets and rank ONLY those candidates — the scale
@@ -333,7 +333,7 @@ def q016_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q019_group_spectral_stats",
+    "q118_group_spectral_stats",
     oracle=f"""
 WITH m AS (
   SELECT label,
@@ -368,7 +368,7 @@ ORDER BY label
 """,
     tags=("similarity", "applyInPandas", "spectral"),
 )
-def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q118_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label covariance spectral stats of the embedding space via
     grouped ``applyInPandas`` — the custom-aggregation escape hatch for
     semantics no built-in aggregate expresses (a dims×dims (16×16) eigensolve per
@@ -380,7 +380,7 @@ def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming dedup).
 
     Oracle-able by design (VERDICT r2 "next round" #3 — was rows-only):
-    vectors are quantized to integer micros (q137's convention) and the
+    vectors are quantized to integer micros (q029's convention) and the
     emitted columns are exact integer covariance invariants DuckDB can
     replay: n²·diag numerators (diag_num(i) = n·Σxᵢ² − (Σxᵢ)², ≥0 by
     Cauchy–Schwarz), their trace, the max-variance diagonal (smallest dim
@@ -443,7 +443,7 @@ def q019_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q050_two_stage_rerank",
+    "q184_two_stage_rerank",
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      s AS (
@@ -485,7 +485,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "rerank"),
     bench=True,
 )
-def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q184_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production ANN serving pattern: a CHEAP
     int8-quantized dot-product pass over the whole corpus selects top-20
     candidates per query, then the EXPENSIVE exact double-precision cosine
@@ -571,7 +571,7 @@ def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q116_embedding_dim_profile",
+    "q017_embedding_dim_profile",
     oracle="""
 WITH ex AS (
   SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS dim,
@@ -591,7 +591,7 @@ ORDER BY dim
 """,
     tags=("similarity", "profiling", "training-pipeline"),
 )
-def q116_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension profile of the corpus embedding matrix (count, sum,
     min, max, sum-of-squares) — the statistics pass feeding feature
     normalization, whitening, or PQ codebook training. Values are scaled
@@ -679,7 +679,7 @@ def _km_update(ex: DataFrame, assign: DataFrame) -> DataFrame:
 
 
 @query(
-    "q045_kmeans_codebook",
+    "q160_kmeans_codebook",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -704,7 +704,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "kmeans", "iterative"),
 )
-def q045_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q160_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook training: {KM_ITERS} Lloyd iterations of k-means over
     integer-quantized embeddings (micro-scaled, so distances, argmins and
     centroid means are EXACT integers — a float k-means could never be
@@ -814,7 +814,7 @@ def _pq_assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 @query(
-    "q136_pq_encode",
+    "q028_pq_encode",
     oracle=f"""
 WITH exm AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -831,9 +831,9 @@ ORDER BY vec_id
 """,
     tags=("similarity", "ann", "pq", "training-pipeline"),
 )
-def q136_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the compression half of an IVF-PQ
-    index (q016 is the IVF half): the 16-dim embedding splits into two
+    index (q112 is the IVF half): the 16-dim embedding splits into two
     8-dim subspaces, each trains a 4-codeword codebook (seeded + one
     Lloyd refinement, all integer-micro exact), and every vector encodes
     as a (code_s0, code_s1) byte pair plus its exact reconstruction
@@ -890,7 +890,7 @@ def q136_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q137_dim_covariance",
+    "q029_dim_covariance",
     oracle=f"""
 WITH m AS (
   SELECT vec_id,
@@ -917,7 +917,7 @@ ORDER BY dim_i, dim_j
 """,
     tags=("similarity", "stats", "training-pipeline"),
 )
-def q137_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix (upper triangle) in exact integer
     micros — the one-pass sufficient statistic for whitening / PCA /
     Mahalanobis-style outlier pruning over the corpus embedding matrix:
@@ -971,7 +971,7 @@ _SEM_THR_DEN2 = 16
 
 
 @query(
-    "q140_semantic_dedup",
+    "q032_semantic_dedup",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -1014,15 +1014,15 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "dedup", "kmeans", "training-pipeline"),
 )
-def q140_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster the corpus embeddings with k-means, then WITHIN each cluster
     drop every vector whose cosine to an earlier (lower-id) member is
     >= 3/4 — keep-first greedy pruning of semantic near-duplicates that
-    exact/minhash dedup (q001/q003) cannot see (paraphrases, re-renders).
+    exact/minhash dedup (q086/q088) cannot see (paraphrases, re-renders).
 
     All math is integer-exact so the oracle hash is engine-stable: the
-    assignment chain is q045's micro-quantized Lloyd iterations verbatim,
+    assignment chain is q160's micro-quantized Lloyd iterations verbatim,
     and the pair test compares 16*dot^2 >= 9*|a|^2*|b|^2 on milli-
     quantized vectors (no sqrt, no float: max |term| ~3e14 << int64).
 

@@ -41,7 +41,7 @@ def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q048_sketch_distinct_rollup",
+    "q163_sketch_distinct_rollup",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events)
 SELECT event_type, COUNT(DISTINCT k) AS theta_users, COUNT(DISTINCT k) AS hll_users
@@ -53,7 +53,7 @@ ORDER BY event_type
 """,
     tags=("sketch", "approx", "distinct"),
 )
-def q048_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q163_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counts: per-type Theta AND HLL sketches,
     then the grand total by merging the PER-TYPE SKETCHES (theta_union_agg /
     hll_union_agg) — never re-scanning events. This two-level shape is the
@@ -77,7 +77,7 @@ def q048_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q104_sketch_theta_setops",
+    "q012_sketch_theta_setops",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events),
      v AS (SELECT DISTINCT k FROM d WHERE event_type = 'view'),
@@ -88,7 +88,7 @@ SELECT (SELECT COUNT(*) FROM (SELECT k FROM v UNION SELECT k FROM p)) AS either_
 """,
     tags=("sketch", "approx", "setops"),
 )
-def q104_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set algebra on SKETCHES: viewers ∪/∩/∖ purchasers computed
     with theta_union / theta_intersection / theta_difference over two
     pre-built Theta sketches — the raw events are scanned once, then every
@@ -124,7 +124,7 @@ def q104_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per event_type: mergeable streaming quantiles
     (p50/p95/p99 + exact n) — the bounded-memory alternative to exact
-    percentile_disc's full sort at scale. q087 pins exact percentiles
+    percentile_disc's full sort at scale. q002 pins exact percentiles
     against the oracle; this exercises the sketch API family end-to-end
     (agg → merge → get_quantile / get_rank / get_n)."""
     d = _keyed_events(spark, sf_dir)
@@ -220,7 +220,7 @@ def q181_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same groupBy(row,pos) SUM that merges per-day sketches into
     months without rescanning raw data. Point queries then probe d cells
     against the BROADCAST table instead of shuffling the corpus per key
-    (the heavy-hitter twin q008 re-scans; the sketch answers from
+    (the heavy-hitter twin q093 re-scans; the sketch answers from
     kilobytes). Same one-base-hash universal family as the minhash/bloom
     operators (dedup.py:145) — one md5 per token, d derived positions.
     """

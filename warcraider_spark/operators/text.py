@@ -338,12 +338,12 @@ ORDER BY d.doc_id, keyword
 
 
 @query(
-    "q041_rake_keywords",
+    "q156_rake_keywords",
     oracle=_rake_oracle_sql(),
     tags=("text", "rake", "reference-parity"),
     bench=True,
 )
-def q041_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q156_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed RAKE (functions.rake.rake_native): the reference's
     keyword operator (src/rake/rake.rs) as explode/groupBy — the DuckDB
     oracle re-implements the full algorithm independently in SQL."""
@@ -358,7 +358,7 @@ def q041_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_tfidf",
+    "q136_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -378,7 +378,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q028_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q136_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -411,7 +411,7 @@ def q106_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
     BRP-LSH bucket counts. Model hash seeds are engine-internal, so the
-    driver records rows-only; the native q003/q152 carry the hash-checked
+    driver records rows-only; the native q088/q152 carry the hash-checked
     equivalents."""
     from pyspark.ml.feature import (
         BucketedRandomProjectionLSH,
@@ -578,7 +578,7 @@ _PII_TEXT_SQL = """
 
 
 @query(
-    "q010_pii_redaction",
+    "q095_pii_redaction",
     oracle=f"""
 WITH pii AS ({_PII_TEXT_SQL}),
      red AS (
@@ -599,7 +599,7 @@ ORDER BY doc_id
 """,
     tags=("text", "pii", "redaction"),
 )
-def q010_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q095_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails / phone numbers / IPv4 with
     per-class counts — the compliance pass of a training-data pipeline.
     One linear scan, all JVM-side regexp expressions (codegen), no UDF; at
@@ -704,7 +704,7 @@ BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
 @query(
-    "q110_bpe_pretokenize",
+    "q015_bpe_pretokenize",
     oracle=f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
@@ -717,7 +717,7 @@ ORDER BY doc_id
 """,
     tags=("text", "tokens", "bpe"),
 )
-def q110_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count estimation with a BPE-style pretokenizer regex: the
     unit LLM data budgets are measured in is (sub)tokens, not words.
     regexp_count keeps the whole computation in codegen — one pass over
@@ -866,7 +866,7 @@ def q182_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q117_lm_score",
+    "q018_lm_score",
     oracle="""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -904,7 +904,7 @@ ORDER BY db.doc_id
 """,
     tags=("text", "quality", "training-pipeline"),
 )
-def q117_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet/KenLM-style
     perplexity filter of a pretraining pipeline): score every document by
     the corpus's own smoothed bigram model, p(w2|w1) ≈ B(w1,w2)/(U(w1)+V).
@@ -1026,7 +1026,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 @query(
-    "q037_bpe_merge_train",
+    "q146_bpe_merge_train",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1043,7 +1043,7 @@ ORDER BY merge_rank
     tags=("text", "bpe", "iterative", "training-pipeline"),
     bench=True,
 )
-def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q146_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
     scale work is exactly ONE tokenize + groupBy shuffle down to the
     (word, count) vocabulary; every Lloyd-style merge round after that
@@ -1066,7 +1066,7 @@ def q037_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE training loop: returns (final merged-word table,
-    one 1-row merge DataFrame per round). See q037's docstring for the
+    one 1-row merge DataFrame per round). See q146's docstring for the
     per-round plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
@@ -1113,7 +1113,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
 
 
 @query(
-    "q132_bpe_encode",
+    "q027_bpe_encode",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1133,8 +1133,8 @@ ORDER BY cnt DESC, word
 """,
     tags=("text", "bpe", "training-pipeline"),
 )
-def q132_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODE (the apply half of q037): the vocabulary segmented by the
+def q027_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (the apply half of q146): the vocabulary segmented by the
     {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
     resulting token count. Tokenizing a corpus with trained merges is the
     same chain of broadcast-merge string replaces the trainer runs, so the
@@ -1156,7 +1156,7 @@ def q132_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q127_token_budget_select",
+    "q023_token_budget_select",
     oracle="""
 WITH d AS (
   SELECT doc_id,
@@ -1179,7 +1179,7 @@ ORDER BY score_milli DESC, doc_id
 """,
     tags=("text", "selection", "training-pipeline"),
 )
-def q127_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: order every
     document by an integer quality score (alphabetic-character ratio in
     micro-units), take documents greedily until 40% of the corpus's
@@ -1318,7 +1318,7 @@ IDX_DF_NUM, IDX_DF_DEN = 8, 10
 
 
 @query(
-    "q138_inverted_index",
+    "q030_inverted_index",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
@@ -1346,7 +1346,7 @@ ORDER BY term
 """,
     tags=("text", "index", "training-pipeline"),
 )
-def q138_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: term → (document frequency, collection
     frequency, serialized posting list of doc:tf:first_position entries) —
     the retrieval-side artifact a corpus pipeline builds next to the
@@ -1436,7 +1436,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "q171_set_containment_join",
+    "q049_set_containment_join",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 q AS (
@@ -1461,7 +1461,7 @@ FROM c GROUP BY qid ORDER BY query_id
     tags=("text", "join", "set-containment", "training-pipeline"),
     min_rows=1,
 )
-def q171_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-containment join by COUNTING: for each query termset (the 5
     lexicographically-first distinct bigrams of every 100th document),
     find all documents containing EVERY query term — "docs matching all
@@ -1516,7 +1516,7 @@ SDOT_TOPK = 5
 
 
 @query(
-    "q015_sparse_dot_topk",
+    "q110_sparse_dot_topk",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 tok AS (
@@ -1558,9 +1558,9 @@ ORDER BY query_id, rank
     bench=True,
     min_rows=1,
 )
-def q015_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF dot-product top-k via the inverted index — lexical
-    nearest neighbors, the retrieval dual of q050's dense rerank and the
+    nearest neighbors, the retrieval dual of q184's dense rerank and the
     pairing stage of a lexical near-dup miner. Terms are adjacent-token
     bigrams (see BIGRAMS_SQL — the corpus's 31-word vocabulary makes
     unigram presence non-discriminative).
@@ -1569,7 +1569,7 @@ def q015_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q138/q128 (one stop-term would otherwise put the whole
+    guard as q030/q128 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -1589,7 +1589,7 @@ def q015_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataFrame:
-    """The q015 plan over an arbitrary documents DataFrame. ``query_pred``
+    """The q110 plan over an arbitrary documents DataFrame. ``query_pred``
     optionally restricts the query side further (tools/scale_bench.py pins
     queries to replica 0 so the §10 curve measures fixed-workload corpus
     growth, not k-squared by construction)."""
@@ -1652,7 +1652,7 @@ PMI_TOPK = 100
 
 
 @query(
-    "q038_pmi_collocations",
+    "q148_pmi_collocations",
     oracle=f"""
 WITH t AS (
   SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -1678,11 +1678,11 @@ LIMIT {PMI_TOPK}
     tags=("text", "collocations", "training-pipeline"),
     min_rows=20,
 )
-def q038_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
-    before BPE (complements q037/q110/q132).
+    before BPE (complements q146/q015/q027).
 
     PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
     scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
@@ -1798,7 +1798,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
 
 
 @query(
-    "q039_ngram_novelty",
+    "q149_ngram_novelty",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -1820,7 +1820,7 @@ ORDER BY doc_id
     tags=("text", "dedup", "training-pipeline"),
     min_rows=100,
 )
-def q039_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q149_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY rate — the corpus-diversity metric the
     substring-dedup literature (Lee et al., "Deduplicating Training Data
     Makes LMs Better") uses to decide how much of each new document is

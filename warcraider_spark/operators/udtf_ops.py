@@ -32,7 +32,7 @@ def bigram_udtf_class():
 
 
 @query(
-    "q047_bigram_udtf",
+    "q162_bigram_udtf",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 40)
 SELECT doc_id, pos, w1, w2
@@ -46,7 +46,7 @@ ORDER BY doc_id, pos
 """,
     tags=("udtf", "text"),
 )
-def q047_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q162_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral Python UDTF: documents → bigram rows, hash-checked against
     the pure-SQL expansion."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)

@@ -26,7 +26,7 @@ _FMT_SQL = "%Y-%m-%d %H:%M:%S"
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    """Shared by batch q020 and the streaming variant: 1h tumbling window
+    """Shared by batch q119 and the streaming variant: 1h tumbling window
     per event_type with count + sum(value)."""
     return (
         events.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
@@ -44,7 +44,7 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 
 @query(
-    "q020_tumbling_window",
+    "q119_tumbling_window",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        event_type,
@@ -57,7 +57,7 @@ ORDER BY window_start, event_type
     tags=("streaming", "window", "agg"),
     bench=True,
 )
-def q020_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q119_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time windows (epoch-aligned, so time_bucket is
     the exact dual). The same builder feeds the streaming variant."""
     ev = load_table(spark, sf_dir, "events")
@@ -93,7 +93,7 @@ def q176_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q022_session_window",
+    "q126_session_window",
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts,
@@ -117,7 +117,7 @@ ORDER BY user_id, session_start
 """,
     tags=("streaming", "window", "session"),
 )
-def q022_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) via Spark's session_window, verified
     against an independent gaps-and-islands SQL formulation — the two
     derivations agreeing pins the merge semantics."""
@@ -135,7 +135,7 @@ def q022_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q023_watermark_semantics",
+    "q127_watermark_semantics",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        event_type,
@@ -147,7 +147,7 @@ ORDER BY window_start, event_type
 """,
     tags=("streaming", "watermark"),
 )
-def q023_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation run through a REAL structured
     stream: the events table is replayed as a file stream (availableNow,
     maxFilesPerTrigger micro-batches) with a 1-hour watermark; results come
@@ -293,7 +293,7 @@ def q173_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q108_stream_stream_join",
+    "q013_stream_stream_join",
     oracle="""
 SELECT v.user_id AS user_id,
        v.event_id AS view_id,
@@ -307,7 +307,7 @@ ORDER BY user_id, view_id, purchase_id
 """,
     tags=("streaming", "join", "stream-stream"),
 )
-def q108_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join run through a REAL structured
     stream (see streaming.windows.replay_attribution_stream): purchases
     matched to any view by the same user within the preceding hour. The
@@ -319,7 +319,7 @@ def q108_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q118_gapfill_locf",
+    "q019_gapfill_locf",
     oracle=f"""
 WITH b AS (
   SELECT event_type,
@@ -351,7 +351,7 @@ ORDER BY event_type, window_start
 """,
     tags=("window", "gapfill", "timeseries"),
 )
-def q118_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap filling: densify the hourly per-type rollup to
     a complete time spine, then carry the last observation forward (LOCF)
     into the empty buckets — `was_gap` preserves which rows are real.
