@@ -93,3 +93,25 @@ def test_cdc_chunking_is_shift_resistant(spark):
     # the insertion destroys at most the chunks up to the first boundary
     # after it; the majority of base chunks must re-align and survive
     assert len(shared) >= len(set(by_id[1])) * 0.6, (len(shared), len(set(by_id[1])))
+
+
+def test_table_row_count_matches_scan_and_handles_directories(spark, tmp_path):
+    """tables.table_row_count (VERDICT r6 #8) must equal the full-scan
+    count on the single-file driver layout AND on a Spark-written
+    directory-of-parts layout (footer sum over part files)."""
+    from warcraider_spark.tables import table_row_count
+
+    n_footer = table_row_count(SF_CORRECT, "documents")
+    n_scan = load_table(spark, SF_CORRECT, "documents").count()
+    assert n_footer == n_scan
+
+    # Spark-written directory layout under a sf_dir-shaped tmp dir
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    load_table(spark, SF_CORRECT, "documents").repartition(4).write.parquet(
+        str(d / "documents.parquet")
+    )
+    assert table_row_count(str(d), "documents") == n_scan
+
+    with pytest.raises(KeyError):
+        table_row_count(SF_CORRECT, "not_a_table")
