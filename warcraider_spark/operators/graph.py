@@ -358,11 +358,11 @@ def alternating_components(
         edges_df.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        # persist, not cut_lineage: und is read THREE times (both wedge
-        # sides + the closing join); persist is lazy — this static DAG
-        # builds with zero Spark jobs (VERDICT r6 #8; under AQE even a
-        # lazy localCheckpoint executes its stages at build time) — and
-        # the first action materializes the distinct edge set once.
+        # persist, not cut_lineage: the canonical edge set feeds both
+        # sides of round 1's sym union; persist is lazy — plan
+        # construction launches zero Spark jobs (VERDICT r6 #8; under
+        # AQE even a lazy localCheckpoint executes its stages at build
+        # time) — and round 1's first action materializes it once.
         .persist()
     )
     prev_sig = None
