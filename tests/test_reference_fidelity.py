@@ -97,17 +97,17 @@ def test_tidy_diag_clean_and_empty():
     from warcraider_spark.functions.html import tidy_diagnostics
 
     assert tidy_diagnostics("") == ""
-    assert tidy_diagnostics("<p>hello</p>") == ""
+    assert tidy_diagnostics("<!DOCTYPE html>\n<p>hello</p>") == ""
     # attributes exempt an empty element from trimming (tidy CanPrune)
-    assert tidy_diagnostics('<ul class="menu"></ul>') == ""
+    assert tidy_diagnostics('<!DOCTYPE html>\n<ul class="menu"></ul>') == ""
 
 
 def test_tidy_diag_repeated_attribute():
     from warcraider_spark.functions.html import tidy_diagnostics
 
-    out = tidy_diagnostics('<img src="a" src="b">')
+    out = tidy_diagnostics('<!DOCTYPE html>\n<img src="a" src="b">')
     assert out == (
-        'line 1 column 1 - Warning: <img> dropping value "a" '
+        'line 2 column 1 - Warning: <img> dropping value "a" '
         'for repeated attribute "src"\n'
     )
 
@@ -117,22 +117,22 @@ def test_tidy_diag_cdata_badclose_and_own_close_ok():
 
     # </b inside script content warns; the matching </script does not
     # '<' of </b at column 19; tidy reports col('<') + len(name) = 20
-    out = tidy_diagnostics("<script>var s = 'x</b>';</script>")
-    assert out == "line 1 column 20 - Warning: '<' + '/' + letter not allowed here\n"
-    assert tidy_diagnostics("<script>var x = 1;</script>") == ""
+    out = tidy_diagnostics("<!DOCTYPE html>\n<script>var s = 'x</b>';</script>")
+    assert out == "line 2 column 20 - Warning: '<' + '/' + letter not allowed here\n"
+    assert tidy_diagnostics("<!DOCTYPE html>\n<script>var x = 1;</script>") == ""
 
 
 def test_tidy_diag_link_lacks_rel_and_trim_order():
     from warcraider_spark.functions.html import tidy_diagnostics
 
     # trims report after attribute checks, both after parse-time warnings
-    html = '<link href="a.css">\n<ul>\n</ul>\n<img src="x" src="x">'
+    html = '<!DOCTYPE html>\n<link href="a.css">\n<ul>\n</ul>\n<img src="x" src="x">'
     out = tidy_diagnostics(html)
     assert out.split("\n")[:-1] == [
-        'line 4 column 1 - Warning: <img> dropping value "x" '
+        'line 5 column 1 - Warning: <img> dropping value "x" '
         'for repeated attribute "src"',
-        'line 1 column 1 - Warning: <link> lacks "rel" attribute',
-        "line 2 column 1 - Warning: trimming empty <ul>",
+        'line 2 column 1 - Warning: <link> lacks "rel" attribute',
+        "line 3 column 1 - Warning: trimming empty <ul>",
     ]
 
 
@@ -140,8 +140,8 @@ def test_tidy_diag_tab_columns():
     from warcraider_spark.functions.html import tidy_diagnostics
 
     # tab advances to the next multiple-of-8 stop: <ul> lands at column 9
-    assert tidy_diagnostics("\t<ul></ul>") == (
-        "line 1 column 9 - Warning: trimming empty <ul>\n"
+    assert tidy_diagnostics("<!DOCTYPE html>\n\t<ul></ul>") == (
+        "line 2 column 9 - Warning: trimming empty <ul>\n"
     )
 
 
@@ -214,24 +214,24 @@ def test_tidy_diag_edge_cases():
     # comments are masked — tags inside never parse
     assert td("<!-- <ul></ul> -->") == ""
     # style is CDATA too, case-insensitive; col = col('<') + len(name)
-    assert td("<STYLE>a { content: '</b>' }</STYLE>") == (
-        "line 1 column 23 - Warning: '<' + '/' + letter not allowed here\n"
+    assert td("<!DOCTYPE html>\n<STYLE>a { content: '</b>' }</STYLE>") == (
+        "line 2 column 23 - Warning: '<' + '/' + letter not allowed here\n"
     )
     # a self-closed <ul/> is not an empty open/close pair
-    assert td("<ul/>") == ""
+    assert td("<!DOCTYPE html>\n<ul/>") == ""
     # an element with a child is never trimmed; a nested empty leaf is
-    assert td("<ul><li>x</li></ul>") == ""
-    assert td("<ul><ul></ul></ul>") == (
-        "line 1 column 5 - Warning: trimming empty <ul>\n"
+    assert td("<!DOCTYPE html>\n<ul><li>x</li></ul>") == ""
+    assert td("<!DOCTYPE html>\n<ul><ul></ul></ul>") == (
+        "line 2 column 5 - Warning: trimming empty <ul>\n"
     )
     # attribute values may contain '<' without starting a tag
-    assert td("<p foo='a<b' foo='c'>") == (
-        'line 1 column 1 - Warning: <p> dropping value "a<b" '
+    assert td("<!DOCTYPE html>\n<p foo='a<b' foo='c'>") == (
+        'line 2 column 1 - Warning: <p> dropping value "a<b" '
         'for repeated attribute "foo"\n'
     )
     # script-own close is fine even when the open tag has attributes
-    assert td("<script src='x'>var a='</i>';</script>") == (
-        "line 1 column 25 - Warning: '<' + '/' + letter not allowed here\n"
+    assert td("<!DOCTYPE html>\n<script src='x'>var a='</i>';</script>") == (
+        "line 2 column 25 - Warning: '<' + '/' + letter not allowed here\n"
     )
 
 
@@ -303,19 +303,58 @@ def test_adversarial_golden_strict_fails():
 
 def test_adversarial_golden_html_errors():
     """Second html_errors golden: a strict-parse-failing page exercising
-    the two r6 catalog classes absent from moneysmart — missing-quote
-    attribute recovery (class 5) and nested-form discard (class 6) —
-    interleaved with a repeated-attribute drop (class 1) and an empty-
-    element trim (class 4), pinning cross-class phase ordering: parse-time
+    the r6-r7 catalog classes absent from moneysmart — missing doctype
+    (class 8), missing-quote attribute recovery (class 5) and nested-form
+    discard (class 6) — interleaved with a repeated-attribute drop
+    (class 1) and an empty-element trim (class 4), pinning cross-class
+    phase ordering: parse-time
     warnings in document order first, trims last."""
     from warcraider_spark.functions.html import tidy_diagnostics
 
     assert tidy_diagnostics(ADVERSARIAL_HTML) == (
+        "line 1 column 1 - Warning: missing <!DOCTYPE> declaration\n"
         "line 5 column 1 - Warning: discarding unexpected <form>\n"
         "line 8 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         'line 9 column 1 - Warning: <div> dropping value "x" for repeated attribute "class"\n'
         "line 10 column 1 - Warning: trimming empty <span>\n"
     )
+
+
+def test_missing_doctype_cases():
+    """Class-8 unit coverage (VERDICT r6 'What's missing' #3, the doctype
+    check): no doctype token before the first element tag warns, anchored
+    at that tag and ordered BEFORE any same-position warning (the parser
+    inserts the root before handling the element's own warnings); the
+    doctype keyword is case-insensitive; a commented-out doctype doesn't
+    count; a doctype after the first element is too late; tagless
+    documents emit nothing (documented divergence)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    doc = "line 1 column 1 - Warning: missing <!DOCTYPE> declaration\n"
+    assert td("<p>hello</p>") == doc
+    assert td("<!doctype HTML><p>x</p>") == ""  # keyword case-insensitive
+    # ordering at the SAME anchor: doctype precedes the lexer warning
+    assert td('<img src="a" src="b">') == (
+        doc
+        + 'line 1 column 1 - Warning: <img> dropping value "a" '
+        'for repeated attribute "src"\n'
+    )
+    # anchored at the first element tag, tab-expanded column accounting
+    assert td("\t<ul></ul>") == (
+        "line 1 column 9 - Warning: missing <!DOCTYPE> declaration\n"
+        "line 1 column 9 - Warning: trimming empty <ul>\n"
+    )
+    # a doctype inside a comment is masked — still missing
+    assert td("<!-- <!DOCTYPE html> --><p>x</p>") == (
+        "line 1 column 25 - Warning: missing <!DOCTYPE> declaration\n"
+    )
+    # leading comment before a real doctype is fine
+    assert td("<!-- c -->\n<!DOCTYPE html><p>x</p>") == ""
+    # after the first element is too late (tidy would also discard it)
+    assert td("<p>x</p><!DOCTYPE html>") == doc
+    # tagless / comment-only documents: no element, no class-8 anchor
+    assert td("just text, no tags") == ""
+    assert td("<!-- c -->") == ""
 
 
 def test_missing_quote_recovery_cases():
@@ -326,18 +365,18 @@ def test_missing_quote_recovery_cases():
     the warning anchors at the element's '<'."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td("<a href='ok'>x</a>") == ""
-    assert td("<p title='a<b'>x</p>") == ""
-    assert td("<p title='a>b'>x</p>") == ""
+    assert td("<!DOCTYPE html>\n<a href='ok'>x</a>") == ""
+    assert td("<!DOCTYPE html>\n<p title='a<b'>x</p>") == ""
+    assert td("<!DOCTYPE html>\n<p title='a>b'>x</p>") == ""
     # legitimate multi-line quoted value: no spurious warning (r7 fix)
-    assert td('<p title="a\nb">x</p>') == ""
+    assert td('<!DOCTYPE html>\n<p title="a\nb">x</p>') == ""
     assert (
-        td('<a href="broken>\n</a>')
-        == "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+        td('<!DOCTYPE html>\n<a href="broken>\n</a>')
+        == "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
     )
     assert (
-        td('<img src="eof')
-        == "line 1 column 1 - Warning: <img> attribute with missing trailing quote mark\n"
+        td('<!DOCTYPE html>\n<img src="eof')
+        == "line 2 column 1 - Warning: <img> attribute with missing trailing quote mark\n"
     )
 
 
@@ -348,16 +387,16 @@ def test_missing_quote_post_breakage_recovery():
     tag AFTER the broken one still fires, at its own position."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td('<a href="broken>\n<div class="x" class="y">dup</div>') == (
-        "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
-        'line 2 column 1 - Warning: <div> dropping value "x" '
+    assert td('<!DOCTYPE html>\n<a href="broken>\n<div class="x" class="y">dup</div>') == (
+        "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+        'line 3 column 1 - Warning: <div> dropping value "x" '
         'for repeated attribute "class"\n'
     )
     # pairing that would swallow <b>bold</b> into the <a> pseudo-tag:
     # the value ends at '</b' (tidy keeps the bare '<b>' as value text),
     # and the x="1" x="2" garbage after the breakage stays unlexed
-    assert td('<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
-        "line 1 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+    assert td('<!DOCTYPE html>\n<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
+        "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
     )
 
 
@@ -367,10 +406,10 @@ def test_nested_form_attributes_still_lexed():
     drop fires first, then the discard, both at the inner form's '<'."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td('<form><form a="1" a="2"><input></form></form>') == (
-        'line 1 column 7 - Warning: <form> dropping value "1" '
+    assert td('<!DOCTYPE html>\n<form><form a="1" a="2"><input></form></form>') == (
+        'line 2 column 7 - Warning: <form> dropping value "1" '
         'for repeated attribute "a"\n'
-        "line 1 column 7 - Warning: discarding unexpected <form>\n"
+        "line 2 column 7 - Warning: discarding unexpected <form>\n"
     )
 
 
@@ -382,18 +421,18 @@ def test_missing_end_tag_cases():
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     # closed over by the ancestor's end tag, innermost popped first
-    assert td("<div><span><b>x</div>") == (
-        "line 1 column 16 - Warning: missing </b>\n"
-        "line 1 column 16 - Warning: missing </span>\n"
+    assert td("<!DOCTYPE html>\n<div><span><b>x</div>") == (
+        "line 2 column 16 - Warning: missing </b>\n"
+        "line 2 column 16 - Warning: missing </span>\n"
     )
     # EOF leaves required elements open (div requires; body is optional)
-    assert td("<body><div><span>x") == (
-        "line 1 column 19 - Warning: missing </span>\n"
-        "line 1 column 19 - Warning: missing </div>\n"
+    assert td("<!DOCTYPE html>\n<body><div><span>x") == (
+        "line 2 column 19 - Warning: missing </span>\n"
+        "line 2 column 19 - Warning: missing </div>\n"
     )
     # optional-end-tag elements: silent implied close, no warning
-    assert td("<ul><li>a<li>b</ul>") == ""
-    assert td("<table><tr><td>x</table>") == ""
+    assert td("<!DOCTYPE html>\n<ul><li>a<li>b</ul>") == ""
+    assert td("<!DOCTYPE html>\n<table><tr><td>x</table>") == ""
 
 
 def test_nested_form_discard_cases():
@@ -403,11 +442,11 @@ def test_nested_form_discard_cases():
     per discarded tag."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td("<form><input></form><form><input></form>") == ""
-    assert td("<form><form><input></form></form>") == (
-        "line 1 column 7 - Warning: discarding unexpected <form>\n"
+    assert td("<!DOCTYPE html>\n<form><input></form><form><input></form>") == ""
+    assert td("<!DOCTYPE html>\n<form><form><input></form></form>") == (
+        "line 2 column 7 - Warning: discarding unexpected <form>\n"
     )
-    assert td("<form><form><form></form></form></form>") == (
-        "line 1 column 7 - Warning: discarding unexpected <form>\n"
-        "line 1 column 13 - Warning: discarding unexpected <form>\n"
+    assert td("<!DOCTYPE html>\n<form><form><form></form></form></form>") == (
+        "line 2 column 7 - Warning: discarding unexpected <form>\n"
+        "line 2 column 13 - Warning: discarding unexpected <form>\n"
     )

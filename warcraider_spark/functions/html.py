@@ -222,6 +222,7 @@ _ATTR_RE = re.compile(
 _CDATA_RE = re.compile(r"<(script|style)\b[^>]*>(.*?)</\1", re.S | re.I)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _BADCLOSE_RE = re.compile(r"</(?=[a-zA-Z])")
+_DOCTYPE_RE = re.compile(r"<!doctype", re.I)
 
 
 def tidy_diagnostics(raw_html: str) -> str:
@@ -229,8 +230,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus two classes (r6) pinned by
-    our own adversarial fixture:
+    stderr), byte-for-byte on that golden, plus four classes (r6-r7)
+    pinned by our own adversarial fixtures:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -257,22 +258,34 @@ def tidy_diagnostics(raw_html: str) -> str:
        triggered implied closes (tidy's "missing </x> before <y>"
        variant) are not modelled — our scanner implies closes only at
        end tags and EOF.
+    8. ``missing <!DOCTYPE> declaration`` — (r7) no doctype token
+       before the first element tag (tidy MISSING_DOCTYPE, fired when
+       the parser builds the root element). Anchored at that first
+       element tag and ordered BEFORE any other warning at the same
+       position — the root is inserted before the element's own
+       attribute/parse warnings are handled. A doctype inside a
+       comment doesn't count; a doctype after the first element is
+       too late (tidy would additionally discard it — not modelled).
 
-    Ordering matches tidy's phases: lexer/parse-time warnings (1+2+5+6+7)
-    in document order, then attribute checks (3), then trims (4), each in
-    document order. Line/column are 1-based with tabs expanded to the next
+    Ordering matches tidy's phases: lexer/parse-time warnings
+    (1+2+5+6+7+8) in document order, then attribute checks (3), then
+    trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
 
     KNOWN DIVERGENCE (documented, r4→r7): real tidy's catalog is larger
-    still (proprietary attributes, doctype checks …) — strict-parse-
-    failing pages triggering classes outside this catalog diverge in
-    html_errors CONTENT; the trigger condition and the classes above are
-    the certified surface. A class-5-broken tag's attributes lexed
-    BEFORE the broken quote are not re-scanned for classes 1/3 (tidy
-    lexes them; the warning classes they could add are rare on a tag
-    already being reported broken).
+    still (proprietary attributes, implicit <body>/<title> insertion
+    notices …) — strict-parse-failing pages triggering classes outside
+    this catalog diverge in html_errors CONTENT; the trigger condition
+    and the classes above are the certified surface. A class-5-broken
+    tag's attributes lexed BEFORE the broken quote are not re-scanned
+    for classes 1/3 (tidy lexes them; the warning classes they could
+    add are rare on a tag already being reported broken). Class 8 is
+    only emitted for documents containing at least one element tag and
+    anchors there — tidy would anchor at a leading bare-text token
+    (implicit <html>) instead; tagless or text-only documents emit no
+    doctype warning here.
     """
     if not raw_html:
         return ""
@@ -354,6 +367,7 @@ def tidy_diagnostics(raw_html: str) -> str:
     # real tags into one pseudo-tag (post-breakage tag recovery).
     _tag_start = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
     broken_recovery: dict[int, int] = {}  # broken tag's '<' -> resume pos
+    first_tag_pos: int | None = None  # class 8 anchor: first element token
     scan = 0
     while True:
         m = _tag_start.search(raw_html, scan)
@@ -362,6 +376,8 @@ def tidy_diagnostics(raw_html: str) -> str:
         if masked[m.start()]:
             scan = m.end()
             continue
+        if first_tag_pos is None:
+            first_tag_pos = m.start()
         i = m.end()
         while i < n:
             c = raw_html[i]
@@ -500,6 +516,20 @@ def tidy_diagnostics(raw_html: str) -> str:
     for fr in reversed(stack):
         if fr[0] not in _OPTIONAL_END_TAGS:
             parse_time.append((n, 0, f"missing </{fr[0]}>"))
+
+    # class 8: missing <!DOCTYPE> declaration — tidy's parser reports
+    # MISSING_DOCTYPE when it builds the root element with no doctype
+    # token lexed yet, so the warning anchors at the first element tag
+    # and precedes every warning reported at the same position (the
+    # parser inserts the root BEFORE handling that element's own
+    # attribute/parse warnings). A doctype inside a comment doesn't
+    # count (masked); one appearing after the first element came too
+    # late for the check, exactly as in tidy.
+    if first_tag_pos is not None and not any(
+        not masked[dm.start()]
+        for dm in _DOCTYPE_RE.finditer(raw_html, 0, first_tag_pos)
+    ):
+        parse_time.insert(0, (first_tag_pos, 0, "missing <!DOCTYPE> declaration"))
 
     parse_time.sort(key=lambda t: t[0])
     ordered = parse_time + [(p, 0, m) for p, m in attr_checks + trims]
