@@ -379,7 +379,16 @@ def alternating_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
         )
-        e = ls.filter(F.col("a") != F.col("b")).distinct().transform(cut_lineage)
+        # No mid-round distinct: small-star's min aggregation is
+        # duplicate-insensitive and the round-end distinct canonicalizes,
+        # so deduping here buys nothing the next groupBy's map-side
+        # combine doesn't already do — while costing a full extra shuffle
+        # per round. Duplicate inflation is bounded (each large-star
+        # input row emits at most one edge, so ≤ 2|e| rows flow into the
+        # small-star half). The lineage cut stays: the sym union below
+        # reads e TWICE, and without a materialization both union sides
+        # would re-execute the large-star groupBy+join subtree.
+        e = ls.filter(F.col("a") != F.col("b")).transform(cut_lineage)
 
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
