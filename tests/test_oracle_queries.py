@@ -51,6 +51,17 @@ def test_pmi_log_domain_guard(spark):
     assert not pmi_needs_log_domain(max_nxy=10_000, nn=1_000_000)
     # web-scale counts exceed headroom: 1e7 * 1e12 * 1e6 = 1e25 > 2^63
     assert pmi_needs_log_domain(max_nxy=10_000_000, nn=10**12)
+    # ADVICE r7 #1: denominator-side overflow with a SMALL max(n_xy) —
+    # the numerator test alone does not fire (5 * 1e10 * 1e6 = 5e16 <
+    # 2^63) but max(n_x)*max(n_y) = 16e18 > 2^63 would corrupt the
+    # integer division; the extended guard must route to the log path.
+    assert not pmi_needs_log_domain(max_nxy=5, nn=10**10)
+    assert pmi_needs_log_domain(
+        max_nxy=5, nn=10**10, max_nx=4_000_000_000, max_ny=4_000_000_000
+    )
+    assert not pmi_needs_log_domain(
+        max_nxy=5, nn=10**10, max_nx=2_000_000_000, max_ny=2_000_000_000
+    )
 
     nn = 10**12
     rows = [  # (w1, w2, n_xy, n_x, n_y) with web-scale marginals

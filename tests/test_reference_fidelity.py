@@ -394,9 +394,13 @@ def test_missing_quote_post_breakage_recovery():
     )
     # pairing that would swallow <b>bold</b> into the <a> pseudo-tag:
     # the value ends at '</b' (tidy keeps the bare '<b>' as value text),
-    # and the x="1" x="2" garbage after the breakage stays unlexed
+    # and the x="1" x="2" garbage after the breakage stays unlexed.
+    # ADVICE r7 #4: the broken <a> still OPENS its element (tidy's
+    # ParseValue emits the token and the parser inserts the node), so
+    # with no matching </a> it is reported missing at EOF (class 7).
     assert td('<!DOCTYPE html>\n<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+        "line 3 column 35 - Warning: missing </a>\n"
     )
 
 

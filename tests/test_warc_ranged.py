@@ -250,3 +250,23 @@ def test_unstatable_file_does_not_abort_directory_scan(spark):
     # cause — binaryFile appears only in the whole-file branch
     assert "binaryFile" not in plan
     assert "MapInPandas" in plan
+
+
+def test_unreadable_file_skipped_at_executor_index_time(spark):
+    """ADVICE r7 #2: read_warc_ranged's executor-side make_splits must
+    skip a file that enumerates but cannot be statted/opened (dangling
+    symlink — the object-deleted-between-enumerate-and-index race) and
+    still return every record of the readable files, instead of failing
+    the whole ranged job at index time."""
+    d = tempfile.mkdtemp(prefix="warc_dangling_")
+    good = os.path.join(d, "good.warc")
+    with open(good, "wb") as f:
+        f.write(_fixture_bytes(24))
+    # dangling symlink: glob enumeration passes it through unstatted,
+    # the driver-side stat already tolerates it (size=0), and the
+    # executor-side index must now skip it rather than raise
+    os.symlink(os.path.join(d, "vanished.warc"), os.path.join(d, "bad.warc"))
+    ranged = _rows(read_warc_ranged(spark, os.path.join(d, "*.warc"), num_splits=4))
+    mono = _rows(read_warc(spark, good))
+    assert ranged == mono
+    assert len(ranged) == 24

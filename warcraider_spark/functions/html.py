@@ -281,7 +281,10 @@ def tidy_diagnostics(raw_html: str) -> str:
     and the classes above are the certified surface. A class-5-broken
     tag's attributes lexed BEFORE the broken quote are not re-scanned
     for classes 1/3 (tidy lexes them; the warning classes they could
-    add are rare on a tag already being reported broken). Class 8 is
+    add are rare on a tag already being reported broken) — the broken
+    tag's ELEMENT, however, is opened on the stack like tidy does
+    (ADVICE r7 #4), so it participates in class-7 missing-end-tag
+    accounting. Class 8 is
     only emitted for documents containing at least one element tag and
     anchors there — tidy would anchor at a leading bare-text token
     (implicit <html>) instead; tagless or text-only documents emit no
@@ -433,8 +436,19 @@ def tidy_diagnostics(raw_html: str) -> str:
             # class-5 breakage: the tag's quoted value was interrupted by
             # '<'; a later paired quote can make _TAG_RE swallow real tags
             # into one pseudo-tag — resume at the interrupting '<' exactly
-            # like tidy's lexer (ADVICE r6 #1 post-breakage recovery)
+            # like tidy's lexer (ADVICE r6 #1 post-breakage recovery).
+            # ADVICE r7 #4: tidy still CREATES the element node from the
+            # broken tag (ParseValue ends the value, the token is emitted,
+            # the parser opens it), so it participates in class-7 — push
+            # it onto the open-element stack before resuming; left
+            # unclosed it warns `missing </tag>` at the closing-ancestor
+            # tag or EOF exactly like a well-formed start tag.
             pos = broken_recovery[m.start()]
+            btag = m.group(2).lower()
+            if not m.group(1) and btag not in _VOID_TAGS:
+                for fr in stack:
+                    fr[4] = True
+                stack.append([btag, m.start(), True, pos, False])
             continue
         closing, tag, attrs_raw, selfclose = (
             m.group(1),

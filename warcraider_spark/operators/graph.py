@@ -270,6 +270,12 @@ def q090_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # builds with zero Spark jobs (VERDICT r6 #8; under AQE even a
         # lazy localCheckpoint executes its stages at build time) — and
         # the first action materializes the distinct edge set once.
+        # Lifecycle (ADVICE r7 #3): the returned plan is lazy, so this
+        # operator has no terminal action to unpersist after — the cache
+        # must outlive any caller recomputation; reclamation is
+        # DELIBERATELY left to ContextCleaner when the DataFrame is
+        # dropped (unlike alternating_components, which owns its actions
+        # and releases eagerly).
         .persist()
     )
     wedges = (
@@ -284,7 +290,8 @@ def q090_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
         )
         .select("w.a", "w.b", "w.c")
-        .persist()  # read twice (per-node rollup + grand total); lazy
+        .persist()  # read twice (per-node rollup + grand total); lazy;
+        # same deliberate ContextCleaner lifecycle as `und` above
     )
     pern = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -354,7 +361,7 @@ def alternating_components(
     O(|edges|), lineage cut per round with localCheckpoint).
     """
     # canonical undirected set, no self-loops
-    e = (
+    e0 = (
         edges_df.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
@@ -365,6 +372,7 @@ def alternating_components(
         # time) — and round 1's first action materializes it once.
         .persist()
     )
+    e = e0
     prev_sig = None
     for _ in range(max_rounds):
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -418,6 +426,13 @@ def alternating_components(
         if cur == prev_sig:
             break
         prev_sig = cur
+
+    # ADVICE r7 #3: this operator OWNS its lifecycle — the loop's first
+    # signature action materialized round 1 past its cut_lineage, so the
+    # surviving `e` no longer references the initial persisted edge set;
+    # release it rather than leaking one cached copy per build into the
+    # bench/driver loops (ContextCleaner would only reclaim it at GC).
+    e0.unpersist(blocking=False)
 
     # stars: every edge is (component_min, member); isolated minima are
     # their own component

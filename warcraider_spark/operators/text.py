@@ -1705,11 +1705,15 @@ def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject.
 
     Int64 headroom guard (ENFORCED, runtime): the integer path needs
-    max(n_xy)*nn*1e6 < 2^63; a CASE WHEN on the broadcast totals
-    switches to the log-domain double variant (pmi_scaled = micro-nats,
-    floor-scaled) — same schema, same monotone ranking. Cert SFs always
-    take the integer path; tests/test_oracle_queries.py pins the log
-    path's ranking against driver-side math.log on synthetic counts.
+    BOTH max(n_xy)*nn*1e6 < 2^63 (numerator) AND max(n_x)*max(n_y) <
+    2^63 (denominator — ADVICE r7 #1: with a small max(n_xy) the
+    denominator overflows first, from nn ≈ 3e9 worst-case); a CASE WHEN
+    on the broadcast totals (nn, mx, mxx, mxy) switches to the
+    log-domain double variant (pmi_scaled = micro-nats, floor-scaled) —
+    same schema, same monotone ranking. Cert SFs always take the
+    integer path; tests/test_oracle_queries.py pins the log path's
+    ranking against driver-side math.log on synthetic counts and the
+    guard predicate against both overflow sides.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = (
@@ -1733,6 +1737,10 @@ def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE materialization populated by the first action.
     # MEMORY_AND_DISK, the same footprint the r6 localCheckpoint had;
     # vocab-sized (Heaps' law), spills rather than OOMs at 100 TB.
+    # Lifecycle (ADVICE r7 #3): the returned plan is lazy, so there is
+    # no terminal action here to unpersist after — the cache must stay
+    # live for caller recomputation; reclamation is DELIBERATELY left to
+    # ContextCleaner when the returned DataFrame is dropped.
     c = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
     ).persist()
@@ -1746,12 +1754,27 @@ def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mx*nn*1e6 > int64max is rearranged division-only so it cannot
     # itself overflow, and CASE WHEN evaluates lazily so the integer
     # branch never runs (and can't ANSI-overflow) when the guard fires.
-    tot = c.agg(
-        F.sum("n_xy").cast("bigint").alias("nn"), F.max("n_xy").cast("bigint").alias("mx")
+    tot = (
+        c.agg(
+            F.sum("n_xy").cast("bigint").alias("nn"),
+            F.max("n_xy").cast("bigint").alias("mx"),
+        )
+        # ADVICE r7 #1: the numerator test alone leaves a gap — with a
+        # small mx the denominator n_x*n_y can overflow int64 first
+        # (worst case nn^2 overflows from nn ≈ 3.04e9, while the
+        # numerator guard with mx=5 only fires from nn ≈ 1.8e12).
+        # Broadcast the marginal maxima too and route to the log path
+        # whenever max(n_x)*max(n_y) could exceed int64 — conservative
+        # (maxima need not co-occur in one pair) but overflow-safe, and
+        # the log path preserves the ranking either way.
+        .crossJoin(x.agg(F.max("n_x").cast("bigint").alias("mxx")))
+        .crossJoin(y.agg(F.max("n_y").cast("bigint").alias("mxy")))
     )
     headroom = (2**63 - 1) // 1_000_000
+    int64max = 2**63 - 1
     rank = F.expr(
-        f"CASE WHEN mx > CAST({headroom} AS BIGINT) DIV nn THEN "
+        f"CASE WHEN mx > CAST({headroom} AS BIGINT) DIV nn "
+        f"OR mxx > CAST({int64max} AS BIGINT) DIV mxy THEN "
         "CAST(FLOOR(1000000.0 * (LN(CAST(n_xy AS DOUBLE)) + LN(CAST(nn AS DOUBLE)) "
         "- LN(CAST(n_x AS DOUBLE)) - LN(CAST(n_y AS DOUBLE)))) AS BIGINT) "
         "ELSE CAST((n_xy * nn * 1000000) DIV (n_x * n_y) AS BIGINT) END"
@@ -1767,11 +1790,19 @@ def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pmi_needs_log_domain(max_nxy: int, nn: int) -> bool:
-    """True when the integer-exact PMI ratio would overflow int64: the
-    numerator's worst case is max(n_xy) * nn * PMI_SCALE. Python ints
-    are unbounded, so the check itself cannot overflow."""
-    return max_nxy * nn * 1_000_000 > 2**63 - 1
+def pmi_needs_log_domain(
+    max_nxy: int, nn: int, max_nx: int | None = None, max_ny: int | None = None
+) -> bool:
+    """True when the integer-exact PMI ratio would overflow int64 —
+    either side: the numerator's worst case is max(n_xy)*nn*PMI_SCALE,
+    the denominator's is max(n_x)*max(n_y) (ADVICE r7 #1: with a small
+    max(n_xy) the denominator overflows long before the numerator test
+    fires). Python ints are unbounded, so the check cannot overflow."""
+    if max_nxy * nn * 1_000_000 > 2**63 - 1:
+        return True
+    if max_nx is not None and max_ny is not None:
+        return max_nx * max_ny > 2**63 - 1
+    return False
 
 
 def _pmi_rank_expr(nn: int, use_log: bool):

@@ -342,9 +342,17 @@ def read_warc_ranged(
         for pdf in batches:
             rows = []
             for p, n in zip(pdf["path"], pdf["n_splits"]):
-                size = _file_size(p)
-                with _open_stream(p) as f:
-                    offsets = index_warc_members(f)
+                # ADVICE r7 #2: one unstatable/unreadable file (dangling
+                # symlink, permission hole, object deleted between
+                # enumerate and index) must not fail the whole ranged
+                # job at index time — skip it, matching the driver-side
+                # routing behavior in read_warc_auto (ADVICE r6).
+                try:
+                    size = _file_size(p)
+                    with _open_stream(p) as f:
+                        offsets = index_warc_members(f)
+                except OSError:
+                    continue
                 for first_idx, off, length in plan_warc_splits(offsets, size, int(n)):
                     rows.append(
                         {"path": p, "first_idx": first_idx, "offset": off, "length": length}
