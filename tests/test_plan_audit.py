@@ -105,6 +105,39 @@ def test_known_ok_pairs_reference_live_names():
     assert stale == set(), f"stale KNOWN_OK_PAIRS entries: {sorted(stale)}"
 
 
+def test_name_keyed_lists_reference_live_names():
+    """VERDICT r7 #7: every name-keyed side table must reference live
+    registry names, so a renumber-script typo cannot silently un-justify
+    a build-time-execution loop query (its exemption would evaporate
+    under the old name) or drop a query from the scale-curve harness.
+    KNOWN_OK_PAIRS has its own test above; this covers the rest:
+    BUILD_TIME_EXECUTION_OK, scale_bench.QUERIES, and scale_bench
+    VARIANTS (whose keys are 'registry_name[variant]')."""
+    from warcraider_spark.registry import all_specs
+
+    live = set(all_specs())
+
+    from tests.test_plan_shape import BUILD_TIME_EXECUTION_OK
+
+    stale = set(BUILD_TIME_EXECUTION_OK) - live
+    assert stale == set(), f"stale BUILD_TIME_EXECUTION_OK entries: {sorted(stale)}"
+
+    from tools.scale_bench import QUERIES, VARIANTS
+
+    stale = set(QUERIES) - live
+    assert stale == set(), f"stale scale_bench.QUERIES entries: {sorted(stale)}"
+    variant_bases = {k.split("[", 1)[0] for k in VARIANTS}
+    stale = variant_bases - live
+    assert stale == set(), f"stale scale_bench.VARIANTS bases: {sorted(stale)}"
+    # bench.py's headline set is tag-derived (spec.bench), so it cannot go
+    # stale by construction — assert that invariant holds (no name list).
+    import inspect
+
+    import bench
+
+    assert "s.bench" in inspect.getsource(bench.main)
+
+
 def test_exemption_is_per_flag():
     """A pair-exempted query is still flagged for a DIFFERENT risky shape."""
     row = {

@@ -270,3 +270,77 @@ def test_unreadable_file_skipped_at_executor_index_time(spark):
     mono = _rows(read_warc(spark, good))
     assert ranged == mono
     assert len(ranged) == 24
+
+
+def test_mock_object_store_one_ranged_get_per_split():
+    """VERDICT r7 #6: drive the non-local-scheme branch with an S3-style
+    in-memory object store (pyarrow's _MockFileSystem) and assert the
+    byte-level contract the 100 GB-file story rests on — the stat, the
+    member indexing, and EXACTLY ONE read_at ranged GET per planned
+    split, at the split plan's offsets/lengths, whose union reproduces
+    the monolithic parse."""
+    import unittest.mock as mock
+
+    import pyarrow.fs as pafs
+
+    from warcraider_spark.sources import warc as W
+
+    payload = _fixture_bytes(24)
+    base = pafs._MockFileSystem()
+    base.create_dir("bucket")
+    with base.open_output_stream("bucket/crawl.warc") as out:
+        out.write(payload)
+
+    gets: list[tuple[int, int]] = []
+
+    class RecordingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def read_at(self, length, offset):
+            gets.append((offset, length))
+            return self._f.read_at(length, offset)
+
+        def __getattr__(self, name):  # BufferedReader duck-typing passthrough
+            return getattr(self._f, name)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self._f.close()
+            return False
+
+    class RecordingFS:
+        def get_file_info(self, paths):
+            return base.get_file_info(paths)
+
+        def open_input_file(self, p):
+            return RecordingFile(base.open_input_file(p))
+
+    def mock_pafs_for(path):
+        assert path.startswith("mock://")
+        return RecordingFS(), path[len("mock://") :]
+
+    uri = "mock://bucket/crawl.warc"
+    with mock.patch.object(W, "_pafs_for", mock_pafs_for):
+        # the exact sequence one ranged task family performs
+        size = W._file_size(uri)
+        assert size == len(payload)
+        import io
+
+        with W._open_stream(uri) as f:
+            offsets = W.index_warc_members(f)
+        splits = W.plan_warc_splits(offsets, size, 6)
+        assert len(splits) >= 4
+        gets.clear()  # count only the data-plane reads, not the index pass
+        records = []
+        for first_idx, off, length in splits:
+            data = W._read_range(uri, off, length)
+            for i, rec in enumerate(W.parse_warc_stream(data)):
+                records.append((first_idx + i, rec))
+    # one ranged GET per split, at exactly the planned offset/length
+    assert gets == [(off, length) for _first, off, length in splits]
+    mono = list(W.parse_warc_stream(payload))
+    assert sorted(records) == list(enumerate(mono))
+    assert len(mono) == 24

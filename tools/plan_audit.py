@@ -80,7 +80,10 @@ KNOWN_OK_PAIRS = {
     # increment tables — the delta is a bounded batch, never the corpus
     # (q024), 100-row interval dimension (q025), bucket-summary prefix
     # sums sized by bucketing policy (q150 — same justification as its
-    # unpartitioned-window exemption), fixed probe/query set (q110).
+    # unpartitioned-window exemption), fixed probe/query set (q110),
+    # 3-rows-by-construction KLL estimate table — groupBy over the two
+    # filtered event types plus one merged row — broadcast back over the
+    # events for the in-plan error-bound verification (q105, r8).
     # Data-coupled hints were FIXED instead, not exempted: q117 out-
     # degrees folded into the rank table, q148 marginals via shuffle
     # joins, q128 hot-shingle anti-join and q035 per-source bounds left
@@ -94,6 +97,7 @@ KNOWN_OK_PAIRS = {
     ("q025_interval_bin_join", "broadcast of unbounded aggregate"),
     ("q150_concat_chunk_blocks", "broadcast of unbounded aggregate"),
     ("q110_sparse_dot_topk", "broadcast of unbounded aggregate"),
+    ("q105_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
 }
 
 

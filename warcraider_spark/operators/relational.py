@@ -887,26 +887,40 @@ def q075_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q076_approx_distinct",
-    oracle=None,  # approx sketches are engine-specific; rows-only check
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     tags=("agg", "approx"),
 )
 def q076_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
-    COUNT(DISTINCT): one pass, fixed memory, no expand. Sketch values are
-    engine-specific so the driver records a rows-only check; q052 carries
-    the exact-match burden."""
+    COUNT(DISTINCT): one pass, fixed memory, no expand.
+
+    Certification (VERDICT r7 #3): the raw sketch estimate is
+    engine-specific (DuckDB's HLL differs), so it never crosses engines;
+    what the driver hash-certifies is the DETERMINISTIC error-bound
+    companion computed in-plan — HLL++ at rsd=0.01 is hash-seeded and
+    reproducible, so `within_5pct` (a 5σ envelope of the published
+    relative standard deviation) is a stable TRUE the oracle pins as a
+    literal, alongside the exact distinct counts. The sketch stays the
+    hot path; q052 carries the exact-COUNT(DISTINCT) burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .select(
             "l_returnflag",
-            "approx_parts",
             "exact_parts",
-            (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") < 0.05).alias("within_5pct"),
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts")) / F.col("exact_parts")
+                < 0.05
+            ).alias("within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -1782,30 +1796,54 @@ def q100_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q107_approx_quantiles",
-    oracle=None,  # GK-sketch values are engine-specific; rows-only check
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS median_in_bound,
+       TRUE AS p95_in_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     tags=("agg", "approx", "quantile"),
 )
 def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna sketch) next to the exact
-    percentile — the 100 TB answer to median/p95: one pass, fixed memory,
-    mergeable across partitions, no global sort. Exact columns ride along
-    so the sketch's rank error is visible in the output (and bounded by
-    1/accuracy); q002 carries the exact-match burden."""
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB answer
+    to median/p95: one pass, fixed memory, mergeable across partitions,
+    no global sort.
+
+    Certification (VERDICT r7 #3): GK sketch values are engine-specific
+    (DuckDB has no GK), so they never cross engines; the driver
+    hash-certifies the DETERMINISTIC error-bound companion computed
+    in-plan — GK at accuracy=10000 guarantees rank error ≤ n/10000, so
+    each approx value must lie between the exact interpolated
+    percentiles at p ∓ 2/10000 (the 2× slack absorbs the ±1-rank
+    interpolation straddle); the sketch is deterministic (no RNG), so
+    the booleans are stable TRUEs the oracle pins as literals. q002
+    carries the exact-percentile burden."""
+    eps = 2.0 / 10000
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("approx_p"),
-            F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("exact_p"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+            ).alias("ap"),
+            F.expr(
+                "percentile(l_extendedprice, "
+                f"array({0.5 - eps}D, {0.5 + eps}D, {0.95 - eps}D, {0.95 + eps}D))"
+            ).alias("bound"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
             "l_returnflag",
-            F.round(F.element_at("approx_p", 1), RD).alias("approx_median"),
-            F.round(F.element_at("approx_p", 2), RD).alias("approx_p95"),
-            F.round(F.element_at("exact_p", 1), RD).alias("exact_median"),
-            F.round(F.element_at("exact_p", 2), RD).alias("exact_p95"),
             "n",
+            (
+                (F.element_at("ap", 1) >= F.element_at("bound", 1))
+                & (F.element_at("ap", 1) <= F.element_at("bound", 2))
+            ).alias("median_in_bound"),
+            (
+                (F.element_at("ap", 2) >= F.element_at("bound", 3))
+                & (F.element_at("ap", 2) <= F.element_at("bound", 4))
+            ).alias("p95_in_bound"),
         )
         .orderBy("l_returnflag")
     )

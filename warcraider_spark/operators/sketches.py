@@ -116,19 +116,51 @@ def q012_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KLL_SLACK = 0.10  # ~4x the published k=200 99%-confidence rank error
+
+
 @query(
     "q105_sketch_kll_quantiles",
-    oracle=None,  # KLL compaction is randomized → estimates are run-dependent
+    oracle="""
+WITH e AS (
+  SELECT event_type, value FROM events WHERE event_type IN ('view', 'purchase')
+),
+u AS (
+  SELECT event_type, value FROM e
+  UNION ALL SELECT 'view+purchase' AS event_type, value FROM e
+)
+SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+       TRUE AS p50_in_bound, TRUE AS p95_in_bound, TRUE AS rank50_in_bound
+FROM u GROUP BY event_type ORDER BY event_type
+""",
     tags=("sketch", "approx", "quantile"),
 )
 def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per event_type: mergeable streaming quantiles
-    (p50/p95/p99 + exact n) — the bounded-memory alternative to exact
-    percentile_disc's full sort at scale. q002 pins exact percentiles
-    against the oracle; this exercises the sketch API family end-to-end
-    (agg → merge → get_quantile / get_rank / get_n)."""
+    — the bounded-memory alternative to exact percentile's full sort at
+    scale; exercises the sketch API family end-to-end (agg → merge →
+    get_quantile / get_rank / get_n).
+
+    Certification (VERDICT r7 #3): KLL compaction is RANDOMIZED, so raw
+    estimates are run-dependent and never cross engines; the driver
+    hash-certifies (a) get_n — exact by the sketch contract — against
+    the oracle's COUNT, and (b) DETERMINISTIC-BY-BOUND booleans: each
+    estimate's exact rank window, computed in-plan by broadcasting the
+    3-row estimate table back over the events, must sit within ±10% of
+    the target rank — ~4x the k=200 sketch's published 99%-confidence
+    normalized rank error (~2.4% two-sided), so the TRUEs the oracle
+    pins hold for every compaction draw with overwhelming margin. q002
+    carries the exact-percentile burden.
+
+    Scale shape: two event scans (sketch pass + verification pass), one
+    broadcast of a 3-row-by-construction estimate table (groupBy over
+    the two filtered event types + one merged row) — plan-audit
+    pair-exempted like the other bounded grand-aggregate broadcasts."""
     d = _keyed_events(spark, sf_dir)
-    per = d.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("ks"))
+    vp = d.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type", "value"
+    )
+    per = vp.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("ks"))
     # kll_sketch_merge_* is the SCALAR two-sketch merge (no merge-agg exists
     # for KLL): build view+purchase sketches in one conditional-agg pass,
     # merge them into a combined sketch — the cross-partition rollup shape
@@ -143,14 +175,44 @@ def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("view+purchase").alias("event_type"),
         F.kll_sketch_merge_double("kv", "kp").alias("ks"),
     )
-    both = per.unionAll(merged)
-    return both.select(
+    est = per.unionAll(merged).select(
         "event_type",
         F.kll_sketch_get_n_double("ks").alias("n"),
-        F.round(F.kll_sketch_get_quantile_double("ks", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.kll_sketch_get_quantile_double("ks", F.lit(0.95)), 4).alias("p95"),
-        F.round(F.kll_sketch_get_rank_double("ks", F.lit(50.0)), 4).alias("rank_of_50"),
-    ).orderBy("event_type")
+        F.kll_sketch_get_quantile_double("ks", F.lit(0.5)).alias("p50v"),
+        F.kll_sketch_get_quantile_double("ks", F.lit(0.95)).alias("p95v"),
+        F.kll_sketch_get_rank_double("ks", F.lit(50.0)).alias("r50"),
+    )
+    # verification pass: exact rank windows of each estimate, one shuffle
+    ev2 = vp.unionAll(
+        vp.select(F.lit("view+purchase").alias("event_type"), "value")
+    ).filter(F.col("value").isNotNull())
+    s = _KLL_SLACK
+    j = ev2.join(F.broadcast(est), "event_type")
+    return (
+        j.groupBy("event_type", "n", "p50v", "p95v", "r50")
+        .agg(
+            F.avg((F.col("value") < F.col("p50v")).cast("double")).alias("lt50"),
+            F.avg((F.col("value") <= F.col("p50v")).cast("double")).alias("le50"),
+            F.avg((F.col("value") < F.col("p95v")).cast("double")).alias("lt95"),
+            F.avg((F.col("value") <= F.col("p95v")).cast("double")).alias("le95"),
+            F.avg((F.col("value") < F.lit(50.0)).cast("double")).alias("ltc"),
+            F.avg((F.col("value") <= F.lit(50.0)).cast("double")).alias("lec"),
+        )
+        .select(
+            "event_type",
+            "n",
+            ((F.col("lt50") <= 0.5 + s) & (F.col("le50") >= 0.5 - s)).alias(
+                "p50_in_bound"
+            ),
+            ((F.col("lt95") <= 0.95 + s) & (F.col("le95") >= 0.95 - s)).alias(
+                "p95_in_bound"
+            ),
+            ((F.col("r50") >= F.col("ltc") - s) & (F.col("r50") <= F.col("lec") + s)).alias(
+                "rank50_in_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
