@@ -97,15 +97,15 @@ def test_tidy_diag_clean_and_empty():
     from warcraider_spark.functions.html import tidy_diagnostics
 
     assert tidy_diagnostics("") == ""
-    assert tidy_diagnostics("<!DOCTYPE html>\n<p>hello</p>") == ""
+    assert tidy_diagnostics("<!DOCTYPE html><title>t</title>\n<p>hello</p>") == ""
     # attributes exempt an empty element from trimming (tidy CanPrune)
-    assert tidy_diagnostics('<!DOCTYPE html>\n<ul class="menu"></ul>') == ""
+    assert tidy_diagnostics('<!DOCTYPE html><title>t</title>\n<ul class="menu"></ul>') == ""
 
 
 def test_tidy_diag_repeated_attribute():
     from warcraider_spark.functions.html import tidy_diagnostics
 
-    out = tidy_diagnostics('<!DOCTYPE html>\n<img src="a" src="b">')
+    out = tidy_diagnostics('<!DOCTYPE html><title>t</title>\n<img src="a" src="b">')
     assert out == (
         'line 2 column 1 - Warning: <img> dropping value "a" '
         'for repeated attribute "src"\n'
@@ -117,16 +117,16 @@ def test_tidy_diag_cdata_badclose_and_own_close_ok():
 
     # </b inside script content warns; the matching </script does not
     # '<' of </b at column 19; tidy reports col('<') + len(name) = 20
-    out = tidy_diagnostics("<!DOCTYPE html>\n<script>var s = 'x</b>';</script>")
+    out = tidy_diagnostics("<!DOCTYPE html><title>t</title>\n<script>var s = 'x</b>';</script>")
     assert out == "line 2 column 20 - Warning: '<' + '/' + letter not allowed here\n"
-    assert tidy_diagnostics("<!DOCTYPE html>\n<script>var x = 1;</script>") == ""
+    assert tidy_diagnostics("<!DOCTYPE html><title>t</title>\n<script>var x = 1;</script>") == ""
 
 
 def test_tidy_diag_link_lacks_rel_and_trim_order():
     from warcraider_spark.functions.html import tidy_diagnostics
 
     # trims report after attribute checks, both after parse-time warnings
-    html = '<!DOCTYPE html>\n<link href="a.css">\n<ul>\n</ul>\n<img src="x" src="x">'
+    html = '<!DOCTYPE html><title>t</title>\n<link href="a.css">\n<ul>\n</ul>\n<img src="x" src="x">'
     out = tidy_diagnostics(html)
     assert out.split("\n")[:-1] == [
         'line 5 column 1 - Warning: <img> dropping value "x" '
@@ -140,7 +140,7 @@ def test_tidy_diag_tab_columns():
     from warcraider_spark.functions.html import tidy_diagnostics
 
     # tab advances to the next multiple-of-8 stop: <ul> lands at column 9
-    assert tidy_diagnostics("<!DOCTYPE html>\n\t<ul></ul>") == (
+    assert tidy_diagnostics("<!DOCTYPE html><title>t</title>\n\t<ul></ul>") == (
         "line 2 column 9 - Warning: trimming empty <ul>\n"
     )
 
@@ -214,23 +214,24 @@ def test_tidy_diag_edge_cases():
     # comments are masked — tags inside never parse
     assert td("<!-- <ul></ul> -->") == ""
     # style is CDATA too, case-insensitive; col = col('<') + len(name)
-    assert td("<!DOCTYPE html>\n<STYLE>a { content: '</b>' }</STYLE>") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<STYLE>a { content: '</b>' }</STYLE>") == (
         "line 2 column 23 - Warning: '<' + '/' + letter not allowed here\n"
     )
     # a self-closed <ul/> is not an empty open/close pair
-    assert td("<!DOCTYPE html>\n<ul/>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<ul/>") == ""
     # an element with a child is never trimmed; a nested empty leaf is
-    assert td("<!DOCTYPE html>\n<ul><li>x</li></ul>") == ""
-    assert td("<!DOCTYPE html>\n<ul><ul></ul></ul>") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<ul><li>x</li></ul>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<ul><ul></ul></ul>") == (
         "line 2 column 5 - Warning: trimming empty <ul>\n"
     )
-    # attribute values may contain '<' without starting a tag
-    assert td("<!DOCTYPE html>\n<p foo='a<b' foo='c'>") == (
+    # attribute values may contain '<' without starting a tag (alt is a
+    # dictionary attribute, so no class-9 noise rides along)
+    assert td("<!DOCTYPE html><title>t</title>\n<p alt='a<b' alt='c'>") == (
         'line 2 column 1 - Warning: <p> dropping value "a<b" '
-        'for repeated attribute "foo"\n'
+        'for repeated attribute "alt"\n'
     )
     # script-own close is fine even when the open tag has attributes
-    assert td("<!DOCTYPE html>\n<script src='x'>var a='</i>';</script>") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<script src='x'>var a='</i>';</script>") == (
         "line 2 column 25 - Warning: '<' + '/' + letter not allowed here\n"
     )
 
@@ -313,6 +314,7 @@ def test_adversarial_golden_html_errors():
 
     assert tidy_diagnostics(ADVERSARIAL_HTML) == (
         "line 1 column 1 - Warning: missing <!DOCTYPE> declaration\n"
+        "line 2 column 1 - Warning: inserting missing 'title' element\n"
         "line 5 column 1 - Warning: discarding unexpected <form>\n"
         "line 8 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         'line 9 column 1 - Warning: <div> dropping value "x" for repeated attribute "class"\n'
@@ -331,27 +333,38 @@ def test_missing_doctype_cases():
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     doc = "line 1 column 1 - Warning: missing <!DOCTYPE> declaration\n"
-    assert td("<p>hello</p>") == doc
-    assert td("<!doctype HTML><p>x</p>") == ""  # keyword case-insensitive
+    # a trailing <title> keeps class-10 out of the class-8 fixtures
+    assert td("<p>hello</p><title>t</title>") == doc
+    assert td("<!doctype HTML><p>x</p><title>t</title>") == ""  # case-insensitive
     # ordering at the SAME anchor: doctype precedes the lexer warning
-    assert td('<img src="a" src="b">') == (
+    assert td('<img src="a" src="b"><title>t</title>') == (
         doc
         + 'line 1 column 1 - Warning: <img> dropping value "a" '
         'for repeated attribute "src"\n'
     )
+    # with NO title either, the class-10 insert lands at the same anchor
+    # (the head closes at the first body-content tag) AFTER the doctype
+    # and the element's own lexer warning — the parser inserts the title
+    # while handling that token
+    assert td('<img src="a" src="b">') == (
+        doc
+        + 'line 1 column 1 - Warning: <img> dropping value "a" '
+        'for repeated attribute "src"\n'
+        "line 1 column 1 - Warning: inserting missing 'title' element\n"
+    )
     # anchored at the first element tag, tab-expanded column accounting
-    assert td("\t<ul></ul>") == (
+    assert td("\t<ul></ul><title>t</title>") == (
         "line 1 column 9 - Warning: missing <!DOCTYPE> declaration\n"
         "line 1 column 9 - Warning: trimming empty <ul>\n"
     )
     # a doctype inside a comment is masked — still missing
-    assert td("<!-- <!DOCTYPE html> --><p>x</p>") == (
+    assert td("<!-- <!DOCTYPE html> --><p>x</p><title>t</title>") == (
         "line 1 column 25 - Warning: missing <!DOCTYPE> declaration\n"
     )
     # leading comment before a real doctype is fine
-    assert td("<!-- c -->\n<!DOCTYPE html><p>x</p>") == ""
+    assert td("<!-- c -->\n<!DOCTYPE html><p>x</p><title>t</title>") == ""
     # after the first element is too late (tidy would also discard it)
-    assert td("<p>x</p><!DOCTYPE html>") == doc
+    assert td("<p>x</p><!DOCTYPE html><title>t</title>") == doc
     # tagless / comment-only documents: no element, no class-8 anchor
     assert td("just text, no tags") == ""
     assert td("<!-- c -->") == ""
@@ -365,17 +378,17 @@ def test_missing_quote_recovery_cases():
     the warning anchors at the element's '<'."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td("<!DOCTYPE html>\n<a href='ok'>x</a>") == ""
-    assert td("<!DOCTYPE html>\n<p title='a<b'>x</p>") == ""
-    assert td("<!DOCTYPE html>\n<p title='a>b'>x</p>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<a href='ok'>x</a>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<p title='a<b'>x</p>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<p title='a>b'>x</p>") == ""
     # legitimate multi-line quoted value: no spurious warning (r7 fix)
-    assert td('<!DOCTYPE html>\n<p title="a\nb">x</p>') == ""
+    assert td('<!DOCTYPE html><title>t</title>\n<p title="a\nb">x</p>') == ""
     assert (
-        td('<!DOCTYPE html>\n<a href="broken>\n</a>')
+        td('<!DOCTYPE html><title>t</title>\n<a href="broken>\n</a>')
         == "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
     )
     assert (
-        td('<!DOCTYPE html>\n<img src="eof')
+        td('<!DOCTYPE html><title>t</title>\n<img src="eof')
         == "line 2 column 1 - Warning: <img> attribute with missing trailing quote mark\n"
     )
 
@@ -387,7 +400,7 @@ def test_missing_quote_post_breakage_recovery():
     tag AFTER the broken one still fires, at its own position."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td('<!DOCTYPE html>\n<a href="broken>\n<div class="x" class="y">dup</div>') == (
+    assert td('<!DOCTYPE html><title>t</title>\n<a href="broken>\n<div class="x" class="y">dup</div>') == (
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         'line 3 column 1 - Warning: <div> dropping value "x" '
         'for repeated attribute "class"\n'
@@ -398,7 +411,7 @@ def test_missing_quote_post_breakage_recovery():
     # ADVICE r7 #4: the broken <a> still OPENS its element (tidy's
     # ParseValue emits the token and the parser inserts the node), so
     # with no matching </a> it is reported missing at EOF (class 7).
-    assert td('<!DOCTYPE html>\n<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
+    assert td('<!DOCTYPE html><title>t</title>\n<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         "line 3 column 35 - Warning: missing </a>\n"
     )
@@ -410,7 +423,7 @@ def test_nested_form_attributes_still_lexed():
     drop fires first, then the discard, both at the inner form's '<'."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td('<!DOCTYPE html>\n<form><form a="1" a="2"><input></form></form>') == (
+    assert td('<!DOCTYPE html><title>t</title>\n<form><form a="1" a="2"><input></form></form>') == (
         'line 2 column 7 - Warning: <form> dropping value "1" '
         'for repeated attribute "a"\n'
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
@@ -425,18 +438,18 @@ def test_missing_end_tag_cases():
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     # closed over by the ancestor's end tag, innermost popped first
-    assert td("<!DOCTYPE html>\n<div><span><b>x</div>") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<div><span><b>x</div>") == (
         "line 2 column 16 - Warning: missing </b>\n"
         "line 2 column 16 - Warning: missing </span>\n"
     )
     # EOF leaves required elements open (div requires; body is optional)
-    assert td("<!DOCTYPE html>\n<body><div><span>x") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<body><div><span>x") == (
         "line 2 column 19 - Warning: missing </span>\n"
         "line 2 column 19 - Warning: missing </div>\n"
     )
     # optional-end-tag elements: silent implied close, no warning
-    assert td("<!DOCTYPE html>\n<ul><li>a<li>b</ul>") == ""
-    assert td("<!DOCTYPE html>\n<table><tr><td>x</table>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<ul><li>a<li>b</ul>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<table><tr><td>x</table>") == ""
 
 
 def test_nested_form_discard_cases():
@@ -446,11 +459,106 @@ def test_nested_form_discard_cases():
     per discarded tag."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td("<!DOCTYPE html>\n<form><input></form><form><input></form>") == ""
-    assert td("<!DOCTYPE html>\n<form><form><input></form></form>") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<form><input></form><form><input></form>") == ""
+    assert td("<!DOCTYPE html><title>t</title>\n<form><form><input></form></form>") == (
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
     )
-    assert td("<!DOCTYPE html>\n<form><form><form></form></form></form>") == (
+    assert td("<!DOCTYPE html><title>t</title>\n<form><form><form></form></form></form>") == (
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
         "line 2 column 13 - Warning: discarding unexpected <form>\n"
     )
+
+
+# --- adversarial golden #3 (VERDICT r7 #4): proprietary attrs + title ------
+
+PROPRIETARY_HTML = """<html>
+<head>
+<link href="/x.css" fancy="1">
+<meta charset="utf-8">
+</head>
+<body>
+<div data-x="1" aria-label="ok" frobnicate="3">content</div>
+<span onclick="f()" glow>shiny</span>
+<img src="a.png" badattr>
+</body>
+</html>"""
+
+
+def test_proprietary_golden_strict_fails():
+    """The page must take the tidy path: the unclosed void <meta>/<link>
+    make the strict XML-style first pass fail (lib.rs:193-207 trigger)."""
+    from warcraider_spark.functions.html import strict_parse_ok
+
+    assert strict_parse_ok(PROPRIETARY_HTML) is False
+
+
+def test_proprietary_golden_html_errors():
+    """Third html_errors golden pinning the r8 catalog classes byte-exact:
+    proprietary attributes (class 9 — dictionary families data-*/aria-*
+    and known event handlers stay silent) and the missing-'title' insert
+    (class 10 — anchored at the explicit </head>), interleaved with a
+    link-lacks-rel (class 3) on the SAME element as a class-9 to pin the
+    per-attribute-before-element-check order, and the class-8 doctype.
+    Phase order: parse-time (8, 10) in document order, then attribute
+    checks (9 then 3 per element, elements in document order)."""
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    assert tidy_diagnostics(PROPRIETARY_HTML) == (
+        "line 1 column 1 - Warning: missing <!DOCTYPE> declaration\n"
+        "line 5 column 1 - Warning: inserting missing 'title' element\n"
+        'line 3 column 1 - Warning: <link> proprietary attribute "fancy"\n'
+        'line 3 column 1 - Warning: <link> lacks "rel" attribute\n'
+        'line 7 column 1 - Warning: <div> proprietary attribute "frobnicate"\n'
+        'line 8 column 1 - Warning: <span> proprietary attribute "glow"\n'
+        'line 9 column 1 - Warning: <img> proprietary attribute "badattr"\n'
+    )
+
+
+def test_proprietary_attribute_cases():
+    """Class-9 unit coverage: dictionary attrs, data-*/aria-*/xml*
+    families, and known on* handlers never warn; unknown names warn once
+    per KEPT attribute (a lexer-dropped repeat doesn't double-report);
+    a class-6-discarded nested <form> skips attribute checks."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + '<div class="a" data-foo="1" aria-x="2" onclick="f()">x</div>') == ""
+    assert td(pre + '<div xmlns:svg="u" xml:lang="en">x</div>') == ""
+    assert td(pre + '<div zap="1">x</div>') == (
+        'line 2 column 1 - Warning: <div> proprietary attribute "zap"\n'
+    )
+    # repeated unknown attribute: one class-1 lexer drop + ONE class-9
+    assert td(pre + '<div zap="1" zap="2">x</div>') == (
+        'line 2 column 1 - Warning: <div> dropping value "1" '
+        'for repeated attribute "zap"\n'
+        'line 2 column 1 - Warning: <div> proprietary attribute "zap"\n'
+    )
+    # discarded nested <form> never reaches the attribute checks
+    assert td(pre + '<form><form zap="1"><input></form></form>') == (
+        "line 2 column 7 - Warning: discarding unexpected <form>\n"
+    )
+
+
+def test_missing_title_cases():
+    """Class-10 unit coverage: the insert anchors at the FIRST of an
+    explicit </head>, a <body> start tag, or a non-head-context start
+    tag; all-head-context documents close the head at EOF; any
+    well-formed <title> suppresses it; tagless documents emit nothing."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    ttl = "Warning: inserting missing 'title' element\n"
+    pre = "<!DOCTYPE html>"
+    # explicit </head> wins even with a <body> after it
+    assert td(pre + "\n<head></head>\n<body>x</body>") == (
+        "line 2 column 7 - " + ttl
+    )
+    # no </head>: the <body> start tag anchors
+    assert td(pre + "\n<body><p>x</p></body>") == ("line 2 column 1 - " + ttl)
+    # neither: the first non-head-context start tag anchors
+    assert td(pre + '\n<meta charset="u">\n<p>x</p>') == ("line 3 column 1 - " + ttl)
+    # all-head-context document: the head closes at EOF
+    assert td(pre + '\n<meta charset="u">') == ("line 2 column 19 - " + ttl)
+    # a title ANYWHERE suppresses (divergence note: tidy would relocate)
+    assert td(pre + "\n<body><title>late</title><p>x</p></body>") == ""
+    # no element tags at all: no anchor, no warning (class-8 rule)
+    assert td("plain text") == ""

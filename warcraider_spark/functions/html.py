@@ -215,6 +215,57 @@ _OPTIONAL_END_TAGS = frozenset(
     "colgroup caption rb rt rtc rp".split()
 )
 
+# tidy's known-attribute dictionary (attrs.c attribute_defs), HTML5
+# vintage: global + element-specific attributes, microdata, RDFa, and
+# the standard event handlers; data-*/aria-*/xml*-prefixed names are
+# dictionary families. Anything else is PROPRIETARY_ATTRIBUTE (class 9).
+_KNOWN_ATTRS = frozenset(
+    """abbr accept accept-charset accesskey action align alink allow
+    allowfullscreen alt archive as async autocapitalize autocomplete
+    autofocus autoplay axis background bgcolor border cellpadding
+    cellspacing challenge char charoff charset checked cite class
+    classid clear code codebase codetype color cols colspan compact
+    content contenteditable controls coords crossorigin data datetime
+    declare decoding default defer dir dirname disabled download
+    draggable enctype enterkeyhint face for form formaction
+    formenctype formmethod formnovalidate formtarget frame frameborder
+    headers height hidden high href hreflang hspace http-equiv icon id
+    inert inputmode integrity is ismap itemid itemprop itemref
+    itemscope itemtype kind label lang language link list loading
+    longdesc loop low marginheight marginwidth max maxlength media
+    method min minlength multiple muted name nohref nonce noresize
+    noshade novalidate nowrap object open optimum pattern ping
+    placeholder playsinline popover poster preload profile prompt
+    property readonly referrerpolicy rel required resource rev
+    reversed role rows rowspan rules sandbox scheme scope scrolling
+    selected shape size sizes slot span spellcheck src srcdoc srclang
+    srcset standby start step style summary tabindex target text
+    title translate type typeof usemap valign value valuetype version
+    vlink vocab vspace width wrap""".split()
+)
+_KNOWN_ATTR_PREFIXES = ("data-", "aria-", "xml:", "xmlns")
+_EVENT_ATTRS = frozenset(
+    """onabort onblur oncanplay oncanplaythrough onchange onclick
+    onclose oncontextmenu oncopy oncut ondblclick ondrag ondragend
+    ondragenter ondragleave ondragover ondragstart ondrop
+    ondurationchange onemptied onended onerror onfocus oninput
+    oninvalid onkeydown onkeypress onkeyup onload onloadeddata
+    onloadedmetadata onloadstart onmousedown onmouseenter onmouseleave
+    onmousemove onmouseout onmouseover onmouseup onpaste onpause
+    onplay onplaying onprogress onratechange onreset onresize
+    onscroll onseeked onseeking onselect onstalled onsubmit onsuspend
+    ontimeupdate ontoggle onunload onvolumechange onwaiting
+    onwheel""".split()
+)
+
+# elements whose start tags can legitimately appear in <head>: the first
+# start tag OUTSIDE this set is where tidy's parser closes the implied
+# head (the class-10 missing-'title' anchor when no </head>/<body> is
+# explicit)
+_HEAD_CONTEXT_TAGS = frozenset(
+    "html head title meta link base basefont style script noscript template".split()
+)
+
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
@@ -266,10 +317,26 @@ def tidy_diagnostics(raw_html: str) -> str:
        attribute/parse warnings are handled. A doctype inside a
        comment doesn't count; a doctype after the first element is
        too late (tidy would additionally discard it — not modelled).
+    9. ``<tag> proprietary attribute "name"`` — (r8) an attribute
+       outside tidy's dictionary (``_KNOWN_ATTRS`` — HTML5-vintage
+       attrs.c — plus the standard event handlers and the
+       data-*/aria-*/xml*-prefixed families). Checked once per KEPT
+       attribute (the lexer drops repeats first) in attribute order,
+       reported in the attribute-check phase like class 3 and BEFORE a
+       same-element class-3 (tidy checks each attribute before the
+       element-level checks); a class-6-discarded node never reaches
+       the attribute checks.
+    10. ``inserting missing 'title' element`` — (r8) no ``<title>``
+       element anywhere (tidy MISSING_TITLE_ELEMENT: the head parser
+       inserts an empty one). Anchored where the (implied) head
+       CLOSES — the first of an explicit ``</head>``, a ``<body>``
+       start tag, or any start tag that cannot live in head
+       (``_HEAD_CONTEXT_TAGS``); all-head-context documents close the
+       head at EOF. Same at-least-one-element precondition as class 8.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8) in document order, then attribute checks (3), then
-    trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
+    (1+2+5+6+7+8+10) in document order, then attribute checks (9+3),
+    then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
@@ -284,7 +351,13 @@ def tidy_diagnostics(raw_html: str) -> str:
     add are rare on a tag already being reported broken) — the broken
     tag's ELEMENT, however, is opened on the stack like tidy does
     (ADVICE r7 #4), so it participates in class-7 missing-end-tag
-    accounting. Class 8 is
+    accounting — though not in the class-9/10 scans (a broken <title>
+    or broken head-closing tag is not recognized by those anchors).
+    Class-9 models tidy's HTML5 dictionary only (no per-doctype attr
+    vintages), and unknown on*-named handlers count as proprietary.
+    Class-10 counts any well-formed <title> start tag wherever it
+    appears (real tidy would move a body-misplaced title and also
+    warn). Class 8 is
     only emitted for documents containing at least one element tag and
     anchors there — tidy would anchor at a leading bare-text token
     (implicit <html>) instead; tagless or text-only documents emit no
@@ -423,8 +496,10 @@ def tidy_diagnostics(raw_html: str) -> str:
                 i += 1
         scan = max(i, m.end())
 
-    attr_checks: list[tuple[int, str]] = []  # class 3
+    attr_checks: list[tuple[int, str]] = []  # classes 3 + 9
     trims: list[tuple[int, str]] = []  # class 4
+    saw_title = False  # class 10: any well-formed <title> start tag
+    head_close_anchor: int | None = None  # class 10 anchor (see below)
     # stack frames: [tag, start_pos, has_attrs, content_start, has_child]
     stack: list[list] = []
     pos = 0
@@ -461,11 +536,20 @@ def tidy_diagnostics(raw_html: str) -> str:
             selfclose = "/"
             attrs_raw = attrs_raw.rstrip()[:-1]
         if not closing:
+            if tag == "title":
+                saw_title = True
+            # class-10 anchor: the head region closes at the FIRST of an
+            # explicit </head> (closing branch below) or a start tag that
+            # cannot live in <head> (<body> included — it's outside the
+            # head-context set)
+            if head_close_anchor is None and tag not in _HEAD_CONTEXT_TAGS:
+                head_close_anchor = m.start()
             # tidy lexes attributes BEFORE the parser can discard the tag
             # (ADVICE r6 #2): a nested <form a="1" a="2"> still emits its
             # class-1 repeated-attribute warning, then the class-6 discard
             seen: dict[str, str] = {}
             has_rel = False
+            proprietary: list[tuple[int, str]] = []
             for am in _ATTR_RE.finditer(attrs_raw):
                 name = am.group(1).lower()
                 val = am.group(2) or ""
@@ -484,13 +568,29 @@ def tidy_diagnostics(raw_html: str) -> str:
                     )
                 else:
                     seen[name] = val
+                    # class 9: attribute outside tidy's dictionary —
+                    # PROPRIETARY_ATTRIBUTE, checked once per kept
+                    # attribute (the lexer already dropped repeats), in
+                    # attribute order, reported in the attribute-check
+                    # phase like class 3
+                    if not (
+                        name in _KNOWN_ATTRS
+                        or name in _EVENT_ATTRS
+                        or name.startswith(_KNOWN_ATTR_PREFIXES)
+                    ):
+                        proprietary.append(
+                            (m.start(), f'<{tag}> proprietary attribute "{name}"')
+                        )
             # class 6: forms cannot nest — tidy discards the inner <form>
-            # start tag (content kept), DISCARDING_UNEXPECTED
+            # start tag (content kept), DISCARDING_UNEXPECTED; a discarded
+            # node never reaches the parser's attribute checks, so its
+            # proprietary/rel checks are skipped (lexer class-1 above ran)
             if tag == "form" and any(fr[0] == "form" for fr in stack):
                 parse_time.append((m.start(), 0, "discarding unexpected <form>"))
                 for fr in stack:
                     fr[4] = True  # the discarded tag is still content
                 continue
+            attr_checks.extend(proprietary)
             if tag == "link" and not has_rel:
                 attr_checks.append((m.start(), '<link> lacks "rel" attribute'))
             for fr in stack:  # a child start tag = content for every parent
@@ -498,6 +598,8 @@ def tidy_diagnostics(raw_html: str) -> str:
             if tag not in _VOID_TAGS and not selfclose:
                 stack.append([tag, m.start(), bool(attrs_raw.strip()), m.end(), False])
         else:
+            if head_close_anchor is None and tag == "head":
+                head_close_anchor = m.start()
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i][0] == tag:
                     fr = stack[i]
@@ -524,6 +626,19 @@ def tidy_diagnostics(raw_html: str) -> str:
                         p[4] = True
                     del stack[i:]
                     break
+
+    # class 10: no <title> element anywhere — tidy's head parser inserts
+    # an empty one (MISSING_TITLE_ELEMENT, "inserting missing 'title'
+    # element"), reported where the (implied) head CLOSES: the first of
+    # an explicit </head>, a <body> start tag, or any start tag that
+    # cannot live in head; a document whose tags are all head-context
+    # closes its head at EOF. Emitted only for documents containing at
+    # least one element tag (same anchor precondition as class 8); at a
+    # shared position it sorts after warnings appended during the pass
+    # (the parser inserts the title while HANDLING that token).
+    if first_tag_pos is not None and not saw_title:
+        anchor = head_close_anchor if head_close_anchor is not None else n
+        parse_time.append((anchor, 0, "inserting missing 'title' element"))
 
     # class 7 at EOF: elements still open when the document ends — tidy
     # reports missing required end tags at the end-of-file position
