@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "cut_lineage",
+    "cut_lineage_eager",
     "set_reliable_checkpoint_dir",
     "clear_reliable_checkpoint_dir",
     "reliable_checkpoint_dir",
@@ -81,3 +82,21 @@ def cut_lineage(df: DataFrame) -> DataFrame:
             _last_set = key
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
+
+
+def cut_lineage_eager(df: DataFrame) -> DataFrame:
+    """Eager variant of ``cut_lineage`` for loops that use the
+    checkpoint materialization itself as the round's ONLY action (r8:
+    alternating_components collects its convergence signature through
+    ``observe()`` metrics during this job, so a separate signature
+    action per round disappears). Same reliable-vs-local routing."""
+    global _last_set
+    d = reliable_checkpoint_dir()
+    if d:
+        sc = df.sparkSession.sparkContext
+        key = (sc.applicationId, d)
+        if key != _last_set or not sc._jsc.sc().getCheckpointDir().isDefined():
+            sc.setCheckpointDir(d)
+            _last_set = key
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from warcraider_spark.lineage import cut_lineage
+from warcraider_spark.lineage import cut_lineage, cut_lineage_eager
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table, table_row_count
 
@@ -343,96 +343,126 @@ def chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain.unionAll(bridge)
 
 
+def _sym(df: DataFrame) -> DataFrame:
+    """Both orientations of an (a, b) edge table in ONE read — an explode
+    of the two structs instead of a union of two scans, so upstream
+    subtrees are never executed twice and need no mid-round
+    materialization (r8, VERDICT r7 #5)."""
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("z")
+    ).select("z.u", "z.v")
+
+
 def alternating_components(
-    edges_df: DataFrame, max_rounds: int = 50, rounds_out: list | None = None
+    edges_df: DataFrame,
+    max_rounds: int = 50,
+    rounds_out: list | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """node → component (min node id) via alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14 — public algorithm, reimplemented).
 
-    Each half-round is one groupBy + one join on the node id:
-      large-star: every neighbor v > u re-attaches to m(u) = min(N(u)∪{u})
-      small-star: every neighbor v <= u attaches to m(u)
+    Each half-round is ONE shuffle (r8, VERDICT r7 #5): the
+    min-per-neighborhood m(u) = min(N(u) ∪ {u}) comes from a window over
+    partitionBy(u) instead of the r7 groupBy+join pair, and each
+    intermediate edge table is read exactly once via the ``_sym``
+    explode — so the large-star half needs no mid-round lineage cut.
+      large-star: every neighbor v > u re-attaches to m(u)
+      small-star: every neighbor v <= u attaches to m(u), plus (u, m(u))
+        emitted on the window's min row (duplicate emissions from tied
+        min rows are cleaned by the round-end distinct)
     The edge set contracts toward stars centered at component minima in
     O(log n) rounds REGARDLESS of diameter — the property bounded label
     propagation lacks. Convergence is detected by an order-free edge-set
-    checksum (count + sum of pair hashes): one tiny action per round,
-    exactly the driver-side iteration contract of q117/q160 (state is
-    O(|edges|), lineage cut per round with localCheckpoint).
-    """
-    # canonical undirected set, no self-loops
-    e0 = (
-        edges_df.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-        # persist, not cut_lineage: the canonical edge set feeds both
-        # sides of round 1's sym union; persist is lazy — plan
-        # construction launches zero Spark jobs (VERDICT r6 #8; under
-        # AQE even a lazy localCheckpoint executes its stages at build
-        # time) — and round 1's first action materializes it once.
-        .persist()
-    )
-    e = e0
+    checksum (count + XOR of pair hashes) collected via ``observe()``
+    metrics DURING the round-end eager lineage cut — the checkpoint
+    materialization is the round's only action (state O(|edges|),
+    reliable-checkpoint routing as in q117/q160).
+
+    ``assume_canonical``: the caller guarantees edges are already
+    self-loop-free, deduped, and src < dst (true for q130's constructed
+    chain edges), skipping the initial canonicalization shuffle. The
+    window shape is scale-safe: partitionBy(u) is the same hash shuffle
+    the groupBy took, with no per-partition sort (the min window is
+    unbounded and the (u, m) emission keys on v == min, not row_number).
+    No persist handles remain (the r7 initial-edge persist died with the
+    union-of-two-reads it served — ADVICE r7 #3 moot here)."""
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    if assume_canonical:
+        e = edges_df.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        # canonical undirected set, no self-loops; read once by round 1
+        e = (
+            edges_df.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .distinct()
+        )
+    w = Window.partitionBy("u")
     prev_sig = None
     for _ in range(max_rounds):
-        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        # large-star: (v, m(u)) for v > u — one window shuffle
+        t = _sym(e).select(
+            "u", "v", F.least(F.col("u"), F.min("v").over(w)).alias("m")
         )
-        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
-            "u", F.least("u", "mv").alias("m")
-        )
-        # large-star: (v, m(u)) for v > u
         ls = (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
+            t.filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
         )
-        # No mid-round distinct: small-star's min aggregation is
-        # duplicate-insensitive and the round-end distinct canonicalizes,
-        # so deduping here buys nothing the next groupBy's map-side
-        # combine doesn't already do — while costing a full extra shuffle
-        # per round. Duplicate inflation is bounded (each large-star
-        # input row emits at most one edge, so ≤ 2|e| rows flow into the
-        # small-star half). The lineage cut stays: the sym union below
-        # reads e TWICE, and without a materialization both union sides
-        # would re-execute the large-star groupBy+join subtree.
-        e = ls.filter(F.col("a") != F.col("b")).transform(cut_lineage)
-
-        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        # small-star: (v, m(u)) for v < u, plus one (u, m(u)) per u —
+        # one window shuffle, single read of ls (no mid-round cut needed)
+        t2 = _sym(ls).select(
+            "u",
+            "v",
+            F.min("v").over(w).alias("mv"),
+            F.least(F.col("u"), F.min("v").over(w)).alias("m"),
         )
-        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
-            "u", F.least("u", "mv").alias("m")
-        )
-        # small-star: (v, m(u)) for v <= u, plus (u, m(u))
         ss = (
-            sym.join(m, "u")
-            .filter(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("x"), F.col("m"))
-            .unionAll(m.select(F.col("u").alias("x"), F.col("m")))
+            t2.select(
+                F.explode(
+                    F.array(
+                        F.when(
+                            F.col("v") < F.col("u"),
+                            F.struct(F.col("v").alias("x"), F.col("m")),
+                        ),
+                        F.when(
+                            F.col("v") == F.col("mv"),
+                            F.struct(F.col("u").alias("x"), F.col("m")),
+                        ),
+                    )
+                ).alias("z")
+            )
+            .filter(F.col("z").isNotNull())
+            .select(F.col("z.x").alias("x"), F.col("z.m").alias("m"))
             .filter(F.col("x") != F.col("m"))
             .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
         )
-        e = ss.distinct().transform(cut_lineage)
-
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # XOR-fold, not SUM: order-free and cannot overflow int64
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]
-        cur = (sig["n"], sig["h"])
+        obs = Observation()
+        e = cut_lineage_eager(
+            ss.distinct().observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # XOR-fold, not SUM: order-free and cannot overflow int64
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            )
+        )
+        got = obs.get
+        cur = (got["n"], got["h"])
         if rounds_out is not None:
             rounds_out.append(cur)
         if cur == prev_sig:
             break
         prev_sig = cur
-
-    # ADVICE r7 #3: this operator OWNS its lifecycle — the loop's first
-    # signature action materialized round 1 past its cut_lineage, so the
-    # surviving `e` no longer references the initial persisted edge set;
-    # release it rather than leaking one cached copy per build into the
-    # bench/driver loops (ContextCleaner would only reclaim it at GC).
-    e0.unpersist(blocking=False)
 
     # stars: every edge is (component_min, member); isolated minima are
     # their own component
@@ -480,12 +510,16 @@ def q130_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     found exactly the true components — including that bridged chains
     merged and unbridged ones did not (min_rows guards vacuity).
 
-    100 TB shape: each half-round is one groupBy(min) + one equi-join on
-    the node id (uniform key), edge set only contracts, lineage cut per
-    round; rounds grow with log(n), not diameter. Convergence costs one
-    count+checksum action per round. tests/test_graph_components.py pins
-    the round count at ~O(log n) << diameter."""
-    comp = alternating_components(chain_edges(spark, sf_dir))
+    100 TB shape: each half-round is ONE window shuffle on the node id
+    (uniform key, no per-partition sort), edge set only contracts, one
+    eager lineage cut per round whose materialization doubles as the
+    convergence-checksum action (observe() metrics — r8, VERDICT r7 #5);
+    rounds grow with log(n), not diameter. chain_edges emits src < dst,
+    deduped, self-loop-free BY CONSTRUCTION (consecutive/bridge doc_ids),
+    so the initial canonicalization shuffle is skipped
+    (assume_canonical). tests/test_graph_components.py pins the round
+    count at ~O(log n) << diameter."""
+    comp = alternating_components(chain_edges(spark, sf_dir), assume_canonical=True)
     return (
         comp.groupBy(F.col("comp").alias("component_id"))
         .agg(
