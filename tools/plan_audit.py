@@ -98,6 +98,10 @@ KNOWN_OK_PAIRS = {
     ("q150_concat_chunk_blocks", "broadcast of unbounded aggregate"),
     ("q110_sparse_dot_topk", "broadcast of unbounded aggregate"),
     ("q105_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
+    # q107: GK estimate table broadcast back over lineitem for the
+    # in-plan rank-window verification — bounded at the l_returnflag
+    # domain (3 values) by construction (r8, same shape as q105)
+    ("q107_approx_quantiles", "broadcast of unbounded aggregate"),
 }
 
 

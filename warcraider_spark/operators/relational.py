@@ -1813,39 +1813,63 @@ def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certification (VERDICT r7 #3): GK sketch values are engine-specific
     (DuckDB has no GK), so they never cross engines; the driver
     hash-certifies the DETERMINISTIC error-bound companion computed
-    in-plan — GK at accuracy=10000 guarantees rank error ≤ n/10000, so
-    each approx value must lie between the exact interpolated
-    percentiles at p ∓ 2/10000 (the 2× slack absorbs the ±1-rank
-    interpolation straddle); the sketch is deterministic (no RNG), so
-    the booleans are stable TRUEs the oracle pins as literals. q002
-    carries the exact-percentile burden."""
-    eps = 2.0 / 10000
-    li = _t(spark, sf_dir, "lineitem")
+    in-plan — GK at accuracy=10000 guarantees the returned element's
+    rank is within n/10000 of the target, so the verification pass
+    broadcasts the 3-row estimate table back over lineitem and checks
+    each estimate's exact rank window [frac(<), frac(<=)] against the
+    target ± (1/accuracy + 2/n) (the 2/n absorbs rank discreteness —
+    an interpolated-percentile window would be narrower than one rank
+    at small n). The sketch is deterministic (no RNG), so the booleans
+    are stable TRUEs the oracle pins as literals. q002 carries the
+    exact-percentile burden.
+
+    Scale shape: two lineitem scans (sketch pass + verification pass),
+    one broadcast of an estimate table bounded at the l_returnflag
+    domain (3 values) by construction — plan-audit pair-exempted like
+    the other bounded grand-aggregate broadcasts (q105's shape)."""
+    est = gk_price_quantiles(spark, sf_dir).select(
+        "l_returnflag",
+        "n",
+        F.element_at("ap", 1).alias("m50"),
+        F.element_at("ap", 2).alias("m95"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    eps = F.lit(1.0 / 10000) + F.lit(2.0) / F.col("n")
     return (
-        li.groupBy("l_returnflag")
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "n", "m50", "m95")
         .agg(
-            F.percentile_approx(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
-            ).alias("ap"),
-            F.expr(
-                "percentile(l_extendedprice, "
-                f"array({0.5 - eps}D, {0.5 + eps}D, {0.95 - eps}D, {0.95 + eps}D))"
-            ).alias("bound"),
-            F.count(F.lit(1)).alias("n"),
+            F.avg((F.col("l_extendedprice") < F.col("m50")).cast("double")).alias("lt50"),
+            F.avg((F.col("l_extendedprice") <= F.col("m50")).cast("double")).alias("le50"),
+            F.avg((F.col("l_extendedprice") < F.col("m95")).cast("double")).alias("lt95"),
+            F.avg((F.col("l_extendedprice") <= F.col("m95")).cast("double")).alias("le95"),
         )
         .select(
             "l_returnflag",
             "n",
-            (
-                (F.element_at("ap", 1) >= F.element_at("bound", 1))
-                & (F.element_at("ap", 1) <= F.element_at("bound", 2))
-            ).alias("median_in_bound"),
-            (
-                (F.element_at("ap", 2) >= F.element_at("bound", 3))
-                & (F.element_at("ap", 2) <= F.element_at("bound", 4))
-            ).alias("p95_in_bound"),
+            ((F.col("lt50") <= 0.5 + eps) & (F.col("le50") >= 0.5 - eps)).alias(
+                "median_in_bound"
+            ),
+            ((F.col("lt95") <= 0.95 + eps) & (F.col("le95") >= 0.95 - eps)).alias(
+                "p95_in_bound"
+            ),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's sketch pass, factored so tests can tighten the screw: per
+    l_returnflag, the GK approx [p50, p95] (`ap`), the EXACT interpolated
+    [p50, p95] (`exact` — unused by q107 itself, Catalyst prunes it from
+    the query's physical plan), and the exact row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("exact"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

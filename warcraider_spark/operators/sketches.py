@@ -119,6 +119,44 @@ def q012_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KLL_SLACK = 0.10  # ~4x the published k=200 99%-confidence rank error
 
 
+def _kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _keyed_events(spark, sf_dir)
+    return d.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type", "value"
+    )
+
+
+def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q105's sketch pass, factored so tests can tighten the screw: the
+    3-row (view / purchase / merged view+purchase) estimate table with
+    exact n, the p50/p95 quantile estimates, and the rank estimate of
+    the literal value 50.0."""
+    d = _keyed_events(spark, sf_dir)
+    vp = _kll_events(spark, sf_dir)
+    per = vp.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("ks"))
+    # kll_sketch_merge_* is the SCALAR two-sketch merge (no merge-agg exists
+    # for KLL): build view+purchase sketches in one conditional-agg pass,
+    # merge them into a combined sketch — the cross-partition rollup shape
+    merged = d.agg(
+        F.kll_sketch_agg_double(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("kv"),
+        F.kll_sketch_agg_double(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("kp"),
+    ).select(
+        F.lit("view+purchase").alias("event_type"),
+        F.kll_sketch_merge_double("kv", "kp").alias("ks"),
+    )
+    return per.unionAll(merged).select(
+        "event_type",
+        F.kll_sketch_get_n_double("ks").alias("n"),
+        F.kll_sketch_get_quantile_double("ks", F.lit(0.5)).alias("p50v"),
+        F.kll_sketch_get_quantile_double("ks", F.lit(0.95)).alias("p95v"),
+        F.kll_sketch_get_rank_double("ks", F.lit(50.0)).alias("r50"),
+    )
+
+
 @query(
     "q105_sketch_kll_quantiles",
     oracle="""
@@ -156,33 +194,9 @@ def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of a 3-row-by-construction estimate table (groupBy over
     the two filtered event types + one merged row) — plan-audit
     pair-exempted like the other bounded grand-aggregate broadcasts."""
-    d = _keyed_events(spark, sf_dir)
-    vp = d.filter(F.col("event_type").isin("view", "purchase")).select(
-        "event_type", "value"
-    )
-    per = vp.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("ks"))
-    # kll_sketch_merge_* is the SCALAR two-sketch merge (no merge-agg exists
-    # for KLL): build view+purchase sketches in one conditional-agg pass,
-    # merge them into a combined sketch — the cross-partition rollup shape
-    merged = d.agg(
-        F.kll_sketch_agg_double(
-            F.when(F.col("event_type") == "view", F.col("value"))
-        ).alias("kv"),
-        F.kll_sketch_agg_double(
-            F.when(F.col("event_type") == "purchase", F.col("value"))
-        ).alias("kp"),
-    ).select(
-        F.lit("view+purchase").alias("event_type"),
-        F.kll_sketch_merge_double("kv", "kp").alias("ks"),
-    )
-    est = per.unionAll(merged).select(
-        "event_type",
-        F.kll_sketch_get_n_double("ks").alias("n"),
-        F.kll_sketch_get_quantile_double("ks", F.lit(0.5)).alias("p50v"),
-        F.kll_sketch_get_quantile_double("ks", F.lit(0.95)).alias("p95v"),
-        F.kll_sketch_get_rank_double("ks", F.lit(50.0)).alias("r50"),
-    )
+    est = kll_event_estimates(spark, sf_dir)
     # verification pass: exact rank windows of each estimate, one shuffle
+    vp = _kll_events(spark, sf_dir)
     ev2 = vp.unionAll(
         vp.select(F.lit("view+purchase").alias("event_type"), "value")
     ).filter(F.col("value").isNotNull())
