@@ -69,9 +69,9 @@ def main() -> None:
         "q103_cosine_topk_bruteforce",
         "q119_tumbling_window",
         "q156_rake_keywords",
-        "q051_pricing_summary",
-        "q055_star_join_revenue",
-        "q060_topk_per_group",
+        "q001_pricing_summary",
+        "q005_star_join_revenue",
+        "q010_topk_per_group",
         "q080_token_stats",
     ]
     comparable_total = round(sum(timings[q] for q in comparable if q in timings), 3)

@@ -141,7 +141,7 @@ def test_name_keyed_lists_reference_live_names():
 def test_exemption_is_per_flag():
     """A pair-exempted query is still flagged for a DIFFERENT risky shape."""
     row = {
-        "query": "q100_decile_distribution",  # exempt for unpartitioned window
+        "query": "q031_decile_distribution",  # exempt for unpartitioned window
         "cartesian": 1,  # ...but not for a cartesian
         "bnlj": 0,
         "unpart_win": 1,

@@ -31,10 +31,10 @@ def plan_of(df) -> str:
 
 
 def test_star_join_broadcasts_dims(spark):
-    """q055: all dimension joins must be broadcast-hash — a sort-merge join
+    """q005: all dimension joins must be broadcast-hash — a sort-merge join
     against `region`/`nation` at 100 TB would shuffle the fact table once
     per dimension."""
-    df = all_specs()["q055_star_join_revenue"].builder(spark, SF_CORRECT)
+    df = all_specs()["q005_star_join_revenue"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -60,7 +60,7 @@ def test_filter_and_projection_reach_scan(spark):
 def test_aggregate_is_partial_final(spark):
     """groupBy aggs must be two-phase (map-side combine): the shuffle
     carries one row per (partition, key), not one per input row."""
-    df = all_specs()["q051_pricing_summary"].builder(spark, SF_CORRECT)
+    df = all_specs()["q001_pricing_summary"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
 
@@ -162,9 +162,9 @@ def test_minhash_signature_single_tokenize(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    """q062: global top-k must compile to TakeOrderedAndProject (per-
+    """q012: global top-k must compile to TakeOrderedAndProject (per-
     partition heap + single merge), never a full Sort + Limit."""
-    df = all_specs()["q062_global_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q012_global_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
 
@@ -210,7 +210,7 @@ def test_salting_spreads_hot_key_across_partitions(spark):
 
 
 def test_approx_quantile_error_bound(spark):
-    """q107: the GK sketch at accuracy 10000 must stay within 1% of the
+    """q036: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF (rank error ≤ n/accuracy — tighter than
     the query's own in-plan rank-window verdicts, checked against the
     factored sketch pass), and the certified verdict booleans must all
@@ -222,15 +222,15 @@ def test_approx_quantile_error_bound(spark):
     for r in rows:
         assert abs(r.ap[0] - r.exact[0]) / r.exact[0] < 0.01
         assert abs(r.ap[1] - r.exact[1]) / r.exact[1] < 0.01
-    verdicts = all_specs()["q107_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q036_approx_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.median_in_bound and v.p95_in_bound for v in verdicts)
 
 
 def test_asof_join_single_shuffle(spark):
-    """q101: the union+window as-of composition must shuffle ONCE on
+    """q032: the union+window as-of composition must shuffle ONCE on
     user_id before the final presentation sort — never the range-join
     explosion a non-equi formulation would plan."""
-    df = all_specs()["q101_asof_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q032_asof_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan, "as-of must compile to window+union, not a join"
     # exchanges: one hashpartitioning(user_id) for the window, one range
@@ -272,9 +272,9 @@ def test_two_stage_rerank_broadcasts_queries(spark):
 
 
 def test_contamination_broadcasts_benchmark(spark):
-    """q016: the benchmark shingle set must broadcast so the corpus-side
+    """q066: the benchmark shingle set must broadcast so the corpus-side
     shingles never shuffle for the join (the corpus is the 100 TB side)."""
-    df = all_specs()["q016_benchmark_contamination"].builder(spark, SF_CORRECT)
+    df = all_specs()["q066_benchmark_contamination"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -292,20 +292,20 @@ def test_sketch_aggs_are_partial_final(spark):
 
 
 def test_mixture_weights_broadcast(spark):
-    """q111: the weight recipe joins as a broadcast and the keep decision
+    """q037: the weight recipe joins as a broadcast and the keep decision
     stays a map-side expression (no shuffle before the accounting agg)."""
-    df = all_specs()["q111_weighted_mixture"].builder(spark, SF_CORRECT)
+    df = all_specs()["q037_weighted_mixture"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_dim_profile_shuffle_is_bounded(spark):
-    """q017: the per-dimension profile must partial-aggregate before its
+    """q067: the per-dimension profile must partial-aggregate before its
     single exchange — the shuffle key domain is the embedding width, so
     the exchange moves ~dims rows per input partition no matter the
     corpus size."""
-    df = all_specs()["q017_embedding_dim_profile"].builder(spark, SF_CORRECT)
+    df = all_specs()["q067_embedding_dim_profile"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
     # exactly one agg shuffle + the orderBy range exchange, nothing else
@@ -314,10 +314,10 @@ def test_dim_profile_shuffle_is_bounded(spark):
 
 
 def test_lm_score_vocab_is_broadcast(spark):
-    """q018: the vocabulary-size scalar must ride a broadcast nested-loop
+    """q068: the vocabulary-size scalar must ride a broadcast nested-loop
     cross join — a shuffled cross join against a 1-row side would
     repartition the full scored-bigram stream."""
-    df = all_specs()["q018_lm_score"].builder(spark, SF_CORRECT)
+    df = all_specs()["q068_lm_score"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
@@ -353,10 +353,10 @@ def test_kmeans_broadcasts_centroids(spark):
 
 
 def test_rollup_layers_reaggregate_partials(spark):
-    """q124: the daily layer's input must be the hourly AGGREGATE, not raw
+    """q041: the daily layer's input must be the hourly AGGREGATE, not raw
     events — three stacked partial+final agg pairs over ONE scan.
     (explain('formatted') prints each node twice: tree + details.)"""
-    df = all_specs()["q124_rollup_layers"].builder(spark, SF_CORRECT)
+    df = all_specs()["q041_rollup_layers"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 2  # one scan node
     assert plan.count("HashAggregate") >= 12  # >= 6 nodes: 3 layers x 2 phases
@@ -392,11 +392,11 @@ def test_duplicate_spans_single_shuffle_topk(spark):
 
 
 def test_token_budget_window_is_partitioned(spark):
-    """q023: the corpus-side cumulative sum must run under a PARTITIONED
+    """q073: the corpus-side cumulative sum must run under a PARTITIONED
     window (bucketed prefix-sum) — the only orderBy-without-partitionBy
     windows allowed are over the ~21-row bucket summary. A global window
     over the document table is a single-partition non-starter at 100 TB."""
-    df = all_specs()["q023_token_budget_select"].builder(spark, SF_CORRECT)
+    df = all_specs()["q073_token_budget_select"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
@@ -415,11 +415,11 @@ def test_triangle_count_no_cartesian(spark):
 
 
 def test_interval_join_is_equi_not_nested_loop(spark):
-    """q025: the interval join must be an EQUI hash join on the bin key —
+    """q076: the interval join must be an EQUI hash join on the bin key —
     a pure range predicate plans as BroadcastNestedLoopJoin (O(n·m)
     compares), which is exactly what the binned rewrite exists to kill.
     Every join in the plan must be hash-based."""
-    df = all_specs()["q025_interval_bin_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q076_interval_bin_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -476,28 +476,28 @@ def test_merge_upsert_base_never_shuffles(spark):
 
 
 def test_corpus_shard_window_is_partitioned(spark):
-    """q036: the position window must be PARTITIONED BY shard — a global
+    """q107: the position window must be PARTITIONED BY shard — a global
     row_number() OVER (ORDER BY hash) would funnel the whole corpus
     through one reducer."""
-    df = all_specs()["q036_corpus_shard"].builder(spark, SF_CORRECT)
+    df = all_specs()["q107_corpus_shard"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     # the Window operator spec must carry a partition spec on `shard`
     assert "windowspecdefinition(shard" in plan, "position window is not partitioned by shard"
 
 
 def test_skyline_local_pass_is_bucket_partitioned(spark):
-    """q038: the first (full-data) skyline pass must run per hash-bucket;
+    """q113: the first (full-data) skyline pass must run per hash-bucket;
     only survivors may enter the unpartitioned global window."""
-    df = all_specs()["q038_skyline_docs"].builder(spark, SF_CORRECT)
+    df = all_specs()["q113_skyline_docs"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "bucket" in plan, "local skyline pass lost its bucket partitioning"
 
 
 def test_concat_chunk_corpus_window_is_bucketed(spark):
-    """q150: the corpus-side cumsum window must be PARTITIONED BY bucket —
+    """q046: the corpus-side cumsum window must be PARTITIONED BY bucket —
     the only unpartitioned window allowed is the one over the ~|buckets|
     summary table."""
-    df = all_specs()["q150_concat_chunk_blocks"].builder(spark, SF_CORRECT)
+    df = all_specs()["q046_concat_chunk_blocks"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan, (
         "corpus cumsum window lost its bucket partitioning"
@@ -546,11 +546,11 @@ def test_simhash_radius_band_join_is_equi(spark):
 
 
 def test_containment_join_broadcasts_query_terms(spark):
-    """q049: the query-term list must ride a broadcast join onto the
+    """q171: the query-term list must ride a broadcast join onto the
     exploded postings — a shuffle of the corpus postings keyed by the tiny
     query set would serialize on a handful of term keys at scale. No
     cartesian anywhere."""
-    df = all_specs()["q049_set_containment_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q171_set_containment_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -587,7 +587,7 @@ def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
 
 
 def test_approx_distinct_error_bound(spark):
-    """q076: HLL++ at rsd=0.01 must land within 3 standard deviations
+    """q025: HLL++ at rsd=0.01 must land within 3 standard deviations
     (3%) of the exact distinct count per group — tighter than the
     query's certified 5σ verdict, which must also be all-TRUE."""
     from warcraider_spark.tables import load_table
@@ -604,12 +604,12 @@ def test_approx_distinct_error_bound(spark):
     assert raw
     for r in raw:
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.03, r
-    verdicts = all_specs()["q076_approx_distinct"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q025_approx_distinct"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.within_5pct for v in verdicts)
 
 
 def test_kll_quantile_error_bound(spark):
-    """q105: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
+    """q034: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
     ≈ 1.2%; assert each reported quantile's TRUE rank among the exact
     values is within 2% of the requested rank — the sketch's actual
     contract, checked without fixing its randomized internals."""
@@ -642,7 +642,7 @@ def test_kll_quantile_error_bound(spark):
             checked += 1
     assert checked >= 4
     # the certified in-plan verdicts (10% slack) must also be all-TRUE
-    verdicts = all_specs()["q105_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q034_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(
         v.p50_in_bound and v.p95_in_bound and v.rank50_in_bound for v in verdicts
     )
@@ -662,18 +662,18 @@ BUILD_TIME_EXECUTION_OK = {
     "q130_connected_components": "large/small-star loop, data-dependent convergence check",
     "q146_bpe_merge_train": "per-round best-pair selection is data-dependent",
     "q160_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
-    "q027_bpe_encode": "replays the q146 merge-train loop to build the vocab",
-    "q028_pq_encode": "per-subspace k-means loops (q160 contract)",
-    "q032_semantic_dedup": "k-means clustering loop (q160 contract)",
+    "q096_bpe_encode": "replays the q146 merge-train loop to build the vocab",
+    "q097_pq_encode": "per-subspace k-means loops (q160 contract)",
+    "q101_semantic_dedup": "k-means clustering loop (q160 contract)",
     "q142_dedup_clusters": "connected-components loop (q130 contract)",
-    "q042_perceptron_train": "per-epoch gradient rounds with lineage cuts",
+    "q125_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
     "q127_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
-    "q013_stream_stream_join": "executes a stream-stream join replay",
+    "q063_stream_stream_join": "executes a stream-stream join replay",
     "q179_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
-    "q106_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
-    "q041_crosstab": "df.stat.crosstab computes its pivot eagerly",
+    "q035_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
+    "q124_crosstab": "df.stat.crosstab computes its pivot eagerly",
 }
 
 

@@ -50,23 +50,23 @@ KNOWN_OK_PAIRS = {
     ("q112_ivf_topk_search", "BroadcastNestedLoopJoin"),
     ("q116_link_degrees", "BroadcastNestedLoopJoin"),
     ("q184_two_stage_rerank", "BroadcastNestedLoopJoin"),
-    ("q074_having_avg_subquery", "BroadcastNestedLoopJoin"),
-    ("q100_decile_distribution", "unpartitioned window"),
-    ("q018_lm_score", "BroadcastNestedLoopJoin"),
-    ("q019_gapfill_locf", "BroadcastNestedLoopJoin"),
-    ("q023_token_budget_select", "BroadcastNestedLoopJoin"),
-    ("q023_token_budget_select", "unpartitioned window"),
+    ("q024_having_avg_subquery", "BroadcastNestedLoopJoin"),
+    ("q031_decile_distribution", "unpartitioned window"),
+    ("q068_lm_score", "BroadcastNestedLoopJoin"),
+    ("q069_gapfill_locf", "BroadcastNestedLoopJoin"),
+    ("q073_token_budget_select", "BroadcastNestedLoopJoin"),
+    ("q073_token_budget_select", "unpartitioned window"),
     ("q090_triangle_count", "BroadcastNestedLoopJoin"),
-    ("q026_span_excision", "BroadcastNestedLoopJoin"),
-    ("q133_zorder_layout", "BroadcastNestedLoopJoin"),
-    ("q134_key_skew_profile", "BroadcastNestedLoopJoin"),
-    ("q030_inverted_index", "BroadcastNestedLoopJoin"),
+    ("q077_span_excision", "BroadcastNestedLoopJoin"),
+    ("q043_zorder_layout", "BroadcastNestedLoopJoin"),
+    ("q044_key_skew_profile", "BroadcastNestedLoopJoin"),
+    ("q099_inverted_index", "BroadcastNestedLoopJoin"),
     ("q093_heavy_hitters", "BroadcastNestedLoopJoin"),
-    ("q038_skyline_docs", "unpartitioned window"),
-    ("q150_concat_chunk_blocks", "unpartitioned window"),
-    ("q040_quantified_subqueries", "BroadcastNestedLoopJoin"),
-    ("q042_perceptron_train", "BroadcastNestedLoopJoin"),
-    ("q046_dormant_rich_customers", "BroadcastNestedLoopJoin"),
+    ("q113_skyline_docs", "unpartitioned window"),
+    ("q046_concat_chunk_blocks", "unpartitioned window"),
+    ("q121_quantified_subqueries", "BroadcastNestedLoopJoin"),
+    ("q125_perceptron_train", "BroadcastNestedLoopJoin"),
+    ("q150_dormant_rich_customers", "BroadcastNestedLoopJoin"),
     ("q144_split_leakage", "BroadcastNestedLoopJoin"),
     # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
     # EXACTLY one row by construction; the 1-row broadcast cross join
@@ -76,32 +76,32 @@ KNOWN_OK_PAIRS = {
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
     # fixed k centroids (q109/q112), fixed bloom word count m/64 (q140),
     # fixed d*w count-min table (q181), <=21 score buckets — score is
-    # milli-scaled in [0,1e6] div 50000 (q023), ingest-batch-sized
+    # milli-scaled in [0,1e6] div 50000 (q073), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
-    # (q024), 100-row interval dimension (q025), bucket-summary prefix
-    # sums sized by bucketing policy (q150 — same justification as its
+    # (q074), 100-row interval dimension (q076), bucket-summary prefix
+    # sums sized by bucketing policy (q046 — same justification as its
     # unpartitioned-window exemption), fixed probe/query set (q110),
     # 3-rows-by-construction KLL estimate table — groupBy over the two
     # filtered event types plus one merged row — broadcast back over the
-    # events for the in-plan error-bound verification (q105, r8).
+    # events for the in-plan error-bound verification (q034, r8).
     # Data-coupled hints were FIXED instead, not exempted: q117 out-
     # degrees folded into the rank table, q148 marginals via shuffle
-    # joins, q128 hot-shingle anti-join and q035 per-source bounds left
+    # joins, q128 hot-shingle anti-join and q106 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
     ("q109_ivf_assign", "broadcast of unbounded aggregate"),
     ("q112_ivf_topk_search", "broadcast of unbounded aggregate"),
     ("q140_bloom_dedup_probe", "broadcast of unbounded aggregate"),
     ("q181_countmin_freq", "broadcast of unbounded aggregate"),
-    ("q023_token_budget_select", "broadcast of unbounded aggregate"),
-    ("q024_incremental_dedup", "broadcast of unbounded aggregate"),
-    ("q025_interval_bin_join", "broadcast of unbounded aggregate"),
-    ("q150_concat_chunk_blocks", "broadcast of unbounded aggregate"),
+    ("q073_token_budget_select", "broadcast of unbounded aggregate"),
+    ("q074_incremental_dedup", "broadcast of unbounded aggregate"),
+    ("q076_interval_bin_join", "broadcast of unbounded aggregate"),
+    ("q046_concat_chunk_blocks", "broadcast of unbounded aggregate"),
     ("q110_sparse_dot_topk", "broadcast of unbounded aggregate"),
-    ("q105_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
-    # q107: GK estimate table broadcast back over lineitem for the
+    ("q034_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
+    # q036: GK estimate table broadcast back over lineitem for the
     # in-plan rank-window verification — bounded at the l_returnflag
-    # domain (3 values) by construction (r8, same shape as q105)
-    ("q107_approx_quantiles", "broadcast of unbounded aggregate"),
+    # domain (3 values) by construction (r8, same shape as q034)
+    ("q036_approx_quantiles", "broadcast of unbounded aggregate"),
 }
 
 

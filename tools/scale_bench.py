@@ -27,7 +27,7 @@ QUERIES = [
     "q086_exact_dedup_groups",
     "q088_minhash_lsh_pairs",
     "q093_heavy_hitters",
-    "q039_line_dedup",
+    "q115_line_dedup",
     "q092_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
@@ -51,7 +51,7 @@ QUERIES = [
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
-    "q159_cdc_chunk_dedup",
+    "q048_cdc_chunk_dedup",
 ]
 
 

@@ -10,19 +10,19 @@ Scale notes (the reason each query is shaped the way it is):
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
-- **stratified sample** (q034): rank-within-stratum over a portable hash →
+- **stratified sample** (q105): rank-within-stratum over a portable hash →
   one shuffle on the stratum key. A mega-stratum (one language = 40 % of
   the corpus) makes that window a hot partition; the fix at scale is the
-  q023 distributed-prefix-sum shape (hash-bucket within stratum, offsets
+  q073 distributed-prefix-sum shape (hash-bucket within stratum, offsets
   from the per-bucket summary). At driver SF the direct window is right.
-- **winsorize** (q035): exact per-group percentiles are a two-phase
+- **winsorize** (q106): exact per-group percentiles are a two-phase
   ObjectHashAggregate; the ~|groups| bounds table re-joins as a broadcast,
   so the fact side never shuffles for the clamp pass.
-- **corpus shard** (q036): shard = hash % N gives uniform partitions by
+- **corpus shard** (q107): shard = hash % N gives uniform partitions by
   construction; position = row_number PARTITIONED BY shard, so no global
   single-partition sort anywhere (the classic mistake is
   row_number() OVER (ORDER BY hash) — one reducer for the whole corpus).
-- **skyline** (q038): dominance is checked per hash-bucket first (local
+- **skyline** (q113): dominance is checked per hash-bucket first (local
   skyline), and only the surviving points — O(skyline) ≪ n — enter the
   global pass, so the unpartitioned window touches a tiny set. The naive
   all-pairs NOT EXISTS (which the DuckDB oracle deliberately uses as an
@@ -119,7 +119,7 @@ def q158_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q034_stratified_sample",
+    "q105_stratified_sample",
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, lang,
@@ -134,13 +134,13 @@ SELECT doc_id, lang, rk FROM ranked WHERE rk <= CAST(CEIL(n * 0.2) AS BIGINT)
 """,
     tags=("curation", "sampling", "window"),
 )
-def q034_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q105_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 20 % stratified sample per language: rank docs inside each
     stratum by a portable md5-derived hash (reproducible across engines and
     runs — .sample() is not) and keep rk <= ceil(0.2 * |stratum|).
 
     One shuffle, on the stratum key. For a mega-stratum the window becomes
-    a hot partition; the scale-out fix is the q023 distributed-prefix-sum
+    a hot partition; the scale-out fix is the q073 distributed-prefix-sum
     shape (hash-bucket within stratum, per-bucket offsets). At driver SF
     the direct window is the right plan.
     """
@@ -162,7 +162,7 @@ def q034_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_winsorize",
+    "q106_winsorize",
     oracle="""
 WITH bounds AS (
   SELECT source,
@@ -183,7 +183,7 @@ ORDER BY d.source
 """,
     tags=("curation", "percentile", "aggregate"),
 )
-def q035_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q106_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize document lengths per source at exact p05/p95: clamp
     outliers to the percentile bounds and report clip counts + the
     winsorized mean.
@@ -230,7 +230,7 @@ N_SHARDS = 8
 
 
 @query(
-    "q036_corpus_shard",
+    "q107_corpus_shard",
     oracle=f"""
 WITH hashed AS (
   SELECT doc_id, {md5_int_sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents
@@ -242,7 +242,7 @@ FROM hashed
 """,
     tags=("curation", "shuffle", "window"),
 )
-def q036_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + shard assignment: every doc lands in
     shard = hash % N with a reproducible position inside its shard — the
     write-side layout step before training-data export.
@@ -265,7 +265,7 @@ def q036_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q037_nullsafe_join",
+    "q111_nullsafe_join",
     oracle="""
 WITH a AS (
   SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
@@ -282,7 +282,7 @@ GROUP BY 1
 """,
     tags=("curation", "join", "null"),
 )
-def q037_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
     match each other instead of vanishing — the semantics MERGE/dedup
     pipelines need when the join key is nullable.
@@ -325,7 +325,7 @@ WHERE cnt >= 0.005 * total
 def q093_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q012/q105 surface).
+    pipeline (the sketch-based approximate twin is the q062/q034 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -375,7 +375,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
 
 
 @query(
-    "q038_skyline_docs",
+    "q113_skyline_docs",
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
@@ -390,7 +390,7 @@ WHERE NOT EXISTS (
 """,
     tags=("curation", "skyline", "window"),
 )
-def q038_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q113_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) of documents over (length, vocabulary
     richness): docs where no other doc is ≥ on both axes and > on one —
     the multi-criteria "keep the best exemplars" selection step.
@@ -422,7 +422,7 @@ CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
 
 
 @query(
-    "q150_concat_chunk_blocks",
+    "q046_concat_chunk_blocks",
     oracle=f"""
 WITH wcs AS (
   SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS wc FROM documents
@@ -451,7 +451,7 @@ FROM blocks GROUP BY block_id
 """,
     tags=("curation", "packing", "prefix-sum"),
 )
-def q150_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
     CROSS document boundaries (the complement of q182's pack-without-
@@ -459,11 +459,11 @@ def q150_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (== 512 for every interior block).
 
     The global token offset of each doc is a distributed prefix-sum (the
-    q023 shape): per-bucket totals → bucket offsets via a window over the
+    q073 shape): per-bucket totals → bucket offsets via a window over the
     ~|buckets| summary only → within-bucket cumsum PARTITIONED BY bucket.
     No unpartitioned window ever touches the corpus. Doc→block assignment
     explodes each doc into only the blocks it overlaps (interval→bin, the
-    q025 pattern), then one groupBy on the uniform block key.
+    q076 pattern), then one groupBy on the uniform block key.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wcs = docs.select(
@@ -550,11 +550,11 @@ FROM f, {last}
 
 
 @query(
-    "q042_perceptron_train",
+    "q125_perceptron_train",
     oracle=_pct_oracle(),
     tags=("curation", "ml", "training"),
 )
-def q042_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed supervised training: 3 rounds of BATCH perceptron over
     integer document features (bias, token count, distinct tokens,
     n_chars/10) with labels from the language rule. The batch gradient

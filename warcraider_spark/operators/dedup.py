@@ -649,7 +649,7 @@ def q142_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q016_benchmark_contamination",
+    "q066_benchmark_contamination",
     oracle=f"""
 WITH bench AS (
   SELECT DISTINCT unnest({shingles_sql("toks", 5)}) AS shingle
@@ -669,7 +669,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "contamination", "pipeline"),
 )
-def q016_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q066_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     5-gram with a held-out benchmark set (here: doc_id < 10 stands in for
     the eval suite) — the standard n-gram contamination check run before
@@ -905,7 +905,7 @@ def _bands_sql_for(sig: str) -> str:
 
 
 @query(
-    "q024_incremental_dedup",
+    "q074_incremental_dedup",
     oracle=f"""
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS ({_INC_SQL}),
@@ -938,7 +938,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "incremental", "training-pipeline"),
 )
-def q024_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q074_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: classify an incoming batch (exact copies, head-
     truncated near copies, token-reversed genuinely-new docs) against the
     base corpus as exact_dup / near_dup / new, with the minimum matching
@@ -1007,7 +1007,7 @@ def q024_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q026_span_excision",
+    "q077_span_excision",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -1041,7 +1041,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q026_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q077_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup APPLY stage: excise the q183 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
@@ -1100,7 +1100,7 @@ LINE_K = 8  # tokens per "line" (the corpus has no punctuation; fixed-width
 
 
 @query(
-    "q039_line_dedup",
+    "q115_line_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
 tokd AS (
@@ -1128,7 +1128,7 @@ GROUP BY l.doc_id
     tags=("dedup", "line"),
     bench=True,
 )
-def q039_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q115_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level dedup (the CCNet/RefinedWeb pipeline stage): drop every
     line that appears in MORE THAN ONE document, reassemble each doc from
     its surviving lines in original order, and report kept/dropped counts
@@ -1211,16 +1211,16 @@ ORDER BY doc_id
     min_rows=1,
 )
 def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination-RATE decontamination, completing q016's flag.
+    """Contamination-RATE decontamination, completing q066's flag.
 
-    q016 answers "does this doc share any benchmark n-gram?" (inner
+    q066 answers "does this doc share any benchmark n-gram?" (inner
     join, binary drop list). The standard pipeline also needs the
     fraction-based rule (cf. GPT-3 App. C's 13-gram rule and PaLM §6.5,
     which drop on overlap FRACTION, not presence): this query reports,
     per training doc, total distinct grams, grams also present in the
     eval set, and the contamination rate in milli-units, thresholded at
     K=3 shared grams (3-token shingles; K and n scaled to the corpus).
-    That needs a different plan than q016: a LEFT join so misses still
+    That needs a different plan than q066: a LEFT join so misses still
     count toward the denominator, with total and overlap folded into ONE
     aggregation pass instead of a count-join-count re-scan.
 
@@ -1351,7 +1351,7 @@ def q140_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the base is scanned ONCE to build a constant-size
     filter; the incoming batch never joins the base at all (the exact
     label join here exists only to audit the filter's verdict). This is
-    the cheap pre-screen in front of q024's broadcast-key incremental
+    the cheap pre-screen in front of q074's broadcast-key incremental
     dedup — the filter rejects the overwhelmingly-new majority map-side,
     and only "maybe" docs proceed to exact verification."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1665,10 +1665,10 @@ def _cdc_cuts_arrow_udf():
 def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
     chunker; chunk_idx is the 1-based in-doc position so consumers can
-    reassemble (q171 excision). Exposed for the shift-resistance
+    reassemble (q049 excision). Exposed for the shift-resistance
     property test and for composition.
 
-    Two equivalent cut computations (see q159_cdc_chunk_dedup for
+    Two equivalent cut computations (see q048_cdc_chunk_dedup for
     constants and the scale argument): the default Arrow/numpy rolling
     hash (``_cdc_cuts_arrow_udf``), and the pure-Catalyst array
     expression (``vectorized=False``) kept as the no-Python oracle-
@@ -1729,7 +1729,7 @@ def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
 
 
 @query(
-    "q159_cdc_chunk_dedup",
+    "q048_cdc_chunk_dedup",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1774,7 +1774,7 @@ ORDER BY n_occurrences DESC, chunk_hash
     bench=True,
     min_rows=1,
 )
-def q159_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the shift-resistant dedup
     primitive (rsync/LBFS lineage; the CDC stage of modern
     training-data dedup pipelines): chunk boundaries are placed where a
@@ -1783,7 +1783,7 @@ def q159_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document RE-ALIGNS every later chunk — fixed-stride chunking (q147)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
-    recur, in how many docs) — the unit a span-excision pass (q026)
+    recur, in how many docs) — the unit a span-excision pass (q077)
     or a storage dedup layer consumes.
 
     Integer-exact cross-engine: char codes from a [a-z0-9 ]-normalized
@@ -1818,7 +1818,7 @@ def q159_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q171_cdc_excision",
+    "q049_cdc_excision",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1864,19 +1864,19 @@ FROM kp GROUP BY doc_id ORDER BY doc_id
     tags=("dedup", "cdc", "excision", "training-pipeline"),
     min_rows=10,
 )
-def q171_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level boilerplate excision — the ACTIONABLE half of q159:
+def q049_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q048:
     every chunk keeps only its globally-first occurrence (ordered by
     doc_id, then in-doc position — unique, so both engines pick the
     identical keeper), later occurrences are excised, and each document
     is reassembled from its surviving chunks in order. This is the
-    CDC-based form of the span-excision pass (q026) a training-data
+    CDC-based form of the span-excision pass (q077) a training-data
     pipeline runs to strip cross-document boilerplate — headers,
-    navigation, license blocks — without q026's fixed gram width, and
-    shift-resistant per q159's docstring. clean_md5 certifies the
+    navigation, license blocks — without q077's fixed gram width, and
+    shift-resistant per q048's docstring. clean_md5 certifies the
     reassembled text byte-for-byte.
 
-    Scale shape: map-only chunker (q159), then ONE shuffle for the
+    Scale shape: map-only chunker (q048), then ONE shuffle for the
     keeper window — partitionBy(chunk), i.e. the dedup key itself, so
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own

@@ -37,7 +37,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q051_pricing_summary",
+    "q001_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), {RD}) AS sum_qty,
@@ -56,7 +56,7 @@ ORDER BY l_returnflag, l_linestatus
     tags=("agg",),
     bench=True,
 )
-def q051_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the flagship aggregate.
 
     Scale: filter pushed to parquet scan; partial agg map-side → one shuffle
@@ -81,7 +81,7 @@ def q051_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q052_agg_distinct",
+    "q002_agg_distinct",
     oracle=f"""
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -94,7 +94,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg",),
 )
-def q052_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) + min/max per group (expand + two-phase agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -110,7 +110,7 @@ def q052_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q053_rollup",
+    "q003_rollup",
     oracle=f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -122,7 +122,7 @@ ORDER BY returnflag, linestatus
 """,
     tags=("agg", "rollup"),
 )
-def q053_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (Expand operator feeding hash agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -139,7 +139,7 @@ def q053_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q054_cube",
+    "q004_cube",
     oracle=f"""
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
@@ -151,7 +151,7 @@ ORDER BY orderstatus, orderpriority
 """,
     tags=("agg", "cube"),
 )
-def q054_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions."""
     return (
         _t(spark, sf_dir, "orders")
@@ -173,7 +173,7 @@ def q054_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q055_star_join_revenue",
+    "q005_star_join_revenue",
     oracle=f"""
 SELECT n_name, r_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
@@ -189,7 +189,7 @@ ORDER BY revenue DESC, n_name
     tags=("join", "agg"),
     bench=True,
 )
-def q055_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join → revenue per nation/region (TPC-H Q5 shape).
 
     Scale: customer/nation/region are broadcast (dims); lineitem⋈orders is
@@ -216,7 +216,7 @@ def q055_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q056_left_join_agg",
+    "q006_left_join_agg",
     oracle=f"""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
@@ -228,7 +228,7 @@ ORDER BY c_custkey
 """,
     tags=("join", "agg"),
 )
-def q056_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with zero orders."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
@@ -244,7 +244,7 @@ def q056_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q057_semi_anti",
+    "q007_semi_anti",
     oracle="""
 SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -255,7 +255,7 @@ ORDER BY bucket
 """,
     tags=("join", "semi", "anti"),
 )
-def q057_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti join (the blacklist-filter shape at scale,
     SURVEY §2.2: broadcast anti-join replaces the reference's in-memory
     blacklist scan, /root/reference/src/blacklist.rs:52-57)."""
@@ -271,7 +271,7 @@ def q057_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q058_full_outer",
+    "q008_full_outer",
     oracle="""
 WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
      c AS (SELECT DISTINCT c_nationkey FROM customer)
@@ -283,7 +283,7 @@ ORDER BY supp_nation, cust_nation
 """,
     tags=("join",),
 )
-def q058_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join on nation membership of suppliers vs customers."""
     s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
     c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
@@ -299,7 +299,7 @@ def q058_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q059_range_join",
+    "q009_range_join",
     oracle=f"""
 SELECT p_brand,
        COUNT(*) AS n_matches,
@@ -312,7 +312,7 @@ ORDER BY p_brand
 """,
     tags=("join", "range"),
 )
-def q059_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi+range (theta) join: equi key keeps it hash-joinable, the range
     predicate becomes a post-join filter — NOT a nested-loop at scale."""
     li = _t(spark, sf_dir, "lineitem")
@@ -336,7 +336,7 @@ def q059_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q060_topk_per_group",
+    "q010_topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -350,7 +350,7 @@ ORDER BY o_custkey, rn
     tags=("window", "topk"),
     bench=True,
 )
-def q060_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via row_number window.
 
     Scale: one shuffle on o_custkey, sort within partitions only. The
@@ -366,7 +366,7 @@ def q060_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q061_window_analytics",
+    "q011_window_analytics",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -382,7 +382,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q061_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/rank/ntile/running-sum analytic windows."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
@@ -406,7 +406,7 @@ def q061_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q062_global_topk",
+    "q012_global_topk",
     oracle=f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {RD}) AS price
 FROM orders
@@ -415,7 +415,7 @@ LIMIT 25
 """,
     tags=("sort", "topk"),
 )
-def q062_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
     (per-partition heap + merge of k, no full sort at scale)."""
     return (
@@ -432,7 +432,7 @@ def q062_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q063_set_ops",
+    "q013_set_ops",
     oracle="""
 WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
      auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
@@ -445,7 +445,7 @@ ORDER BY op
 """,
     tags=("setop",),
 )
-def q063_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except over customer splits."""
     cu = _t(spark, sf_dir, "customer")
     hi = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -468,7 +468,7 @@ def q063_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q064_string_funcs",
+    "q014_string_funcs",
     oracle="""
 SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
@@ -485,7 +485,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q064_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar family (upper/lower/length/substring/concat/replace/
     trim/contains/split)."""
     return (
@@ -507,7 +507,7 @@ def q064_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q065_regexp_funcs",
+    "q015_regexp_funcs",
     oracle="""
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
@@ -518,7 +518,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "regex"),
 )
-def q065_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family — the substrate for the reference's extraction
     regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
     return (
@@ -534,7 +534,7 @@ def q065_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q066_date_funcs",
+    "q016_date_funcs",
     oracle=f"""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
@@ -547,7 +547,7 @@ ORDER BY order_month
 """,
     tags=("scalar", "date", "agg"),
 )
-def q066_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + per-month aggregate (the BigQuery day-partitioning
     query shape, /root/reference/load.bat:7)."""
     od = _t(spark, sf_dir, "orders")
@@ -564,7 +564,7 @@ def q066_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q067_datepart_funcs",
+    "q017_datepart_funcs",
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS yr,
@@ -579,7 +579,7 @@ LIMIT 500
 """,
     tags=("scalar", "date"),
 )
-def q067_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/dayofweek extraction + date arithmetic.
 
     Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
@@ -604,7 +604,7 @@ def q067_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q068_math_funcs",
+    "q018_math_funcs",
     oracle=f"""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 0) AS price_round,
@@ -621,7 +621,7 @@ LIMIT 1000
 """,
     tags=("scalar", "math"),
 )
-def q068_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -643,7 +643,7 @@ def q068_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q069_array_funcs",
+    "q019_array_funcs",
     oracle=f"""
 SELECT vec_id,
        len(embedding) AS dim,
@@ -656,7 +656,7 @@ ORDER BY vec_id
 """,
     tags=("scalar", "array"),
 )
-def q069_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (size/aggregate/transform/element_at) —
     the substrate for the reference's links/resource_urls array ops
     (SURVEY §2.5) and for embedding math.
@@ -712,7 +712,7 @@ def q169_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q070_json_funcs",
+    "q020_json_funcs",
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -723,7 +723,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q070_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (the meta_tags/headers
     serialization shape, SURVEY §2.11)."""
     ev = _t(spark, sf_dir, "events")
@@ -739,7 +739,7 @@ def q070_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q071_map_funcs",
+    "q021_map_funcs",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -752,7 +752,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map", "json"),
 )
-def q071_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → MapType → element_at lookup, aggregated.
 
     Exercises MapType the way the reference uses headers/meta_tags maps
@@ -775,7 +775,7 @@ def q071_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q072_conditional_funcs",
+    "q022_conditional_funcs",
     oracle=f"""
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
@@ -789,7 +789,7 @@ ORDER BY size_bucket, o_orderstatus
 """,
     tags=("scalar", "conditional", "agg"),
 )
-def q072_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing (the oversize-guard conditional shape,
     /root/reference/src/main.rs:376-381)."""
     od = _t(spark, sf_dir, "orders")
@@ -807,7 +807,7 @@ def q072_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q073_exists_subquery",
+    "q023_exists_subquery",
     oracle=f"""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -819,7 +819,7 @@ ORDER BY o_orderpriority
 """,
     tags=("join", "subquery"),
 )
-def q073_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -835,7 +835,7 @@ def q073_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q074_having_avg_subquery",
+    "q024_having_avg_subquery",
     oracle=f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
@@ -847,7 +847,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "subquery"),
 )
-def q074_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING with uncorrelated scalar subquery (TPC-H Q11/Q22 shape)."""
     cu = _t(spark, sf_dir, "customer")
     threshold = cu.agg((F.avg("c_acctbal") * 0.8).alias("t"))
@@ -886,7 +886,7 @@ def q075_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q076_approx_distinct",
+    "q025_approx_distinct",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -895,7 +895,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx"),
 )
-def q076_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     COUNT(DISTINCT): one pass, fixed memory, no expand.
 
@@ -906,7 +906,7 @@ def q076_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, so `within_5pct` (a 5σ envelope of the published
     relative standard deviation) is a stable TRUE the oracle pins as a
     literal, alongside the exact distinct counts. The sketch stays the
-    hot path; q052 carries the exact-COUNT(DISTINCT) burden."""
+    hot path; q002 carries the exact-COUNT(DISTINCT) burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -927,7 +927,7 @@ def q076_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q077_grouping_sets",
+    "q026_grouping_sets",
     oracle=f"""
 SELECT COALESCE(n_name, 'ALL') AS nation,
        COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -939,7 +939,7 @@ ORDER BY nation, segment
 """,
     tags=("agg", "rollup"),
 )
-def q077_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (Spark side uses spark.sql for exact parity)."""
     cu = _t(spark, sf_dir, "customer")
     na = _t(spark, sf_dir, "nation")
@@ -1018,7 +1018,7 @@ def q079_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q001_stats_aggregates",
+    "q051_stats_aggregates",
     oracle=f"""
 SELECT l_returnflag,
        ROUND(STDDEV_SAMP(l_extendedprice), {RD}) AS price_stddev,
@@ -1032,7 +1032,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def q001_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q051_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: stddev/variance/corr/covar/skewness —
     single-pass moment computation, partial+final like any hash agg.
 
@@ -1056,7 +1056,7 @@ def q001_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_percentiles",
+    "q052_percentiles",
     oracle=f"""
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), {RD}) AS median_price,
@@ -1069,7 +1069,7 @@ ORDER BY o_orderstatus
 """,
     tags=("agg", "percentile"),
 )
-def q002_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q052_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont). The approx_percentile sketch variant is engine-
     specific, so the exact form carries the oracle check."""
@@ -1087,7 +1087,7 @@ def q002_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q003_pivot",
+    "q053_pivot",
     oracle=f"""
 SELECT l_linestatus,
        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), {RD}) AS flag_a,
@@ -1099,7 +1099,7 @@ ORDER BY l_linestatus
 """,
     tags=("agg", "pivot"),
 )
-def q003_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q053_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on return flag (Spark .pivot with explicit value list — the
     list keeps the plan single-pass; the oracle is the CASE expansion)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1118,7 +1118,7 @@ def q003_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q004_string_family2",
+    "q054_string_family2",
     oracle="""
 SELECT p_partkey,
        lpad(p_brand, 12, '*') AS brand_pad,
@@ -1135,7 +1135,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q054_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string family: pad/reverse/repeat/left/right/position/
     translate/levenshtein/ascii."""
     pa = _t(spark, sf_dir, "part")
@@ -1157,7 +1157,7 @@ def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q005_argminmax",
+    "q055_argminmax",
     oracle=f"""
 SELECT c_mktsegment,
        arg_max(o_orderkey, o_totalprice) AS biggest_order,
@@ -1170,7 +1170,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "argminmax", "join"),
 )
-def q005_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q055_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extremum) aggregates over a dim join.
 
     Note: ties on o_totalprice would be engine-arbitrary; the synthetic
@@ -1191,7 +1191,7 @@ def q005_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_conditional_aggs",
+    "q056_conditional_aggs",
     oracle=f"""
 SELECT event_type,
        COUNT(*) FILTER (WHERE value > 50) AS n_high,
@@ -1205,7 +1205,7 @@ ORDER BY event_type
 """,
     tags=("agg", "conditional"),
 )
-def q006_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q056_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregates: count_if, conditional sum,
     bool_or/bool_and (any/every)."""
     ev = _t(spark, sf_dir, "events")
@@ -1223,7 +1223,7 @@ def q006_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q125_array_agg",
+    "q042_array_agg",
     oracle="""
 SELECT c_nationkey,
        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
@@ -1234,7 +1234,7 @@ ORDER BY c_nationkey
 """,
     tags=("agg", "array"),
 )
-def q125_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / array_agg — sorted post-hoc because accumulation
     order is partition-dependent in ANY distributed engine; emitted
     ','-joined because the driver canonicalizer rejects list cells."""
@@ -1279,7 +1279,7 @@ def q175_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q007_hash_sampling",
+    "q057_hash_sampling",
     oracle="""
 SELECT COUNT(*) AS n_sampled,
        COUNT(DISTINCT o_custkey) AS n_custs,
@@ -1289,7 +1289,7 @@ WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 
 """,
     tags=("sampling",),
 )
-def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q057_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sampling — the reproducible-across-engines
     (and across-runs, unlike TABLESAMPLE) sampling pattern for pipeline
     debugging at scale."""
@@ -1305,7 +1305,7 @@ def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_null_semantics",
+    "q058_null_semantics",
     oracle="""
 SELECT o_orderkey,
        NULLIF(o_orderstatus, 'O') AS status_or_null,
@@ -1318,7 +1318,7 @@ LIMIT 1000
 """,
     tags=("scalar", "null"),
 )
-def q008_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q058_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
     engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
     so these are the boundary operators between the two conventions."""
@@ -1339,7 +1339,7 @@ def q008_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_date_family2",
+    "q059_date_family2",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
@@ -1353,7 +1353,7 @@ LIMIT 1000
 """,
     tags=("scalar", "date"),
 )
-def q009_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q059_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family 2: add_months/last_day/quarter/month-diff.
 
     DuckDB's datediff('month') counts month-boundary crossings like
@@ -1377,7 +1377,7 @@ def q009_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q010_posexplode",
+    "q060_posexplode",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
@@ -1389,7 +1389,7 @@ ORDER BY doc_id, pos
 """,
     tags=("explode", "array"),
 )
-def q010_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q060_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
     the row-expansion primitive under RAKE/shingles/minhash."""
     from warcraider_spark.functions.textfn import tokens
@@ -1402,7 +1402,7 @@ def q010_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q115_setops_all",
+    "q039_setops_all",
     oracle="""
 WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
      b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
@@ -1413,7 +1413,7 @@ ORDER BY op, f
 """,
     tags=("setop",),
 )
-def q115_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
     counting — a different physical plan from the DISTINCT variants)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1429,7 +1429,7 @@ def q115_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q021_range_frame",
+    "q071_range_frame",
     oracle=f"""
 SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -1442,7 +1442,7 @@ ORDER BY o_orderkey
 """,
     tags=("window", "range-frame"),
 )
-def q021_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q071_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): peers within
     ±10000 of the current price per customer.
 
@@ -1505,7 +1505,7 @@ def q161_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q011_to_json",
+    "q061_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1515,7 +1515,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q011_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q061_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1529,7 +1529,7 @@ def q011_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q022_first_last_value",
+    "q072_first_last_value",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_order,
@@ -1543,7 +1543,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q022_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q072_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value window functions over full-partition frames."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1599,7 +1599,7 @@ def q177_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q096_promo_revenue",
+    "q027_promo_revenue",
     oracle=f"""
 SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -1611,7 +1611,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """,
     tags=("join", "agg", "tpch"),
 )
-def q096_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share (conditional aggregate
     over a broadcast dim join)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1628,7 +1628,7 @@ def q096_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q097_min_cost_supplier",
+    "q028_min_cost_supplier",
     oracle="""
 WITH costs AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -1647,7 +1647,7 @@ ORDER BY partkey, suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def q097_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-
     minimum join (aggregate-then-rejoin, no correlated subquery needed —
     equality on exact doubles is safe because both sides carry the SAME
@@ -1677,7 +1677,7 @@ def q097_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q098_volume_shipping",
+    "q029_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
@@ -1694,7 +1694,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "agg", "tpch"),
 )
-def q098_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volumes (two aliases of the same
     dim joined on different keys)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1726,7 +1726,7 @@ def q098_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q099_top_customers_quarter",
+    "q030_top_customers_quarter",
     oracle=f"""
 WITH q AS (
   SELECT o_custkey,
@@ -1744,7 +1744,7 @@ ORDER BY yr, qtr, rnk
 """,
     tags=("window", "topk", "agg"),
 )
-def q099_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per quarter: aggregate → window rank — the
     leaderboard shape (agg shuffle reused by the window partition)."""
     od = _t(spark, sf_dir, "orders")
@@ -1763,7 +1763,7 @@ def q099_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q100_decile_distribution",
+    "q031_decile_distribution",
     oracle=f"""
 WITH d AS (
   SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -1776,10 +1776,10 @@ FROM d GROUP BY decile ORDER BY decile
 """,
     tags=("window", "distribution"),
 )
-def q100_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile boundaries via NTILE — note: a GLOBAL window is a
     single-partition sort (fine for summaries; at 100 TB use
-    approx_percentile instead — q002/q076 are the scale forms)."""
+    approx_percentile instead — q052/q025 are the scale forms)."""
     od = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -1795,7 +1795,7 @@ def q100_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q107_approx_quantiles",
+    "q036_approx_quantiles",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1805,7 +1805,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx", "quantile"),
 )
-def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the 100 TB answer
     to median/p95: one pass, fixed memory, mergeable across partitions,
     no global sort.
@@ -1820,13 +1820,13 @@ def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     target ± (1/accuracy + 2/n) (the 2/n absorbs rank discreteness —
     an interpolated-percentile window would be narrower than one rank
     at small n). The sketch is deterministic (no RNG), so the booleans
-    are stable TRUEs the oracle pins as literals. q002 carries the
+    are stable TRUEs the oracle pins as literals. q052 carries the
     exact-percentile burden.
 
     Scale shape: two lineitem scans (sketch pass + verification pass),
     one broadcast of an estimate table bounded at the l_returnflag
     domain (3 values) by construction — plan-audit pair-exempted like
-    the other bounded grand-aggregate broadcasts (q105's shape)."""
+    the other bounded grand-aggregate broadcasts (q034's shape)."""
     est = gk_price_quantiles(spark, sf_dir).select(
         "l_returnflag",
         "n",
@@ -1859,9 +1859,9 @@ def q107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q107's sketch pass, factored so tests can tighten the screw: per
+    """q036's sketch pass, factored so tests can tighten the screw: per
     l_returnflag, the GK approx [p50, p95] (`ap`), the EXACT interpolated
-    [p50, p95] (`exact` — unused by q107 itself, Catalyst prunes it from
+    [p50, p95] (`exact` — unused by q036 itself, Catalyst prunes it from
     the query's physical plan), and the exact row count."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1874,7 +1874,7 @@ def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q101_asof_join",
+    "q032_asof_join",
     oracle="""
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -1893,7 +1893,7 @@ ORDER BY c.event_id
 """,
     tags=("join", "asof"),
 )
-def q101_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join — for every click, the same user's most recent
     purchase at-or-before it. Spark has no ASOF JOIN operator, so this is
     the scale-correct composition: tag both sides, UNION, one window
@@ -1977,7 +1977,7 @@ def q178_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
     scale (single parse, no per-access string re-parse the way chained
-    get_json_object does; q070 covers the classic functions)."""
+    get_json_object does; q020 covers the classic functions)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
@@ -2016,7 +2016,7 @@ def q154_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated seconds: events carry fractional-second timestamps, and
     second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
     silently disagrees on boundary pairs ~1 hour apart. One shuffle on
-    user_id; frame state is a two-pointer scan. q021 covers numeric RANGE
+    user_id; frame state is a two-pointer scan. q071 covers numeric RANGE
     frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")
@@ -2037,7 +2037,7 @@ def q154_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q102_rank_distribution",
+    "q033_rank_distribution",
     oracle="""
 SELECT o_custkey,
        o_orderkey,
@@ -2050,9 +2050,9 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window", "rank"),
 )
-def q102_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / quartile per customer — the remaining
-    ranking-family windows (q061 covers lag/lead/rank/ntile/running-sum).
+    ranking-family windows (q011 covers lag/lead/rank/ntile/running-sum).
     Both are exact rational values of integer rank counts, so the raw
     doubles hash-match across engines with no rounding."""
     od = _t(spark, sf_dir, "orders")
@@ -2070,7 +2070,7 @@ def q102_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q014_variant_nested_paths",
+    "q064_variant_nested_paths",
     oracle="""
 WITH j AS (
   SELECT event_id,
@@ -2090,7 +2090,7 @@ FROM j ORDER BY event_id
 """,
     tags=("json", "variant"),
 )
-def q014_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q064_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep VARIANT path surface (Spark 4), beyond q178's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
@@ -2178,7 +2178,7 @@ def q087_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q020_unpivot_measures",
+    "q070_unpivot_measures",
     oracle="""
 SELECT l_orderkey, l_linenumber, measure, ROUND(val, 6) + 0.0 AS val
 FROM (
@@ -2194,9 +2194,9 @@ ORDER BY l_orderkey, l_linenumber, measure
 """,
     tags=("relational", "unpivot"),
 )
-def q020_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q070_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of the lineitem measures — the inverse of
-    q003's pivot and the normalization step feeding generic metric
+    q053's pivot and the normalization step feeding generic metric
     pipelines. Narrow-to-long is a per-row Generate (no shuffle, no UDF);
     the only exchange is the presentation sort."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
@@ -2234,7 +2234,7 @@ _IVL_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
 
 
 @query(
-    "q025_interval_bin_join",
+    "q076_interval_bin_join",
     oracle=f"""
 WITH ivl AS (
   SELECT i AS interval_id,
@@ -2260,7 +2260,7 @@ ORDER BY interval_id
 """,
     tags=("join", "interval", "binned"),
 )
-def q025_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q076_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure interval join (no equi key): events against 100 variable-length
     [lo, hi) windows, aggregated per window. The naive plan is a
     BroadcastNestedLoopJoin — O(events × intervals) comparisons, a 100 TB
@@ -2338,7 +2338,7 @@ def _interleave_sql(xb: str, yb: str) -> str:
 
 
 @query(
-    "q133_zorder_layout",
+    "q043_zorder_layout",
     oracle=f"""
 WITH mx AS (
   SELECT MAX(l_partkey) AS xmax, MAX(l_suppkey) AS ymax FROM lineitem
@@ -2359,7 +2359,7 @@ ORDER BY file_id
 """,
     tags=("layout", "zorder"),
 )
-def q133_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout: bucket two independent columns
     to {_Z_BITS}-bit ranks, interleave the bits into a space-filling-curve
     key, range-partition rows into 'files' by curve position, and emit
@@ -2398,7 +2398,7 @@ def q133_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q134_key_skew_profile",
+    "q044_key_skew_profile",
     oracle="""
 WITH freq AS (
   SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
@@ -2419,7 +2419,7 @@ LIMIT 20
 """,
     tags=("diagnostics", "skew"),
 )
-def q134_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler — the diagnostic you run BEFORE choosing a
     join strategy at 100 TB: the 20 heaviest values of a prospective
     shuffle key with absolute count, corpus share (ppm), and
@@ -2458,7 +2458,7 @@ _SCD2_OPEN_US = 253_402_214_400_000_000  # 9999-12-31, the open-interval sentine
 
 
 @query(
-    "q031_scd2_intervals",
+    "q100_scd2_intervals",
     oracle=f"""
 WITH log AS (
   SELECT user_id, event_type AS state, epoch_us(ts) AS us
@@ -2484,13 +2484,13 @@ FROM v ORDER BY user_id, version
 """,
     tags=("relational", "scd2", "window"),
 )
-def q031_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2 slowly-changing-dimension) build: compress a change
     log into versioned validity intervals — consecutive rows with an
     unchanged state collapse (only CHANGES open a new version), each
     version spans [its change, the next change), and the current version
     closes at the 9999-12-31 sentinel (kept non-null so the interval
-    columns stay int64). The output is what an as-of join (q101) probes.
+    columns stay int64). The output is what an as-of join (q032) probes.
 
     Scale shape: ONE shuffle on the entity key serves all three window
     passes (lag-dedup, lead-close, version numbering share the same
@@ -2528,7 +2528,7 @@ def q031_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q033_lateral_topk",
+    "q102_lateral_topk",
     oracle="""
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
 FROM customer c
@@ -2544,10 +2544,10 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 """,
     tags=("sql-text", "join", "lateral", "topk"),
 )
-def q033_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     "top-2 orders for each customer" shape a SQL-text user writes
-    naturally (the declarative dual of q060's window top-k). Exercises
+    naturally (the declarative dual of q010's window top-k). Exercises
     Catalyst's lateral-join decorrelation: naively this is one subquery
     execution per outer row; Spark rewrites it into a WindowGroupLimit
     (rank-limit pushed BELOW the shuffle as a partial pass, so each map
@@ -2582,7 +2582,7 @@ def q033_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q040_quantified_subqueries",
+    "q121_quantified_subqueries",
     oracle="""
 SELECT c_mktsegment,
        CAST(SUM(CASE WHEN c_acctbal > ALL (
@@ -2597,7 +2597,7 @@ ORDER BY c_mktsegment
 """,
     tags=("relational", "subquery"),
 )
-def q040_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q121_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified comparison subqueries: per segment, customers whose
     balance beats ALL per-nation averages / trails ANY of them.
 
@@ -2633,7 +2633,7 @@ def q040_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q155_explode_outer",
+    "q047_explode_outer",
     oracle="""
 WITH toks AS (
   SELECT doc_id,
@@ -2648,7 +2648,7 @@ FROM toks
 """,
     tags=("relational", "explode", "null"),
 )
-def q155_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``explode_outer``: rows whose array is empty survive the lateral
     view as a single NULL element instead of vanishing (plain explode
     drops them — silently losing every short document). Counting
@@ -2678,7 +2678,7 @@ def q155_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q041_crosstab",
+    "q124_crosstab",
     oracle="""
 SELECT source AS source_lang,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
@@ -2692,7 +2692,7 @@ ORDER BY source
 """,
     tags=("relational", "stat", "pivot"),
 )
-def q041_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q124_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
     surface (backed by the same two-phase pivot-count plan as
     groupBy().pivot().count()). The oracle is independent conditional
@@ -2714,7 +2714,7 @@ def q041_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q043_order_priority_exists",
+    "q133_order_priority_exists",
     oracle="""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders
@@ -2727,7 +2727,7 @@ ORDER BY o_orderpriority
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q043_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q133_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one line shipped after the
     order date, counted by priority. The correlated EXISTS with a
     NON-equi conjunct (l_shipdate > o_orderdate) decorrelates to a
@@ -2748,7 +2748,7 @@ def q043_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q044_disjunctive_part_join",
+    "q134_disjunctive_part_join",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue
@@ -2759,7 +2759,7 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """,
     tags=("relational", "tpch", "join"),
 )
-def q044_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q134_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: a disjunction of brand/size/quantity envelopes
     over a part⋈lineitem join. The planner must still extract the common
     equi key (l_partkey = p_partkey) and run a hash join with the OR-of-
@@ -2786,7 +2786,7 @@ def q044_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q045_waiting_suppliers",
+    "q135_waiting_suppliers",
     oracle="""
 SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
 FROM supplier
@@ -2807,7 +2807,7 @@ LIMIT 20
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q045_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q135_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: 'kept waiting' = the sole R-flagged
     supplier in a multi-supplier order): one correlated EXISTS and one
     correlated NOT EXISTS, both with a non-equality conjunct
@@ -2836,7 +2836,7 @@ def q045_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q046_dormant_rich_customers",
+    "q150_dormant_rich_customers",
     oracle="""
 WITH eligible AS (
   SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS VARCHAR) AS cntrycode
@@ -2856,7 +2856,7 @@ ORDER BY cntrycode
     tags=("relational", "tpch", "subquery"),
     min_rows=1,
 )
-def q046_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q150_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (country code derived from custkey — the synthetic
     schema has no phone column): above-average-balance customers in
     selected codes with NO orders. Composition of a scalar aggregate
@@ -2903,7 +2903,7 @@ def q046_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q047_try_functions",
+    "q155_try_functions",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2918,7 +2918,7 @@ ORDER BY o_orderstatus
 """,
     tags=("relational", "ansi", "null"),
 )
-def q047_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q155_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe `try_*` family: division by zero, bad casts, and
     out-of-bounds element access produce NULL instead of failing the job
     — the semantics a 100 TB batch needs (one dirty row must not kill an
@@ -2947,7 +2947,7 @@ def q047_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q048_collated_grouping",
+    "q159_collated_grouping",
     oracle="""
 WITH mixed AS (
   SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
@@ -2961,7 +2961,7 @@ ORDER BY seg_ci
 """,
     tags=("relational", "collation", "spark4"),
 )
-def q048_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q159_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 string collations: case-insensitive grouping via
     ``collate(col, 'UTF8_LCASE')`` — the COLLATION does the bucketing
     (hash and equality are collation-aware all the way through the

@@ -380,7 +380,7 @@ def q118_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming dedup).
 
     Oracle-able by design (VERDICT r2 "next round" #3 — was rows-only):
-    vectors are quantized to integer micros (q029's convention) and the
+    vectors are quantized to integer micros (q098's convention) and the
     emitted columns are exact integer covariance invariants DuckDB can
     replay: n²·diag numerators (diag_num(i) = n·Σxᵢ² − (Σxᵢ)², ≥0 by
     Cauchy–Schwarz), their trace, the max-variance diagonal (smallest dim
@@ -571,7 +571,7 @@ def q184_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_embedding_dim_profile",
+    "q067_embedding_dim_profile",
     oracle="""
 WITH ex AS (
   SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS dim,
@@ -591,7 +591,7 @@ ORDER BY dim
 """,
     tags=("similarity", "profiling", "training-pipeline"),
 )
-def q017_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q067_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension profile of the corpus embedding matrix (count, sum,
     min, max, sum-of-squares) — the statistics pass feeding feature
     normalization, whitening, or PQ codebook training. Values are scaled
@@ -814,7 +814,7 @@ def _pq_assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 @query(
-    "q028_pq_encode",
+    "q097_pq_encode",
     oracle=f"""
 WITH exm AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -831,7 +831,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "ann", "pq", "training-pipeline"),
 )
-def q028_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q097_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the compression half of an IVF-PQ
     index (q112 is the IVF half): the 16-dim embedding splits into two
     8-dim subspaces, each trains a 4-codeword codebook (seeded + one
@@ -890,7 +890,7 @@ def q028_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q029_dim_covariance",
+    "q098_dim_covariance",
     oracle=f"""
 WITH m AS (
   SELECT vec_id,
@@ -917,7 +917,7 @@ ORDER BY dim_i, dim_j
 """,
     tags=("similarity", "stats", "training-pipeline"),
 )
-def q029_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q098_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix (upper triangle) in exact integer
     micros — the one-pass sufficient statistic for whitening / PCA /
     Mahalanobis-style outlier pruning over the corpus embedding matrix:
@@ -971,7 +971,7 @@ _SEM_THR_DEN2 = 16
 
 
 @query(
-    "q032_semantic_dedup",
+    "q101_semantic_dedup",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -1014,7 +1014,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "dedup", "kmeans", "training-pipeline"),
 )
-def q032_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster the corpus embeddings with k-means, then WITHIN each cluster
     drop every vector whose cosine to an earlier (lower-id) member is

@@ -8,7 +8,7 @@ sketches support set algebra (union/intersection/difference) on the
 sketches themselves. COUNT(DISTINCT) at scale forces one shuffle of every
 distinct value per re-grouping; sketch columns turn that into kilobytes.
 This replaces the reference's BigQuery-side APPROX_COUNT_DISTINCT analytics
-(SURVEY §2.11 approx-agg family; q076 covers approx_count_distinct itself).
+(SURVEY §2.11 approx-agg family; q025 covers approx_count_distinct itself).
 
 Oracle strategy: below their configured capacity (theta/HLL default
 k=4096 entries / lgK=12) DataSketches estimators are in EXACT mode — the
@@ -77,7 +77,7 @@ def q163_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q012_sketch_theta_setops",
+    "q062_sketch_theta_setops",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events),
      v AS (SELECT DISTINCT k FROM d WHERE event_type = 'view'),
@@ -88,7 +88,7 @@ SELECT (SELECT COUNT(*) FROM (SELECT k FROM v UNION SELECT k FROM p)) AS either_
 """,
     tags=("sketch", "approx", "setops"),
 )
-def q012_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q062_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set algebra on SKETCHES: viewers ∪/∩/∖ purchasers computed
     with theta_union / theta_intersection / theta_difference over two
     pre-built Theta sketches — the raw events are scanned once, then every
@@ -127,7 +127,7 @@ def _kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q105's sketch pass, factored so tests can tighten the screw: the
+    """q034's sketch pass, factored so tests can tighten the screw: the
     3-row (view / purchase / merged view+purchase) estimate table with
     exact n, the p50/p95 quantile estimates, and the rank estimate of
     the literal value 50.0."""
@@ -158,7 +158,7 @@ def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q105_sketch_kll_quantiles",
+    "q034_sketch_kll_quantiles",
     oracle="""
 WITH e AS (
   SELECT event_type, value FROM events WHERE event_type IN ('view', 'purchase')
@@ -173,7 +173,7 @@ FROM u GROUP BY event_type ORDER BY event_type
 """,
     tags=("sketch", "approx", "quantile"),
 )
-def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per event_type: mergeable streaming quantiles
     — the bounded-memory alternative to exact percentile's full sort at
     scale; exercises the sketch API family end-to-end (agg → merge →
@@ -187,7 +187,7 @@ def q105_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row estimate table back over the events, must sit within ±10% of
     the target rank — ~4x the k=200 sketch's published 99%-confidence
     normalized rank error (~2.4% two-sided), so the TRUEs the oracle
-    pins hold for every compaction draw with overwhelming margin. q002
+    pins hold for every compaction draw with overwhelming margin. q052
     carries the exact-percentile burden.
 
     Scale shape: two event scans (sketch pass + verification pass), one

@@ -402,11 +402,11 @@ def q136_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q106_ml_lsh_variants",
+    "q035_ml_lsh_variants",
     oracle=None,  # pyspark.ml model hashes are engine-specific: rows-only
     tags=("dedup", "similarity", "mllib"),
 )
-def q106_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
@@ -704,7 +704,7 @@ BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
 @query(
-    "q015_bpe_pretokenize",
+    "q065_bpe_pretokenize",
     oracle=f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
@@ -717,7 +717,7 @@ ORDER BY doc_id
 """,
     tags=("text", "tokens", "bpe"),
 )
-def q015_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q065_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count estimation with a BPE-style pretokenizer regex: the
     unit LLM data budgets are measured in is (sub)tokens, not words.
     regexp_count keeps the whole computation in codegen — one pass over
@@ -745,7 +745,7 @@ _DEFAULT_WEIGHT = 300
 
 
 @query(
-    "q111_weighted_mixture",
+    "q037_weighted_mixture",
     oracle=f"""
 WITH w(source_name, keep_permille) AS (
   VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items()))}
@@ -767,7 +767,7 @@ ORDER BY source
 """,
     tags=("sampling", "mixture", "pipeline"),
 )
-def q111_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture sampling: each source corpus is
     down-sampled to its recipe weight by hashing the DOCUMENT ID, not by
     rand() — so the sample is reproducible across runs/engines, stable
@@ -866,7 +866,7 @@ def q182_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q018_lm_score",
+    "q068_lm_score",
     oracle="""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -904,7 +904,7 @@ ORDER BY db.doc_id
 """,
     tags=("text", "quality", "training-pipeline"),
 )
-def q018_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q068_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet/KenLM-style
     perplexity filter of a pretraining pipeline): score every document by
     the corpus's own smoothed bigram model, p(w2|w1) ≈ B(w1,w2)/(U(w1)+V).
@@ -1113,7 +1113,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
 
 
 @query(
-    "q027_bpe_encode",
+    "q096_bpe_encode",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1133,7 +1133,7 @@ ORDER BY cnt DESC, word
 """,
     tags=("text", "bpe", "training-pipeline"),
 )
-def q027_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q096_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE (the apply half of q146): the vocabulary segmented by the
     {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
     resulting token count. Tokenizing a corpus with trained merges is the
@@ -1156,7 +1156,7 @@ def q027_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q023_token_budget_select",
+    "q073_token_budget_select",
     oracle="""
 WITH d AS (
   SELECT doc_id,
@@ -1179,7 +1179,7 @@ ORDER BY score_milli DESC, doc_id
 """,
     tags=("text", "selection", "training-pipeline"),
 )
-def q023_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q073_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: order every
     document by an integer quality score (alphabetic-character ratio in
     micro-units), take documents greedily until 40% of the corpus's
@@ -1241,7 +1241,7 @@ SOURCE_CAP = 30
 
 
 @query(
-    "q135_source_cap",
+    "q045_source_cap",
     oracle=f"""
 WITH d AS (
   SELECT doc_id, source,
@@ -1267,7 +1267,7 @@ ORDER BY source
 """,
     tags=("text", "sampling", "training-pipeline"),
 )
-def q135_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap — the anti-over-representation pass of a
     training mix (no single domain/crawl may contribute more than
     {SOURCE_CAP} docs, best-quality-first): rank docs within source by
@@ -1318,7 +1318,7 @@ IDX_DF_NUM, IDX_DF_DEN = 8, 10
 
 
 @query(
-    "q030_inverted_index",
+    "q099_inverted_index",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
@@ -1346,7 +1346,7 @@ ORDER BY term
 """,
     tags=("text", "index", "training-pipeline"),
 )
-def q030_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q099_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: term → (document frequency, collection
     frequency, serialized posting list of doc:tf:first_position entries) —
     the retrieval-side artifact a corpus pipeline builds next to the
@@ -1436,7 +1436,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "q049_set_containment_join",
+    "q171_set_containment_join",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 q AS (
@@ -1461,7 +1461,7 @@ FROM c GROUP BY qid ORDER BY query_id
     tags=("text", "join", "set-containment", "training-pipeline"),
     min_rows=1,
 )
-def q049_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q171_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-containment join by COUNTING: for each query termset (the 5
     lexicographically-first distinct bigrams of every 100th document),
     find all documents containing EVERY query term — "docs matching all
@@ -1569,7 +1569,7 @@ def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q030/q128 (one stop-term would otherwise put the whole
+    guard as q099/q128 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -1682,7 +1682,7 @@ def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
-    before BPE (complements q146/q015/q027).
+    before BPE (complements q146/q065/q096).
 
     PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
     scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
