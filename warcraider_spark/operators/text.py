@@ -403,16 +403,43 @@ def q136_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q035_ml_lsh_variants",
-    oracle=None,  # pyspark.ml model hashes are engine-specific: rows-only
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS ts
+  FROM documents WHERE doc_id < 200
+),
+g AS (SELECT ts, COUNT(*) AS k FROM t GROUP BY ts)
+SELECT * FROM (VALUES
+  ('brp_vectors_hashed', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)),
+  ('exact_dup_pairs_found', (SELECT CAST(SUM(k * (k - 1) // 2) AS BIGINT) FROM g)),
+  ('threshold_violations', CAST(0 AS BIGINT))
+) AS v(metric, n)
+ORDER BY metric
+""",
     tags=("dedup", "similarity", "mllib"),
 )
 def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
-    BRP-LSH bucket counts. Model hash seeds are engine-internal, so the
-    driver records rows-only; the native q088/q152 carry the hash-checked
-    equivalents."""
+    BRP-LSH hashing. The native q088/q152 carry the hash-checked
+    banded-LSH equivalents.
+
+    Certification (r8 — the last rows-only registry query upgraded):
+    raw candidate counts are seed/engine-specific (LSH recall at
+    0 < dist ≤ 0.5 depends on the hash draw), so the driver
+    hash-certifies the DETERMINISTIC invariants instead:
+    `exact_dup_pairs_found` — pairs the join returns at jaccard_dist
+    == 0.0; identical token sets minhash identically in EVERY table, so
+    LSH recall at distance 0 is exactly 1 and the count equals the
+    oracle's identical-token-set pair count (non-vacuous: 28-53 such
+    pairs across cert SFs) — `threshold_violations` — returned pairs
+    whose EXACT distance exceeds the 0.5 threshold (the join's distCol
+    post-filter contract; always 0) — and `brp_vectors_hashed` — every
+    embedding row hashed into exactly numHashTables=3 BRP buckets,
+    pinning the transform's shape against the table count."""
     from pyspark.ml.feature import (
         BucketedRandomProjectionLSH,
         CountVectorizer,
@@ -432,11 +459,26 @@ def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
         )
     )
-    minhash_pairs = pairs.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("minhash_lsh_pairs").alias("metric"), F.col("n")
-    )
+    minhash_rows = pairs.agg(
+        F.sum((F.col("jaccard_dist") == 0.0).cast("bigint")).alias("dist0"),
+        F.sum((F.col("jaccard_dist") > 0.5).cast("bigint")).alias("viol"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact_dup_pairs_found").alias("metric"),
+                    F.coalesce(F.col("dist0"), F.lit(0)).alias("n"),
+                ),
+                F.struct(
+                    F.lit("threshold_violations").alias("metric"),
+                    F.coalesce(F.col("viol"), F.lit(0)).alias("n"),
+                ),
+            )
+        ).alias("z")
+    ).select("z.metric", "z.n")
 
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias("features")
@@ -444,13 +486,12 @@ def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.2, numHashTables=3, seed=42
     ).fit(em)
-    brp_buckets = (
+    brp_rows = (
         brp.transform(em)
-        .select(F.explode("hashes").alias("h"))
-        .agg(F.countDistinct("h").alias("n"))
-        .select(F.lit("brp_distinct_buckets").alias("metric"), F.col("n"))
+        .agg(F.sum((F.size("hashes") == 3).cast("bigint")).alias("n"))
+        .select(F.lit("brp_vectors_hashed").alias("metric"), F.col("n"))
     )
-    return minhash_pairs.unionAll(brp_buckets).orderBy("metric")
+    return brp_rows.unionAll(minhash_rows).orderBy("metric")
 
 
 @query(
