@@ -318,6 +318,7 @@ def test_adversarial_golden_html_errors():
         "line 5 column 1 - Warning: discarding unexpected <form>\n"
         "line 8 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         'line 9 column 1 - Warning: <div> dropping value "x" for repeated attribute "class"\n'
+        "line 11 column 1 - Warning: discarding unexpected </form>\n"
         "line 10 column 1 - Warning: trimming empty <span>\n"
     )
 
@@ -400,10 +401,13 @@ def test_missing_quote_post_breakage_recovery():
     tag AFTER the broken one still fires, at its own position."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
+    # r8: the hidden broken <a> (no pseudo-tag forms — odd quote count)
+    # still opens its element, so it is reported missing at EOF
     assert td('<!DOCTYPE html><title>t</title>\n<a href="broken>\n<div class="x" class="y">dup</div>') == (
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         'line 3 column 1 - Warning: <div> dropping value "x" '
         'for repeated attribute "class"\n'
+        "line 3 column 35 - Warning: missing </a>\n"
     )
     # pairing that would swallow <b>bold</b> into the <a> pseudo-tag:
     # the value ends at '</b' (tidy keeps the bare '<b>' as value text),
@@ -413,6 +417,7 @@ def test_missing_quote_post_breakage_recovery():
     # with no matching </a> it is reported missing at EOF (class 7).
     assert td('<!DOCTYPE html><title>t</title>\n<a href="broken>\n<b>bold</b> done" x="1" x="2">tail') == (
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+        "line 3 column 8 - Warning: discarding unexpected </b>\n"
         "line 3 column 35 - Warning: missing </a>\n"
     )
 
@@ -427,6 +432,7 @@ def test_nested_form_attributes_still_lexed():
         'line 2 column 7 - Warning: <form> dropping value "1" '
         'for repeated attribute "a"\n'
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
+        "line 2 column 39 - Warning: discarding unexpected </form>\n"
     )
 
 
@@ -460,12 +466,17 @@ def test_nested_form_discard_cases():
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     assert td("<!DOCTYPE html><title>t</title>\n<form><input></form><form><input></form>") == ""
+    # r8: the discarded inner <form> leaves its own </form> unmatched —
+    # tidy discards that too (class 11)
     assert td("<!DOCTYPE html><title>t</title>\n<form><form><input></form></form>") == (
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
+        "line 2 column 27 - Warning: discarding unexpected </form>\n"
     )
     assert td("<!DOCTYPE html><title>t</title>\n<form><form><form></form></form></form>") == (
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
         "line 2 column 13 - Warning: discarding unexpected <form>\n"
+        "line 2 column 26 - Warning: discarding unexpected </form>\n"
+        "line 2 column 33 - Warning: discarding unexpected </form>\n"
     )
 
 
@@ -533,9 +544,11 @@ def test_proprietary_attribute_cases():
         'for repeated attribute "zap"\n'
         'line 2 column 1 - Warning: <div> proprietary attribute "zap"\n'
     )
-    # discarded nested <form> never reaches the attribute checks
+    # discarded nested <form> never reaches the attribute checks (its
+    # orphaned </form> is a class-11 discard)
     assert td(pre + '<form><form zap="1"><input></form></form>') == (
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
+        "line 2 column 35 - Warning: discarding unexpected </form>\n"
     )
 
 
@@ -562,3 +575,26 @@ def test_missing_title_cases():
     assert td(pre + "\n<body><title>late</title><p>x</p></body>") == ""
     # no element tags at all: no anchor, no warning (class-8 rule)
     assert td("plain text") == ""
+
+
+def test_discarding_unexpected_end_tag_cases():
+    """Class-11 unit coverage (r8): an end tag with no matching open
+    element is discarded with a warning at its own position; a matched
+    end tag (including one matching a class-5-broken element, which
+    tidy still opens) is silent."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + "<div>x</div></div>") == (
+        "line 2 column 13 - Warning: discarding unexpected </div>\n"
+    )
+    assert td(pre + "</b>text") == (
+        "line 2 column 1 - Warning: discarding unexpected </b>\n"
+    )
+    # the broken <a> is opened even though no pseudo-tag forms at it
+    # (odd quote count hides it from the tag scanner), so its own </a>
+    # matches instead of being discarded
+    assert td(pre + '<a href="broken>\n</a>') == (
+        "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
+    )
+    assert td(pre + "<div><span>x</span></div>") == ""

@@ -333,9 +333,15 @@ def tidy_diagnostics(raw_html: str) -> str:
        start tag, or any start tag that cannot live in head
        (``_HEAD_CONTEXT_TAGS``); all-head-context documents close the
        head at EOF. Same at-least-one-element precondition as class 8.
+    11. ``discarding unexpected </tag>`` — (r8) an end tag with no
+       matching open element on the parser stack; tidy drops the token
+       (DISCARDING_UNEXPECTED, the end-tag sibling of class 6),
+       anchored at the end tag. A class-5-broken start tag still OPENS
+       its element (position-driven push, whether or not a pseudo-tag
+       forms at it), so its own end tag matches rather than discards.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10) in document order, then attribute checks (9+3),
+    (1+2+5+6+7+8+10+11) in document order, then attribute checks (9+3),
     then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
@@ -443,6 +449,7 @@ def tidy_diagnostics(raw_html: str) -> str:
     # real tags into one pseudo-tag (post-breakage tag recovery).
     _tag_start = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
     broken_recovery: dict[int, int] = {}  # broken tag's '<' -> resume pos
+    broken_tags: dict[int, str] = {}  # broken tag's '<' -> element name
     first_tag_pos: int | None = None  # class 8 anchor: first element token
     scan = 0
     while True:
@@ -487,6 +494,7 @@ def tidy_diagnostics(raw_html: str) -> str:
                     )
                     i = lt
                     broken_recovery[m.start()] = i
+                    broken_tags[m.start()] = m.group(1).lower()
                     break
                 i = close + 1
             elif c in "<>":
@@ -502,28 +510,46 @@ def tidy_diagnostics(raw_html: str) -> str:
     head_close_anchor: int | None = None  # class 10 anchor (see below)
     # stack frames: [tag, start_pos, has_attrs, content_start, has_child]
     stack: list[list] = []
+    # ADVICE r7 #4: tidy still CREATES the element node from a class-5
+    # broken tag (ParseValue ends the value, the token is emitted, the
+    # parser opens it), so it participates in class-7/11 accounting.
+    # The broken tag may or may not be visible to _TAG_RE (a later
+    # paired quote forms a pseudo-tag at it; an odd quote count hides it
+    # entirely), so the push happens HERE, by document position, as the
+    # main pass advances past each breakage — left unclosed it warns
+    # `missing </tag>` at the closing-ancestor tag or EOF exactly like
+    # a well-formed start tag, and its own end tag matches it instead
+    # of being discarded as unexpected (class 11).
+    broken_list = sorted(broken_tags.items())
+    bidx = 0
+
+    def _flush_broken(upto: int) -> None:
+        nonlocal bidx, head_close_anchor
+        while bidx < len(broken_list) and broken_list[bidx][0] < upto:
+            bpos, btag = broken_list[bidx]
+            bidx += 1
+            if head_close_anchor is None and btag not in _HEAD_CONTEXT_TAGS:
+                head_close_anchor = bpos
+            if btag not in _VOID_TAGS:
+                for fr in stack:
+                    fr[4] = True
+                stack.append(
+                    [btag, bpos, True, broken_recovery.get(bpos, n), False]
+                )
+
     pos = 0
     while (m := _TAG_RE.search(raw_html, pos)) is not None:
         pos = m.end()
         if masked[m.start()]:
             continue
+        _flush_broken(m.start() + 1)
         if m.start() in broken_recovery:
-            # class-5 breakage: the tag's quoted value was interrupted by
-            # '<'; a later paired quote can make _TAG_RE swallow real tags
-            # into one pseudo-tag — resume at the interrupting '<' exactly
-            # like tidy's lexer (ADVICE r6 #1 post-breakage recovery).
-            # ADVICE r7 #4: tidy still CREATES the element node from the
-            # broken tag (ParseValue ends the value, the token is emitted,
-            # the parser opens it), so it participates in class-7 — push
-            # it onto the open-element stack before resuming; left
-            # unclosed it warns `missing </tag>` at the closing-ancestor
-            # tag or EOF exactly like a well-formed start tag.
+            # class-5 breakage (pseudo-tag case): a later paired quote
+            # made _TAG_RE swallow real tags into one pseudo-tag — the
+            # flush above already opened the element; resume at the
+            # interrupting '</' exactly like tidy's lexer (ADVICE r6 #1
+            # post-breakage recovery)
             pos = broken_recovery[m.start()]
-            btag = m.group(2).lower()
-            if not m.group(1) and btag not in _VOID_TAGS:
-                for fr in stack:
-                    fr[4] = True
-                stack.append([btag, m.start(), True, pos, False])
             continue
         closing, tag, attrs_raw, selfclose = (
             m.group(1),
@@ -626,6 +652,14 @@ def tidy_diagnostics(raw_html: str) -> str:
                         p[4] = True
                     del stack[i:]
                     break
+            else:
+                # class 11 (r8): an end tag with NO matching open element —
+                # tidy's parser drops the token, DISCARDING_UNEXPECTED
+                # (same message family as the nested-<form> discard),
+                # anchored at the end tag
+                parse_time.append((m.start(), 0, f"discarding unexpected </{tag}>"))
+
+    _flush_broken(n + 1)  # trailing breakages still open their elements
 
     # class 10: no <title> element anywhere — tidy's head parser inserts
     # an empty one (MISSING_TITLE_ELEMENT, "inserting missing 'title'
