@@ -220,3 +220,27 @@ def test_cdc_spark_matches_reference(spark):
             assert got.get(i, [""]) in ([""], [])
             continue
         assert got[i] == ref, (i, t[:50])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("<>/\"'= abdefhilmnoprstuvy\n\t!-")),
+        max_size=300,
+    )
+)
+def test_tidy_diagnostics_total_and_wellformed(raw):
+    """The diagnostics scanner must be total over adversarial tag soup
+    (r8: the alphabet is tag-construction-heavy so broken quotes, bare
+    end tags, half-formed comments and doctypes all reach the parser
+    paths): it never raises, returns "" or newline-terminated
+    tidy-format lines, and is deterministic."""
+    import re as _re
+
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    out = tidy_diagnostics(raw)
+    assert out == "" or out.endswith("\n")
+    for line in out.splitlines():
+        assert _re.match(r"^line \d+ column \d+ - Warning: ", line), line
+    assert tidy_diagnostics(raw) == out
