@@ -89,3 +89,31 @@ def test_pmi_log_domain_guard(spark):
         ("new", "york"),  # ~4.5e4
         ("of", "the"),  # ~3.3e-3 (negative PMI)
     ]
+
+
+def test_gopher_rules_both_ways(spark):
+    """q185's rules certified both ways on constructed documents — the
+    synthetic corpus never satisfies the stopword rule (its vocabulary
+    has no two Gopher stopwords), so without this the intersect logic
+    could silently degrade to constant-false."""
+    from warcraider_spark.operators.text import gopher_rule_table
+
+    good = "the cat sat with a friend and that was that " * 8  # 80 tokens
+    bad_stop = "alpha beta gamma delta " * 20  # 80 tokens, no stopwords
+    bullets = "the bull and that pen\n" + "\n".join("- item %d" % i for i in range(19))
+    ellipsis = "the start and that end\n" + "\n".join(
+        "line %d trails ..." % i for i in range(9)
+    )
+    df = spark.createDataFrame(
+        [(0, good), (1, bad_stop), (2, "the of"), (3, bullets), (4, ellipsis)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rule_table(df).collect()}
+    assert rows[0].stopword_ok and rows[0].word_count_ok and rows[0].kept
+    assert not rows[1].stopword_ok and not rows[1].kept
+    assert rows[1].word_count_ok  # fails ONLY the stopword rule
+    assert rows[2].stopword_ok and not rows[2].word_count_ok  # 2 tokens
+    # 19 of 20 lines bulleted = 95% > 90% threshold
+    assert not rows[3].bullet_lines_ok
+    # 9 of 10 lines end in ellipsis = 90% > 30% threshold
+    assert not rows[4].ellipsis_lines_ok

@@ -431,6 +431,88 @@ def q128_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q186_containment_dedup",
+    oracle=f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+     sh0 AS (
+  SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
+),
+     hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) >= {SHINGLE_DF_CAP}),
+     sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+     inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc,
+       CASE WHEN sa.n <= sb.n THEN doc_b ELSE doc_a END AS container_doc,
+       i AS shared,
+       LEAST(sa.n, sb.n) AS n_contained,
+       CAST((i * 10000) // LEAST(sa.n, sb.n) AS BIGINT) AS containment_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 10 * i >= 8 * LEAST(sa.n, sb.n)
+ORDER BY contained_doc, container_doc
+""",
+    tags=("dedup", "containment", "training-pipeline"),
+)
+def q186_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT dedup (r8): C(A, B) = |S(A) ∩ S(B)|
+    / |S(A)| over the smaller shingle set — the near-superset detector
+    Jaccard structurally misses (an article quoted inside a much longer
+    page has tiny Jaccard but containment ≈ 1; Broder's original resemblance
+    -and-containment formulation). Pairs with ≥ 80% of the smaller doc's
+    shingles shared are emitted with the contained/container orientation
+    (ties on set size orient by doc_id, since doc_a < doc_b in the pair
+    join).
+
+    Certified INTEGER-EXACTLY: the threshold is 10*i >= 8*min(n) and
+    the reported score is basis points via integer div — no ratio ever
+    crosses engines. Same skew guard and capped-shingle semantics as
+    q128 (df-capped hot shingles carry no dedup signal), and the same
+    scale shape: intersection counted by an equi-join on the shingle
+    key, never a pairwise loop; one extra sizes join on the uniform
+    doc key."""
+    corpus = dup_corpus(spark, sf_dir).filter((F.col("doc_id") < 200) | (F.col("doc_id") >= 10000))
+    sh0 = _exploded_shingles(corpus)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    n_min = F.least(F.col("sa.n"), F.col("sb.n"))
+    a_contained = F.col("sa.n") <= F.col("sb.n")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(10 * F.col("i") >= 8 * n_min)
+        .select(
+            F.when(a_contained, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_doc"),
+            F.when(a_contained, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_doc"),
+            F.col("i").alias("shared"),
+            n_min.alias("n_contained"),
+            F.expr("CAST((i * 10000) DIV least(sa.n, sb.n) AS BIGINT)").alias("containment_bp"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -13,6 +13,8 @@ text ops the engine declares beyond the reference.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1936,3 +1938,145 @@ def q149_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filtering (round 8)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
+
+
+@query(
+    "q185_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT) AS chars,
+         CAST(len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS sym,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         CAST(len(ls) AS BIGINT) AS nl,
+         CAST(len(list_filter(ls, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS BIGINT) AS ell,
+         CAST(len(list_filter(ls, l -> {" OR ".join(f"starts_with(trim(l), '{b}')" for b in _GOPHER_BULLETS)})) AS BIGINT) AS bul,
+         CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+              [{", ".join(repr(w) for w in _GOPHER_STOPWORDS)}])) AS BIGINT) AS stop
+  FROM t
+),
+v AS (
+  SELECT doc_id, n,
+         (n >= 50 AND n <= 100000) AS word_count_ok,
+         (3 * n <= chars AND chars <= 10 * n) AS mean_word_len_ok,
+         (10 * sym <= n) AS symbol_ratio_ok,
+         (10 * ell <= 3 * nl) AS ellipsis_lines_ok,
+         (10 * bul <= 9 * nl) AS bullet_lines_ok,
+         (5 * alpha >= 4 * n) AS alpha_word_ok,
+         (stop >= 2) AS stopword_ok
+  FROM m
+)
+SELECT doc_id, n AS n_tokens, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+       ellipsis_lines_ok, bullet_lines_ok, alpha_word_ok, stopword_ok,
+       (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND ellipsis_lines_ok
+        AND bullet_lines_ok AND alpha_word_ok AND stopword_ok) AS kept
+FROM v ORDER BY doc_id
+""",
+    tags=("text", "quality", "training-pipeline"),
+)
+def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
+    heuristic set most production LLM pipelines start from) as per-rule
+    verdicts, not a composite score (complements q082's composite): word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio ('#'/'...') <= 10%, <= 30% of lines ending in ellipsis, <= 90%
+    starting with a bullet, >= 80% of words containing an alphabetic
+    character, >= 2 distinct Gopher stopwords present, plus the AND'd
+    `kept` verdict a filter stage would apply.
+
+    Every rule is certified INTEGER-EXACTLY (10*sym <= n instead of
+    sym/n <= 0.1 — no ratio ever materializes), so the row hashes carry
+    zero cross-engine float risk; division-free comparisons also make
+    the n = 0 / no-lines edge cases total without guards.
+
+    Scale shape: pure per-row higher-order array expressions inside
+    whole-stage codegen — map-only over the corpus, no shuffle before
+    the presentation sort; at 100 TB this is the cheapest possible
+    full-corpus pass (the same scan the q092 pipeline fuses its filters
+    into).
+
+    Note: the stopword rule keeps Gopher's PUBLISHED 8-word list, which
+    the synthetic database-vocabulary corpus almost never satisfies —
+    kept is false corpus-wide there (word_count_ok still discriminates
+    277/500 at sf0.01, so the hash is non-degenerate); the rule's both-
+    ways behavior is certified by a constructed-data unit test over
+    ``gopher_rule_table``."""
+    return gopher_rule_table(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_rule_table(docs: DataFrame) -> DataFrame:
+    """q185's rule computation over an arbitrary (doc_id, text) frame —
+    factored so tests can drive each rule both ways on constructed
+    documents (the synthetic corpus never satisfies the stopword rule)."""
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit(""))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("chars"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.contains("#") | t.contains("...") | t.contains("…"),
+            )
+        ).cast("long").alias("sym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long").alias("alpha"),
+        F.size(lines).cast("long").alias("nl"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+            )
+        ).cast("long").alias("ell"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: reduce(
+                    lambda a, b: a | b,
+                    [F.trim(l).startswith(p) for p in _GOPHER_BULLETS],
+                ),
+            )
+        ).cast("long").alias("bul"),
+        F.size(
+            F.array_intersect(
+                F.transform(toks, F.lower),
+                F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            )
+        ).cast("long").alias("stop"),
+    )
+    rules = {
+        "word_count_ok": (F.col("n") >= 50) & (F.col("n") <= 100000),
+        "mean_word_len_ok": (3 * F.col("n") <= F.col("chars"))
+        & (F.col("chars") <= 10 * F.col("n")),
+        "symbol_ratio_ok": 10 * F.col("sym") <= F.col("n"),
+        "ellipsis_lines_ok": 10 * F.col("ell") <= 3 * F.col("nl"),
+        "bullet_lines_ok": 10 * F.col("bul") <= 9 * F.col("nl"),
+        "alpha_word_ok": 5 * F.col("alpha") >= 4 * F.col("n"),
+        "stopword_ok": F.col("stop") >= 2,
+    }
+    out = d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        *[expr.alias(name) for name, expr in rules.items()],
+    )
+    kept = reduce(lambda a, b: a & b, [F.col(c) for c in rules])
+    return out.withColumn("kept", kept).orderBy("doc_id")
