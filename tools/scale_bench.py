@@ -25,6 +25,7 @@ from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
     "q086_exact_dedup_groups",
+    "q185_gopher_rules",
     "q088_minhash_lsh_pairs",
     "q093_heavy_hitters",
     "q115_line_dedup",
@@ -173,8 +174,78 @@ def _q015_sdot_scaled(spark, sf_dir):
     return sparse_dot_topk_plan(docs, docs.count(), F.col("doc_id") < 1_000_000)
 
 
+def _q186_containment_disjoint(spark, sf_dir):
+    """Scale-harness variant of q186_containment_dedup with per-replica
+    DISJOINT shingle spaces: full-copy replication makes every
+    cross-replica doc pair a true containment pair (output grows k^2 —
+    120 -> 120,100 pairs at 8x, so the registry query's curve is
+    output-bound, not a join defect); salting each token with its
+    replica id keeps duplicate density constant so the curve measures
+    the corpus-growth path of the shingle join itself."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.dedup import SHINGLE_DF_CAP, _exploded_shingles
+    from warcraider_spark.tables import load_table
+
+    # replica-aware dup_corpus: salt every token with the replica id
+    # (disjoint shingle spaces), then inject the exact/near duplicates
+    # PER REPLICA on the relative doc id — duplicate density and output
+    # pairs grow linearly with the corpus, never k^2
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(
+                    F.lit("r"),
+                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
+                    F.lit("_"),
+                    t,
+                ),
+            ),
+        ).alias("text"),
+    )
+    rel = F.col("doc_id") % 1_000_000
+    exact = docs.filter(rel < 60).select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    tok = F.split(F.trim("text"), r"\s+")
+    near = docs.filter((rel >= 60) & (rel < 120)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(F.slice(tok, 2, F.size(tok) - 1), " ").alias("text"),
+    )
+    corpus = (
+        docs.unionAll(exact)
+        .unionAll(near)
+        .filter((rel < 200) | (rel >= 10000))
+    )
+    sh0 = _exploded_shingles(corpus)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    n_min = F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(10 * F.col("i") >= 8 * n_min)
+        .select("doc_a", "doc_b", "i")
+    )
+
+
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
+    "q186_containment_dedup[disjoint-replicas]": _q186_containment_disjoint,
     "q138_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
     "q130_connected_components[per-replica]": _q025_cc_scaled,
     "q110_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
