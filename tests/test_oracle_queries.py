@@ -92,7 +92,7 @@ def test_pmi_log_domain_guard(spark):
 
 
 def test_gopher_rules_both_ways(spark):
-    """q185's rules certified both ways on constructed documents — the
+    """q017's rules certified both ways on constructed documents — the
     synthetic corpus never satisfies the stopword rule (its vocabulary
     has no two Gopher stopwords), so without this the intersect logic
     could silently degrade to constant-false."""

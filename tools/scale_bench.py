@@ -25,7 +25,7 @@ from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
     "q086_exact_dedup_groups",
-    "q185_gopher_rules",
+    "q017_gopher_rules",
     "q088_minhash_lsh_pairs",
     "q093_heavy_hitters",
     "q115_line_dedup",
@@ -174,8 +174,8 @@ def _q015_sdot_scaled(spark, sf_dir):
     return sparse_dot_topk_plan(docs, docs.count(), F.col("doc_id") < 1_000_000)
 
 
-def _q186_containment_disjoint(spark, sf_dir):
-    """Scale-harness variant of q186_containment_dedup with per-replica
+def _containment_disjoint_variant(spark, sf_dir):
+    """Scale-harness variant of q018_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
     cross-replica doc pair a true containment pair (output grows k^2 —
     120 -> 120,100 pairs at 8x, so the registry query's curve is
@@ -245,7 +245,7 @@ def _q186_containment_disjoint(spark, sf_dir):
 
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
-    "q186_containment_dedup[disjoint-replicas]": _q186_containment_disjoint,
+    "q018_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q138_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
     "q130_connected_components[per-replica]": _q025_cc_scaled,
     "q110_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,

@@ -432,7 +432,7 @@ def q128_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q186_containment_dedup",
+    "q018_containment_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -460,7 +460,7 @@ ORDER BY contained_doc, container_doc
 """,
     tags=("dedup", "containment", "training-pipeline"),
 )
-def q186_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-CONTAINMENT dedup (r8): C(A, B) = |S(A) ∩ S(B)|
     / |S(A)| over the smaller shingle set — the near-superset detector
     Jaccard structurally misses (an article quoted inside a much longer

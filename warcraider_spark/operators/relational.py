@@ -564,7 +564,7 @@ def q016_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_datepart_funcs",
+    "q185_datepart_funcs",
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS yr,
@@ -579,7 +579,7 @@ LIMIT 500
 """,
     tags=("scalar", "date"),
 )
-def q017_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q185_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/dayofweek extraction + date arithmetic.
 
     Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
@@ -604,7 +604,7 @@ def q017_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q018_math_funcs",
+    "q186_math_funcs",
     oracle=f"""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 0) AS price_round,
@@ -621,7 +621,7 @@ LIMIT 1000
 """,
     tags=("scalar", "math"),
 )
-def q018_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q186_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
     li = _t(spark, sf_dir, "lineitem")
     return (

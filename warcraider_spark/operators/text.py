@@ -1949,7 +1949,7 @@ _GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
 
 
 @query(
-    "q185_gopher_rules",
+    "q017_gopher_rules",
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
@@ -1989,7 +1989,7 @@ FROM v ORDER BY doc_id
 """,
     tags=("text", "quality", "training-pipeline"),
 )
-def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
     heuristic set most production LLM pipelines start from) as per-rule
     verdicts, not a composite score (complements q082's composite): word
@@ -2020,7 +2020,7 @@ def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gopher_rule_table(docs: DataFrame) -> DataFrame:
-    """q185's rule computation over an arbitrary (doc_id, text) frame —
+    """q017's rule computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive each rule both ways on constructed
     documents (the synthetic corpus never satisfies the stopword rule)."""
     toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
