@@ -117,3 +117,47 @@ def test_gopher_rules_both_ways(spark):
     assert not rows[3].bullet_lines_ok
     # 9 of 10 lines end in ellipsis = 90% > 30% threshold
     assert not rows[4].ellipsis_lines_ok
+
+
+def test_gopher_repetition_both_ways(spark):
+    """q016's line/paragraph signals certified both ways on constructed
+    multi-line documents — the synthetic corpus is single-line, so those
+    signals are corpus-vacuous (always ok) and only these tests prove
+    they can fire; also pins the top-gram tie-break (longer gram wins)."""
+    from warcraider_spark.operators.text import gopher_repetition_table
+
+    # 10 distinct lines of distinct tokens: nothing repeats
+    clean = "\n".join(f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e" for i in range(10))
+    # 4 of 10 lines identical = 40% > 30% (count) and char fraction
+    # 4*13 / (6*13 + 6*26) = 52/234 = 22.2% > 20%
+    dup_lines = "\n".join(["repeat me now"] * 4 + [f"unique line {i} with padding" for i in range(6)])
+    # 2 of 5 paragraphs identical = 40% > 30%
+    dup_paras = "\n\n".join(["same para twice here"] * 2 + [f"different paragraph {i} x" for i in range(3)])
+    # one dominant 2-gram: 40x "spam ham" over 359 chars = 89% > 20%,
+    # and every 5-gram duplicated -> dup5 fires too
+    top2 = "spam ham " * 40
+    # 2-gram count tie ("aa bb" x2 vs "cc ddd" x2): longer gram wins
+    tie = "aa bb aa bb cc ddd cc ddd"
+    df = spark.createDataFrame(
+        [(0, clean), (1, dup_lines), (2, dup_paras), (3, top2.strip()), (4, tie)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_table(df).collect()}
+    assert rows[0].kept and rows[0].dup_line_ok and rows[0].dup_lines == 0
+    assert rows[0].n_lines == 10 and rows[0].n_paras == 1  # no blank lines
+
+    assert rows[1].dup_lines == 4 and rows[1].dup_line_chars == 4 * len("repeat me now")
+    assert not rows[1].dup_line_ok and not rows[1].dup_line_char_ok and not rows[1].kept
+    assert rows[1].dup_para_ok  # single paragraph: vacuously ok
+
+    assert rows[2].n_paras == 5 and rows[2].dup_paras == 2
+    assert not rows[2].dup_para_ok and not rows[2].kept
+    # the duplicated paragraphs are duplicated lines too (2/5 = 40%)
+    assert not rows[2].dup_line_ok
+
+    assert rows[3].top2_cnt == 40 and rows[3].top2_len == len("spam ham")
+    assert not rows[3].top2_ok and not rows[3].top3_ok and not rows[3].top4_ok
+    assert not rows[3].dup5_ok and not rows[3].dup10_ok and not rows[3].kept
+    assert rows[3].dup_line_ok  # one line: line signals stay vacuous
+
+    assert rows[4].top2_cnt == 2 and rows[4].top2_len == len("cc ddd")

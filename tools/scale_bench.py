@@ -26,6 +26,7 @@ from warcraider_spark.session import get_spark  # noqa: E402
 QUERIES = [
     "q086_exact_dedup_groups",
     "q017_gopher_rules",
+    "q016_gopher_repetition",
     "q088_minhash_lsh_pairs",
     "q093_heavy_hitters",
     "q115_line_dedup",

@@ -56,8 +56,9 @@ def md5_int_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def shingles(tok: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (space-joined), from a token array.
+def all_shingles(tok: Column, k: int = 3) -> Column:
+    """All k-token shingles (space-joined, one per position, NOT distinct)
+    from a token array — the multiset the repetition signals count over.
 
     Built as chained ``zip_with`` over k shifted ``slice``s — the token
     array expression is evaluated O(k) times per ROW. (A transform-with-
@@ -72,7 +73,92 @@ def shingles(tok: Column, k: int = 3) -> Column:
     acc = F.slice(tok, 1, cnt)
     for j in range(1, k):
         acc = F.zip_with(acc, F.slice(tok, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(acc)
+    return acc
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined), from a token array.
+    See ``all_shingles`` for construction and short-document semantics."""
+    return F.array_distinct(all_shingles(tok, k))
+
+
+def sorted_run_stats(arr: Column) -> Column:
+    """Single-pass run statistics over a SORTED string array, as a struct
+    ``(dup_n, dup_chars, top_cnt, top_len)``:
+
+    - ``dup_n``     — number of elements belonging to a value occurring >= 2
+                      times (all members of duplicated groups),
+    - ``dup_chars`` — total characters of those duplicated occurrences
+                      (count * length summed over duplicated values),
+    - ``top_cnt``   — occurrence count of the most frequent value,
+    - ``top_len``   — character length of that value (ties on count broken
+                      by the LONGER value; equal count+length ties leave
+                      cnt*len unchanged, so emitted products are
+                      deterministic without a lexicographic tie-break).
+
+    One ``aggregate`` fold over ``array_sort`` — O(n log n) per row inside
+    whole-stage codegen, no explode and no shuffle. This is the primitive
+    behind every Gopher repetition signal (dup-line/paragraph fractions,
+    top-n-gram and dup-n-gram character fractions): at 100 TB each signal
+    stays a map-only scan instead of one groupBy shuffle per n-gram order.
+
+    Empty arrays yield all-zero stats. Elements must be non-null and
+    non-empty ("" is the fold's initial sentinel).
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup_n"),
+        zero.alias("dup_chars"),
+        zero.alias("top_cnt"),
+        zero.alias("top_len"),
+    )
+
+    def flushed(acc):
+        """Stats after closing the current run (prev, run)."""
+        run = acc.getField("run")
+        prev_len = F.length(acc.getField("prev")).cast("long")
+        is_dup = run >= 2
+        dup_n = acc.getField("dup_n") + F.when(is_dup, run).otherwise(zero)
+        dup_chars = acc.getField("dup_chars") + F.when(is_dup, run * prev_len).otherwise(zero)
+        better = (run > acc.getField("top_cnt")) | (
+            (run == acc.getField("top_cnt")) & (prev_len > acc.getField("top_len"))
+        )
+        top_cnt = F.when(better, run).otherwise(acc.getField("top_cnt"))
+        top_len = F.when(better, prev_len).otherwise(acc.getField("top_len"))
+        return dup_n, dup_chars, top_cnt, top_len
+
+    def step(acc, g):
+        cont = F.struct(
+            g.alias("prev"),
+            (acc.getField("run") + F.lit(1).cast("long")).alias("run"),
+            acc.getField("dup_n").alias("dup_n"),
+            acc.getField("dup_chars").alias("dup_chars"),
+            acc.getField("top_cnt").alias("top_cnt"),
+            acc.getField("top_len").alias("top_len"),
+        )
+        dup_n, dup_chars, top_cnt, top_len = flushed(acc)
+        fresh = F.struct(
+            g.alias("prev"),
+            F.lit(1).cast("long").alias("run"),
+            dup_n.alias("dup_n"),
+            dup_chars.alias("dup_chars"),
+            top_cnt.alias("top_cnt"),
+            top_len.alias("top_len"),
+        )
+        return F.when(g == acc.getField("prev"), cont).otherwise(fresh)
+
+    def fin(acc):
+        dup_n, dup_chars, top_cnt, top_len = flushed(acc)
+        return F.struct(
+            dup_n.alias("dup_n"),
+            dup_chars.alias("dup_chars"),
+            top_cnt.alias("top_cnt"),
+            top_len.alias("top_len"),
+        )
+
+    return F.aggregate(arr, init, step, fin)
 
 
 def shingles_sql(tok_col: str, k: int = 3) -> str:

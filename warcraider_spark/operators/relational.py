@@ -534,7 +534,7 @@ def q015_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q016_date_funcs",
+    "q187_date_funcs",
     oracle=f"""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
@@ -547,7 +547,7 @@ ORDER BY order_month
 """,
     tags=("scalar", "date", "agg"),
 )
-def q016_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q187_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + per-month aggregate (the BigQuery day-partitioning
     query shape, /root/reference/load.bat:7)."""
     od = _t(spark, sf_dir, "orders")

@@ -19,12 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions.textfn import (
+    all_shingles,
     doc_fingerprint,
     md5_int,
     md5_int_sql,
     norm_text,
     shingle_fingerprint,
     shingles,
+    sorted_run_stats,
     tokens,
     word_count,
 )
@@ -730,6 +732,246 @@ def q172_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("long").alias("total_5grams"),
         distinct.cast("long").alias("distinct_5grams"),
         (F.lit(1.0) - distinct / total.cast("double")).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition-signal suite (round 8)
+# ---------------------------------------------------------------------------
+
+# Published thresholds (Rae et al. 2021 Table A1), percent-scaled so every
+# verdict is an integer cross-multiplication (100*num <= T*den) with zero
+# cross-engine float risk: a doc is DROPPED when a fraction EXCEEDS its
+# threshold, so *_ok means fraction <= threshold.
+_REP_TOP_PCT = {2: 20, 3: 18, 4: 16}
+_REP_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _ngram_sql(tok_col: str, k: int) -> str:
+    """Non-distinct k-gram list (shingles_sql minus list_distinct); same
+    >= k-token precondition as shingles_sql."""
+    parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(generate_series(1, greatest(len({tok_col}) - {k - 1}, 1)), "
+        f"i -> {parts})"
+    )
+
+
+def _rep_oracle() -> str:
+    gram_ctes, joins, cols, verdicts = [], [], [], []
+    for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT):
+        gram_ctes.append(
+            f"c{n} AS (SELECT doc_id, g, count(*) AS cnt, length(g) AS glen FROM "
+            f"(SELECT doc_id, unnest({_ngram_sql('toks', n)}) AS g FROM t) GROUP BY 1, 2)"
+        )
+        if n in _REP_TOP_PCT:
+            gram_ctes.append(
+                f"top{n} AS (SELECT doc_id, CAST(cnt AS BIGINT) AS top{n}_cnt, "
+                f"CAST(glen AS BIGINT) AS top{n}_len FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) AS rn FROM c{n}) WHERE rn = 1)"
+            )
+            joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+            cols += [
+                f"coalesce(top{n}_cnt, 0) AS top{n}_cnt",
+                f"coalesce(top{n}_len, 0) AS top{n}_len",
+            ]
+            verdicts.append(
+                f"(100 * coalesce(top{n}_cnt, 0) * coalesce(top{n}_len, 0) "
+                f"<= {_REP_TOP_PCT[n]} * text_chars) AS top{n}_ok"
+            )
+        else:
+            gram_ctes.append(
+                f"dup{n} AS (SELECT doc_id, CAST(coalesce(sum(CASE WHEN cnt >= 2 "
+                f"THEN cnt * glen END), 0) AS BIGINT) AS dup{n}_chars FROM c{n} GROUP BY 1)"
+            )
+            joins.append(f"LEFT JOIN dup{n} USING (doc_id)")
+            cols.append(f"coalesce(dup{n}_chars, 0) AS dup{n}_chars")
+            verdicts.append(
+                f"(100 * coalesce(dup{n}_chars, 0) <= {_REP_DUP_PCT[n]} * text_chars) "
+                f"AS dup{n}_ok"
+            )
+    line_stat = (
+        "{p}stat AS (SELECT doc_id, "
+        "CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT) AS dup_{w}s, "
+        "CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * vlen END), 0) AS BIGINT) AS dup_{w}_chars "
+        "FROM (SELECT doc_id, v, count(*) AS cnt, length(v) AS vlen FROM "
+        "(SELECT doc_id, unnest({a}) AS v FROM t) GROUP BY 1, 2) GROUP BY 1)"
+    )
+    sum_chars = (
+        "CAST(coalesce(list_aggregate(list_transform({a}, v -> CAST(length(v) AS BIGINT)), "
+        "'sum'), 0) AS BIGINT)"
+    )
+    gram_ctes_sql = ",\n".join(gram_ctes)
+    cols_sql = ",\n       ".join(cols)
+    verdicts_sql = ",\n       ".join(verdicts)
+    kept_sql = " AND ".join(v.split(" AS ")[0] for v in verdicts)
+    joins_sql = "\n".join(joins)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+         list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'), p -> trim(p)), p -> p <> '') AS ps
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS text_chars,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         {sum_chars.format(a="ls")} AS line_chars,
+         CAST(len(ps) AS BIGINT) AS n_paras,
+         {sum_chars.format(a="ps")} AS para_chars
+  FROM t
+),
+{line_stat.format(p="l", w="line", a="ls")},
+{line_stat.format(p="p", w="para", a="ps")},
+{gram_ctes_sql}
+SELECT doc_id, text_chars, n_lines, line_chars, n_paras, para_chars,
+       coalesce(dup_lines, 0) AS dup_lines,
+       coalesce(dup_line_chars, 0) AS dup_line_chars,
+       coalesce(dup_paras, 0) AS dup_paras,
+       coalesce(dup_para_chars, 0) AS dup_para_chars,
+       {cols_sql},
+       (100 * coalesce(dup_lines, 0) <= 30 * n_lines) AS dup_line_ok,
+       (100 * coalesce(dup_line_chars, 0) <= 20 * line_chars) AS dup_line_char_ok,
+       (100 * coalesce(dup_paras, 0) <= 30 * n_paras) AS dup_para_ok,
+       (100 * coalesce(dup_para_chars, 0) <= 20 * para_chars) AS dup_para_char_ok,
+       {verdicts_sql},
+       ((100 * coalesce(dup_lines, 0) <= 30 * n_lines)
+        AND (100 * coalesce(dup_line_chars, 0) <= 20 * line_chars)
+        AND (100 * coalesce(dup_paras, 0) <= 30 * n_paras)
+        AND (100 * coalesce(dup_para_chars, 0) <= 20 * para_chars)
+        AND {kept_sql}) AS kept
+FROM base
+LEFT JOIN lstat USING (doc_id)
+LEFT JOIN pstat USING (doc_id)
+{joins_sql}
+ORDER BY doc_id
+"""
+
+
+@query(
+    "q016_gopher_repetition",
+    oracle=_rep_oracle(),
+    tags=("text", "quality", "repetition", "training-pipeline"),
+)
+def q016_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal suite (Rae et al. 2021 §A1.1 Table A1 —
+    the signals q017's heuristic rules deliberately exclude): duplicate
+    line / paragraph fractions (count and character), top-2/3/4-gram
+    character fractions, and duplicate-5..10-gram character fractions,
+    each with its published threshold as an integer-exact verdict and the
+    AND'd `kept` a repetition filter stage would apply.
+
+    Spec choices, shared verbatim with the oracle: "words" are whitespace
+    tokens; lines split on \\n and paragraphs on \\n{2,} (trimmed,
+    empties dropped); duplicate fractions count ALL members of a
+    duplicated group; dup-n-gram character counts are occurrence-weighted
+    (overlapping occurrences each count their full character length — the
+    multiset variant; position-coverage implementations dedup overlaps,
+    so our fractions upper-bound theirs and can exceed 1); the character
+    denominator is the single-space-joined token text. Top-gram count
+    ties break to the longer gram; equal count+length ties leave the
+    emitted (cnt, len) pair unchanged, so no lexicographic tie-break is
+    needed for determinism.
+
+    Every signal folds through ``sorted_run_stats`` — one O(G log G)
+    sort + single-pass aggregate per n-gram order per ROW, all inside
+    whole-stage codegen: at 100 TB the full 13-signal suite remains ONE
+    map-only corpus scan with no explode and no shuffle (the oracle's
+    nine unnest+groupBy rounds show exactly the shuffle bill this
+    formulation avoids), fusable with q017's rules into the q092
+    pipeline's single pass.
+
+    The synthetic corpus is single-line (no \\n), so the line/paragraph
+    signals are corpus-vacuous there (like q017's stopword rule) — their
+    both-ways behavior is certified by constructed-data unit tests over
+    ``gopher_repetition_table``; the nine n-gram signals discriminate
+    strongly on the corpus (small vocabulary, heavy repetition) and
+    carry the hash entropy.
+    """
+    return gopher_repetition_table(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_repetition_table(docs: DataFrame) -> DataFrame:
+    """q016's signal computation over an arbitrary (doc_id, text) frame —
+    factored so tests can drive the corpus-vacuous line/paragraph signals
+    both ways on constructed multi-line documents."""
+    trimmed_nonempty = lambda arr: F.filter(  # noqa: E731
+        F.transform(arr, lambda v: F.trim(v)), lambda v: v != F.lit("")
+    )
+    base = docs.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        trimmed_nonempty(F.split(F.col("text"), "\n")).alias("ls"),
+        trimmed_nonempty(F.split(F.col("text"), "\n{2,}")).alias("ps"),
+    )
+    sum_chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, v: a + F.length(v).cast("long")
+    )
+    stats = base.select(
+        "doc_id",
+        F.length(F.array_join("toks", " ")).cast("long").alias("text_chars"),
+        F.size("ls").cast("long").alias("n_lines"),
+        sum_chars(F.col("ls")).alias("line_chars"),
+        F.size("ps").cast("long").alias("n_paras"),
+        sum_chars(F.col("ps")).alias("para_chars"),
+        sorted_run_stats(F.array_sort("ls")).alias("lst"),
+        sorted_run_stats(F.array_sort("ps")).alias("pst"),
+        *[
+            sorted_run_stats(F.array_sort(all_shingles(F.col("toks"), n))).alias(f"g{n}")
+            for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT)
+        ],
+    )
+    cols = [
+        F.col("doc_id"),
+        F.col("text_chars"),
+        F.col("n_lines"),
+        F.col("line_chars"),
+        F.col("n_paras"),
+        F.col("para_chars"),
+        F.col("lst.dup_n").alias("dup_lines"),
+        F.col("lst.dup_chars").alias("dup_line_chars"),
+        F.col("pst.dup_n").alias("dup_paras"),
+        F.col("pst.dup_chars").alias("dup_para_chars"),
+    ]
+    verdicts = [
+        (100 * F.col("lst.dup_n") <= 30 * F.col("n_lines")).alias("dup_line_ok"),
+        (100 * F.col("lst.dup_chars") <= 20 * F.col("line_chars")).alias("dup_line_char_ok"),
+        (100 * F.col("pst.dup_n") <= 30 * F.col("n_paras")).alias("dup_para_ok"),
+        (100 * F.col("pst.dup_chars") <= 20 * F.col("para_chars")).alias("dup_para_char_ok"),
+    ]
+    for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT):
+        if n in _REP_TOP_PCT:
+            cols += [
+                F.col(f"g{n}.top_cnt").alias(f"top{n}_cnt"),
+                F.col(f"g{n}.top_len").alias(f"top{n}_len"),
+            ]
+            verdicts.append(
+                (
+                    100 * F.col(f"g{n}.top_cnt") * F.col(f"g{n}.top_len")
+                    <= _REP_TOP_PCT[n] * F.col("text_chars")
+                ).alias(f"top{n}_ok")
+            )
+        else:
+            cols.append(F.col(f"g{n}.dup_chars").alias(f"dup{n}_chars"))
+            verdicts.append(
+                (
+                    100 * F.col(f"g{n}.dup_chars") <= _REP_DUP_PCT[n] * F.col("text_chars")
+                ).alias(f"dup{n}_ok")
+            )
+    out = stats.select(*cols, *verdicts)
+    verdict_names = [
+        "dup_line_ok",
+        "dup_line_char_ok",
+        "dup_para_ok",
+        "dup_para_char_ok",
+    ] + [
+        (f"top{n}_ok" if n in _REP_TOP_PCT else f"dup{n}_ok")
+        for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT)
+    ]
+    return out.withColumn(
+        "kept", reduce(lambda a, b: a & b, [F.col(v) for v in verdict_names])
     ).orderBy("doc_id")
 
 
