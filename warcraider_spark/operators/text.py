@@ -875,13 +875,18 @@ def q016_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (cnt, len) pair unchanged, so no lexicographic tie-break is
     needed for determinism.
 
-    Every signal folds through ``sorted_run_stats`` — one O(G log G)
-    sort + single-pass aggregate per n-gram order per ROW, all inside
-    whole-stage codegen: at 100 TB the full 13-signal suite remains ONE
-    map-only corpus scan with no explode and no shuffle (the oracle's
-    nine unnest+groupBy rounds show exactly the shuffle bill this
-    formulation avoids), fusable with q017's rules into the q092
-    pipeline's single pass.
+    Two equivalent signal computations (the cdc_chunks precedent): the
+    default Arrow/numpy kernel — per doc, token ids from np.unique, each
+    n-gram order as a sliding_window_view over the id array viewed as
+    fixed-width void rows (one memcmp argsort), run stats off the sorted
+    windows — and the pure-Catalyst ``sorted_run_stats`` fold twin
+    (``vectorized=False``), property-tested identical. The folds are
+    honest Catalyst but ArrayAggregate is CodegenFallback (interpreted,
+    ~1 ms/doc, and an expression tree Catalyst analyzes slowly), so the
+    Arrow kernel is the shipped path: still ONE map-only corpus scan
+    with no explode and no shuffle (the oracle's nine unnest+groupBy
+    rounds show the shuffle bill both formulations avoid), only 21
+    integers per doc crossing Arrow, embarrassingly parallel at 100 TB.
 
     The synthetic corpus is single-line (no \\n), so the line/paragraph
     signals are corpus-vacuous there (like q017's stopword rule) — their
@@ -893,10 +898,24 @@ def q016_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_table(load_table(spark, sf_dir, "documents"))
 
 
-def gopher_repetition_table(docs: DataFrame) -> DataFrame:
-    """q016's signal computation over an arbitrary (doc_id, text) frame —
-    factored so tests can drive the corpus-vacuous line/paragraph signals
-    both ways on constructed multi-line documents."""
+# the 21 per-doc repetition signals, in schema order (all bigint)
+_REP_SIGNAL_FIELDS = (
+    ["text_chars", "n_lines", "line_chars", "n_paras", "para_chars",
+     "dup_lines", "dup_line_chars", "dup_paras", "dup_para_chars"]
+    + [f"top{n}_{f}" for n in sorted(_REP_TOP_PCT) for f in ("cnt", "len")]
+    + [f"dup{n}_chars" for n in sorted(_REP_DUP_PCT)]
+)
+
+
+def _rep_signals_catalyst(docs: DataFrame) -> DataFrame:
+    """Pure-Catalyst twin: every signal via one ``sorted_run_stats`` fold.
+
+    The explode(array(struct(...))) wrapper is a projection barrier:
+    without it CollapseProject inlines each fold into every output column
+    that references it, and because ArrayAggregate is CodegenFallback
+    (no subexpression elimination) the folds would be re-evaluated ~4×
+    per row — measured 26 s → 7 s at sf0.1, and plan ANALYSIS 34 s → 2 s
+    (the duplicated tree is what the analyzer was choking on)."""
     trimmed_nonempty = lambda arr: F.filter(  # noqa: E731
         F.transform(arr, lambda v: F.trim(v)), lambda v: v != F.lit("")
     )
@@ -911,56 +930,202 @@ def gopher_repetition_table(docs: DataFrame) -> DataFrame:
     )
     stats = base.select(
         "doc_id",
-        F.length(F.array_join("toks", " ")).cast("long").alias("text_chars"),
-        F.size("ls").cast("long").alias("n_lines"),
-        sum_chars(F.col("ls")).alias("line_chars"),
-        F.size("ps").cast("long").alias("n_paras"),
-        sum_chars(F.col("ps")).alias("para_chars"),
-        sorted_run_stats(F.array_sort("ls")).alias("lst"),
-        sorted_run_stats(F.array_sort("ps")).alias("pst"),
-        *[
-            sorted_run_stats(F.array_sort(all_shingles(F.col("toks"), n))).alias(f"g{n}")
-            for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT)
-        ],
+        F.explode(
+            F.array(
+                F.struct(
+                    F.length(F.array_join("toks", " ")).cast("long").alias("text_chars"),
+                    F.size("ls").cast("long").alias("n_lines"),
+                    sum_chars(F.col("ls")).alias("line_chars"),
+                    F.size("ps").cast("long").alias("n_paras"),
+                    sum_chars(F.col("ps")).alias("para_chars"),
+                    sorted_run_stats(F.array_sort("ls")).alias("lst"),
+                    sorted_run_stats(F.array_sort("ps")).alias("pst"),
+                    *[
+                        sorted_run_stats(F.array_sort(all_shingles(F.col("toks"), n))).alias(
+                            f"g{n}"
+                        )
+                        for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT)
+                    ],
+                )
+            )
+        ).alias("S"),
     )
-    cols = [
-        F.col("doc_id"),
-        F.col("text_chars"),
-        F.col("n_lines"),
-        F.col("line_chars"),
-        F.col("n_paras"),
-        F.col("para_chars"),
-        F.col("lst.dup_n").alias("dup_lines"),
-        F.col("lst.dup_chars").alias("dup_line_chars"),
-        F.col("pst.dup_n").alias("dup_paras"),
-        F.col("pst.dup_chars").alias("dup_para_chars"),
-    ]
+    return stats.select(
+        "doc_id",
+        F.col("S.text_chars").alias("text_chars"),
+        F.col("S.n_lines").alias("n_lines"),
+        F.col("S.line_chars").alias("line_chars"),
+        F.col("S.n_paras").alias("n_paras"),
+        F.col("S.para_chars").alias("para_chars"),
+        F.col("S.lst.dup_n").alias("dup_lines"),
+        F.col("S.lst.dup_chars").alias("dup_line_chars"),
+        F.col("S.pst.dup_n").alias("dup_paras"),
+        F.col("S.pst.dup_chars").alias("dup_para_chars"),
+        *[
+            F.col(f"S.g{n}.top_{f}").alias(f"top{n}_{f}")
+            for n in sorted(_REP_TOP_PCT)
+            for f in ("cnt", "len")
+        ],
+        *[F.col(f"S.g{n}.dup_chars").alias(f"dup{n}_chars") for n in sorted(_REP_DUP_PCT)],
+    )
+
+
+def _rep_signals_arrow_udf():
+    """Arrow-batched numpy kernel computing all 21 signals per document,
+    vectorized ACROSS the batch (a per-doc numpy loop spends ~1 ms/doc
+    in call overhead on ~50-token docs; this form measured ~10× less):
+    all docs' tokens form one global id array (one np.unique), each
+    n-gram order takes one sliding_window_view over it, windows keyed by
+    (doc, id-row) as fixed-width void rows — doc first, so one memcmp
+    argsort groups equal grams AND leaves runs contiguous per doc —
+    then per-doc top/dup stats via maximum/add.reduceat on the run
+    table. Gram char lengths come from a global cumsum of token lengths
+    (+1 per joining space), so no gram string is ever materialized.
+    Matches the Catalyst twin exactly (property-tested), including the
+    short-doc path (G < n → the whole doc as one gram) and Java's
+    split() semantics (ASCII \\s, trailing empties dropped, leading
+    kept; trim strips only spaces)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    top_ns, dup_ns = sorted(_REP_TOP_PCT), sorted(_REP_DUP_PCT)
+    fields = list(_REP_SIGNAL_FIELDS)
+
+    def _signals(s):
+        import re
+        from collections import Counter
+        from itertools import chain
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        def java_split(pattern, text):
+            parts = re.split(pattern, text, flags=re.ASCII)
+            while len(parts) > 1 and parts[-1] == "":
+                parts.pop()
+            return parts
+
+        def dup_stats(vals):
+            c = Counter(vals)
+            dup_n = sum(v for v in c.values() if v >= 2)
+            dup_chars = sum(v * len(k) for k, v in c.items() if v >= 2)
+            return dup_n, dup_chars
+
+        ndocs = len(s)
+        toks_list = []
+        head = np.zeros((ndocs, 9), dtype=np.int64)
+        for i, t in enumerate(s):
+            t = t or ""
+            toks = java_split(r"\s+", t.strip(" "))
+            toks_list.append(toks)
+            ls = [v for v in (x.strip(" ") for x in java_split("\n", t)) if v]
+            ps = [v for v in (x.strip(" ") for x in java_split(r"\n{2,}", t)) if v]
+            dl, dlc = dup_stats(ls)
+            dp, dpc = dup_stats(ps)
+            head[i, 1:] = (len(ls), sum(map(len, ls)), len(ps), sum(map(len, ps)),
+                           dl, dlc, dp, dpc)
+
+        gs = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=ndocs)
+        tok_starts = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(gs, out=tok_starts[1:])
+        all_toks = np.asarray(list(chain.from_iterable(toks_list)), dtype=str)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int32), gs)
+        _, gids = np.unique(all_toks, return_inverse=True)
+        gids = np.ascontiguousarray(gids, dtype=np.int32)
+        lens = np.char.str_len(all_toks).astype(np.int64)
+        cl = np.zeros(len(all_toks) + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=cl[1:])
+        # single-space-joined token text length per doc (0 for [""] docs)
+        text_chars = cl[tok_starts[1:]] - cl[tok_starts[:-1]] - 1
+        text_chars = np.maximum(text_chars, 0)
+        head[:, 0] = text_chars
+
+        per_n = {}
+        for n in top_ns + dup_ns:
+            # short docs (G < n): the whole doc as one gram — cnt 1, len
+            # text_chars, no duplicates; overwritten below for G >= n
+            top_cnt = np.ones(ndocs, dtype=np.int64)
+            top_len = text_chars.copy()
+            dup_chars = np.zeros(ndocs, dtype=np.int64)
+            per_n[n] = (top_cnt, top_len, dup_chars)
+            if len(gids) < n:
+                continue
+            w = sliding_window_view(gids, n)
+            p = np.arange(len(w))
+            vp = p[doc_of[p] == doc_of[p + n - 1]]  # windows inside one doc
+            if not len(vp):
+                continue
+            key = np.empty((len(vp), n + 1), dtype=np.int32)
+            key[:, 0] = doc_of[vp]
+            key[:, 1:] = w[vp]
+            v = np.ascontiguousarray(key).view(np.dtype((np.void, 4 * (n + 1)))).ravel()
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            neq = vs[1:] != vs[:-1]
+            rstarts = np.concatenate(([0], np.nonzero(neq)[0] + 1))
+            runlens = np.diff(np.concatenate((rstarts, [len(vs)])))
+            gpos = vp[order[rstarts]]  # one representative window per run
+            glens = cl[gpos + n] - cl[gpos] - 1
+            rdoc = doc_of[gpos]  # non-decreasing: doc is the leading sort key
+            db = np.concatenate(([0], np.nonzero(rdoc[1:] != rdoc[:-1])[0] + 1))
+            seg_docs = rdoc[db]
+            seg_top = np.maximum.reduceat(runlens, db)
+            top_rep = np.repeat(seg_top, np.diff(np.concatenate((db, [len(runlens)]))))
+            seg_top_len = np.maximum.reduceat(np.where(runlens == top_rep, glens, -1), db)
+            seg_dup = np.add.reduceat(np.where(runlens >= 2, runlens * glens, 0), db)
+            top_cnt[seg_docs] = seg_top
+            top_len[seg_docs] = seg_top_len
+            dup_chars[seg_docs] = seg_dup
+
+        out = np.empty((ndocs, len(fields)), dtype=np.int64)
+        out[:, :9] = head
+        c = 9
+        for n in top_ns:
+            out[:, c] = per_n[n][0]
+            out[:, c + 1] = per_n[n][1]
+            c += 2
+        for n in dup_ns:
+            out[:, c] = per_n[n][2]
+            c += 1
+        return pd.DataFrame(out, columns=fields)
+
+    _signals.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_signals, ", ".join(f"{f} long" for f in fields))
+
+
+def _rep_signals_arrow(docs: DataFrame) -> DataFrame:
+    sig = docs.select("doc_id", _rep_signals_arrow_udf()(F.col("text")).alias("S"))
+    return sig.select("doc_id", *[F.col(f"S.{f}").alias(f) for f in _REP_SIGNAL_FIELDS])
+
+
+def gopher_repetition_table(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
+    """q016's signal computation over an arbitrary (doc_id, text) frame —
+    factored so tests can drive the corpus-vacuous line/paragraph signals
+    both ways on constructed multi-line documents, and so the Arrow
+    kernel and the Catalyst fold twin (``vectorized=False``) share the
+    verdict construction below (thresholds live in exactly one place)."""
+    sig = (_rep_signals_arrow if vectorized else _rep_signals_catalyst)(docs)
     verdicts = [
-        (100 * F.col("lst.dup_n") <= 30 * F.col("n_lines")).alias("dup_line_ok"),
-        (100 * F.col("lst.dup_chars") <= 20 * F.col("line_chars")).alias("dup_line_char_ok"),
-        (100 * F.col("pst.dup_n") <= 30 * F.col("n_paras")).alias("dup_para_ok"),
-        (100 * F.col("pst.dup_chars") <= 20 * F.col("para_chars")).alias("dup_para_char_ok"),
+        (100 * F.col("dup_lines") <= 30 * F.col("n_lines")).alias("dup_line_ok"),
+        (100 * F.col("dup_line_chars") <= 20 * F.col("line_chars")).alias("dup_line_char_ok"),
+        (100 * F.col("dup_paras") <= 30 * F.col("n_paras")).alias("dup_para_ok"),
+        (100 * F.col("dup_para_chars") <= 20 * F.col("para_chars")).alias("dup_para_char_ok"),
     ]
     for n in sorted(_REP_TOP_PCT | _REP_DUP_PCT):
         if n in _REP_TOP_PCT:
-            cols += [
-                F.col(f"g{n}.top_cnt").alias(f"top{n}_cnt"),
-                F.col(f"g{n}.top_len").alias(f"top{n}_len"),
-            ]
             verdicts.append(
                 (
-                    100 * F.col(f"g{n}.top_cnt") * F.col(f"g{n}.top_len")
+                    100 * F.col(f"top{n}_cnt") * F.col(f"top{n}_len")
                     <= _REP_TOP_PCT[n] * F.col("text_chars")
                 ).alias(f"top{n}_ok")
             )
         else:
-            cols.append(F.col(f"g{n}.dup_chars").alias(f"dup{n}_chars"))
             verdicts.append(
                 (
-                    100 * F.col(f"g{n}.dup_chars") <= _REP_DUP_PCT[n] * F.col("text_chars")
+                    100 * F.col(f"dup{n}_chars") <= _REP_DUP_PCT[n] * F.col("text_chars")
                 ).alias(f"dup{n}_ok")
             )
-    out = stats.select(*cols, *verdicts)
+    out = sig.select("*", *verdicts)
     verdict_names = [
         "dup_line_ok",
         "dup_line_char_ok",
