@@ -598,3 +598,56 @@ def test_discarding_unexpected_end_tag_cases():
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
     )
     assert td(pre + "<div><span>x</span></div>") == ""
+
+
+def test_entity_warning_cases():
+    """Class-12/13 unit coverage (r8): tidy ParseEntity replayed over
+    PCDATA text and attribute values. Unknown names (with or without
+    ';') and >=U+0100 entities missing their ';' are UNKNOWN_ENTITY;
+    known <U+0100 entities missing the ';' are MISSING_SEMICOLON; a
+    known entity with its ';' is silent. Anchored at the '&', name
+    reported without the ';'."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    # the classic real-tidy shape: a URL query string in PCDATA —
+    # 'sub' IS an entity (U+2282) but multi-byte requires the ';'
+    assert td(pre + "<p>a=1&sub=2</p>") == (
+        'line 2 column 7 - Warning: unescaped & or unknown entity "&sub"\n'
+    )
+    assert td(pre + "<p>R&D</p>") == (
+        'line 2 column 5 - Warning: unescaped & or unknown entity "&D"\n'
+    )
+    assert td(pre + "<p>x &frob; y</p>") == (
+        'line 2 column 6 - Warning: unescaped & or unknown entity "&frob"\n'
+    )
+    # known Latin-1 entity, terminator not ';' -> missing-semicolon
+    assert td(pre + "<p>AT&amp T</p>") == (
+        "line 2 column 6 - Warning: entity \"&amp\" doesn't end in ';'\n"
+    )
+    # numeric forms take the same codepoint split
+    assert td(pre + "<p>&#160</p>") == (
+        "line 2 column 4 - Warning: entity \"&#160\" doesn't end in ';'\n"
+    )
+    assert td(pre + "<p>&#8364</p>") == (
+        'line 2 column 4 - Warning: unescaped & or unknown entity "&#8364"\n'
+    )
+    # attribute values are scanned too, anchored at the '&' IN the value
+    assert td(pre + '<a href="?a=1&b=2">x</a>') == (
+        'line 2 column 14 - Warning: unescaped & or unknown entity "&b"\n'
+    )
+
+
+def test_entity_silent_cases():
+    """The silent side of classes 12/13, each pinned by the moneysmart
+    golden: known entities with ';' (named, decimal, hex), a NAKED '&'
+    before a non-namechar (the golden's ' & ' text runs), and '&' inside
+    script/style CDATA or comments (the golden's '&l='/'&profile'
+    script bodies)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + "<p>&amp; &gt; &nbsp; &#39; &#xA0; &euro;</p>") == ""
+    assert td(pre + "<p>a & b &< c &</p>") == ""
+    assert td(pre + "<script>u = '?a=1&b=2' && q&amp;</script>") == ""
+    assert td(pre + "<!-- &frob; R&D --><p>x</p>") == ""

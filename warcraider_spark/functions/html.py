@@ -275,6 +275,22 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _BADCLOSE_RE = re.compile(r"</(?=[a-zA-Z])")
 _DOCTYPE_RE = re.compile(r"<!doctype", re.I)
 
+# classes 12+13: tidy's ParseEntity trigger — '&' followed by '#' or a
+# namechar starts an entity parse; the lexer then consumes namechars
+# (letters, digits, '-', '.', ':', '_' — tidy IsNamechar) until a
+# non-namechar stops it. A naked '&' before anything else never enters
+# entity parsing and stays literal with NO warning (pinned empirically:
+# the moneysmart golden's three bare ' & ' text runs produce none of its
+# 217 warnings).
+_ENTITY_RE = re.compile(r"&(#?[A-Za-z0-9][-A-Za-z0-9_:.]*|#)")
+# tidy's entity dictionary (entities.c): the HTML 4.01 named set — the
+# Python stdlib ships it verbatim as html.entities.name2codepoint — plus
+# XML's &apos;. Codepoints matter: tidy requires the ';' for entities
+# mapping above U+00FF (see the class-12/13 split below).
+import html.entities as _stdlib_entities  # noqa: E402
+
+_ENTITY_CODES: dict[str, int] = {**_stdlib_entities.name2codepoint, "apos": 39}
+
 
 def tidy_diagnostics(raw_html: str) -> str:
     """Tidy-stderr-style diagnostics for one raw HTML document.
@@ -339,10 +355,26 @@ def tidy_diagnostics(raw_html: str) -> str:
        anchored at the end tag. A class-5-broken start tag still OPENS
        its element (position-driven push, whether or not a pseudo-tag
        forms at it), so its own end tag matches rather than discards.
+    12. ``unescaped & or unknown entity "&name"`` — (r8) an entity
+       parse (``&`` + namechar/'#') whose consumed name is not in
+       tidy's dictionary, or a known entity mapping above U+00FF
+       without its terminating ``;`` (tidy requires the semicolon for
+       multi-byte substitutions: UNKNOWN_ENTITY). Anchored at the
+       ``&``; the reported name never includes the ``;``. Scanned in
+       PCDATA text and attribute values; never in script/style CDATA
+       or comments — and a NAKED ``&`` (next char not namechar/'#')
+       is silent, both pinned by the moneysmart golden (bare `` & ``
+       text runs and script-body ``&l=``/``&profile`` URLs produce
+       none of its 217 warnings).
+    13. ``entity "&name" doesn't end in ';'`` — (r8) a known entity
+       mapping below U+0100 (the HTML 4.01 Latin-1 range, where tidy
+       substitutes anyway) terminated by a non-namechar instead of
+       ``;`` (MISSING_SEMICOLON). Numeric forms (``&#160``,
+       ``&#xA0``) take the same split by codepoint.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10+11) in document order, then attribute checks (9+3),
-    then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
+    (1+2+5+6+7+8+10+11+12+13) in document order, then attribute checks
+    (9+3), then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
@@ -367,7 +399,14 @@ def tidy_diagnostics(raw_html: str) -> str:
     only emitted for documents containing at least one element tag and
     anchors there — tidy would anchor at a leading bare-text token
     (implicit <html>) instead; tagless or text-only documents emit no
-    doctype warning here.
+    doctype warning here. Class-12/13 divergences (r8): the entity
+    dictionary is the HTML 4.01 set + &apos; (tidy entities.c vintage)
+    — a name only later tidy builds know would warn class 12 here;
+    Win-1252 numeric references (&#128;–&#159;) are treated as plain
+    valid codepoints rather than tidy's INVALID_NCR remap-and-warn;
+    and a class-5 value swallowed to EOF is not entity-scanned (tidy's
+    ParseValue would scan it — the document is already one broken
+    attribute value at that point).
     """
     if not raw_html:
         return ""
@@ -503,6 +542,47 @@ def tidy_diagnostics(raw_html: str) -> str:
             else:
                 i += 1
         scan = max(i, m.end())
+
+    # classes 12 + 13: entity references. tidy's lexer runs ParseEntity
+    # wherever '&' + namechar/'#' appears OUTSIDE script/style CDATA and
+    # comments — PCDATA text and attribute values alike (the masked[]
+    # array already encodes exactly that exclusion, including the
+    # class-5 swallowed-to-EOF value text, which tidy WOULD scan but we
+    # skip — see KNOWN DIVERGENCE). The consumed name (without the
+    # terminating ';', which tidy strips before reporting) is resolved
+    # against the entity dictionary:
+    #   unknown name, or a >=U+0100 entity missing its ';'  →  class 12
+    #     `unescaped & or unknown entity "&name"` (UNKNOWN_ENTITY);
+    #   known <U+0100 entity missing its ';'                →  class 13
+    #     `entity "&name" doesn't end in ';'` (MISSING_SEMICOLON);
+    #   known + ';'                                         →  silent.
+    # Numeric forms (&#160, &#xA0) resolve to their codepoint and take
+    # the same split; a malformed numeric body (&#, &#xzz) is an unknown
+    # entity. Anchor = the '&' column (tidy rewinds lexer->columns to
+    # startcol before reporting). Lexer-phase, document order.
+    for em in _ENTITY_RE.finditer(raw_html):
+        if masked[em.start()]:
+            continue
+        name = em.group(1)
+        semicolon = raw_html[em.end() : em.end() + 1] == ";"
+        if name.startswith("#"):
+            body = name[1:]
+            if re.fullmatch(r"[xX][0-9a-fA-F]+", body):
+                code: int | None = int(body[1:], 16)
+            elif body.isdigit():
+                code = int(body)
+            else:
+                code = None
+        else:
+            code = _ENTITY_CODES.get(name)
+        if code is None or (code >= 256 and not semicolon):
+            parse_time.append(
+                (em.start(), 0, f'unescaped & or unknown entity "&{name}"')
+            )
+        elif not semicolon:
+            parse_time.append(
+                (em.start(), 0, f"entity \"&{name}\" doesn't end in ';'")
+            )
 
     attr_checks: list[tuple[int, str]] = []  # classes 3 + 9
     trims: list[tuple[int, str]] = []  # class 4
