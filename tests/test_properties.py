@@ -225,7 +225,7 @@ def test_cdc_spark_matches_reference(spark):
 @settings(max_examples=300, deadline=None)
 @given(
     st.text(
-        alphabet=st.sampled_from(list("<>/\"'= abdefhilmnoprstuvy\n\t!-")),
+        alphabet=st.sampled_from(list("<>/\"'= abdefhilmnoprstuvy\n\t!-&#;x9")),
         max_size=300,
     )
 )
@@ -233,8 +233,9 @@ def test_tidy_diagnostics_total_and_wellformed(raw):
     """The diagnostics scanner must be total over adversarial tag soup
     (r8: the alphabet is tag-construction-heavy so broken quotes, bare
     end tags, half-formed comments and doctypes all reach the parser
-    paths): it never raises, returns "" or newline-terminated
-    tidy-format lines, and is deterministic."""
+    paths, and includes '&'/'#'/';'/hex chars so half-formed entities
+    reach the class-12/13 scanner): it never raises, returns "" or
+    newline-terminated tidy-format lines, and is deterministic."""
     import re as _re
 
     from warcraider_spark.functions.html import tidy_diagnostics

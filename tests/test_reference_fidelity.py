@@ -651,3 +651,50 @@ def test_entity_silent_cases():
     assert td(pre + "<p>a & b &< c &</p>") == ""
     assert td(pre + "<script>u = '?a=1&b=2' && q&amp;</script>") == ""
     assert td(pre + "<!-- &frob; R&D --><p>x</p>") == ""
+
+
+# --- adversarial golden #4 (r8): entity classes interleaved ---------------
+
+ENTITY_HTML = """<html>
+<head>
+<link href="?a=1&b=2" zap="1">
+</head>
+<body>
+<p>AT&amp T sees &frob; in R&D</p>
+<script>u = '?x=1&y=2&amp'</script>
+<ul></ul>
+</body>
+</html>"""
+
+
+def test_entity_golden_strict_fails():
+    """The page takes the tidy path: the unclosed void <link> fails the
+    strict XML-style first pass (lib.rs:193-207 trigger)."""
+    from warcraider_spark.functions.html import strict_parse_ok
+
+    assert strict_parse_ok(ENTITY_HTML) is False
+
+
+def test_entity_golden_html_errors():
+    """Fourth html_errors golden pinning classes 12/13 byte-exact IN
+    PHASE ORDER with the rest of the catalog: entity warnings are
+    lexer-time (interleaved by document position with the class-8
+    doctype and the class-10 title insert, which anchors at the
+    explicit </head> BEFORE the line-6 entities), while the same
+    <link>'s class-9/3 attribute checks and the class-4 trim come in
+    their later phases. The attribute-value entity anchors at its '&'
+    column inside the value; the script-body entities stay silent
+    (CDATA, golden-pinned)."""
+    from warcraider_spark.functions.html import tidy_diagnostics
+
+    assert tidy_diagnostics(ENTITY_HTML) == (
+        "line 1 column 1 - Warning: missing <!DOCTYPE> declaration\n"
+        'line 3 column 17 - Warning: unescaped & or unknown entity "&b"\n'
+        "line 4 column 1 - Warning: inserting missing 'title' element\n"
+        "line 6 column 6 - Warning: entity \"&amp\" doesn't end in ';'\n"
+        'line 6 column 18 - Warning: unescaped & or unknown entity "&frob"\n'
+        'line 6 column 29 - Warning: unescaped & or unknown entity "&D"\n'
+        'line 3 column 1 - Warning: <link> proprietary attribute "zap"\n'
+        'line 3 column 1 - Warning: <link> lacks "rel" attribute\n'
+        "line 8 column 1 - Warning: trimming empty <ul>\n"
+    )
