@@ -245,3 +245,53 @@ def test_tidy_diagnostics_total_and_wellformed(raw):
     for line in out.splitlines():
         assert _re.match(r"^line \d+ column \d+ - Warning: ", line), line
     assert tidy_diagnostics(raw) == out
+
+
+def _rep_adversarial_samples():
+    import random
+
+    rng = random.Random(2024)
+    alphabet = "ab c\nd\te AB. !"
+    samples = [
+        "",                       # empty: [""] token path, text_chars 0
+        " ",                      # whitespace-only
+        "one",                    # G < every n: whole-doc gram
+        "a a",                    # G=2: exactly one 2-gram
+        "x y x y",                # tie between ("x","y") and ("y","x")
+        "aa bb aa bb cc ddd cc ddd",  # cnt tie, longer gram wins
+        "\n\n\n",                 # paragraph-split edges
+        "dup\ndup\nuniq",         # duplicate lines
+        "p1 text\n\np1 text\n\nother",  # duplicate paragraphs
+        "tab\tstays inside token",  # \t is a token splitter (ASCII \s)
+        "trail  ",                # trailing empties dropped (Java split)
+        "  lead",                 # leading empty kept
+        "日本 語 日本 語 テスト",      # multi-byte chars: char counts not bytes
+    ]
+    samples += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 300)))
+        for _ in range(50)
+    ]
+    return samples
+
+
+def test_rep_arrow_matches_catalyst(spark):
+    """The shipped batched-Arrow repetition kernel and the pure-Catalyst
+    sorted_run_stats fold twin produce IDENTICAL 21-signal rows on the
+    adversarial batch (short docs, ties, multi-line/multi-paragraph,
+    Java-split quirks, multi-byte chars) — so either formulation can
+    certify the other, the cdc_chunks precedent."""
+    from warcraider_spark.operators.text import gopher_repetition_table
+
+    samples = _rep_adversarial_samples()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(samples)], "doc_id long, text string"
+    )
+    fast = {r["doc_id"]: r.asDict() for r in
+            gopher_repetition_table(df, vectorized=True).collect()}
+    slow = {r["doc_id"]: r.asDict() for r in
+            gopher_repetition_table(df, vectorized=False).collect()}
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        assert fast[k] == slow[k], (k, samples[k][:50], {
+            f: (fast[k][f], slow[k][f]) for f in fast[k] if fast[k][f] != slow[k][f]
+        })

@@ -921,7 +921,22 @@ def _rep_signals_catalyst(docs: DataFrame) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
-        tokens("text").alias("toks"),
+        # empty tokens dropped (the oracle's list_filter semantics, and
+        # the only sane reading of Gopher "words") — plain tokens() is
+        # Spark split(limit=-1), which KEEPS a trailing empty token on
+        # trailing whitespace and would diverge from both the oracle and
+        # the Arrow kernel on such documents (corpus-absent, but the
+        # twin property test constructs them). A zero-token doc is
+        # normalized back to [""] so all_shingles keeps the canonical
+        # G < n semantics (the whole doc as ONE gram: cnt 1, len
+        # text_chars, no dups) instead of emitting no gram at all;
+        # text_chars is unaffected (join of either is "").
+        F.when(
+            F.size(F.filter(tokens("text"), lambda v: v != F.lit(""))) == 0,
+            F.array(F.lit("")),
+        )
+        .otherwise(F.filter(tokens("text"), lambda v: v != F.lit("")))
+        .alias("toks"),
         trimmed_nonempty(F.split(F.col("text"), "\n")).alias("ls"),
         trimmed_nonempty(F.split(F.col("text"), "\n{2,}")).alias("ps"),
     )
@@ -982,9 +997,10 @@ def _rep_signals_arrow_udf():
     table. Gram char lengths come from a global cumsum of token lengths
     (+1 per joining space), so no gram string is ever materialized.
     Matches the Catalyst twin exactly (property-tested), including the
-    short-doc path (G < n → the whole doc as one gram) and Java's
-    split() semantics (ASCII \\s, trailing empties dropped, leading
-    kept; trim strips only spaces)."""
+    short-doc path (G < n → the whole doc as one gram) and the shared
+    tokenization: ASCII \\s splits, EMPTY TOKENS DROPPED (the oracle's
+    list_filter semantics — Gopher words are non-empty), trim strips
+    only spaces."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1016,7 +1032,7 @@ def _rep_signals_arrow_udf():
         head = np.zeros((ndocs, 9), dtype=np.int64)
         for i, t in enumerate(s):
             t = t or ""
-            toks = java_split(r"\s+", t.strip(" "))
+            toks = [w for w in java_split(r"\s+", t.strip(" ")) if w]
             toks_list.append(toks)
             ls = [v for v in (x.strip(" ") for x in java_split("\n", t)) if v]
             ps = [v for v in (x.strip(" ") for x in java_split(r"\n{2,}", t)) if v]
