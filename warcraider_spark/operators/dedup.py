@@ -459,6 +459,7 @@ WHERE 10 * i >= 8 * LEAST(sa.n, sb.n)
 ORDER BY contained_doc, container_doc
 """,
     tags=("dedup", "containment", "training-pipeline"),
+    bench=True,
 )
 def q018_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-CONTAINMENT dedup (r8): C(A, B) = |S(A) ∩ S(B)|

@@ -854,6 +854,7 @@ ORDER BY doc_id
     "q016_gopher_repetition",
     oracle=_rep_oracle(),
     tags=("text", "quality", "repetition", "training-pipeline"),
+    bench=True,
 )
 def q016_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal suite (Rae et al. 2021 §A1.1 Table A1 —
@@ -2411,6 +2412,7 @@ SELECT doc_id, n AS n_tokens, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
 FROM v ORDER BY doc_id
 """,
     tags=("text", "quality", "training-pipeline"),
+    bench=True,
 )
 def q017_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
