@@ -96,11 +96,16 @@ def sorted_run_stats(arr: Column) -> Column:
                       cnt*len unchanged, so emitted products are
                       deterministic without a lexicographic tie-break).
 
-    One ``aggregate`` fold over ``array_sort`` — O(n log n) per row inside
-    whole-stage codegen, no explode and no shuffle. This is the primitive
-    behind every Gopher repetition signal (dup-line/paragraph fractions,
-    top-n-gram and dup-n-gram character fractions): at 100 TB each signal
-    stays a map-only scan instead of one groupBy shuffle per n-gram order.
+    One ``aggregate`` fold over ``array_sort`` — O(n log n) per row, no
+    explode and no shuffle. NOTE (r8): ArrayAggregate is CodegenFallback
+    (interpreted per row, and large fold trees are re-evaluated per
+    referencing column unless a projection barrier stops CollapseProject
+    — see ``_rep_signals_catalyst``), so this is the SEMANTIC primitive
+    behind the Gopher repetition signals and their property-test twin,
+    while the shipped q016 path is the batched-Arrow kernel
+    (``_rep_signals_arrow_udf``). Either way each signal stays a
+    map-only scan at 100 TB instead of one groupBy shuffle per n-gram
+    order.
 
     Empty arrays yield all-zero stats. Elements must be non-null and
     non-empty ("" is the fold's initial sentinel).
