@@ -1,8 +1,12 @@
 """Native Column builders for text analysis — all JVM-side expressions.
 
 Nothing here is a Python UDF: tokenization, shingling, hashing, and scoring
-are Catalyst expressions (split / transform / aggregate / md5 / conv), so
-they stay inside whole-stage codegen and scale linearly with executors.
+are Catalyst expressions (split / transform / aggregate / md5 / conv) — all
+JVM-side with no Arrow transfer, scaling linearly with executors. (Scalar
+expressions compile into whole-stage codegen; the higher-order array
+functions are CodegenFallback — interpreted, fine for cheap lambda bodies,
+which is why the HEAVY per-row folds ship as batched Arrow kernels with
+these as property-test twins: the q016/q048 pattern.)
 
 Cross-engine hashing convention (used by dedup/minhash/simhash oracles):
 ``md5_int(s)`` = first 15 hex chars of md5(s) as a bigint — identical in

@@ -1133,8 +1133,9 @@ def q077_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the span head is corpus-derived but TINY (one aggregation
     → a 1-row array), so it rides a broadcast cross join and the excision
-    itself is a map-side higher-order fold (aggregate + replace) inside
-    whole-stage codegen — no shuffle, no UDF, no per-doc join. Spans are
+    itself is a map-side higher-order fold (aggregate + replace — JVM-side
+    though interpreted, HOFs being CodegenFallback) — no shuffle, no
+    Python UDF, no per-doc join. Spans are
     applied in sorted order with space-fenced matching on normalized text,
     so both engines remove identical byte ranges. (At 100 TB the fold's
     100 linear scans per doc would justify an Aho-Corasick pandas UDF;

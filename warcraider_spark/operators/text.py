@@ -2429,11 +2429,13 @@ def q017_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero cross-engine float risk; division-free comparisons also make
     the n = 0 / no-lines edge cases total without guards.
 
-    Scale shape: pure per-row higher-order array expressions inside
-    whole-stage codegen — map-only over the corpus, no shuffle before
-    the presentation sort; at 100 TB this is the cheapest possible
-    full-corpus pass (the same scan the q092 pipeline fuses its filters
-    into).
+    Scale shape: pure per-row higher-order array expressions — JVM-side
+    but interpreted (HOFs are CodegenFallback, the q016 lesson; cheap
+    here because each rule is one O(tokens) pass with trivial lambda
+    bodies, measured linear 3.8× at 8× data) — map-only over the
+    corpus, no shuffle before the presentation sort; at 100 TB this is
+    the cheapest possible full-corpus pass (the same scan the q092
+    pipeline fuses its filters into).
 
     Note: the stopword rule keeps Gopher's PUBLISHED 8-word list, which
     the synthetic database-vocabulary corpus almost never satisfies —
