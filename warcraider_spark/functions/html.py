@@ -379,11 +379,22 @@ def tidy_diagnostics(raw_html: str) -> str:
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
 
-    KNOWN DIVERGENCE (documented, r4→r7): real tidy's catalog is larger
-    still (proprietary attributes, implicit <body>/<title> insertion
-    notices …) — strict-parse-failing pages triggering classes outside
-    this catalog diverge in html_errors CONTENT; the trigger condition
-    and the classes above are the certified surface. A class-5-broken
+    CONTRACT SURFACE (r8): the reference's invocation is ``tidy -q
+    --show-errors=0 --show-info=no …`` (lib.rs:197) — ``-q`` drops the
+    summary header, ``--show-errors=0`` suppresses ALL Error-level
+    messages, and ``--show-info=no`` suppresses ALL Info-level ones
+    (e.g. the "Document content looks like …" notices). Only
+    WARNING-level lines ever reach the captured stderr, so the catalog
+    above competes only against tidy's remaining warning classes, not
+    its full message table.
+
+    KNOWN DIVERGENCE (documented, r4→r8): real tidy's warning catalog
+    is larger still (implicit-element insertion notices beyond the
+    title insert, start-tag-triggered "missing </x> before <y>",
+    INVALID_NCR Win-1252 remaps, nested-emphasis …) — strict-parse-
+    failing pages triggering classes outside this catalog diverge in
+    html_errors CONTENT; the trigger condition and the classes above
+    are the certified surface. A class-5-broken
     tag's attributes lexed BEFORE the broken quote are not re-scanned
     for classes 1/3 (tidy lexes them; the warning classes they could
     add are rare on a tag already being reported broken) — the broken
