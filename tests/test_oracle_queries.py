@@ -161,3 +161,49 @@ def test_gopher_repetition_both_ways(spark):
     assert rows[3].dup_line_ok  # one line: line signals stay vacuous
 
     assert rows[4].top2_cnt == 2 and rows[4].top2_len == len("cc ddd")
+
+
+def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
+    """Tri-implementation agreement END-TO-END through run_oracle on an
+    adversarial corpus the shipped testdata never exposes (its minimum is
+    10 tokens — exactly the largest gram order): empty/whitespace-only
+    docs, G < n short docs, ties, duplicate lines/paragraphs. Pins the
+    oracle's G < n whole-doc-as-one-gram CASE and the
+    array_to_string([]) NULL coalesce — without them the oracle emits
+    NULL grams/verdicts on sub-k-token docs (a latent hash landmine for
+    any future corpus)."""
+    import duckdb as _dd
+
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    rows = [
+        (0, ""), (1, " "), (2, "one"), (3, "a a"), (4, "x y x y"),
+        (5, "aa bb aa bb cc ddd cc ddd"),
+        (6, "dup\ndup\nuniq words here now"),
+        (7, "p1 text\n\np1 text\n\nother para"),
+        (8, "\n\n\n"),
+        (9, "nine tok doc here with just nine total words"),
+        (10, "ten tok doc here with just ten total words ok"),
+        (11, "spam ham " * 40),
+    ]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+
+    r = run_oracle(spark, all_specs()["q016_gopher_repetition"], str(d))
+    assert r.ok, r.detail

@@ -748,12 +748,18 @@ _REP_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 
 
 def _ngram_sql(tok_col: str, k: int) -> str:
-    """Non-distinct k-gram list (shingles_sql minus list_distinct); same
-    >= k-token precondition as shingles_sql."""
+    """Non-distinct k-gram list. Short docs (len < k) produce the WHOLE
+    doc as one gram — the canonical G < n semantics shared with
+    all_shingles and the Arrow kernel (without the CASE, the series
+    still yields one element but out-of-range ``tok[i+j]`` is NULL and
+    the ``||`` chain NULLs the gram — a latent hash landmine if a corpus
+    ever carries a sub-k-token doc; the shipped testdata's minimum is
+    exactly 10 tokens, the largest gram order)."""
     parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(k))
     return (
-        f"list_transform(generate_series(1, greatest(len({tok_col}) - {k - 1}, 1)), "
-        f"i -> {parts})"
+        f"CASE WHEN len({tok_col}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({tok_col}) - {k - 1}), i -> {parts}) "
+        f"ELSE [array_to_string({tok_col}, ' ')] END"
     )
 
 
@@ -816,7 +822,7 @@ WITH t AS (
 ),
 base AS (
   SELECT doc_id,
-         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS text_chars,
+         CAST(coalesce(length(array_to_string(toks, ' ')), 0) AS BIGINT) AS text_chars,
          CAST(len(ls) AS BIGINT) AS n_lines,
          {sum_chars.format(a="ls")} AS line_chars,
          CAST(len(ps) AS BIGINT) AS n_paras,
