@@ -163,19 +163,12 @@ def test_gopher_repetition_both_ways(spark):
     assert rows[4].top2_cnt == 2 and rows[4].top2_len == len("cc ddd")
 
 
-def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
-    """Tri-implementation agreement END-TO-END through run_oracle on an
-    adversarial corpus the shipped testdata never exposes (its minimum is
-    10 tokens — exactly the largest gram order): empty/whitespace-only
-    docs, G < n short docs, ties, duplicate lines/paragraphs. Pins the
-    oracle's G < n whole-doc-as-one-gram CASE and the
-    array_to_string([]) NULL coalesce — without them the oracle emits
-    NULL grams/verdicts on sub-k-token docs (a latent hash landmine for
-    any future corpus)."""
+def _short_doc_corpus(tmp_path):
+    """Adversarial documents table the shipped testdata never exposes (its
+    minimum is 10 tokens — exactly the largest gram order): empty and
+    whitespace-only docs, G < k short docs, ties, duplicate
+    lines/paragraphs. Other tables symlink to sf0.001."""
     import duckdb as _dd
-
-    from warcraider_spark.oracle import run_oracle
-    from warcraider_spark.registry import all_specs
 
     rows = [
         (0, ""), (1, " "), (2, "one"), (3, "a a"), (4, "x y x y"),
@@ -204,6 +197,41 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
         "region nation customer supplier part orders lineitem events embeddings"
     ).split():
         (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+    return str(d)
 
-    r = run_oracle(spark, all_specs()["q016_gopher_repetition"], str(d))
+
+def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
+    """Tri-implementation agreement END-TO-END through run_oracle on the
+    short-doc corpus. Pins the oracle's G < n whole-doc-as-one-gram CASE
+    and the array_to_string([]) NULL coalesce — without them the oracle
+    emits NULL grams/verdicts on sub-k-token docs (a latent hash
+    landmine for any future corpus)."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    r = run_oracle(spark, all_specs()["q016_gopher_repetition"], _short_doc_corpus(tmp_path))
     assert r.ok, r.detail
+
+
+def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
+    """Every shingles_sql-based oracle survives sub-k-token documents
+    (same landmine class as q016's: the unguarded toks[i+j] || chain
+    NULLed short-doc shingles until the r8 CASE guard). q139 is vacuous
+    on 12 docs (its decontamination branch never fires) and is covered
+    at sf0.01 by the driver."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _short_doc_corpus(tmp_path)
+    specs = all_specs()
+    names = [
+        "q088_minhash_lsh_pairs",
+        "q128_ngram_jaccard_pairs",
+        "q018_containment_dedup",
+        "q142_dedup_clusters",
+        "q066_benchmark_contamination",
+        "q074_incremental_dedup",
+    ]
+    for n in names:
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)

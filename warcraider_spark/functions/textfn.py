@@ -174,14 +174,20 @@ def shingles_sql(tok_col: str, k: int = 3) -> str:
     """DuckDB twin of shingles() for oracle SQL. ``tok_col`` must be a named
     list column in scope (lambdas can reference row columns directly).
 
-    Precondition on BOTH sides: documents have ≥ k tokens — below that,
-    Spark's concat_ws skips out-of-range NULLs while DuckDB's ``||``
-    propagates them. The driver corpus (≥15 tokens/doc) satisfies this.
+    Short docs (len < k) produce the whole doc as ONE shingle — exactly
+    Spark's concat_ws-skips-NULL-padding semantics (r8: previously a
+    documented >= k-token precondition; the unguarded ``toks[i+j] || …``
+    chain NULLs the shingle below it, a latent oracle hash landmine for
+    any corpus with a sub-k-token doc — the q016 _ngram_sql lesson).
+    Split-derived token lists are never empty ([''] for empty text), so
+    the G = 0 case is unreachable on both engines.
     """
     parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(k))
     return (
-        f"list_distinct(list_transform(generate_series(1, greatest(len({tok_col}) - {k - 1}, 1)), "
-        f"i -> {parts}))"
+        f"CASE WHEN len({tok_col}) >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({tok_col}) - {k - 1}), "
+        f"i -> {parts})) "
+        f"ELSE [array_to_string({tok_col}, ' ')] END"
     )
 
 
