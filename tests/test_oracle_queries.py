@@ -231,6 +231,7 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
         "q142_dedup_clusters",
         "q066_benchmark_contamination",
         "q074_incremental_dedup",
+        "q084_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)

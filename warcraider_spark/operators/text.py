@@ -26,6 +26,7 @@ from warcraider_spark.functions.textfn import (
     norm_text,
     shingle_fingerprint,
     shingles,
+    shingles_sql,
     sorted_run_stats,
     tokens,
     word_count,
@@ -229,12 +230,12 @@ def q083_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q084_shingle_fingerprint",
-    oracle="""
+    # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
+    # shingle below k, matching Spark's concat_ws semantics) — the former
+    # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
+    oracle=f"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-     s AS (SELECT doc_id,
-                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
-                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
-           FROM t)
+     s AS (SELECT doc_id, {shingles_sql("toks", 3)} AS sh FROM t)
 SELECT doc_id,
        md5(array_to_string(list_sort(sh), '|')) AS shingle_fp,
        len(sh) AS n_shingles
