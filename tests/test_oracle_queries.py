@@ -236,3 +236,31 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     for n in names:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
+
+
+def test_degenerate_doc_totality(spark, tmp_path):
+    """The r8 adversarial sweep's crash/divergence findings, pinned: on a
+    corpus with empty/whitespace-only docs (guaranteed in any real web
+    corpus) q065 must not DIVIDE_BY_ZERO under ANSI mode, q035's
+    MinHashLSH join must not FAILED_EXECUTE_UDF on all-zero vectors
+    (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
+    the localCheckpoint barrier pins it to filtered rows), q077's oracle
+    must not NULL through list()-of-zero-rows / array_to_string([]),
+    q172/q162 tokenization must drop empty tokens on both engines, and
+    q124's crosstab schema must stay the closed 5-lang contract when a
+    lang is corpus-absent."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _short_doc_corpus(tmp_path)
+    specs = all_specs()
+    for n in [
+        "q065_bpe_pretokenize",
+        "q077_span_excision",
+        "q172_repetition_ratio",
+        "q162_bigram_udtf",
+        "q035_ml_lsh_variants",
+        "q124_crosstab",
+    ]:
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)

@@ -1108,10 +1108,18 @@ head AS (
   ORDER BY COUNT(DISTINCT doc_id) DESC, COUNT(*) DESC, gram
   LIMIT 100
 ),
-sp AS (SELECT list_sort(list(gram)) AS spans FROM head),
+sp AS (
+  -- list() over ZERO rows is NULL in DuckDB (Spark's collect_list gives
+  -- []) — without the coalesce an empty span head NULLs every clean_len
+  -- (r8 short-doc adversarial sweep; unreachable on the shipped corpus,
+  -- which always yields a 100-gram head)
+  SELECT coalesce(list_sort(list(gram)), CAST([] AS VARCHAR[])) AS spans FROM head
+),
 d AS (
+  -- coalesce: array_to_string([]) is NULL in DuckDB (Spark array_join
+  -- gives ''), so a letterless doc would NULL both lengths
   SELECT doc_id,
-         array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS norm
+         coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' '), '') AS norm
   FROM documents
 )
 SELECT doc_id,

@@ -2696,13 +2696,20 @@ def q124_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
     surface (backed by the same two-phase pivot-count plan as
     groupBy().pivot().count()). The oracle is independent conditional
-    aggregation. lang is a closed 5-value set, so the pivoted schema is
-    stable across engines and scale factors.
+    aggregation over the closed 5-value lang contract; a corpus missing
+    some lang entirely (r8 adversarial sweep) still yields the full
+    stable schema — absent columns are zero-filled driver-side from the
+    already-computed crosstab, no extra job.
     """
     docs = load_table(spark, sf_dir, "documents")
     ct = docs.stat.crosstab("source", "lang")
+    have = set(ct.columns)
     return ct.select(
-        "source_lang", *[F.col(c).alias(c) for c in ("de", "en", "es", "fr", "zh")]
+        "source_lang",
+        *[
+            (F.col(c) if c in have else F.lit(0).cast("bigint")).alias(c)
+            for c in ("de", "en", "es", "fr", "zh")
+        ],
     ).orderBy("source_lang")
 
 

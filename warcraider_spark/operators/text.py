@@ -415,7 +415,11 @@ WITH t AS (
            string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS ts
   FROM documents WHERE doc_id < 200
 ),
-g AS (SELECT ts, COUNT(*) AS k FROM t GROUP BY ts)
+-- len(ts) > 0 mirrors the engine's empty-vector exclusion: MinHashLSH
+-- REQUIRES >= 1 non-zero entry (an empty token set has no minhash), so
+-- token-less docs carry no sketch on either side (r8 adversarial sweep;
+-- corpus-unreachable)
+g AS (SELECT ts, COUNT(*) AS k FROM t WHERE len(ts) > 0 GROUP BY ts)
 SELECT * FROM (VALUES
   ('brp_vectors_hashed', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)),
   ('exact_dup_pairs_found', (SELECT CAST(SUM(k * (k - 1) // 2) AS BIGINT) FROM g)),
@@ -453,10 +457,40 @@ def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.ml.functions import array_to_vector
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    # Token-less docs are excluded at the SOURCE column (any doc with no
+    # non-whitespace char): MinHashLSH throws FAILED_EXECUTE_UDF on
+    # all-zero vectors ("must have at least 1 non zero entry"), so a
+    # single empty doc would kill the whole job at 100 TB (the oracle's
+    # len(ts) > 0 mirror; an empty set has no minhash by definition).
+    # The predicate must sit on the scan column, NOT on the derived
+    # words/features: approxSimilarityJoin re-derives its plan and the
+    # hash UDF is deterministic, so Catalyst may evaluate it before a
+    # same-stage filter on a derived column (observed: the derived-filter
+    # form still crashed while transform() alone passed).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .filter(F.regexp_count("text", F.lit(r"\S")) > 0)
+        .select("doc_id", "text")
+    )
     toked = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    # Tokenizer keeps '' tokens on leading/extra whitespace; drop them so
+    # the feature SETS match the oracle's filtered token sets
+    toked = toked.withColumn(
+        "words", F.filter(F.col("words"), lambda w: w != F.lit(""))
+    )
     cv = CountVectorizer(inputCol="words", outputCol="features", binary=True).fit(toked)
-    feats = cv.transform(toked)
+    # localCheckpoint = an optimizer barrier, not (just) a perf cache:
+    # approxSimilarityJoin posexplodes UDF(features), and
+    # InferFiltersFromGenerate pushes the inferred size(hashes) > 0 —
+    # with the hash UDF substituted in — all the way into the SCAN
+    # filter, where subexpression elimination evaluates the UDF on every
+    # raw row BEFORE the empty-doc predicate can short-circuit (observed:
+    # the source-filtered plan still crashed inside the join while
+    # transform() alone passed). Cutting lineage pins the UDF's input to
+    # the already-filtered rows; Spark ML docs recommend caching LSH join
+    # inputs anyway (q035 owns build-time jobs: the fits above).
+    feats = cv.transform(toked).localCheckpoint(eager=False)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(feats)
     pairs = (
         mh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
@@ -698,20 +732,18 @@ def q095_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q172_repetition_ratio",
-    oracle="""
+    # shingles_sql carries the r8 short-doc CASE guard — the former inline
+    # gram NULLed below 5 tokens and DuckDB's list_distinct DROPS NULLs,
+    # skewing distinct_5grams to 0 (rep_ratio 1.0) where Spark says 1 (0.0)
+    oracle=f"""
 SELECT doc_id,
        len(toks) AS n_tokens,
        greatest(len(toks) - 4, 1) AS total_5grams,
-       len(list_distinct(list_transform(
-           generate_series(1, greatest(len(toks) - 4, 1)),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
-       ))) AS distinct_5grams,
+       len({shingles_sql("toks", 5)}) AS distinct_5grams,
        -- raw double quotient of exact ints: bit-identical across engines,
        -- never ROUND a composite (decimal-half divergence)
-       1.0 - len(list_distinct(list_transform(
-           generate_series(1, greatest(len(toks) - 4, 1)),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
-       ))) / CAST(greatest(len(toks) - 4, 1) AS DOUBLE) AS rep_ratio
+       1.0 - len({shingles_sql("toks", 5)})
+           / CAST(greatest(len(toks) - 4, 1) AS DOUBLE) AS rep_ratio
 FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
 ORDER BY doc_id
 """,
@@ -1184,8 +1216,9 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
-       ROUND(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
-             / CAST(length(text) AS DOUBLE), 6) AS tokens_per_char
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE ROUND(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+                       / CAST(length(text) AS DOUBLE), 6) END AS tokens_per_char
 FROM documents
 ORDER BY doc_id
 """,
@@ -1201,12 +1234,20 @@ def q065_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_pre = F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
+    # empty text → rate 0.0, not DIVIDE_BY_ZERO: under ANSI mode the bare
+    # division KILLS the job on the first zero-length doc — and a real
+    # 100 TB web corpus always carries some (found by the r8 short-doc
+    # adversarial sweep; the synthetic corpus never exposes it)
+    rate = F.when(
+        F.length("text") > 0,
+        F.round(n_pre / F.length("text").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
     return (
         docs.select(
             "doc_id",
             n_pre.cast("long").alias("n_pretokens"),
             word_count("text").cast("long").alias("n_words"),
-            F.round(n_pre / F.length("text").cast("double"), 6).alias("tokens_per_char"),
+            rate.alias("tokens_per_char"),
         )
         .orderBy("doc_id")
     )

@@ -33,8 +33,16 @@ def bigram_udtf_class():
 
 @query(
     "q162_bigram_udtf",
+    # list_filter mirrors Python str.split(): NO empty tokens — the bare
+    # regex split keeps a leading '' on whitespace-only docs and would
+    # emit a phantom ('','') bigram the UDTF never yields (r8 short-doc
+    # adversarial sweep; corpus-unreachable). Unicode-whitespace splits
+    # differ in principle (str.split is Unicode, \\s is ASCII) but both
+    # corpora are ASCII-spaced.
     oracle="""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 40)
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id < 40)
 SELECT doc_id, pos, w1, w2
 FROM (
   SELECT doc_id,
