@@ -264,3 +264,56 @@ def test_degenerate_doc_totality(spark, tmp_path):
     ]:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
+
+
+def _zero_vector_corpus(tmp_path):
+    """Adversarial embeddings: an all-zero vector (no direction — no
+    cosine, no absmax quantization), an exact duplicate of a real vector,
+    and singleton labels; other tables symlink to sf0.001."""
+    import duckdb as _dd
+
+    d = tmp_path / "embcorpus"
+    d.mkdir()
+    con = _dd.connect()
+    con.execute(f"""
+COPY (
+  SELECT vec_id, embedding, label
+  FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet') WHERE vec_id < 40
+  UNION ALL
+  SELECT 9001, list_transform(generate_series(1,64), i -> CAST(0.0 AS FLOAT)), 101
+  UNION ALL
+  SELECT 9002, (SELECT embedding FROM read_parquet(
+      '/root/testdata/sf0.001/embeddings.parquet') WHERE vec_id = 0), 102
+  UNION ALL
+  SELECT 9003, list_transform(generate_series(1,64), i -> CAST(0.0 AS FLOAT)), 103
+) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+""")
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+    return str(d)
+
+
+def test_zero_vector_totality(spark, tmp_path):
+    """The r8 zero-vector sweep's findings, pinned: all-zero embedding
+    rows (one corrupted row in a 100 TB corpus) must not ANSI-kill the
+    cosine family (q103/q152/q122: nrm > 0 exclusion — no direction, no
+    cosine), the absmax quantizer (q184: raw_scale > 0), or the grouped
+    eigensolve (q118: np.cov of a singleton group is 0-d; the oracle's
+    aniso division needs the zero-trace CASE)."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _zero_vector_corpus(tmp_path)
+    specs = all_specs()
+    for n in [
+        "q103_cosine_topk_bruteforce",
+        "q152_ann_sign_lsh",
+        "q184_two_stage_rerank",
+        "q122_embedding_neardup",
+        "q118_group_spectral_stats",
+    ]:
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)

@@ -526,8 +526,12 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE vec_id < 250
 ),
+     -- nrm > 0: zero vectors carry no cosine (q103 convention; r8
+     -- zero-vector sweep — unguarded it is an ANSI DIVIDE_BY_ZERO kill)
      n AS (
-  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e
+  SELECT * FROM (
+    SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e
+  ) WHERE nrm > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
@@ -548,7 +552,8 @@ def q122_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    e = em.select("vec_id", v.alias("v"), nrm.alias("nrm"))
+    # zero-norm rows excluded: no direction, no cosine (oracle mirror)
+    e = em.select("vec_id", v.alias("v"), nrm.alias("nrm")).filter(F.col("nrm") > 0)
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

@@ -51,7 +51,10 @@ _SQL_DOT_AB = "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2
     "q103_cosine_topk_bruteforce",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
-     n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm FROM e),
+     -- nrm > 0: a zero vector has no direction, hence no cosine —
+     -- excluded on BOTH engines (r8 zero-vector adversarial sweep;
+     -- an unguarded corrupted row is an ANSI DIVIDE_BY_ZERO job kill)
+     n AS (SELECT * FROM (SELECT vec_id, v, {_SQL_NORM} AS nrm FROM e) WHERE nrm > 0),
      q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
      scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -77,7 +80,12 @@ def q103_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable. The query side is broadcast; the corpus scan streams.
     """
     em = load_table(spark, sf_dir, "embeddings")
-    n = em.select("vec_id", _vec_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    # zero-norm rows excluded: no direction, no cosine (oracle mirror)
+    n = (
+        em.select("vec_id", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
     q = n.filter(F.col("vec_id") < N_QUERIES)
     a, b = q.alias("a"), n.alias("b")
     cos = F.round(_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6)
@@ -107,7 +115,8 @@ _SQL_BUCKET = (
     "q152_ann_sign_lsh",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
-     n AS (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e),
+     -- nrm > 0: zero vectors carry no cosine (see q103)
+     n AS (SELECT * FROM (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e) WHERE nrm > 0),
      q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
      scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
@@ -132,9 +141,14 @@ def q152_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no cross join anywhere)."""
     em = load_table(spark, sf_dir, "embeddings")
     v = _vec_double()
-    n = em.select("vec_id", v.alias("v")).withColumn("nrm", _norm(F.col("v"))).withColumn(
-        "bucket", F.array_join(
-            F.transform(F.slice(F.col("v"), 1, SIGN_BITS), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+    n = (
+        em.select("vec_id", v.alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)  # zero vectors carry no cosine (q103 mirror)
+        .withColumn(
+            "bucket", F.array_join(
+                F.transform(F.slice(F.col("v"), 1, SIGN_BITS), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+            )
         )
     )
     q = n.filter(F.col("vec_id") < N_QUERIES)
@@ -362,7 +376,8 @@ agg AS (
 )
 SELECT CAST(a.label AS INT) AS label, a.n, a.trace_num,
        r.diag_num AS top_diag_num, r.dim AS top_dim,
-       CAST(CAST(r.diag_num AS HUGEINT) * 10000 // a.trace_num AS BIGINT) AS aniso_bp
+       CAST(CASE WHEN a.trace_num = 0 THEN 0
+            ELSE CAST(r.diag_num AS HUGEINT) * 10000 // a.trace_num END AS BIGINT) AS aniso_bp
 FROM agg a JOIN r ON r.label = a.label AND r.rk = 1
 ORDER BY label
 """,
@@ -420,14 +435,19 @@ def q118_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         trace = sum(diag)
         top_dim = min(range(len(diag)), key=lambda i: (-diag[i], i))
         top = diag[top_dim]
-        # the eigensolve the query exists to exercise — consistency-gated
-        c = _np.cov(m.astype(_np.float64), rowvar=False, bias=True)
-        eig = _np.linalg.eigvalsh(c)  # deterministic: LAPACK on a symmetric 16x16
-        if trace > 0 and abs(float(eig.sum()) * n * n - trace) > 1e-6 * trace:
-            raise ValueError(
-                f"eigensolve inconsistent with integer trace for label "
-                f"{pdf['label'].iloc[0]}: Σλ·n²={float(eig.sum()) * n * n} vs {trace}"
-            )
+        # the eigensolve the query exists to exercise — consistency-gated.
+        # n >= 2 only: np.cov of a single observation collapses to a
+        # 0-d array (LinAlgError in eigvalsh — r8 adversarial sweep);
+        # a singleton group's covariance is identically zero, which the
+        # integer path already reports (diag = n·x² − x·x = 0).
+        if n >= 2:
+            c = _np.cov(m.astype(_np.float64), rowvar=False, bias=True)
+            eig = _np.linalg.eigvalsh(c)  # deterministic: LAPACK, symmetric 16x16
+            if trace > 0 and abs(float(eig.sum()) * n * n - trace) > 1e-6 * trace:
+                raise ValueError(
+                    f"eigensolve inconsistent with integer trace for label "
+                    f"{pdf['label'].iloc[0]}: Σλ·n²={float(eig.sum()) * n * n} vs {trace}"
+                )
         return _pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
@@ -447,9 +467,14 @@ def q118_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      s AS (
-  SELECT vec_id, v,
-         greatest(abs(list_aggregate(v, 'max')), abs(list_aggregate(v, 'min'))) AS raw_scale
-  FROM e
+  -- raw_scale > 0 excludes all-zero vectors: they can neither be absmax-
+  -- quantized (x / raw_scale) nor cosine-ranked (r8 zero-vector sweep;
+  -- unguarded either division is an ANSI DIVIDE_BY_ZERO job kill)
+  SELECT * FROM (
+    SELECT vec_id, v,
+           greatest(abs(list_aggregate(v, 'max')), abs(list_aggregate(v, 'min'))) AS raw_scale
+    FROM e
+  ) WHERE raw_scale > 0
 ),
      z AS (
   SELECT vec_id, v,
@@ -511,8 +536,12 @@ def q184_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     em = load_table(spark, sf_dir, "embeddings")
     v = _vec_double()
-    s = em.select("vec_id", v.alias("v")).withColumn(
-        "raw_scale", F.greatest(F.abs(F.array_max("v")), F.abs(F.array_min("v")))
+    # raw_scale > 0: all-zero vectors can neither be quantized nor
+    # cosine-ranked — excluded on both engines (oracle mirror)
+    s = (
+        em.select("vec_id", v.alias("v"))
+        .withColumn("raw_scale", F.greatest(F.abs(F.array_max("v")), F.abs(F.array_min("v"))))
+        .filter(F.col("raw_scale") > 0)
     )
     z = s.select(
         "vec_id",
