@@ -575,6 +575,28 @@ def test_missing_title_cases():
     assert td(pre + "\n<body><title>late</title><p>x</p></body>") == ""
     # no element tags at all: no anchor, no warning (class-8 rule)
     assert td("plain text") == ""
+    # ADVICE r8 #2 pins: a class-5 '</'-recovered broken NON-head-context
+    # tag is a created element node, so it closes the head and anchors
+    # the insert exactly like a well-formed start tag
+    assert td(pre + '\n<div class="x>text</div>') == (
+        "line 2 column 1 - Warning: <div> attribute with missing "
+        "trailing quote mark\n"
+        "line 2 column 1 - " + ttl
+    )
+    # ...while a broken HEAD-context tag does not anchor (head closes at
+    # EOF) and a broken <title> never sets saw_title, so it cannot
+    # suppress the insert (the following <p> anchors it)
+    assert td(pre + '\n<meta charset="u">\n<link rel="x>text</link>') == (
+        "line 3 column 1 - Warning: <link> attribute with missing "
+        "trailing quote mark\n"
+        "line 3 column 18 - Warning: discarding unexpected </link>\n"
+        "line 3 column 25 - " + ttl
+    )
+    assert td(pre + '\n<title id="x>text</title>\n<p>y</p>') == (
+        "line 2 column 1 - Warning: <title> attribute with missing "
+        "trailing quote mark\n"
+        "line 3 column 1 - " + ttl
+    )
 
 
 def test_discarding_unexpected_end_tag_cases():

@@ -400,8 +400,18 @@ def tidy_diagnostics(raw_html: str) -> str:
     add are rare on a tag already being reported broken) — the broken
     tag's ELEMENT, however, is opened on the stack like tidy does
     (ADVICE r7 #4), so it participates in class-7 missing-end-tag
-    accounting — though not in the class-9/10 scans (a broken <title>
-    or broken head-closing tag is not recognized by those anchors).
+    accounting AND — being a created element node — a broken
+    non-head-context tag closes the head region and anchors the
+    class-10 missing-'title' insert exactly like a well-formed one
+    (ADVICE r8 #2, pinned by fixture; tidy's parser leaves head on
+    the created node regardless of the lexing breakage). This applies
+    to the '</'-recovered breakage only — a value swallowed to EOF
+    opens no element (the rest of the document is masked), so it
+    neither anchors nor suppresses anything. What a broken tag does
+    NOT do is class-9 attribute scanning or title RECOGNITION: a
+    broken <title id="x> never sets saw_title, so it cannot suppress
+    the class-10 insert (tidy's lexer does emit the token — this is a
+    documented divergence on an already-broken page).
     Class-9 models tidy's HTML5 dictionary only (no per-doctype attr
     vintages), and unknown on*-named handlers count as proprietary.
     Class-10 counts any well-formed <title> start tag wherever it

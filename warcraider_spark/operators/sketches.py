@@ -187,7 +187,10 @@ def q034_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row estimate table back over the events, must sit within ±10% of
     the target rank — ~4x the k=200 sketch's published 99%-confidence
     normalized rank error (~2.4% two-sided), so the TRUEs the oracle
-    pins hold for every compaction draw with overwhelming margin. q052
+    pins hold for every compaction draw with overwhelming margin. The
+    p95 UPPER side is the exception (ADVICE r9 #1): 0.95 + 0.10 would
+    exceed 1 and never fail, so it is clamped to +4% (lt95 <= 0.99) —
+    asymmetric (-10%, +4%), still ~1.7x the sketch error above target. q052
     carries the exact-percentile burden.
 
     Scale shape: two event scans (sketch pass + verification pass), one
@@ -196,6 +199,14 @@ def q034_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-exempted like the other bounded grand-aggregate broadcasts."""
     est = kll_event_estimates(spark, sf_dir)
     # verification pass: exact rank windows of each estimate, one shuffle
+    # ADVICE r9 #1: at p95 a symmetric +s upper slack is VACUOUS
+    # (0.95 + 0.10 > 1 and lt95 is a fraction), so the upper side uses
+    # an asymmetric clamp: lt95 <= 0.95 + min(s, 0.04) = 0.99 — a real
+    # bound (fails when the estimate exceeds the true p99 rank) that
+    # the k=200 sketch's ~2.4% 99%-confidence rank error clears with
+    # margin, while an estimate pinned at/above the stream max on
+    # n > 100 now FAILS instead of passing silently.
+    s95u = min(_KLL_SLACK, 0.04)
     vp = _kll_events(spark, sf_dir)
     ev2 = vp.unionAll(
         vp.select(F.lit("view+purchase").alias("event_type"), "value")
@@ -218,7 +229,7 @@ def q034_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("lt50") <= 0.5 + s) & (F.col("le50") >= 0.5 - s)).alias(
                 "p50_in_bound"
             ),
-            ((F.col("lt95") <= 0.95 + s) & (F.col("le95") >= 0.95 - s)).alias(
+            ((F.col("lt95") <= 0.95 + s95u) & (F.col("le95") >= 0.95 - s)).alias(
                 "p95_in_bound"
             ),
             ((F.col("r50") >= F.col("ltc") - s) & (F.col("r50") <= F.col("lec") + s)).alias(
