@@ -209,6 +209,21 @@ def test_salting_spreads_hot_key_across_partitions(spark):
     assert salted_pids >= 4
 
 
+def test_decile_no_global_sort(spark):
+    """q031 (VERDICT r8 #3): exact NTILE semantics must come from the
+    bucketed distributed prefix-sum, never a global single-partition
+    window over the fact table — the heavy row_number window is
+    partitioned by bucket, the tiny offsets table is broadcast, and no
+    ntile() survives in the plan."""
+    df = all_specs()["q031_decile_distribution"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "ntile" not in plan.lower()
+    # the fact-table window carries the bucket partition spec
+    assert "row_number() windowspecdefinition(bucket" in plan
+    # offsets (tiny per-bucket summary) join back by broadcast
+    assert "BroadcastExchange" in plan
+
+
 def test_approx_quantile_error_bound(spark):
     """q036: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF (rank error ≤ n/accuracy — tighter than

@@ -51,7 +51,13 @@ KNOWN_OK_PAIRS = {
     ("q116_link_degrees", "BroadcastNestedLoopJoin"),
     ("q184_two_stage_rerank", "BroadcastNestedLoopJoin"),
     ("q024_having_avg_subquery", "BroadcastNestedLoopJoin"),
+    # r9: q031's unpartitioned window is now over the TINY per-bucket
+    # count table only (q073 prefix-sum shape — the fact-table window is
+    # partitioned by bucket; pinned by test_decile_no_global_sort); its
+    # broadcast side is the same bucket summary, bounded by the value-
+    # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
     ("q031_decile_distribution", "unpartitioned window"),
+    ("q031_decile_distribution", "broadcast of unbounded aggregate"),
     ("q068_lm_score", "BroadcastNestedLoopJoin"),
     ("q069_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q073_token_budget_select", "BroadcastNestedLoopJoin"),

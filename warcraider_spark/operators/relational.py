@@ -1777,13 +1777,58 @@ FROM d GROUP BY decile ORDER BY decile
     tags=("window", "distribution"),
 )
 def q031_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global decile boundaries via NTILE — note: a GLOBAL window is a
-    single-partition sort (fine for summaries; at 100 TB use
-    approx_percentile instead — q052/q025 are the scale forms)."""
+    """Global decile boundaries with EXACT NTILE semantics, WITHOUT the
+    global single-partition sort (VERDICT r8 #3 — this was the one
+    scale-killer plan left in the registry).
+
+    Distributed prefix-sum (the q073 shape): bucket by a value PREFIX of
+    the sort key (o_totalprice div 2000 — bucket order refines row
+    order, deterministic, no sampling), count per bucket (tiny table),
+    turn counts into global-rank offsets with a window over the TINY
+    table only, then global_rank = offset + within-bucket row_number —
+    the heavy window is partitioned by bucket, fully parallel. The
+    decile is then pure integer arithmetic on (rank, n) replicating
+    NTILE(10)'s first-(n%10)-buckets-get-one-extra split, so the NTILE
+    oracle stays exact. Severely lumpy value distributions would skew a
+    fixed-width bucket; the scale escalation is approx_percentile
+    pre-bucketing (q052/q025), with AQE skew-split covering the middle
+    ground."""
     od = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = od.select("o_totalprice", "o_orderkey").withColumn(
+        "bucket", F.expr("CAST(floor(o_totalprice / 2000.0) AS BIGINT)")
+    )
+    per_bucket = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # tiny table (~hundreds of rows): the single-partition window runs
+    # over the bucket summary only, never the fact table
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(w_tot).alias("n_total"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        d.withColumn("lrank", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn("grank", F.col("off") + F.col("lrank"))
+    )
+    # NTILE(10): base = n div 10, rem = n % 10; ranks 1..(base+1)*rem fill
+    # the first rem buckets (size base+1), the rest fill buckets of size
+    # base. greatest(base,1) guards the (never-taken when base=0) branch
+    # against ANSI div-by-zero.
     return (
-        od.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.withColumn("base", F.expr("n_total div 10"))
+        .withColumn("rem", F.expr("n_total % 10"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(IF(grank <= (base + 1) * rem,"
+                " (grank - 1) div (base + 1) + 1,"
+                " rem + (grank - (base + 1) * rem - 1) div greatest(base, 1) + 1)"
+                " AS INT)"
+            ),
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
