@@ -67,16 +67,16 @@ def main() -> None:
     # The headline total grows as the bench set widens, so cross-round
     # drift is only meaningful on this frozen subset (VERDICT r3 #3).
     comparable = [
-        "q086_exact_dedup_groups",
-        "q088_minhash_lsh_pairs",
-        "q092_training_data_pipeline",
+        "q049_exact_dedup_groups",
+        "q048_minhash_lsh_pairs",
+        "q047_training_data_pipeline",
         "q103_cosine_topk_bruteforce",
         "q119_tumbling_window",
         "q156_rake_keywords",
-        "q001_pricing_summary",
-        "q005_star_join_revenue",
-        "q010_topk_per_group",
-        "q080_token_stats",
+        "q075_pricing_summary",
+        "q081_star_join_revenue",
+        "q185_topk_per_group",
+        "q004_token_stats",
     ]
     comparable_total = round(sum(timings[q] for q in comparable if q in timings), 3)
     print(

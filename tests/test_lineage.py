@@ -14,7 +14,7 @@ from warcraider_spark.lineage import (
 )
 from warcraider_spark.registry import all_specs
 
-ITERATIVE = ("q130_connected_components", "q160_kmeans_codebook", "q117_pagerank")
+ITERATIVE = ("q042_connected_components", "q160_kmeans_codebook", "q046_pagerank")
 
 
 def test_dir_resolution(monkeypatch):

@@ -23,7 +23,7 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 
 def test_rows_only_list_column_rejected(spark, sf_smoke):
     """A rows-only query emitting an array column must fail LOCALLY: the
-    driver's pandas canonicalizer crashes on list cells (q143's r2 ERR), so
+    driver's pandas canonicalizer crashes on list cells (q044's r2 ERR), so
     run_oracle hashes rows-only output through the same strict canon."""
     from pyspark.sql import functions as F
 
@@ -39,7 +39,7 @@ def test_rows_only_list_column_rejected(spark, sf_smoke):
 
 
 def test_pmi_log_domain_guard(spark):
-    """q148's int64 headroom guard (ENFORCED this round, VERDICT r4
+    """q043's int64 headroom guard (ENFORCED this round, VERDICT r4
     "What's wrong" #2): counts large enough that n_xy*nn*1e6 overflows
     int64 must switch to the log-domain micro-nat path, and that path
     must rank identically to driver-side math.log PMI."""
@@ -92,7 +92,7 @@ def test_pmi_log_domain_guard(spark):
 
 
 def test_gopher_rules_both_ways(spark):
-    """q017's rules certified both ways on constructed documents — the
+    """q168's rules certified both ways on constructed documents — the
     synthetic corpus never satisfies the stopword rule (its vocabulary
     has no two Gopher stopwords), so without this the intersect logic
     could silently degrade to constant-false."""
@@ -120,7 +120,7 @@ def test_gopher_rules_both_ways(spark):
 
 
 def test_gopher_repetition_both_ways(spark):
-    """q016's line/paragraph signals certified both ways on constructed
+    """q167's line/paragraph signals certified both ways on constructed
     multi-line documents — the synthetic corpus is single-line, so those
     signals are corpus-vacuous (always ok) and only these tests prove
     they can fire; also pins the top-gram tie-break (longer gram wins)."""
@@ -209,13 +209,13 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
 
-    r = run_oracle(spark, all_specs()["q016_gopher_repetition"], _short_doc_corpus(tmp_path))
+    r = run_oracle(spark, all_specs()["q167_gopher_repetition"], _short_doc_corpus(tmp_path))
     assert r.ok, r.detail
 
 
 def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     """Every shingles_sql-based oracle survives sub-k-token documents
-    (same landmine class as q016's: the unguarded toks[i+j] || chain
+    (same landmine class as q167's: the unguarded toks[i+j] || chain
     NULLed short-doc shingles until the r8 CASE guard). q139 is vacuous
     on 12 docs (its decontamination branch never fires) and is covered
     at sf0.01 by the driver."""
@@ -225,13 +225,13 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     d = _short_doc_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q088_minhash_lsh_pairs",
-        "q128_ngram_jaccard_pairs",
-        "q018_containment_dedup",
-        "q142_dedup_clusters",
+        "q048_minhash_lsh_pairs",
+        "q027_ngram_jaccard_pairs",
+        "q169_containment_dedup",
+        "q028_dedup_clusters",
         "q066_benchmark_contamination",
         "q074_incremental_dedup",
-        "q084_shingle_fingerprint",
+        "q008_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -241,12 +241,12 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
 def test_degenerate_doc_totality(spark, tmp_path):
     """The r8 adversarial sweep's crash/divergence findings, pinned: on a
     corpus with empty/whitespace-only docs (guaranteed in any real web
-    corpus) q065 must not DIVIDE_BY_ZERO under ANSI mode, q035's
+    corpus) q065 must not DIVIDE_BY_ZERO under ANSI mode, q172's
     MinHashLSH join must not FAILED_EXECUTE_UDF on all-zero vectors
     (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
     the localCheckpoint barrier pins it to filtered rows), q077's oracle
     must not NULL through list()-of-zero-rows / array_to_string([]),
-    q172/q162 tokenization must drop empty tokens on both engines, and
+    q035/q162 tokenization must drop empty tokens on both engines, and
     q124's crosstab schema must stay the closed 5-lang contract when a
     lang is corpus-absent."""
     from warcraider_spark.oracle import run_oracle
@@ -257,9 +257,9 @@ def test_degenerate_doc_totality(spark, tmp_path):
     for n in [
         "q065_bpe_pretokenize",
         "q077_span_excision",
-        "q172_repetition_ratio",
+        "q035_repetition_ratio",
         "q162_bigram_udtf",
-        "q035_ml_lsh_variants",
+        "q172_ml_lsh_variants",
         "q124_crosstab",
     ]:
         r = run_oracle(spark, specs[n], d)
@@ -299,7 +299,7 @@ COPY (
 def test_zero_vector_totality(spark, tmp_path):
     """The r8 zero-vector sweep's findings, pinned: all-zero embedding
     rows (one corrupted row in a 100 TB corpus) must not ANSI-kill the
-    cosine family (q103/q152/q122: nrm > 0 exclusion — no direction, no
+    cosine family (q103/q032/q026: nrm > 0 exclusion — no direction, no
     cosine), the absmax quantizer (q184: raw_scale > 0), or the grouped
     eigensolve (q118: np.cov of a singleton group is 0-d; the oracle's
     aniso division needs the zero-trace CASE)."""
@@ -310,10 +310,99 @@ def test_zero_vector_totality(spark, tmp_path):
     specs = all_specs()
     for n in [
         "q103_cosine_topk_bruteforce",
-        "q152_ann_sign_lsh",
+        "q032_ann_sign_lsh",
         "q184_two_stage_rerank",
-        "q122_embedding_neardup",
+        "q026_embedding_neardup",
         "q118_group_spectral_stats",
     ]:
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)
+
+
+def _unicode_corpus(tmp_path):
+    """Multilingual/Unicode adversarial documents (VERDICT r8 #6): real
+    100 TB crawls are majority non-English, but every prior corpus was
+    ASCII. CJK with and without ASCII spaces (+U+3000 ideographic space,
+    which is NOT ASCII \\s on either engine), duplicate CJK lines and
+    paragraphs, Arabic RTL, Hebrew with niqqud combining marks,
+    precomposed vs decomposed accents, astral-plane emoji, Turkish
+    dotted/dotless I, Greek final-sigma casing, full-width Latin, Thai,
+    zero-width/bidi controls inside tokens, and sharp-s casing. Other
+    tables symlink to sf0.001."""
+    import duckdb as _dd
+
+    rows = [
+        (0, "深度学习模型训练数据质量很重要深度学习模型训练"),
+        (1, "深度学习　模型训练　深度学习"),
+        (2, "深度学习 模型训练 深度学习 模型训练 质量 很重要"),
+        (3, "模型训练数据\n模型训练数据\n其他内容在这里"),
+        (4, "段落一的文字\n\n段落一的文字\n\n另一个段落"),
+        (5, "مرحبا بالعالم مرحبا بالعالم هذا نص عربي"),
+        (6, "שָׁלוֹם עוֹלָם שָׁלוֹם עוֹלָם"),
+        (7, "café café café café naïve"),
+        (8, "🎉🎉 🎉 data 🚀 data 🚀 more 🎉🎉 text"),
+        (9, "İstanbul ısparta İSTANBUL DİYARBAKIR istanbul"),
+        (10, "ΣΟΦΟΣ σοφος ΟΔΥΣΣΕΥΣ οδυσσευς ΣΟΦΟΣ"),
+        (11, "ＡＢＣ ａｂｃ ＡＢＣ full　width"),
+        (12, "ภาษาไทยไม่มีช่องว่าง และ คำ ไทย คำ ไทย"),
+        (13, "word​word ‏عربي‎ latin​​word"),
+        (14, "ß STRASSE straße ẞ ss"),
+        (15, "á á á á b̆ b̆"),
+    ]
+    d = tmp_path / "unicorpus"
+    d.mkdir()
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [(i, t, "xx", "s", len(t)) for i, t in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+    return str(d)
+
+
+def test_unicode_multilingual_totality(spark, tmp_path):
+    """The r9 Unicode sweep's findings, pinned. Divergences it caught
+    and their fixes: (a) Java lower() is CONTEXT-SENSITIVE — word-final
+    Σ lowers to 'ς' on the JVM, 'σ' in DuckDB, and İ (U+0130) lowers to
+    'i'+U+0307 on the JVM, plain 'i' in DuckDB — so every lowercased
+    fingerprint/tokenization now applies the engine-stable case fold
+    (textfn.fold_lower / its textual SQL twin; ASCII no-op); the İ form
+    also split '[a-z]+' token runs differently (the combining dot
+    breaks a run), shifting q073/q077/q093/q096 token counts and span
+    offsets. (b) Python str.split() is Unicode-whitespace and split
+    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q162
+    bigram UDTF now ASCII-splits like the house tokenizer.
+
+    q043/q149/q171 are excluded as corpus-vacuous here (their
+    discriminating branches need more data than 16 docs; min_rows
+    guards them) — they're covered at sf0.01 by the driver."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _unicode_corpus(tmp_path)
+    specs = all_specs()
+    names = [
+        "q167_gopher_repetition", "q168_gopher_rules", "q156_rake_keywords",
+        "q004_token_stats", "q005_lang_id", "q006_quality_score",
+        "q007_fingerprint", "q008_shingle_fingerprint", "q009_word_count_ref",
+        "q035_repetition_ratio", "q065_bpe_pretokenize", "q162_bigram_udtf",
+        "q048_minhash_lsh_pairs", "q050_tfidf", "q029_document_chunking",
+        "q115_line_dedup", "q027_ngram_jaccard_pairs", "q028_dedup_clusters",
+        "q030_simhash_dupes", "q041_duplicate_spans",
+        "q066_benchmark_contamination", "q073_token_budget_select",
+        "q077_span_excision", "q093_heavy_hitters", "q096_bpe_encode",
+        "q145_simhash_radius", "q146_bpe_merge_train",
+        "q169_containment_dedup", "q047_training_data_pipeline",
+    ]
+    for n in names:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)

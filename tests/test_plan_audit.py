@@ -62,8 +62,8 @@ def test_unpartitioned_window_detector():
 
 def test_broadcast_unbounded_agg_detector():
     """The r5 rule (VERDICT r4 directive #1): an explicit broadcast HINT
-    over a keyed aggregate flags — it would have caught q117's out-degree
-    broadcast and q148's marginal broadcasts. Bounded shapes don't flag:
+    over a keyed aggregate flags — it would have caught q046's out-degree
+    broadcast and q043's marginal broadcasts. Bounded shapes don't flag:
     a global (key-less) aggregate is single-row, a Limit caps the build
     side, and hint-less plans are AQE's call, not a forced broadcast."""
     keyed = (
@@ -166,4 +166,26 @@ def test_committed_coverage_ledger_covers_registry():
     assert listed == registry, (
         f"COVERAGE.md ledger drift — missing: {sorted(registry - listed)}; "
         f"stale: {sorted(listed - registry)}"
+    )
+
+
+def test_committed_coverage_ledger_window_markers_fresh():
+    """VERDICT r8 #8: renumber scripts rewrite COVERAGE.md names in
+    place, so the name-set check above passes even when the ledger was
+    NOT regenerated after a rotation — but the 'In window' column only
+    changes on regeneration. Pin it: the rows marked in-window must be
+    exactly the first 50 sorted registry names."""
+    import re
+    from pathlib import Path
+
+    from warcraider_spark.registry import all_specs
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    ledger = text[text.index("## Driver-certification ledger"):]
+    marked = set(re.findall(r"^\| (q\d{3}_\w+) \| yes \|", ledger, re.M))
+    expected = set(sorted(all_specs())[:50])
+    assert marked == expected, (
+        f"stale window markers — regenerate with tools/coverage_ledger.py; "
+        f"wrongly marked: {sorted(marked - expected)}; "
+        f"missing mark: {sorted(expected - marked)}"
     )

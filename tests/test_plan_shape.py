@@ -31,10 +31,10 @@ def plan_of(df) -> str:
 
 
 def test_star_join_broadcasts_dims(spark):
-    """q005: all dimension joins must be broadcast-hash — a sort-merge join
+    """q081: all dimension joins must be broadcast-hash — a sort-merge join
     against `region`/`nation` at 100 TB would shuffle the fact table once
     per dimension."""
-    df = all_specs()["q005_star_join_revenue"].builder(spark, SF_CORRECT)
+    df = all_specs()["q081_star_join_revenue"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -60,7 +60,7 @@ def test_filter_and_projection_reach_scan(spark):
 def test_aggregate_is_partial_final(spark):
     """groupBy aggs must be two-phase (map-side combine): the shuffle
     carries one row per (partition, key), not one per input row."""
-    df = all_specs()["q001_pricing_summary"].builder(spark, SF_CORRECT)
+    df = all_specs()["q075_pricing_summary"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
 
@@ -142,7 +142,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 
 def test_minhash_signature_single_tokenize(spark):
-    """q088 regression: tokenization must stay in its own Project (evaluated
+    """q048 regression: tokenization must stay in its own Project (evaluated
     once per row), not be inlined 6× into the shingle expression — see
     dedup._exploded_shingles."""
     from warcraider_spark.operators.dedup import _exploded_shingles, dup_corpus
@@ -162,9 +162,9 @@ def test_minhash_signature_single_tokenize(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    """q012: global top-k must compile to TakeOrderedAndProject (per-
+    """q187: global top-k must compile to TakeOrderedAndProject (per-
     partition heap + single merge), never a full Sort + Limit."""
-    df = all_specs()["q012_global_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q187_global_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
 
@@ -225,7 +225,7 @@ def test_decile_no_global_sort(spark):
 
 
 def test_approx_quantile_error_bound(spark):
-    """q036: the GK sketch at accuracy 10000 must stay within 1% of the
+    """q176: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF (rank error ≤ n/accuracy — tighter than
     the query's own in-plan rank-window verdicts, checked against the
     factored sketch pass), and the certified verdict booleans must all
@@ -237,15 +237,15 @@ def test_approx_quantile_error_bound(spark):
     for r in rows:
         assert abs(r.ap[0] - r.exact[0]) / r.exact[0] < 0.01
         assert abs(r.ap[1] - r.exact[1]) / r.exact[1] < 0.01
-    verdicts = all_specs()["q036_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q176_approx_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.median_in_bound and v.p95_in_bound for v in verdicts)
 
 
 def test_asof_join_single_shuffle(spark):
-    """q032: the union+window as-of composition must shuffle ONCE on
+    """q152: the union+window as-of composition must shuffle ONCE on
     user_id before the final presentation sort — never the range-join
     explosion a non-equi formulation would plan."""
-    df = all_specs()["q032_asof_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q152_asof_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan, "as-of must compile to window+union, not a join"
     # exchanges: one hashpartitioning(user_id) for the window, one range
@@ -267,9 +267,9 @@ def test_ivf_search_broadcasts_centroids(spark):
 
 
 def test_pipeline_query_no_joins(spark):
-    """q092 (the entry flagship): quality filter → dedup → accounting must
+    """q047 (the entry flagship): quality filter → dedup → accounting must
     stay a linear agg pipeline — two exchanges, no joins."""
-    df = all_specs()["q092_training_data_pipeline"].builder(spark, SF_CORRECT)
+    df = all_specs()["q047_training_data_pipeline"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
@@ -307,9 +307,9 @@ def test_sketch_aggs_are_partial_final(spark):
 
 
 def test_mixture_weights_broadcast(spark):
-    """q037: the weight recipe joins as a broadcast and the keep decision
+    """q179: the weight recipe joins as a broadcast and the keep decision
     stays a map-side expression (no shuffle before the accounting agg)."""
-    df = all_specs()["q037_weighted_mixture"].builder(spark, SF_CORRECT)
+    df = all_specs()["q179_weighted_mixture"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -338,9 +338,9 @@ def test_lm_score_vocab_is_broadcast(spark):
 
 
 def test_sequence_packing_single_window_shuffle(spark):
-    """q182: packing is ONE hash exchange on the shard key feeding the
+    """q040: packing is ONE hash exchange on the shard key feeding the
     running-sum window — no join, no second shuffle before the sort."""
-    df = all_specs()["q182_sequence_packing"].builder(spark, SF_CORRECT)
+    df = all_specs()["q040_sequence_packing"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Window" in plan
     assert plan.count("hashpartitioning") == 1
@@ -368,10 +368,10 @@ def test_kmeans_broadcasts_centroids(spark):
 
 
 def test_rollup_layers_reaggregate_partials(spark):
-    """q041: the daily layer's input must be the hourly AGGREGATE, not raw
+    """q183: the daily layer's input must be the hourly AGGREGATE, not raw
     events — three stacked partial+final agg pairs over ONE scan.
     (explain('formatted') prints each node twice: tree + details.)"""
-    df = all_specs()["q041_rollup_layers"].builder(spark, SF_CORRECT)
+    df = all_specs()["q183_rollup_layers"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 2  # one scan node
     assert plan.count("HashAggregate") >= 12  # >= 6 nodes: 3 layers x 2 phases
@@ -395,11 +395,11 @@ def test_bpe_pair_counts_partial_final(spark):
 
 
 def test_duplicate_spans_single_shuffle_topk(spark):
-    """q183: span discovery is pure aggregation — ONE hash exchange on the
+    """q041: span discovery is pure aggregation — ONE hash exchange on the
     gram key (count-distinct expands to a two-phase agg on that same key),
     a TakeOrderedAndProject head, and NO self-join anywhere (the all-pairs
     product that makes naive substring dedup intractable)."""
-    df = all_specs()["q183_duplicate_spans"].builder(spark, SF_CORRECT)
+    df = all_specs()["q041_duplicate_spans"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
@@ -509,10 +509,10 @@ def test_skyline_local_pass_is_bucket_partitioned(spark):
 
 
 def test_concat_chunk_corpus_window_is_bucketed(spark):
-    """q046: the corpus-side cumsum window must be PARTITIONED BY bucket —
+    """q117: the corpus-side cumsum window must be PARTITIONED BY bucket —
     the only unpartitioned window allowed is the one over the ~|buckets|
     summary table."""
-    df = all_specs()["q046_concat_chunk_blocks"].builder(spark, SF_CORRECT)
+    df = all_specs()["q117_concat_chunk_blocks"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan, (
         "corpus cumsum window lost its bucket partitioning"
@@ -531,9 +531,9 @@ def test_bloom_probe_filter_is_broadcast(spark):
 
 
 def test_countmin_probe_is_broadcast(spark):
-    """q181: the d×w counter table is constant-size; the point-query
+    """q039: the d×w counter table is constant-size; the point-query
     probe must broadcast it, never shuffle the probe set by cell key."""
-    df = all_specs()["q181_countmin_freq"].builder(spark, SF_CORRECT)
+    df = all_specs()["q039_countmin_freq"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -586,7 +586,7 @@ def test_sparse_dot_query_weights_broadcast(spark):
 
 
 def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
-    """q130: the contraction's half-round plan is groupBy + equi-join on
+    """q042: the contraction's half-round plan is groupBy + equi-join on
     the node id — a cartesian or nested-loop would be quadratic in edges."""
     from warcraider_spark.operators.graph import chain_edges
 
@@ -602,7 +602,7 @@ def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
 
 
 def test_approx_distinct_error_bound(spark):
-    """q025: HLL++ at rsd=0.01 must land within 3 standard deviations
+    """q120: HLL++ at rsd=0.01 must land within 3 standard deviations
     (3%) of the exact distinct count per group — tighter than the
     query's certified 5σ verdict, which must also be all-TRUE."""
     from warcraider_spark.tables import load_table
@@ -619,7 +619,7 @@ def test_approx_distinct_error_bound(spark):
     assert raw
     for r in raw:
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.03, r
-    verdicts = all_specs()["q025_approx_distinct"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q120_approx_distinct"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.within_5pct for v in verdicts)
 
 
@@ -673,21 +673,21 @@ def test_kll_quantile_error_bound(spark):
 BUILD_TIME_EXECUTION_OK = {
     # iterative operators: the driver-side loop (per-round lineage cut /
     # convergence check) is the operator's documented contract
-    "q117_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
-    "q130_connected_components": "large/small-star loop, data-dependent convergence check",
+    "q046_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
+    "q042_connected_components": "large/small-star loop, data-dependent convergence check",
     "q146_bpe_merge_train": "per-round best-pair selection is data-dependent",
     "q160_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
     "q096_bpe_encode": "replays the q146 merge-train loop to build the vocab",
     "q097_pq_encode": "per-subspace k-means loops (q160 contract)",
     "q101_semantic_dedup": "k-means clustering loop (q160 contract)",
-    "q142_dedup_clusters": "connected-components loop (q130 contract)",
+    "q028_dedup_clusters": "connected-components loop (q042 contract)",
     "q125_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
     "q127_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
     "q063_stream_stream_join": "executes a stream-stream join replay",
-    "q179_stream_static_enrich": "executes a stream-static micro-batch replay",
+    "q037_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
-    "q035_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
+    "q172_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
     "q124_crosstab": "df.stat.crosstab computes its pivot eagerly",
 }
 
@@ -697,7 +697,7 @@ def test_plan_construction_launches_no_jobs(spark):
     what plan-audit explains) must launch zero Spark jobs outside the
     justified list above: a build-time count()/first() means every
     explain() pays a scan, and under AQE an eager-or-lazy checkpoint at
-    build time executes the whole upstream DAG (q148's r6 shape). Table
+    build time executes the whole upstream DAG (q043's r6 shape). Table
     footer-read jobs are excluded by pre-warming the load_table cache —
     that cost is per-(session, table), not per-build."""
     from warcraider_spark.tables import load_tables

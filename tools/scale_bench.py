@@ -24,13 +24,13 @@ from warcraider_spark.registry import all_specs  # noqa: E402
 from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
-    "q086_exact_dedup_groups",
-    "q017_gopher_rules",
-    "q016_gopher_repetition",
-    "q088_minhash_lsh_pairs",
+    "q049_exact_dedup_groups",
+    "q168_gopher_rules",
+    "q167_gopher_repetition",
+    "q048_minhash_lsh_pairs",
     "q093_heavy_hitters",
     "q115_line_dedup",
-    "q092_training_data_pipeline",
+    "q047_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
     "q146_bpe_merge_train",
@@ -40,7 +40,7 @@ QUERIES = [
     # sub-linear in candidates as the corpus grows
     "q140_bloom_dedup_probe",
     "q145_simhash_radius",
-    "q181_countmin_freq",
+    "q039_countmin_freq",
     # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
     # side grows Kx while the probe set stays 1x (embeddings replicas drop
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
@@ -48,12 +48,12 @@ QUERIES = [
     "q184_two_stage_rerank",
     # r4 text additions: PMI is the vocab-saturating shape, novelty the
     # linear-gram-join shape — both must hold their §10 curves
-    "q148_pmi_collocations",
+    "q043_pmi_collocations",
     "q149_ngram_novelty",
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
-    "q048_cdc_chunk_dedup",
+    "q088_cdc_chunk_dedup",
 ]
 
 
@@ -140,7 +140,7 @@ def _chain_edges_per_replica(spark, sf_dir):
 
 
 def _q025_cc_scaled(spark, sf_dir):
-    """Scale-harness variant of q130_connected_components over the
+    """Scale-harness variant of q042_connected_components over the
     per-replica chain graph (see _chain_edges_per_replica) — the curve
     VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx."""
     from pyspark.sql import functions as F
@@ -176,7 +176,7 @@ def _q015_sdot_scaled(spark, sf_dir):
 
 
 def _containment_disjoint_variant(spark, sf_dir):
-    """Scale-harness variant of q018_containment_dedup with per-replica
+    """Scale-harness variant of q169_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
     cross-replica doc pair a true containment pair (output grows k^2 —
     120 -> 120,100 pairs at 8x, so the registry query's curve is
@@ -246,9 +246,9 @@ def _containment_disjoint_variant(spark, sf_dir):
 
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
-    "q018_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
+    "q169_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q138_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
-    "q130_connected_components[per-replica]": _q025_cc_scaled,
+    "q042_connected_components[per-replica]": _q025_cc_scaled,
     "q110_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
 }
 
@@ -348,7 +348,7 @@ def main() -> None:
         band_audit[k] = {"n_docs": n, "sketch_bits": bits, "max_bucket_occupancy": int(max_occ)}
     results["q036_band_plan_audit"] = band_audit  # type: ignore[assignment]
 
-    # q130 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
+    # q042 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
     # measured on the per-replica graph. Replication adds disjoint
     # isomorphic copies of the chain graph, so rounds should stay FLAT
     # while nodes grow Kx — rounds track log(component size), not corpus

@@ -6,7 +6,7 @@ JVM-side with no Arrow transfer, scaling linearly with executors. (Scalar
 expressions compile into whole-stage codegen; the higher-order array
 functions are CodegenFallback — interpreted, fine for cheap lambda bodies,
 which is why the HEAVY per-row folds ship as batched Arrow kernels with
-these as property-test twins: the q016/q048 pattern.)
+these as property-test twins: the q167/q088 pattern.)
 
 Cross-engine hashing convention (used by dedup/minhash/simhash oracles):
 ``md5_int(s)`` = first 15 hex chars of md5(s) as a bigint — identical in
@@ -21,6 +21,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "fold_lower",
+    "FOLD_LOWER_TEXT_SQL",
     "norm_text",
     "tokens",
     "word_count",
@@ -31,10 +33,38 @@ __all__ = [
 ]
 
 
-def norm_text(col: Column | str) -> Column:
-    """Lowercase + collapse whitespace runs to single spaces + trim."""
+# the same snippet is valid Spark SQL AND DuckDB SQL, so oracles embed it
+# textually; fold_lower is the Column form
+FOLD_LOWER_TEXT_SQL = "replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')"
+
+
+def fold_lower(col: Column | str) -> Column:
+    """lower() + the r9 engine-stability case fold: word-final GREEK
+    CAPITAL SIGMA lowers context-sensitively on the JVM ('ς') but not in
+    DuckDB/utf8proc ('σ'), and U+0130 lowers to 'i'+U+0307 on the JVM
+    but plain 'i' in DuckDB. Folding ς→σ (the Unicode case-fold mapping)
+    and i+U+0307→i after lower() on BOTH engines makes every lowercased
+    tokenization/fingerprint engine-stable; both are no-ops on ASCII."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.replace(
+        F.replace(F.lower(c), F.lit("ς"), F.lit("σ")), F.lit("i̇"), F.lit("i")
+    )
+
+
+def norm_text(col: Column | str) -> Column:
+    """Lowercase + case-fold canonicalization + collapse whitespace runs
+    to single spaces + trim.
+
+    The canonicalization (r9 Unicode sweep): Java's lower() is
+    context-sensitive where utf8proc's (DuckDB's) is not — word-final
+    GREEK CAPITAL SIGMA lowers to 'ς' on the JVM but 'σ' in DuckDB, and
+    LATIN CAPITAL I WITH DOT ABOVE lowers to 'i'+U+0307 on the JVM but
+    plain 'i' in DuckDB. Folding ς→σ (the Unicode case-fold mapping)
+    and i+U+0307→i AFTER lower() on BOTH engines makes fingerprints
+    engine-stable; both replacements are no-ops on ASCII text, so every
+    existing fingerprint is unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(fold_lower(c), r"\s+", " "))
 
 
 def tokens(col: Column | str) -> Column:
@@ -106,7 +136,7 @@ def sorted_run_stats(arr: Column) -> Column:
     referencing column unless a projection barrier stops CollapseProject
     — see ``_rep_signals_catalyst``), so this is the SEMANTIC primitive
     behind the Gopher repetition signals and their property-test twin,
-    while the shipped q016 path is the batched-Arrow kernel
+    while the shipped q167 path is the batched-Arrow kernel
     (``_rep_signals_arrow_udf``). Either way each signal stays a
     map-only scan at 100 TB instead of one groupBy shuffle per n-gram
     order.
@@ -178,7 +208,7 @@ def shingles_sql(tok_col: str, k: int = 3) -> str:
     Spark's concat_ws-skips-NULL-padding semantics (r8: previously a
     documented >= k-token precondition; the unguarded ``toks[i+j] || …``
     chain NULLs the shingle below it, a latent oracle hash landmine for
-    any corpus with a sub-k-token doc — the q016 _ngram_sql lesson).
+    any corpus with a sub-k-token doc — the q167 _ngram_sql lesson).
     Split-derived token lists are never empty ([''] for empty text), so
     the G = 0 case is unreachable on both engines.
     """

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from warcraider_spark.functions.textfn import md5_int, md5_int_sql, tokens
+from warcraider_spark.functions.textfn import fold_lower, md5_int, md5_int_sql, tokens
 from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
@@ -312,7 +312,7 @@ def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q093_heavy_hitters",
     oracle="""
 WITH tok AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
+  SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+')) AS token FROM documents
 ),
 c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
 t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
@@ -332,7 +332,7 @@ def q093_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-data pass and no driver collect.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.lower(F.col("text")))
+    tok = tokens(fold_lower(F.col("text")))
     counts = (
         docs.select(F.explode(tok).alias("token"))
         .groupBy("token")
@@ -379,7 +379,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
-         CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS y
+         CAST(len(list_distinct(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+'))) AS BIGINT) AS y
   FROM documents
 )
 SELECT doc_id, x, y FROM pts p
@@ -402,7 +402,7 @@ def q113_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent O(n²) NOT-EXISTS formulation as cross-validation.
     """
     docs = load_table(spark, sf_dir, "documents")
-    y = F.size(F.array_distinct(tokens(F.lower(F.col("text"))))).cast("bigint")
+    y = F.size(F.array_distinct(tokens(fold_lower(F.col("text"))))).cast("bigint")
     pts = docs.select(
         "doc_id",
         F.col("n_chars").alias("x"),
@@ -422,7 +422,7 @@ CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
 
 
 @query(
-    "q046_concat_chunk_blocks",
+    "q117_concat_chunk_blocks",
     oracle=f"""
 WITH wcs AS (
   SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS wc FROM documents
@@ -451,10 +451,10 @@ FROM blocks GROUP BY block_id
 """,
     tags=("curation", "packing", "prefix-sum"),
 )
-def q046_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
-    CROSS document boundaries (the complement of q182's pack-without-
+    CROSS document boundaries (the complement of q040's pack-without-
     splitting). Emits per-block accounting: docs spanned, first/last doc,
     tokens (== 512 for every interior block).
 
@@ -622,7 +622,7 @@ WITH corpus AS (
 ),
 fps AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp,
          {md5_int_sql("CAST(doc_id AS VARCHAR)")} % {SPLIT_TEST_MOD} = 0 AS is_test
   FROM corpus
 ),
@@ -661,7 +661,7 @@ def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization), while splitting by the duplicate GROUP's canonical id
     structurally eliminates leakage.
 
-    The corpus is documents + the exact-dup block (q086's construction),
+    The corpus is documents + the exact-dup block (q049's construction),
     so naive leakage provably exists; the output certifies (a) how many
     fingerprint groups and docs leak under the per-doc split and (b)
     that the group-keyed split has ZERO leaky groups — a property the
@@ -680,7 +680,7 @@ def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = corpus.select(
         "doc_id",
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"),
+        F.md5(F.trim(F.regexp_replace(fold_lower("text"), r"\s+", " "))).alias("fp"),
         (md5_int(F.col("doc_id").cast("string")) % SPLIT_TEST_MOD == 0).alias("is_test"),
     )
     naive = fps.groupBy("fp").agg(
@@ -717,7 +717,7 @@ def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q123_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp
   FROM documents
 ),
 v2 AS (
@@ -761,7 +761,7 @@ def q123_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     join so only (id, 32-byte fp) rows shuffle, never text. min_rows=4
     guards that all four classes actually occur."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = lambda c: F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))  # noqa: E731
+    fp = lambda c: F.md5(F.trim(F.regexp_replace(fold_lower(c), r"\s+", " ")))  # noqa: E731
     v1 = docs.select("doc_id", fp(F.col("text")).alias("fp"))
     v2 = (
         docs.filter(F.col("doc_id") % 17 != 3)

@@ -17,7 +17,7 @@ Scale design (the point of these operators at 100 TB):
 - SimHash: one linear pass to 16-bit sketches, then pairs only within
   identical sketch (or small hamming radius over a band join);
 - embedding near-dup: bounded candidate set (here: id-range block; the
-  LSH-bucketed variant is q152 in similarity.py).
+  LSH-bucketed variant is q032 in similarity.py).
 
 All native expressions — no Python UDFs anywhere in this module.
 """
@@ -74,11 +74,11 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q086_exact_dedup_groups",
+    "q049_exact_dedup_groups",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp FROM corpus
 )
 SELECT fp,
        COUNT(*) AS n_docs,
@@ -92,7 +92,7 @@ ORDER BY fp
     tags=("dedup", "exact"),
     bench=True,
 )
-def q086_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
     with the canonical (min) member. One shuffle on the hash key."""
     corpus = dup_corpus(spark, sf_dir)
@@ -110,11 +110,11 @@ def q086_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q114_dedup_keep_canonical",
+    "q024_dedup_keep_canonical",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp FROM corpus
 )
 SELECT COUNT(*) AS total_docs,
        COUNT(DISTINCT fp) AS kept_docs,
@@ -123,7 +123,7 @@ FROM hashed
 """,
     tags=("dedup", "exact"),
 )
-def q114_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
     removed — the pipeline-level dedup accounting row."""
     corpus = dup_corpus(spark, sf_dir)
@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q088 and q142 (SQL twin of
+# bands + distinct candidate pairs, shared by q048 and q028 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -257,7 +257,7 @@ def _lsh_pairs(corpus: DataFrame) -> DataFrame:
 
 
 @query(
-    "q088_minhash_lsh_pairs",
+    "q048_minhash_lsh_pairs",
     oracle=f"""
 {_LSH_PAIRS_SQL}
 ORDER BY doc_a, doc_b
@@ -265,7 +265,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def q088_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
     sharing ≥1 band. The band-key self-join is the scale path — candidate
     generation is O(collisions), never O(n²)."""
@@ -280,7 +280,7 @@ SIMHASH_BITS = 16
 
 
 def _simhash_sketch_sql(bits: int) -> str:
-    """corpus→sketch CTE chain for a ``bits``-wide simhash (q151 uses 16;
+    """corpus→sketch CTE chain for a ``bits``-wide simhash (q030 uses 16;
     q145's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
@@ -323,7 +323,7 @@ def _simhash_sketch(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 @query(
-    "q151_simhash_dupes",
+    "q030_simhash_dupes",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -334,7 +334,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "simhash"),
 )
-def q151_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
     the sketch value; the radius-r banded search is q145)."""
@@ -361,7 +361,7 @@ SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
 
 
 @query(
-    "q128_ngram_jaccard_pairs",
+    "q027_ngram_jaccard_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -386,7 +386,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard"),
 )
-def q128_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
     verify stage after LSH candidates: intersection counted by a join on
     the shingle, never a pairwise loop).
@@ -432,7 +432,7 @@ def q128_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q018_containment_dedup",
+    "q169_containment_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -461,7 +461,7 @@ ORDER BY contained_doc, container_doc
     tags=("dedup", "containment", "training-pipeline"),
     bench=True,
 )
-def q018_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q169_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-CONTAINMENT dedup (r8): C(A, B) = |S(A) ∩ S(B)|
     / |S(A)| over the smaller shingle set — the near-superset detector
     Jaccard structurally misses (an article quoted inside a much longer
@@ -474,7 +474,7 @@ def q018_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certified INTEGER-EXACTLY: the threshold is 10*i >= 8*min(n) and
     the reported score is basis points via integer div — no ratio ever
     crosses engines. Same skew guard and capped-shingle semantics as
-    q128 (df-capped hot shingles carry no dedup signal), and the same
+    q027 (df-capped hot shingles carry no dedup signal), and the same
     scale shape: intersection counted by an equi-join on the shingle
     key, never a pairwise loop; one extra sizes join on the uniform
     doc key."""
@@ -520,7 +520,7 @@ def q018_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q122_embedding_neardup",
+    "q026_embedding_neardup",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -543,11 +543,11 @@ ORDER BY vec_a, vec_b
 """,
     tags=("dedup", "embedding", "cosine"),
 )
-def q122_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
-    pruning at scale is the sign-LSH bucketing in q152.
+    pruning at scale is the sign-LSH bucketing in q032.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -571,7 +571,7 @@ def q122_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q092_training_data_pipeline",
+    "q047_training_data_pipeline",
     oracle="""
 WITH corpus AS (
 SELECT doc_id, text FROM documents
@@ -589,7 +589,7 @@ quality AS (
 ),
 hashed AS (
   SELECT doc_id, n_tokens,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp
   FROM quality
 ),
 deduped AS (
@@ -605,7 +605,7 @@ FROM deduped
     tags=("pipeline", "dedup", "text", "north-star"),
     bench=True,
 )
-def q092_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (the north-star flow in one
     plan): corpus ∪ duplicates → quality filter (length + diversity) →
     exact dedup keep-first → corpus accounting. Single Catalyst plan:
@@ -645,7 +645,7 @@ CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
 
 
 @query(
-    "q142_dedup_clusters",
+    "q028_dedup_clusters",
     oracle=f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
      edges AS (
@@ -673,9 +673,9 @@ ORDER BY cluster_id
 """,
     tags=("dedup", "graph", "connected-components"),
 )
-def q142_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
-    generation (q088) feeds in a real dedup pipeline: near-duplicates are
+    generation (q048) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
     unit of deduplication is the connected component of the candidate
     graph, keeping min(doc_id) per component.
@@ -685,7 +685,7 @@ def q142_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, both on uniform doc-id keys). CC_ROUNDS=6 bounds the
     propagation; labels converge once rounds ≥ graph diameter, and dup
     clusters are shallow (exact-copy stars + short near-dup chains; the
-    q128 Jaccard-verify stage prunes long spurious chains before
+    q027 Jaccard-verify stage prunes long spurious chains before
     clustering in a production flow). At 100 TB diameter can't be assumed:
     use the alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce"), which converges
@@ -835,7 +835,7 @@ def q091_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the standard corrupted-duplicate ER benchmark construction) is
     matched back to the clean registry by q-gram blocking: explode each
     name into 6-grams, DROP high-document-frequency grams (the shared
-    'Customer#…' prefix — same skew-cap rationale as q128's shingle DF
+    'Customer#…' prefix — same skew-cap rationale as q027's shingle DF
     cap), equi-join on the surviving distinctive grams, then verify
     candidates with edit distance ≤ 1.
 
@@ -904,12 +904,12 @@ SPAN_N = 8
 
 
 @query(
-    "q183_duplicate_spans",
+    "q041_duplicate_spans",
     oracle=f"""
 WITH b AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
   FROM documents
-  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= {SPAN_N}
+  WHERE len(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+')) >= {SPAN_N}
 ),
 g AS (
   SELECT doc_id, array_to_string(t[i:i + {SPAN_N - 1}], ' ') AS gram
@@ -926,7 +926,7 @@ LIMIT 100
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q183_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: every word-level
     {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
     document frequency — the discovery pass of substring dedup (the spans
@@ -940,7 +940,7 @@ def q183_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes; downstream excision is a broadcast semi-join of this
     head against the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    t = F.expr("regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+', 0)")
     grams = F.expr(
         f"transform(sequence(1, size(t) - {SPAN_N - 1}),"
         f" i -> array_join(slice(t, i, {SPAN_N}), ' '))"
@@ -963,7 +963,7 @@ def q183_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Incremental (batch-vs-base) dedup --------------------------------------
 # The daily-ingestion shape: a small incoming batch is probed against the
 # full base corpus for exact and near duplicates before admission. Contrast
-# with q086/q088, which dedup a corpus against ITSELF.
+# with q049/q048, which dedup a corpus against ITSELF.
 
 _INC_SQL = """
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
@@ -998,12 +998,12 @@ def _bands_sql_for(sig: str) -> str:
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS ({_INC_SQL}),
 base_fp AS (
-  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+  SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp,
          MIN(doc_id) AS bdoc
   FROM base GROUP BY fp
 ),
 inc_fp AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM inc
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp FROM inc
 ),
 base_sig AS ({_sig_sql_for("base")}),
 inc_sig AS ({_sig_sql_for("inc")}),
@@ -1098,9 +1098,9 @@ def q074_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q077_span_excision",
     oracle=f"""
 WITH b AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
   FROM documents
-  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= {SPAN_N}
+  WHERE len(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+')) >= {SPAN_N}
 ),
 g AS (
   SELECT doc_id, array_to_string(t[i:i + {SPAN_N - 1}], ' ') AS gram
@@ -1124,7 +1124,7 @@ d AS (
   -- coalesce: array_to_string([]) is NULL in DuckDB (Spark array_join
   -- gives ''), so a letterless doc would NULL both lengths
   SELECT doc_id,
-         coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' '), '') AS norm
+         coalesce(array_to_string(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+'), ' '), '') AS norm
   FROM documents
 )
 SELECT doc_id,
@@ -1138,10 +1138,10 @@ ORDER BY doc_id
     tags=("dedup", "spans", "training-pipeline"),
 )
 def q077_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-dedup APPLY stage: excise the q183 head (the 100 most
+    """Substring-dedup APPLY stage: excise the q041 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
-    'remove duplicated substrings' pass, completing discovery (q183) →
+    'remove duplicated substrings' pass, completing discovery (q041) →
     excision.
 
     Scale shape: the span head is corpus-derived but TINY (one aggregation
@@ -1154,7 +1154,7 @@ def q077_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 linear scans per doc would justify an Aho-Corasick pandas UDF;
     the native fold keeps the hot path JVM-side here.)"""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    t = F.expr("regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+', 0)")
     grams = F.expr(
         f"transform(sequence(1, size(t) - {SPAN_N - 1}),"
         f" i -> array_join(slice(t, i, {SPAN_N}), ' '))"
@@ -1377,11 +1377,11 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
     "q140_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
-  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+  SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp FROM documents
 ),
 batch AS (
   SELECT doc_id + 10000 AS doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id < 60
   UNION ALL
   SELECT doc_id + 20000 AS doc_id,
@@ -1599,7 +1599,7 @@ ORDER BY hamming
 )
 def q145_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
-    generation — the scale path q151's docstring promises.
+    generation — the scale path q030's docstring promises.
 
     The 32-bit sketch splits into 3 bands (11+11+10 bits); any two
     sketches within hamming distance 2 differ in at most 2 bands, so they MUST
@@ -1762,10 +1762,10 @@ def _cdc_cuts_arrow_udf():
 def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
     chunker; chunk_idx is the 1-based in-doc position so consumers can
-    reassemble (q049 excision). Exposed for the shift-resistance
+    reassemble (q086 excision). Exposed for the shift-resistance
     property test and for composition.
 
-    Two equivalent cut computations (see q048_cdc_chunk_dedup for
+    Two equivalent cut computations (see q088_cdc_chunk_dedup for
     constants and the scale argument): the default Arrow/numpy rolling
     hash (``_cdc_cuts_arrow_udf``), and the pure-Catalyst array
     expression (``vectorized=False``) kept as the no-Python oracle-
@@ -1826,7 +1826,7 @@ def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
 
 
 @query(
-    "q048_cdc_chunk_dedup",
+    "q088_cdc_chunk_dedup",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1871,13 +1871,13 @@ ORDER BY n_occurrences DESC, chunk_hash
     bench=True,
     min_rows=1,
 )
-def q048_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q088_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the shift-resistant dedup
     primitive (rsync/LBFS lineage; the CDC stage of modern
     training-data dedup pipelines): chunk boundaries are placed where a
     W-char polynomial rolling hash H(i) = sum c[i+j]*B^j mod M hits
     H % 64 == 0, so inserting one sentence into a near-duplicate
-    document RE-ALIGNS every later chunk — fixed-stride chunking (q147)
+    document RE-ALIGNS every later chunk — fixed-stride chunking (q029)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
     recur, in how many docs) — the unit a span-excision pass (q077)
@@ -1915,7 +1915,7 @@ def q048_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_cdc_excision",
+    "q086_cdc_excision",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1961,8 +1961,8 @@ FROM kp GROUP BY doc_id ORDER BY doc_id
     tags=("dedup", "cdc", "excision", "training-pipeline"),
     min_rows=10,
 )
-def q049_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level boilerplate excision — the ACTIONABLE half of q048:
+def q086_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q088:
     every chunk keeps only its globally-first occurrence (ordered by
     doc_id, then in-doc position — unique, so both engines pick the
     identical keeper), later occurrences are excised, and each document
@@ -1970,10 +1970,10 @@ def q049_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC-based form of the span-excision pass (q077) a training-data
     pipeline runs to strip cross-document boilerplate — headers,
     navigation, license blocks — without q077's fixed gram width, and
-    shift-resistant per q048's docstring. clean_md5 certifies the
+    shift-resistant per q088's docstring. clean_md5 certifies the
     reassembled text byte-for-byte.
 
-    Scale shape: map-only chunker (q048), then ONE shuffle for the
+    Scale shape: map-only chunker (q088), then ONE shuffle for the
     keeper window — partitionBy(chunk), i.e. the dedup key itself, so
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own

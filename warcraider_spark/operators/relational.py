@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from warcraider_spark.registry import ROUND_DIGITS as RD
+from warcraider_spark.functions.textfn import fold_lower
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -37,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q001_pricing_summary",
+    "q075_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), {RD}) AS sum_qty,
@@ -56,7 +57,7 @@ ORDER BY l_returnflag, l_linestatus
     tags=("agg",),
     bench=True,
 )
-def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q075_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the flagship aggregate.
 
     Scale: filter pushed to parquet scan; partial agg map-side → one shuffle
@@ -81,7 +82,7 @@ def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_agg_distinct",
+    "q078_agg_distinct",
     oracle=f"""
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -94,7 +95,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg",),
 )
-def q002_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q078_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) + min/max per group (expand + two-phase agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -110,7 +111,7 @@ def q002_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q003_rollup",
+    "q079_rollup",
     oracle=f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -122,7 +123,7 @@ ORDER BY returnflag, linestatus
 """,
     tags=("agg", "rollup"),
 )
-def q003_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q079_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (Expand operator feeding hash agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -139,7 +140,7 @@ def q003_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q004_cube",
+    "q080_cube",
     oracle=f"""
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
@@ -151,7 +152,7 @@ ORDER BY orderstatus, orderpriority
 """,
     tags=("agg", "cube"),
 )
-def q004_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q080_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions."""
     return (
         _t(spark, sf_dir, "orders")
@@ -173,7 +174,7 @@ def q004_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q005_star_join_revenue",
+    "q081_star_join_revenue",
     oracle=f"""
 SELECT n_name, r_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
@@ -189,7 +190,7 @@ ORDER BY revenue DESC, n_name
     tags=("join", "agg"),
     bench=True,
 )
-def q005_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q081_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join → revenue per nation/region (TPC-H Q5 shape).
 
     Scale: customer/nation/region are broadcast (dims); lineitem⋈orders is
@@ -216,7 +217,7 @@ def q005_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_left_join_agg",
+    "q082_left_join_agg",
     oracle=f"""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
@@ -228,7 +229,7 @@ ORDER BY c_custkey
 """,
     tags=("join", "agg"),
 )
-def q006_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q082_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with zero orders."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
@@ -244,7 +245,7 @@ def q006_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q007_semi_anti",
+    "q083_semi_anti",
     oracle="""
 SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -255,7 +256,7 @@ ORDER BY bucket
 """,
     tags=("join", "semi", "anti"),
 )
-def q007_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q083_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti join (the blacklist-filter shape at scale,
     SURVEY §2.2: broadcast anti-join replaces the reference's in-memory
     blacklist scan, /root/reference/src/blacklist.rs:52-57)."""
@@ -271,7 +272,7 @@ def q007_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_full_outer",
+    "q084_full_outer",
     oracle="""
 WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
      c AS (SELECT DISTINCT c_nationkey FROM customer)
@@ -283,7 +284,7 @@ ORDER BY supp_nation, cust_nation
 """,
     tags=("join",),
 )
-def q008_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q084_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join on nation membership of suppliers vs customers."""
     s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
     c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
@@ -299,7 +300,7 @@ def q008_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_range_join",
+    "q085_range_join",
     oracle=f"""
 SELECT p_brand,
        COUNT(*) AS n_matches,
@@ -312,7 +313,7 @@ ORDER BY p_brand
 """,
     tags=("join", "range"),
 )
-def q009_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q085_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi+range (theta) join: equi key keeps it hash-joinable, the range
     predicate becomes a post-join filter — NOT a nested-loop at scale."""
     li = _t(spark, sf_dir, "lineitem")
@@ -336,7 +337,7 @@ def q009_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q010_topk_per_group",
+    "q185_topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -350,7 +351,7 @@ ORDER BY o_custkey, rn
     tags=("window", "topk"),
     bench=True,
 )
-def q010_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q185_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via row_number window.
 
     Scale: one shuffle on o_custkey, sort within partitions only. The
@@ -366,7 +367,7 @@ def q010_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q011_window_analytics",
+    "q186_window_analytics",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -382,7 +383,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q011_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q186_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/rank/ntile/running-sum analytic windows."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
@@ -406,7 +407,7 @@ def q011_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q012_global_topk",
+    "q187_global_topk",
     oracle=f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {RD}) AS price
 FROM orders
@@ -415,7 +416,7 @@ LIMIT 25
 """,
     tags=("sort", "topk"),
 )
-def q012_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q187_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
     (per-partition heap + merge of k, no full sort at scale)."""
     return (
@@ -432,7 +433,7 @@ def q012_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q013_set_ops",
+    "q164_set_ops",
     oracle="""
 WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
      auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
@@ -445,7 +446,7 @@ ORDER BY op
 """,
     tags=("setop",),
 )
-def q013_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q164_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except over customer splits."""
     cu = _t(spark, sf_dir, "customer")
     hi = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -468,7 +469,7 @@ def q013_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q014_string_funcs",
+    "q165_string_funcs",
     oracle="""
 SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
@@ -485,7 +486,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q014_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q165_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar family (upper/lower/length/substring/concat/replace/
     trim/contains/split)."""
     return (
@@ -507,7 +508,7 @@ def q014_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q015_regexp_funcs",
+    "q166_regexp_funcs",
     oracle="""
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
@@ -518,7 +519,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "regex"),
 )
-def q015_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q166_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family — the substrate for the reference's extraction
     regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
     return (
@@ -534,7 +535,7 @@ def q015_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q187_date_funcs",
+    "q012_date_funcs",
     oracle=f"""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
@@ -547,7 +548,7 @@ ORDER BY order_month
 """,
     tags=("scalar", "date", "agg"),
 )
-def q187_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + per-month aggregate (the BigQuery day-partitioning
     query shape, /root/reference/load.bat:7)."""
     od = _t(spark, sf_dir, "orders")
@@ -564,7 +565,7 @@ def q187_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q185_datepart_funcs",
+    "q010_datepart_funcs",
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS yr,
@@ -579,7 +580,7 @@ LIMIT 500
 """,
     tags=("scalar", "date"),
 )
-def q185_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/dayofweek extraction + date arithmetic.
 
     Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
@@ -604,7 +605,7 @@ def q185_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q186_math_funcs",
+    "q011_math_funcs",
     oracle=f"""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 0) AS price_round,
@@ -621,7 +622,7 @@ LIMIT 1000
 """,
     tags=("scalar", "math"),
 )
-def q186_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -643,7 +644,7 @@ def q186_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q019_array_funcs",
+    "q170_array_funcs",
     oracle=f"""
 SELECT vec_id,
        len(embedding) AS dim,
@@ -656,7 +657,7 @@ ORDER BY vec_id
 """,
     tags=("scalar", "array"),
 )
-def q019_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q170_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (size/aggregate/transform/element_at) —
     the substrate for the reference's links/resource_urls array ops
     (SURVEY §2.5) and for embedding math.
@@ -682,25 +683,25 @@ def q019_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q169_array_set_funcs",
+    "q018_array_set_funcs",
     oracle="""
 SELECT doc_id,
-       array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:5], '|') AS first_tokens,
-       len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens
+       array_to_string(list_sort(list_distinct(string_split(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' ')))[1:5], '|') AS first_tokens,
+       len(list_distinct(string_split(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '))) AS distinct_tokens
 FROM documents
 WHERE doc_id <= 200
 ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def q169_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_distinct + array_sort + slice — the reference's
     sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417).
 
     The sliced array is emitted '|'-joined: the driver's canonicalizer
-    pandas-sorts result columns and crashes on list values (r1 q169 err)."""
+    pandas-sorts result columns and crashes on list values (r1 q018 err)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
-    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    toks = F.array_distinct(F.split(fold_lower("text"), " "))
     return (
         docs.select(
             "doc_id",
@@ -712,7 +713,7 @@ def q169_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q020_json_funcs",
+    "q173_json_funcs",
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -723,7 +724,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q020_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q173_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (the meta_tags/headers
     serialization shape, SURVEY §2.11)."""
     ev = _t(spark, sf_dir, "events")
@@ -739,7 +740,7 @@ def q020_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q021_map_funcs",
+    "q175_map_funcs",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -752,7 +753,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map", "json"),
 )
-def q021_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q175_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → MapType → element_at lookup, aggregated.
 
     Exercises MapType the way the reference uses headers/meta_tags maps
@@ -775,7 +776,7 @@ def q021_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q022_conditional_funcs",
+    "q177_conditional_funcs",
     oracle=f"""
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
@@ -789,7 +790,7 @@ ORDER BY size_bucket, o_orderstatus
 """,
     tags=("scalar", "conditional", "agg"),
 )
-def q022_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q177_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing (the oversize-guard conditional shape,
     /root/reference/src/main.rs:376-381)."""
     od = _t(spark, sf_dir, "orders")
@@ -807,7 +808,7 @@ def q022_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q023_exists_subquery",
+    "q178_exists_subquery",
     oracle=f"""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -819,7 +820,7 @@ ORDER BY o_orderpriority
 """,
     tags=("join", "subquery"),
 )
-def q023_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q178_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -835,7 +836,7 @@ def q023_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q024_having_avg_subquery",
+    "q114_having_avg_subquery",
     oracle=f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
@@ -847,7 +848,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "subquery"),
 )
-def q024_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q114_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING with uncorrelated scalar subquery (TPC-H Q11/Q22 shape)."""
     cu = _t(spark, sf_dir, "customer")
     threshold = cu.agg((F.avg("c_acctbal") * 0.8).alias("t"))
@@ -864,7 +865,7 @@ def q024_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q075_distinct_dropdups",
+    "q001_distinct_dropdups",
     oracle="""
 SELECT l_returnflag, l_linestatus
 FROM lineitem
@@ -873,7 +874,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
     tags=("distinct",),
 )
-def q075_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (dropDuplicates) — partial-agg dedups map-side
     before the shuffle, so distinct on low-cardinality keys is cheap at
     any scale."""
@@ -886,7 +887,7 @@ def q075_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q025_approx_distinct",
+    "q120_approx_distinct",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -895,7 +896,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx"),
 )
-def q025_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q120_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     COUNT(DISTINCT): one pass, fixed memory, no expand.
 
@@ -906,7 +907,7 @@ def q025_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, so `within_5pct` (a 5σ envelope of the published
     relative standard deviation) is a stable TRUE the oracle pins as a
     literal, alongside the exact distinct counts. The sketch stays the
-    hot path; q002 carries the exact-COUNT(DISTINCT) burden."""
+    hot path; q078 carries the exact-COUNT(DISTINCT) burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -927,7 +928,7 @@ def q025_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q026_grouping_sets",
+    "q122_grouping_sets",
     oracle=f"""
 SELECT COALESCE(n_name, 'ALL') AS nation,
        COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -939,7 +940,7 @@ ORDER BY nation, segment
 """,
     tags=("agg", "rollup"),
 )
-def q026_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (Spark side uses spark.sql for exact parity)."""
     cu = _t(spark, sf_dir, "customer")
     na = _t(spark, sf_dir, "nation")
@@ -959,7 +960,7 @@ def q026_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q078_union_all_types",
+    "q002_union_all_types",
     oracle="""
 SELECT kind, key_val, COUNT(*) AS n FROM (
   SELECT 'customer' AS kind, c_nationkey AS key_val FROM customer
@@ -971,7 +972,7 @@ ORDER BY kind, key_val
 """,
     tags=("setop", "agg"),
 )
-def q078_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of differently-shaped relations normalized to one schema."""
     cu = _t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("key_val"))
     su = _t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("key_val"))
@@ -979,7 +980,7 @@ def q078_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q079_self_join_graph",
+    "q003_self_join_graph",
     oracle=f"""
 SELECT a.o_custkey AS custkey,
        COUNT(*) AS n_pairs
@@ -992,7 +993,7 @@ LIMIT 100
 """,
     tags=("join", "self"),
 )
-def q079_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join: same-day order pairs per customer — the link-graph
     edge-extraction shape (SURVEY §2.7 self-join row)."""
     od = _t(spark, sf_dir, "orders")
@@ -1223,7 +1224,7 @@ def q056_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q042_array_agg",
+    "q130_array_agg",
     oracle="""
 SELECT c_nationkey,
        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
@@ -1234,7 +1235,7 @@ ORDER BY c_nationkey
 """,
     tags=("agg", "array"),
 )
-def q042_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q130_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / array_agg — sorted post-hoc because accumulation
     order is partition-dependent in ANY distributed engine; emitted
     ','-joined because the driver canonicalizer rejects list cells."""
@@ -1256,7 +1257,7 @@ def q042_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q175_record_range_scan",
+    "q021_record_range_scan",
     oracle="""
 SELECT o_orderkey, o_custkey
 FROM orders
@@ -1265,7 +1266,7 @@ LIMIT 50 OFFSET 100
 """,
     tags=("scan", "limit", "reference-parity"),
 )
-def q175_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's record-range scan ([start_at, finish_at),
     main.rs:205-219) as ORDER BY + OFFSET/LIMIT — partitioning makes the
     manual skip loop obsolete (SURVEY §2.1)."""
@@ -1402,7 +1403,7 @@ def q060_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q039_setops_all",
+    "q181_setops_all",
     oracle="""
 WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
      b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
@@ -1413,7 +1414,7 @@ ORDER BY op, f
 """,
     tags=("setop",),
 )
-def q039_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q181_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
     counting — a different physical plan from the DISTINCT variants)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1449,7 +1450,7 @@ def q071_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     The windowed sum runs on INTEGER CENTS: engines accumulate sliding
     frames in different orders (segment trees vs running add/subtract),
     so double sums drift past rounding; integer sums are exact and the
-    final division is bit-identical (left unrounded — see q082 note)."""
+    final division is bit-identical (left unrounded — see q006 note)."""
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
     od = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
@@ -1566,7 +1567,7 @@ def q072_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q177_shipmode_priority",
+    "q022_shipmode_priority",
     oracle="""
 SELECT l_linestatus AS shipmode_proxy,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -1579,7 +1580,7 @@ ORDER BY shipmode_proxy
 """,
     tags=("join", "agg", "tpch"),
 )
-def q177_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: priority class counts per ship mode."""
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1599,7 +1600,7 @@ def q177_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q027_promo_revenue",
+    "q128_promo_revenue",
     oracle=f"""
 SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -1611,7 +1612,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """,
     tags=("join", "agg", "tpch"),
 )
-def q027_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q128_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share (conditional aggregate
     over a broadcast dim join)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1628,7 +1629,7 @@ def q027_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_min_cost_supplier",
+    "q142_min_cost_supplier",
     oracle="""
 WITH costs AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -1647,7 +1648,7 @@ ORDER BY partkey, suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def q028_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q142_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-
     minimum join (aggregate-then-rejoin, no correlated subquery needed —
     equality on exact doubles is safe because both sides carry the SAME
@@ -1677,7 +1678,7 @@ def q028_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q029_volume_shipping",
+    "q147_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
@@ -1694,7 +1695,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "agg", "tpch"),
 )
-def q029_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q147_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volumes (two aliases of the same
     dim joined on different keys)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1726,7 +1727,7 @@ def q029_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q030_top_customers_quarter",
+    "q151_top_customers_quarter",
     oracle=f"""
 WITH q AS (
   SELECT o_custkey,
@@ -1744,7 +1745,7 @@ ORDER BY yr, qtr, rnk
 """,
     tags=("window", "topk", "agg"),
 )
-def q030_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q151_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per quarter: aggregate → window rank — the
     leaderboard shape (agg shuffle reused by the window partition)."""
     od = _t(spark, sf_dir, "orders")
@@ -1791,7 +1792,7 @@ def q031_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(10)'s first-(n%10)-buckets-get-one-extra split, so the NTILE
     oracle stays exact. Severely lumpy value distributions would skew a
     fixed-width bucket; the scale escalation is approx_percentile
-    pre-bucketing (q052/q025), with AQE skew-split covering the middle
+    pre-bucketing (q052/q120), with AQE skew-split covering the middle
     ground."""
     od = _t(spark, sf_dir, "orders")
     d = od.select("o_totalprice", "o_orderkey").withColumn(
@@ -1840,7 +1841,7 @@ def q031_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q036_approx_quantiles",
+    "q176_approx_quantiles",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1850,7 +1851,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx", "quantile"),
 )
-def q036_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q176_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the 100 TB answer
     to median/p95: one pass, fixed memory, mergeable across partitions,
     no global sort.
@@ -1904,9 +1905,9 @@ def q036_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q036's sketch pass, factored so tests can tighten the screw: per
+    """q176's sketch pass, factored so tests can tighten the screw: per
     l_returnflag, the GK approx [p50, p95] (`ap`), the EXACT interpolated
-    [p50, p95] (`exact` — unused by q036 itself, Catalyst prunes it from
+    [p50, p95] (`exact` — unused by q176 itself, Catalyst prunes it from
     the query's physical plan), and the exact row count."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1919,7 +1920,7 @@ def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q032_asof_join",
+    "q152_asof_join",
     oracle="""
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -1938,7 +1939,7 @@ ORDER BY c.event_id
 """,
     tags=("join", "asof"),
 )
-def q032_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q152_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join — for every click, the same user's most recent
     purchase at-or-before it. Spark has no ASOF JOIN operator, so this is
     the scale-correct composition: tag both sides, UNION, one window
@@ -2004,7 +2005,7 @@ def q032_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q178_variant_json",
+    "q023_variant_json",
     oracle="""
 SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
        COUNT(*) AS n,
@@ -2017,12 +2018,12 @@ ORDER BY k_mod
 """,
     tags=("json", "variant"),
 )
-def q178_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through Spark 4's VARIANT type:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
     scale (single parse, no per-access string re-parse the way chained
-    get_json_object does; q020 covers the classic functions)."""
+    get_json_object does; q173 covers the classic functions)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
@@ -2082,7 +2083,7 @@ def q154_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q033_rank_distribution",
+    "q153_rank_distribution",
     oracle="""
 SELECT o_custkey,
        o_orderkey,
@@ -2095,9 +2096,9 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window", "rank"),
 )
-def q033_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q153_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / quartile per customer — the remaining
-    ranking-family windows (q011 covers lag/lead/rank/ntile/running-sum).
+    ranking-family windows (q186 covers lag/lead/rank/ntile/running-sum).
     Both are exact rational values of integer rank counts, so the raw
     doubles hash-match across engines with no rounding."""
     od = _t(spark, sf_dir, "orders")
@@ -2136,7 +2137,7 @@ FROM j ORDER BY event_id
     tags=("json", "variant"),
 )
 def q064_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deep VARIANT path surface (Spark 4), beyond q178's flat
+    """Deep VARIANT path surface (Spark 4), beyond q023's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
     the binary variant encoding, then every access is a typed
@@ -2383,7 +2384,7 @@ def _interleave_sql(xb: str, yb: str) -> str:
 
 
 @query(
-    "q043_zorder_layout",
+    "q148_zorder_layout",
     oracle=f"""
 WITH mx AS (
   SELECT MAX(l_partkey) AS xmax, MAX(l_suppkey) AS ymax FROM lineitem
@@ -2404,7 +2405,7 @@ ORDER BY file_id
 """,
     tags=("layout", "zorder"),
 )
-def q043_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q148_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout: bucket two independent columns
     to {_Z_BITS}-bit ranks, interleave the bits into a space-filling-curve
     key, range-partition rows into 'files' by curve position, and emit
@@ -2443,7 +2444,7 @@ def q043_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q044_key_skew_profile",
+    "q143_key_skew_profile",
     oracle="""
 WITH freq AS (
   SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
@@ -2464,7 +2465,7 @@ LIMIT 20
 """,
     tags=("diagnostics", "skew"),
 )
-def q044_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q143_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler — the diagnostic you run BEFORE choosing a
     join strategy at 100 TB: the 20 heaviest values of a prospective
     shuffle key with absolute count, corpus share (ppm), and
@@ -2535,7 +2536,7 @@ def q100_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged state collapse (only CHANGES open a new version), each
     version spans [its change, the next change), and the current version
     closes at the 9999-12-31 sentinel (kept non-null so the interval
-    columns stay int64). The output is what an as-of join (q032) probes.
+    columns stay int64). The output is what an as-of join (q152) probes.
 
     Scale shape: ONE shuffle on the entity key serves all three window
     passes (lag-dedup, lead-close, version numbering share the same
@@ -2592,7 +2593,7 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     "top-2 orders for each customer" shape a SQL-text user writes
-    naturally (the declarative dual of q010's window top-k). Exercises
+    naturally (the declarative dual of q185's window top-k). Exercises
     Catalyst's lateral-join decorrelation: naively this is one subquery
     execution per outer row; Spark rewrites it into a WindowGroupLimit
     (rank-limit pushed BELOW the shuffle as a partial pass, so each map
@@ -2678,7 +2679,7 @@ def q121_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q047_explode_outer",
+    "q092_explode_outer",
     oracle="""
 WITH toks AS (
   SELECT doc_id,
@@ -2693,7 +2694,7 @@ FROM toks
 """,
     tags=("relational", "explode", "null"),
 )
-def q047_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q092_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``explode_outer``: rows whose array is empty survive the lateral
     view as a single NULL element instead of vanishing (plain explode
     drops them — silently losing every short document). Counting

@@ -8,7 +8,7 @@ sketches support set algebra (union/intersection/difference) on the
 sketches themselves. COUNT(DISTINCT) at scale forces one shuffle of every
 distinct value per re-grouping; sketch columns turn that into kilobytes.
 This replaces the reference's BigQuery-side APPROX_COUNT_DISTINCT analytics
-(SURVEY §2.11 approx-agg family; q025 covers approx_count_distinct itself).
+(SURVEY §2.11 approx-agg family; q120 covers approx_count_distinct itself).
 
 Oracle strategy: below their configured capacity (theta/HLL default
 k=4096 entries / lgK=12) DataSketches estimators are in EXACT mode — the
@@ -251,7 +251,7 @@ _CMS_AB = ((3, 17), (5, 257), (7, 4099), (11, 65539))
 
 
 @query(
-    "q181_countmin_freq",
+    "q039_countmin_freq",
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
@@ -295,7 +295,7 @@ ORDER BY tok
     bench=True,
     min_rows=1,
 )
-def q181_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream: d=4 hash rows ×
     w=512 counters, probed for every token whose true frequency ≥ 40,
     reporting exact count, CM estimate, and the (always ≥ 0) collision

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions.textfn import (
+    fold_lower,
     all_shingles,
     doc_fingerprint,
     md5_int,
@@ -49,7 +50,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 @query(
-    "q080_token_stats",
+    "q004_token_stats",
     oracle="""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -64,10 +65,10 @@ ORDER BY doc_id
     tags=("text", "tokens"),
     bench=True,
 )
-def q080_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct count + mean length.
 
-    The BPE-ish subword count variant is q082's token_per_char; this is the
+    The BPE-ish subword count variant is q006's token_per_char; this is the
     reference's exact word_count tokenizer (main.rs:468-471).
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -97,7 +98,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @query(
-    "q081_lang_id",
+    "q005_lang_id",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -119,7 +120,7 @@ FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
 """,
     tags=("text", "langid"),
 )
-def q081_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token ratio per language, argmax with
     lexicographic tie-break (de<en<es<fr<zh), confusion counts vs label.
     """
@@ -147,7 +148,7 @@ def q081_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q082_quality_score",
+    "q006_quality_score",
     oracle="""
 WITH m AS (
   SELECT doc_id,
@@ -173,7 +174,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def q082_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/word-shape composite with buckets
     (the heuristic-filter stage of a training-data pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -201,10 +202,14 @@ def q082_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NORM_SQL = (
+    # lower + case-fold canon (ς→σ, i+U+0307→i): see functions.textfn.norm_text
+    r"trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'),"
+    r" '\s+', ' ', 'g'))"
+)
 
 @query(
-    "q083_fingerprint",
+    "q007_fingerprint",
     oracle=f"""
 SELECT doc_id,
        md5({_NORM_SQL}) AS fp,
@@ -214,7 +219,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint"),
 )
-def q083_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document fingerprint: md5 of normalized text, plus the portable
     60-bit integer form used by minhash/simhash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -229,7 +234,7 @@ def q083_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q084_shingle_fingerprint",
+    "q008_shingle_fingerprint",
     # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
@@ -244,7 +249,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q084_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
@@ -263,7 +268,7 @@ def q084_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q085_word_count_ref",
+    "q009_word_count_ref",
     oracle="""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -273,7 +278,7 @@ ORDER BY doc_id
 """,
     tags=("text", "reference-parity"),
 )
-def q085_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's word_count operator verbatim: whitespace-token count
     as i32, 0 for empty (/root/reference/src/main.rs:468-471)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -363,7 +368,7 @@ def q156_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q136_tfidf",
+    "q050_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -383,7 +388,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q136_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -407,12 +412,12 @@ def q136_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_ml_lsh_variants",
+    "q172_ml_lsh_variants",
     oracle="""
 WITH t AS (
   SELECT doc_id,
          list_sort(list_distinct(list_filter(
-           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS ts
+           string_split_regex(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+'), x -> x <> ''))) AS ts
   FROM documents WHERE doc_id < 200
 ),
 -- len(ts) > 0 mirrors the engine's empty-vector exclusion: MinHashLSH
@@ -429,11 +434,11 @@ ORDER BY metric
 """,
     tags=("dedup", "similarity", "mllib"),
 )
-def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
-    BRP-LSH hashing. The native q088/q152 carry the hash-checked
+    BRP-LSH hashing. The native q048/q032 carry the hash-checked
     banded-LSH equivalents.
 
     Certification (r8 — the last rows-only registry query upgraded):
@@ -489,7 +494,7 @@ def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the source-filtered plan still crashed inside the join while
     # transform() alone passed). Cutting lineage pins the UDF's input to
     # the already-filtered rows; Spark ML docs recommend caching LSH join
-    # inputs anyway (q035 owns build-time jobs: the fits above).
+    # inputs anyway (q172 owns build-time jobs: the fits above).
     feats = cv.transform(toked).localCheckpoint(eager=False)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(feats)
     pairs = (
@@ -534,7 +539,7 @@ def q035_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q147_document_chunking",
+    "q029_document_chunking",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
@@ -553,7 +558,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("text", "chunking"),
 )
-def q147_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token windows, stride 24 →
     8-token overlap): the context-window packing stage of a training-data
     pipeline, as pure array expressions (slice per chunk index)."""
@@ -582,7 +587,7 @@ def q147_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q120_embedding_quantize",
+    "q025_embedding_quantize",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -604,7 +609,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "quantization"),
 )
-def q120_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (absmax scaling) — the
     storage/bandwidth stage of a vector index at 100 TB; all native
     higher-order functions, int outputs so the oracle is exact."""
@@ -731,7 +736,7 @@ def q095_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q172_repetition_ratio",
+    "q035_repetition_ratio",
     # shingles_sql carries the r8 short-doc CASE guard — the former inline
     # gram NULLed below 5 tokens and DuckDB's list_distinct DROPS NULLs,
     # skewing distinct_5grams to 0 (rep_ratio 1.0) where Spark says 1 (0.0)
@@ -749,7 +754,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
 )
-def q172_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document (the Gopher-style repetition
     signal for filtering low-quality/boilerplate docs). Distinct counting
     happens inside the row via the shingle expression — a map-only linear
@@ -890,14 +895,14 @@ ORDER BY doc_id
 
 
 @query(
-    "q016_gopher_repetition",
+    "q167_gopher_repetition",
     oracle=_rep_oracle(),
     tags=("text", "quality", "repetition", "training-pipeline"),
     bench=True,
 )
-def q016_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q167_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal suite (Rae et al. 2021 §A1.1 Table A1 —
-    the signals q017's heuristic rules deliberately exclude): duplicate
+    the signals q168's heuristic rules deliberately exclude): duplicate
     line / paragraph fractions (count and character), top-2/3/4-gram
     character fractions, and duplicate-5..10-gram character fractions,
     each with its published threshold as an integer-exact verdict and the
@@ -929,7 +934,7 @@ def q016_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers per doc crossing Arrow, embarrassingly parallel at 100 TB.
 
     The synthetic corpus is single-line (no \\n), so the line/paragraph
-    signals are corpus-vacuous there (like q017's stopword rule) — their
+    signals are corpus-vacuous there (like q168's stopword rule) — their
     both-ways behavior is certified by constructed-data unit tests over
     ``gopher_repetition_table``; the nine n-gram signals discriminate
     strongly on the corpus (small vocabulary, heavy repetition) and
@@ -1025,104 +1030,128 @@ def _rep_signals_catalyst(docs: DataFrame) -> DataFrame:
     )
 
 
-def _rep_signals_arrow_udf():
-    """Arrow-batched numpy kernel computing all 21 signals per document,
-    vectorized ACROSS the batch (a per-doc numpy loop spends ~1 ms/doc
-    in call overhead on ~50-token docs; this form measured ~10× less):
-    all docs' tokens form one global id array (one np.unique), each
-    n-gram order takes one sliding_window_view over it, windows keyed by
-    (doc, id-row) as fixed-width void rows — doc first, so one memcmp
-    argsort groups equal grams AND leaves runs contiguous per doc —
-    then per-doc top/dup stats via maximum/add.reduceat on the run
-    table. Gram char lengths come from a global cumsum of token lengths
-    (+1 per joining space), so no gram string is ever materialized.
-    Matches the Catalyst twin exactly (property-tested), including the
-    short-doc path (G < n → the whole doc as one gram) and the shared
-    tokenization: ASCII \\s splits, EMPTY TOKENS DROPPED (the oracle's
-    list_filter semantics — Gopher words are non-empty), trim strips
-    only spaces."""
+def _rep_signals_kernel(s):
+    """Fused Arrow-batch numpy kernel computing all 21 signals per
+    document, vectorized ACROSS the batch (a per-doc numpy loop spends
+    ~1 ms/doc in call overhead on ~50-token docs; this form measured
+    ~10x less): all docs' tokens form one global id array (one
+    np.unique), then — VERDICT r8 #2's fuse — a suffix-doubling-style
+    RANK CHAIN serves every n-gram order in one sweep instead of nine
+    independent per-order sorts. r1 = dense rank of (doc, token id);
+    r_n = dense rank of (r_{n-1}[i], r1[i+n-1]) via one int64
+    np.unique per order (typed radix-ish sorts — measured ~1.7x faster
+    than the previous per-order void-memcmp argsorts, ~9x less sort
+    work). Because doc is embedded in r1, equal ranks never cross
+    docs and unique-value order keeps docs contiguous; windows that
+    would cross a doc end get a per-position unique sentinel key, so
+    they equal nothing and are dropped before the stats. Each order's
+    np.unique ALSO returns the run table (first index + counts), from
+    which per-doc top/dup stats follow via maximum/add.reduceat as
+    before. Gram char lengths come from a global cumsum of token
+    lengths (+1 per joining space), so no gram string is ever
+    materialized. Matches the Catalyst twin exactly (property-tested),
+    including the short-doc path (G < n -> the whole doc as one gram)
+    and the shared tokenization: ASCII \\s splits, EMPTY TOKENS
+    DROPPED (the oracle's list_filter semantics — Gopher words are
+    non-empty), trim strips only spaces."""
+    import re
+    from collections import Counter
+    from itertools import chain
+
+    import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     top_ns, dup_ns = sorted(_REP_TOP_PCT), sorted(_REP_DUP_PCT)
     fields = list(_REP_SIGNAL_FIELDS)
 
-    def _signals(s):
-        import re
-        from collections import Counter
-        from itertools import chain
+    def java_split(pattern, text):
+        parts = re.split(pattern, text, flags=re.ASCII)
+        while len(parts) > 1 and parts[-1] == "":
+            parts.pop()
+        return parts
 
-        import numpy as np
-        from numpy.lib.stride_tricks import sliding_window_view
+    def dup_stats(vals):
+        c = Counter(vals)
+        dup_n = sum(v for v in c.values() if v >= 2)
+        dup_chars = sum(v * len(k) for k, v in c.items() if v >= 2)
+        return dup_n, dup_chars
 
-        def java_split(pattern, text):
-            parts = re.split(pattern, text, flags=re.ASCII)
-            while len(parts) > 1 and parts[-1] == "":
-                parts.pop()
-            return parts
+    ndocs = len(s)
+    toks_list = []
+    head = np.zeros((ndocs, 9), dtype=np.int64)
+    for i, t in enumerate(s):
+        t = t or ""
+        toks = [w for w in java_split(r"\s+", t.strip(" ")) if w]
+        toks_list.append(toks)
+        ls = [v for v in (x.strip(" ") for x in java_split("\n", t)) if v]
+        ps = [v for v in (x.strip(" ") for x in java_split(r"\n{2,}", t)) if v]
+        dl, dlc = dup_stats(ls)
+        dp, dpc = dup_stats(ps)
+        head[i, 1:] = (len(ls), sum(map(len, ls)), len(ps), sum(map(len, ps)),
+                       dl, dlc, dp, dpc)
 
-        def dup_stats(vals):
-            c = Counter(vals)
-            dup_n = sum(v for v in c.values() if v >= 2)
-            dup_chars = sum(v * len(k) for k, v in c.items() if v >= 2)
-            return dup_n, dup_chars
+    gs = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=ndocs)
+    tok_starts = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(gs, out=tok_starts[1:])
+    all_toks = np.asarray(list(chain.from_iterable(toks_list)), dtype=str)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int32), gs)
+    _, gids = np.unique(all_toks, return_inverse=True)
+    gids = np.ascontiguousarray(gids, dtype=np.int64)
+    lens = np.char.str_len(all_toks).astype(np.int64)
+    cl = np.zeros(len(all_toks) + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=cl[1:])
+    # single-space-joined token text length per doc (0 for [""] docs)
+    text_chars = cl[tok_starts[1:]] - cl[tok_starts[:-1]] - 1
+    text_chars = np.maximum(text_chars, 0)
+    head[:, 0] = text_chars
 
-        ndocs = len(s)
-        toks_list = []
-        head = np.zeros((ndocs, 9), dtype=np.int64)
-        for i, t in enumerate(s):
-            t = t or ""
-            toks = [w for w in java_split(r"\s+", t.strip(" ")) if w]
-            toks_list.append(toks)
-            ls = [v for v in (x.strip(" ") for x in java_split("\n", t)) if v]
-            ps = [v for v in (x.strip(" ") for x in java_split(r"\n{2,}", t)) if v]
-            dl, dlc = dup_stats(ls)
-            dp, dpc = dup_stats(ps)
-            head[i, 1:] = (len(ls), sum(map(len, ls)), len(ps), sum(map(len, ps)),
-                           dl, dlc, dp, dpc)
+    orders = top_ns + dup_ns
+    maxn = max(orders)
+    per_n = {}
+    for n in orders:
+        # short docs (G < n): the whole doc as one gram — cnt 1, len
+        # text_chars, no duplicates; overwritten below for G >= n
+        per_n[n] = (
+            np.ones(ndocs, dtype=np.int64),
+            text_chars.copy(),
+            np.zeros(ndocs, dtype=np.int64),
+        )
 
-        gs = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=ndocs)
-        tok_starts = np.zeros(ndocs + 1, dtype=np.int64)
-        np.cumsum(gs, out=tok_starts[1:])
-        all_toks = np.asarray(list(chain.from_iterable(toks_list)), dtype=str)
-        doc_of = np.repeat(np.arange(ndocs, dtype=np.int32), gs)
-        _, gids = np.unique(all_toks, return_inverse=True)
-        gids = np.ascontiguousarray(gids, dtype=np.int32)
-        lens = np.char.str_len(all_toks).astype(np.int64)
-        cl = np.zeros(len(all_toks) + 1, dtype=np.int64)
-        np.cumsum(lens + 1, out=cl[1:])
-        # single-space-joined token text length per doc (0 for [""] docs)
-        text_chars = cl[tok_starts[1:]] - cl[tok_starts[:-1]] - 1
-        text_chars = np.maximum(text_chars, 0)
-        head[:, 0] = text_chars
-
-        per_n = {}
-        for n in top_ns + dup_ns:
-            # short docs (G < n): the whole doc as one gram — cnt 1, len
-            # text_chars, no duplicates; overwritten below for G >= n
-            top_cnt = np.ones(ndocs, dtype=np.int64)
-            top_len = text_chars.copy()
-            dup_chars = np.zeros(ndocs, dtype=np.int64)
-            per_n[n] = (top_cnt, top_len, dup_chars)
-            if len(gids) < n:
+    T = len(gids)
+    if T:
+        posT = np.arange(T, dtype=np.int64)
+        doc_end = tok_starts[doc_of + 1]
+        validlen = doc_end - posT  # in-doc tokens available from here
+        pad = maxn
+        # r1 ids < T; tail sentinels in [T, T+pad) never equal a rank
+        r1 = np.empty(T + pad, dtype=np.int64)
+        r1[:T] = np.unique(
+            doc_of.astype(np.int64) * (T + 1) + gids, return_inverse=True
+        )[1]
+        r1[T:] = np.arange(T, T + pad)
+        # composed keys < T*B; sentinel keys start at SENT and sort LAST,
+        # so valid uniques stay a doc-contiguous prefix
+        B = np.int64(2 * T + pad + 2)
+        SENT = np.int64(T) * B + 1
+        prev = r1[:T]
+        for n in range(2, maxn + 1):
+            key = prev * B + r1[n - 1 : T + n - 1]
+            inv_mask = validlen < n
+            key[inv_mask] = SENT + posT[inv_mask]
+            uvals, uidx, uinv, ucnt = np.unique(
+                key, return_index=True, return_inverse=True, return_counts=True
+            )
+            prev = uinv.astype(np.int64)
+            if n not in per_n:
                 continue
-            w = sliding_window_view(gids, n)
-            p = np.arange(len(w))
-            vp = p[doc_of[p] == doc_of[p + n - 1]]  # windows inside one doc
-            if not len(vp):
+            ok = uvals < SENT  # drop the crossing-window sentinels
+            rep = uidx[ok]  # one representative window per run
+            runlens = ucnt[ok].astype(np.int64)
+            if not len(rep):
                 continue
-            key = np.empty((len(vp), n + 1), dtype=np.int32)
-            key[:, 0] = doc_of[vp]
-            key[:, 1:] = w[vp]
-            v = np.ascontiguousarray(key).view(np.dtype((np.void, 4 * (n + 1)))).ravel()
-            order = np.argsort(v, kind="stable")
-            vs = v[order]
-            neq = vs[1:] != vs[:-1]
-            rstarts = np.concatenate(([0], np.nonzero(neq)[0] + 1))
-            runlens = np.diff(np.concatenate((rstarts, [len(vs)])))
-            gpos = vp[order[rstarts]]  # one representative window per run
-            glens = cl[gpos + n] - cl[gpos] - 1
-            rdoc = doc_of[gpos]  # non-decreasing: doc is the leading sort key
+            top_cnt, top_len, dup_chars = per_n[n]
+            glens = cl[rep + n] - cl[rep] - 1
+            rdoc = doc_of[rep]  # non-decreasing: doc leads the rank order
             db = np.concatenate(([0], np.nonzero(rdoc[1:] != rdoc[:-1])[0] + 1))
             seg_docs = rdoc[db]
             seg_top = np.maximum.reduceat(runlens, db)
@@ -1133,20 +1162,31 @@ def _rep_signals_arrow_udf():
             top_len[seg_docs] = seg_top_len
             dup_chars[seg_docs] = seg_dup
 
-        out = np.empty((ndocs, len(fields)), dtype=np.int64)
-        out[:, :9] = head
-        c = 9
-        for n in top_ns:
-            out[:, c] = per_n[n][0]
-            out[:, c + 1] = per_n[n][1]
-            c += 2
-        for n in dup_ns:
-            out[:, c] = per_n[n][2]
-            c += 1
-        return pd.DataFrame(out, columns=fields)
+    out = np.empty((ndocs, len(fields)), dtype=np.int64)
+    out[:, :9] = head
+    c = 9
+    for n in top_ns:
+        out[:, c] = per_n[n][0]
+        out[:, c + 1] = per_n[n][1]
+        c += 2
+    for n in dup_ns:
+        out[:, c] = per_n[n][2]
+        c += 1
+    return pd.DataFrame(out, columns=fields)
+
+
+def _rep_signals_arrow_udf():
+    """pandas_udf wrapper over the module-level fused kernel (kept
+    separate so the kernel benchmarks and property-tests without a
+    SparkSession)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _signals(s):
+        return _rep_signals_kernel(s)
 
     _signals.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
-    return pandas_udf(_signals, ", ".join(f"{f} long" for f in fields))
+    return pandas_udf(_signals, ", ".join(f"{f} long" for f in _REP_SIGNAL_FIELDS))
 
 
 def _rep_signals_arrow(docs: DataFrame) -> DataFrame:
@@ -1155,7 +1195,7 @@ def _rep_signals_arrow(docs: DataFrame) -> DataFrame:
 
 
 def gopher_repetition_table(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
-    """q016's signal computation over an arbitrary (doc_id, text) frame —
+    """q167's signal computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive the corpus-vacuous line/paragraph signals
     both ways on constructed multi-line documents, and so the Arrow
     kernel and the Catalyst fold twin (``vectorized=False``) share the
@@ -1260,7 +1300,7 @@ _DEFAULT_WEIGHT = 300
 
 
 @query(
-    "q037_weighted_mixture",
+    "q179_weighted_mixture",
     oracle=f"""
 WITH w(source_name, keep_permille) AS (
   VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items()))}
@@ -1282,7 +1322,7 @@ ORDER BY source
 """,
     tags=("sampling", "mixture", "pipeline"),
 )
-def q037_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q179_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture sampling: each source corpus is
     down-sampled to its recipe weight by hashing the DOCUMENT ID, not by
     rand() — so the sample is reproducible across runs/engines, stable
@@ -1316,7 +1356,7 @@ def q037_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
     """Core packing transform: (shard, order, n_tok) → start_offset /
     bin_id / straddles via one window cumsum per shard. Factored from
-    q182 so edge cases (zero-token docs, docs wider than a window,
+    q040 so edge cases (zero-token docs, docs wider than a window,
     exact-boundary fits) are unit-testable against a reference model."""
     from pyspark.sql.window import Window
 
@@ -1336,7 +1376,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 
 @query(
-    "q182_sequence_packing",
+    "q040_sequence_packing",
     oracle="""
 WITH t AS (
   SELECT source, doc_id,
@@ -1358,7 +1398,7 @@ ORDER BY source, doc_id
 """,
     tags=("text", "packing", "training-pipeline"),
 )
-def q182_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: concatenate each source's token
     stream (doc_id order) and assign every document the 2048-token context
     window its first token lands in — the packing stage that turns a
@@ -1384,10 +1424,10 @@ def q182_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q068_lm_score",
     oracle="""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+') AS t
   FROM documents
   WHERE trim(text) <> ''
-    AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2
+    AND len(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+')) >= 2
 ),
 uni AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS u
@@ -1434,7 +1474,7 @@ def q068_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (tiny) would be broadcast while the tail joins shuffled.
     The V scalar rides a broadcast cross join.
     """
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.split(F.trim(fold_lower(F.col("text"))), r"\s+")
     docs = load_table(spark, sf_dir, "documents")
     base = (
         docs.filter(F.trim(F.col("text")) != "")
@@ -1545,7 +1585,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  FROM (SELECT unnest(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+')) AS w FROM documents)
   GROUP BY 1 ORDER BY cnt DESC, word LIMIT {BPE_VOCAB_TOP}
 ),
 w0 AS MATERIALIZED (
@@ -1567,7 +1607,7 @@ def q146_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Per round: pair counts (map-side partial agg on a uniform
     (l, r) key), a 1-row global top-1, then the merge as a broadcast
     cross join + whole-stage-codegen string replace — no driver collect
-    in the loop. Loop state is localCheckpoint'ed per round (q142's
+    in the loop. Loop state is localCheckpoint'ed per round (q028's
     lineage-doubling lesson: words_i references words_{{i-1}} twice,
     directly and through best_i). Counts are exact integers, ties break
     lexicographically, so the merge table is hash-identical to the
@@ -1586,7 +1626,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
         docs.select(
-            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("word")
+            F.explode(F.expr("regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+', 0)")).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1632,7 +1672,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  FROM (SELECT unnest(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+')) AS w FROM documents)
   GROUP BY 1 ORDER BY cnt DESC, word LIMIT {BPE_VOCAB_TOP}
 ),
 w0 AS MATERIALIZED (
@@ -1677,7 +1717,7 @@ WITH d AS (
   SELECT doc_id,
          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
            * 1000000 // length(text) AS score_milli,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS tok
+         CAST(len(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+')) AS BIGINT) AS tok
   FROM documents WHERE length(text) > 0
 ),
 t AS (
@@ -1723,7 +1763,7 @@ def q073_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 1000000 div length(text)"
             ).alias("score_milli"),
             F.expr(
-                "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
+                "CAST(size(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+', 0)) AS BIGINT)"
             ).alias("tok"),
         )
         .transform(cut_lineage)
@@ -1756,13 +1796,13 @@ SOURCE_CAP = 30
 
 
 @query(
-    "q045_source_cap",
+    "q141_source_cap",
     oracle=f"""
 WITH d AS (
   SELECT doc_id, source,
          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
            * 1000000 // length(text) AS score_milli,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS tok
+         CAST(len(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+')) AS BIGINT) AS tok
   FROM documents WHERE length(text) > 0
 ),
 r AS (
@@ -1782,7 +1822,7 @@ ORDER BY source
 """,
     tags=("text", "sampling", "training-pipeline"),
 )
-def q045_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q141_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap — the anti-over-representation pass of a
     training mix (no single domain/crawl may contribute more than
     {SOURCE_CAP} docs, best-quality-first): rank docs within source by
@@ -1807,7 +1847,7 @@ def q045_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div length(text)"
         ).alias("score_milli"),
         F.expr(
-            "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
+            "CAST(size(regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+', 0)) AS BIGINT)"
         ).alias("tok"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("score_milli"), "doc_id")
@@ -1838,7 +1878,7 @@ IDX_DF_NUM, IDX_DF_DEN = 8, 10
 WITH tok AS (
   SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
   FROM (
-    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents
+    SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS ts FROM documents
   ) d
   CROSS JOIN LATERAL unnest(generate_series(1, len(d.ts))) AS g(i)
 ),
@@ -1871,7 +1911,7 @@ def q099_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc_id) builds postings with partial aggs, and the final
     term-level rollup reuses the term prefix of that key. The DF cap
     (df > 80% of the corpus → stop-term, dropped) bounds every posting
-    list — the same skew guard as q128's shingle cap: without it one
+    list — the same skew guard as q027's shingle cap: without it one
     stop-term's list is the whole corpus concatenated onto a single
     reducer. The corpus size joins in as a broadcast 1-row aggregate, and
     the compare is integer (df*10 <= n_docs*8) so both engines agree
@@ -1881,7 +1921,7 @@ def q099_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = docs.select(
         "doc_id",
-        F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+        F.posexplode(F.expr("regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+', 0)")).alias(
             "p", "term"
         ),
     ).select("doc_id", "term", (F.col("p") + 1).cast("long").alias("pos"))
@@ -2084,7 +2124,7 @@ def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q099/q128 (one stop-term would otherwise put the whole
+    guard as q099/q027 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -2167,7 +2207,7 @@ PMI_TOPK = 100
 
 
 @query(
-    "q148_pmi_collocations",
+    "q043_pmi_collocations",
     oracle=f"""
 WITH t AS (
   SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -2193,7 +2233,7 @@ LIMIT {PMI_TOPK}
     tags=("text", "collocations", "training-pipeline"),
     min_rows=20,
 )
-def q148_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
@@ -2372,7 +2412,7 @@ def q149_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Makes LMs Better") uses to decide how much of each new document is
     genuinely new text: the fraction of its distinct 5-grams whose FIRST
     corpus occurrence (min doc_id) is this document. Late crawl
-    snapshots score low → prime pruning candidates; complements q183's
+    snapshots score low → prime pruning candidates; complements q041's
     duplicate-span finder with a doc-level score.
 
     Integer-exact: counts and a basis-point ratio via integer div.
@@ -2421,7 +2461,7 @@ _GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
 
 
 @query(
-    "q017_gopher_rules",
+    "q168_gopher_rules",
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
@@ -2462,10 +2502,10 @@ FROM v ORDER BY doc_id
     tags=("text", "quality", "training-pipeline"),
     bench=True,
 )
-def q017_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
     heuristic set most production LLM pipelines start from) as per-rule
-    verdicts, not a composite score (complements q082's composite): word
+    verdicts, not a composite score (complements q006's composite): word
     count in [50, 100k], mean word length in [3, 10], symbol-to-word
     ratio ('#'/'...') <= 10%, <= 30% of lines ending in ellipsis, <= 90%
     starting with a bullet, >= 80% of words containing an alphabetic
@@ -2478,11 +2518,11 @@ def q017_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n = 0 / no-lines edge cases total without guards.
 
     Scale shape: pure per-row higher-order array expressions — JVM-side
-    but interpreted (HOFs are CodegenFallback, the q016 lesson; cheap
+    but interpreted (HOFs are CodegenFallback, the q167 lesson; cheap
     here because each rule is one O(tokens) pass with trivial lambda
     bodies, measured linear 3.8× at 8× data) — map-only over the
     corpus, no shuffle before the presentation sort; at 100 TB this is
-    the cheapest possible full-corpus pass (the same scan the q092
+    the cheapest possible full-corpus pass (the same scan the q047
     pipeline fuses its filters into).
 
     Note: the stopword rule keeps Gopher's PUBLISHED 8-word list, which
@@ -2495,7 +2535,7 @@ def q017_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gopher_rule_table(docs: DataFrame) -> DataFrame:
-    """q017's rule computation over an arbitrary (doc_id, text) frame —
+    """q168's rule computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive each rule both ways on constructed
     documents (the synthetic corpus never satisfies the stopword rule)."""
     toks = F.filter(tokens("text"), lambda t: t != F.lit(""))

@@ -24,7 +24,13 @@ def bigram_udtf_class():
     @udtf(returnType="pos: int, w1: string, w2: string")
     class BigramUDTF:
         def eval(self, doc_id: int, text: str):  # noqa: D401
-            toks = (text or "").split()
+            # ASCII \s split + drop empties — the house tokenizer
+            # convention (q167 kernel, textfn.tokens). str.split() is
+            # Unicode-whitespace and split MORE on U+3000/U+2028 docs
+            # than every oracle's ASCII \s (r9 Unicode sweep, doc 1/11).
+            import re
+
+            toks = [w for w in re.split(r"\s+", text or "", flags=re.ASCII) if w]
             for i in range(len(toks) - 1):
                 yield i, toks[i], toks[i + 1]
 
@@ -33,12 +39,12 @@ def bigram_udtf_class():
 
 @query(
     "q162_bigram_udtf",
-    # list_filter mirrors Python str.split(): NO empty tokens — the bare
-    # regex split keeps a leading '' on whitespace-only docs and would
-    # emit a phantom ('','') bigram the UDTF never yields (r8 short-doc
-    # adversarial sweep; corpus-unreachable). Unicode-whitespace splits
-    # differ in principle (str.split is Unicode, \\s is ASCII) but both
-    # corpora are ASCII-spaced.
+    # list_filter mirrors the UDTF's filtered split: NO empty tokens —
+    # the bare regex split keeps a leading '' on whitespace-only docs
+    # and would emit a phantom ('','') bigram the UDTF never yields (r8
+    # short-doc adversarial sweep). The UDTF splits on ASCII \s (not
+    # str.split's Unicode whitespace) so U+3000-spaced CJK docs agree
+    # with this oracle (r9 Unicode sweep).
     oracle="""
 WITH t AS (SELECT doc_id,
                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks

@@ -160,11 +160,19 @@ def replay_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_warc_pipeline(
-    spark: SparkSession, warc_dir: str, out_path: str, checkpoint: str
+    spark: SparkSession,
+    warc_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
 ) -> "object":
     """Streaming WARC→url_resource: the binaryFile source watches for new
     .warc files; the checkpoint replaces the reference's check_present_avro
-    idempotence probe (lib.rs:155-169). Returns the StreamingQuery."""
+    idempotence probe (lib.rs:155-169). Returns the StreamingQuery.
+
+    ``max_files_per_trigger`` bounds each micro-batch's file intake (the
+    production back-pressure knob for a continuously-crawling source; also
+    what tools/stream_warc_bench.py uses to measure per-batch overhead)."""
     from warcraider_spark.dist import ensure_package_on_executors
     ensure_package_on_executors()
     from warcraider_spark.plans.pipeline import url_resource_from_warc_records
@@ -175,13 +183,14 @@ def stream_warc_pipeline(
     binary_schema = (
         "path string, modificationTime timestamp, length long, content binary"
     )
-    binary = (
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(binary_schema)
         .option("pathGlobFilter", "*.warc")
-        .load(warc_dir)
-        .select("path", "content")
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    binary = reader.load(warc_dir).select("path", "content")
 
     def split_files(batches):
         for pdf in batches:
