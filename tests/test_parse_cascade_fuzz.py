@@ -1,0 +1,221 @@
+"""Parse-cascade property fuzz (VERDICT r8 #5): characterize
+parse_html_py BEYOND the moneysmart golden.
+
+The single-parser replacement is contract-by-golden; this generates 500+
+seeded tag-soup documents (misnested ends, unclosed elements, CDATA
+islands, comments, attribute junk, void quirks) and asserts the
+invariants the reference's Rust cascade GUARANTEES, independent of byte
+equality:
+
+- lib.rs:302-324 state machine: text inside the head region, noscript,
+  script/style content — and the post-<link> quirk (link START sets
+  in_body=false and nothing but a head/noscript/script/style END or a
+  <body> START restores it) — never reaches text_content; text emitted
+  while in_body=true always does.
+- lib.rs:290-301: links are EVERY real a[href] in document order,
+  duplicates kept, '#'/'_' included at the parse level (the reference
+  filters them at collection; our pipeline applies the identical filter
+  in the q168 hygiene chain, extraction.py:179 — pinned there).
+- resource_urls = src/href of real script/style/link tags, in order.
+- meta_tags keeps name→content only when BOTH are non-empty (last wins).
+- headings: a marker inside h1-h6 is in headings_text; also in text iff
+  the in_body flag held (reference pushes to both independently).
+- totality: parse_html_py and tidy_diagnostics never raise and keep the
+  full result schema on every generated document.
+
+Markers are unique tokens, so expectations are computed by the GENERATOR
+(which knows each marker's context) via the reference's own state
+machine — no reliance on our parser's internals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from warcraider_spark.functions.html import parse_html_py, tidy_diagnostics
+
+SAFE_TAGS = ["div", "p", "span", "b", "i", "em", "section", "td"]
+HEADINGS = ["h1", "h2", "h3", "h4", "h5", "h6"]
+
+
+def _gen_doc(rng: random.Random, idx: int):
+    parts: list[str] = []
+    visible: list[str] = []   # must appear in text
+    hidden: list[str] = []    # must NOT appear in text
+    heads: list[str] = []     # must appear in headings_text (in_heading
+    #                           is INDEPENDENT of in_body in lib.rs —
+    #                           noscript/title/anchor text inside an open
+    #                           heading still reaches headings_text)
+    cdata_marks: list[str] = []  # script/style content: excluded from
+    #                           headings assertions (reference would push
+    #                           it when in_heading — our parser's CDATA
+    #                           handling does not; documented divergence,
+    #                           unreachable through tidy-cleaned pages)
+    all_marks: list[str] = []
+    links: list[str] = []     # expected links, in order
+    resources: list[str] = []
+    metas: dict[str, str] = {}
+    bad_metas: list[str] = []
+    titles: list[str] = []
+
+    in_body = True            # lib.rs init: text before any tag is body text
+    cdata: str | None = None  # inside <script>/<style> raw content
+    heading: int | None = None
+    head_open = False
+    mark_n = 0
+
+    def marker() -> str:
+        nonlocal mark_n
+        mark_n += 1
+        m = f"mk{idx}x{mark_n}q"  # 'q' terminator: no marker is a prefix of another
+        all_marks.append(m)
+        return m
+
+    for _ in range(rng.randrange(8, 40)):
+        if cdata is not None:
+            # inside CDATA: only raw content or the closing tag
+            if rng.random() < 0.6:
+                m = marker()
+                hidden.append(m)
+                cdata_marks.append(m)
+                parts.append(f"var x = '{m}' < 3 && y;" if cdata == "script" else f".{m} {{}}")
+            else:
+                parts.append(f"</{cdata}>")
+                cdata = None
+                in_body = True  # lib.rs End(script|style) => in_body = true
+            continue
+        op = rng.random()
+        if op < 0.28:  # text
+            m = marker()
+            parts.append(f" {m} ")
+            if heading is not None:
+                heads.append(m)
+            if in_body:
+                visible.append(m)
+            else:
+                hidden.append(m)
+        elif op < 0.36:  # open/close safe tags, sometimes mismatched
+            t = rng.choice(SAFE_TAGS)
+            if rng.random() < 0.6:
+                parts.append(f"<{t}>")
+            else:
+                parts.append(f"</{t}>")  # possibly unmatched: soup
+        elif op < 0.44:  # anchor
+            m = marker()
+            pfx = rng.choice(["/", "#", "_", "https://x.test/"])
+            href = f"{pfx}{m}"
+            txt = marker()
+            parts.append(f'<a href="{href}">{txt}</a>')
+            links.append(href)
+            if heading is not None:
+                heads.append(txt)
+            if in_body:
+                visible.append(txt)
+            else:
+                hidden.append(txt)
+        elif op < 0.52:  # resource tags
+            m = marker()
+            kind = rng.choice(["link", "script", "style"])
+            if kind == "link":
+                parts.append(f'<link href="{m}.css">')
+                in_body = False  # the post-<link> quirk: nothing restores
+                # it except a head/noscript/script/style END or <body>
+            elif kind == "script":
+                parts.append(f'<script src="{m}.js">')
+                cdata = "script"
+                in_body = False
+            else:
+                parts.append(f'<style href="{m}.s">')
+                cdata = "style"
+                in_body = False
+            resources.append(f"{m}.css" if kind == "link" else (f"{m}.js" if kind == "script" else f"{m}.s"))
+        elif op < 0.58:  # meta
+            m = marker()
+            if rng.random() < 0.7:
+                parts.append(f'<meta name="n{m}" content="c{m}">')
+                metas[f"n{m}"] = f"c{m}"
+            else:  # one side empty: must be absent
+                parts.append(
+                    f'<meta name="n{m}" content="">'
+                    if rng.random() < 0.5
+                    else f'<meta name="" content="c{m}">'
+                )
+                bad_metas.append(f"n{m}")
+        elif op < 0.64 and heading is None:  # heading open/close
+            lvl = rng.randrange(6)
+            heading = lvl
+            parts.append(f"<{HEADINGS[lvl]}>")
+        elif op < 0.70 and heading is not None:
+            parts.append(f"</{HEADINGS[heading]}>")
+            heading = None
+        elif op < 0.76:  # comment: contents invisible everywhere
+            m = marker()
+            hidden.append(m)
+            parts.append(f"<!-- {m} <a href='{m}'>x</a> -->")
+        elif op < 0.84:  # head region open/close
+            if head_open and rng.random() < 0.5:
+                parts.append("</head>")
+                head_open = False
+                in_body = True
+            else:
+                parts.append("<head>")
+                head_open = True
+                in_body = False
+        elif op < 0.90:  # body start restores text collection
+            parts.append("<body>")
+            in_body = True
+        elif op < 0.95:  # noscript island
+            m = marker()
+            hidden.append(m)
+            if heading is not None:
+                heads.append(m)  # in_heading independent of in_body
+            parts.append(f"<noscript>{m}</noscript>")
+            in_body = True  # its END restores collection
+        else:  # title
+            m = marker()
+            parts.append(f"<title>{m}</title>")
+            titles.append(m)
+            if heading is not None:
+                heads.append(m)
+            if in_body:
+                visible.append(m)  # body-misplaced title text IS body text
+            else:
+                hidden.append(m)
+
+    return ("".join(parts), visible, hidden, heads, cdata_marks, all_marks,
+            links, resources, metas, bad_metas, titles)
+
+
+def test_parse_cascade_invariants_fuzz():
+    rng = random.Random(20260815)
+    for i in range(500):
+        (doc, visible, hidden, heads, cdata_marks, all_marks,
+         links, resources, metas, bad_metas, titles) = _gen_doc(rng, i)
+        r = parse_html_py(doc)
+        assert set(r.keys()) >= {
+            "ok", "html_errors", "title", "text", "headings_text",
+            "links", "resource_urls", "meta_tags",
+        }, i
+        joined = " ".join(r["text"])
+        htext = " ".join(r["headings_text"])
+        for m in visible:
+            assert m in joined, (i, m, doc[:400])
+        for m in hidden:
+            assert m not in joined, (i, m, doc[:400])
+        # headings membership is EXACT over every non-CDATA marker:
+        # in headings_text iff emitted while a heading was open
+        heads_set = set(heads)
+        for m in all_marks:
+            if m in cdata_marks:
+                continue
+            assert (m in htext) == (m in heads_set), (i, m, doc[:400])
+        assert r["links"] == links, (i, doc[:400])
+        assert r["resource_urls"] == resources, (i, doc[:400])
+        for k, v in metas.items():
+            assert r["meta_tags"].get(k) == v, (i, k, doc[:400])
+        for k in bad_metas:
+            assert k not in r["meta_tags"], (i, k)
+        if len(titles) == 1:
+            assert r["title"] == titles[0], (i, doc[:400])
+        # tidy totality: the diagnostics catalog must be TOTAL on soup
+        assert isinstance(tidy_diagnostics(doc), str)

@@ -647,9 +647,11 @@ def test_entity_warning_cases():
     assert td(pre + "<p>AT&amp T</p>") == (
         "line 2 column 6 - Warning: entity \"&amp\" doesn't end in ';'\n"
     )
-    # numeric forms take the same codepoint split
+    # numeric forms take the same codepoint split, with tidy's numeric
+    # wording (r9, MISSING_SEMICOLON_NCR)
     assert td(pre + "<p>&#160</p>") == (
-        "line 2 column 4 - Warning: entity \"&#160\" doesn't end in ';'\n"
+        "line 2 column 4 - Warning: numeric character reference \"&#160\" "
+        "doesn't end in ';'\n"
     )
     assert td(pre + "<p>&#8364</p>") == (
         'line 2 column 4 - Warning: unescaped & or unknown entity "&#8364"\n'
@@ -719,4 +721,66 @@ def test_entity_golden_html_errors():
         'line 3 column 1 - Warning: <link> proprietary attribute "zap"\n'
         'line 3 column 1 - Warning: <link> lacks "rel" attribute\n'
         "line 8 column 1 - Warning: trimming empty <ul>\n"
+    )
+
+
+def test_implicit_list_container_cases():
+    """Class-14 unit coverage (r9): a <li> with no open list container
+    gets tidy's INSERTING_TAG notice ("inserting implicit <ul>"),
+    anchored at the item tag, AFTER the same tag's lexer warnings; any
+    of ul/ol/menu/dir anywhere on the stack satisfies it; dt/dd pair
+    with <dl>. The implicit container never warns missing </ul> at EOF
+    (tidy-inferred nodes close implicitly)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + "<li>item") == (
+        "line 2 column 1 - Warning: inserting implicit <ul>\n"
+    )
+    assert td(pre + "<ul><li>item</li></ul>") == ""
+    assert td(pre + "<ol><li>x</li></ol><menu><li>y</li></menu>") == ""
+    # nested non-list wrapper still finds the ancestor list
+    assert td(pre + "<ul><li><div><li>n</li></div></li></ul>") == ""
+    assert td(pre + "<div><dt>t</dt></div>") == (
+        "line 2 column 6 - Warning: inserting implicit <dl>\n"
+    )
+    assert td(pre + "<dl><dt>t</dt><dd>d</dd></dl>") == ""
+    # lexer class-1 on the same tag precedes the parser's insertion
+    assert td(pre + '<li id="1" id="2">x') == (
+        'line 2 column 1 - Warning: <li> dropping value "1" '
+        'for repeated attribute "id"\n'
+        "line 2 column 1 - Warning: inserting implicit <ul>\n"
+    )
+
+
+def test_invalid_ncr_cases():
+    """Class-15 unit coverage (r9): Windows-1252 alias range (C1,
+    128-159) -> "replacing invalid numeric character reference N";
+    surrogates and beyond-Unicode -> "discarding ..."; decimal N
+    regardless of input radix; a same-reference missing-semicolon
+    warning precedes it (ParseEntity order); valid references stay
+    silent; an un-terminated >=U+0100 reference stays class 12."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    ncr = "Warning: replacing invalid numeric character reference"
+    assert td(pre + "<p>a &#150; b</p>") == (f"line 2 column 6 - {ncr} 150\n")
+    # hex input, decimal report
+    assert td(pre + "<p>a &#x96; b</p>") == (f"line 2 column 6 - {ncr} 150\n")
+    assert td(pre + "<p>a &#150 b</p>") == (
+        "line 2 column 6 - Warning: numeric character reference \"&#150\" "
+        "doesn't end in ';'\n"
+        f"line 2 column 6 - {ncr} 150\n"
+    )
+    assert td(pre + "<p>&#xD800; &#1114200;</p>") == (
+        "line 2 column 4 - Warning: discarding invalid numeric character "
+        "reference 55296\n"
+        "line 2 column 13 - Warning: discarding invalid numeric character "
+        "reference 1114200\n"
+    )
+    # boundaries: 127 and 160 are legal
+    assert td(pre + "<p>&#127; &#160; &#x10FFFF;</p>") == ""
+    # missing ';' on a >=U+0100 code is class 12, never INVALID_NCR
+    assert td(pre + "<p>&#xD800</p>") == (
+        'line 2 column 4 - Warning: unescaped & or unknown entity "&#xD800"\n'
     )

@@ -190,6 +190,20 @@ class _Extractor(HTMLParser):
         if self.in_body:
             self.text.append(txt)
 
+    def close(self) -> None:
+        super().close()
+        # r9 cascade-fuzz find: an UNCLOSED heading at EOF must still
+        # surface its text — the reference pushes heading text per text
+        # EVENT (lib.rs:334-336), so it never depends on the end tag;
+        # our buffered form flushed only on </hN> and silently dropped
+        # the tail heading of a truncated page.
+        if self.heading_level:
+            raw = "".join(self._heading_buf).strip()
+            if raw:
+                self.headings.append((self.heading_level, raw))
+            self.heading_level = 0
+            self._heading_buf = []
+
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +280,10 @@ _HEAD_CONTEXT_TAGS = frozenset(
     "html head title meta link base basefont style script noscript template".split()
 )
 
+# list containers that satisfy a <li>: tidy's parser walks ancestors for
+# any of these before inferring an implicit <ul> (class 14)
+_LIST_CONTAINERS = frozenset("ul ol menu dir".split())
+
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
@@ -297,8 +315,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus four classes (r6-r7)
-    pinned by our own adversarial fixtures:
+    stderr), byte-for-byte on that golden, plus eleven more classes
+    (r6-r9) pinned by our own adversarial fixtures — fifteen total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -370,7 +388,30 @@ def tidy_diagnostics(raw_html: str) -> str:
        mapping below U+0100 (the HTML 4.01 Latin-1 range, where tidy
        substitutes anyway) terminated by a non-namechar instead of
        ``;`` (MISSING_SEMICOLON). Numeric forms (``&#160``,
-       ``&#xA0``) take the same split by codepoint.
+       ``&#xA0``) take the same split by codepoint but use tidy's
+       numeric wording (r9, MISSING_SEMICOLON_NCR): ``numeric
+       character reference "&#160" doesn't end in ';'``.
+    14. ``inserting implicit <ul>`` / ``inserting implicit <dl>`` —
+       (r9) a ``<li>`` start tag with no list container (ul/ol/menu/
+       dir) open anywhere on the stack, or a ``<dt>``/``<dd>`` with no
+       open ``<dl>``: tidy's parser creates the container node and
+       warns INSERTING_TAG, anchored at the item's start tag, after
+       the same tag's lexer (class-1) warnings. The implicit container
+       is tidy-inferred so it closes implicitly — it never enters
+       class-7 missing-end-tag accounting. Scope: stack-wide container
+       search (tidy's ancestor walk); start-tag-implied list closes
+       are not modelled (same limit as class 7's start-tag variant).
+    15. ``replacing invalid numeric character reference N`` /
+       ``discarding invalid numeric character reference N`` — (r9)
+       INVALID_NCR: a numeric reference into the Windows-1252 alias
+       range (C1 controls, 128-159) is remapped (DecodeWin1252) with
+       the "replacing" wording; surrogate halves (U+D800-U+DFFF) and
+       beyond-Unicode codes are dropped with "discarding". N is
+       DECIMAL regardless of input radix (tidy's NtoS). Fires after a
+       same-reference class-13 semicolon warning (ParseEntity order);
+       a >=U+0100 reference MISSING its ';' is class 12 instead, so
+       un-terminated surrogate refs never reach this check. C0
+       controls and other charset-dependent remaps are not modelled.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
     (1+2+5+6+7+8+10+11+12+13) in document order, then attribute checks
@@ -423,11 +464,14 @@ def tidy_diagnostics(raw_html: str) -> str:
     doctype warning here. Class-12/13 divergences (r8): the entity
     dictionary is the HTML 4.01 set + &apos; (tidy entities.c vintage)
     — a name only later tidy builds know would warn class 12 here;
-    Win-1252 numeric references (&#128;–&#159;) are treated as plain
-    valid codepoints rather than tidy's INVALID_NCR remap-and-warn;
     and a class-5 value swallowed to EOF is not entity-scanned (tidy's
     ParseValue would scan it — the document is already one broken
-    attribute value at that point).
+    attribute value at that point). The r8-listed Win-1252 NCR gap is
+    closed by class 15 (r9); remaining INVALID_NCR divergence: C0 and
+    charset-conditional remaps beyond the C1/surrogate/overflow cases.
+    Class-14 scope: li/dt/dd only — tidy also infers <tr>/<table>
+    around stray table cells ("missing <tr>"/"missing <table>"
+    wording, a DIFFERENT message family) — not modelled.
     """
     if not raw_html:
         return ""
@@ -600,10 +644,50 @@ def tidy_diagnostics(raw_html: str) -> str:
             parse_time.append(
                 (em.start(), 0, f'unescaped & or unknown entity "&{name}"')
             )
-        elif not semicolon:
-            parse_time.append(
-                (em.start(), 0, f"entity \"&{name}\" doesn't end in ';'")
-            )
+        else:
+            if not semicolon:
+                # r9: tidy distinguishes the numeric form
+                # (MISSING_SEMICOLON_NCR) from the named one
+                # (MISSING_SEMICOLON) — previously both used the
+                # named-entity wording (documented divergence, fixed)
+                if name.startswith("#"):
+                    parse_time.append(
+                        (
+                            em.start(),
+                            0,
+                            f"numeric character reference \"&{name}\" "
+                            "doesn't end in ';'",
+                        )
+                    )
+                else:
+                    parse_time.append(
+                        (em.start(), 0, f"entity \"&{name}\" doesn't end in ';'")
+                    )
+            # class 15 (r9): INVALID_NCR — the Windows-1252 alias range
+            # (C1 controls 128-159) is not a legal character reference;
+            # tidy remaps it (DecodeWin1252) and warns "replacing ...";
+            # surrogate halves and beyond-Unicode codes are dropped with
+            # "discarding ...". The semicolon warning above precedes it,
+            # matching ParseEntity's sequence (the semicolon check runs
+            # before the replacement block). Decimal code in the
+            # message regardless of input radix (tidy's NtoS).
+            if name.startswith("#"):
+                if 128 <= code <= 159:
+                    parse_time.append(
+                        (
+                            em.start(),
+                            0,
+                            f"replacing invalid numeric character reference {code}",
+                        )
+                    )
+                elif 0xD800 <= code <= 0xDFFF or code > 0x10FFFF:
+                    parse_time.append(
+                        (
+                            em.start(),
+                            0,
+                            f"discarding invalid numeric character reference {code}",
+                        )
+                    )
 
     attr_checks: list[tuple[int, str]] = []  # classes 3 + 9
     trims: list[tuple[int, str]] = []  # class 4
@@ -708,6 +792,18 @@ def tidy_diagnostics(raw_html: str) -> str:
                         proprietary.append(
                             (m.start(), f'<{tag}> proprietary attribute "{name}"')
                         )
+            # class 14 (r9): a list item with NO open list container —
+            # tidy's parser creates the container and warns INSERTING_TAG
+            # ("inserting implicit <ul>"); same for dt/dd vs <dl>. The
+            # notice lands while HANDLING the token, i.e. after the
+            # lexer's class-1 warnings for the same tag. The implicit
+            # container is tidy-inferred, so it closes implicitly and
+            # never joins class-7 missing-end-tag accounting (only the
+            # explicit stack below does).
+            if tag == "li" and not any(fr[0] in _LIST_CONTAINERS for fr in stack):
+                parse_time.append((m.start(), 0, "inserting implicit <ul>"))
+            elif tag in ("dt", "dd") and not any(fr[0] == "dl" for fr in stack):
+                parse_time.append((m.start(), 0, "inserting implicit <dl>"))
             # class 6: forms cannot nest — tidy discards the inner <form>
             # start tag (content kept), DISCARDING_UNEXPECTED; a discarded
             # node never reaches the parser's attribute checks, so its
