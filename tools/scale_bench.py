@@ -244,8 +244,41 @@ def _containment_disjoint_variant(spark, sf_dir):
     )
 
 
+def _q031_decile_scaled(spark, sf_dir):
+    """q031's prefix-sum decile over a K-replicated orders table. The
+    scaled dirs symlink orders (only documents/embeddings replicate), so
+    the variant replicates IN-PLAN: K shifted copies unioned, K inferred
+    from the documents replica encoding (doc_id // 1e6). Linear curve =
+    the bucket-partitioned window grows with rows while the offsets
+    window stays ~bucket-count rows; the curve VERDICT r8 #3's rewrite
+    should show (the plan this replaced was a single-partition sort,
+    which would inherit the full Kx on one reducer)."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.relational import decile_distribution_table
+    from warcraider_spark.tables import load_table
+
+    k = (
+        load_table(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") / 1_000_000).cast("int").alias("k"))
+        .first()["k"]
+        + 1
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    rep = od
+    for i in range(1, k):
+        rep = rep.unionAll(
+            od.select(
+                "o_totalprice",
+                (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+            )
+        )
+    return decile_distribution_table(rep)
+
+
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
+    "q031_decile_distribution[per-replica]": _q031_decile_scaled,
     "q169_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q138_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
     "q042_connected_components[per-replica]": _q025_cc_scaled,

@@ -1794,7 +1794,13 @@ def q031_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width bucket; the scale escalation is approx_percentile
     pre-bucketing (q052/q120), with AQE skew-split covering the middle
     ground."""
-    od = _t(spark, sf_dir, "orders")
+    return decile_distribution_table(_t(spark, sf_dir, "orders"))
+
+
+def decile_distribution_table(od: DataFrame) -> DataFrame:
+    """q031's plan over an arbitrary orders-shaped frame (needs
+    o_totalprice, o_orderkey) — factored so the scale harness can feed a
+    K-replicated orders table (tools/scale_bench.py variant)."""
     d = od.select("o_totalprice", "o_orderkey").withColumn(
         "bucket", F.expr("CAST(floor(o_totalprice / 2000.0) AS BIGINT)")
     )
