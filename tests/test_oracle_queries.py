@@ -348,6 +348,10 @@ def _unicode_corpus(tmp_path):
         (13, "word​word ‏عربي‎ latin​​word"),
         (14, "ß STRASSE straße ẞ ss"),
         (15, "á á á á b̆ b̆"),
+        # U+000B vertical tab + form feed: Java/Python \s includes \x0B,
+        # RE2's does NOT — the r9 BMP whitespace sweep's finding; every
+        # oracle now splits on [\s\v] (= Java \s) to match
+        (16, "tok1tok2 tok3tok4tok5"),
     ]
     d = tmp_path / "unicorpus"
     d.mkdir()

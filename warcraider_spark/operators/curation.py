@@ -312,7 +312,7 @@ def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q093_heavy_hitters",
     oracle="""
 WITH tok AS (
-  SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+')) AS token FROM documents
+  SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+')) AS token FROM documents
 ),
 c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
 t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
@@ -379,7 +379,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
-         CAST(len(list_distinct(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+'))) AS BIGINT) AS y
+         CAST(len(list_distinct(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+'))) AS BIGINT) AS y
   FROM documents
 )
 SELECT doc_id, x, y FROM pts p
@@ -425,7 +425,7 @@ CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
     "q117_concat_chunk_blocks",
     oracle=f"""
 WITH wcs AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS wc FROM documents
+  SELECT doc_id, len(string_split_regex(trim(text), '[\\s\\v]+')) AS wc FROM documents
 ),
 cum AS (
   SELECT doc_id, wc,
@@ -517,8 +517,8 @@ def _pct_feature_sql() -> str:
     return """
   SELECT CASE WHEN lang IN ('en', 'fr') THEN 1 ELSE -1 END AS y,
          CAST(1 AS BIGINT) AS x0,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS x1,
-         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS x2,
+         CAST(len(string_split_regex(trim(text), '[\\s\\v]+')) AS BIGINT) AS x1,
+         CAST(len(list_distinct(string_split_regex(trim(text), '[\\s\\v]+'))) AS BIGINT) AS x2,
          n_chars // 10 AS x3
   FROM documents
 """
@@ -622,7 +622,7 @@ WITH corpus AS (
 ),
 fps AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp,
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp,
          {md5_int_sql("CAST(doc_id AS VARCHAR)")} % {SPLIT_TEST_MOD} = 0 AS is_test
   FROM corpus
 ),
@@ -717,17 +717,17 @@ def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q123_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
-  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+', ' ', 'g'))) AS fp
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp
   FROM documents
 ),
 v2 AS (
   SELECT doc_id,
          md5(trim(regexp_replace(lower(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END),
-             '\\s+', ' ', 'g'))) AS fp
+             '[\\s\\v]+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 17 <> 3
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
-         md5(trim(regexp_replace(lower(text || ' new'), '\\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text || ' new'), '[\\s\\v]+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id % 29 = 0
 ),
 j AS (
@@ -829,7 +829,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
-  SELECT doc_id, (string_split_regex(trim(text), '\\s+'))[1] AS ft FROM documents
+  SELECT doc_id, (string_split_regex(trim(text), '[\\s\\v]+'))[1] AS ft FROM documents
 ),
 cat AS (
   SELECT doc_id,

@@ -137,10 +137,10 @@ def q015_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q016_whitespace_quirks",
     oracle=r"""
 SELECT doc_id,
-       regexp_replace(text || '  tail   end', '(\s|\\n){2,}', '', 'g') AS deleted_mode,
-       regexp_replace(text || '  tail   end', '(\s|\\n){2,}', ' ', 'g') AS spaced_mode,
+       regexp_replace(text || '  tail   end', '([\s\v]|\\n){2,}', '', 'g') AS deleted_mode,
+       regexp_replace(text || '  tail   end', '([\s\v]|\\n){2,}', ' ', 'g') AS spaced_mode,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count
+            ELSE len(string_split_regex(trim(text), '[\s\v]+')) END AS word_count
 FROM documents WHERE doc_id < 300 ORDER BY doc_id
 """,
     tags=("extract", "whitespace", "reference-parity"),

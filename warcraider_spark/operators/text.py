@@ -53,11 +53,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "q004_token_stats",
     oracle="""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
-       ROUND(list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
+       len(string_split_regex(trim(text), '[\\s\\v]+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '[\\s\\v]+'))) AS n_distinct,
+       ROUND(list_aggregate(list_transform(string_split_regex(trim(text), '[\\s\\v]+'),
              t -> CAST(length(t) AS DOUBLE)), 'sum')
-             / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len,
+             / len(string_split_regex(trim(text), '[\\s\\v]+')), 4) AS avg_token_len,
        n_chars
 FROM documents
 ORDER BY doc_id
@@ -107,7 +107,7 @@ WITH scored AS (
          {_lang_score_sql('es')} AS s_es,
          {_lang_score_sql('de')} AS s_de,
          {_lang_score_sql('zh')} AS s_zh
-  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
 ), guessed AS (
   SELECT doc_id, lang,
          CASE greatest(s_en, s_fr, s_es, s_de, s_zh)
@@ -156,7 +156,7 @@ WITH m AS (
          ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio,
          ROUND(list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(toks), 4) AS mean_len,
          CASE WHEN len(toks) >= 20 THEN 1.0 ELSE len(toks) / 20.0 END AS len_score
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
 ), q AS (
   -- quality from ROUNDED intermediates, itself UNROUNDED: inputs identical
   -- across engines → the composite double is bit-identical, while a final
@@ -203,9 +203,10 @@ def q006_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NORM_SQL = (
-    # lower + case-fold canon (ς→σ, i+U+0307→i): see functions.textfn.norm_text
+    # lower + case-fold canon (ς→σ, i+U+0307→i): see functions.textfn.norm_text;
+    # [\s\v] = Java \s (RE2's \s lacks U+000B — r9 BMP whitespace sweep)
     r"trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'),"
-    r" '\s+', ' ', 'g'))"
+    r" '[\s\v]+', ' ', 'g'))"
 )
 
 @query(
@@ -239,7 +240,7 @@ def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
     oracle=f"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents),
      s AS (SELECT doc_id, {shingles_sql("toks", 3)} AS sh FROM t)
 SELECT doc_id,
        md5(array_to_string(list_sort(sh), '|')) AS shingle_fp,
@@ -272,7 +273,7 @@ def q008_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS word_count
+            ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END AS word_count
 FROM documents
 ORDER BY doc_id
 """,
@@ -306,7 +307,7 @@ marked AS (
   SELECT doc_id,
          array_to_string(
            list_transform(
-             list_filter(string_split_regex(trim(seg), '\\s+'), x -> x <> ''),
+             list_filter(string_split_regex(trim(seg), '[\\s\\v]+'), x -> x <> ''),
              t -> CASE WHEN lower(t) IN ({stoplist}) THEN chr(1) ELSE t END),
            ' ') AS m
   FROM seg WHERE trim(seg) <> ''
@@ -371,7 +372,7 @@ def q156_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q050_tfidf",
     oracle="""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
 ),
 tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf
@@ -417,7 +418,7 @@ def q050_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id,
          list_sort(list_distinct(list_filter(
-           string_split_regex(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '\\s+'), x -> x <> ''))) AS ts
+           string_split_regex(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+'), x -> x <> ''))) AS ts
   FROM documents WHERE doc_id < 200
 ),
 -- len(ts) > 0 mirrors the engine's empty-vector exclusion: MinHashLSH
@@ -541,7 +542,7 @@ def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q029_document_chunking",
     oracle="""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 100),
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT) + 1, 1)),
@@ -749,7 +750,7 @@ SELECT doc_id,
        -- never ROUND a composite (decimal-half divergence)
        1.0 - len({shingles_sql("toks", 5)})
            / CAST(greatest(len(toks) - 4, 1) AS DOUBLE) AS rep_ratio
-FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
 ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
@@ -853,7 +854,7 @@ def _rep_oracle() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> '') AS toks,
          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
          list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'), p -> trim(p)), p -> p <> '') AS ps
   FROM documents
@@ -1246,7 +1247,11 @@ def gopher_repetition_table(docs: DataFrame, *, vectorized: bool = True) -> Data
 # RE2 has no lookahead, and the oracle must run the IDENTICAL pattern — the
 # remaining pattern still yields subword-ish counts that track BPE token
 # counts far better than whitespace words.
-BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# \x0B spelled explicitly: Java \s includes VT, RE2's does not — and \v
+# can't bridge them inside a SHARED pattern (Java class \v = the vertical-
+# WHITESPACE set incl. U+0085/U+2028/U+2029; RE2 \v = the VT char). The
+# hex escape means the same single char in both (r9 BMP whitespace sweep).
+BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\x0B\p{L}\p{N}]+"
 
 
 @query(
@@ -1255,7 +1260,7 @@ BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+            ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END AS n_words,
        CASE WHEN length(text) = 0 THEN 0.0
             ELSE ROUND(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
                        / CAST(length(text) AS DOUBLE), 6) END AS tokens_per_char
@@ -1381,7 +1386,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 WITH t AS (
   SELECT source, doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+              ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END AS n_tok
   FROM documents
 ),
 c AS (
@@ -1424,10 +1429,10 @@ def q040_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q068_lm_score",
     oracle="""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+') AS t
+  SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+') AS t
   FROM documents
   WHERE trim(text) <> ''
-    AND len(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '\\s+')) >= 2
+    AND len(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+')) >= 2
 ),
 uni AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS u
@@ -1964,7 +1969,7 @@ BIGRAMS_SQL = """
 SELECT doc_id,
        list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1]) AS ts
 FROM (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS ts FROM documents
 )
 """
 
@@ -2210,7 +2215,7 @@ PMI_TOPK = 100
     "q043_pmi_collocations",
     oracle=f"""
 WITH t AS (
-  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
 ),
 bg AS (
   SELECT w1, w2 FROM (
@@ -2387,7 +2392,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
     "q149_ngram_novelty",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
 ),
 d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {NOVELTY_K}),
 dg AS (
@@ -2465,7 +2470,7 @@ _GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> '') AS toks,
          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
   FROM documents
 ),
