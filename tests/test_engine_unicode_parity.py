@@ -22,6 +22,9 @@ Known results they pin:
   plain \\s, already a superset) and SHARED patterns spell \\x0B
   explicitly (Java class \\v would be the vertical-whitespace SET
   incl. U+0085/U+2028/U+2029 — not the same char).
+- property classes: \\p{N}, \\d, \\w are IDENTICAL BMP-wide; \\p{L}
+  (56 cps) and \\p{P} (14 cps) carry version skew where utf8proc's
+  newer tables match and the JVM's do not — pinned exactly below.
 """
 
 from __future__ import annotations
@@ -104,3 +107,92 @@ def test_bmp_whitespace_class_divergence_is_exactly_vt(spark):
     # the oracle convention closes it exactly — and RE2's \v is the VT
     # CHAR, not Java's vertical-whitespace class
     assert duck_aligned == spark_split
+
+
+# Unicode property-class version skew: for ALL of these, DuckDB/utf8proc
+# (newer tables) matches and the JVM does not. \p{L}: Arabic Extended-B
+# (U+0870-U+088E, Unicode 14 — Quranic/Arabic, REACHABLE in real crawls),
+# late CJK (U+9FFD-U+9FFF, Unicode 13), Telugu/Kannada/Tagalog/Balinese
+# singletons, Latin Extended-D additions. \p{P}: U+061D ARABIC END OF
+# TEXT MARK (Unicode 14, reachable), Balinese and Supplemental
+# Punctuation (U+2E53-U+2E5D).
+VERSION_SKEW_LETTER = {
+    *range(0x0870, 0x0887 + 1), 0x0889, 0x088A, 0x088B, 0x088C, 0x088D,
+    0x088E, 0x08B5, 0x08C8, 0x08C9, 0x0C5D, 0x0CDD, 0x170D, 0x171F,
+    0x1B4C, 0x2C2F, 0x2C5F, 0x9FFD, 0x9FFE, 0x9FFF, 0xA7C0, 0xA7C1,
+    0xA7D0, 0xA7D1, 0xA7D3, 0xA7D5, 0xA7D6, 0xA7D7, 0xA7D8, 0xA7D9,
+    0xA7F2, 0xA7F3, 0xA7F4,
+}
+VERSION_SKEW_PUNCT = {0x061D, 0x1B7D, 0x1B7E, *range(0x2E53, 0x2E5D + 1)}
+
+
+def test_bmp_property_class_divergence_is_exactly_known(spark):
+    """\\p{L} and \\p{P} carry Unicode-version skew (pinned exactly,
+    direction: utf8proc matches, JVM does not); \\p{N}, \\d and \\w are
+    IDENTICAL across the whole BMP. The shared-pattern oracles that ride
+    these classes (BPE pretokenizer \\p{L}/\\p{N}, RAKE \\p{P}/\\p{N})
+    are therefore engine-stable on every corpus avoiding the pinned
+    codepoints — and the N/d/w-only patterns are stable everywhere. A
+    corpus REACHING the skew (Arabic Extended-B, U+061D) would mismatch
+    on q065/q156-family hashes; the fix there is explicit \\x{...}
+    ranges in the shared pattern, not silence — this test is the
+    tripwire."""
+    cps = [c for c in range(1, 0x10000) if not (0xD800 <= c <= 0xDFFF)]
+    rows = [(c, chr(c)) for c in cps]
+    df = spark.createDataFrame(rows, "cp int, s string")
+    classes = {"L": r"\p{L}", "N": r"\p{N}", "P": r"\p{P}", "d": r"\d", "w": r"\w"}
+    sel = ["cp"] + [
+        F.regexp_like("s", F.lit("^" + pat + "$")).alias(k)
+        for k, pat in classes.items()
+    ]
+    sres = {r.cp: {k: bool(r[k]) for k in classes} for r in df.select(*sel).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (cp INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    q = "SELECT cp, " + ", ".join(
+        f"regexp_matches(s, '^{pat}$')"
+        for pat in ["\\p{L}", "\\p{N}", "\\p{P}", "\\d", "\\w"]
+    ) + " FROM t"
+    dres = {r[0]: dict(zip(classes, (bool(x) for x in r[1:]))) for r in con.execute(q).fetchall()}
+    con.close()
+    div = {k: set() for k in classes}
+    for c in cps:
+        for k in classes:
+            if sres[c][k] != dres[c][k]:
+                div[k].add(c)
+                # direction invariant: utf8proc (newer tables) matches
+                assert dres[c][k] and not sres[c][k], (k, hex(c))
+    assert div["L"] == VERSION_SKEW_LETTER, sorted(map(hex, div["L"] ^ VERSION_SKEW_LETTER))
+    assert div["P"] == VERSION_SKEW_PUNCT, sorted(map(hex, div["P"] ^ VERSION_SKEW_PUNCT))
+    assert div["N"] == set() and div["d"] == set() and div["w"] == set()
+
+
+def test_bpe_pattern_is_skew_proof(spark):
+    """The shared BPE pretokenizer pattern spells the \\p{L} skew
+    codepoints and \\x0B explicitly, so its counts agree cross-engine
+    even on corpora REACHING the skew (Arabic Extended-B, late CJK,
+    Latin Ext-D, vertical tab)."""
+    from warcraider_spark.operators.text import BPE_ISH_PATTERN
+
+    tests = [
+        "hello world 42",
+        "arabic ࡰࡱࡲ mark ؝ end",
+        "cjk 鿽鿾 text",
+        "latin Ꟁꟕ x",
+        "vt\x0bsplit",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in tests], "text string")
+    sres = [
+        r.n
+        for r in df.select(
+            F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for t, n in zip(tests, sres):
+        d = con.execute(
+            "select len(regexp_extract_all(?, ?))", [t, BPE_ISH_PATTERN]
+        ).fetchone()[0]
+        assert n == d, (repr(t), n, d)
+    con.close()

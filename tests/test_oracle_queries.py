@@ -352,6 +352,11 @@ def _unicode_corpus(tmp_path):
         # RE2's does NOT — the r9 BMP whitespace sweep's finding; every
         # oracle now splits on [\s\v] (= Java \s) to match
         (16, "tok1tok2 tok3tok4tok5"),
+        # Arabic Extended-B (Unicode 14): \p{L} version-skew codepoints
+        # the BPE pattern spells explicitly (U+061D stays OUT of this
+        # corpus — it would hit RAKE's documented three-engine \p{P}
+        # skew; see test_engine_unicode_parity)
+        (17, "نص ࡰࡱࡲ عادي ࡰࡱ نهاية"),
     ]
     d = tmp_path / "unicorpus"
     d.mkdir()

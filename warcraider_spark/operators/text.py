@@ -1251,7 +1251,24 @@ def gopher_repetition_table(docs: DataFrame, *, vectorized: bool = True) -> Data
 # can't bridge them inside a SHARED pattern (Java class \v = the vertical-
 # WHITESPACE set incl. U+0085/U+2028/U+2029; RE2 \v = the VT char). The
 # hex escape means the same single char in both (r9 BMP whitespace sweep).
-BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\x0B\p{L}\p{N}]+"
+#
+# _SKEW_L: the 56 BMP codepoints where \p{L} itself diverges (utf8proc's
+# newer Unicode tables classify them as letters, the JVM's don't — Arabic
+# Extended-B, late CJK, Latin Extended-D; pinned exhaustively in
+# tests/test_engine_unicode_parity.py). Spelling them into the letter
+# class AND out of the punctuation catch-all makes the shared pattern
+# engine-stable even on corpora that reach them (Arabic Ext-B is real
+# crawl content) — and matches the newer-Unicode reading, where they ARE
+# letters.
+_SKEW_L = (
+    r"\x{0870}-\x{0887}\x{0889}-\x{088E}\x{08B5}\x{08C8}\x{08C9}"
+    r"\x{0C5D}\x{0CDD}\x{170D}\x{171F}\x{1B4C}\x{2C2F}\x{2C5F}"
+    r"\x{9FFD}-\x{9FFF}\x{A7C0}\x{A7C1}\x{A7D0}\x{A7D1}\x{A7D3}"
+    r"\x{A7D5}-\x{A7D9}\x{A7F2}-\x{A7F4}"
+)
+BPE_ISH_PATTERN = (
+    r" ?[\p{L}" + _SKEW_L + r"]+| ?\p{N}+| ?[^\s\x0B\p{L}\p{N}" + _SKEW_L + r"]+"
+)
 
 
 @query(
