@@ -53,6 +53,12 @@ def main() -> None:
     # median inside the SCALE.md §11 bands under the same conditions.
     REPS = 5
     timings: dict[str, float] = {}
+    # r9: the recorded artifact also carries each query's [min, max] rep
+    # band — the driver's BENCH file is a shared-machine point sample,
+    # and matched-pair deltas are judged against noise bands (SCALE.md
+    # §11); embedding the band per round makes the artifact
+    # self-interpreting instead of requiring a separate audit session.
+    spread: dict[str, list[float]] = {}
     for name in sorted(specs):
         reps = []
         for _ in range(REPS):
@@ -61,6 +67,7 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         reps.sort()
         timings[name] = round(reps[len(reps) // 2], 3)
+        spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     # Stable round-over-round comparator: the round-1 10-query subset.
@@ -86,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "comparable_subset": comparable_total,
                 "sf": sf_dir,
             }
