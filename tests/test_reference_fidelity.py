@@ -784,3 +784,27 @@ def test_invalid_ncr_cases():
     assert td(pre + "<p>&#xD800</p>") == (
         'line 2 column 4 - Warning: unescaped & or unknown entity "&#xD800"\n'
     )
+
+
+def test_nested_anchor_cases():
+    """Class-16 unit coverage (r9): a new <a> while an <a> is open
+    implies closing the old one (missing </a> before <a>), with
+    required-end-tag children above it warned innermost-first in the
+    before-form, all anchored at the NEW tag; the popped anchor's own
+    later </a> discards (class 11); sequential anchors stay silent."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = '<!DOCTYPE html><title>t</title>\n'
+    assert td(pre + '<a href="/1">x<a href="/2">y</a></a>') == (
+        "line 2 column 15 - Warning: missing </a> before <a>\n"
+        "line 2 column 33 - Warning: discarding unexpected </a>\n"
+    )
+    assert td(pre + '<a href="/1">x</a><a href="/2">y</a>') == ""
+    assert td(pre + '<a href="/1"><b>x<a href="/2">y</a>') == (
+        "line 2 column 18 - Warning: missing </b> before <a>\n"
+        "line 2 column 18 - Warning: missing </a> before <a>\n"
+    )
+    # optional-end-tag children (the <p>) close silently in the cascade
+    assert td(pre + '<a href="/1"><p>x<a href="/2">y</a>') == (
+        "line 2 column 18 - Warning: missing </a> before <a>\n"
+    )

@@ -315,8 +315,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus eleven more classes
-    (r6-r9) pinned by our own adversarial fixtures — fifteen total:
+    stderr), byte-for-byte on that golden, plus twelve more classes
+    (r6-r9) pinned by our own adversarial fixtures — sixteen total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -412,6 +412,16 @@ def tidy_diagnostics(raw_html: str) -> str:
        a >=U+0100 reference MISSING its ';' is class 12 instead, so
        un-terminated surrogate refs never reach this check. C0
        controls and other charset-dependent remaps are not modelled.
+    16. ``missing </a> before <a>`` — (r9) anchors cannot nest: a new
+       ``<a>`` start tag while an ``<a>`` is open implies closing the
+       old one (tidy ParseInline pops the pushed anchor,
+       MISSING_ENDTAG_BEFORE), warning for the popped anchor AND each
+       still-open required-end-tag child above it (innermost first,
+       ``missing </x> before <a>``), all anchored at the NEW tag;
+       optional-end-tag children close silently. The popped anchor's
+       own later ``</a>`` then discards (class 11) — the full tidy
+       cascade. Other inline-nesting implied closes (b-in-b etc.) are
+       not modelled; anchors are the overwhelmingly common crawl case.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
     (1+2+5+6+7+8+10+11+12+13) in document order, then attribute checks
@@ -804,6 +814,35 @@ def tidy_diagnostics(raw_html: str) -> str:
                 parse_time.append((m.start(), 0, "inserting implicit <ul>"))
             elif tag in ("dt", "dd") and not any(fr[0] == "dl" for fr in stack):
                 parse_time.append((m.start(), 0, "inserting implicit <dl>"))
+            # class 16 (r9): anchors cannot nest — a new <a> while an <a>
+            # is open IMPLIES closing the old one (tidy ParseInline pops
+            # the pushed anchor), warning MISSING_ENDTAG_BEFORE for the
+            # popped <a> AND for every still-open required-end-tag child
+            # above it (innermost first), all anchored at the NEW <a>;
+            # optional-end-tag children close silently, like class 7's
+            # ancestor-close path. The popped anchor's own later </a> has
+            # no matching element left and discards (class 11) — the
+            # tidy cascade. Implied closes do not trim (the anchor held
+            # the new-tag token as content by then).
+            if tag == "a":
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i][0] == "a":
+                        for child_fr in reversed(stack[i + 1 :]):
+                            if child_fr[0] not in _OPTIONAL_END_TAGS:
+                                parse_time.append(
+                                    (
+                                        m.start(),
+                                        0,
+                                        f"missing </{child_fr[0]}> before <a>",
+                                    )
+                                )
+                        parse_time.append(
+                            (m.start(), 0, "missing </a> before <a>")
+                        )
+                        for p in stack[:i]:
+                            p[4] = True  # closed subtree = parent content
+                        del stack[i:]
+                        break
             # class 6: forms cannot nest — tidy discards the inner <form>
             # start tag (content kept), DISCARDING_UNEXPECTED; a discarded
             # node never reaches the parser's attribute checks, so its
