@@ -357,6 +357,13 @@ def _unicode_corpus(tmp_path):
         # corpus — it would hit RAKE's documented three-engine \p{P}
         # skew; see test_engine_unicode_parity)
         (17, "نص ࡰࡱࡲ عادي ࡰࡱ نهاية"),
+        # CRLF / bare-CR / mixed line endings: the line & paragraph
+        # signals split on \n only, leaving \r on line tails — must be
+        # engine-stable (r9 CRLF sweep: it is; pinned here)
+        (18, "line one\r\nline one\r\nline two\r\n\r\npara two\r\n\r\npara two"),
+        (19, "mac\rlines\rmac\rlines"),
+        (20, "mixed\nendings\r\nmixed\rendings\n\r\n\r\ntail"),
+        (21, "trail spaces  \r\n  lead spaces\r\n\ttab line\r\n"),
     ]
     d = tmp_path / "unicorpus"
     d.mkdir()
