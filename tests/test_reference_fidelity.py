@@ -808,3 +808,23 @@ def test_nested_anchor_cases():
     assert td(pre + '<a href="/1"><p>x<a href="/2">y</a>') == (
         "line 2 column 18 - Warning: missing </a> before <a>\n"
     )
+
+
+def test_head_content_violation_cases():
+    """Class-17 unit coverage (r9): the first body-content start tag
+    inside an explicit open <head> warns TAG_NOT_ALLOWED_IN once (head
+    parsing ends there, so a second offender is silent body content);
+    body/html transitions and post-</head> content never warn; no
+    explicit <head> -> no warning."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html>\n<head><title>t</title>"
+    assert td(pre + "<div>x</div></head><body>y</body>") == (
+        "line 2 column 23 - Warning: <div> isn't allowed in <head> elements\n"
+    )
+    assert td(pre + "<div>a</div><span>b</span></head>") == (
+        "line 2 column 23 - Warning: <div> isn't allowed in <head> elements\n"
+    )
+    assert td(pre + "</head><div>x</div>") == ""
+    assert td(pre + "<body>y</body>") == ""
+    assert td("<!DOCTYPE html>\n<div>x</div><title>t</title>") == ""

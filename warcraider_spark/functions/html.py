@@ -315,8 +315,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus twelve more classes
-    (r6-r9) pinned by our own adversarial fixtures — sixteen total:
+    stderr), byte-for-byte on that golden, plus thirteen more classes
+    (r6-r9) pinned by our own adversarial fixtures — seventeen total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -422,6 +422,15 @@ def tidy_diagnostics(raw_html: str) -> str:
        own later ``</a>`` then discards (class 11) — the full tidy
        cascade. Other inline-nesting implied closes (b-in-b etc.) are
        not modelled; anchors are the overwhelmingly common crawl case.
+    17. ``<x> isn't allowed in <head> elements`` — (r9) the FIRST
+       body-content start tag inside an explicit still-open ``<head>``
+       (tidy TAG_NOT_ALLOWED_IN: ParseHead ungets the token and
+       returns, so head parsing ends there — the same place the
+       class-10 anchor lands — and later body tags are ordinary
+       content, warned once). ``<body>``/``<html>``/``<frameset>``
+       transition silently. Bare TEXT in head (tidy's 'plain text
+       isn't allowed in <head> elements') is not modelled — the
+       diagnostics pass is tag-driven; documented divergence.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
     (1+2+5+6+7+8+10+11+12+13) in document order, then attribute checks
@@ -764,6 +773,24 @@ def tidy_diagnostics(raw_html: str) -> str:
             # cannot live in <head> (<body> included — it's outside the
             # head-context set)
             if head_close_anchor is None and tag not in _HEAD_CONTEXT_TAGS:
+                # class 17 (r9): the FIRST body-content start tag inside
+                # an EXPLICIT still-open <head> warns TAG_NOT_ALLOWED_IN
+                # ("<x> isn't allowed in <head> elements") — tidy's
+                # ParseHead ungets the token and returns, so head parsing
+                # ends there (exactly where the class-10 anchor lands)
+                # and LATER body tags are ordinary content, warned once.
+                # <body>/<html>/<frameset> transition silently (ParseHTML
+                # owns them, not a head violation).
+                if tag not in ("body", "html", "frameset") and any(
+                    fr[0] == "head" for fr in stack
+                ):
+                    parse_time.append(
+                        (
+                            m.start(),
+                            0,
+                            f"<{tag}> isn't allowed in <head> elements",
+                        )
+                    )
                 head_close_anchor = m.start()
             # tidy lexes attributes BEFORE the parser can discard the tag
             # (ADVICE r6 #2): a nested <form a="1" a="2"> still emits its
