@@ -23,7 +23,7 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 
 def test_rows_only_list_column_rejected(spark, sf_smoke):
     """A rows-only query emitting an array column must fail LOCALLY: the
-    driver's pandas canonicalizer crashes on list cells (q044's r2 ERR), so
+    driver's pandas canonicalizer crashes on list cells (q157's r2 ERR), so
     run_oracle hashes rows-only output through the same strict canon."""
     from pyspark.sql import functions as F
 
@@ -39,7 +39,7 @@ def test_rows_only_list_column_rejected(spark, sf_smoke):
 
 
 def test_pmi_log_domain_guard(spark):
-    """q043's int64 headroom guard (ENFORCED this round, VERDICT r4
+    """q156's int64 headroom guard (ENFORCED this round, VERDICT r4
     "What's wrong" #2): counts large enough that n_xy*nn*1e6 overflows
     int64 must switch to the log-domain micro-nat path, and that path
     must rank identically to driver-side math.log PMI."""
@@ -216,7 +216,7 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
 def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     """Every shingles_sql-based oracle survives sub-k-token documents
     (same landmine class as q167's: the unguarded toks[i+j] || chain
-    NULLed short-doc shingles until the r8 CASE guard). q139 is vacuous
+    NULLed short-doc shingles until the r8 CASE guard). q036 is vacuous
     on 12 docs (its decontamination branch never fires) and is covered
     at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -225,13 +225,13 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     d = _short_doc_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q048_minhash_lsh_pairs",
-        "q027_ngram_jaccard_pairs",
+        "q162_minhash_lsh_pairs",
+        "q119_ngram_jaccard_pairs",
         "q169_containment_dedup",
-        "q028_dedup_clusters",
+        "q123_dedup_clusters",
         "q066_benchmark_contamination",
         "q074_incremental_dedup",
-        "q008_shingle_fingerprint",
+        "q058_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -246,7 +246,7 @@ def test_degenerate_doc_totality(spark, tmp_path):
     (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
     the localCheckpoint barrier pins it to filtered rows), q077's oracle
     must not NULL through list()-of-zero-rows / array_to_string([]),
-    q035/q162 tokenization must drop empty tokens on both engines, and
+    q138/q048 tokenization must drop empty tokens on both engines, and
     q124's crosstab schema must stay the closed 5-lang contract when a
     lang is corpus-absent."""
     from warcraider_spark.oracle import run_oracle
@@ -257,8 +257,8 @@ def test_degenerate_doc_totality(spark, tmp_path):
     for n in [
         "q065_bpe_pretokenize",
         "q077_span_excision",
-        "q035_repetition_ratio",
-        "q162_bigram_udtf",
+        "q138_repetition_ratio",
+        "q048_bigram_udtf",
         "q172_ml_lsh_variants",
         "q124_crosstab",
     ]:
@@ -299,9 +299,9 @@ COPY (
 def test_zero_vector_totality(spark, tmp_path):
     """The r8 zero-vector sweep's findings, pinned: all-zero embedding
     rows (one corrupted row in a 100 TB corpus) must not ANSI-kill the
-    cosine family (q103/q032/q026: nrm > 0 exclusion — no direction, no
-    cosine), the absmax quantizer (q184: raw_scale > 0), or the grouped
-    eigensolve (q118: np.cov of a singleton group is 0-d; the oracle's
+    cosine family (q019/q131/q118: nrm > 0 exclusion — no direction, no
+    cosine), the absmax quantizer (q050: raw_scale > 0), or the grouped
+    eigensolve (q026: np.cov of a singleton group is 0-d; the oracle's
     aniso division needs the zero-trace CASE)."""
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
@@ -309,11 +309,11 @@ def test_zero_vector_totality(spark, tmp_path):
     d = _zero_vector_corpus(tmp_path)
     specs = all_specs()
     for n in [
-        "q103_cosine_topk_bruteforce",
-        "q032_ann_sign_lsh",
-        "q184_two_stage_rerank",
-        "q026_embedding_neardup",
-        "q118_group_spectral_stats",
+        "q019_cosine_topk_bruteforce",
+        "q131_ann_sign_lsh",
+        "q050_two_stage_rerank",
+        "q118_embedding_neardup",
+        "q026_group_spectral_stats",
     ]:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
@@ -393,12 +393,12 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     fingerprint/tokenization now applies the engine-stable case fold
     (textfn.fold_lower / its textual SQL twin; ASCII no-op); the İ form
     also split '[a-z]+' token runs differently (the combining dot
-    breaks a run), shifting q073/q077/q093/q096 token counts and span
+    breaks a run), shifting q073/q077/q016/q096 token counts and span
     offsets. (b) Python str.split() is Unicode-whitespace and split
-    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q162
+    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q048
     bigram UDTF now ASCII-splits like the house tokenizer.
 
-    q043/q149/q171 are excluded as corpus-vacuous here (their
+    q156/q041/q171 are excluded as corpus-vacuous here (their
     discriminating branches need more data than 16 docs; min_rows
     guards them) — they're covered at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -407,17 +407,17 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     d = _unicode_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q167_gopher_repetition", "q168_gopher_rules", "q156_rake_keywords",
-        "q004_token_stats", "q005_lang_id", "q006_quality_score",
-        "q007_fingerprint", "q008_shingle_fingerprint", "q009_word_count_ref",
-        "q035_repetition_ratio", "q065_bpe_pretokenize", "q162_bigram_udtf",
-        "q048_minhash_lsh_pairs", "q050_tfidf", "q029_document_chunking",
-        "q115_line_dedup", "q027_ngram_jaccard_pairs", "q028_dedup_clusters",
-        "q030_simhash_dupes", "q041_duplicate_spans",
+        "q167_gopher_repetition", "q168_gopher_rules", "q043_rake_keywords",
+        "q054_token_stats", "q055_lang_id", "q056_quality_score",
+        "q057_fingerprint", "q058_shingle_fingerprint", "q059_word_count_ref",
+        "q138_repetition_ratio", "q065_bpe_pretokenize", "q048_bigram_udtf",
+        "q162_minhash_lsh_pairs", "q184_tfidf", "q126_document_chunking",
+        "q115_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",
+        "q127_simhash_dupes", "q149_duplicate_spans",
         "q066_benchmark_contamination", "q073_token_budget_select",
-        "q077_span_excision", "q093_heavy_hitters", "q096_bpe_encode",
-        "q145_simhash_radius", "q146_bpe_merge_train",
-        "q169_containment_dedup", "q047_training_data_pipeline",
+        "q077_span_excision", "q016_heavy_hitters", "q096_bpe_encode",
+        "q039_simhash_radius", "q040_bpe_merge_train",
+        "q169_containment_dedup", "q161_training_data_pipeline",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)

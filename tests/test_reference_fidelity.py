@@ -828,3 +828,47 @@ def test_head_content_violation_cases():
     assert td(pre + "</head><div>x</div>") == ""
     assert td(pre + "<body>y</body>") == ""
     assert td("<!DOCTYPE html>\n<div>x</div><title>t</title>") == ""
+
+
+def test_head_plain_text_cases():
+    """Class-18 unit coverage (r10): a non-whitespace PCDATA run directly
+    inside an explicit open <head> warns once (ParseHead's TextNode
+    branch — the class-17 twin), head parsing ends at the text, and the
+    anchor is the first non-whitespace character. Whitespace-only runs
+    and text owned by an open <title> (or masked comment bytes) are
+    silent; without an explicit <head> there is nothing to violate."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html>\n<head><title>t</title>"
+    w = "Warning: plain text isn't allowed in <head> elements"
+    # bare text, then explicit close: one warning at the text
+    assert td(pre + "hello</head><body>y</body>") == (
+        f"line 2 column 23 - {w}\n"
+    )
+    # leading whitespace: the token starts past it (IgnoreWhitespace)
+    assert td(pre + "  hello</head><body>y</body>") == (
+        f"line 2 column 25 - {w}\n"
+    )
+    # whitespace-only run: silent, head stays open
+    assert td(pre + "   </head><body>y</body>") == ""
+    # text closes head FIRST, so a later body tag in head is ordinary
+    # content — no class-17 warning for the <div>
+    assert td(pre + "boo<div>x</div></head>") == (
+        f"line 2 column 23 - {w}\n"
+    )
+    # comment bytes are masked; the text after it anchors the warning
+    assert td(pre + "<!-- c -->hi</head>") == (
+        f"line 2 column 33 - {w}\n"
+    )
+    # EOF tail text with head still open warns the same way (<head> has
+    # an optional end tag, so no missing-</head> accompanies it)
+    assert td(pre + "boo") == f"line 2 column 23 - {w}\n"
+    # entity text is text; a known terminated entity adds no entity warning
+    assert td(pre + "&amp;</head>") == f"line 2 column 23 - {w}\n"
+    # class-10 interplay: the text both warns and anchors the title insert
+    assert td("<!DOCTYPE html>\n<head>boo</head>") == (
+        f"line 2 column 7 - {w}\n"
+        "line 2 column 7 - Warning: inserting missing 'title' element\n"
+    )
+    # no explicit <head>: bare pre-title text never fires this class
+    assert td("<!DOCTYPE html>\ntext<title>t</title>") == ""

@@ -44,69 +44,69 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # "unpartitioned window" pairs: windows over shrunken inputs (bucket
 # summaries, local-skyline survivors, merge frontiers, global deciles).
 KNOWN_OK_PAIRS = {
-    ("q026_embedding_neardup", "BroadcastNestedLoopJoin"),
-    ("q103_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
-    ("q109_ivf_assign", "BroadcastNestedLoopJoin"),
-    ("q112_ivf_topk_search", "BroadcastNestedLoopJoin"),
-    ("q116_link_degrees", "BroadcastNestedLoopJoin"),
-    ("q184_two_stage_rerank", "BroadcastNestedLoopJoin"),
+    ("q118_embedding_neardup", "BroadcastNestedLoopJoin"),
+    ("q019_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
+    ("q022_ivf_assign", "BroadcastNestedLoopJoin"),
+    ("q024_ivf_topk_search", "BroadcastNestedLoopJoin"),
+    ("q025_link_degrees", "BroadcastNestedLoopJoin"),
+    ("q050_two_stage_rerank", "BroadcastNestedLoopJoin"),
     ("q114_having_avg_subquery", "BroadcastNestedLoopJoin"),
-    # r9: q031's unpartitioned window is now over the TINY per-bucket
+    # r9: q129's unpartitioned window is now over the TINY per-bucket
     # count table only (q073 prefix-sum shape — the fact-table window is
     # partitioned by bucket; pinned by test_decile_no_global_sort); its
     # broadcast side is the same bucket summary, bounded by the value-
     # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
-    ("q031_decile_distribution", "unpartitioned window"),
-    ("q031_decile_distribution", "broadcast of unbounded aggregate"),
+    ("q129_decile_distribution", "unpartitioned window"),
+    ("q129_decile_distribution", "broadcast of unbounded aggregate"),
     ("q068_lm_score", "BroadcastNestedLoopJoin"),
     ("q069_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q073_token_budget_select", "BroadcastNestedLoopJoin"),
     ("q073_token_budget_select", "unpartitioned window"),
-    ("q090_triangle_count", "BroadcastNestedLoopJoin"),
+    ("q014_triangle_count", "BroadcastNestedLoopJoin"),
     ("q077_span_excision", "BroadcastNestedLoopJoin"),
     ("q148_zorder_layout", "BroadcastNestedLoopJoin"),
     ("q143_key_skew_profile", "BroadcastNestedLoopJoin"),
     ("q099_inverted_index", "BroadcastNestedLoopJoin"),
-    ("q093_heavy_hitters", "BroadcastNestedLoopJoin"),
+    ("q016_heavy_hitters", "BroadcastNestedLoopJoin"),
     ("q113_skyline_docs", "unpartitioned window"),
     ("q117_concat_chunk_blocks", "unpartitioned window"),
     ("q121_quantified_subqueries", "BroadcastNestedLoopJoin"),
     ("q125_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q150_dormant_rich_customers", "BroadcastNestedLoopJoin"),
-    ("q144_split_leakage", "BroadcastNestedLoopJoin"),
+    ("q038_split_leakage", "BroadcastNestedLoopJoin"),
     # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
     # EXACTLY one row by construction; the 1-row broadcast cross join
     # replaced the r6 build-time .first() (VERDICT r6 #8)
-    ("q043_pmi_collocations", "BroadcastNestedLoopJoin"),
+    ("q156_pmi_collocations", "BroadcastNestedLoopJoin"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
-    # fixed k centroids (q109/q112), fixed bloom word count m/64 (q140),
-    # fixed d*w count-min table (q039), <=21 score buckets — score is
+    # fixed k centroids (q022/q024), fixed bloom word count m/64 (q037),
+    # fixed d*w count-min table (q145), <=21 score buckets — score is
     # milli-scaled in [0,1e6] div 50000 (q073), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
     # (q074), 100-row interval dimension (q076), bucket-summary prefix
     # sums sized by bucketing policy (q117 — same justification as its
-    # unpartitioned-window exemption), fixed probe/query set (q110),
+    # unpartitioned-window exemption), fixed probe/query set (q023),
     # 3-rows-by-construction KLL estimate table — groupBy over the two
     # filtered event types plus one merged row — broadcast back over the
-    # events for the in-plan error-bound verification (q034, r8).
-    # Data-coupled hints were FIXED instead, not exempted: q046 out-
-    # degrees folded into the rank table, q043 marginals via shuffle
-    # joins, q027 hot-shingle anti-join and q106 per-source bounds left
+    # events for the in-plan error-bound verification (q137, r8).
+    # Data-coupled hints were FIXED instead, not exempted: q160 out-
+    # degrees folded into the rank table, q156 marginals via shuffle
+    # joins, q119 hot-shingle anti-join and q106 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
-    ("q109_ivf_assign", "broadcast of unbounded aggregate"),
-    ("q112_ivf_topk_search", "broadcast of unbounded aggregate"),
-    ("q140_bloom_dedup_probe", "broadcast of unbounded aggregate"),
-    ("q039_countmin_freq", "broadcast of unbounded aggregate"),
+    ("q022_ivf_assign", "broadcast of unbounded aggregate"),
+    ("q024_ivf_topk_search", "broadcast of unbounded aggregate"),
+    ("q037_bloom_dedup_probe", "broadcast of unbounded aggregate"),
+    ("q145_countmin_freq", "broadcast of unbounded aggregate"),
     ("q073_token_budget_select", "broadcast of unbounded aggregate"),
     ("q074_incremental_dedup", "broadcast of unbounded aggregate"),
     ("q076_interval_bin_join", "broadcast of unbounded aggregate"),
     ("q117_concat_chunk_blocks", "broadcast of unbounded aggregate"),
-    ("q110_sparse_dot_topk", "broadcast of unbounded aggregate"),
-    ("q034_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
+    ("q023_sparse_dot_topk", "broadcast of unbounded aggregate"),
+    ("q137_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
     # q176: GK estimate table broadcast back over lineitem for the
     # in-plan rank-window verification — bounded at the l_returnflag
-    # domain (3 values) by construction (r8, same shape as q034)
+    # domain (3 values) by construction (r8, same shape as q137)
     ("q176_approx_quantiles", "broadcast of unbounded aggregate"),
 }
 
@@ -123,8 +123,8 @@ def _broadcast_unbounded_aggs(analyzed: str) -> int:
     the data. A broadcast HINT forces the broadcast regardless of size,
     so at 100 TB it OOMs every executor; the fix is a shuffle join on
     the key the pipeline already partitions by. This rule would have
-    caught both r4 scale-killers (q046's per-node out-degree broadcast,
-    q043's per-token marginal broadcasts).
+    caught both r4 scale-killers (q160's per-node out-degree broadcast,
+    q156's per-token marginal broadcasts).
 
     Deliberately scoped to the ANALYZED plan's ResolvedHint nodes:
     stats-chosen auto-broadcasts in the physical plan are ADAPTIVE —

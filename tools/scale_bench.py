@@ -24,32 +24,32 @@ from warcraider_spark.registry import all_specs  # noqa: E402
 from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
-    "q049_exact_dedup_groups",
+    "q163_exact_dedup_groups",
     "q168_gopher_rules",
     "q167_gopher_repetition",
-    "q048_minhash_lsh_pairs",
-    "q093_heavy_hitters",
+    "q162_minhash_lsh_pairs",
+    "q016_heavy_hitters",
     "q115_line_dedup",
-    "q047_training_data_pipeline",
+    "q161_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
-    "q146_bpe_merge_train",
-    "q112_ivf_topk_search",
+    "q040_bpe_merge_train",
+    "q024_ivf_topk_search",
     # r3 round-3 families: bloom probe is the broadcast-filter shape,
     # simhash radius is the banded-candidate shape — both must stay
     # sub-linear in candidates as the corpus grows
-    "q140_bloom_dedup_probe",
-    "q145_simhash_radius",
-    "q039_countmin_freq",
+    "q037_bloom_dedup_probe",
+    "q039_simhash_radius",
+    "q145_countmin_freq",
     # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
     # side grows Kx while the probe set stays 1x (embeddings replicas drop
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
     # retrieval corpus sees
-    "q184_two_stage_rerank",
+    "q050_two_stage_rerank",
     # r4 text additions: PMI is the vocab-saturating shape, novelty the
     # linear-gram-join shape — both must hold their §10 curves
-    "q043_pmi_collocations",
-    "q149_ngram_novelty",
+    "q156_pmi_collocations",
+    "q041_ngram_novelty",
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
@@ -58,7 +58,7 @@ QUERIES = [
 
 
 def _q030_mp4_scaled(spark, sf_dir):
-    """Scale-harness variant of q138_mp4_demux_decode: the registry query
+    """Scale-harness variant of q035_mp4_demux_decode: the registry query
     pins its workload at doc_id < 60 (the oracle must enumerate frames),
     so replication leaves it constant. This variant muxes+demuxes 60
     videos PER REPLICA (doc_id % 1_000_000 < 60, the harness id offset),
@@ -140,7 +140,7 @@ def _chain_edges_per_replica(spark, sf_dir):
 
 
 def _q025_cc_scaled(spark, sf_dir):
-    """Scale-harness variant of q042_connected_components over the
+    """Scale-harness variant of q154_connected_components over the
     per-replica chain graph (see _chain_edges_per_replica) — the curve
     VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx."""
     from pyspark.sql import functions as F
@@ -161,7 +161,7 @@ def _q025_cc_scaled(spark, sf_dir):
 
 
 def _q015_sdot_scaled(spark, sf_dir):
-    """Scale-harness variant of q110_sparse_dot_topk: the registry query's
+    """Scale-harness variant of q023_sparse_dot_topk: the registry query's
     query side (doc_id % SCJ_QMOD == 0) replicates with the corpus, which
     would measure k-squared by construction; pinning queries to replica 0
     (doc_id < 1e6) keeps the workload fixed at 1x while the corpus —
@@ -245,7 +245,7 @@ def _containment_disjoint_variant(spark, sf_dir):
 
 
 def _q031_decile_scaled(spark, sf_dir):
-    """q031's prefix-sum decile over a K-replicated orders table. The
+    """q129's prefix-sum decile over a K-replicated orders table. The
     scaled dirs symlink orders (only documents/embeddings replicate), so
     the variant replicates IN-PLAN: K shifted copies unioned, K inferred
     from the documents replica encoding (doc_id // 1e6). Linear curve =
@@ -278,11 +278,11 @@ def _q031_decile_scaled(spark, sf_dir):
 
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
-    "q031_decile_distribution[per-replica]": _q031_decile_scaled,
+    "q129_decile_distribution[per-replica]": _q031_decile_scaled,
     "q169_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
-    "q138_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
-    "q042_connected_components[per-replica]": _q025_cc_scaled,
-    "q110_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
+    "q035_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
+    "q154_connected_components[per-replica]": _q025_cc_scaled,
+    "q023_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
 }
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
@@ -299,7 +299,7 @@ def build_scaled(base: str, k: int, root: str) -> str:
     )
     con.execute(f"COPY ({sel}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
     # embeddings: scale the CORPUS side only — replicas drop vec_id%50==0
-    # rows so q112's probe set stays the 1x query workload (scaling both
+    # rows so q024's probe set stays the 1x query workload (scaling both
     # sides would measure k-squared by construction, not the corpus path)
     esel = " UNION ALL ".join(
         f"SELECT vec_id + {i * 1000000} AS vec_id, embedding, label "
@@ -343,7 +343,7 @@ def main() -> None:
             reps.sort()
             results.setdefault(q, {})[k] = round(reps[1], 2)
 
-    # q145 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
+    # q039 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
     # measure max DISTINCT-sketch occupancy per (band, value) bucket at
     # each K. Distinct sketches isolate accidental hash collisions (the
     # width-controlled overhead) from true-duplicate clustering (the
@@ -381,7 +381,7 @@ def main() -> None:
         band_audit[k] = {"n_docs": n, "sketch_bits": bits, "max_bucket_occupancy": int(max_occ)}
     results["q036_band_plan_audit"] = band_audit  # type: ignore[assignment]
 
-    # q042 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
+    # q154 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
     # measured on the per-replica graph. Replication adds disjoint
     # isomorphic copies of the chain graph, so rounds should stay FLAT
     # while nodes grow Kx — rounds track log(component size), not corpus
@@ -398,7 +398,7 @@ def main() -> None:
         cc_audit[k] = {"n_nodes": int(n_nodes), "rounds": len(rounds_out)}
     results["q025_rounds_audit"] = cc_audit  # type: ignore[assignment]
 
-    # q161 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
+    # q047 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
     # at the LARGEST replication factor, joined salted vs unsalted with
     # broadcast and AQE skew-rescue disabled (salting is the MANUAL remedy
     # being certified — AQE skew-join is the automatic one, measured
@@ -443,7 +443,7 @@ def main() -> None:
             F.sum(F.col("n_chars") * F.col("w")).alias("s")
         )
         dim_s = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
-        # salt from the high-cardinality row id (q161 uses l_orderkey % SALT);
+        # salt from the high-cardinality row id (q047 uses l_orderkey % SALT);
         # n_chars would correlate with the data and could itself skew
         fact_s = fact.withColumn("salt", (F.col("doc_id") % SALT).cast("int"))
         salted = fact_s.join(dim_s, ["key", "salt"]).groupBy("key").agg(

@@ -315,8 +315,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus thirteen more classes
-    (r6-r9) pinned by our own adversarial fixtures — seventeen total:
+    stderr), byte-for-byte on that golden, plus fourteen more classes
+    (r6-r10) pinned by our own adversarial fixtures — eighteen total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -428,12 +428,29 @@ def tidy_diagnostics(raw_html: str) -> str:
        returns, so head parsing ends there — the same place the
        class-10 anchor lands — and later body tags are ordinary
        content, warned once). ``<body>``/``<html>``/``<frameset>``
-       transition silently. Bare TEXT in head (tidy's 'plain text
-       isn't allowed in <head> elements') is not modelled — the
-       diagnostics pass is tag-driven; documented divergence.
+       transition silently.
+    18. ``plain text isn't allowed in <head> elements`` — (r10) a
+       non-whitespace PCDATA run DIRECTLY inside an explicit still-open
+       ``<head>`` (top of the open-element stack is head — text inside
+       an open ``<title>``/script/style belongs to that element, and
+       comment/CDATA bytes are already masked). Same tidy code path as
+       class 17 (ParseHead's TextNode branch: TAG_NOT_ALLOWED_IN with
+       the node described as "plain text", then UngetToken + return),
+       so the FIRST offender warns once, head parsing ends there (the
+       class-10 anchor lands on it), and the text becomes body
+       content. Anchored at the first non-whitespace character (tidy
+       lexes head tokens in IgnoreWhitespace mode, so the text token
+       starts past the leading whitespace); whitespace-only runs are
+       silent and do NOT close head (the lexer never surfaces them as
+       tokens). Whitespace = ASCII space/TAB/LF/CR/FF/VT, tidy's
+       byte-oriented IsWhite — a multi-byte Unicode space is non-blank
+       text to tidy and to us. Scope: text following a class-5 broken
+       tag's recovery point inside head IS scanned; text swallowed
+       into a masked-to-EOF attribute value is not (it never reaches
+       tidy's PCDATA lexer either).
 
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10+11+12+13) in document order, then attribute checks
+    (1+2+5+6+7+8+10+11+12+13+14+15+16+17+18) in document order, then attribute checks
     (9+3), then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
@@ -726,14 +743,20 @@ def tidy_diagnostics(raw_html: str) -> str:
     # of being discarded as unexpected (class 11).
     broken_list = sorted(broken_tags.items())
     bidx = 0
+    # class 18 state: next PCDATA position not yet examined for bare
+    # text-in-head; advanced past every token the pass consumes so tag
+    # markup (including a class-5 broken tag's span up to its recovery
+    # point) is never mistaken for text.
+    text_scan_from = 0
 
     def _flush_broken(upto: int) -> None:
-        nonlocal bidx, head_close_anchor
+        nonlocal bidx, head_close_anchor, text_scan_from
         while bidx < len(broken_list) and broken_list[bidx][0] < upto:
             bpos, btag = broken_list[bidx]
             bidx += 1
             if head_close_anchor is None and btag not in _HEAD_CONTEXT_TAGS:
                 head_close_anchor = bpos
+            text_scan_from = max(text_scan_from, broken_recovery.get(bpos, n))
             if btag not in _VOID_TAGS:
                 for fr in stack:
                     fr[4] = True
@@ -741,20 +764,58 @@ def tidy_diagnostics(raw_html: str) -> str:
                     [btag, bpos, True, broken_recovery.get(bpos, n), False]
                 )
 
+    def _head_text_check(span_end: int) -> None:
+        # class 18 (r10): plain text directly inside an explicit open
+        # <head> — tidy ParseHead's TextNode branch (the class-17 twin):
+        # the first non-blank PCDATA run warns TAG_NOT_ALLOWED_IN with
+        # the node described as "plain text", head parsing ends there
+        # (UngetToken + return — the class-10 anchor lands on it), and
+        # the text becomes ordinary body content. Only text at HEAD
+        # level counts (top of stack is head; an open title/script/style
+        # owns its own text), masked comment/CDATA bytes are skipped,
+        # and the span never crosses a pending class-5 broken tag (its
+        # markup is consumed by _flush_broken, which advances
+        # text_scan_from past the recovery point). Anchor = the first
+        # non-whitespace character (IgnoreWhitespace token start);
+        # whitespace (ASCII, tidy's IsWhite) alone is silent.
+        nonlocal head_close_anchor
+        if head_close_anchor is not None or not (stack and stack[-1][0] == "head"):
+            return
+        end = span_end
+        if bidx < len(broken_list):
+            end = min(end, broken_list[bidx][0])
+        for j in range(text_scan_from, end):
+            if not masked[j] and raw_html[j] not in " \t\n\r\f\v":
+                parse_time.append(
+                    (j, 0, "plain text isn't allowed in <head> elements")
+                )
+                head_close_anchor = j
+                return
+
     pos = 0
     while (m := _TAG_RE.search(raw_html, pos)) is not None:
         pos = m.end()
         if masked[m.start()]:
             continue
+        # class 18: examine the PCDATA run before this token — once with
+        # the pre-flush stack (text ahead of any pending broken tag),
+        # once after (text between a broken tag's recovery point and this
+        # tag); the head_close_anchor guard makes the second call a no-op
+        # whenever the first (or the flush itself) closed the head.
+        _head_text_check(m.start())
         _flush_broken(m.start() + 1)
+        _head_text_check(m.start())
         if m.start() in broken_recovery:
             # class-5 breakage (pseudo-tag case): a later paired quote
             # made _TAG_RE swallow real tags into one pseudo-tag — the
             # flush above already opened the element; resume at the
             # interrupting '</' exactly like tidy's lexer (ADVICE r6 #1
-            # post-breakage recovery)
+            # post-breakage recovery). text_scan_from stays at the
+            # recovery point (set by the flush): the pass re-reads from
+            # there, so the pseudo-tag's tail is NOT consumed as markup.
             pos = broken_recovery[m.start()]
             continue
+        text_scan_from = max(text_scan_from, m.end())
         closing, tag, attrs_raw, selfclose = (
             m.group(1),
             m.group(2).lower(),
@@ -922,7 +983,14 @@ def tidy_diagnostics(raw_html: str) -> str:
                 # anchored at the end tag
                 parse_time.append((m.start(), 0, f"discarding unexpected </{tag}>"))
 
+    # class 18 at EOF: a text run after the last tag with head still
+    # open warns the same way (ParseHead gets the text token before
+    # EndOfStream) — checked around the trailing-breakage flush exactly
+    # like the in-loop pair, and BEFORE class 10 reads the anchor so a
+    # tail-text head close anchors the title insert on the text.
+    _head_text_check(n)
     _flush_broken(n + 1)  # trailing breakages still open their elements
+    _head_text_check(n)
 
     # class 10: no <title> element anywhere — tidy's head parser inserts
     # an empty one (MISSING_TITLE_ELEMENT, "inserting missing 'title'

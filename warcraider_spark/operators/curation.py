@@ -6,7 +6,7 @@ of a training corpus), null-safe joins, exact heavy hitters, and Pareto
 
 Scale notes (the reason each query is shaped the way it is):
 
-- **merge upsert** (q158): the daily-maintenance shape. The change batch is
+- **merge upsert** (q045): the daily-maintenance shape. The change batch is
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
@@ -47,7 +47,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q158_merge_upsert",
+    "q045_merge_upsert",
     oracle="""
 WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
 upd AS (
@@ -73,7 +73,7 @@ FROM customer WHERE c_custkey <= 40
     tags=("curation", "merge", "join"),
     bench=True,
 )
-def q158_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (matched-update / matched-delete / not-matched-
     insert) applied as a maintenance batch to the customer base table.
 
@@ -309,7 +309,7 @@ def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q093_heavy_hitters",
+    "q016_heavy_hitters",
     oracle="""
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+')) AS token FROM documents
@@ -322,10 +322,10 @@ WHERE cnt >= 0.005 * total
 """,
     tags=("curation", "aggregate", "text"),
 )
-def q093_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q062/q034 surface).
+    pipeline (the sketch-based approximate twin is the q062/q137 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -454,7 +454,7 @@ FROM blocks GROUP BY block_id
 def q117_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
-    CROSS document boundaries (the complement of q040's pack-without-
+    CROSS document boundaries (the complement of q146's pack-without-
     splitting). Emits per-block accounting: docs spanned, first/last doc,
     tokens (== 512 for every interior block).
 
@@ -558,7 +558,7 @@ def q125_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed supervised training: 3 rounds of BATCH perceptron over
     integer document features (bias, token count, distinct tokens,
     n_chars/10) with labels from the language rule. The batch gradient
-    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q160
+    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q046
     integer k-means — every round is exactly reproducible and the final
     weights hash-match a DuckDB unrolled-CTE replay of the same algebra
     (float SGD could never cross-engine-compare: update order changes the
@@ -613,7 +613,7 @@ SPLIT_TEST_MOD = 10  # naive doc-hash split: ~10% test
 
 
 @query(
-    "q144_split_leakage",
+    "q038_split_leakage",
     oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -654,14 +654,14 @@ SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_groups,
     tags=("curation", "dedup", "training-pipeline"),
     min_rows=1,
 )
-def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test LEAKAGE audit + group-aware split — the hygiene step a
     benchmark-quality corpus requires: a naive per-document hash split
     puts exact duplicates on both sides (the eval set then scores
     memorization), while splitting by the duplicate GROUP's canonical id
     structurally eliminates leakage.
 
-    The corpus is documents + the exact-dup block (q049's construction),
+    The corpus is documents + the exact-dup block (q163's construction),
     so naive leakage provably exists; the output certifies (a) how many
     fingerprint groups and docs leak under the per-doc split and (b)
     that the group-keyed split has ZERO leaky groups — a property the
@@ -714,7 +714,7 @@ def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q123_corpus_snapshot_diff",
+    "q028_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
   SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp
@@ -748,7 +748,7 @@ FROM j GROUP BY status ORDER BY status
     tags=("curation", "versioning", "join"),
     min_rows=4,
 )
-def q123_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — dataset versioning's core operator: given
     two corpus versions (v2 is v1 with deterministic deletions, edits and
     additions), classify every doc id as added / removed / changed /
@@ -825,7 +825,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
 
 
 @query(
-    "q129_longest_prefix_route",
+    "q031_longest_prefix_route",
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
@@ -846,7 +846,7 @@ FROM cat GROUP BY category ORDER BY category
     tags=("curation", "join", "routing"),
     min_rows=8,
 )
-def q129_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LONGEST-prefix-match join — the URL-categorization / IP-routing /
     taxonomy-labeling primitive: each document's routing key (first
     token) is matched against a rule table of prefixes and the LONGEST

@@ -17,7 +17,7 @@ Scale design (the point of these operators at 100 TB):
 - SimHash: one linear pass to 16-bit sketches, then pairs only within
   identical sketch (or small hamming radius over a band join);
 - embedding near-dup: bounded candidate set (here: id-range block; the
-  LSH-bucketed variant is q032 in similarity.py).
+  LSH-bucketed variant is q131 in similarity.py).
 
 All native expressions — no Python UDFs anywhere in this module.
 """
@@ -74,7 +74,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_exact_dedup_groups",
+    "q163_exact_dedup_groups",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -92,7 +92,7 @@ ORDER BY fp
     tags=("dedup", "exact"),
     bench=True,
 )
-def q049_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q163_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
     with the canonical (min) member. One shuffle on the hash key."""
     corpus = dup_corpus(spark, sf_dir)
@@ -110,7 +110,7 @@ def q049_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q024_dedup_keep_canonical",
+    "q112_dedup_keep_canonical",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -123,7 +123,7 @@ FROM hashed
 """,
     tags=("dedup", "exact"),
 )
-def q024_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q112_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
     removed — the pipeline-level dedup accounting row."""
     corpus = dup_corpus(spark, sf_dir)
@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q048 and q028 (SQL twin of
+# bands + distinct candidate pairs, shared by q162 and q123 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -257,7 +257,7 @@ def _lsh_pairs(corpus: DataFrame) -> DataFrame:
 
 
 @query(
-    "q048_minhash_lsh_pairs",
+    "q162_minhash_lsh_pairs",
     oracle=f"""
 {_LSH_PAIRS_SQL}
 ORDER BY doc_a, doc_b
@@ -265,7 +265,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def q048_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q162_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
     sharing ≥1 band. The band-key self-join is the scale path — candidate
     generation is O(collisions), never O(n²)."""
@@ -280,8 +280,8 @@ SIMHASH_BITS = 16
 
 
 def _simhash_sketch_sql(bits: int) -> str:
-    """corpus→sketch CTE chain for a ``bits``-wide simhash (q030 uses 16;
-    q145's radius search uses 32 so accidental radius-2 collisions stay
+    """corpus→sketch CTE chain for a ``bits``-wide simhash (q127 uses 16;
+    q039's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -323,7 +323,7 @@ def _simhash_sketch(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 @query(
-    "q030_simhash_dupes",
+    "q127_simhash_dupes",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -334,10 +334,10 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "simhash"),
 )
-def q030_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
-    the sketch value; the radius-r banded search is q145)."""
+    the sketch value; the radius-r banded search is q039)."""
     sketch = _simhash_sketch(dup_corpus(spark, sf_dir))
     a = sketch.alias("a")
     b = sketch.alias("b")
@@ -361,7 +361,7 @@ SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
 
 
 @query(
-    "q027_ngram_jaccard_pairs",
+    "q119_ngram_jaccard_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -386,7 +386,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard"),
 )
-def q027_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q119_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
     verify stage after LSH candidates: intersection counted by a join on
     the shingle, never a pairwise loop).
@@ -474,7 +474,7 @@ def q169_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certified INTEGER-EXACTLY: the threshold is 10*i >= 8*min(n) and
     the reported score is basis points via integer div — no ratio ever
     crosses engines. Same skew guard and capped-shingle semantics as
-    q027 (df-capped hot shingles carry no dedup signal), and the same
+    q119 (df-capped hot shingles carry no dedup signal), and the same
     scale shape: intersection counted by an equi-join on the shingle
     key, never a pairwise loop; one extra sizes join on the uniform
     doc key."""
@@ -520,13 +520,13 @@ def q169_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q026_embedding_neardup",
+    "q118_embedding_neardup",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE vec_id < 250
 ),
-     -- nrm > 0: zero vectors carry no cosine (q103 convention; r8
+     -- nrm > 0: zero vectors carry no cosine (q019 convention; r8
      -- zero-vector sweep — unguarded it is an ANSI DIVIDE_BY_ZERO kill)
      n AS (
   SELECT * FROM (
@@ -543,11 +543,11 @@ ORDER BY vec_a, vec_b
 """,
     tags=("dedup", "embedding", "cosine"),
 )
-def q026_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q118_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
-    pruning at scale is the sign-LSH bucketing in q032.
+    pruning at scale is the sign-LSH bucketing in q131.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -571,7 +571,7 @@ def q026_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q047_training_data_pipeline",
+    "q161_training_data_pipeline",
     oracle="""
 WITH corpus AS (
 SELECT doc_id, text FROM documents
@@ -605,7 +605,7 @@ FROM deduped
     tags=("pipeline", "dedup", "text", "north-star"),
     bench=True,
 )
-def q047_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q161_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (the north-star flow in one
     plan): corpus ∪ duplicates → quality filter (length + diversity) →
     exact dedup keep-first → corpus accounting. Single Catalyst plan:
@@ -645,7 +645,7 @@ CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
 
 
 @query(
-    "q028_dedup_clusters",
+    "q123_dedup_clusters",
     oracle=f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
      edges AS (
@@ -673,9 +673,9 @@ ORDER BY cluster_id
 """,
     tags=("dedup", "graph", "connected-components"),
 )
-def q028_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q123_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
-    generation (q048) feeds in a real dedup pipeline: near-duplicates are
+    generation (q162) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
     unit of deduplication is the connected component of the candidate
     graph, keeping min(doc_id) per component.
@@ -685,7 +685,7 @@ def q028_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, both on uniform doc-id keys). CC_ROUNDS=6 bounds the
     propagation; labels converge once rounds ≥ graph diameter, and dup
     clusters are shallow (exact-copy stars + short near-dup chains; the
-    q027 Jaccard-verify stage prunes long spurious chains before
+    q119 Jaccard-verify stage prunes long spurious chains before
     clustering in a production flow). At 100 TB diameter can't be assumed:
     use the alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce"), which converges
@@ -794,7 +794,7 @@ ER_DF_CAP = 50  # drop grams shared by more names (the "Customer#0000…" prefix
 
 
 @query(
-    "q091_entity_resolution",
+    "q015_entity_resolution",
     oracle=f"""
 WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey < 500),
 base AS (
@@ -829,13 +829,13 @@ ORDER BY clean_key, dirty_key
 """,
     tags=("dedup", "entity-resolution", "fuzzy-join"),
 )
-def q091_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (fuzzy record linkage): a deterministically
     corrupted 'dirty' registry (one character mutated for every third
     key — the standard corrupted-duplicate ER benchmark construction) is
     matched back to the clean registry by q-gram blocking: explode each
     name into 6-grams, DROP high-document-frequency grams (the shared
-    'Customer#…' prefix — same skew-cap rationale as q027's shingle DF
+    'Customer#…' prefix — same skew-cap rationale as q119's shingle DF
     cap), equi-join on the surviving distinctive grams, then verify
     candidates with edit distance ≤ 1.
 
@@ -904,7 +904,7 @@ SPAN_N = 8
 
 
 @query(
-    "q041_duplicate_spans",
+    "q149_duplicate_spans",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
@@ -926,7 +926,7 @@ LIMIT 100
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q041_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q149_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: every word-level
     {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
     document frequency — the discovery pass of substring dedup (the spans
@@ -963,7 +963,7 @@ def q041_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Incremental (batch-vs-base) dedup --------------------------------------
 # The daily-ingestion shape: a small incoming batch is probed against the
 # full base corpus for exact and near duplicates before admission. Contrast
-# with q049/q048, which dedup a corpus against ITSELF.
+# with q163/q162, which dedup a corpus against ITSELF.
 
 _INC_SQL = """
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
@@ -1138,10 +1138,10 @@ ORDER BY doc_id
     tags=("dedup", "spans", "training-pipeline"),
 )
 def q077_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-dedup APPLY stage: excise the q041 head (the 100 most
+    """Substring-dedup APPLY stage: excise the q149 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
-    'remove duplicated substrings' pass, completing discovery (q041) →
+    'remove duplicated substrings' pass, completing discovery (q149) →
     excision.
 
     Scale shape: the span head is corpus-derived but TINY (one aggregation
@@ -1281,7 +1281,7 @@ DECONTAM_MIN_OVERLAP = 3
 
 
 @query(
-    "q139_decontaminate",
+    "q036_decontaminate",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
@@ -1307,7 +1307,7 @@ ORDER BY doc_id
     tags=("dedup", "decontamination", "llm-pipeline"),
     min_rows=1,
 )
-def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-RATE decontamination, completing q066's flag.
 
     q066 answers "does this doc share any benchmark n-gram?" (inner
@@ -1374,7 +1374,7 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
 
 
 @query(
-    "q140_bloom_dedup_probe",
+    "q037_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
   SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp FROM documents
@@ -1429,7 +1429,7 @@ ORDER BY doc_id
     bench=True,
     min_rows=1,
 )
-def q140_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe: the streaming/incremental dedup
     front door (cf. the reference's blacklist pre-filter idea at
     blacklist.rs:1-58 — reject early, touch the base corpus never).
@@ -1574,7 +1574,7 @@ def simhash_band_plan(
 
 
 @query(
-    "q145_simhash_radius",
+    "q039_simhash_radius",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_WIDE_BITS)},
 pairs AS (
@@ -1597,9 +1597,9 @@ ORDER BY hamming
     bench=True,
     min_rows=1,
 )
-def q145_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
-    generation — the scale path q030's docstring promises.
+    generation — the scale path q127's docstring promises.
 
     The 32-bit sketch splits into 3 bands (11+11+10 bits); any two
     sketches within hamming distance 2 differ in at most 2 bands, so they MUST
@@ -1877,7 +1877,7 @@ def q088_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data dedup pipelines): chunk boundaries are placed where a
     W-char polynomial rolling hash H(i) = sum c[i+j]*B^j mod M hits
     H % 64 == 0, so inserting one sentence into a near-duplicate
-    document RE-ALIGNS every later chunk — fixed-stride chunking (q029)
+    document RE-ALIGNS every later chunk — fixed-stride chunking (q126)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
     recur, in how many docs) — the unit a span-excision pass (q077)
@@ -1978,7 +1978,7 @@ def q086_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own
     occurrence ROWS (~64 chars each), linear in occurrences, the same
-    bound as q149's min-doc gram join — and one shuffle back on doc_id
+    bound as q041's min-doc gram join — and one shuffle back on doc_id
     for reassembly. No self-join, no candidate blow-up; output rows =
     |docs|.
     """

@@ -50,7 +50,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 @query(
-    "q004_token_stats",
+    "q054_token_stats",
     oracle="""
 SELECT doc_id,
        len(string_split_regex(trim(text), '[\\s\\v]+')) AS n_tokens,
@@ -65,10 +65,10 @@ ORDER BY doc_id
     tags=("text", "tokens"),
     bench=True,
 )
-def q004_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q054_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct count + mean length.
 
-    The BPE-ish subword count variant is q006's token_per_char; this is the
+    The BPE-ish subword count variant is q056's token_per_char; this is the
     reference's exact word_count tokenizer (main.rs:468-471).
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -98,7 +98,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @query(
-    "q005_lang_id",
+    "q055_lang_id",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -120,7 +120,7 @@ FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
 """,
     tags=("text", "langid"),
 )
-def q005_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q055_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token ratio per language, argmax with
     lexicographic tie-break (de<en<es<fr<zh), confusion counts vs label.
     """
@@ -148,7 +148,7 @@ def q005_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_quality_score",
+    "q056_quality_score",
     oracle="""
 WITH m AS (
   SELECT doc_id,
@@ -174,7 +174,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def q006_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q056_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/word-shape composite with buckets
     (the heuristic-filter stage of a training-data pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -210,7 +210,7 @@ _NORM_SQL = (
 )
 
 @query(
-    "q007_fingerprint",
+    "q057_fingerprint",
     oracle=f"""
 SELECT doc_id,
        md5({_NORM_SQL}) AS fp,
@@ -220,7 +220,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint"),
 )
-def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q057_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document fingerprint: md5 of normalized text, plus the portable
     60-bit integer form used by minhash/simhash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -235,7 +235,7 @@ def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_shingle_fingerprint",
+    "q058_shingle_fingerprint",
     # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
@@ -250,7 +250,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q008_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q058_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
@@ -269,7 +269,7 @@ def q008_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_word_count_ref",
+    "q059_word_count_ref",
     oracle="""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -279,7 +279,7 @@ ORDER BY doc_id
 """,
     tags=("text", "reference-parity"),
 )
-def q009_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q059_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's word_count operator verbatim: whitespace-token count
     as i32, 0 for empty (/root/reference/src/main.rs:468-471)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -349,12 +349,12 @@ ORDER BY d.doc_id, keyword
 
 
 @query(
-    "q156_rake_keywords",
+    "q043_rake_keywords",
     oracle=_rake_oracle_sql(),
     tags=("text", "rake", "reference-parity"),
     bench=True,
 )
-def q156_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed RAKE (functions.rake.rake_native): the reference's
     keyword operator (src/rake/rake.rs) as explode/groupBy — the DuckDB
     oracle re-implements the full algorithm independently in SQL."""
@@ -369,7 +369,7 @@ def q156_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q050_tfidf",
+    "q184_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
@@ -389,7 +389,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q050_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q184_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -439,7 +439,7 @@ def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
-    BRP-LSH hashing. The native q048/q032 carry the hash-checked
+    BRP-LSH hashing. The native q162/q131 carry the hash-checked
     banded-LSH equivalents.
 
     Certification (r8 — the last rows-only registry query upgraded):
@@ -540,7 +540,7 @@ def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q029_document_chunking",
+    "q126_document_chunking",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
@@ -559,7 +559,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("text", "chunking"),
 )
-def q029_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token windows, stride 24 →
     8-token overlap): the context-window packing stage of a training-data
     pipeline, as pure array expressions (slice per chunk index)."""
@@ -588,7 +588,7 @@ def q029_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q025_embedding_quantize",
+    "q116_embedding_quantize",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -610,7 +610,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "quantization"),
 )
-def q025_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q116_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (absmax scaling) — the
     storage/bandwidth stage of a vector index at 100 TB; all native
     higher-order functions, int outputs so the oracle is exact."""
@@ -664,7 +664,7 @@ _PII_TEXT_SQL = """
 
 
 @query(
-    "q095_pii_redaction",
+    "q018_pii_redaction",
     oracle=f"""
 WITH pii AS ({_PII_TEXT_SQL}),
      red AS (
@@ -685,7 +685,7 @@ ORDER BY doc_id
 """,
     tags=("text", "pii", "redaction"),
 )
-def q095_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails / phone numbers / IPv4 with
     per-class counts — the compliance pass of a training-data pipeline.
     One linear scan, all JVM-side regexp expressions (codegen), no UDF; at
@@ -737,7 +737,7 @@ def q095_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_repetition_ratio",
+    "q138_repetition_ratio",
     # shingles_sql carries the r8 short-doc CASE guard — the former inline
     # gram NULLed below 5 tokens and DuckDB's list_distinct DROPS NULLs,
     # skewing distinct_5grams to 0 (rep_ratio 1.0) where Spark says 1 (0.0)
@@ -755,7 +755,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
 )
-def q035_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q138_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document (the Gopher-style repetition
     signal for filtering low-quality/boilerplate docs). Distinct counting
     happens inside the row via the shingle expression — a map-only linear
@@ -1378,7 +1378,7 @@ def q179_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
     """Core packing transform: (shard, order, n_tok) → start_offset /
     bin_id / straddles via one window cumsum per shard. Factored from
-    q040 so edge cases (zero-token docs, docs wider than a window,
+    q146 so edge cases (zero-token docs, docs wider than a window,
     exact-boundary fits) are unit-testable against a reference model."""
     from pyspark.sql.window import Window
 
@@ -1398,7 +1398,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 
 @query(
-    "q040_sequence_packing",
+    "q146_sequence_packing",
     oracle="""
 WITH t AS (
   SELECT source, doc_id,
@@ -1420,7 +1420,7 @@ ORDER BY source, doc_id
 """,
     tags=("text", "packing", "training-pipeline"),
 )
-def q040_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q146_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: concatenate each source's token
     stream (doc_id order) and assign every document the 2048-token context
     window its first token lands in — the packing stage that turns a
@@ -1603,7 +1603,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 @query(
-    "q146_bpe_merge_train",
+    "q040_bpe_merge_train",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1620,7 +1620,7 @@ ORDER BY merge_rank
     tags=("text", "bpe", "iterative", "training-pipeline"),
     bench=True,
 )
-def q146_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
     scale work is exactly ONE tokenize + groupBy shuffle down to the
     (word, count) vocabulary; every Lloyd-style merge round after that
@@ -1629,7 +1629,7 @@ def q146_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Per round: pair counts (map-side partial agg on a uniform
     (l, r) key), a 1-row global top-1, then the merge as a broadcast
     cross join + whole-stage-codegen string replace — no driver collect
-    in the loop. Loop state is localCheckpoint'ed per round (q028's
+    in the loop. Loop state is localCheckpoint'ed per round (q123's
     lineage-doubling lesson: words_i references words_{{i-1}} twice,
     directly and through best_i). Counts are exact integers, ties break
     lexicographically, so the merge table is hash-identical to the
@@ -1643,7 +1643,7 @@ def q146_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE training loop: returns (final merged-word table,
-    one 1-row merge DataFrame per round). See q146's docstring for the
+    one 1-row merge DataFrame per round). See q040's docstring for the
     per-round plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
@@ -1711,7 +1711,7 @@ ORDER BY cnt DESC, word
     tags=("text", "bpe", "training-pipeline"),
 )
 def q096_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODE (the apply half of q146): the vocabulary segmented by the
+    """BPE ENCODE (the apply half of q040): the vocabulary segmented by the
     {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
     resulting token count. Tokenizing a corpus with trained merges is the
     same chain of broadcast-merge string replaces the trainer runs, so the
@@ -1933,7 +1933,7 @@ def q099_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc_id) builds postings with partial aggs, and the final
     term-level rollup reuses the term prefix of that key. The DF cap
     (df > 80% of the corpus → stop-term, dropped) bounds every posting
-    list — the same skew guard as q027's shingle cap: without it one
+    list — the same skew guard as q119's shingle cap: without it one
     stop-term's list is the whole corpus concatenated onto a single
     reducer. The corpus size joins in as a broadcast 1-row aggregate, and
     the compare is integer (df*10 <= n_docs*8) so both engines agree
@@ -2093,7 +2093,7 @@ SDOT_TOPK = 5
 
 
 @query(
-    "q110_sparse_dot_topk",
+    "q023_sparse_dot_topk",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 tok AS (
@@ -2135,9 +2135,9 @@ ORDER BY query_id, rank
     bench=True,
     min_rows=1,
 )
-def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF dot-product top-k via the inverted index — lexical
-    nearest neighbors, the retrieval dual of q184's dense rerank and the
+    nearest neighbors, the retrieval dual of q050's dense rerank and the
     pairing stage of a lexical near-dup miner. Terms are adjacent-token
     bigrams (see BIGRAMS_SQL — the corpus's 31-word vocabulary makes
     unigram presence non-discriminative).
@@ -2146,7 +2146,7 @@ def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q099/q027 (one stop-term would otherwise put the whole
+    guard as q099/q119 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -2156,7 +2156,20 @@ def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS onto the corpus weights — the corpus shuffles once more on
     (qid, doc_id) for the dot aggregation and once per-query-partition
     for the windowed top-k. Candidates are bounded by posting-list
-    intersections of df-capped terms, never |docs| x |queries|."""
+    intersections of df-capped terms, never |docs| x |queries|.
+
+    r10 (VERDICT r9 #6): the shared weight table ``w`` is materialized
+    ONCE via cut_lineage before fanning out to the corpus and query
+    sides. Previously the static plan duplicated the tok lineage 4x
+    (10 exchanges) and only an AQE-runtime stage-reuse audit (REST
+    stage API SKIPPED counts) showed the real ~4; now the static plan
+    IS the executed plan — <=4 shuffle exchanges, asserted by plan-CI
+    (test_sparse_dot_single_materialization). cache() would be wrong
+    here: Spark's CacheManager matches canonicalized plans across
+    invocations, so a second bench rep would read cached blocks
+    instead of re-executing the engine work the bench measures.
+    cut_lineage routes to a RELIABLE checkpoint when a directory is
+    configured (cluster path), localCheckpoint locally."""
     docs = load_table(spark, sf_dir, "documents")
     # n_docs from the parquet FOOTER (no Spark job, VERDICT r6 #8):
     # resolving it driver-side keeps the df-cap filter a literal
@@ -2166,7 +2179,7 @@ def q110_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataFrame:
-    """The q110 plan over an arbitrary documents DataFrame. ``query_pred``
+    """The q023 plan over an arbitrary documents DataFrame. ``query_pred``
     optionally restricts the query side further (tools/scale_bench.py pins
     queries to replica 0 so the §10 curve measures fixed-workload corpus
     growth, not k-squared by construction)."""
@@ -2180,8 +2193,14 @@ def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataF
     )
     dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     keep = dfs.filter(F.col("df") * SDOT_DF_DEN <= F.lit(n_docs * SDOT_DF_NUM))
-    w = tok.join(keep.select("term", "df"), "term").select(
-        "doc_id", "term", (F.col("tf") * F.expr("1000000 div df")).alias("wt")
+    w = (
+        tok.join(keep.select("term", "df"), "term")
+        .select("doc_id", "term", (F.col("tf") * F.expr("1000000 div df")).alias("wt"))
+        # materialize the shared lineage once (see docstring): both the
+        # corpus side and the query side read these blocks; within the
+        # build itself AQE stage-reuse already deduplicates the tok
+        # shuffle, so the cut adds no extra compute
+        .transform(cut_lineage)
     )
     # Impact-ordered query truncation (the WAND / impact-sorted-index
     # practice): each query keeps only its SDOT_QTERMS highest-weight
@@ -2229,7 +2248,7 @@ PMI_TOPK = 100
 
 
 @query(
-    "q043_pmi_collocations",
+    "q156_pmi_collocations",
     oracle=f"""
 WITH t AS (
   SELECT string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
@@ -2255,11 +2274,11 @@ LIMIT {PMI_TOPK}
     tags=("text", "collocations", "training-pipeline"),
     min_rows=20,
 )
-def q043_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q156_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
-    before BPE (complements q146/q065/q096).
+    before BPE (complements q040/q065/q096).
 
     PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
     scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
@@ -2406,7 +2425,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
 
 
 @query(
-    "q149_ngram_novelty",
+    "q041_ngram_novelty",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
@@ -2428,13 +2447,13 @@ ORDER BY doc_id
     tags=("text", "dedup", "training-pipeline"),
     min_rows=100,
 )
-def q149_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY rate — the corpus-diversity metric the
     substring-dedup literature (Lee et al., "Deduplicating Training Data
     Makes LMs Better") uses to decide how much of each new document is
     genuinely new text: the fraction of its distinct 5-grams whose FIRST
     corpus occurrence (min doc_id) is this document. Late crawl
-    snapshots score low → prime pruning candidates; complements q041's
+    snapshots score low → prime pruning candidates; complements q149's
     duplicate-span finder with a doc-level score.
 
     Integer-exact: counts and a basis-point ratio via integer div.
@@ -2527,7 +2546,7 @@ FROM v ORDER BY doc_id
 def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
     heuristic set most production LLM pipelines start from) as per-rule
-    verdicts, not a composite score (complements q006's composite): word
+    verdicts, not a composite score (complements q056's composite): word
     count in [50, 100k], mean word length in [3, 10], symbol-to-word
     ratio ('#'/'...') <= 10%, <= 30% of lines ending in ellipsis, <= 90%
     starting with a bullet, >= 80% of words containing an alphabetic
@@ -2544,7 +2563,7 @@ def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because each rule is one O(tokens) pass with trivial lambda
     bodies, measured linear 3.8× at 8× data) — map-only over the
     corpus, no shuffle before the presentation sort; at 100 TB this is
-    the cheapest possible full-corpus pass (the same scan the q047
+    the cheapest possible full-corpus pass (the same scan the q161
     pipeline fuses its filters into).
 
     Note: the stopword rule keeps Gopher's PUBLISHED 8-word list, which
