@@ -153,7 +153,17 @@ def test_spark_avro_parity_when_available(spark, tmp_path):
         recs, schema_str = _read_with_jvm(spark, ours)
         assert len(recs) == 31
         assert json.loads(schema_str) == json.loads(URL_RESOURCE_AVRO_JSON)
-        return
+        # r10 (VERDICT r9 #8): surface the environment limit as a
+        # COUNTABLE skip reason after the fallback assertions ran — CI
+        # skip counts then distinguish "connector parity not exercised
+        # (absent jar)" from a silently green suite; with the jar on the
+        # classpath this branch never runs and the cross-read executes.
+        import pytest
+
+        pytest.skip(
+            "spark-avro connector absent: cross-connector parity not "
+            "exercised; own-OCF JVM-reader parity verified above"
+        )
 
     # connector present: cross-read both directions and compare rows
     theirs = str(tmp_path / "theirs")

@@ -167,6 +167,156 @@ def test_bmp_property_class_divergence_is_exactly_known(spark):
     assert div["N"] == set() and div["d"] == set() and div["w"] == set()
 
 
+# ---------------------------------------------------------------------------
+# Astral planes (r10, VERDICT r9 #7): the BMP sweeps stop at U+FFFF; these
+# cover U+10000-U+10FFFF exhaustively (1,048,576 codepoints, one combined
+# pass). Pinned results:
+#
+# - regex \s, \d, \w: ZERO divergence astral-wide — the single \s
+#   divergence in the whole codespace is BMP U+000B. Whitespace-split
+#   oracles are astral-safe as-is.
+# - lower(): exactly 57 divergent cps, ALL version skew in the
+#   utf8proc-newer direction, two blocks: Vithkuqi capitals (Unicode 14)
+#   and Garay capitals (Unicode 16) — scripts whose case maps the JVM's
+#   tables predate. No astral CONTEXT rules exist (the Σ/İ story is
+#   BMP-only), so fold_lower needs no astral entries; established-script
+#   astral case pairs (Deseret, Osage, Warang Citi, math alphanumerics
+#   stay caseless) agree on both engines.
+# - \p{L}: 4,807 skew cps in 42 contiguous ranges — exactly the Unicode
+#   14-16 script/CJK allocations (Vithkuqi, Latin Ext-F/G, Old Uyghur,
+#   Arabic Ext-C, Kawi, Cypro-Minoan, Tangsa, Kana Ext-B, Nag Mundari,
+#   CJK Ext-H, ...). \p{N}: 50 (Kawi/Tangsa/Kaktovik/Nag Mundari
+#   digits). \p{P}: 30. Direction invariant holds astral-wide: the
+#   DuckDB side matches and the JVM does not, NEVER the reverse.
+# - DuckDB-internal nuance the Garay rows expose: lower() goes through
+#   utf8proc (Unicode 16 tables) while regexp goes through RE2 (older
+#   tables) — so a block can carry case-map skew without \p{L} skew.
+#   Cross-engine pattern rules (\x{...} spelling for skew ranges) are
+#   unchanged.
+
+ASTRAL_SKEW_LOWER = {
+    *range(0x10570, 0x1057A + 1), *range(0x1057C, 0x1058A + 1),
+    *range(0x1058C, 0x10592 + 1), 0x10594, 0x10595,
+    *range(0x10D50, 0x10D65 + 1),
+}
+ASTRAL_SKEW_LETTER_RANGES = [
+    (0x10570, 0x1057A), (0x1057C, 0x1058A), (0x1058C, 0x10592),
+    (0x10594, 0x10595), (0x10597, 0x105A1), (0x105A3, 0x105B1),
+    (0x105B3, 0x105B9), (0x105BB, 0x105BC), (0x10780, 0x10785),
+    (0x10787, 0x107B0), (0x107B2, 0x107BA), (0x10F70, 0x10F81),
+    (0x11071, 0x11072), (0x11075, 0x11075), (0x1123F, 0x11240),
+    (0x11740, 0x11746), (0x11AB0, 0x11ABF), (0x11F02, 0x11F02),
+    (0x11F04, 0x11F10), (0x11F12, 0x11F33), (0x12F90, 0x12FF0),
+    (0x1342F, 0x1342F), (0x13441, 0x13446), (0x16A70, 0x16ABE),
+    (0x1AFF0, 0x1AFF3), (0x1AFF5, 0x1AFFB), (0x1AFFD, 0x1AFFE),
+    (0x1B11F, 0x1B122), (0x1B132, 0x1B132), (0x1B155, 0x1B155),
+    (0x1DF00, 0x1DF1E), (0x1DF25, 0x1DF2A), (0x1E030, 0x1E06D),
+    (0x1E290, 0x1E2AD), (0x1E4D0, 0x1E4EB), (0x1E7E0, 0x1E7E6),
+    (0x1E7E8, 0x1E7EB), (0x1E7ED, 0x1E7EE), (0x1E7F0, 0x1E7FE),
+    (0x2A6DE, 0x2A6DF), (0x2B735, 0x2B739), (0x31350, 0x323AF),
+]
+ASTRAL_SKEW_NUMBER = {
+    *range(0x11F50, 0x11F59 + 1), *range(0x16AC0, 0x16AC9 + 1),
+    *range(0x1D2C0, 0x1D2D3 + 1), *range(0x1E4F0, 0x1E4F9 + 1),
+}
+ASTRAL_SKEW_PUNCT = {
+    *range(0x10F86, 0x10F89 + 1), 0x116B9, *range(0x11B00, 0x11B09 + 1),
+    *range(0x11F43, 0x11F4F + 1), 0x12FF1, 0x12FF2,
+}
+
+
+def test_astral_divergence_is_exactly_known(spark):
+    """One exhaustive pass over every astral codepoint comparing lower()
+    and the six regex classes across engines; see the block comment for
+    the pinned findings. Arrow both ways (createDataFrame from pandas,
+    toPandas, DuckDB register) keeps the 1M-row sweep to seconds."""
+    import numpy as np
+    import pandas as pd
+
+    cps = np.arange(0x10000, 0x110000, dtype=np.int64)
+    pdf = pd.DataFrame({"cp": cps, "s": [chr(int(c)) for c in cps]})
+    df = spark.createDataFrame(pdf)
+    sres = (
+        df.select(
+            "cp",
+            F.lower("s").alias("lo"),
+            F.regexp_like("s", F.lit(r"^\s$")).alias("ws"),
+            F.regexp_like("s", F.lit(r"^\p{L}$")).alias("L"),
+            F.regexp_like("s", F.lit(r"^\p{N}$")).alias("N"),
+            F.regexp_like("s", F.lit(r"^\p{P}$")).alias("P"),
+            F.regexp_like("s", F.lit(r"^\d$")).alias("d"),
+            F.regexp_like("s", F.lit(r"^\w$")).alias("w"),
+        )
+        .toPandas()
+        .sort_values("cp")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dres = con.execute(
+        r"""
+        SELECT cp, lower(s) AS lo,
+               regexp_matches(s, '^\s$') AS ws,
+               regexp_matches(s, '^\p{L}$') AS L,
+               regexp_matches(s, '^\p{N}$') AS N,
+               regexp_matches(s, '^\p{P}$') AS P,
+               regexp_matches(s, '^\d$') AS d,
+               regexp_matches(s, '^\w$') AS w
+        FROM t ORDER BY cp
+        """
+    ).df()
+    con.close()
+    assert (sres["cp"].values == dres["cp"].values).all()
+
+    lower_div = {int(c) for c in cps[sres["lo"].values != dres["lo"].values]}
+    assert lower_div == ASTRAL_SKEW_LOWER, sorted(map(hex, lower_div ^ ASTRAL_SKEW_LOWER))
+
+    expected = {
+        "ws": set(),
+        "L": {c for a, b in ASTRAL_SKEW_LETTER_RANGES for c in range(a, b + 1)},
+        "N": ASTRAL_SKEW_NUMBER,
+        "P": ASTRAL_SKEW_PUNCT,
+        "d": set(),
+        "w": set(),
+    }
+    for k, exp in expected.items():
+        sv = sres[k].values.astype(bool)
+        dv = dres[k].values.astype(bool)
+        mism = sv != dv
+        div = {int(c) for c in cps[mism]}
+        assert div == exp, (k, len(div ^ exp), sorted(map(hex, list(div ^ exp)[:20])))
+        # direction invariant: the newer-tabled engine matches, never the JVM alone
+        assert not (sv & ~dv & mism).any(), k
+
+
+def test_utf8_lossy_decode_rust_parity():
+    """The pipeline decodes gzip output with Python's
+    bytes.decode('utf-8', errors='replace'); the reference uses Rust's
+    String::from_utf8_lossy (main.rs:303). Both implement the WHATWG
+    'substitution of maximal subparts' policy, pinned here on the
+    adversarial shapes — surrogate-half encodings (CESU-8 style), each
+    byte of the broken pair draws its own U+FFFD; truncated multi-byte
+    sequences collapse to ONE U+FFFD per maximal subpart; overlongs are
+    rejected per byte; astral sequences cut mid-way count as one."""
+    cases = [
+        (b"\xed\xa0\x80", "���"),  # UTF-8-encoded surrogate half
+        (b"\xed\xa0\x80\xed\xbd\x95", "�" * 6),  # CESU-8 astral pair
+        (b"\xf0\x9f\x92", "�"),  # truncated 4-byte (emoji) sequence
+        (b"\xf0\x9f\x92a", "�a"),  # truncated then ASCII resumes
+        (b"\xf0\x28\x8c\x28", "�(�("),  # bad continuation
+        (b"\xc0\xaf", "��"),  # overlong '/': rejected per byte
+        (b"\xe0\x80\x80", "���"),  # overlong NUL
+        (b"\xf4\x90\x80\x80", "�" * 4),  # beyond U+10FFFF
+        (b"\xff\xfe", "��"),  # never-valid lead bytes
+        (b"a\xc2b", "a�b"),  # lone lead mid-ASCII
+        (b"\xf0\x9f\x98\x80", "\U0001f600"),  # clean astral passes through
+        (b"ok", "ok"),
+    ]
+    for raw, want in cases:
+        got = raw.decode("utf-8", errors="replace")
+        assert got == want, (raw, got, want)
+
+
 def test_bpe_pattern_is_skew_proof(spark):
     """The shared BPE pretokenizer pattern spells the \\p{L} skew
     codepoints and \\x0B explicitly, so its counts agree cross-engine

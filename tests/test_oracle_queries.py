@@ -327,8 +327,15 @@ def _unicode_corpus(tmp_path):
     paragraphs, Arabic RTL, Hebrew with niqqud combining marks,
     precomposed vs decomposed accents, astral-plane emoji, Turkish
     dotted/dotless I, Greek final-sigma casing, full-width Latin, Thai,
-    zero-width/bidi controls inside tokens, and sharp-s casing. Other
-    tables symlink to sf0.001."""
+    zero-width/bidi controls inside tokens, and sharp-s casing. r10
+    extends past the BMP: ZWJ emoji sequences, Deseret astral case
+    pairs, math alphanumerics, CJK Ext-B surrogate-dense dups, and
+    regional-indicator/skin-tone clusters — all chosen OUTSIDE the
+    pinned astral skew ranges, and the whole 29-query family
+    hash-matches on them (the exhaustive astral sweep predicted it:
+    \\s/\\d/\\w are astral-clean and both engines agree on
+    established-script astral case). Other tables symlink to
+    sf0.001."""
     import duckdb as _dd
 
     rows = [
@@ -364,6 +371,22 @@ def _unicode_corpus(tmp_path):
         (19, "mac\rlines\rmac\rlines"),
         (20, "mixed\nendings\r\nmixed\rendings\n\r\n\r\ntail"),
         (21, "trail spaces  \r\n  lead spaces\r\n\ttab line\r\n"),
+        # r10 astral additions (VERDICT r9 #7): every codepoint below is
+        # OUTSIDE the pinned astral skew ranges (Vithkuqi/Garay case
+        # maps, Unicode-14+ \p{L}/\p{N}/\p{P} allocations — see
+        # test_engine_unicode_parity), so the family must hash-match.
+        # ZWJ (U+200D) emoji sequences: Cf inside tokens, splits nowhere
+        (22, "👨‍👩‍👧‍👦 family 👨‍👩‍👧‍👦 team 🏳️‍🌈 flag 👨‍👩‍👧‍👦"),
+        # Deseret (Unicode 3.1): astral CASE MAPPING both engines know —
+        # exercises fold_lower/lower parity beyond the BMP
+        (23, "𐐐𐐯𐑊𐐬 𐐸𐐯𐑊𐐬 𐐐𐐯𐑊𐐬 𐐐𐐯𐑊𐐬 text"),
+        # math alphanumerics + bold digits (Nd since 3.1, skew-free)
+        (24, "𝐀𝐁𝐂 𝟎𝟏𝟐 𝐀𝐁𝐂 𝟎𝟏𝟐 plain 012"),
+        # CJK Extension B: surrogate-pair-dense dup text for the
+        # shingle/simhash/chunk byte paths
+        (25, "𠀀𠀁𠀂𠀃𠀀𠀁𠀂𠀃 中文 𠀀𠀁𠀂 𠀀𠀁𠀂"),
+        # regional-indicator flags + skin-tone modifiers mid-token
+        (26, "🇦🇺 flag 🇦🇺 👍🏽 thumb 👍🏽 🇦🇺"),
     ]
     d = tmp_path / "unicorpus"
     d.mkdir()
