@@ -872,3 +872,47 @@ def test_head_plain_text_cases():
     )
     # no explicit <head>: bare pre-title text never fires this class
     assert td("<!DOCTYPE html>\ntext<title>t</title>") == ""
+
+
+def test_heading_nesting_cases():
+    """Classes 19+20 (r10): headings cannot nest. Different level ->
+    MISSING_ENDTAG_BEFORE and the new heading opens; same level ->
+    NON_MATCHING_ENDTAG coerces the start token into the end tag (no
+    element opens, its own later end tag discards). Children cascade
+    innermost-first: '</x> before <hN>' wording in the implied-close
+    case, plain class-7 'missing </x>' in the coerced case."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    # different level: implied close, new heading opens and closes fine
+    assert td(pre + "<h1>a<h2>b</h2>") == (
+        "line 2 column 6 - Warning: missing </h1> before <h2>\n"
+    )
+    # the popped heading's own end tag then discards (class 11)
+    assert td(pre + "<h1>a<h2>b</h2></h1>") == (
+        "line 2 column 6 - Warning: missing </h1> before <h2>\n"
+        "line 2 column 16 - Warning: discarding unexpected </h1>\n"
+    )
+    # required-end-tag child cascades innermost-first with the
+    # implied-close wording; the optional-end <p> closes silently
+    assert td(pre + "<h1>a<b>x<h3>y</h3>") == (
+        "line 2 column 10 - Warning: missing </b> before <h3>\n"
+        "line 2 column 10 - Warning: missing </h1> before <h3>\n"
+    )
+    assert td(pre + "<h1>a<p>x<h3>y</h3>") == (
+        "line 2 column 10 - Warning: missing </h1> before <h3>\n"
+    )
+    # same level: the start token is coerced into </h2> — one warning,
+    # nothing opens, so the later </h2> closes the FIRST h2's region
+    # leftovers and the SECOND </h2> discards
+    assert td(pre + "<h2>a<h2>b</h2>") == (
+        "line 2 column 6 - Warning: replacing unexpected <h2> with </h2>\n"
+        "line 2 column 11 - Warning: discarding unexpected </h2>\n"
+    )
+    # coerced close over a required-end child uses plain class-7 wording
+    assert td(pre + "<h2>a<b>x<h2>") == (
+        "line 2 column 10 - Warning: missing </b>\n"
+        "line 2 column 10 - Warning: replacing unexpected <h2> with </h2>\n"
+    )
+    # sequential (properly closed) headings never fire either class
+    assert td(pre + "<h1>a</h1><h2>b</h2><h2>c</h2>") == ""

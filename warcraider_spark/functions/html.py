@@ -315,8 +315,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus fourteen more classes
-    (r6-r10) pinned by our own adversarial fixtures — eighteen total:
+    stderr), byte-for-byte on that golden, plus sixteen more classes
+    (r6-r10) pinned by our own adversarial fixtures — twenty total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -448,9 +448,30 @@ def tidy_diagnostics(raw_html: str) -> str:
        tag's recovery point inside head IS scanned; text swallowed
        into a masked-to-EOF attribute value is not (it never reaches
        tidy's PCDATA lexer either).
+    19. ``missing </hM> before <hN>`` — (r10) headings cannot nest: a
+       new heading start tag of a DIFFERENT level while a heading is
+       open implies closing the old one (tidy ParseBlock's heading
+       check: MISSING_ENDTAG_BEFORE, then UngetToken so the new
+       heading opens normally), warning for the popped heading AND
+       each still-open required-end-tag child above it
+       (innermost-first, ``missing </x> before <hN>`` — the inline
+       parser's own implied-close wording), all anchored at the NEW
+       tag; optional-end-tag children close silently. The popped
+       heading's own later end tag then discards (class 11). Same
+       stack-wide scope limit as class 16: an intervening BLOCK
+       element would have closed the heading at ITS start tag in real
+       tidy (unmodelled start-tag-triggered closes, residual family 2).
+    20. ``replacing unexpected <hN> with </hN>`` — (r10) the SAME-level
+       twin of class 19: tidy coerces the second ``<h2>`` start token
+       into ``</h2>`` (NON_MATCHING_ENDTAG) — it closes the open
+       heading and opens NOTHING, so required-end children pop with
+       plain class-7 ``missing </x>`` wording (an end tag closing over
+       them), the never-created node skips the attribute checks like a
+       class-6 discard, and the heading's own later end tag discards
+       (class 11).
 
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10+11+12+13+14+15+16+17+18) in document order, then attribute checks
+    (1+2+5+6+7+8+10-20) in document order, then attribute checks
     (9+3), then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
@@ -931,6 +952,62 @@ def tidy_diagnostics(raw_html: str) -> str:
                             p[4] = True  # closed subtree = parent content
                         del stack[i:]
                         break
+            # classes 19 + 20 (r10): headings cannot nest. A new hN start
+            # while a heading is open implies closing the old one — tidy's
+            # ParseBlock heading check:
+            #   different tag  -> MISSING_ENDTAG_BEFORE ("missing </h1>
+            #     before <h2>"), token ungot, so the NEW heading then
+            #     opens normally (class 19);
+            #   same tag       -> NON_MATCHING_ENDTAG ("replacing
+            #     unexpected <h2> with </h2>"): the start token is
+            #     COERCED into the end tag, so it closes the old heading
+            #     and opens NOTHING — its own later end tag discards as
+            #     class 11 (class 20).
+            # Still-open required-end-tag children above the heading pop
+            # with the class-16-style innermost-first cascade — "missing
+            # </x> before <hN>" in the different-tag case (the inline
+            # parser's own MISSING_ENDTAG_BEFORE), plain class-7
+            # "missing </x>" in the same-tag case (an END tag closing
+            # over children). Optional-end-tag children close silently.
+            # Same stack-wide scope limit as class 16 (tidy would close
+            # the heading at the intervening BLOCK start already —
+            # start-tag-triggered closes beyond headings stay
+            # unmodelled, the documented family-2 residual).
+            coerced_to_end = False
+            if tag in _HEADINGS:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i][0] in _HEADINGS:
+                        old = stack[i][0]
+                        coerced_to_end = old == tag
+                        for child_fr in reversed(stack[i + 1 :]):
+                            if child_fr[0] not in _OPTIONAL_END_TAGS:
+                                parse_time.append(
+                                    (
+                                        m.start(),
+                                        0,
+                                        f"missing </{child_fr[0]}>"
+                                        if coerced_to_end
+                                        else f"missing </{child_fr[0]}> before <{tag}>",
+                                    )
+                                )
+                        parse_time.append(
+                            (
+                                m.start(),
+                                0,
+                                f"replacing unexpected <{tag}> with </{tag}>"
+                                if coerced_to_end
+                                else f"missing </{old}> before <{tag}>",
+                            )
+                        )
+                        for p in stack[:i]:
+                            p[4] = True  # closed subtree = parent content
+                        del stack[i:]
+                        break
+            if coerced_to_end:
+                # the token became the old heading's END tag: no element
+                # opens, and the never-created node skips the attribute
+                # checks (classes 3/9) exactly like a class-6 discard
+                continue
             # class 6: forms cannot nest — tidy discards the inner <form>
             # start tag (content kept), DISCARDING_UNEXPECTED; a discarded
             # node never reaches the parser's attribute checks, so its
