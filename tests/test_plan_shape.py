@@ -705,6 +705,14 @@ BUILD_TIME_EXECUTION_OK = {
     # eager Spark APIs whose eagerness IS the documented surface
     "q172_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
     "q124_crosstab": "df.stat.crosstab computes its pivot eagerly",
+    # r10: the weight-table materialization (VERDICT r9 #6). Under AQE,
+    # toRdd inside even a LAZY localCheckpoint executes the upstream
+    # stages, so the shared TF-IDF lineage materializes while the
+    # builder runs. That IS the documented contract (build once, both
+    # consumers read blocks) and the cost stays inside the bench's
+    # timed window — the builder call is timed, and no cross-invocation
+    # cache survives to later reps (unlike cache()).
+    "q023_sparse_dot_topk": "cut_lineage materializes the shared weight table at build",
 }
 
 
@@ -733,3 +741,23 @@ def test_plan_construction_launches_no_jobs(spark):
             offenders[name] = ran
     unjustified = {n: c for n, c in offenders.items() if n not in BUILD_TIME_EXECUTION_OK}
     assert not unjustified, f"build-time Spark jobs without justification: {unjustified}"
+
+
+def test_mixture_trio_plan_shapes(spark):
+    """r10 training-mixture trio: q009's corpus pass is one partial-
+    aggregated scan (its windows/broadcasts run on the ~|domains|-row
+    rollup — the only SortMergeJoin-free shape that never re-reads the
+    fact table); q010's top-k is TakeOrderedAndProject over the bounded
+    hashed-ratio broadcast join; q011's ranking window is PARTITIONED
+    by the domain key, never a global sort."""
+    specs = all_specs()
+    p9 = plan_of(specs["q009_domain_mixture_weights"].builder(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in p9
+    assert "CartesianProduct" not in p9
+    p10 = plan_of(specs["q010_dsir_select"].builder(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p10
+    assert "BroadcastHashJoin" in p10
+    assert "SortMergeJoin" not in p10
+    p11 = plan_of(specs["q011_domain_quality_select"].builder(spark, SF_CORRECT))
+    assert "windowspecdefinition(source" in p11.lower().replace(" ", "")
+    assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11

@@ -78,6 +78,20 @@ KNOWN_OK_PAIRS = {
     # EXACTLY one row by construction; the 1-row broadcast cross join
     # replaced the r6 build-time .first() (VERDICT r6 #8)
     ("q156_pmi_collocations", "BroadcastNestedLoopJoin"),
+    # r10 mixture/selection trio: every flagged shape runs on domain- or
+    # top-k-sized aggregates, never the corpus. q009's windows and both
+    # of its broadcast joins are over the per-SOURCE rollup (~|domains|
+    # rows; the grand-total and water-fill-cut sides are 1 row by
+    # construction); q010's final rank window orders the 50 rows that
+    # survive TakeOrderedAndProject.
+    ("q009_domain_mixture_weights", "unpartitioned window"),
+    ("q009_domain_mixture_weights", "BroadcastNestedLoopJoin"),
+    ("q009_domain_mixture_weights", "broadcast of unbounded aggregate"),
+    ("q010_dsir_select", "unpartitioned window"),
+    # q010's broadcast side is the hashed-feature ratio table — bounded
+    # at DSIR_BUCKETS rows BY CONSTRUCTION (the paper's hashed n-gram
+    # space), independent of corpus vocabulary
+    ("q010_dsir_select", "broadcast of unbounded aggregate"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
     # fixed k centroids (q022/q024), fixed bloom word count m/64 (q037),

@@ -890,3 +890,280 @@ def q031_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture construction (round 10): domain water-filling, DSIR-style
+# importance selection, per-domain quality percentile gates
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 6, 10  # global token budget = 60% of corpus
+WORD_COUNT_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END"
+)
+
+
+@query(
+    "q009_domain_mixture_weights",
+    oracle=f"""
+WITH dom AS (
+  SELECT source, CAST(SUM({WORD_COUNT_SQL}) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t, COUNT(*) AS n FROM dom),
+pos AS (
+  SELECT source, toks,
+         ROW_NUMBER() OVER (ORDER BY toks, source) AS i,
+         CAST(SUM(toks) OVER (ORDER BY toks, source) AS BIGINT) AS p,
+         (SELECT t FROM tot) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS b,
+         (SELECT n FROM tot) AS n
+  FROM dom
+),
+lev AS (SELECT *, (b - (p - toks)) // (n - i + 1) AS level FROM pos),
+cut AS (
+  SELECT MIN(CASE WHEN toks >= level THEN {{'i': i, 'level': level}} END) AS c
+  FROM lev
+)
+SELECT source,
+       toks AS domain_tokens,
+       CAST(CASE WHEN c IS NOT NULL AND i >= c.i THEN c.level ELSE toks END
+            AS BIGINT) AS alloc_tokens,
+       (c IS NOT NULL AND i >= c.i) AS capped
+FROM lev CROSS JOIN cut
+ORDER BY source
+""",
+    tags=("curation", "mixture", "training-pipeline"),
+    min_rows=1,
+)
+def q009_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture construction by integer water-filling: allocate a
+    global token budget (60% of the corpus) across source domains so
+    every domain keeps all its tokens up to a common level L, where L is
+    the largest integer with sum(min(T_d, L)) <= budget — the classic
+    water-filling allocation a mixture builder uses to cap dominant
+    domains without starving small ones (the same shape as DoReMi-style
+    domain reweighting with a uniform target).
+
+    Closed-form, no iteration: domains sorted ascending by token count
+    with prefix sums; position i's candidate level is the remaining
+    budget split over the remaining domains, and the cut is the FIRST
+    position whose domain reaches its candidate level — everything from
+    the cut is capped at the cut's level, everything before keeps its
+    tokens. Integer-exact on both engines (div / //; DuckDB HUGEINT
+    sums cast back).
+
+    Plan: one shuffle for the per-domain rollup (map-side partial sums
+    of the native word_count — the corpus pass), then every window/join
+    below runs on the ~|domains|-row aggregate: the unpartitioned
+    ROW_NUMBER/prefix-sum windows and the 1-row cut aggregate broadcast
+    back (BNLJ of a single row) never touch the fact table — the
+    q031/q073 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
+    domain count is thousands at most; the corpus contributes exactly
+    one partial-aggregated scan."""
+    from warcraider_spark.functions.textfn import word_count
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    dom = docs.groupBy("source").agg(
+        F.sum(word_count("text")).cast("bigint").alias("toks")
+    )
+    n_and_t = dom.agg(
+        F.sum("toks").cast("bigint").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    w_ord = Window.orderBy(F.asc("toks"), F.asc("source"))
+    pos = (
+        dom.join(F.broadcast(n_and_t))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("p", F.sum("toks").over(w_ord).cast("bigint"))
+        .withColumn("b", F.expr(f"t * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"))
+    )
+    lev = pos.withColumn("level", F.expr("(b - (p - toks)) div (n - i + 1)"))
+    cut = lev.agg(
+        F.min(
+            F.when(F.col("toks") >= F.col("level"), F.struct("i", "level"))
+        ).alias("c")
+    )
+    out = lev.join(F.broadcast(cut)).select(
+        "source",
+        F.col("toks").alias("domain_tokens"),
+        F.when(
+            F.col("c").isNotNull() & (F.col("i") >= F.col("c.i")), F.col("c.level")
+        )
+        .otherwise(F.col("toks"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        (F.col("c").isNotNull() & (F.col("i") >= F.col("c.i"))).alias("capped"),
+    )
+    return out.orderBy("source")
+
+
+DSIR_TOPK = 50
+DSIR_SCALE = 10_000  # per-token likelihood ratios in basis points
+DSIR_BUCKETS = 4096  # hashed feature space (the paper's construction)
+# hoisted out of the oracle f-string (backslashes are illegal inside
+# f-string expressions): portable md5 bucket id of each whitespace token
+_DSIR_TOK_SQL = (
+    md5_int_sql("unnest(string_split_regex(trim(text), '[\\s\\v]+'))")
+    + f" % {DSIR_BUCKETS}"
+)
+
+
+@query(
+    "q010_dsir_select",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DSIR_TOK_SQL} AS b
+  FROM documents WHERE len(trim(text)) > 0
+),
+counts AS (
+  SELECT b,
+         CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS tc,
+         CAST(COUNT(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS rc
+  FROM tok GROUP BY b
+),
+ratio AS (
+  SELECT b, (tc + 1) * {DSIR_SCALE} // (rc + 1) AS r_bp FROM counts
+),
+scores AS (
+  SELECT tok.doc_id, CAST(SUM(ratio.r_bp) AS BIGINT) AS score
+  FROM tok JOIN ratio USING (b)
+  WHERE tok.doc_id % 10 <> 0
+  GROUP BY tok.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM ranked
+WHERE rnk <= {DSIR_TOPK} ORDER BY rnk
+""",
+    tags=("curation", "selection", "training-pipeline"),
+    min_rows=1,
+)
+def q010_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper): score
+    raw documents by how target-like their token distribution is and keep
+    the top-k. The target sample is the doc_id%10==0 slice (a stand-in
+    for a curated seed set); each token contributes its add-one-smoothed
+    target/raw frequency ratio in integer basis points, summed over
+    token OCCURRENCES — a monotone integer surrogate for the n-gram
+    log-likelihood ratio the paper uses, exact on both engines (no
+    float logs to drift).
+
+    Plan: one explode + one shuffle builds per-term target/raw counts
+    (map-side partial, conditional sums in a single pass — never two
+    corpus scans); the ratio table is vocabulary-sized and BROADCASTS
+    onto the token stream; per-doc scores shuffle once on doc_id; the
+    global top-k is TakeOrderedAndProject (never a full sort). At
+    100 TB the vocabulary table is the only state — the hashed-feature
+    variant of the paper drops in by replacing term with a hash bucket,
+    same plan."""
+    from warcraider_spark.functions.textfn import tokens
+
+    from warcraider_spark.functions.textfn import md5_int
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .select("doc_id", (md5_int(F.col("term")) % DSIR_BUCKETS).alias("b"))
+    )
+    is_target = F.col("doc_id") % 10 == 0
+    counts = tok.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("tc"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).cast("bigint").alias("rc"),
+    )
+    ratio = counts.select(
+        "b", F.expr(f"(tc + 1) * {DSIR_SCALE} div (rc + 1)").alias("r_bp")
+    )
+    scores = (
+        tok.filter(~is_target)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("r_bp").cast("bigint").alias("score"))
+    )
+    return (
+        scores.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DSIR_TOPK)
+        .select(
+            "doc_id",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("int")
+            .alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+QSEL_NUM, QSEL_DEN = 3, 10  # keep the top 30% of each domain by quality
+
+
+@query(
+    "q011_domain_quality_select",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(string_split_regex(trim(text), '[\\s\\v]+')))
+              * 10000 // len(string_split_regex(trim(text), '[\\s\\v]+'))
+              AS BIGINT) AS ttr_bp
+  FROM documents WHERE len(trim(text)) > 0
+),
+ranked AS (
+  SELECT doc_id, source, ttr_bp,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ttr_bp DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT doc_id, source, ttr_bp, CAST(rk AS INT) AS rk FROM ranked
+WHERE rk * {QSEL_DEN} <= n * {QSEL_NUM} + {QSEL_DEN} - 1
+ORDER BY source, rk
+""",
+    tags=("curation", "quality", "window", "training-pipeline"),
+    min_rows=1,
+)
+def q011_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate: score every document by its type-token
+    ratio (distinct tokens per token, basis points — the cheap lexical-
+    diversity signal) and keep the top ceil(30%) of EACH source domain —
+    the FineWeb-style practice of filtering within a dump/domain rather
+    than globally, so a boilerplate-heavy domain cannot crowd out the
+    whole budget and a clean domain is not over-pruned.
+
+    Integer-exact: the ttr is basis-points via div, and the 30% cut is
+    the pure-integer ceiling rk*10 <= 3n + 9 — no float percent_rank to
+    drift cross-engine. Plan: map-side score (no shuffle — distinct
+    counts come from the token array per row), then ONE shuffle on the
+    domain key for the ranking window; partitioned by source, so at
+    100 TB each domain ranks independently — the q105 stratified-sample
+    shape with a computed ordering key."""
+    from warcraider_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokens("text")
+    q = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            (F.size(F.array_distinct(toks)) * 10000).alias("dt4"),
+            F.size(toks).alias("nt"),
+        )
+        # integer division (div, not /): DuckDB's // is integer and a
+        # float quotient here would hash-diverge on ties
+        .select(
+            "doc_id", "source", F.expr("dt4 div nt").cast("bigint").alias("ttr_bp")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ttr_bp"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") * QSEL_DEN <= F.col("n") * QSEL_NUM + QSEL_DEN - 1)
+        .select("doc_id", "source", "ttr_bp", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )

@@ -1340,7 +1340,7 @@ def q008_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_date_family2",
+    "q188_date_family2",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
@@ -1354,7 +1354,7 @@ LIMIT 1000
 """,
     tags=("scalar", "date"),
 )
-def q009_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q188_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family 2: add_months/last_day/quarter/month-diff.
 
     DuckDB's datediff('month') counts month-boundary crossings like
@@ -1378,7 +1378,7 @@ def q009_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q010_posexplode",
+    "q189_posexplode",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
@@ -1390,7 +1390,7 @@ ORDER BY doc_id, pos
 """,
     tags=("explode", "array"),
 )
-def q010_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q189_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
     the row-expansion primitive under RAKE/shingles/minhash."""
     from warcraider_spark.functions.textfn import tokens
@@ -1506,7 +1506,7 @@ def q047_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q011_to_json",
+    "q190_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1516,7 +1516,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q011_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q190_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
