@@ -54,6 +54,12 @@ QUERIES = [
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
     "q088_cdc_chunk_dedup",
+    # r10 mixture trio: corpus-linear map passes over a constant domain
+    # set (replicas share the 20 sources) — the rollup/ratio tables
+    # saturate while the scan side grows Kx
+    "q009_domain_mixture_weights",
+    "q010_dsir_select",
+    "q011_domain_quality_select",
 ]
 
 
