@@ -874,6 +874,32 @@ def test_head_plain_text_cases():
     assert td("<!DOCTYPE html>\ntext<title>t</title>") == ""
 
 
+def test_ammonia_scheme_allowlist():
+    """r10: the reference cleans every page with ammonia BEFORE parsing
+    (lib.rs:188), and ammonia filters URL attributes against its default
+    scheme ALLOWLIST — an exotic-scheme href is stripped (anchor and its
+    text survive), relative URLs always pass, scheme matching is
+    case-insensitive, and a Windows drive path parses as a one-letter
+    scheme and is stripped. The old 3-scheme denylist kept whatsapp://
+    and file: links the reference drops."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    r = parse_html_py(
+        '<a href="javascript:x()">j</a><a href="/rel">r</a>'
+        '<a href="whatsapp://send?x">w</a><a href="HTTP://U.example/">u</a>'
+        '<a href="C:\\docs\\f.htm">c</a><a href="mailto:a@b">m</a>'
+        '<a href="#frag">f</a><a href="tel:+61">t</a>'
+        '<a href="data:text/html,x">d</a><a href="file:///etc/x">fi</a>'
+        '<a href="ftps://h/x">fs</a>'
+    )
+    assert r["links"] == [
+        "/rel", "HTTP://U.example/", "mailto:a@b", "#frag", "tel:+61", "ftps://h/x"
+    ]
+    # stripped-href anchors keep their text (ammonia drops the attribute,
+    # not the element)
+    assert "j" in " ".join(r["text"]) and "w" in " ".join(r["text"])
+
+
 def test_heading_nesting_cases():
     """Classes 19+20 (r10): headings cannot nest. Different level ->
     MISSING_ENDTAG_BEFORE and the new heading opens; same level ->

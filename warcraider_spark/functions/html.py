@@ -91,14 +91,28 @@ HTML_RESULT_SCHEMA = StructType(
 
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 _META_KEY_ATTRS = ("name", "http-equiv", "itemprop", "property")
-# ammonia's default URL-scheme denylist effect: relative URLs and common
-# schemes pass; script-ish schemes have the attribute stripped
-_BLOCKED_SCHEMES = ("javascript:", "data:", "vbscript:")
+# ammonia URL policy (r10, closing a fidelity gap): the reference runs
+# cleaner.clean() on EVERY page before parsing (lib.rs:188), and ammonia
+# filters URL-valued attributes against an ALLOWLIST of schemes (its
+# Builder default — url_schemes), not a denylist: an href whose scheme
+# is outside the set has the attribute stripped (the <a> survives, its
+# text stays). Relative URLs (no scheme) always pass. The previous
+# 3-scheme denylist kept exotic-scheme links (whatsapp://, steam://,
+# file:) that the reference DROPS. Scheme detection per RFC 3986:
+# [A-Za-z][A-Za-z0-9+.-]* followed by ':' — "C:\\path" parses as scheme
+# "c" and is stripped, exactly as url::Url::parse gives ammonia.
+_ALLOWED_SCHEMES = frozenset(
+    "bitcoin ftp ftps geo http https im irc ircs magnet mailto mms mx news "
+    "nntp openpgp4fpr sip sms smsto ssh tel url webcal wtai xmpp".split()
+)
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
 def _scheme_ok(href: str) -> bool:
-    low = href.strip().lower()
-    return not any(low.startswith(s) for s in _BLOCKED_SCHEMES)
+    m = _SCHEME_RE.match(href.strip())
+    if m is None:
+        return True  # relative URL: always kept
+    return m.group(0)[:-1].lower() in _ALLOWED_SCHEMES
 
 
 def empty_html_result(ok: bool = False, html_errors: str = " ") -> dict:
