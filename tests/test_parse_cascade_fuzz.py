@@ -7,16 +7,22 @@ islands, comments, attribute junk, void quirks) and asserts the
 invariants the reference's Rust cascade GUARANTEES, independent of byte
 equality:
 
-- lib.rs:302-324 state machine: text inside the head region, noscript,
-  script/style content — and the post-<link> quirk (link START sets
-  in_body=false and nothing but a head/noscript/script/style END or a
-  <body> START restores it) — never reaches text_content; text emitted
-  while in_body=true always does.
+- the OBSERVABLE state machine = ammonia clean (lib.rs:188) composed
+  with lib.rs:302-324: style/noscript/noframes are ammonia
+  clean_content_tags — deleted WITH content before any parser runs, so
+  nothing inside them (text, headings, meta, links, resources) is
+  observable and they never touch in_body (r10 correction: the
+  lib.rs noscript branch is dead code on the cleaned document). Text
+  inside the head region or script content — and the post-<link> quirk
+  (link START sets in_body=false and nothing but a head/script END or
+  a <body> START restores it) — never reaches text_content; text
+  emitted while in_body=true always does.
 - lib.rs:290-301: links are EVERY real a[href] in document order,
   duplicates kept, '#'/'_' included at the parse level (the reference
   filters them at collection; our pipeline applies the identical filter
   in the q168 hygiene chain, extraction.py:179 — pinned there).
-- resource_urls = src/href of real script/style/link tags, in order.
+- resource_urls = src/href of real script/link tags, in order
+  (style is ammonia-deleted and contributes none).
 - meta_tags keeps name→content only when BOTH are non-empty (last wins).
 - headings: a marker inside h1-h6 is in headings_text; also in text iff
   the in_body flag held (reference pushes to both independently).
@@ -58,13 +64,17 @@ def _gen_doc(rng: random.Random, idx: int):
     hidden: list[str] = []    # must NOT appear in text
     heads: list[str] = []     # must appear in headings_text (in_heading
     #                           is INDEPENDENT of in_body in lib.rs —
-    #                           noscript/title/anchor text inside an open
-    #                           heading still reaches headings_text)
-    cdata_marks: list[str] = []  # script/style content: excluded from
-    #                           headings assertions (reference would push
-    #                           it when in_heading — our parser's CDATA
-    #                           handling does not; documented divergence,
-    #                           unreachable through tidy-cleaned pages)
+    #                           title/anchor text inside an open heading
+    #                           still reaches headings_text; ammonia-
+    #                           deleted regions are the exception: their
+    #                           text exists nowhere)
+    cdata_marks: list[str] = []  # script content: excluded from
+    #                           headings assertions (script SURVIVES
+    #                           ammonia, so the reference pushes its text
+    #                           when in_heading; rare — left out of the
+    #                           exactness check). style content is
+    #                           ammonia-DELETED: asserted absent like any
+    #                           other deleted-region mark.
     all_marks: list[str] = []
     links: list[str] = []     # expected links, in order
     resources: list[str] = []
@@ -95,8 +105,10 @@ def _gen_doc(rng: random.Random, idx: int):
                 parts.append(f"var x = '{m}' < 3 && y;" if cdata == "script" else f".{m} {{}}")
             else:
                 parts.append(f"</{cdata}>")
+                if cdata == "script":
+                    in_body = True  # lib.rs End(script) => in_body = true
+                # style: ammonia-deleted region — in_body untouched
                 cdata = None
-                in_body = True  # lib.rs End(script|style) => in_body = true
             continue
         op = rng.random()
         if op < 0.28:  # text
@@ -133,16 +145,18 @@ def _gen_doc(rng: random.Random, idx: int):
             if kind == "link":
                 parts.append(f'<link href="{m}.css">')
                 in_body = False  # the post-<link> quirk: nothing restores
-                # it except a head/noscript/script/style END or <body>
+                # it except a head/script END or <body>
+                resources.append(f"{m}.css")
             elif kind == "script":
                 parts.append(f'<script src="{m}.js">')
                 cdata = "script"
                 in_body = False
+                resources.append(f"{m}.js")
             else:
+                # style is an ammonia-deleted region: no resource, no
+                # in_body transition; its content marks stay hidden
                 parts.append(f'<style href="{m}.s">')
                 cdata = "style"
-                in_body = False
-            resources.append(f"{m}.css" if kind == "link" else (f"{m}.js" if kind == "script" else f"{m}.s"))
         elif op < 0.58:  # meta
             m = marker()
             if rng.random() < 0.7:
@@ -178,13 +192,13 @@ def _gen_doc(rng: random.Random, idx: int):
         elif op < 0.90:  # body start restores text collection
             parts.append("<body>")
             in_body = True
-        elif op < 0.95:  # noscript island
+        elif op < 0.95:  # noscript island: ammonia-deleted with content —
+            # invisible EVERYWHERE (even inside an open heading) and
+            # in_body is untouched (r10 correction; previously modelled
+            # as the lib.rs dead-code in_body=false/true transition)
             m = marker()
             hidden.append(m)
-            if heading is not None:
-                heads.append(m)  # in_heading independent of in_body
             parts.append(f"<noscript>{m}</noscript>")
-            in_body = True  # its END restores collection
         else:  # title
             m = marker()
             parts.append(f"<title>{m}</title>")

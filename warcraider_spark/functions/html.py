@@ -11,18 +11,25 @@ contract is the reference's own moneysmart snapshot
 Event-routing semantics replicated from the strict parser
 (lib.rs:244-383), including its quirks:
 - text collected while ``in_body`` (initially TRUE — pre-<head> text
-  counts); head/noscript/script/style/link set in_body=False; only
-  head/noscript/script/style ENDS restore it — a bare ``<link>`` in body
-  suppresses text until the next such end tag (lib.rs:302-324);
+  counts); head/script/link set in_body=False; only head/script ENDS
+  restore it — a bare ``<link>`` in body suppresses text until the next
+  such end tag (lib.rs:302-324). style/noscript/noframes are ammonia
+  clean_content_tags (lib.rs:134-137): deleted WITH content before any
+  parser runs, so they contribute nothing anywhere and never touch
+  in_body (r10 — the lib.rs noscript branch is dead code on the cleaned
+  document, and a noscript end no longer spuriously restores text
+  collection after a <link>);
 - meta key = LAST present of name/http-equiv/itemprop/property in
   attribute order, value = content, both non-empty (lib.rs:268-289);
 - links: every a[href], document order, duplicates kept — the SOUP-path
   semantics (lib.rs:435-439) that the golden snapshot pins; the strict
   path's '_'/'#' prefix filter is available separately as
-  extract.filter_link_prefixes. Dangerous schemes (javascript:, data:,
-  vbscript:) are dropped, replicating the ammonia sanitizer's effect on
-  the cascade input (lib.rs:61-153 — ammonia strips such hrefs);
-- resource_urls: src/href of script/style/link tags (lib.rs:303-314);
+  extract.filter_link_prefixes. Scheme filtering replicates ammonia's
+  default ALLOWLIST (r10): an href whose scheme is outside the set
+  loses the attribute, relative URLs pass (lib.rs:61-153 + 188 — the
+  cleaner runs on every page before parsing);
+- resource_urls: src/href of script/link tags (lib.rs:303-314; style is
+  ammonia-deleted before the parser, so it can contribute none);
 - headings: h1-h6 raw inner text grouped BY LEVEL then document order —
   the soup path iterates h1s, then h2s, … (lib.rs:471-487), which is the
   order the golden pins;
@@ -130,6 +137,18 @@ def empty_html_result(ok: bool = False, html_errors: str = " ") -> dict:
     }
 
 
+# ammonia clean_content_tags (lib.rs:134-137): these elements are
+# removed WITH their entire content by the cleaner BEFORE any parser
+# runs — so nothing inside them (text, headings, meta, links,
+# resources) is ever observable downstream, and they do not touch the
+# in_body state machine (the lib.rs:302 noscript branch is dead code on
+# the cleaned document). r10: previously modelled as in_body=False
+# regions, which wrongly RESTORED in_body on their end tags (visible
+# after `<link><noscript>..</noscript>text`) and collected meta/links
+# inside noscript (GA fallback pixels) that the reference never sees.
+_DELETED_CONTENT_TAGS = frozenset({"style", "noscript", "noframes"})
+
+
 class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -143,8 +162,18 @@ class _Extractor(HTMLParser):
         self.links: list[str] = []
         self.resources: list[str] = []
         self.meta: dict[str, str] = {}
+        self._deleted_tag: str | None = None  # open ammonia-cct region
+        self._deleted_depth = 0
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if self._deleted_tag is not None:
+            if tag == self._deleted_tag:
+                self._deleted_depth += 1
+            return
+        if tag in _DELETED_CONTENT_TAGS:
+            self._deleted_tag = tag
+            self._deleted_depth = 1
+            return
         if tag == "meta":
             key = ""
             value = ""
@@ -159,9 +188,11 @@ class _Extractor(HTMLParser):
             for k, v in attrs:
                 if k == "href" and v is not None and _scheme_ok(v):
                     self.links.append(v)
-        elif tag in ("head", "noscript"):
+        elif tag == "head":
             self.in_body = False
-        elif tag in ("script", "style", "link"):
+        elif tag in ("script", "link"):
+            # style is NOT here: ammonia deletes it with content before
+            # the reference's parser runs (see _DELETED_CONTENT_TAGS)
             self.in_body = False
             for k, v in attrs:
                 if k in ("src", "href") and v is not None:
@@ -180,6 +211,12 @@ class _Extractor(HTMLParser):
         self.handle_endtag(tag)
 
     def handle_endtag(self, tag: str) -> None:
+        if self._deleted_tag is not None:
+            if tag == self._deleted_tag:
+                self._deleted_depth -= 1
+                if self._deleted_depth == 0:
+                    self._deleted_tag = None
+            return
         if tag in _HEADINGS:
             if self.heading_level:
                 raw = "".join(self._heading_buf).strip()
@@ -187,13 +224,18 @@ class _Extractor(HTMLParser):
                     self.headings.append((self.heading_level, raw))
             self.heading_level = 0
             self._heading_buf = []
-        elif tag in ("head", "noscript", "script", "style"):
-            # note: deliberately NOT "link" (lib.rs:322 quirk)
+        elif tag in ("head", "script"):
+            # deliberately NOT "link" (lib.rs:322 quirk); noscript/style
+            # ends never arrive here (deleted regions consume them), so
+            # they can no longer spuriously restore in_body after a
+            # <link> set it false
             self.in_body = True
         elif tag == "title":
             self.in_title = False
 
     def handle_data(self, data: str) -> None:
+        if self._deleted_tag is not None:
+            return
         if self.heading_level:
             self._heading_buf.append(data)  # raw, soup-style h.text
         txt = data.strip()
