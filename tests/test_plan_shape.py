@@ -761,3 +761,39 @@ def test_mixture_trio_plan_shapes(spark):
     p11 = plan_of(specs["q011_domain_quality_select"].builder(spark, SF_CORRECT))
     assert "windowspecdefinition(source" in p11.lower().replace(" ", "")
     assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11
+
+
+def test_warc_pipeline_is_map_only_until_write(spark, tmp_path):
+    """The e2e WARC pipeline's r10 scale curve attributes ~97% of
+    executor time to the map stage — because the transform graph is
+    shuffle-FREE by construction: native pre-filters, four pandas-UDF
+    crossings and all projections compose into one map stage, and the
+    only exchange in the whole job is the repartition("source") the
+    WRITE adds. Pin both halves of that claim."""
+    from warcraider_spark.plans.pipeline import url_resource_from_warc_records
+    from warcraider_spark.sources.warc import build_warc_bytes, read_warc_auto
+
+    page = b"HTTP/1.1 200 OK\n\n\r\n<html><head><title>t</title></head><body><p>x</p></body></html>"
+    warc = tmp_path / "one.warc"
+    warc.write_bytes(
+        build_warc_bytes(
+            [
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "https://e.example/x",
+                        "Uncompressed-Content-Length": str(len(page)),
+                    },
+                    page,
+                )
+            ]
+        )
+    )
+    res = url_resource_from_warc_records(read_warc_auto(spark, str(tmp_path)))
+    plan = plan_of(res)
+    shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert shuffles == 0, f"transform graph must be map-only, found {shuffles} exchanges:\n{plan[:2000]}"
+    written = res.repartition("source").sortWithinPartitions("domain_name")
+    wplan = plan_of(written)
+    wshuffles = wplan.count("+- Exchange") + wplan.count(":- Exchange")
+    assert wshuffles == 1, f"write path must add exactly one exchange, found {wshuffles}"

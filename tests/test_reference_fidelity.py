@@ -874,6 +874,36 @@ def test_head_plain_text_cases():
     assert td("<!DOCTYPE html>\ntext<title>t</title>") == ""
 
 
+def test_ammonia_deleted_content_regions():
+    """r10: ammonia clean_content_tags (style/noscript/noframes) are
+    deleted WITH content before the reference's parser runs — nothing
+    inside them is observable (text, headings, meta, links, resources),
+    they never touch in_body (so a noscript after a <link> does NOT
+    restore text collection), and their content is RAWTEXT: it ends at
+    the FIRST matching end tag, a nested same-name start is just
+    text."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    r = parse_html_py(
+        '<noscript><img src="ga.gif"><a href="/ns">x</a>'
+        '<meta name="k" content="v">nstext</noscript>'
+        "<h1>a<noscript>inner</noscript>b</h1>"
+        "<style>.c{}</style>after"
+    )
+    joined = " ".join(r["text"])
+    assert "nstext" not in joined and "inner" not in joined and ".c" not in joined
+    assert "after" in joined
+    assert r["links"] == [] and r["resource_urls"] == [] and r["meta_tags"] == {}
+    assert r["headings_text"] == ["ab"]
+    # in_body untouched: link suppresses, noscript does NOT restore
+    r2 = parse_html_py('<link href="x.css"><noscript>n</noscript>hidden<body>shown')
+    assert "hidden" not in " ".join(r2["text"]) and "shown" in " ".join(r2["text"])
+    # RAWTEXT first-close: nested same-name start is text; content after
+    # the first end tag is live again
+    r3 = parse_html_py("<noscript>one<noscript>two</noscript>three</noscript>tail")
+    assert " ".join(r3["text"]) == "three tail"
+
+
 def test_ammonia_scheme_allowlist():
     """r10: the reference cleans every page with ammonia BEFORE parsing
     (lib.rs:188), and ammonia filters URL attributes against its default

@@ -163,16 +163,16 @@ class _Extractor(HTMLParser):
         self.resources: list[str] = []
         self.meta: dict[str, str] = {}
         self._deleted_tag: str | None = None  # open ammonia-cct region
-        self._deleted_depth = 0
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if self._deleted_tag is not None:
-            if tag == self._deleted_tag:
-                self._deleted_depth += 1
+            # RAWTEXT semantics (html5ever, which ammonia parses with):
+            # the region's content is raw text until the FIRST matching
+            # end tag — a nested same-name start tag is just text, so no
+            # depth counting
             return
         if tag in _DELETED_CONTENT_TAGS:
             self._deleted_tag = tag
-            self._deleted_depth = 1
             return
         if tag == "meta":
             key = ""
@@ -213,9 +213,7 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if self._deleted_tag is not None:
             if tag == self._deleted_tag:
-                self._deleted_depth -= 1
-                if self._deleted_depth == 0:
-                    self._deleted_tag = None
+                self._deleted_tag = None
             return
         if tag in _HEADINGS:
             if self.heading_level:
