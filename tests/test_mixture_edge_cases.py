@@ -1,0 +1,99 @@
+"""Adversarial corpora for the r10 training-mixture trio (the r8
+short-doc/zero-vector sweep pattern): shapes the sf testdata never
+produces, run through the SAME Spark-vs-DuckDB oracle comparator so
+every cross-engine hazard (integer div by zero, HUGEINT sums, empty
+aggregates, window-over-one-row) is checked on BOTH engines, not
+reasoned about.
+
+Corpora:
+- dominant: one domain holds ~94% of tokens — the water-fill MUST cap
+  it (the operator's reason to exist) and the gate keeps ceil(30%) of a
+  1-doc domain (=1).
+- single_domain: |domains| = 1 — the cut arithmetic divides by
+  (n - i + 1) = 1 and the budget simply truncates the one domain.
+- sparse: empty-text docs mixed in — word_count 0 documents contribute
+  0 tokens to their domain (never a div-by-zero: q011 filters them, and
+  q009's level divisor is domain count, not tokens).
+- uniform_tiny: every domain identical — ties broken by the (toks,
+  source) sort key identically in both engines.
+"""
+
+from __future__ import annotations
+
+import duckdb as _dd
+import pytest
+
+from warcraider_spark.oracle import run_oracle
+from warcraider_spark.registry import all_specs
+
+TRIO = ["q009_domain_mixture_weights", "q010_dsir_select", "q011_domain_quality_select"]
+
+
+def _corpus(tmp_path, name: str, rows: list[tuple[int, str, str]]) -> str:
+    d = tmp_path / name
+    d.mkdir()
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [(i, t, "xx", s, len(t)) for i, t, s in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+    return str(d)
+
+
+def _corpora(tmp_path) -> dict[str, list[tuple[int, str, str]]]:
+    dominant = [(i, "common filler words here now " * 40, "big") for i in range(9)]
+    dominant += [(9, "rare niche tokens only", "small"), (10, "tiny bit", "mini")]
+    single = [(i, f"alpha beta gamma delta {i}", "only") for i in range(8)]
+    sparse = [
+        (0, "", "a"),
+        (1, "   ", "a"),
+        (2, "one two three four five six", "a"),
+        (3, "", "b"),
+        (4, "seven eight nine ten", "b"),
+        (10, "target style text one two", "c"),
+        (20, "target style text three four", "c"),
+    ]
+    uniform = [(i, "same five tokens every time", f"s{i % 4}") for i in range(12)]
+    return {
+        "dominant": dominant,
+        "single_domain": single,
+        "sparse": sparse,
+        "uniform_tiny": uniform,
+    }
+
+
+@pytest.mark.parametrize("cname", ["dominant", "single_domain", "sparse", "uniform_tiny"])
+def test_mixture_trio_edge_corpora(spark, tmp_path, cname):
+    rows = _corpora(tmp_path)[cname]
+    d = _corpus(tmp_path, cname, rows)
+    specs = all_specs()
+    for q in TRIO:
+        r = run_oracle(spark, specs[q], d)
+        assert r.ok, (cname, q, r.detail)
+
+
+def test_waterfill_caps_dominant_domain(spark, tmp_path):
+    """Semantic spot-check beyond hash equality: on the dominant corpus
+    the 60% budget MUST cap the big domain while the small ones keep
+    every token — the allocation the operator exists to produce."""
+    d = _corpus(tmp_path, "dom2", _corpora(tmp_path)["dominant"])
+    out = {
+        r["source"]: r.asDict()
+        for r in all_specs()["q009_domain_mixture_weights"].builder(spark, d).collect()
+    }
+    assert out["big"]["capped"] and out["big"]["alloc_tokens"] < out["big"]["domain_tokens"]
+    assert not out["small"]["capped"]
+    assert out["small"]["alloc_tokens"] == out["small"]["domain_tokens"]
+    assert not out["mini"]["capped"]
+    total = sum(v["domain_tokens"] for v in out.values())
+    assert sum(v["alloc_tokens"] for v in out.values()) <= total * 6 // 10
