@@ -1046,23 +1046,27 @@ def q010_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     for Language Models via Importance Resampling" — public paper): score
     raw documents by how target-like their token distribution is and keep
     the top-k. The target sample is the doc_id%10==0 slice (a stand-in
-    for a curated seed set); each token contributes its add-one-smoothed
-    target/raw frequency ratio in integer basis points, summed over
-    token OCCURRENCES — a monotone integer surrogate for the n-gram
-    log-likelihood ratio the paper uses, exact on both engines (no
-    float logs to drift).
+    for a curated seed set); tokens are HASHED into a fixed
+    4096-bucket feature space — the paper's own construction, and what
+    makes the plan scale-safe: the likelihood-ratio table is bounded by
+    the bucket count BY CONSTRUCTION, never by corpus vocabulary, so
+    its broadcast is a few KB at any corpus size (the KNOWN_OK
+    justification for the broadcast-of-aggregate flag). Each token
+    occurrence contributes its bucket's add-one-smoothed target/raw
+    frequency ratio in integer basis points. Deliberate exactness
+    trade, stated plainly: the paper sums LOG ratios; this sums the
+    ratios themselves, which favors target-likeness the same way but
+    can rank borderline documents differently — in exchange the score
+    is integer-exact on both engines (portable md5-derived bucket ids,
+    no float logs to drift cross-engine).
 
-    Plan: one explode + one shuffle builds per-term target/raw counts
+    Plan: one explode + one shuffle builds per-bucket target/raw counts
     (map-side partial, conditional sums in a single pass — never two
-    corpus scans); the ratio table is vocabulary-sized and BROADCASTS
-    onto the token stream; per-doc scores shuffle once on doc_id; the
-    global top-k is TakeOrderedAndProject (never a full sort). At
-    100 TB the vocabulary table is the only state — the hashed-feature
-    variant of the paper drops in by replacing term with a hash bucket,
-    same plan."""
-    from warcraider_spark.functions.textfn import tokens
-
-    from warcraider_spark.functions.textfn import md5_int
+    corpus scans); the bounded ratio table broadcasts onto the token
+    stream; per-doc scores shuffle once on doc_id; the global top-k is
+    TakeOrderedAndProject (never a full sort), and the final rank
+    window orders only the surviving 50 rows."""
+    from warcraider_spark.functions.textfn import md5_int, tokens
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = (
