@@ -97,3 +97,66 @@ def test_waterfill_caps_dominant_domain(spark, tmp_path):
     assert not out["mini"]["capped"]
     total = sum(v["domain_tokens"] for v in out.values())
     assert sum(v["alloc_tokens"] for v in out.values()) <= total * 6 // 10
+
+
+# ---------------------------------------------------------------------------
+# Closed-form water-fill: property proof of the algorithm itself
+# ---------------------------------------------------------------------------
+
+def _waterfill_closed_form(toks: list[int], num: int = 6, den: int = 10):
+    """Pure-python mirror of the q009 SQL/DataFrame math (sort asc,
+    prefix sums, first position whose domain reaches its candidate
+    level), returning (allocations aligned to the input order, level or
+    None)."""
+    order = sorted(range(len(toks)), key=lambda i: (toks[i], i))
+    total = sum(toks)
+    b = total * num // den
+    n = len(toks)
+    prefix = 0
+    cut_level = None
+    for pos, idx in enumerate(order, start=1):
+        level = (b - prefix) // (n - pos + 1)
+        if toks[idx] >= level:
+            cut_level = level
+            break
+        prefix += toks[idx]
+    if cut_level is None:
+        return list(toks), None
+    return [min(t, cut_level) for t in toks], cut_level
+
+
+def test_waterfill_closed_form_properties():
+    """The closed form must BE the integer water-fill: (a) the budget is
+    respected; (b) every uncapped domain keeps all its tokens and sits
+    at or below the level; (c) maximality — raising the level by one
+    token would break the budget (so no fairer allocation exists at
+    integer granularity); (d) allocation is monotone in domain size.
+    Hypothesis drives the shapes (empty-ish, ties, zeros, one giant)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40))
+    def check(toks):
+        alloc, level = _waterfill_closed_form(toks)
+        total = sum(toks)
+        budget = total * 6 // 10
+        assert sum(alloc) <= max(budget, 0)
+        if level is None:
+            assert alloc == list(toks)
+            assert total <= budget or total == 0 or budget >= total
+        else:
+            for t, a in zip(toks, alloc):
+                assert a == min(t, level)
+            # maximality: raising the level either changes nothing
+            # (every domain already fully allocated — e.g. the all-zero
+            # corpus, where the cut fires at level 0 vacuously) or
+            # breaks the budget
+            bumped = sum(min(t, level + 1) for t in toks)
+            assert bumped == sum(alloc) or bumped > budget
+            # monotone: bigger domain never allocated less
+            pairs = sorted(zip(toks, alloc))
+            for (t1, a1), (t2, a2) in zip(pairs, pairs[1:]):
+                assert a1 <= a2
+
+    check()
