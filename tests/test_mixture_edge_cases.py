@@ -26,7 +26,12 @@ import pytest
 from warcraider_spark.oracle import run_oracle
 from warcraider_spark.registry import all_specs
 
-TRIO = ["q009_domain_mixture_weights", "q010_dsir_select", "q011_domain_quality_select"]
+TRIO = [
+    "q008_mixture_apply_select",
+    "q009_domain_mixture_weights",
+    "q010_dsir_select",
+    "q011_domain_quality_select",
+]
 
 
 def _corpus(tmp_path, name: str, rows: list[tuple[int, str, str]]) -> str:

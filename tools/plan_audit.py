@@ -85,6 +85,12 @@ KNOWN_OK_PAIRS = {
     # construction); q010's final rank window orders the 50 rows that
     # survive TakeOrderedAndProject.
     ("q009_domain_mixture_weights", "unpartitioned window"),
+    # q008 recomputes the q009 allocation inline (same aggregate-sized
+    # shapes) and broadcasts the ~|domains|-row alloc table onto the
+    # hash-ordered per-domain cumsum
+    ("q008_mixture_apply_select", "unpartitioned window"),
+    ("q008_mixture_apply_select", "BroadcastNestedLoopJoin"),
+    ("q008_mixture_apply_select", "broadcast of unbounded aggregate"),
     ("q009_domain_mixture_weights", "BroadcastNestedLoopJoin"),
     ("q009_domain_mixture_weights", "broadcast of unbounded aggregate"),
     ("q010_dsir_select", "unpartitioned window"),

@@ -21,6 +21,8 @@ RENAMES = {
     "q009_date_family2": "q188_date_family2",
     "q010_posexplode": "q189_posexplode",
     "q011_to_json": "q190_to_json",
+    # wave B2: one more slot for the water-fill's consumer operator
+    "q008_null_semantics": "q191_null_semantics",
 }
 
 

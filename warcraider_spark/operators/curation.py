@@ -1171,3 +1171,114 @@ def q011_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "ttr_bp", F.col("rk").cast("int").alias("rk"))
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "q008_mixture_apply_select",
+    oracle=f"""
+WITH wc AS (
+  SELECT doc_id, source, CAST({WORD_COUNT_SQL} AS BIGINT) AS toks
+  FROM documents
+),
+dom AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS dtoks FROM wc GROUP BY source),
+tot AS (SELECT CAST(SUM(dtoks) AS BIGINT) AS t, COUNT(*) AS n FROM dom),
+pos AS (
+  SELECT source, dtoks,
+         ROW_NUMBER() OVER (ORDER BY dtoks, source) AS i,
+         CAST(SUM(dtoks) OVER (ORDER BY dtoks, source) AS BIGINT) AS p,
+         (SELECT t FROM tot) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS b,
+         (SELECT n FROM tot) AS n
+  FROM dom
+),
+lev AS (SELECT *, (b - (p - dtoks)) // (n - i + 1) AS level FROM pos),
+cut AS (
+  SELECT MIN(CASE WHEN dtoks >= level THEN {{'i': i, 'level': level}} END) AS c
+  FROM lev
+),
+alloc AS (
+  SELECT source,
+         CAST(CASE WHEN c IS NOT NULL AND i >= c.i THEN c.level ELSE dtoks END
+              AS BIGINT) AS alloc_tokens
+  FROM lev CROSS JOIN cut
+),
+ranked AS (
+  SELECT wc.doc_id, wc.source, wc.toks,
+         CAST(SUM(wc.toks) OVER (
+           PARTITION BY wc.source
+           ORDER BY {md5_int_sql("CAST(wc.doc_id AS VARCHAR)")}, wc.doc_id
+         ) AS BIGINT) AS cum
+  FROM wc
+)
+SELECT r.doc_id, r.source, r.toks, r.cum
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.cum <= a.alloc_tokens
+ORDER BY r.source, r.cum, r.doc_id
+""",
+    tags=("curation", "mixture", "selection", "training-pipeline"),
+    min_rows=1,
+)
+def q008_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the q009 water-fill allocation: select the actual documents
+    that fill each domain's token budget. Documents are consumed in
+    portable-hash order (reproducible across engines and runs — the
+    q105 idiom) with a per-domain running token sum, keeping every
+    document whose cumulative count fits the domain's allocation — the
+    greedy budget fill a mixture executor performs after the planner
+    (q009) decides the per-domain shares. Recomputes the closed-form
+    allocation inline (same math, certified independently by q009) so
+    the operator is self-contained over the raw table.
+
+    Integer-exact throughout. Plan: one corpus pass computes per-doc
+    token counts map-side; the per-domain rollup and every water-fill
+    step run on the ~|domains|-row aggregate (windows + 1-row broadcast
+    cut, the q009 KNOWN_OK shapes); the selection itself is ONE shuffle
+    on the domain key for the hash-ordered cumulative-sum window
+    (partitioned by source, never global), then a broadcast join of the
+    ~|domains|-row allocation table. At 100 TB: the fact table shuffles
+    exactly once, on a key with |domains| distinct values — for a
+    pathological single mega-domain the q073 bucket-prefix-sum shape is
+    the documented escalation, same as q105's."""
+    from warcraider_spark.functions.textfn import md5_int, word_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wc = docs.select(
+        "doc_id", "source", word_count("text").cast("bigint").alias("toks")
+    )
+    dom = wc.groupBy("source").agg(F.sum("toks").cast("bigint").alias("dtoks"))
+    n_and_t = dom.agg(
+        F.sum("dtoks").cast("bigint").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    w_ord = Window.orderBy(F.asc("dtoks"), F.asc("source"))
+    lev = (
+        dom.join(F.broadcast(n_and_t))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("p", F.sum("dtoks").over(w_ord).cast("bigint"))
+        .withColumn("b", F.expr(f"t * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"))
+        .withColumn("level", F.expr("(b - (p - dtoks)) div (n - i + 1)"))
+    )
+    cut = lev.agg(
+        F.min(
+            F.when(F.col("dtoks") >= F.col("level"), F.struct("i", "level"))
+        ).alias("c")
+    )
+    alloc = lev.join(F.broadcast(cut)).select(
+        "source",
+        F.when(
+            F.col("c").isNotNull() & (F.col("i") >= F.col("c.i")), F.col("c.level")
+        )
+        .otherwise(F.col("dtoks"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(md5_int(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = wc.withColumn("cum", F.sum("toks").over(cum_w).cast("bigint"))
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("cum") <= F.col("alloc_tokens"))
+        .select("doc_id", "source", "toks", "cum")
+        .orderBy("source", "cum", "doc_id")
+    )

@@ -1306,7 +1306,7 @@ def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_null_semantics",
+    "q191_null_semantics",
     oracle="""
 SELECT o_orderkey,
        NULLIF(o_orderstatus, 'O') AS status_or_null,
@@ -1319,7 +1319,7 @@ LIMIT 1000
 """,
     tags=("scalar", "null"),
 )
-def q008_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q191_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
     engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
     so these are the boundary operators between the two conventions."""
