@@ -101,7 +101,14 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name in ordered:
         reps = sorted(raw[name])
-        timings[name] = round(reps[len(reps) // 2], 3)
+        # ADVICE r10 #3: a re-run guard appends a 6th rep, and the
+        # upper-middle of 6 sorted values is a biased-high estimator vs
+        # everyone else's 5-rep median. Take the median over the BEST
+        # REPS reps (drop the max of 6) so flagged and unflagged queries
+        # carry the same estimator; the [min, max] band still reports
+        # the full observed range.
+        best = reps[:REPS]
+        timings[name] = round(best[len(best) // 2], 3)
         spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
 
     total = round(sum(timings.values()), 3)

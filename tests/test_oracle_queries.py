@@ -387,6 +387,16 @@ def _unicode_corpus(tmp_path):
         (25, "𠀀𠀁𠀂𠀃𠀀𠀁𠀂𠀃 中文 𠀀𠀁𠀂 𠀀𠀁𠀂"),
         # regional-indicator flags + skin-tone modifiers mid-token
         (26, "🇦🇺 flag 🇦🇺 👍🏽 thumb 👍🏽 🇦🇺"),
+        # r11 Unicode-whitespace RUNS (VERDICT r10 #1): the quirk's
+        # {2,} branch and word_count must agree across Spark (?U)\s,
+        # DuckDB's explicit White_Space class, and the reference's Rust
+        # \s — U+3000/NBSP/NNBSP/thin-space runs, singles (kept), and
+        # White_Space-only documents
+        (27, "run\u3000\u3000test\u00a0\u00a0run  done"),
+        (28, "nbsp\u00a0word \u00a0run\u00a0\u00a0end plain"),
+        (29, "single\u3000sep kept\u00a0here no runs"),
+        (30, "\u3000\u3000lead mid\u202f\u205fmid trail\u2009\u2009"),
+        (31, "\u6df1\u5ea6\u5b66\u4e60\u3000\u3000\u6a21\u578b\u8bad\u7ec3\u3000\u6570\u636e"),
     ]
     d = tmp_path / "unicorpus"
     d.mkdir()
@@ -441,6 +451,7 @@ def test_unicode_multilingual_totality(spark, tmp_path):
         "q077_span_excision", "q016_heavy_hitters", "q096_bpe_encode",
         "q039_simhash_radius", "q040_bpe_merge_train",
         "q169_containment_dedup", "q161_training_data_pipeline",
+        "q093_whitespace_quirks", "q146_sequence_packing",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)

@@ -402,12 +402,14 @@ def test_missing_quote_post_breakage_recovery():
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     # r8: the hidden broken <a> (no pseudo-tag forms — odd quote count)
-    # still opens its element, so it is reported missing at EOF
+    # still opens its element; r11 (class 23): the <div> block start
+    # implies closing it right there (missing </a> before <div>) instead
+    # of the old EOF-anchored plain class-7 report
     assert td('<!DOCTYPE html><title>t</title>\n<a href="broken>\n<div class="x" class="y">dup</div>') == (
         "line 2 column 1 - Warning: <a> attribute with missing trailing quote mark\n"
         'line 3 column 1 - Warning: <div> dropping value "x" '
         'for repeated attribute "class"\n'
-        "line 3 column 35 - Warning: missing </a>\n"
+        "line 3 column 1 - Warning: missing </a> before <div>\n"
     )
     # pairing that would swallow <b>bold</b> into the <a> pseudo-tag:
     # the value ends at '</b' (tidy keeps the bare '<b>' as value text),
@@ -804,9 +806,11 @@ def test_nested_anchor_cases():
         "line 2 column 18 - Warning: missing </b> before <a>\n"
         "line 2 column 18 - Warning: missing </a> before <a>\n"
     )
-    # optional-end-tag children (the <p>) close silently in the cascade
+    # r11 (class 23): the BLOCK-level <p> start already implies closing
+    # the open anchor (missing </a> before <p>) — so the second <a>
+    # finds nothing open and the class-16 path never fires here
     assert td(pre + '<a href="/1"><p>x<a href="/2">y</a>') == (
-        "line 2 column 18 - Warning: missing </a> before <a>\n"
+        "line 2 column 14 - Warning: missing </a> before <p>\n"
     )
 
 
@@ -955,8 +959,11 @@ def test_heading_nesting_cases():
         "line 2 column 10 - Warning: missing </b> before <h3>\n"
         "line 2 column 10 - Warning: missing </h1> before <h3>\n"
     )
+    # r11 (class 23): the BLOCK-level <p> start already implies closing
+    # the heading (tidy's ParseInline returns the token) — the warning
+    # moves to the <p>, and the <h3> then opens with nothing to close
     assert td(pre + "<h1>a<p>x<h3>y</h3>") == (
-        "line 2 column 10 - Warning: missing </h1> before <h3>\n"
+        "line 2 column 6 - Warning: missing </h1> before <p>\n"
     )
     # same level: the start token is coerced into </h2> — one warning,
     # nothing opens, so the later </h2> closes the FIRST h2's region
@@ -965,10 +972,112 @@ def test_heading_nesting_cases():
         "line 2 column 6 - Warning: replacing unexpected <h2> with </h2>\n"
         "line 2 column 11 - Warning: discarding unexpected </h2>\n"
     )
-    # coerced close over a required-end child uses plain class-7 wording
+    # r11 (class 23): the inline parser closes the <b> with the
+    # before-wording BEFORE the block parser coerces the same-level
+    # heading (tidy's ParseInline returns the token first); the plain
+    # class-7 wording in the coerced cascade remains only for frames
+    # class 23 cannot pop (e.g. unknown elements)
     assert td(pre + "<h2>a<b>x<h2>") == (
-        "line 2 column 10 - Warning: missing </b>\n"
+        "line 2 column 10 - Warning: missing </b> before <h2>\n"
         "line 2 column 10 - Warning: replacing unexpected <h2> with </h2>\n"
     )
     # sequential (properly closed) headings never fire either class
     assert td(pre + "<h1>a</h1><h2>b</h2><h2>c</h2>") == ""
+
+
+def test_uri_hygiene_cases():
+    """Class 21 (r11): tidy's CheckUrl (attrs.c) on URL-typed attribute
+    values — backslash fixing (FIXED_BACKSLASH; javascript: scheme exempt
+    from the fix, so it takes the BACKSLASH_IN_URI wording), malformed
+    characters (<= 0x20, > 0x7e, '<', '>') escaped with
+    ESCAPED_ILLEGAL_URI, the lexer's NEWLINE_IN_URI discard, and
+    MISSING_ATTR_VALUE for a valueless URL attribute. An empty value IS
+    a value (zero bytes to check) and stays silent."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + '<a href="/a b">x</a>') == (
+        "line 2 column 1 - Warning: <a> escaping malformed URI reference\n"
+    )
+    assert td(pre + '<a href="café/page">x</a>') == (
+        "line 2 column 1 - Warning: <a> escaping malformed URI reference\n"
+    )
+    assert td(pre + '<a href="foo\\bar">x</a>') == (
+        "line 2 column 1 - Warning: <a> converting backslash in URI to slash\n"
+    )
+    # both together: CheckUrl's code order is backslash first
+    assert td(pre + '<a href="a\\b c">x</a>') == (
+        "line 2 column 1 - Warning: <a> converting backslash in URI to slash\n"
+        "line 2 column 1 - Warning: <a> escaping malformed URI reference\n"
+    )
+    assert td(pre + '<a href="javascript:do\\x">x</a>') == (
+        "line 2 column 1 - Warning: <a> URI reference contains backslash. Typo?\n"
+    )
+    # newline discarded at LEX time: the escape check never sees it
+    assert td(pre + '<img src="a\nb.png">') == (
+        "line 2 column 1 - Warning: <img> discarding newline in URI reference\n"
+    )
+    assert td(pre + "<a href>x</a>") == (
+        'line 2 column 1 - Warning: <a> attribute "href" lacks value\n'
+    )
+    assert td(pre + '<a href="">x</a>') == ""
+    # the dictionary is per-attribute-name: src is URL-typed on any tag
+    assert td(pre + '<a href="ok.html" data-x="1" src="bad path">x</a>') == (
+        "line 2 column 1 - Warning: <a> escaping malformed URI reference\n"
+    )
+    # clean URIs are silent
+    assert td(pre + '<a href="https://ok.example/p?q=1#f">x</a>') == ""
+
+
+def test_table_part_inference_cases():
+    """Class 22 (r11): a tr/td/th start tag with no <table> open anywhere
+    warns MISSING_STARTTAG ('missing <table>') — tidy infers the table.
+    Same non-pushing scope limit as class 14: a second bare part warns
+    again (real tidy's inferred table would absorb it; documented)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + "<body><tr><td>c</td></tr></body>") == (
+        "line 2 column 7 - Warning: missing <table>\n"
+        "line 2 column 11 - Warning: missing <table>\n"
+    )
+    assert td(pre + "<body><th>h</th></body>") == (
+        "line 2 column 7 - Warning: missing <table>\n"
+    )
+    # inside a real table: silent
+    assert td(pre + "<table><tr><td>c</td></tr></table>") == ""
+
+
+def test_block_start_implied_close_cases():
+    """Class 23 (r11): a block-level start tag implies closing open
+    required-end INLINE elements (and an open heading when the trigger
+    is not itself a heading) — tidy's ParseInline returns the token,
+    MISSING_ENDTAG_BEFORE innermost-first anchored at the NEW tag; an
+    open <p> in the path closes silently; flow containers stop the walk;
+    the popped element's own later end tag discards (class 11)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + "<b>x<div>y</div></b>") == (
+        "line 2 column 5 - Warning: missing </b> before <div>\n"
+        "line 2 column 17 - Warning: discarding unexpected </b>\n"
+    )
+    # innermost-first cascade across two inlines
+    assert td(pre + "<span>a<em>b<blockquote>q</blockquote>") == (
+        "line 2 column 13 - Warning: missing </em> before <blockquote>\n"
+        "line 2 column 13 - Warning: missing </span> before <blockquote>\n"
+    )
+    # heading closed by a non-heading block start
+    assert td(pre + "<h1>a<p>x") == (
+        "line 2 column 6 - Warning: missing </h1> before <p>\n"
+    )
+    # void block trigger (<hr>) closes the anchor too
+    assert td(pre + '<a href="/x">l<hr>m') == (
+        "line 2 column 15 - Warning: missing </a> before <hr>\n"
+    )
+    # a <p> in the pop path closes silently; the flow container (<div>)
+    # stops the walk — block nesting inside div is legal and silent
+    assert td(pre + "<div><p>x<div>y</div></div>") == ""
+    # table parts / list items are NOT triggers (scope limit: those
+    # parsers repair by moving content)
+    assert td(pre + "<table><tr><td><b>x</b></td></tr></table>") == ""

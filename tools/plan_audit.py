@@ -98,6 +98,15 @@ KNOWN_OK_PAIRS = {
     # at DSIR_BUCKETS rows BY CONSTRUCTION (the paper's hashed n-gram
     # space), independent of corpus vocabulary
     ("q010_dsir_select", "broadcast of unbounded aggregate"),
+    # r11 composed pipeline (VERDICT r10 #6): the union of its four
+    # certified siblings' shapes — q009's domain-aggregate water-fill
+    # windows + 1-row cut/grand-total broadcasts, q010's 4096-bounded
+    # ratio-table broadcast, q008's ~|domains|-row alloc broadcast onto
+    # the per-source fill window; every flagged shape runs on a
+    # domain-, bucket- or 1-row-sized aggregate, never the corpus
+    ("q192_mixture_pipeline_e2e", "unpartitioned window"),
+    ("q192_mixture_pipeline_e2e", "BroadcastNestedLoopJoin"),
+    ("q192_mixture_pipeline_e2e", "broadcast of unbounded aggregate"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
     # fixed k centroids (q022/q024), fixed bloom word count m/64 (q037),

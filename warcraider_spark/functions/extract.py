@@ -54,10 +54,23 @@ TITLE_PATTERN = r"(?s)<(?:title|TITLE).*?>(.*?)<"
 BODY_PATTERN = r"(?s)<(?:body|BODY).*>(.*)"
 SCRIPT_STYLE_PATTERN = r"(?s)<(?:script|SCRIPT|style|STYLE).*?>.*?</(?:script|SCRIPT|style|STYLE).*?>"
 TAG_PATTERN = r"(?s)</*.*?>"
-LINK_PATTERN = r"""(?s)\s+(?:[^>]*?\s+)?href=["'](.*?)["']"""
-RESOURCE_PATTERN = r"""(?s)\s+(?:[^>]*?\s+)?src=["'](.*?)["']"""
+# Java's (?U) = UNICODE_CHARACTER_CLASS, which makes \s the Unicode
+# White_Space property — exactly Rust regex's default \s (main.rs:65-68
+# compiles these with \s Unicode). NOT the same flag letter as Rust's
+# (?U), which means swap-greediness; the lazy quantifiers here already
+# encode that rewrite. Without (?U), Java \s is ASCII-only and an
+# attribute separated by U+3000/NBSP never matches (r11 fix; the last
+# wrong-vs-reference whitespace class, COVERAGE.md §2.3).
+LINK_PATTERN = r"""(?sU)\s+(?:[^>]*?\s+)?href=["'](.*?)["']"""
+RESOURCE_PATTERN = r"""(?sU)\s+(?:[^>]*?\s+)?src=["'](.*?)["']"""
 QUOTE_MARKS_PATTERN = "'|“|\"|&quot;|%\\d\\d$"
-WHITESPACE_RUN_PATTERN = r"(\s|\\n){2,}"
+# main.rs:54 `(\s|\\n){2,}` — Rust \s = Unicode White_Space, so a run of
+# two U+3000/NBSP is deleted by the reference; Java needs (?U) for the
+# same class. The DuckDB oracle twin spells the set explicitly
+# ([\s\x0B\p{Zs}\x{0085}\x{2028}\x{2029}] — RE2 \s is ASCII-minus-VT);
+# codepoint-exactness of all three is pinned in
+# tests/test_engine_unicode_parity.py.
+WHITESPACE_RUN_PATTERN = r"(?U)(\s|\\n){2,}"
 
 
 def hostname_from_url(url: Column | str) -> Column:

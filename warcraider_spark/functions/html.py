@@ -113,10 +113,18 @@ _ALLOWED_SCHEMES = frozenset(
     "nntp openpgp4fpr sip sms smsto ssh tel url webcal wtai xmpp".split()
 )
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+# WHATWG URL pre-processing (url::Url::parse, which ammonia calls):
+# strip leading/trailing C0 controls and space, then remove ASCII
+# tab/newline ANYWHERE in the input — so 'java\tscript:alert(1)' parses
+# as scheme 'javascript' and is filtered (ADVICE r10 #1; the regex
+# alone fails to match through the tab and wrongly KEPT the link).
+_C0_SPACE = "".join(chr(i) for i in range(0x21))
+_TAB_NL_RE = re.compile(r"[\t\n\r]")
 
 
 def _scheme_ok(href: str) -> bool:
-    m = _SCHEME_RE.match(href.strip())
+    cleaned = _TAB_NL_RE.sub("", href.strip(_C0_SPACE))
+    m = _SCHEME_RE.match(cleaned)
     if m is None:
         return True  # relative URL: always kept
     return m.group(0)[:-1].lower() in _ALLOWED_SCHEMES
@@ -173,6 +181,17 @@ class _Extractor(HTMLParser):
             return
         if tag in _DELETED_CONTENT_TAGS:
             self._deleted_tag = tag
+            # html5ever tokenizes these with the raw-text algorithm:
+            # everything until the first case-insensitive matching end
+            # tag is TEXT, so '<!--' inside the region is NOT a comment
+            # and a '</noscript>' inside comment-looking bytes DOES
+            # close it. HTMLParser's cdata mode reproduces that
+            # (ADVICE r10 #2 — previously the tokenizer parsed the
+            # comment and the region swallowed to the outer end tag).
+            # Residual corner: an attr-bearing end tag
+            # ('</noscript foo>') closes the region in html5ever but
+            # not here — COVERAGE.md §2.4.
+            self.set_cdata_mode(tag)
             return
         if tag == "meta":
             key = ""
@@ -206,6 +225,12 @@ class _Extractor(HTMLParser):
             self._heading_buf = []
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _DELETED_CONTENT_TAGS and self._deleted_tag is None:
+            # html5ever IGNORES the self-closing flag on raw-text
+            # elements: '<noscript/>' opens the region until its real
+            # end tag (or EOF) exactly like '<noscript>'
+            self.handle_starttag(tag, attrs)
+            return
         # <x/> = Start + End, like quick-xml expand_empty_elements
         self.handle_starttag(tag, attrs)
         self.handle_endtag(tag)
@@ -338,6 +363,34 @@ _HEAD_CONTEXT_TAGS = frozenset(
 # any of these before inferring an implicit <ul> (class 14)
 _LIST_CONTAINERS = frozenset("ul ol menu dir".split())
 
+# class 21 (r11): attributes tidy's dictionary types as URLs (attrs.c
+# entries wired to CheckUrl; the CH_URLS list-valued 'archive' checker
+# is separate and unmodelled)
+_URL_ATTRS = frozenset(
+    "action background cite classid codebase data formaction href icon "
+    "longdesc poster profile src usemap".split()
+)  # 'manifest' stays out: our r8 class-9 dictionary treats it as
+# proprietary (certified surface) and an attribute can't be both
+
+# class 23 (r11): block-level START tags that imply closing open
+# required-end inline elements / headings (tidy's ParseInline returns
+# the token to the enclosing block parser, MISSING_ENDTAG_BEFORE).
+# td/th/tr are deliberately absent — the table parser's moved-content
+# repairs differ; li/dt/dd likewise (class 14's scope note).
+_BLOCK_TRIGGERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+    "hgroup hr listing main menu nav ol p plaintext pre section summary "
+    "table ul xmp".split()
+)
+# required-end INLINE elements a block start implies closed (transparent
+# elements that may legally contain blocks — ins/del/map/button/label/
+# object — are excluded: tidy keeps parsing inside them)
+_INLINE_REQUIRED_END = frozenset(
+    "a abbr acronym b bdo big cite code dfn em font i kbd nobr q s samp "
+    "small span strike strong sub sup tt u var".split()
+)
+
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
@@ -369,8 +422,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus sixteen more classes
-    (r6-r10) pinned by our own adversarial fixtures — twenty total:
+    stderr), byte-for-byte on that golden, plus nineteen more classes
+    (r6-r11) pinned by our own adversarial fixtures — twenty-three total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -524,9 +577,57 @@ def tidy_diagnostics(raw_html: str) -> str:
        class-6 discard, and the heading's own later end tag discards
        (class 11).
 
+    21. URI-attribute hygiene — (r11) tidy's ``CheckUrl`` (attrs.c) on
+       URL-typed attribute values (``_URL_ATTRS``, the dictionary's
+       CH_URL entries; per-attribute-NAME, any element). Sub-behaviors,
+       in CheckUrl's code order, anchored at the element like class 3:
+       a backslash in the value warns ``converting backslash in URI to
+       slash`` (FIXED_BACKSLASH — TidyFixBackslash default; a value
+       with the exact prefix ``javascript:`` is exempt from the fix and
+       takes the ``URI reference contains backslash. Typo?``
+       BACKSLASH_IN_URI wording); any byte <= 0x20, > 0x7e, ``<`` or
+       ``>`` warns ``escaping malformed URI reference``
+       (ESCAPED_ILLEGAL_URI — TidyFixUri default); a VALUELESS URL
+       attribute warns ``attribute "x" lacks value``
+       (MISSING_ATTR_VALUE, CheckUrl's early return — an explicit empty
+       value is a value and is silent). Newlines in the value are
+       discarded by the LEXER first (``discarding newline in URI
+       reference``, NEWLINE_IN_URI, parse-time phase at the tag), so
+       CheckUrl never counts them. Model limits: NEWLINE_IN_URI fires
+       once per attribute (tidy's per-occurrence repeat count
+       unpinned); duplicated URL attributes are checked on the KEPT
+       last value at the first occurrence's report slot; WHITE_IN_URI
+       (space-discard variant in some configs) unmodelled; 'manifest'
+       stays under class 9 (can't be both).
+    22. ``missing <table>`` — (r11) a tr/td/th start tag with NO
+       ``<table>`` open anywhere on the stack: tidy's parser infers the
+       missing table (MISSING_STARTTAG), anchored at the offending tag.
+       Same non-pushing scope limit as class 14: the inferred container
+       is not tracked, so a SECOND bare table part warns again where
+       real tidy's inferred table would absorb it.
+    23. ``missing </x> before <y>``, the GENERAL block-start form —
+       (r11, closing residual family 2's main body): a start tag for a
+       BLOCK-level element (``_BLOCK_TRIGGERS``) implies closing the
+       open required-end INLINE elements (``_INLINE_REQUIRED_END``) —
+       and an open heading, when the trigger is not itself a heading
+       (heading-vs-heading stays with classes 19/20) — above the
+       nearest flow container: tidy's ParseInline returns the token to
+       the enclosing block parser, MISSING_ENDTAG_BEFORE per popped
+       element, innermost-first, anchored at the NEW tag. An open
+       ``<p>`` in the pop path closes silently (optional end tag); any
+       other frame — flow containers, table parts, head, unknown
+       elements — stops the walk. The popped element's later end tag
+       discards (class 11). Transparent elements that may legally
+       contain blocks (ins/del/map/button/label/object) are never
+       popped. Scope limits: li/dt/dd and td/th/tr starts do NOT
+       trigger (the list/table parsers repair by moving content);
+       unknown elements stop the walk where tidy's dict-driven content
+       model might pop them.
+
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10-20) in document order, then attribute checks
-    (9+3), then trims (4), each in document order. Line/column are 1-based with tabs expanded to the next
+    (1+2+5+6+7+8+10-23, incl. NEWLINE_IN_URI) in document order, then
+    attribute checks (9+3+CheckUrl), then trims (4), each in document
+    order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
@@ -934,6 +1035,18 @@ def tidy_diagnostics(raw_html: str) -> str:
             seen: dict[str, str] = {}
             has_rel = False
             proprietary: list[tuple[int, str]] = []
+            # keep-last values for class 21 (tidy's duplicate-attrs
+            # default keeps the LAST occurrence; the class-1 message
+            # reports the dropped FIRST one); None = attribute present
+            # with NO '=' at all (AttrHasValue false), '' = explicit
+            # empty value (has a value, CheckUrl sees zero bytes)
+            kept: dict[str, str | None] = {}
+            for am0 in _ATTR_RE.finditer(attrs_raw):
+                n0 = am0.group(1).lower()
+                v0 = am0.group(2)
+                if v0 is not None and v0[:1] in "\"'":
+                    v0 = v0[1:-1]
+                kept[n0] = v0
             for am in _ATTR_RE.finditer(attrs_raw):
                 name = am.group(1).lower()
                 val = am.group(2) or ""
@@ -965,6 +1078,117 @@ def tidy_diagnostics(raw_html: str) -> str:
                         proprietary.append(
                             (m.start(), f'<{tag}> proprietary attribute "{name}"')
                         )
+                    # class 21 (r11): tidy's CheckUrl (attrs.c) on
+                    # URL-typed attributes, slotted per attribute in the
+                    # attribute-check phase exactly where the dict's
+                    # attrchk runs (after the same attribute's
+                    # proprietary check — vacuous here, URL attrs are
+                    # all in the dictionary). Checked on the KEPT
+                    # (last-occurrence) value at the first occurrence's
+                    # slot. A valueless URL attribute reports
+                    # MISSING_ATTR_VALUE and skips the content checks
+                    # (CheckUrl's early return).
+                    elif name in _URL_ATTRS:
+                        kv = kept[name]
+                        if kv is None:
+                            proprietary.append(
+                                (
+                                    m.start(),
+                                    f'<{tag}> attribute "{name}" lacks value',
+                                )
+                            )
+                        else:
+                            if "\n" in kv or "\r" in kv:
+                                # lexer-phase: newlines in a URI value
+                                # are DISCARDED while lexing
+                                # (NEWLINE_IN_URI), so CheckUrl below
+                                # never sees them. Modelled once per
+                                # attribute (tidy's per-occurrence
+                                # repeat count is unpinned — see
+                                # docstring).
+                                parse_time.append(
+                                    (
+                                        m.start(),
+                                        0,
+                                        f"<{tag}> discarding newline "
+                                        "in URI reference",
+                                    )
+                                )
+                                kv = kv.replace("\r", "").replace("\n", "")
+                            is_js = kv.startswith("javascript:")
+                            has_bslash = "\\" in kv
+                            needs_escape = any(
+                                (c > "\x7e") or (c <= "\x20") or c in "<>"
+                                for c in kv
+                            )
+                            # code order in CheckUrl: backslash report,
+                            # then escape report. Defaults modelled:
+                            # TidyFixBackslash=yes (javascript: exempt
+                            # from the FIX, so it takes the
+                            # BACKSLASH_IN_URI wording),
+                            # TidyFixUri=yes (ESCAPED_ILLEGAL_URI).
+                            if has_bslash:
+                                proprietary.append(
+                                    (
+                                        m.start(),
+                                        f"<{tag}> URI reference contains "
+                                        "backslash. Typo?"
+                                        if is_js
+                                        else f"<{tag}> converting backslash"
+                                        " in URI to slash",
+                                    )
+                                )
+                            if needs_escape:
+                                proprietary.append(
+                                    (
+                                        m.start(),
+                                        f"<{tag}> escaping malformed "
+                                        "URI reference",
+                                    )
+                                )
+            # class 23 (r11): a BLOCK-level start tag implies closing the
+            # open required-end INLINE elements (and an open heading, when
+            # the trigger is not itself a heading — heading-vs-heading
+            # stays with classes 19/20) above the nearest flow container:
+            # tidy's ParseInline returns the token to the enclosing block
+            # parser, MISSING_ENDTAG_BEFORE per popped element,
+            # innermost-first, anchored at the NEW tag. An open <p> in
+            # the pop path closes SILENTLY (optional end tag); any other
+            # frame — flow containers, table parts, head — stops the
+            # walk. The popped elements' own later end tags discard
+            # (class 11), the class-16/19 cascade. This models the
+            # residual family-2 general form; li/dt/dd/td/th/tr triggers
+            # stay out (list/table parsers repair by moving content, the
+            # documented scope limit).
+            if tag in _BLOCK_TRIGGERS:
+                while stack:
+                    top = stack[-1][0]
+                    if top in _INLINE_REQUIRED_END or (
+                        top in _HEADINGS and tag not in _HEADINGS
+                    ):
+                        parse_time.append(
+                            (m.start(), 0, f"missing </{top}> before <{tag}>")
+                        )
+                        for p in stack[:-1]:
+                            p[4] = True  # popped subtree = parent content
+                        stack.pop()
+                    elif top == "p":
+                        for p in stack[:-1]:
+                            p[4] = True
+                        stack.pop()
+                    else:
+                        break
+            # class 22 (r11): a table-part start tag (tr/td/th) with NO
+            # <table> open anywhere on the stack — tidy's parser infers
+            # the missing table, warning MISSING_STARTTAG ("missing
+            # <table>"), anchored at the offending tag. Same non-pushing
+            # scope limit as class 14: the inferred container isn't
+            # tracked, so a SECOND bare table part warns again (real
+            # tidy's inferred table would absorb it) — documented.
+            if tag in ("tr", "td", "th") and not any(
+                fr[0] == "table" for fr in stack
+            ):
+                parse_time.append((m.start(), 0, "missing <table>"))
             # class 14 (r9): a list item with NO open list container —
             # tidy's parser creates the container and warns INSERTING_TAG
             # ("inserting implicit <ul>"); same for dt/dd vs <dl>. The

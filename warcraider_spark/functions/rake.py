@@ -43,8 +43,10 @@ except ImportError:  # pragma: no cover - regex is available in this env
 
 __all__ = ["rake_text", "rake_keywords_udf", "rake_native"]
 
-# Java-regex twin of the Rust punctuation pattern for the native path
-PUNC_PATTERN_JAVA = r"[^\P{P}-]|\s+-\s+"
+# Java-regex twin of the Rust punctuation pattern for the native path.
+# (?U) = UNICODE_CHARACTER_CLASS so \s matches White_Space like Rust's \s
+# (r11; \p{P} is a Unicode category in Java regardless of the flag).
+PUNC_PATTERN_JAVA = r"(?U)[^\P{P}-]|\s+-\s+"
 NUM_PATTERN_JAVA = r"-?\p{N}+[./٫,']?\p{N}*"
 _SENTINEL = "\x01"
 
@@ -119,10 +121,13 @@ def _phrases_col(text: Column) -> Column:
     # path (VERDICT r1 #5; this runs inside interpreted HOF lambdas).
     stop_list = sorted(SMART_STOPWORDS)
     segments = F.split(text, PUNC_PATTERN_JAVA)
+    # (?U)\s+ = Rust split_whitespace (rake.rs:81) — Unicode whitespace;
+    # the empty-token filter elides leading/trailing pieces so the
+    # (ASCII-only) trim is no longer load-bearing, just cheap
     toks_per_seg = F.transform(
         segments,
         lambda seg: F.transform(
-            F.filter(F.split(F.trim(seg), r"\s+"), lambda t: t != ""),
+            F.filter(F.split(F.trim(seg), r"(?U)\s+"), lambda t: t != ""),
             lambda t: F.when(F.lower(t).isin(stop_list), _SENTINEL).otherwise(t),
         ),
     )

@@ -25,7 +25,10 @@ __all__ = [
     "FOLD_LOWER_TEXT_SQL",
     "norm_text",
     "tokens",
+    "unicode_tokens",
     "word_count",
+    "word_count_sql",
+    "DUCK_UWS",
     "md5_int",
     "shingles",
     "doc_fingerprint",
@@ -68,16 +71,44 @@ def norm_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (the reference's word_count tokenizer,
-    /root/reference/src/main.rs:468-471)."""
+    """HOUSE whitespace tokenization: ASCII ``\\s`` on both engines (the
+    DuckDB twin is ``[\\s\\v]`` — RE2 lacks VT). This is the engine-internal
+    convention every shingle/fingerprint/dedup operator is certified
+    against; reference-parity word counting is `unicode_tokens` /
+    `word_count` below (r11 split — they differed silently before)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")
 
 
-def word_count(col: Column | str) -> Column:
-    """Token count as int, 0 for empty strings (main.rs:468-471 semantics)."""
+# DuckDB/RE2 twin of Unicode White_Space for reference-parity oracles.
+# RE2 \s = [\t\n\f\r ] (ASCII minus VT); union with VT + Zs + NEL/LS/PS
+# reconstructs the exact White_Space set Rust regex and Java (?U)\s match.
+# Codepoint-exact across all three engines: tests/test_engine_unicode_parity.py.
+DUCK_UWS = r"[\s\x0B\p{Zs}\x{0085}\x{2028}\x{2029}]"
+
+
+def unicode_tokens(col: Column | str) -> Column:
+    """Unicode-whitespace tokens with empties dropped — Rust
+    ``str::split_whitespace`` (the reference word_count tokenizer,
+    /root/reference/src/main.rs:470; RAKE's word splitter, rake.rs:81).
+    Java (?U) switches \\s to the White_Space property; filtering ''
+    reproduces split_whitespace's leading/trailing/empty elision without
+    needing a (Unicode-blind) trim."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c))).cast("int")
+    return F.filter(F.split(c, r"(?U)\s+"), lambda t: t != "")
+
+
+def word_count(col: Column | str) -> Column:
+    """main.rs:468-471: ``text.par_split_whitespace().count() as i32`` —
+    UNICODE whitespace (r11: previously ASCII \\s, the last documented
+    wrong-vs-reference behavior; COVERAGE.md §2.3). Empty/whitespace-only
+    text counts 0 by construction (every split piece is '' and filtered)."""
+    return F.size(unicode_tokens(col)).cast("int")
+
+
+def word_count_sql(expr: str) -> str:
+    """DuckDB twin of word_count for oracle SQL strings."""
+    return f"len(list_filter(string_split_regex({expr}, '{DUCK_UWS}+'), t -> t <> ''))"
 
 
 def md5_int(col: Column) -> Column:

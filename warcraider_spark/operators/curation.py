@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions.textfn import fold_lower, md5_int, md5_int_sql, tokens
+from warcraider_spark.functions.textfn import word_count_sql as _word_count_sql
 from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
@@ -312,7 +313,7 @@ def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q016_heavy_hitters",
     oracle="""
 WITH tok AS (
-  SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+')) AS token FROM documents
+  SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+')) AS token FROM documents
 ),
 c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
 t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
@@ -379,7 +380,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
-         CAST(len(list_distinct(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+'))) AS BIGINT) AS y
+         CAST(len(list_distinct(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+'))) AS BIGINT) AS y
   FROM documents
 )
 SELECT doc_id, x, y FROM pts p
@@ -425,7 +426,7 @@ CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
     "q117_concat_chunk_blocks",
     oracle=f"""
 WITH wcs AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '[\\s\\v]+')) AS wc FROM documents
+  SELECT doc_id, len(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS wc FROM documents
 ),
 cum AS (
   SELECT doc_id, wc,
@@ -517,8 +518,8 @@ def _pct_feature_sql() -> str:
     return """
   SELECT CASE WHEN lang IN ('en', 'fr') THEN 1 ELSE -1 END AS y,
          CAST(1 AS BIGINT) AS x0,
-         CAST(len(string_split_regex(trim(text), '[\\s\\v]+')) AS BIGINT) AS x1,
-         CAST(len(list_distinct(string_split_regex(trim(text), '[\\s\\v]+'))) AS BIGINT) AS x2,
+         CAST(len(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS BIGINT) AS x1,
+         CAST(len(list_distinct(string_split_regex(trim(text, ' '), '[\\s\\v]+'))) AS BIGINT) AS x2,
          n_chars // 10 AS x3
   FROM documents
 """
@@ -622,7 +623,7 @@ WITH corpus AS (
 ),
 fps AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp,
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp,
          {md5_int_sql("CAST(doc_id AS VARCHAR)")} % {SPLIT_TEST_MOD} = 0 AS is_test
   FROM corpus
 ),
@@ -717,17 +718,17 @@ def q038_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q028_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
-  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents
 ),
 v2 AS (
   SELECT doc_id,
          md5(trim(regexp_replace(lower(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END),
-             '[\\s\\v]+', ' ', 'g'))) AS fp
+             '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents WHERE doc_id % 17 <> 3
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
-         md5(trim(regexp_replace(lower(text || ' new'), '[\\s\\v]+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text || ' new'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents WHERE doc_id % 29 = 0
 ),
 j AS (
@@ -829,7 +830,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
-  SELECT doc_id, (string_split_regex(trim(text), '[\\s\\v]+'))[1] AS ft FROM documents
+  SELECT doc_id, (string_split_regex(trim(text, ' '), '[\\s\\v]+'))[1] AS ft FROM documents
 ),
 cat AS (
   SELECT doc_id,
@@ -898,10 +899,9 @@ def q031_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MIX_BUDGET_NUM, MIX_BUDGET_DEN = 6, 10  # global token budget = 60% of corpus
-WORD_COUNT_SQL = (
-    "CASE WHEN len(trim(text)) = 0 THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END"
-)
+# DuckDB twin of textfn.word_count — the Spark side calls word_count(),
+# which is UNICODE split_whitespace as of r11, so the oracle must be too
+WORD_COUNT_SQL = _word_count_sql("text")
 
 
 @query(
@@ -1003,7 +1003,7 @@ DSIR_BUCKETS = 4096  # hashed feature space (the paper's construction)
 # hoisted out of the oracle f-string (backslashes are illegal inside
 # f-string expressions): portable md5 bucket id of each whitespace token
 _DSIR_TOK_SQL = (
-    md5_int_sql("unnest(string_split_regex(trim(text), '[\\s\\v]+'))")
+    md5_int_sql("unnest(string_split_regex(trim(text, ' '), '[\\s\\v]+'))")
     + f" % {DSIR_BUCKETS}"
 )
 
@@ -1013,7 +1013,7 @@ _DSIR_TOK_SQL = (
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, {_DSIR_TOK_SQL} AS b
-  FROM documents WHERE len(trim(text)) > 0
+  FROM documents WHERE len(trim(text, ' ')) > 0
 ),
 counts AS (
   SELECT b,
@@ -1111,10 +1111,10 @@ QSEL_NUM, QSEL_DEN = 3, 10  # keep the top 30% of each domain by quality
     oracle=f"""
 WITH q AS (
   SELECT doc_id, source,
-         CAST(len(list_distinct(string_split_regex(trim(text), '[\\s\\v]+')))
-              * 10000 // len(string_split_regex(trim(text), '[\\s\\v]+'))
+         CAST(len(list_distinct(string_split_regex(trim(text, ' '), '[\\s\\v]+')))
+              * 10000 // len(string_split_regex(trim(text, ' '), '[\\s\\v]+'))
               AS BIGINT) AS ttr_bp
-  FROM documents WHERE len(trim(text)) > 0
+  FROM documents WHERE len(trim(text, ' ')) > 0
 ),
 ranked AS (
   SELECT doc_id, source, ttr_bp,
@@ -1280,5 +1280,254 @@ def q008_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(alloc), "source")
         .filter(F.col("cum") <= F.col("alloc_tokens"))
         .select("doc_id", "source", "toks", "cum")
+        .orderBy("source", "cum", "doc_id")
+    )
+
+
+PACK_CAP = 2048  # context-window length for the packing stage
+
+
+@query(
+    "q192_mixture_pipeline_e2e",
+    oracle=f"""
+WITH wc AS (
+  SELECT doc_id, source, CAST({{WORD_COUNT_SQL}} AS BIGINT) AS toks
+  FROM documents
+),
+q AS (  -- stage 1: per-domain quality gate (q011 semantics), non-target pool
+  SELECT doc_id, source,
+         CAST(len(list_distinct(string_split_regex(trim(text, ' '), '[\\s\\v]+')))
+              * 10000 // len(string_split_regex(trim(text, ' '), '[\\s\\v]+'))
+              AS BIGINT) AS ttr_bp
+  FROM documents
+  WHERE len(trim(text, ' ')) > 0 AND doc_id % 10 <> 0
+),
+gate AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY ttr_bp DESC, doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM q
+  ) WHERE rk * {{QSEL_DEN}} <= n * {{QSEL_NUM}} + {{QSEL_DEN}} - 1
+),
+g AS (SELECT wc.doc_id, wc.source, wc.toks FROM wc JOIN gate USING (doc_id, source)),
+dom AS (  -- stage 2: water-fill the budget over the GATED pool (q009 math)
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS dtoks FROM g GROUP BY source
+),
+tot AS (SELECT CAST(SUM(dtoks) AS BIGINT) AS t, COUNT(*) AS n FROM dom),
+pos AS (
+  SELECT source, dtoks,
+         ROW_NUMBER() OVER (ORDER BY dtoks, source) AS i,
+         CAST(SUM(dtoks) OVER (ORDER BY dtoks, source) AS BIGINT) AS p,
+         (SELECT t FROM tot) * {{MIX_BUDGET_NUM}} // {{MIX_BUDGET_DEN}} AS b,
+         (SELECT n FROM tot) AS n
+  FROM dom
+),
+lev AS (SELECT *, (b - (p - dtoks)) // (n - i + 1) AS level FROM pos),
+cut AS (
+  SELECT MIN(CASE WHEN dtoks >= level THEN {{{{'i': i, 'level': level}}}} END) AS c
+  FROM lev
+),
+alloc AS (
+  SELECT source,
+         CAST(CASE WHEN c IS NOT NULL AND i >= c.i THEN c.level ELSE dtoks END
+              AS BIGINT) AS alloc_tokens
+  FROM lev CROSS JOIN cut
+),
+tok AS (  -- stage 3: DSIR scores over the gated pool (q010 construction)
+  SELECT doc_id, {{_DSIR_TOK_SQL}} AS b
+  FROM documents WHERE len(trim(text, ' ')) > 0
+),
+counts AS (
+  SELECT b,
+         CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS tc,
+         CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM g)) AS BIGINT) AS rc
+  FROM tok GROUP BY b
+),
+ratio AS (SELECT b, (tc + 1) * {{DSIR_SCALE}} // (rc + 1) AS r_bp FROM counts),
+scores AS (
+  SELECT tok.doc_id, CAST(SUM(ratio.r_bp) AS BIGINT) AS score
+  FROM tok JOIN ratio USING (b)
+  WHERE tok.doc_id IN (SELECT doc_id FROM g)
+  GROUP BY tok.doc_id
+),
+scored AS (
+  SELECT g.doc_id, g.source, g.toks, COALESCE(s.score, 0) AS score
+  FROM g LEFT JOIN scores s USING (doc_id)
+),
+ranked AS (  -- stage 4: greedy per-domain fill in score order (q008 apply)
+  SELECT doc_id, source, toks, score,
+         CAST(SUM(toks) OVER (
+           PARTITION BY source ORDER BY score DESC, doc_id
+         ) AS BIGINT) AS cum
+  FROM scored
+),
+sel AS (
+  SELECT r.doc_id, r.source, r.toks, r.score, r.cum
+  FROM ranked r JOIN alloc a USING (source)
+  WHERE r.cum <= a.alloc_tokens
+)
+SELECT doc_id, source, toks, score, cum,  -- stage 5: q146-style packing
+       cum - toks AS start_offset,
+       (cum - toks) // {{PACK_CAP}} AS bin_id,
+       (toks > 0 AND (cum - toks) // {{PACK_CAP}} <> (cum - 1) // {{PACK_CAP}}) AS straddles
+FROM sel
+ORDER BY source, cum, doc_id
+""".format(
+        WORD_COUNT_SQL=WORD_COUNT_SQL,
+        QSEL_NUM=QSEL_NUM,
+        QSEL_DEN=QSEL_DEN,
+        MIX_BUDGET_NUM=MIX_BUDGET_NUM,
+        MIX_BUDGET_DEN=MIX_BUDGET_DEN,
+        _DSIR_TOK_SQL=_DSIR_TOK_SQL,
+        DSIR_SCALE=DSIR_SCALE,
+        PACK_CAP=PACK_CAP,
+    ),
+    tags=("curation", "mixture", "selection", "packing", "training-pipeline"),
+    min_rows=1,
+)
+def q192_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-mixture pipeline, declared as ONE lazy plan
+    (VERDICT r10 #6): per-domain quality gate (q011's integer ttr top-30%)
+    -> integer water-fill of the global token budget over the GATED pool
+    (q009's closed form) -> DSIR importance scores over the gated pool
+    against the held-out target slice (q010's hashed-bucket construction,
+    target docs never selected) -> greedy per-domain budget fill in score
+    order (q008's apply, score-ranked instead of hash-ranked) ->
+    q146-style sequence packing of the surviving stream. Each stage's
+    math is byte-identical to its independently certified sibling; this
+    query certifies their COMPOSITION (the interesting failure mode:
+    stage coupling, e.g. the budget being computed over the wrong pool
+    or the DSIR ratio table drifting when raw counts come from the gated
+    subset).
+
+    Tokenizer conventions, deliberately mixed as in the siblings: budget
+    counting uses the reference-parity Unicode word_count (q009/q008),
+    ttr and DSIR bucketing use the house ASCII tokenizer (q011/q010).
+
+    Scale shape (one lazy plan, audited): corpus passes are map-side
+    (word_count, ttr, token explode); shuffles are (a) the source-key
+    quality window, (b) the bucket-count groupBy (bounded at 4096 rows
+    BY CONSTRUCTION -> broadcast), (c) the per-doc score groupBy, and
+    (d) the source-key fill/pack window — every fact-table shuffle is on
+    a uniform or domain key; the water-fill windows and the alloc/cut
+    broadcasts run on the ~|domains|-row aggregate (q009 KNOWN_OK
+    shapes). At 100 TB nothing here is corpus-quadratic and no stage
+    materializes off-plan."""
+    from warcraider_spark.functions.textfn import md5_int, tokens, word_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wc = docs.select(
+        "doc_id", "source", word_count("text").cast("bigint").alias("toks")
+    )
+
+    # stage 1: quality gate over the non-target pool
+    toks_h = tokens("text")
+    is_target = F.col("doc_id") % 10 == 0
+    q = (
+        docs.filter((F.length(F.trim("text")) > 0) & ~is_target)
+        .select(
+            "doc_id",
+            "source",
+            (F.size(F.array_distinct(toks_h)) * 10000).alias("dt4"),
+            F.size(toks_h).alias("nt"),
+        )
+        .select("doc_id", "source", F.expr("dt4 div nt").cast("bigint").alias("ttr_bp"))
+    )
+    w_rk = Window.partitionBy("source").orderBy(F.desc("ttr_bp"), F.asc("doc_id"))
+    w_n = Window.partitionBy("source")
+    gate = (
+        q.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("rk") * QSEL_DEN <= F.col("n") * QSEL_NUM + QSEL_DEN - 1)
+        .select("doc_id", "source")
+    )
+    g = wc.join(gate, ["doc_id", "source"])
+
+    # stage 2: water-fill over the gated pool
+    dom = g.groupBy("source").agg(F.sum("toks").cast("bigint").alias("dtoks"))
+    n_and_t = dom.agg(
+        F.sum("dtoks").cast("bigint").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    w_ord = Window.orderBy(F.asc("dtoks"), F.asc("source"))
+    lev = (
+        dom.join(F.broadcast(n_and_t))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("p", F.sum("dtoks").over(w_ord).cast("bigint"))
+        .withColumn("b", F.expr(f"t * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"))
+        .withColumn("level", F.expr("(b - (p - dtoks)) div (n - i + 1)"))
+    )
+    cut = lev.agg(
+        F.min(F.when(F.col("dtoks") >= F.col("level"), F.struct("i", "level"))).alias("c")
+    )
+    alloc = lev.join(F.broadcast(cut)).select(
+        "source",
+        F.when(F.col("c").isNotNull() & (F.col("i") >= F.col("c.i")), F.col("c.level"))
+        .otherwise(F.col("dtoks"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+    # stage 3: DSIR scores for gated docs (target slice = held-out seed)
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .select("doc_id", (md5_int(F.col("term")) % DSIR_BUCKETS).alias("b"))
+    )
+    g_ids = g.select("doc_id")
+    tok_g = tok.join(g_ids, "doc_id")  # gated pool's token stream
+    counts = (
+        tok.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+        .join(
+            tok_g.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("rc")),
+            "b",
+            "full",
+        )
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    ratio = counts.select("b", F.expr(f"(tc + 1) * {DSIR_SCALE} div (rc + 1)").alias("r_bp"))
+    scores = (
+        tok_g.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("r_bp").cast("bigint").alias("score"))
+    )
+    scored = g.join(scores, "doc_id", "left").select(
+        "doc_id", "source", "toks", F.coalesce("score", F.lit(0)).cast("bigint").alias("score")
+    )
+
+    # stage 4 + 5: greedy score-ordered fill, then packing offsets
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum", F.sum("toks").over(cum_w).cast("bigint"))
+    sel = ranked.join(F.broadcast(alloc), "source").filter(
+        F.col("cum") <= F.col("alloc_tokens")
+    )
+    start = F.col("cum") - F.col("toks")
+    return (
+        sel.select(
+            "doc_id",
+            "source",
+            "toks",
+            "score",
+            "cum",
+            start.alias("start_offset"),
+            F.expr(f"(cum - toks) div {PACK_CAP}").cast("bigint").alias("bin_id"),
+            (
+                (F.col("toks") > 0)
+                & (
+                    F.expr(f"(cum - toks) div {PACK_CAP}")
+                    != F.expr(f"(cum - 1) div {PACK_CAP}")
+                )
+            ).alias("straddles"),
+        )
         .orderBy("source", "cum", "doc_id")
     )

@@ -49,7 +49,7 @@ UNION ALL
 SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
 UNION ALL
 SELECT doc_id + 20000 AS doc_id,
-       array_to_string(string_split_regex(trim(text), '[\\s\\v]+')[2:], ' ') AS text
+       array_to_string(string_split_regex(trim(text, ' '), '[\\s\\v]+')[2:], ' ') AS text
 FROM documents WHERE doc_id >= 60 AND doc_id < 120
 """
 
@@ -78,7 +78,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
-  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp FROM corpus
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp FROM corpus
 )
 SELECT fp,
        COUNT(*) AS n_docs,
@@ -114,7 +114,7 @@ def q163_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
-  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp FROM corpus
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp FROM corpus
 )
 SELECT COUNT(*) AS total_docs,
        COUNT(DISTINCT fp) AS kept_docs,
@@ -159,7 +159,7 @@ def _exploded_shingles(corpus: DataFrame) -> DataFrame:
     expression: ``shingles()`` references its token-array argument ~2k times
     (k slices × zip_with), and Catalyst's CollapseProject keeps a multiply-
     referenced non-cheap alias as a separate Project instead of inlining it,
-    so ``split(trim(text))`` runs once per row, not six times (~35% off the
+    so ``split(trim(text, ' '))`` runs once per row, not six times (~35% off the
     whole minhash bench)."""
     return corpus.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.explode(shingles(F.col("toks"), 3)).alias("shingle")
@@ -193,7 +193,7 @@ _MINHASH_SIG_SQL = f"""
     SELECT doc_id, {md5_int_sql("shingle")} % {1 << 30} AS h
     FROM (
       SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
-      FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM corpus)
+      FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM corpus)
     )
   )
   GROUP BY doc_id
@@ -292,7 +292,7 @@ def _simhash_sketch_sql(bits: int) -> str:
      tokh AS (
   SELECT doc_id, {md5_int_sql("tok")} % {1 << bits} AS h
   FROM (
-    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '[\\s\\v]+'))) AS tok
+    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text, ' '), '[\\s\\v]+'))) AS tok
     FROM corpus
   )
 ),
@@ -366,7 +366,7 @@ SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
-  FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
 ),
      hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) >= {SHINGLE_DF_CAP}),
      sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
@@ -437,7 +437,7 @@ def q119_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS shingle
-  FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM corpus WHERE doc_id < 200 OR doc_id >= 10000)
 ),
      hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) >= {SHINGLE_DF_CAP}),
      sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
@@ -582,14 +582,14 @@ m AS (
   SELECT doc_id, text,
          len(toks) AS n_tokens,
          ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio
-  FROM (SELECT doc_id, text, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM corpus)
+  FROM (SELECT doc_id, text, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM corpus)
 ),
 quality AS (
   SELECT * FROM m WHERE n_tokens >= 15 AND distinct_ratio >= 0.3
 ),
 hashed AS (
   SELECT doc_id, n_tokens,
-         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM quality
 ),
 deduped AS (
@@ -741,12 +741,12 @@ def q123_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH bench AS (
   SELECT DISTINCT unnest({shingles_sql("toks", 5)}) AS shingle
-  FROM (SELECT string_split_regex(trim(text), '[\\s\\v]+') AS toks
+  FROM (SELECT string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks
         FROM documents WHERE doc_id < 10)
 ),
      cand AS (
   SELECT doc_id, unnest({shingles_sql("toks", 5)}) AS shingle
-  FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks
         FROM documents WHERE doc_id >= 10)
 )
 SELECT c.doc_id,
@@ -969,11 +969,11 @@ _INC_SQL = """
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
   UNION ALL
   SELECT doc_id + 20000 AS doc_id,
-         array_to_string(string_split_regex(trim(text), '[\\s\\v]+')[2:], ' ') AS text
+         array_to_string(string_split_regex(trim(text, ' '), '[\\s\\v]+')[2:], ' ') AS text
   FROM documents WHERE doc_id >= 60 AND doc_id < 120
   UNION ALL
   SELECT doc_id + 30000 AS doc_id,
-         array_to_string(list_reverse(string_split_regex(trim(text), '[\\s\\v]+')), ' ') AS text
+         array_to_string(list_reverse(string_split_regex(trim(text, ' '), '[\\s\\v]+')), ' ') AS text
   FROM documents WHERE doc_id >= 120 AND doc_id < 180
 """
 
@@ -998,12 +998,12 @@ def _bands_sql_for(sig: str) -> str:
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS ({_INC_SQL}),
 base_fp AS (
-  SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp,
+  SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp,
          MIN(doc_id) AS bdoc
   FROM base GROUP BY fp
 ),
 inc_fp AS (
-  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp FROM inc
+  SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp FROM inc
 ),
 base_sig AS ({_sig_sql_for("base")}),
 inc_sig AS ({_sig_sql_for("inc")}),
@@ -1131,7 +1131,7 @@ SELECT doc_id,
        CAST(length(norm) AS BIGINT) AS orig_len,
        CAST(length(trim(list_reduce(
               list_prepend(' ' || norm || ' ', spans),
-              (acc, s) -> replace(acc, ' ' || s || ' ', ' ')))) AS BIGINT) AS clean_len
+              (acc, s) -> replace(acc, ' ' || s || ' ', ' ')), ' ')) AS BIGINT) AS clean_len
 FROM d CROSS JOIN sp
 ORDER BY doc_id
 """,
@@ -1201,7 +1201,7 @@ LINE_K = 8  # tokens per "line" (the corpus has no punctuation; fixed-width
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
 tokd AS (
-  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS tok FROM corpus
+  SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS tok FROM corpus
 ),
 lines AS (
   SELECT doc_id, i AS pos,
@@ -1285,7 +1285,7 @@ DECONTAM_MIN_OVERLAP = 3
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
-  FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents)
 ),
 eval_grams AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0),
 train AS (SELECT doc_id, gram FROM sh WHERE doc_id % 17 <> 0),
@@ -1377,17 +1377,17 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
     "q037_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
-  SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp FROM documents
+  SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp FROM documents
 ),
 batch AS (
   SELECT doc_id + 10000 AS doc_id,
-         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents WHERE doc_id < 60
   UNION ALL
   SELECT doc_id + 20000 AS doc_id,
          md5(trim(regexp_replace(lower(
-           array_to_string(string_split_regex(trim(text), '[\\s\\v]+')[2:], ' ')
-         ), '[\\s\\v]+', ' ', 'g'))) AS fp
+           array_to_string(string_split_regex(trim(text, ' '), '[\\s\\v]+')[2:], ' ')
+         ), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents WHERE doc_id >= 60 AND doc_id < 120
 ),
 baseh AS (

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions import extract as X
+from warcraider_spark.functions.textfn import DUCK_UWS, word_count_sql
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -135,12 +136,11 @@ def q091_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q093_whitespace_quirks",
-    oracle=r"""
+    oracle=rf"""
 SELECT doc_id,
-       regexp_replace(text || '  tail   end', '([\s\v]|\\n){2,}', '', 'g') AS deleted_mode,
-       regexp_replace(text || '  tail   end', '([\s\v]|\\n){2,}', ' ', 'g') AS spaced_mode,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '[\s\v]+')) END AS word_count
+       regexp_replace(text || '  tail   end', '({DUCK_UWS}|\\n){{2,}}', '', 'g') AS deleted_mode,
+       regexp_replace(text || '  tail   end', '({DUCK_UWS}|\\n){{2,}}', ' ', 'g') AS spaced_mode,
+       {word_count_sql('text')} AS word_count
 FROM documents WHERE doc_id < 300 ORDER BY doc_id
 """,
     tags=("extract", "whitespace", "reference-parity"),

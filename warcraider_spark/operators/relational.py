@@ -1380,7 +1380,7 @@ def q188_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q189_posexplode",
     oracle="""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 50)
+WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
 FROM (
   SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), i -> {'pos': i - 1, 'tok': toks[i]}), recursive := true)
@@ -2689,7 +2689,7 @@ def q121_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '[\\s\\v]+'), t -> strlen(t) > 8)
+         list_filter(string_split_regex(trim(text, ' '), '[\\s\\v]+'), t -> strlen(t) > 8)
            AS longs
   FROM documents
 )

@@ -254,7 +254,7 @@ _CMS_AB = ((3, 17), (5, 257), (7, 4099), (11, 65539))
     "q145_countmin_freq",
     oracle=f"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '[\\s\\v]+')) AS tok FROM documents
+  SELECT unnest(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS tok FROM documents
 ),
 tokh AS (
   SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {1 << 30} AS h30

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warcraider_spark.functions.textfn import (
+    DUCK_UWS,
     fold_lower,
     all_shingles,
     doc_fingerprint,
@@ -30,7 +31,9 @@ from warcraider_spark.functions.textfn import (
     shingles_sql,
     sorted_run_stats,
     tokens,
+    unicode_tokens,
     word_count,
+    word_count_sql,
 )
 from warcraider_spark.lineage import cut_lineage
 from warcraider_spark.registry import query
@@ -51,15 +54,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 @query(
     "q054_token_stats",
-    oracle="""
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(text, '{DUCK_UWS}+'), x -> x <> '') AS tok
+  FROM documents
+)
 SELECT doc_id,
-       len(string_split_regex(trim(text), '[\\s\\v]+')) AS n_tokens,
-       len(list_distinct(string_split_regex(trim(text), '[\\s\\v]+'))) AS n_distinct,
-       ROUND(list_aggregate(list_transform(string_split_regex(trim(text), '[\\s\\v]+'),
-             t -> CAST(length(t) AS DOUBLE)), 'sum')
-             / len(string_split_regex(trim(text), '[\\s\\v]+')), 4) AS avg_token_len,
+       len(tok) AS n_tokens,
+       len(list_distinct(tok)) AS n_distinct,
+       CASE WHEN len(tok) = 0 THEN 0.0
+            ELSE ROUND(list_aggregate(list_transform(tok,
+                 x -> CAST(length(x) AS DOUBLE)), 'sum') / len(tok), 4) END AS avg_token_len,
        n_chars
-FROM documents
+FROM t
 ORDER BY doc_id
 """,
     tags=("text", "tokens"),
@@ -69,17 +77,23 @@ def q054_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct count + mean length.
 
     The BPE-ish subword count variant is q056's token_per_char; this is the
-    reference's exact word_count tokenizer (main.rs:468-471).
+    reference's exact word_count tokenizer (main.rs:468-471) — Unicode
+    split_whitespace as of r11, so empty/whitespace-only docs count 0
+    tokens (was 1 under the old trim+split convention).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    tok = unicode_tokens("text")
     tok_lens = F.transform(tok, lambda t: F.length(t).cast("double"))
+    n = F.size(tok)
+    avg = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.aggregate(tok_lens, F.lit(0.0), lambda a, x: a + x) / n, 4)
+    )
     return (
         docs.select(
             "doc_id",
-            F.size(tok).cast("long").alias("n_tokens"),
+            n.cast("long").alias("n_tokens"),
             F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
-            F.round(F.aggregate(tok_lens, F.lit(0.0), lambda a, x: a + x) / F.size(tok), 4).alias("avg_token_len"),
+            avg.alias("avg_token_len"),
             "n_chars",
         )
         .orderBy("doc_id")
@@ -107,7 +121,7 @@ WITH scored AS (
          {_lang_score_sql('es')} AS s_es,
          {_lang_score_sql('de')} AS s_de,
          {_lang_score_sql('zh')} AS s_zh
-  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents)
 ), guessed AS (
   SELECT doc_id, lang,
          CASE greatest(s_en, s_fr, s_es, s_de, s_zh)
@@ -156,7 +170,7 @@ WITH m AS (
          ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio,
          ROUND(list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(toks), 4) AS mean_len,
          CASE WHEN len(toks) >= 20 THEN 1.0 ELSE len(toks) / 20.0 END AS len_score
-  FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents)
 ), q AS (
   -- quality from ROUNDED intermediates, itself UNROUNDED: inputs identical
   -- across engines → the composite double is bit-identical, while a final
@@ -204,9 +218,11 @@ def q056_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_SQL = (
     # lower + case-fold canon (ς→σ, i+U+0307→i): see functions.textfn.norm_text;
-    # [\s\v] = Java \s (RE2's \s lacks U+000B — r9 BMP whitespace sweep)
+    # [\s\v] = Java \s (RE2's \s lacks U+000B — r9 BMP whitespace sweep);
+    # trim(…, ' ') NOT bare trim: DuckDB's bare trim strips Unicode
+    # whitespace, Spark's F.trim strips ASCII space only (r11 finding)
     r"trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'),"
-    r" '[\s\v]+', ' ', 'g'))"
+    r" '[\s\v]+', ' ', 'g'), ' ')"
 )
 
 @query(
@@ -240,7 +256,7 @@ def q057_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
     oracle=f"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents),
      s AS (SELECT doc_id, {shingles_sql("toks", 3)} AS sh FROM t)
 SELECT doc_id,
        md5(array_to_string(list_sort(sh), '|')) AS shingle_fp,
@@ -270,18 +286,18 @@ def q058_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q059_word_count_ref",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END AS word_count
+       {word_count_sql('text')} AS word_count
 FROM documents
 ORDER BY doc_id
 """,
     tags=("text", "reference-parity"),
 )
 def q059_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's word_count operator verbatim: whitespace-token count
-    as i32, 0 for empty (/root/reference/src/main.rs:468-471)."""
+    """The reference's word_count operator verbatim: Unicode
+    split_whitespace token count as i32, 0 for empty
+    (/root/reference/src/main.rs:468-471; r11 Unicode class fix)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", word_count("text").cast("long").alias("word_count")).orderBy("doc_id")
 
@@ -296,7 +312,8 @@ def _rake_oracle_sql() -> str:
     from warcraider_spark.functions.stopwords import SMART_STOPWORDS
 
     stoplist = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(SMART_STOPWORDS))
-    punc = r"[^\P{P}-]|\s+-\s+"
+    # Rust \s = Unicode White_Space; RE2 needs the explicit class (r11)
+    punc = rf"[^\P{{P}}-]|{DUCK_UWS}+-{DUCK_UWS}+"
     num = r"-?\p{N}+[./٫,'']?\p{N}*"
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
@@ -307,15 +324,15 @@ marked AS (
   SELECT doc_id,
          array_to_string(
            list_transform(
-             list_filter(string_split_regex(trim(seg), '[\\s\\v]+'), x -> x <> ''),
+             list_filter(string_split_regex(trim(seg, ' '), '{DUCK_UWS}+'), x -> x <> ''),
              t -> CASE WHEN lower(t) IN ({stoplist}) THEN chr(1) ELSE t END),
            ' ') AS m
-  FROM seg WHERE trim(seg) <> ''
+  FROM seg WHERE trim(seg, ' ') <> ''
 ),
 phr AS (
-  SELECT doc_id, trim(p) AS phrase
+  SELECT doc_id, trim(p, ' ') AS phrase
   FROM (SELECT doc_id, unnest(string_split(m, chr(1))) AS p FROM marked)
-  WHERE trim(p) <> ''
+  WHERE trim(p, ' ') <> ''
 ),
 occ AS (
   SELECT doc_id, phrase, row_number() OVER (PARTITION BY doc_id ORDER BY phrase) AS occ_id FROM phr
@@ -372,7 +389,7 @@ def q043_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q184_tfidf",
     oracle="""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
 ),
 tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf
@@ -542,7 +559,7 @@ def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q126_document_chunking",
     oracle="""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 100),
+WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT) + 1, 1)),
@@ -750,7 +767,7 @@ SELECT doc_id,
        -- never ROUND a composite (decimal-half divergence)
        1.0 - len({shingles_sql("toks", 5)})
            / CAST(greatest(len(toks) - 4, 1) AS DOUBLE) AS rep_ratio
-FROM (SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents)
+FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents)
 ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
@@ -853,10 +870,14 @@ def _rep_oracle() -> str:
     joins_sql = "\n".join(joins)
     return f"""
 WITH t AS (
+  -- trim(x, ' ') NOT trim(x): DuckDB's bare trim strips UNICODE
+  -- whitespace (U+3000 et al.) where the kernel's .strip(' ') and
+  -- Spark's F.trim strip ASCII space only — the house convention is
+  -- ASCII (r11 unicode-run corpus finding)
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> '') AS toks,
-         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
-         list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'), p -> trim(p)), p -> p <> '') AS ps
+         list_filter(string_split_regex(trim(text, ' '), '[\\s\\v]+'), x -> x <> '') AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l, ' ')), l -> l <> '') AS ls,
+         list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'), p -> trim(p, ' ')), p -> p <> '') AS ps
   FROM documents
 ),
 base AS (
@@ -1276,8 +1297,7 @@ BPE_ISH_PATTERN = (
     oracle=f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END AS n_words,
+       {word_count_sql('text')} AS n_words,
        CASE WHEN length(text) = 0 THEN 0.0
             ELSE ROUND(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
                        / CAST(length(text) AS DOUBLE), 6) END AS tokens_per_char
@@ -1399,11 +1419,10 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 @query(
     "q146_sequence_packing",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT source, doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '[\\s\\v]+')) END AS n_tok
+         {word_count_sql('text')} AS n_tok
   FROM documents
 ),
 c AS (
@@ -1446,10 +1465,10 @@ def q146_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q068_lm_score",
     oracle="""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+') AS t
+  SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+') AS t
   FROM documents
-  WHERE trim(text) <> ''
-    AND len(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i')), '[\\s\\v]+')) >= 2
+  WHERE trim(text, ' ') <> ''
+    AND len(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+')) >= 2
 ),
 uni AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS u
@@ -1986,7 +2005,7 @@ BIGRAMS_SQL = """
 SELECT doc_id,
        list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1]) AS ts
 FROM (
-  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS ts FROM documents
+  SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS ts FROM documents
 )
 """
 
@@ -2251,7 +2270,7 @@ PMI_TOPK = 100
     "q156_pmi_collocations",
     oracle=f"""
 WITH t AS (
-  SELECT string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
+  SELECT string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
 ),
 bg AS (
   SELECT w1, w2 FROM (
@@ -2428,7 +2447,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
     "q041_ngram_novelty",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '[\\s\\v]+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
 ),
 d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {NOVELTY_K}),
 dg AS (
@@ -2506,8 +2525,8 @@ _GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> '') AS toks,
-         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+         list_filter(string_split_regex(trim(text, ' '), '[\\s\\v]+'), x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l, ' ') <> '') AS ls
   FROM documents
 ),
 m AS (
@@ -2517,8 +2536,8 @@ m AS (
          CAST(len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS sym,
          CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
          CAST(len(ls) AS BIGINT) AS nl,
-         CAST(len(list_filter(ls, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS BIGINT) AS ell,
-         CAST(len(list_filter(ls, l -> {" OR ".join(f"starts_with(trim(l), '{b}')" for b in _GOPHER_BULLETS)})) AS BIGINT) AS bul,
+         CAST(len(list_filter(ls, l -> ends_with(trim(l, ' '), '...') OR ends_with(trim(l, ' '), '…'))) AS BIGINT) AS ell,
+         CAST(len(list_filter(ls, l -> {" OR ".join(f"starts_with(trim(l, ' '), '{b}')" for b in _GOPHER_BULLETS)})) AS BIGINT) AS bul,
          CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
               [{", ".join(repr(w) for w in _GOPHER_STOPWORDS)}])) AS BIGINT) AS stop
   FROM t

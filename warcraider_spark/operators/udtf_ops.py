@@ -47,7 +47,7 @@ def bigram_udtf_class():
     # with this oracle (r9 Unicode sweep).
     oracle="""
 WITH t AS (SELECT doc_id,
-                  list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> '') AS toks
+                  list_filter(string_split_regex(trim(text, ' '), '[\\s\\v]+'), x -> x <> '') AS toks
            FROM documents WHERE doc_id < 40)
 SELECT doc_id, pos, w1, w2
 FROM (

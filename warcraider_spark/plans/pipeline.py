@@ -39,6 +39,7 @@ from pyspark.sql.types import StringType
 from warcraider_spark.functions import extract as X
 from warcraider_spark.functions.html import parse_html_udf
 from warcraider_spark.functions.rake import rake_keywords_udf
+from warcraider_spark.functions.textfn import word_count as _word_count
 from warcraider_spark.functions.urls import absolutize_udf, root_domain_udf
 from warcraider_spark.schema import URL_RESOURCE_AVRO_JSON, URL_RESOURCE_FIELDS
 
@@ -203,12 +204,7 @@ def url_resource_from_warc_records(records: DataFrame, metrics: dict | None = No
     rake = rake_keywords_udf()
     final = (
         with_urls.withColumn("keywords", rake(F.col("text_content")))
-        .withColumn(
-            "word_count",
-            F.when(F.length(F.trim("text_content")) == 0, F.lit(0))
-            .otherwise(F.size(F.split(F.trim("text_content"), r"\s+")))
-            .cast("int"),
-        )
+        .withColumn("word_count", _word_count("text_content"))
         .select(*URL_RESOURCE_FIELDS)
     )
     return final
