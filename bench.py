@@ -119,9 +119,9 @@ def main() -> None:
         "q163_exact_dedup_groups",
         "q162_minhash_lsh_pairs",
         "q161_training_data_pipeline",
-        "q019_cosine_topk_bruteforce",
-        "q027_tumbling_window",
-        "q043_rake_keywords",
+        "q083_cosine_topk_bruteforce",
+        "q101_tumbling_window",
+        "q159_rake_keywords",
         "q075_pricing_summary",
         "q081_star_join_revenue",
         "q185_topk_per_group",

@@ -14,7 +14,7 @@ from warcraider_spark.lineage import (
 )
 from warcraider_spark.registry import all_specs
 
-ITERATIVE = ("q154_connected_components", "q046_kmeans_codebook", "q160_pagerank")
+ITERATIVE = ("q154_connected_components", "q188_kmeans_codebook", "q160_pagerank")
 
 
 def test_dir_resolution(monkeypatch):

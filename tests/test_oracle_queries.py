@@ -216,7 +216,7 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
 def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     """Every shingles_sql-based oracle survives sub-k-token documents
     (same landmine class as q167's: the unguarded toks[i+j] || chain
-    NULLed short-doc shingles until the r8 CASE guard). q036 is vacuous
+    NULLed short-doc shingles until the r8 CASE guard). q124 is vacuous
     on 12 docs (its decontamination branch never fires) and is covered
     at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -229,8 +229,8 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
         "q119_ngram_jaccard_pairs",
         "q169_containment_dedup",
         "q123_dedup_clusters",
-        "q066_benchmark_contamination",
-        "q074_incremental_dedup",
+        "q005_benchmark_contamination",
+        "q013_incremental_dedup",
         "q058_shingle_fingerprint",
     ]
     for n in names:
@@ -241,13 +241,13 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
 def test_degenerate_doc_totality(spark, tmp_path):
     """The r8 adversarial sweep's crash/divergence findings, pinned: on a
     corpus with empty/whitespace-only docs (guaranteed in any real web
-    corpus) q065 must not DIVIDE_BY_ZERO under ANSI mode, q172's
+    corpus) q004 must not DIVIDE_BY_ZERO under ANSI mode, q172's
     MinHashLSH join must not FAILED_EXECUTE_UDF on all-zero vectors
     (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
-    the localCheckpoint barrier pins it to filtered rows), q077's oracle
+    the localCheckpoint barrier pins it to filtered rows), q015's oracle
     must not NULL through list()-of-zero-rows / array_to_string([]),
-    q138/q048 tokenization must drop empty tokens on both engines, and
-    q124's crosstab schema must stay the closed 5-lang contract when a
+    q138/q190 tokenization must drop empty tokens on both engines, and
+    q036's crosstab schema must stay the closed 5-lang contract when a
     lang is corpus-absent."""
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
@@ -255,12 +255,12 @@ def test_degenerate_doc_totality(spark, tmp_path):
     d = _short_doc_corpus(tmp_path)
     specs = all_specs()
     for n in [
-        "q065_bpe_pretokenize",
-        "q077_span_excision",
+        "q004_bpe_pretokenize",
+        "q015_span_excision",
         "q138_repetition_ratio",
-        "q048_bigram_udtf",
+        "q190_bigram_udtf",
         "q172_ml_lsh_variants",
-        "q124_crosstab",
+        "q036_crosstab",
     ]:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
@@ -299,9 +299,9 @@ COPY (
 def test_zero_vector_totality(spark, tmp_path):
     """The r8 zero-vector sweep's findings, pinned: all-zero embedding
     rows (one corrupted row in a 100 TB corpus) must not ANSI-kill the
-    cosine family (q019/q131/q118: nrm > 0 exclusion — no direction, no
-    cosine), the absmax quantizer (q050: raw_scale > 0), or the grouped
-    eigensolve (q026: np.cov of a singleton group is 0-d; the oracle's
+    cosine family (q083/q131/q118: nrm > 0 exclusion — no direction, no
+    cosine), the absmax quantizer (q192: raw_scale > 0), or the grouped
+    eigensolve (q100: np.cov of a singleton group is 0-d; the oracle's
     aniso division needs the zero-trace CASE)."""
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
@@ -309,11 +309,11 @@ def test_zero_vector_totality(spark, tmp_path):
     d = _zero_vector_corpus(tmp_path)
     specs = all_specs()
     for n in [
-        "q019_cosine_topk_bruteforce",
+        "q083_cosine_topk_bruteforce",
         "q131_ann_sign_lsh",
-        "q050_two_stage_rerank",
+        "q192_two_stage_rerank",
         "q118_embedding_neardup",
-        "q026_group_spectral_stats",
+        "q100_group_spectral_stats",
     ]:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
@@ -426,12 +426,12 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     fingerprint/tokenization now applies the engine-stable case fold
     (textfn.fold_lower / its textual SQL twin; ASCII no-op); the İ form
     also split '[a-z]+' token runs differently (the combining dot
-    breaks a run), shifting q073/q077/q016/q096 token counts and span
+    breaks a run), shifting q012/q015/q078/q022 token counts and span
     offsets. (b) Python str.split() is Unicode-whitespace and split
-    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q048
+    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q190
     bigram UDTF now ASCII-splits like the house tokenizer.
 
-    q156/q041/q171 are excluded as corpus-vacuous here (their
+    q156/q150/q044 are excluded as corpus-vacuous here (their
     discriminating branches need more data than 16 docs; min_rows
     guards them) — they're covered at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -440,16 +440,16 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     d = _unicode_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q167_gopher_repetition", "q168_gopher_rules", "q043_rake_keywords",
+        "q167_gopher_repetition", "q168_gopher_rules", "q159_rake_keywords",
         "q054_token_stats", "q055_lang_id", "q056_quality_score",
         "q057_fingerprint", "q058_shingle_fingerprint", "q059_word_count_ref",
-        "q138_repetition_ratio", "q065_bpe_pretokenize", "q048_bigram_udtf",
+        "q138_repetition_ratio", "q004_bpe_pretokenize", "q190_bigram_udtf",
         "q162_minhash_lsh_pairs", "q184_tfidf", "q126_document_chunking",
-        "q115_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",
+        "q034_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",
         "q127_simhash_dupes", "q149_duplicate_spans",
-        "q066_benchmark_contamination", "q073_token_budget_select",
-        "q077_span_excision", "q016_heavy_hitters", "q096_bpe_encode",
-        "q039_simhash_radius", "q040_bpe_merge_train",
+        "q005_benchmark_contamination", "q012_token_budget_select",
+        "q015_span_excision", "q078_heavy_hitters", "q022_bpe_encode",
+        "q134_simhash_radius", "q135_bpe_merge_train",
         "q169_containment_dedup", "q161_training_data_pipeline",
         "q093_whitespace_quirks", "q146_sequence_packing",
     ]

@@ -419,3 +419,116 @@ def test_parse_cascade_invariants_fuzz():
             assert r["title"] == titles[-1], (i, doc[:400])
         # tidy totality: the diagnostics catalog must be TOTAL on soup
         assert isinstance(tidy_diagnostics(doc), str)
+
+
+# --- r11 (VERDICT r10 #5): deletion-region + scheme-allowlist fuzz ---------
+
+_DELETED = ["style", "noscript", "noframes"]
+# ammonia's default URL-scheme ALLOWLIST members used here, plus relative
+_ALLOWED_HREFS = [
+    "http://x.test/{m}", "https://x.test/{m}", "mailto:{m}@x.test",
+    "tel:+61{n}", "ftp://x.test/{m}", "magnet:?xt={m}", "/{m}", "#{m}",
+]
+# outside the allowlist -> ammonia strips the attribute (link not kept);
+# the WHATWG tab/newline removal means embedded controls don't hide a
+# dangerous scheme (ADVICE r10 #1)
+_BLOCKED_HREFS = [
+    "javascript:alert('{m}')", "vbscript:{m}", "steam://run/{m}",
+    "file:///{m}", "data:text/html,{m}", "whatsapp://send?text={m}",
+    "java\tscript:alert('{m}')", "j\navascript:{m}",
+]
+
+
+def _gen_deletion_doc(rng: random.Random, idx: int):
+    """Adversarial RAWTEXT deletion regions, expectations computed from
+    html5ever's raw-text tokenization (the semantics ammonia parses
+    with): a region opens at <style|noscript|noframes> (self-closing
+    flag IGNORED on raw-text elements) and closes at the FIRST
+    case-insensitive '</name' + ('>' or whitespace-then-'>') — even
+    inside comment-looking bytes; fake end tags (wrong name) and nested
+    same-name STARTS are raw text; an unterminated region swallows to
+    EOF. The one documented divergence — attr-bearing end tags like
+    '</noscript x>' — is deliberately not generated (COVERAGE §2.4)."""
+    parts: list[str] = []
+    visible: list[str] = []
+    hidden: list[str] = []
+    links: list[str] = []
+    mark_n = 0
+
+    def marker() -> str:
+        nonlocal mark_n
+        mark_n += 1
+        return f"dk{idx}x{mark_n}q"
+
+    n_regions = rng.randrange(1, 5)
+    for _ in range(n_regions):
+        # interstitial body text + a scheme-tested anchor
+        m = marker()
+        parts.append(f" {m} ")
+        visible.append(m)
+        am = marker()
+        if rng.random() < 0.5:
+            href = rng.choice(_ALLOWED_HREFS).format(m=am, n=mark_n)
+            links.append(href)
+        else:
+            href = rng.choice(_BLOCKED_HREFS).format(m=am)
+        txt = marker()
+        parts.append(f'<a href="{href}">{txt}</a>')
+        visible.append(txt)  # the anchor's TEXT survives either way
+
+        tag = rng.choice(_DELETED)
+        opener = f"<{tag}/>" if rng.random() < 0.2 else f"<{tag}>"
+        parts.append(opener)
+        # region content: raw bytes, all hidden
+        for _ in range(rng.randrange(1, 5)):
+            m = marker()
+            hidden.append(m)
+            shape = rng.random()
+            if shape < 0.2:
+                parts.append(f"<{tag}>{m}")          # nested start: text
+            elif shape < 0.4:
+                parts.append(f"</{tag}z>{m}")        # fake end: text
+            elif shape < 0.55:
+                parts.append(f'<a href="/{m}">{m}</a>')  # link: never kept
+            elif shape < 0.7:
+                parts.append(f"<!-- {m} ")           # comment bytes: raw
+            else:
+                parts.append(f" {m} ")
+        close = rng.random()
+        if close < 0.3:
+            # the real end tag hiding inside comment-looking bytes STILL
+            # closes the region; the comment tail becomes visible text
+            tail = marker()
+            parts.append(f"<!-- </{tag}> -->{tail}")
+            visible.append(f"-->{tail}")  # our text events strip edges
+        elif close < 0.5:
+            parts.append(f"</{tag.upper()} >")       # case + space: closes
+        elif close < 0.8:
+            parts.append(f"</{tag}>")
+        else:
+            # unterminated: everything after is swallowed to EOF
+            for _ in range(rng.randrange(1, 3)):
+                m = marker()
+                hidden.append(m)
+                parts.append(f" {m} <a href='/{m}'>x</a>")
+            return "".join(parts), visible, hidden, links
+    m = marker()
+    parts.append(f" {m} ")
+    visible.append(m)
+    return "".join(parts), visible, hidden, links
+
+
+def test_deletion_region_fuzz():
+    rng = random.Random(1711)
+    for i in range(500):
+        doc, visible, hidden, links = _gen_deletion_doc(rng, i)
+        r = parse_html_py(doc)
+        joined = " ".join(r["text"])
+        for m in visible:
+            assert m in joined, (i, m, doc[:400])
+        for m in hidden:
+            assert m not in joined, (i, m, doc[:400])
+            assert not any(m in l for l in r["links"]), (i, m)
+            assert not any(m in h for h in r["headings_text"]), (i, m)
+        assert r["links"] == links, (i, r["links"], links, doc[:400])
+        assert isinstance(tidy_diagnostics(doc), str)

@@ -170,9 +170,9 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_salted_join_no_single_hot_partition(spark):
-    """q047: the salted skew join must key the shuffle on (key, salt) —
+    """q189: the salted skew join must key the shuffle on (key, salt) —
     plan shows the salt column in the join keys."""
-    df = all_specs()["q047_salted_skew_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q189_salted_skew_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "salt" in plan
 
@@ -180,7 +180,7 @@ def test_salted_join_no_single_hot_partition(spark):
 def test_salting_spreads_hot_key_across_partitions(spark):
     """The salting mechanism itself (VERDICT r5 #6): on a synthesized
     1000:1-skewed key, hash-partitioning on the bare key puts EVERY hot
-    row in one partition, while q047's (key, salt-from-row-id) scheme
+    row in one partition, while q189's (key, salt-from-row-id) scheme
     splits the hot key across >= 4 of 32 partitions — the executable form
     of the 'no single hot partition' claim (deterministic: fixed values,
     fixed partitioning)."""
@@ -254,12 +254,12 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_ivf_search_broadcasts_centroids(spark):
-    """q024: the vectors×centroids cross join must BUILD on a broadcast of
+    """q098: the vectors×centroids cross join must BUILD on a broadcast of
     the tiny centroid table (BNLJ BuildRight) — the vector stream never
     shuffles for assignment; a CartesianProduct (both sides shuffled)
     would be the 100 TB killer. Candidate generation joins on the bucket
     key (equi: SMJ here, AQE may demote to broadcast at runtime)."""
-    df = all_specs()["q024_ivf_topk_search"].builder(spark, SF_CORRECT)
+    df = all_specs()["q098_ivf_topk_search"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "CartesianProduct" not in plan
@@ -276,31 +276,31 @@ def test_pipeline_query_no_joins(spark):
 
 
 def test_two_stage_rerank_broadcasts_queries(spark):
-    """q050: the coarse stage must be a BroadcastNestedLoopJoin with the
+    """q192: the coarse stage must be a BroadcastNestedLoopJoin with the
     (tiny) query set as build side — the corpus streams once; a cartesian
     product or a shuffle of the corpus against queries would be the 100 TB
     killer."""
-    df = all_specs()["q050_two_stage_rerank"].builder(spark, SF_CORRECT)
+    df = all_specs()["q192_two_stage_rerank"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_contamination_broadcasts_benchmark(spark):
-    """q066: the benchmark shingle set must broadcast so the corpus-side
+    """q005: the benchmark shingle set must broadcast so the corpus-side
     shingles never shuffle for the join (the corpus is the 100 TB side)."""
-    df = all_specs()["q066_benchmark_contamination"].builder(spark, SF_CORRECT)
+    df = all_specs()["q005_benchmark_contamination"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_sketch_aggs_are_partial_final(spark):
-    """q049: sketch aggregates must plan as partial ObjectHashAggregate →
+    """q191: sketch aggregates must plan as partial ObjectHashAggregate →
     Exchange → final — the sketches merge map-side, so the shuffle carries
     one bounded sketch per group, not raw values (the whole point of
     mergeable sketches)."""
-    df = all_specs()["q049_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
+    df = all_specs()["q191_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("ObjectHashAggregate") >= 4  # partial+final × two levels
     assert "Exchange" in plan
@@ -316,11 +316,11 @@ def test_mixture_weights_broadcast(spark):
 
 
 def test_dim_profile_shuffle_is_bounded(spark):
-    """q067: the per-dimension profile must partial-aggregate before its
+    """q006: the per-dimension profile must partial-aggregate before its
     single exchange — the shuffle key domain is the embedding width, so
     the exchange moves ~dims rows per input partition no matter the
     corpus size."""
-    df = all_specs()["q067_embedding_dim_profile"].builder(spark, SF_CORRECT)
+    df = all_specs()["q006_embedding_dim_profile"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
     # exactly one agg shuffle + the orderBy range exchange, nothing else
@@ -329,10 +329,10 @@ def test_dim_profile_shuffle_is_bounded(spark):
 
 
 def test_lm_score_vocab_is_broadcast(spark):
-    """q068: the vocabulary-size scalar must ride a broadcast nested-loop
+    """q007: the vocabulary-size scalar must ride a broadcast nested-loop
     cross join — a shuffled cross join against a 1-row side would
     repartition the full scored-bigram stream."""
-    df = all_specs()["q068_lm_score"].builder(spark, SF_CORRECT)
+    df = all_specs()["q007_lm_score"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
@@ -347,10 +347,10 @@ def test_sequence_packing_single_window_shuffle(spark):
 
 
 def test_kmeans_broadcasts_centroids(spark):
-    """q046: a Lloyd assignment step must join the vector table against a
+    """q188: a Lloyd assignment step must join the vector table against a
     BROADCAST of the (k x dims)-row centroid table — a shuffled centroid
     join would repartition the full corpus once per iteration. Asserted on
-    the raw step subplan (the final q046 plan hides iterations behind
+    the raw step subplan (the final q188 plan hides iterations behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.similarity import _km_assign
 
@@ -378,10 +378,10 @@ def test_rollup_layers_reaggregate_partials(spark):
 
 
 def test_bpe_pair_counts_partial_final(spark):
-    """q040: the per-round pair count must partial-aggregate before its one
+    """q135: the per-round pair count must partial-aggregate before its one
     exchange on the uniform (l, r) key — per merge round the shuffle moves
     bounded partial counts over the vocabulary, never the corpus. Asserted
-    on the round subplan (the full q040 plan hides rounds behind
+    on the round subplan (the full q135 plan hides rounds behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.text import _bpe_pair_counts
 
@@ -407,11 +407,11 @@ def test_duplicate_spans_single_shuffle_topk(spark):
 
 
 def test_token_budget_window_is_partitioned(spark):
-    """q073: the corpus-side cumulative sum must run under a PARTITIONED
+    """q012: the corpus-side cumulative sum must run under a PARTITIONED
     window (bucketed prefix-sum) — the only orderBy-without-partitionBy
     windows allowed are over the ~21-row bucket summary. A global window
     over the document table is a single-partition non-starter at 100 TB."""
-    df = all_specs()["q073_token_budget_select"].builder(spark, SF_CORRECT)
+    df = all_specs()["q012_token_budget_select"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
@@ -419,22 +419,22 @@ def test_token_budget_window_is_partitioned(spark):
 
 
 def test_triangle_count_no_cartesian(spark):
-    """q014: both triangle joins must be key-equi joins (shuffle or
+    """q076: both triangle joins must be key-equi joins (shuffle or
     broadcast on the node key) and the total-count attach must ride a
     broadcast — any CartesianProduct means the orientation trick failed
     and the plan is all-pairs."""
-    df = all_specs()["q014_triangle_count"].builder(spark, SF_CORRECT)
+    df = all_specs()["q076_triangle_count"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
 
 
 def test_interval_join_is_equi_not_nested_loop(spark):
-    """q076: the interval join must be an EQUI hash join on the bin key —
+    """q014: the interval join must be an EQUI hash join on the bin key —
     a pure range predicate plans as BroadcastNestedLoopJoin (O(n·m)
     compares), which is exactly what the binned rewrite exists to kill.
     Every join in the plan must be hash-based."""
-    df = all_specs()["q076_interval_bin_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q014_interval_bin_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -481,29 +481,29 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
 
 
 def test_merge_upsert_base_never_shuffles(spark):
-    """q045: the MERGE batch (deletes + updates) must ride broadcast joins
+    """q174: the MERGE batch (deletes + updates) must ride broadcast joins
     — the base relation shuffling for a maintenance batch is the classic
     full-outer MERGE mistake at 100 TB."""
-    df = all_specs()["q045_merge_upsert"].builder(spark, SF_CORRECT)
+    df = all_specs()["q174_merge_upsert"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
 
 
 def test_corpus_shard_window_is_partitioned(spark):
-    """q107: the position window must be PARTITIONED BY shard — a global
+    """q031: the position window must be PARTITIONED BY shard — a global
     row_number() OVER (ORDER BY hash) would funnel the whole corpus
     through one reducer."""
-    df = all_specs()["q107_corpus_shard"].builder(spark, SF_CORRECT)
+    df = all_specs()["q031_corpus_shard"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     # the Window operator spec must carry a partition spec on `shard`
     assert "windowspecdefinition(shard" in plan, "position window is not partitioned by shard"
 
 
 def test_skyline_local_pass_is_bucket_partitioned(spark):
-    """q113: the first (full-data) skyline pass must run per hash-bucket;
+    """q033: the first (full-data) skyline pass must run per hash-bucket;
     only survivors may enter the unpartitioned global window."""
-    df = all_specs()["q113_skyline_docs"].builder(spark, SF_CORRECT)
+    df = all_specs()["q033_skyline_docs"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "bucket" in plan, "local skyline pass lost its bucket partitioning"
 
@@ -520,10 +520,10 @@ def test_concat_chunk_corpus_window_is_bucketed(spark):
 
 
 def test_bloom_probe_filter_is_broadcast(spark):
-    """q037: both the bloom word-table probe and the exact-membership
+    """q125: both the bloom word-table probe and the exact-membership
     audit must ride BROADCAST joins — the batch is never shuffled against
     the base, and nothing may fall back to SMJ or a cartesian."""
-    df = all_specs()["q037_bloom_dedup_probe"].builder(spark, SF_CORRECT)
+    df = all_specs()["q125_bloom_dedup_probe"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
@@ -540,11 +540,11 @@ def test_countmin_probe_is_broadcast(spark):
 
 
 def test_simhash_radius_band_join_is_equi(spark):
-    """q039: candidate generation must be the (band, value) EQUI
+    """q134: candidate generation must be the (band, value) EQUI
     self-join — a BroadcastNestedLoopJoin or CartesianProduct means the
     hamming predicate leaked into the join and the plan went all-pairs
     (that quadratic form exists only oracle-side)."""
-    df = all_specs()["q039_simhash_radius"].builder(spark, SF_CORRECT)
+    df = all_specs()["q134_simhash_radius"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -555,17 +555,17 @@ def test_simhash_radius_band_join_is_equi(spark):
     # (doc_a, doc_b)-keyed distinct: a re-shuffle of the candidate set
     # is the quadratic-at-8x shape SCALE.md §10 measured at 80s
     assert "hashpartitioning(doc_a" not in plan, (
-        "q039 candidate pairs re-shuffled for dedup — the first-matching-"
+        "q134 candidate pairs re-shuffled for dedup — the first-matching-"
         "band filter regressed to a distinct()"
     )
 
 
 def test_containment_join_broadcasts_query_terms(spark):
-    """q171: the query-term list must ride a broadcast join onto the
+    """q044: the query-term list must ride a broadcast join onto the
     exploded postings — a shuffle of the corpus postings keyed by the tiny
     query set would serialize on a handful of term keys at scale. No
     cartesian anywhere."""
-    df = all_specs()["q171_set_containment_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q044_set_containment_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -573,25 +573,25 @@ def test_containment_join_broadcasts_query_terms(spark):
 
 
 def test_sparse_dot_query_weights_broadcast(spark):
-    """q023: the query-side weight table broadcasts; the top-k window is
+    """q097: the query-side weight table broadcasts; the top-k window is
     partitioned by query (never a global sort); no nested-loop joins."""
-    df = all_specs()["q023_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q097_sparse_dot_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the corpus count resolves driver-side (q039 idiom), so there is no
+    # the corpus count resolves driver-side (q134 idiom), so there is no
     # 1-row cross-join subtree left to duplicate through the lineage
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(qid" in plan.lower().replace(" ", "") or "qid" in plan
 
 
 def test_sparse_dot_single_materialization(spark):
-    """q023 (r10, VERDICT r9 #6): the shared TF-IDF weight table is
+    """q097 (r10, VERDICT r9 #6): the shared TF-IDF weight table is
     materialized once (cut_lineage), so the static plan no longer
     duplicates the tok lineage 4x — the 10-exchange plan that needed a
     runtime AQE stage-reuse audit to trust is now <=4 shuffle exchanges
     statically: qw window, dots groupBy, rank window, final order."""
-    df = all_specs()["q023_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q097_sparse_dot_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert shuffles <= 4, f"expected <=4 shuffle exchanges, plan has {shuffles}"
@@ -691,20 +691,20 @@ BUILD_TIME_EXECUTION_OK = {
     # convergence check) is the operator's documented contract
     "q160_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
     "q154_connected_components": "large/small-star loop, data-dependent convergence check",
-    "q040_bpe_merge_train": "per-round best-pair selection is data-dependent",
-    "q046_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
-    "q096_bpe_encode": "replays the q040 merge-train loop to build the vocab",
-    "q097_pq_encode": "per-subspace k-means loops (q046 contract)",
-    "q101_semantic_dedup": "k-means clustering loop (q046 contract)",
+    "q135_bpe_merge_train": "per-round best-pair selection is data-dependent",
+    "q188_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
+    "q022_bpe_encode": "replays the q135 merge-train loop to build the vocab",
+    "q023_pq_encode": "per-subspace k-means loops (q188 contract)",
+    "q027_semantic_dedup": "k-means clustering loop (q188 contract)",
     "q123_dedup_clusters": "connected-components loop (q154 contract)",
-    "q125_perceptron_train": "per-epoch gradient rounds with lineage cuts",
+    "q037_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
-    "q030_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
-    "q063_stream_stream_join": "executes a stream-stream join replay",
+    "q106_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
+    "q002_stream_stream_join": "executes a stream-stream join replay",
     "q140_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
     "q172_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
-    "q124_crosstab": "df.stat.crosstab computes its pivot eagerly",
+    "q036_crosstab": "df.stat.crosstab computes its pivot eagerly",
     # r10: the weight-table materialization (VERDICT r9 #6). Under AQE,
     # toRdd inside even a LAZY localCheckpoint executes the upstream
     # stages, so the shared TF-IDF lineage materializes while the
@@ -712,7 +712,7 @@ BUILD_TIME_EXECUTION_OK = {
     # consumers read blocks) and the cost stays inside the bench's
     # timed window — the builder call is timed, and no cross-invocation
     # cache survives to later reps (unlike cache()).
-    "q023_sparse_dot_topk": "cut_lineage materializes the shared weight table at build",
+    "q097_sparse_dot_topk": "cut_lineage materializes the shared weight table at build",
 }
 
 
@@ -744,21 +744,21 @@ def test_plan_construction_launches_no_jobs(spark):
 
 
 def test_mixture_trio_plan_shapes(spark):
-    """r10 training-mixture trio: q009's corpus pass is one partial-
+    """r10 training-mixture trio: q070's corpus pass is one partial-
     aggregated scan (its windows/broadcasts run on the ~|domains|-row
     rollup — the only SortMergeJoin-free shape that never re-reads the
-    fact table); q010's top-k is TakeOrderedAndProject over the bounded
-    hashed-ratio broadcast join; q011's ranking window is PARTITIONED
+    fact table); q071's top-k is TakeOrderedAndProject over the bounded
+    hashed-ratio broadcast join; q072's ranking window is PARTITIONED
     by the domain key, never a global sort."""
     specs = all_specs()
-    p9 = plan_of(specs["q009_domain_mixture_weights"].builder(spark, SF_CORRECT))
+    p9 = plan_of(specs["q070_domain_mixture_weights"].builder(spark, SF_CORRECT))
     assert "SortMergeJoin" not in p9
     assert "CartesianProduct" not in p9
-    p10 = plan_of(specs["q010_dsir_select"].builder(spark, SF_CORRECT))
+    p10 = plan_of(specs["q071_dsir_select"].builder(spark, SF_CORRECT))
     assert "TakeOrderedAndProject" in p10
     assert "BroadcastHashJoin" in p10
     assert "SortMergeJoin" not in p10
-    p11 = plan_of(specs["q011_domain_quality_select"].builder(spark, SF_CORRECT))
+    p11 = plan_of(specs["q072_domain_quality_select"].builder(spark, SF_CORRECT))
     assert "windowspecdefinition(source" in p11.lower().replace(" ", "")
     assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11
 

@@ -45,93 +45,93 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # summaries, local-skyline survivors, merge frontiers, global deciles).
 KNOWN_OK_PAIRS = {
     ("q118_embedding_neardup", "BroadcastNestedLoopJoin"),
-    ("q019_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
-    ("q022_ivf_assign", "BroadcastNestedLoopJoin"),
-    ("q024_ivf_topk_search", "BroadcastNestedLoopJoin"),
-    ("q025_link_degrees", "BroadcastNestedLoopJoin"),
-    ("q050_two_stage_rerank", "BroadcastNestedLoopJoin"),
+    ("q083_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
+    ("q096_ivf_assign", "BroadcastNestedLoopJoin"),
+    ("q098_ivf_topk_search", "BroadcastNestedLoopJoin"),
+    ("q099_link_degrees", "BroadcastNestedLoopJoin"),
+    ("q192_two_stage_rerank", "BroadcastNestedLoopJoin"),
     ("q114_having_avg_subquery", "BroadcastNestedLoopJoin"),
     # r9: q129's unpartitioned window is now over the TINY per-bucket
-    # count table only (q073 prefix-sum shape — the fact-table window is
+    # count table only (q012 prefix-sum shape — the fact-table window is
     # partitioned by bucket; pinned by test_decile_no_global_sort); its
     # broadcast side is the same bucket summary, bounded by the value-
     # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
     ("q129_decile_distribution", "unpartitioned window"),
     ("q129_decile_distribution", "broadcast of unbounded aggregate"),
-    ("q068_lm_score", "BroadcastNestedLoopJoin"),
-    ("q069_gapfill_locf", "BroadcastNestedLoopJoin"),
-    ("q073_token_budget_select", "BroadcastNestedLoopJoin"),
-    ("q073_token_budget_select", "unpartitioned window"),
-    ("q014_triangle_count", "BroadcastNestedLoopJoin"),
-    ("q077_span_excision", "BroadcastNestedLoopJoin"),
+    ("q007_lm_score", "BroadcastNestedLoopJoin"),
+    ("q008_gapfill_locf", "BroadcastNestedLoopJoin"),
+    ("q012_token_budget_select", "BroadcastNestedLoopJoin"),
+    ("q012_token_budget_select", "unpartitioned window"),
+    ("q076_triangle_count", "BroadcastNestedLoopJoin"),
+    ("q015_span_excision", "BroadcastNestedLoopJoin"),
     ("q148_zorder_layout", "BroadcastNestedLoopJoin"),
     ("q143_key_skew_profile", "BroadcastNestedLoopJoin"),
-    ("q099_inverted_index", "BroadcastNestedLoopJoin"),
-    ("q016_heavy_hitters", "BroadcastNestedLoopJoin"),
-    ("q113_skyline_docs", "unpartitioned window"),
+    ("q025_inverted_index", "BroadcastNestedLoopJoin"),
+    ("q078_heavy_hitters", "BroadcastNestedLoopJoin"),
+    ("q033_skyline_docs", "unpartitioned window"),
     ("q117_concat_chunk_blocks", "unpartitioned window"),
-    ("q121_quantified_subqueries", "BroadcastNestedLoopJoin"),
-    ("q125_perceptron_train", "BroadcastNestedLoopJoin"),
-    ("q150_dormant_rich_customers", "BroadcastNestedLoopJoin"),
-    ("q038_split_leakage", "BroadcastNestedLoopJoin"),
+    ("q035_quantified_subqueries", "BroadcastNestedLoopJoin"),
+    ("q037_perceptron_train", "BroadcastNestedLoopJoin"),
+    ("q041_dormant_rich_customers", "BroadcastNestedLoopJoin"),
+    ("q133_split_leakage", "BroadcastNestedLoopJoin"),
     # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
     # EXACTLY one row by construction; the 1-row broadcast cross join
     # replaced the r6 build-time .first() (VERDICT r6 #8)
     ("q156_pmi_collocations", "BroadcastNestedLoopJoin"),
     # r10 mixture/selection trio: every flagged shape runs on domain- or
-    # top-k-sized aggregates, never the corpus. q009's windows and both
+    # top-k-sized aggregates, never the corpus. q070's windows and both
     # of its broadcast joins are over the per-SOURCE rollup (~|domains|
     # rows; the grand-total and water-fill-cut sides are 1 row by
-    # construction); q010's final rank window orders the 50 rows that
+    # construction); q071's final rank window orders the 50 rows that
     # survive TakeOrderedAndProject.
-    ("q009_domain_mixture_weights", "unpartitioned window"),
-    # q008 recomputes the q009 allocation inline (same aggregate-sized
+    ("q070_domain_mixture_weights", "unpartitioned window"),
+    # q069 recomputes the q070 allocation inline (same aggregate-sized
     # shapes) and broadcasts the ~|domains|-row alloc table onto the
     # hash-ordered per-domain cumsum
-    ("q008_mixture_apply_select", "unpartitioned window"),
-    ("q008_mixture_apply_select", "BroadcastNestedLoopJoin"),
-    ("q008_mixture_apply_select", "broadcast of unbounded aggregate"),
-    ("q009_domain_mixture_weights", "BroadcastNestedLoopJoin"),
-    ("q009_domain_mixture_weights", "broadcast of unbounded aggregate"),
-    ("q010_dsir_select", "unpartitioned window"),
-    # q010's broadcast side is the hashed-feature ratio table — bounded
+    ("q069_mixture_apply_select", "unpartitioned window"),
+    ("q069_mixture_apply_select", "BroadcastNestedLoopJoin"),
+    ("q069_mixture_apply_select", "broadcast of unbounded aggregate"),
+    ("q070_domain_mixture_weights", "BroadcastNestedLoopJoin"),
+    ("q070_domain_mixture_weights", "broadcast of unbounded aggregate"),
+    ("q071_dsir_select", "unpartitioned window"),
+    # q071's broadcast side is the hashed-feature ratio table — bounded
     # at DSIR_BUCKETS rows BY CONSTRUCTION (the paper's hashed n-gram
     # space), independent of corpus vocabulary
-    ("q010_dsir_select", "broadcast of unbounded aggregate"),
+    ("q071_dsir_select", "broadcast of unbounded aggregate"),
     # r11 composed pipeline (VERDICT r10 #6): the union of its four
-    # certified siblings' shapes — q009's domain-aggregate water-fill
-    # windows + 1-row cut/grand-total broadcasts, q010's 4096-bounded
-    # ratio-table broadcast, q008's ~|domains|-row alloc broadcast onto
+    # certified siblings' shapes — q070's domain-aggregate water-fill
+    # windows + 1-row cut/grand-total broadcasts, q071's 4096-bounded
+    # ratio-table broadcast, q069's ~|domains|-row alloc broadcast onto
     # the per-source fill window; every flagged shape runs on a
     # domain-, bucket- or 1-row-sized aggregate, never the corpus
-    ("q192_mixture_pipeline_e2e", "unpartitioned window"),
-    ("q192_mixture_pipeline_e2e", "BroadcastNestedLoopJoin"),
-    ("q192_mixture_pipeline_e2e", "broadcast of unbounded aggregate"),
+    ("q050_mixture_pipeline_e2e", "unpartitioned window"),
+    ("q050_mixture_pipeline_e2e", "BroadcastNestedLoopJoin"),
+    ("q050_mixture_pipeline_e2e", "broadcast of unbounded aggregate"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
-    # fixed k centroids (q022/q024), fixed bloom word count m/64 (q037),
+    # fixed k centroids (q096/q098), fixed bloom word count m/64 (q125),
     # fixed d*w count-min table (q145), <=21 score buckets — score is
-    # milli-scaled in [0,1e6] div 50000 (q073), ingest-batch-sized
+    # milli-scaled in [0,1e6] div 50000 (q012), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
-    # (q074), 100-row interval dimension (q076), bucket-summary prefix
+    # (q013), 100-row interval dimension (q014), bucket-summary prefix
     # sums sized by bucketing policy (q117 — same justification as its
-    # unpartitioned-window exemption), fixed probe/query set (q023),
+    # unpartitioned-window exemption), fixed probe/query set (q097),
     # 3-rows-by-construction KLL estimate table — groupBy over the two
     # filtered event types plus one merged row — broadcast back over the
     # events for the in-plan error-bound verification (q137, r8).
     # Data-coupled hints were FIXED instead, not exempted: q160 out-
     # degrees folded into the rank table, q156 marginals via shuffle
-    # joins, q119 hot-shingle anti-join and q106 per-source bounds left
+    # joins, q119 hot-shingle anti-join and q030 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
-    ("q022_ivf_assign", "broadcast of unbounded aggregate"),
-    ("q024_ivf_topk_search", "broadcast of unbounded aggregate"),
-    ("q037_bloom_dedup_probe", "broadcast of unbounded aggregate"),
+    ("q096_ivf_assign", "broadcast of unbounded aggregate"),
+    ("q098_ivf_topk_search", "broadcast of unbounded aggregate"),
+    ("q125_bloom_dedup_probe", "broadcast of unbounded aggregate"),
     ("q145_countmin_freq", "broadcast of unbounded aggregate"),
-    ("q073_token_budget_select", "broadcast of unbounded aggregate"),
-    ("q074_incremental_dedup", "broadcast of unbounded aggregate"),
-    ("q076_interval_bin_join", "broadcast of unbounded aggregate"),
+    ("q012_token_budget_select", "broadcast of unbounded aggregate"),
+    ("q013_incremental_dedup", "broadcast of unbounded aggregate"),
+    ("q014_interval_bin_join", "broadcast of unbounded aggregate"),
     ("q117_concat_chunk_blocks", "broadcast of unbounded aggregate"),
-    ("q023_sparse_dot_topk", "broadcast of unbounded aggregate"),
+    ("q097_sparse_dot_topk", "broadcast of unbounded aggregate"),
     ("q137_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
     # q176: GK estimate table broadcast back over lineitem for the
     # in-plan rank-window verification — bounded at the l_returnflag

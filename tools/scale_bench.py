@@ -28,43 +28,43 @@ QUERIES = [
     "q168_gopher_rules",
     "q167_gopher_repetition",
     "q162_minhash_lsh_pairs",
-    "q016_heavy_hitters",
-    "q115_line_dedup",
+    "q078_heavy_hitters",
+    "q034_line_dedup",
     "q161_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
-    "q040_bpe_merge_train",
-    "q024_ivf_topk_search",
+    "q135_bpe_merge_train",
+    "q098_ivf_topk_search",
     # r3 round-3 families: bloom probe is the broadcast-filter shape,
     # simhash radius is the banded-candidate shape — both must stay
     # sub-linear in candidates as the corpus grows
-    "q037_bloom_dedup_probe",
-    "q039_simhash_radius",
+    "q125_bloom_dedup_probe",
+    "q134_simhash_radius",
     "q145_countmin_freq",
     # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
     # side grows Kx while the probe set stays 1x (embeddings replicas drop
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
     # retrieval corpus sees
-    "q050_two_stage_rerank",
+    "q192_two_stage_rerank",
     # r4 text additions: PMI is the vocab-saturating shape, novelty the
     # linear-gram-join shape — both must hold their §10 curves
     "q156_pmi_collocations",
-    "q041_ngram_novelty",
+    "q150_ngram_novelty",
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
-    "q088_cdc_chunk_dedup",
+    "q021_cdc_chunk_dedup",
     # r10 mixture trio: corpus-linear map passes over a constant domain
     # set (replicas share the 20 sources) — the rollup/ratio tables
     # saturate while the scan side grows Kx
-    "q009_domain_mixture_weights",
-    "q010_dsir_select",
-    "q011_domain_quality_select",
+    "q070_domain_mixture_weights",
+    "q071_dsir_select",
+    "q072_domain_quality_select",
 ]
 
 
 def _q030_mp4_scaled(spark, sf_dir):
-    """Scale-harness variant of q035_mp4_demux_decode: the registry query
+    """Scale-harness variant of q121_mp4_demux_decode: the registry query
     pins its workload at doc_id < 60 (the oracle must enumerate frames),
     so replication leaves it constant. This variant muxes+demuxes 60
     videos PER REPLICA (doc_id % 1_000_000 < 60, the harness id offset),
@@ -167,7 +167,7 @@ def _q025_cc_scaled(spark, sf_dir):
 
 
 def _q015_sdot_scaled(spark, sf_dir):
-    """Scale-harness variant of q023_sparse_dot_topk: the registry query's
+    """Scale-harness variant of q097_sparse_dot_topk: the registry query's
     query side (doc_id % SCJ_QMOD == 0) replicates with the corpus, which
     would measure k-squared by construction; pinning queries to replica 0
     (doc_id < 1e6) keeps the workload fixed at 1x while the corpus —
@@ -286,9 +286,9 @@ def _q031_decile_scaled(spark, sf_dir):
 VARIANTS = {
     "q129_decile_distribution[per-replica]": _q031_decile_scaled,
     "q169_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
-    "q035_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
+    "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
     "q154_connected_components[per-replica]": _q025_cc_scaled,
-    "q023_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
+    "q097_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
 }
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
@@ -305,7 +305,7 @@ def build_scaled(base: str, k: int, root: str) -> str:
     )
     con.execute(f"COPY ({sel}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
     # embeddings: scale the CORPUS side only — replicas drop vec_id%50==0
-    # rows so q024's probe set stays the 1x query workload (scaling both
+    # rows so q098's probe set stays the 1x query workload (scaling both
     # sides would measure k-squared by construction, not the corpus path)
     esel = " UNION ALL ".join(
         f"SELECT vec_id + {i * 1000000} AS vec_id, embedding, label "
@@ -349,7 +349,7 @@ def main() -> None:
             reps.sort()
             results.setdefault(q, {})[k] = round(reps[1], 2)
 
-    # q039 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
+    # q134 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
     # measure max DISTINCT-sketch occupancy per (band, value) bucket at
     # each K. Distinct sketches isolate accidental hash collisions (the
     # width-controlled overhead) from true-duplicate clustering (the
@@ -404,7 +404,7 @@ def main() -> None:
         cc_audit[k] = {"n_nodes": int(n_nodes), "rounds": len(rounds_out)}
     results["q025_rounds_audit"] = cc_audit  # type: ignore[assignment]
 
-    # q047 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
+    # q189 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
     # at the LARGEST replication factor, joined salted vs unsalted with
     # broadcast and AQE skew-rescue disabled (salting is the MANUAL remedy
     # being certified — AQE skew-join is the automatic one, measured
@@ -449,7 +449,7 @@ def main() -> None:
             F.sum(F.col("n_chars") * F.col("w")).alias("s")
         )
         dim_s = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
-        # salt from the high-cardinality row id (q047 uses l_orderkey % SALT);
+        # salt from the high-cardinality row id (q189 uses l_orderkey % SALT);
         # n_chars would correlate with the data and could itself skew
         fact_s = fact.withColumn("salt", (F.col("doc_id") % SALT).cast("int"))
         salted = fact_s.join(dim_s, ["key", "salt"]).groupBy("key").agg(

@@ -6,7 +6,7 @@ JVM-side with no Arrow transfer, scaling linearly with executors. (Scalar
 expressions compile into whole-stage codegen; the higher-order array
 functions are CodegenFallback — interpreted, fine for cheap lambda bodies,
 which is why the HEAVY per-row folds ship as batched Arrow kernels with
-these as property-test twins: the q167/q088 pattern.)
+these as property-test twins: the q167/q021 pattern.)
 
 Cross-engine hashing convention (used by dedup/minhash/simhash oracles):
 ``md5_int(s)`` = first 15 hex chars of md5(s) as a bigint — identical in

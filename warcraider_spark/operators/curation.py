@@ -6,23 +6,23 @@ of a training corpus), null-safe joins, exact heavy hitters, and Pareto
 
 Scale notes (the reason each query is shaped the way it is):
 
-- **merge upsert** (q045): the daily-maintenance shape. The change batch is
+- **merge upsert** (q174): the daily-maintenance shape. The change batch is
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
-- **stratified sample** (q105): rank-within-stratum over a portable hash →
+- **stratified sample** (q029): rank-within-stratum over a portable hash →
   one shuffle on the stratum key. A mega-stratum (one language = 40 % of
   the corpus) makes that window a hot partition; the fix at scale is the
-  q073 distributed-prefix-sum shape (hash-bucket within stratum, offsets
+  q012 distributed-prefix-sum shape (hash-bucket within stratum, offsets
   from the per-bucket summary). At driver SF the direct window is right.
-- **winsorize** (q106): exact per-group percentiles are a two-phase
+- **winsorize** (q030): exact per-group percentiles are a two-phase
   ObjectHashAggregate; the ~|groups| bounds table re-joins as a broadcast,
   so the fact side never shuffles for the clamp pass.
-- **corpus shard** (q107): shard = hash % N gives uniform partitions by
+- **corpus shard** (q031): shard = hash % N gives uniform partitions by
   construction; position = row_number PARTITIONED BY shard, so no global
   single-partition sort anywhere (the classic mistake is
   row_number() OVER (ORDER BY hash) — one reducer for the whole corpus).
-- **skyline** (q113): dominance is checked per hash-bucket first (local
+- **skyline** (q033): dominance is checked per hash-bucket first (local
   skyline), and only the surviving points — O(skyline) ≪ n — enter the
   global pass, so the unpartitioned window touches a tiny set. The naive
   all-pairs NOT EXISTS (which the DuckDB oracle deliberately uses as an
@@ -48,7 +48,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q045_merge_upsert",
+    "q174_merge_upsert",
     oracle="""
 WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
 upd AS (
@@ -74,7 +74,7 @@ FROM customer WHERE c_custkey <= 40
     tags=("curation", "merge", "join"),
     bench=True,
 )
-def q045_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q174_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (matched-update / matched-delete / not-matched-
     insert) applied as a maintenance batch to the customer base table.
 
@@ -120,7 +120,7 @@ def q045_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q105_stratified_sample",
+    "q029_stratified_sample",
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, lang,
@@ -135,13 +135,13 @@ SELECT doc_id, lang, rk FROM ranked WHERE rk <= CAST(CEIL(n * 0.2) AS BIGINT)
 """,
     tags=("curation", "sampling", "window"),
 )
-def q105_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 20 % stratified sample per language: rank docs inside each
     stratum by a portable md5-derived hash (reproducible across engines and
     runs — .sample() is not) and keep rk <= ceil(0.2 * |stratum|).
 
     One shuffle, on the stratum key. For a mega-stratum the window becomes
-    a hot partition; the scale-out fix is the q073 distributed-prefix-sum
+    a hot partition; the scale-out fix is the q012 distributed-prefix-sum
     shape (hash-bucket within stratum, per-bucket offsets). At driver SF
     the direct window is the right plan.
     """
@@ -163,7 +163,7 @@ def q105_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q106_winsorize",
+    "q030_winsorize",
     oracle="""
 WITH bounds AS (
   SELECT source,
@@ -184,7 +184,7 @@ ORDER BY d.source
 """,
     tags=("curation", "percentile", "aggregate"),
 )
-def q106_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize document lengths per source at exact p05/p95: clamp
     outliers to the percentile bounds and report clip counts + the
     winsorized mean.
@@ -231,7 +231,7 @@ N_SHARDS = 8
 
 
 @query(
-    "q107_corpus_shard",
+    "q031_corpus_shard",
     oracle=f"""
 WITH hashed AS (
   SELECT doc_id, {md5_int_sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents
@@ -243,7 +243,7 @@ FROM hashed
 """,
     tags=("curation", "shuffle", "window"),
 )
-def q107_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + shard assignment: every doc lands in
     shard = hash % N with a reproducible position inside its shard — the
     write-side layout step before training-data export.
@@ -266,7 +266,7 @@ def q107_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q111_nullsafe_join",
+    "q032_nullsafe_join",
     oracle="""
 WITH a AS (
   SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
@@ -283,7 +283,7 @@ GROUP BY 1
 """,
     tags=("curation", "join", "null"),
 )
-def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
     match each other instead of vanishing — the semantics MERGE/dedup
     pipelines need when the join key is nullable.
@@ -310,7 +310,7 @@ def q111_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q016_heavy_hitters",
+    "q078_heavy_hitters",
     oracle="""
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+')) AS token FROM documents
@@ -323,10 +323,10 @@ WHERE cnt >= 0.005 * total
 """,
     tags=("curation", "aggregate", "text"),
 )
-def q016_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q078_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q062/q137 surface).
+    pipeline (the sketch-based approximate twin is the q001/q137 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -376,7 +376,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
 
 
 @query(
-    "q113_skyline_docs",
+    "q033_skyline_docs",
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
@@ -391,7 +391,7 @@ WHERE NOT EXISTS (
 """,
     tags=("curation", "skyline", "window"),
 )
-def q113_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) of documents over (length, vocabulary
     richness): docs where no other doc is ≥ on both axes and > on one —
     the multi-criteria "keep the best exemplars" selection step.
@@ -460,11 +460,11 @@ def q117_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (== 512 for every interior block).
 
     The global token offset of each doc is a distributed prefix-sum (the
-    q073 shape): per-bucket totals → bucket offsets via a window over the
+    q012 shape): per-bucket totals → bucket offsets via a window over the
     ~|buckets| summary only → within-bucket cumsum PARTITIONED BY bucket.
     No unpartitioned window ever touches the corpus. Doc→block assignment
     explodes each doc into only the blocks it overlaps (interval→bin, the
-    q076 pattern), then one groupBy on the uniform block key.
+    q014 pattern), then one groupBy on the uniform block key.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wcs = docs.select(
@@ -551,15 +551,15 @@ FROM f, {last}
 
 
 @query(
-    "q125_perceptron_train",
+    "q037_perceptron_train",
     oracle=_pct_oracle(),
     tags=("curation", "ml", "training"),
 )
-def q125_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed supervised training: 3 rounds of BATCH perceptron over
     integer document features (bias, token count, distinct tokens,
     n_chars/10) with labels from the language rule. The batch gradient
-    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q046
+    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q188
     integer k-means — every round is exactly reproducible and the final
     weights hash-match a DuckDB unrolled-CTE replay of the same algebra
     (float SGD could never cross-engine-compare: update order changes the
@@ -614,7 +614,7 @@ SPLIT_TEST_MOD = 10  # naive doc-hash split: ~10% test
 
 
 @query(
-    "q038_split_leakage",
+    "q133_split_leakage",
     oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -655,7 +655,7 @@ SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_groups,
     tags=("curation", "dedup", "training-pipeline"),
     min_rows=1,
 )
-def q038_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test LEAKAGE audit + group-aware split — the hygiene step a
     benchmark-quality corpus requires: a naive per-document hash split
     puts exact duplicates on both sides (the eval set then scores
@@ -715,7 +715,7 @@ def q038_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_corpus_snapshot_diff",
+    "q102_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
   SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
@@ -749,7 +749,7 @@ FROM j GROUP BY status ORDER BY status
     tags=("curation", "versioning", "join"),
     min_rows=4,
 )
-def q028_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — dataset versioning's core operator: given
     two corpus versions (v2 is v1 with deterministic deletions, edits and
     additions), classify every doc id as added / removed / changed /
@@ -826,7 +826,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
 
 
 @query(
-    "q031_longest_prefix_route",
+    "q107_longest_prefix_route",
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
@@ -847,7 +847,7 @@ FROM cat GROUP BY category ORDER BY category
     tags=("curation", "join", "routing"),
     min_rows=8,
 )
-def q031_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LONGEST-prefix-match join — the URL-categorization / IP-routing /
     taxonomy-labeling primitive: each document's routing key (first
     token) is matched against a rule table of prefixes and the LONGEST
@@ -905,7 +905,7 @@ WORD_COUNT_SQL = _word_count_sql("text")
 
 
 @query(
-    "q009_domain_mixture_weights",
+    "q070_domain_mixture_weights",
     oracle=f"""
 WITH dom AS (
   SELECT source, CAST(SUM({WORD_COUNT_SQL}) AS BIGINT) AS toks
@@ -936,7 +936,7 @@ ORDER BY source
     tags=("curation", "mixture", "training-pipeline"),
     min_rows=1,
 )
-def q009_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q070_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixture construction by integer water-filling: allocate a
     global token budget (60% of the corpus) across source domains so
     every domain keeps all its tokens up to a common level L, where L is
@@ -958,7 +958,7 @@ def q009_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     below runs on the ~|domains|-row aggregate: the unpartitioned
     ROW_NUMBER/prefix-sum windows and the 1-row cut aggregate broadcast
     back (BNLJ of a single row) never touch the fact table — the
-    q031/q073 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
+    q107/q012 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
     domain count is thousands at most; the corpus contributes exactly
     one partial-aggregated scan."""
     from warcraider_spark.functions.textfn import word_count
@@ -1009,7 +1009,7 @@ _DSIR_TOK_SQL = (
 
 
 @query(
-    "q010_dsir_select",
+    "q071_dsir_select",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, {_DSIR_TOK_SQL} AS b
@@ -1041,7 +1041,7 @@ WHERE rnk <= {DSIR_TOPK} ORDER BY rnk
     tags=("curation", "selection", "training-pipeline"),
     min_rows=1,
 )
-def q010_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q071_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling" — public paper): score
     raw documents by how target-like their token distribution is and keep
@@ -1107,7 +1107,7 @@ QSEL_NUM, QSEL_DEN = 3, 10  # keep the top 30% of each domain by quality
 
 
 @query(
-    "q011_domain_quality_select",
+    "q072_domain_quality_select",
     oracle=f"""
 WITH q AS (
   SELECT doc_id, source,
@@ -1129,7 +1129,7 @@ ORDER BY source, rk
     tags=("curation", "quality", "window", "training-pipeline"),
     min_rows=1,
 )
-def q011_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q072_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality gate: score every document by its type-token
     ratio (distinct tokens per token, basis points — the cheap lexical-
     diversity signal) and keep the top ceil(30%) of EACH source domain —
@@ -1142,7 +1142,7 @@ def q011_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift cross-engine. Plan: map-side score (no shuffle — distinct
     counts come from the token array per row), then ONE shuffle on the
     domain key for the ranking window; partitioned by source, so at
-    100 TB each domain ranks independently — the q105 stratified-sample
+    100 TB each domain ranks independently — the q029 stratified-sample
     shape with a computed ordering key."""
     from warcraider_spark.functions.textfn import tokens
 
@@ -1174,7 +1174,7 @@ def q011_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_mixture_apply_select",
+    "q069_mixture_apply_select",
     oracle=f"""
 WITH wc AS (
   SELECT doc_id, source, CAST({WORD_COUNT_SQL} AS BIGINT) AS toks
@@ -1217,27 +1217,27 @@ ORDER BY r.source, r.cum, r.doc_id
     tags=("curation", "mixture", "selection", "training-pipeline"),
     min_rows=1,
 )
-def q008_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY the q009 water-fill allocation: select the actual documents
+def q069_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the q070 water-fill allocation: select the actual documents
     that fill each domain's token budget. Documents are consumed in
     portable-hash order (reproducible across engines and runs — the
-    q105 idiom) with a per-domain running token sum, keeping every
+    q029 idiom) with a per-domain running token sum, keeping every
     document whose cumulative count fits the domain's allocation — the
     greedy budget fill a mixture executor performs after the planner
-    (q009) decides the per-domain shares. Recomputes the closed-form
-    allocation inline (same math, certified independently by q009) so
+    (q070) decides the per-domain shares. Recomputes the closed-form
+    allocation inline (same math, certified independently by q070) so
     the operator is self-contained over the raw table.
 
     Integer-exact throughout. Plan: one corpus pass computes per-doc
     token counts map-side; the per-domain rollup and every water-fill
     step run on the ~|domains|-row aggregate (windows + 1-row broadcast
-    cut, the q009 KNOWN_OK shapes); the selection itself is ONE shuffle
+    cut, the q070 KNOWN_OK shapes); the selection itself is ONE shuffle
     on the domain key for the hash-ordered cumulative-sum window
     (partitioned by source, never global), then a broadcast join of the
     ~|domains|-row allocation table. At 100 TB: the fact table shuffles
     exactly once, on a key with |domains| distinct values — for a
-    pathological single mega-domain the q073 bucket-prefix-sum shape is
-    the documented escalation, same as q105's."""
+    pathological single mega-domain the q012 bucket-prefix-sum shape is
+    the documented escalation, same as q029's."""
     from warcraider_spark.functions.textfn import md5_int, word_count
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1288,13 +1288,13 @@ PACK_CAP = 2048  # context-window length for the packing stage
 
 
 @query(
-    "q192_mixture_pipeline_e2e",
+    "q050_mixture_pipeline_e2e",
     oracle=f"""
 WITH wc AS (
   SELECT doc_id, source, CAST({{WORD_COUNT_SQL}} AS BIGINT) AS toks
   FROM documents
 ),
-q AS (  -- stage 1: per-domain quality gate (q011 semantics), non-target pool
+q AS (  -- stage 1: per-domain quality gate (q072 semantics), non-target pool
   SELECT doc_id, source,
          CAST(len(list_distinct(string_split_regex(trim(text, ' '), '[\\s\\v]+')))
               * 10000 // len(string_split_regex(trim(text, ' '), '[\\s\\v]+'))
@@ -1311,7 +1311,7 @@ gate AS (
   ) WHERE rk * {{QSEL_DEN}} <= n * {{QSEL_NUM}} + {{QSEL_DEN}} - 1
 ),
 g AS (SELECT wc.doc_id, wc.source, wc.toks FROM wc JOIN gate USING (doc_id, source)),
-dom AS (  -- stage 2: water-fill the budget over the GATED pool (q009 math)
+dom AS (  -- stage 2: water-fill the budget over the GATED pool (q070 math)
   SELECT source, CAST(SUM(toks) AS BIGINT) AS dtoks FROM g GROUP BY source
 ),
 tot AS (SELECT CAST(SUM(dtoks) AS BIGINT) AS t, COUNT(*) AS n FROM dom),
@@ -1334,7 +1334,7 @@ alloc AS (
               AS BIGINT) AS alloc_tokens
   FROM lev CROSS JOIN cut
 ),
-tok AS (  -- stage 3: DSIR scores over the gated pool (q010 construction)
+tok AS (  -- stage 3: DSIR scores over the gated pool (q071 construction)
   SELECT doc_id, {{_DSIR_TOK_SQL}} AS b
   FROM documents WHERE len(trim(text, ' ')) > 0
 ),
@@ -1355,7 +1355,7 @@ scored AS (
   SELECT g.doc_id, g.source, g.toks, COALESCE(s.score, 0) AS score
   FROM g LEFT JOIN scores s USING (doc_id)
 ),
-ranked AS (  -- stage 4: greedy per-domain fill in score order (q008 apply)
+ranked AS (  -- stage 4: greedy per-domain fill in score order (q069 apply)
   SELECT doc_id, source, toks, score,
          CAST(SUM(toks) OVER (
            PARTITION BY source ORDER BY score DESC, doc_id
@@ -1386,14 +1386,14 @@ ORDER BY source, cum, doc_id
     tags=("curation", "mixture", "selection", "packing", "training-pipeline"),
     min_rows=1,
 )
-def q192_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-mixture pipeline, declared as ONE lazy plan
-    (VERDICT r10 #6): per-domain quality gate (q011's integer ttr top-30%)
+    (VERDICT r10 #6): per-domain quality gate (q072's integer ttr top-30%)
     -> integer water-fill of the global token budget over the GATED pool
-    (q009's closed form) -> DSIR importance scores over the gated pool
-    against the held-out target slice (q010's hashed-bucket construction,
+    (q070's closed form) -> DSIR importance scores over the gated pool
+    against the held-out target slice (q071's hashed-bucket construction,
     target docs never selected) -> greedy per-domain budget fill in score
-    order (q008's apply, score-ranked instead of hash-ranked) ->
+    order (q069's apply, score-ranked instead of hash-ranked) ->
     q146-style sequence packing of the surviving stream. Each stage's
     math is byte-identical to its independently certified sibling; this
     query certifies their COMPOSITION (the interesting failure mode:
@@ -1402,8 +1402,8 @@ def q192_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset).
 
     Tokenizer conventions, deliberately mixed as in the siblings: budget
-    counting uses the reference-parity Unicode word_count (q009/q008),
-    ttr and DSIR bucketing use the house ASCII tokenizer (q011/q010).
+    counting uses the reference-parity Unicode word_count (q070/q069),
+    ttr and DSIR bucketing use the house ASCII tokenizer (q072/q071).
 
     Scale shape (one lazy plan, audited): corpus passes are map-side
     (word_count, ttr, token explode); shuffles are (a) the source-key
@@ -1411,7 +1411,7 @@ def q192_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY CONSTRUCTION -> broadcast), (c) the per-doc score groupBy, and
     (d) the source-key fill/pack window — every fact-table shuffle is on
     a uniform or domain key; the water-fill windows and the alloc/cut
-    broadcasts run on the ~|domains|-row aggregate (q009 KNOWN_OK
+    broadcasts run on the ~|domains|-row aggregate (q070 KNOWN_OK
     shapes). At 100 TB nothing here is corpus-quadratic and no stage
     materializes off-plan."""
     from warcraider_spark.functions.textfn import md5_int, tokens, word_count

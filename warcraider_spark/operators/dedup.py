@@ -281,7 +281,7 @@ SIMHASH_BITS = 16
 
 def _simhash_sketch_sql(bits: int) -> str:
     """corpus→sketch CTE chain for a ``bits``-wide simhash (q127 uses 16;
-    q039's radius search uses 32 so accidental radius-2 collisions stay
+    q134's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -337,7 +337,7 @@ ORDER BY doc_a, doc_b
 def q127_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
-    the sketch value; the radius-r banded search is q039)."""
+    the sketch value; the radius-r banded search is q134)."""
     sketch = _simhash_sketch(dup_corpus(spark, sf_dir))
     a = sketch.alias("a")
     b = sketch.alias("b")
@@ -526,7 +526,7 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE vec_id < 250
 ),
-     -- nrm > 0: zero vectors carry no cosine (q019 convention; r8
+     -- nrm > 0: zero vectors carry no cosine (q083 convention; r8
      -- zero-vector sweep — unguarded it is an ANSI DIVIDE_BY_ZERO kill)
      n AS (
   SELECT * FROM (
@@ -737,7 +737,7 @@ def q123_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q066_benchmark_contamination",
+    "q005_benchmark_contamination",
     oracle=f"""
 WITH bench AS (
   SELECT DISTINCT unnest({shingles_sql("toks", 5)}) AS shingle
@@ -757,7 +757,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "contamination", "pipeline"),
 )
-def q066_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     5-gram with a held-out benchmark set (here: doc_id < 10 stands in for
     the eval suite) — the standard n-gram contamination check run before
@@ -794,7 +794,7 @@ ER_DF_CAP = 50  # drop grams shared by more names (the "Customer#0000…" prefix
 
 
 @query(
-    "q015_entity_resolution",
+    "q077_entity_resolution",
     oracle=f"""
 WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey < 500),
 base AS (
@@ -829,7 +829,7 @@ ORDER BY clean_key, dirty_key
 """,
     tags=("dedup", "entity-resolution", "fuzzy-join"),
 )
-def q015_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q077_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (fuzzy record linkage): a deterministically
     corrupted 'dirty' registry (one character mutated for every third
     key — the standard corrupted-duplicate ER benchmark construction) is
@@ -993,7 +993,7 @@ def _bands_sql_for(sig: str) -> str:
 
 
 @query(
-    "q074_incremental_dedup",
+    "q013_incremental_dedup",
     oracle=f"""
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS ({_INC_SQL}),
@@ -1026,7 +1026,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "incremental", "training-pipeline"),
 )
-def q074_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: classify an incoming batch (exact copies, head-
     truncated near copies, token-reversed genuinely-new docs) against the
     base corpus as exact_dup / near_dup / new, with the minimum matching
@@ -1095,7 +1095,7 @@ def q074_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q077_span_excision",
+    "q015_span_excision",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
@@ -1137,7 +1137,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q077_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup APPLY stage: excise the q149 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
@@ -1197,7 +1197,7 @@ LINE_K = 8  # tokens per "line" (the corpus has no punctuation; fixed-width
 
 
 @query(
-    "q115_line_dedup",
+    "q034_line_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
 tokd AS (
@@ -1225,7 +1225,7 @@ GROUP BY l.doc_id
     tags=("dedup", "line"),
     bench=True,
 )
-def q115_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level dedup (the CCNet/RefinedWeb pipeline stage): drop every
     line that appears in MORE THAN ONE document, reassemble each doc from
     its surviving lines in original order, and report kept/dropped counts
@@ -1281,7 +1281,7 @@ DECONTAM_MIN_OVERLAP = 3
 
 
 @query(
-    "q036_decontaminate",
+    "q124_decontaminate",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
@@ -1307,17 +1307,17 @@ ORDER BY doc_id
     tags=("dedup", "decontamination", "llm-pipeline"),
     min_rows=1,
 )
-def q036_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination-RATE decontamination, completing q066's flag.
+def q124_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-RATE decontamination, completing q005's flag.
 
-    q066 answers "does this doc share any benchmark n-gram?" (inner
+    q005 answers "does this doc share any benchmark n-gram?" (inner
     join, binary drop list). The standard pipeline also needs the
     fraction-based rule (cf. GPT-3 App. C's 13-gram rule and PaLM §6.5,
     which drop on overlap FRACTION, not presence): this query reports,
     per training doc, total distinct grams, grams also present in the
     eval set, and the contamination rate in milli-units, thresholded at
     K=3 shared grams (3-token shingles; K and n scaled to the corpus).
-    That needs a different plan than q066: a LEFT join so misses still
+    That needs a different plan than q005: a LEFT join so misses still
     count toward the denominator, with total and overlap folded into ONE
     aggregation pass instead of a count-join-count re-scan.
 
@@ -1374,7 +1374,7 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
 
 
 @query(
-    "q037_bloom_dedup_probe",
+    "q125_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
   SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp FROM documents
@@ -1429,7 +1429,7 @@ ORDER BY doc_id
     bench=True,
     min_rows=1,
 )
-def q037_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe: the streaming/incremental dedup
     front door (cf. the reference's blacklist pre-filter idea at
     blacklist.rs:1-58 — reject early, touch the base corpus never).
@@ -1448,7 +1448,7 @@ def q037_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the base is scanned ONCE to build a constant-size
     filter; the incoming batch never joins the base at all (the exact
     label join here exists only to audit the filter's verdict). This is
-    the cheap pre-screen in front of q074's broadcast-key incremental
+    the cheap pre-screen in front of q013's broadcast-key incremental
     dedup — the filter rejects the overwhelmingly-new majority map-side,
     and only "maybe" docs proceed to exact verification."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1574,7 +1574,7 @@ def simhash_band_plan(
 
 
 @query(
-    "q039_simhash_radius",
+    "q134_simhash_radius",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_WIDE_BITS)},
 pairs AS (
@@ -1597,7 +1597,7 @@ ORDER BY hamming
     bench=True,
     min_rows=1,
 )
-def q039_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q134_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
     generation — the scale path q127's docstring promises.
 
@@ -1762,10 +1762,10 @@ def _cdc_cuts_arrow_udf():
 def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
     chunker; chunk_idx is the 1-based in-doc position so consumers can
-    reassemble (q086 excision). Exposed for the shift-resistance
+    reassemble (q020 excision). Exposed for the shift-resistance
     property test and for composition.
 
-    Two equivalent cut computations (see q088_cdc_chunk_dedup for
+    Two equivalent cut computations (see q021_cdc_chunk_dedup for
     constants and the scale argument): the default Arrow/numpy rolling
     hash (``_cdc_cuts_arrow_udf``), and the pure-Catalyst array
     expression (``vectorized=False``) kept as the no-Python oracle-
@@ -1826,7 +1826,7 @@ def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
 
 
 @query(
-    "q088_cdc_chunk_dedup",
+    "q021_cdc_chunk_dedup",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1871,7 +1871,7 @@ ORDER BY n_occurrences DESC, chunk_hash
     bench=True,
     min_rows=1,
 )
-def q088_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the shift-resistant dedup
     primitive (rsync/LBFS lineage; the CDC stage of modern
     training-data dedup pipelines): chunk boundaries are placed where a
@@ -1880,7 +1880,7 @@ def q088_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document RE-ALIGNS every later chunk — fixed-stride chunking (q126)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
-    recur, in how many docs) — the unit a span-excision pass (q077)
+    recur, in how many docs) — the unit a span-excision pass (q015)
     or a storage dedup layer consumes.
 
     Integer-exact cross-engine: char codes from a [a-z0-9 ]-normalized
@@ -1915,7 +1915,7 @@ def q088_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q086_cdc_excision",
+    "q020_cdc_excision",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1961,24 +1961,24 @@ FROM kp GROUP BY doc_id ORDER BY doc_id
     tags=("dedup", "cdc", "excision", "training-pipeline"),
     min_rows=10,
 )
-def q086_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level boilerplate excision — the ACTIONABLE half of q088:
+def q020_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q021:
     every chunk keeps only its globally-first occurrence (ordered by
     doc_id, then in-doc position — unique, so both engines pick the
     identical keeper), later occurrences are excised, and each document
     is reassembled from its surviving chunks in order. This is the
-    CDC-based form of the span-excision pass (q077) a training-data
+    CDC-based form of the span-excision pass (q015) a training-data
     pipeline runs to strip cross-document boilerplate — headers,
-    navigation, license blocks — without q077's fixed gram width, and
-    shift-resistant per q088's docstring. clean_md5 certifies the
+    navigation, license blocks — without q015's fixed gram width, and
+    shift-resistant per q021's docstring. clean_md5 certifies the
     reassembled text byte-for-byte.
 
-    Scale shape: map-only chunker (q088), then ONE shuffle for the
+    Scale shape: map-only chunker (q021), then ONE shuffle for the
     keeper window — partitionBy(chunk), i.e. the dedup key itself, so
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own
     occurrence ROWS (~64 chars each), linear in occurrences, the same
-    bound as q041's min-doc gram join — and one shuffle back on doc_id
+    bound as q150's min-doc gram join — and one shuffle back on doc_id
     for reassembly. No self-join, no candidate blow-up; output rows =
     |docs|.
     """

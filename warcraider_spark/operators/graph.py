@@ -56,7 +56,7 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q025_link_degrees",
+    "q099_link_degrees",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
@@ -72,7 +72,7 @@ ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q025_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q099_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out degree per node + reciprocal-edge count (the link-graph
     accounting pass; edge extraction = explode + equi-join)."""
     e = edges(spark, sf_dir)
@@ -167,7 +167,7 @@ def q160_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_recursive_reachability",
+    "q080_recursive_reachability",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
 walk(seed, node, depth) AS (
@@ -188,7 +188,7 @@ ORDER BY seed, depth
 """,
     tags=("graph", "recursive-cte"),
 )
-def q017_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q080_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded transitive closure via Spark 4's WITH RECURSIVE: BFS from
     three seed nodes over the link graph, reporting how many nodes are
     first reached at each hop count (min-depth reachability, depth ≤ 3).
@@ -220,7 +220,7 @@ def q017_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q014_triangle_count",
+    "q076_triangle_count",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 und AS MATERIALIZED (
@@ -248,7 +248,7 @@ FROM pern ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q014_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q076_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the link graph (the clustering-coefficient /
     community-structure primitive). Edges are canonicalized to undirected
     (a < b) — which IS the classic orientation trick: every triangle is
@@ -383,7 +383,7 @@ def alternating_components(
     checksum (count + XOR of pair hashes) collected via ``observe()``
     metrics DURING the round-end eager lineage cut — the checkpoint
     materialization is the round's only action (state O(|edges|),
-    reliable-checkpoint routing as in q160/q046).
+    reliable-checkpoint routing as in q160/q188).
 
     ``assume_canonical``: the caller guarantees edges are already
     self-loop-free, deduped, and src < dst (true for q154's constructed

@@ -82,7 +82,7 @@ def q075_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q078_agg_distinct",
+    "q016_agg_distinct",
     oracle=f"""
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -95,7 +95,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg",),
 )
-def q078_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) + min/max per group (expand + two-phase agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -140,7 +140,7 @@ def q079_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q080_cube",
+    "q017_cube",
     oracle=f"""
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
@@ -152,7 +152,7 @@ ORDER BY orderstatus, orderpriority
 """,
     tags=("agg", "cube"),
 )
-def q080_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions."""
     return (
         _t(spark, sf_dir, "orders")
@@ -217,7 +217,7 @@ def q081_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q082_left_join_agg",
+    "q018_left_join_agg",
     oracle=f"""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
@@ -229,7 +229,7 @@ ORDER BY c_custkey
 """,
     tags=("join", "agg"),
 )
-def q082_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with zero orders."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
@@ -245,7 +245,7 @@ def q082_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q083_semi_anti",
+    "q019_semi_anti",
     oracle="""
 SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -256,7 +256,7 @@ ORDER BY bucket
 """,
     tags=("join", "semi", "anti"),
 )
-def q083_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti join (the blacklist-filter shape at scale,
     SURVEY §2.2: broadcast anti-join replaces the reference's in-memory
     blacklist scan, /root/reference/src/blacklist.rs:52-57)."""
@@ -907,7 +907,7 @@ def q120_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, so `within_5pct` (a 5σ envelope of the published
     relative standard deviation) is a stable TRUE the oracle pins as a
     literal, alongside the exact distinct counts. The sketch stays the
-    hot path; q078 carries the exact-COUNT(DISTINCT) burden."""
+    hot path; q016 carries the exact-COUNT(DISTINCT) burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1019,7 +1019,7 @@ def q053_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q001_stats_aggregates",
+    "q062_stats_aggregates",
     oracle=f"""
 SELECT l_returnflag,
        ROUND(STDDEV_SAMP(l_extendedprice), {RD}) AS price_stddev,
@@ -1033,7 +1033,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def q001_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q062_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: stddev/variance/corr/covar/skewness —
     single-pass moment computation, partial+final like any hash agg.
 
@@ -1057,7 +1057,7 @@ def q001_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_percentiles",
+    "q063_percentiles",
     oracle=f"""
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), {RD}) AS median_price,
@@ -1070,7 +1070,7 @@ ORDER BY o_orderstatus
 """,
     tags=("agg", "percentile"),
 )
-def q002_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q063_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont). The approx_percentile sketch variant is engine-
     specific, so the exact form carries the oracle check."""
@@ -1088,7 +1088,7 @@ def q002_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q003_pivot",
+    "q064_pivot",
     oracle=f"""
 SELECT l_linestatus,
        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), {RD}) AS flag_a,
@@ -1100,7 +1100,7 @@ ORDER BY l_linestatus
 """,
     tags=("agg", "pivot"),
 )
-def q003_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q064_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on return flag (Spark .pivot with explicit value list — the
     list keeps the plan single-pass; the oracle is the CASE expansion)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1119,7 +1119,7 @@ def q003_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q004_string_family2",
+    "q065_string_family2",
     oracle="""
 SELECT p_partkey,
        lpad(p_brand, 12, '*') AS brand_pad,
@@ -1136,7 +1136,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q065_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string family: pad/reverse/repeat/left/right/position/
     translate/levenshtein/ascii."""
     pa = _t(spark, sf_dir, "part")
@@ -1158,7 +1158,7 @@ def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q005_argminmax",
+    "q066_argminmax",
     oracle=f"""
 SELECT c_mktsegment,
        arg_max(o_orderkey, o_totalprice) AS biggest_order,
@@ -1171,7 +1171,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "argminmax", "join"),
 )
-def q005_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q066_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extremum) aggregates over a dim join.
 
     Note: ties on o_totalprice would be engine-arbitrary; the synthetic
@@ -1192,7 +1192,7 @@ def q005_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_conditional_aggs",
+    "q067_conditional_aggs",
     oracle=f"""
 SELECT event_type,
        COUNT(*) FILTER (WHERE value > 50) AS n_high,
@@ -1206,7 +1206,7 @@ ORDER BY event_type
 """,
     tags=("agg", "conditional"),
 )
-def q006_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q067_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregates: count_if, conditional sum,
     bool_or/bool_and (any/every)."""
     ev = _t(spark, sf_dir, "events")
@@ -1280,7 +1280,7 @@ def q108_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q007_hash_sampling",
+    "q068_hash_sampling",
     oracle="""
 SELECT COUNT(*) AS n_sampled,
        COUNT(DISTINCT o_custkey) AS n_custs,
@@ -1290,7 +1290,7 @@ WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 
 """,
     tags=("sampling",),
 )
-def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q068_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sampling — the reproducible-across-engines
     (and across-runs, unlike TABLESAMPLE) sampling pattern for pipeline
     debugging at scale."""
@@ -1306,7 +1306,7 @@ def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q191_null_semantics",
+    "q049_null_semantics",
     oracle="""
 SELECT o_orderkey,
        NULLIF(o_orderstatus, 'O') AS status_or_null,
@@ -1319,7 +1319,7 @@ LIMIT 1000
 """,
     tags=("scalar", "null"),
 )
-def q191_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
     engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
     so these are the boundary operators between the two conventions."""
@@ -1340,7 +1340,7 @@ def q191_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q188_date_family2",
+    "q046_date_family2",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
@@ -1354,7 +1354,7 @@ LIMIT 1000
 """,
     tags=("scalar", "date"),
 )
-def q188_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family 2: add_months/last_day/quarter/month-diff.
 
     DuckDB's datediff('month') counts month-boundary crossings like
@@ -1378,7 +1378,7 @@ def q188_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q189_posexplode",
+    "q047_posexplode",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
@@ -1390,7 +1390,7 @@ ORDER BY doc_id, pos
 """,
     tags=("explode", "array"),
 )
-def q189_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
     the row-expansion primitive under RAKE/shingles/minhash."""
     from warcraider_spark.functions.textfn import tokens
@@ -1430,7 +1430,7 @@ def q181_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q071_range_frame",
+    "q010_range_frame",
     oracle=f"""
 SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -1443,7 +1443,7 @@ ORDER BY o_orderkey
 """,
     tags=("window", "range-frame"),
 )
-def q071_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): peers within
     ±10000 of the current price per customer.
 
@@ -1468,7 +1468,7 @@ def q071_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q047_salted_skew_join",
+    "q189_salted_skew_join",
     oracle=f"""
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -1481,7 +1481,7 @@ ORDER BY flag
 """,
     tags=("join", "skew", "salting"),
 )
-def q047_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q189_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: l_returnflag has only 3 values (maximal skew for
     a shuffle join), so the fact side adds a random-free salt
     (orderkey % SALT) and the dim side explodes over all salts — the
@@ -1506,7 +1506,7 @@ def q047_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q190_to_json",
+    "q048_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1516,7 +1516,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q190_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1530,7 +1530,7 @@ def q190_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q072_first_last_value",
+    "q011_first_last_value",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_order,
@@ -1544,7 +1544,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q072_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value window functions over full-partition frames."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1782,7 +1782,7 @@ def q129_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-partition sort (VERDICT r8 #3 — this was the one
     scale-killer plan left in the registry).
 
-    Distributed prefix-sum (the q073 shape): bucket by a value PREFIX of
+    Distributed prefix-sum (the q012 shape): bucket by a value PREFIX of
     the sort key (o_totalprice div 2000 — bucket order refines row
     order, deterministic, no sampling), count per bucket (tiny table),
     turn counts into global-rank offsets with a window over the TINY
@@ -1792,7 +1792,7 @@ def q129_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(10)'s first-(n%10)-buckets-get-one-extra split, so the NTILE
     oracle stays exact. Severely lumpy value distributions would skew a
     fixed-width bucket; the scale escalation is approx_percentile
-    pre-bucketing (q002/q120), with AQE skew-split covering the middle
+    pre-bucketing (q063/q120), with AQE skew-split covering the middle
     ground."""
     return decile_distribution_table(_t(spark, sf_dir, "orders"))
 
@@ -1872,7 +1872,7 @@ def q176_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     target ± (1/accuracy + 2/n) (the 2/n absorbs rank discreteness —
     an interpolated-percentile window would be narrower than one rank
     at small n). The sketch is deterministic (no RNG), so the booleans
-    are stable TRUEs the oracle pins as literals. q002 carries the
+    are stable TRUEs the oracle pins as literals. q063 carries the
     exact-percentile burden.
 
     Scale shape: two lineitem scans (sketch pass + verification pass),
@@ -2046,7 +2046,7 @@ def q110_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q042_time_range_frame",
+    "q155_time_range_frame",
     oracle="""
 SELECT event_id,
        user_id,
@@ -2059,7 +2059,7 @@ ORDER BY event_id
 """,
     tags=("window", "range", "time"),
 )
-def q042_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q155_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour sliding metrics per user via a time-valued RANGE frame
     (the batch dual of a streaming sliding window, but per-row): frame
     bounds are VALUES of the sort key, so co-timed events share a frame
@@ -2068,7 +2068,7 @@ def q042_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated seconds: events carry fractional-second timestamps, and
     second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
     silently disagrees on boundary pairs ~1 hour apart. One shuffle on
-    user_id; frame state is a two-pointer scan. q071 covers numeric RANGE
+    user_id; frame state is a two-pointer scan. q010 covers numeric RANGE
     frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")
@@ -2122,7 +2122,7 @@ def q153_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q064_variant_nested_paths",
+    "q003_variant_nested_paths",
     oracle="""
 WITH j AS (
   SELECT event_id,
@@ -2142,7 +2142,7 @@ FROM j ORDER BY event_id
 """,
     tags=("json", "variant"),
 )
-def q064_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep VARIANT path surface (Spark 4), beyond q110's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
@@ -2184,7 +2184,7 @@ def q064_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q012_sql_text_interface",
+    "q073_sql_text_interface",
     oracle="""
 SELECT n_name,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
@@ -2200,7 +2200,7 @@ ORDER BY n_name, order_year
 """,
     tags=("sql-text", "join", "agg"),
 )
-def q012_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q073_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The textual-SQL front door: the whole query is a spark.sql() string
     over registered views — the surface a user migrating off the
     reference's BigQuery layer actually types. Catalyst produces the same
@@ -2230,7 +2230,7 @@ def q012_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q070_unpivot_measures",
+    "q009_unpivot_measures",
     oracle="""
 SELECT l_orderkey, l_linenumber, measure, ROUND(val, 6) + 0.0 AS val
 FROM (
@@ -2246,9 +2246,9 @@ ORDER BY l_orderkey, l_linenumber, measure
 """,
     tags=("relational", "unpivot"),
 )
-def q070_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of the lineitem measures — the inverse of
-    q003's pivot and the normalization step feeding generic metric
+    q064's pivot and the normalization step feeding generic metric
     pipelines. Narrow-to-long is a per-row Generate (no shuffle, no UDF);
     the only exchange is the presentation sort."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
@@ -2286,7 +2286,7 @@ _IVL_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
 
 
 @query(
-    "q076_interval_bin_join",
+    "q014_interval_bin_join",
     oracle=f"""
 WITH ivl AS (
   SELECT i AS interval_id,
@@ -2312,7 +2312,7 @@ ORDER BY interval_id
 """,
     tags=("join", "interval", "binned"),
 )
-def q076_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure interval join (no equi key): events against 100 variable-length
     [lo, hi) windows, aggregated per window. The naive plan is a
     BroadcastNestedLoopJoin — O(events × intervals) comparisons, a 100 TB
@@ -2510,7 +2510,7 @@ _SCD2_OPEN_US = 253_402_214_400_000_000  # 9999-12-31, the open-interval sentine
 
 
 @query(
-    "q100_scd2_intervals",
+    "q026_scd2_intervals",
     oracle=f"""
 WITH log AS (
   SELECT user_id, event_type AS state, epoch_us(ts) AS us
@@ -2536,7 +2536,7 @@ FROM v ORDER BY user_id, version
 """,
     tags=("relational", "scd2", "window"),
 )
-def q100_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2 slowly-changing-dimension) build: compress a change
     log into versioned validity intervals — consecutive rows with an
     unchanged state collapse (only CHANGES open a new version), each
@@ -2580,7 +2580,7 @@ def q100_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q102_lateral_topk",
+    "q028_lateral_topk",
     oracle="""
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
 FROM customer c
@@ -2596,7 +2596,7 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 """,
     tags=("sql-text", "join", "lateral", "topk"),
 )
-def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     "top-2 orders for each customer" shape a SQL-text user writes
     naturally (the declarative dual of q185's window top-k). Exercises
@@ -2634,7 +2634,7 @@ def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q121_quantified_subqueries",
+    "q035_quantified_subqueries",
     oracle="""
 SELECT c_mktsegment,
        CAST(SUM(CASE WHEN c_acctbal > ALL (
@@ -2649,7 +2649,7 @@ ORDER BY c_mktsegment
 """,
     tags=("relational", "subquery"),
 )
-def q121_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified comparison subqueries: per segment, customers whose
     balance beats ALL per-nation averages / trails ANY of them.
 
@@ -2730,7 +2730,7 @@ def q092_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q124_crosstab",
+    "q036_crosstab",
     oracle="""
 SELECT source AS source_lang,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
@@ -2744,7 +2744,7 @@ ORDER BY source
 """,
     tags=("relational", "stat", "pivot"),
 )
-def q124_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
     surface (backed by the same two-phase pivot-count plan as
     groupBy().pivot().count()). The oracle is independent conditional
@@ -2773,7 +2773,7 @@ def q124_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q133_order_priority_exists",
+    "q038_order_priority_exists",
     oracle="""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders
@@ -2786,7 +2786,7 @@ ORDER BY o_orderpriority
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q133_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one line shipped after the
     order date, counted by priority. The correlated EXISTS with a
     NON-equi conjunct (l_shipdate > o_orderdate) decorrelates to a
@@ -2807,7 +2807,7 @@ def q133_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q134_disjunctive_part_join",
+    "q039_disjunctive_part_join",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue
@@ -2818,7 +2818,7 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """,
     tags=("relational", "tpch", "join"),
 )
-def q134_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: a disjunction of brand/size/quantity envelopes
     over a part⋈lineitem join. The planner must still extract the common
     equi key (l_partkey = p_partkey) and run a hash join with the OR-of-
@@ -2845,7 +2845,7 @@ def q134_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q135_waiting_suppliers",
+    "q040_waiting_suppliers",
     oracle="""
 SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
 FROM supplier
@@ -2866,7 +2866,7 @@ LIMIT 20
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q135_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: 'kept waiting' = the sole R-flagged
     supplier in a multi-supplier order): one correlated EXISTS and one
     correlated NOT EXISTS, both with a non-equality conjunct
@@ -2895,7 +2895,7 @@ def q135_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q150_dormant_rich_customers",
+    "q041_dormant_rich_customers",
     oracle="""
 WITH eligible AS (
   SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS VARCHAR) AS cntrycode
@@ -2915,7 +2915,7 @@ ORDER BY cntrycode
     tags=("relational", "tpch", "subquery"),
     min_rows=1,
 )
-def q150_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (country code derived from custkey — the synthetic
     schema has no phone column): above-average-balance customers in
     selected codes with NO orders. Composition of a scalar aggregate
@@ -2962,7 +2962,7 @@ def q150_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q155_try_functions",
+    "q042_try_functions",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2977,7 +2977,7 @@ ORDER BY o_orderstatus
 """,
     tags=("relational", "ansi", "null"),
 )
-def q155_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe `try_*` family: division by zero, bad casts, and
     out-of-bounds element access produce NULL instead of failing the job
     — the semantics a 100 TB batch needs (one dirty row must not kill an
@@ -3006,7 +3006,7 @@ def q155_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q159_collated_grouping",
+    "q043_collated_grouping",
     oracle="""
 WITH mixed AS (
   SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
@@ -3020,7 +3020,7 @@ ORDER BY seg_ci
 """,
     tags=("relational", "collation", "spark4"),
 )
-def q159_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 string collations: case-insensitive grouping via
     ``collate(col, 'UTF8_LCASE')`` — the COLLATION does the bucketing
     (hash and equality are collation-aware all the way through the

@@ -48,7 +48,7 @@ _SQL_DOT_AB = "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2
 
 
 @query(
-    "q019_cosine_topk_bruteforce",
+    "q083_cosine_topk_bruteforce",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      -- nrm > 0: a zero vector has no direction, hence no cosine —
@@ -73,7 +73,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "bruteforce"),
     bench=True,
 )
-def q019_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q083_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector.
 
     Ranking is on ROUND(cos, 6) with neighbor_id tie-break so the order is
@@ -115,7 +115,7 @@ _SQL_BUCKET = (
     "q131_ann_sign_lsh",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
-     -- nrm > 0: zero vectors carry no cosine (see q019)
+     -- nrm > 0: zero vectors carry no cosine (see q083)
      n AS (SELECT * FROM (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e) WHERE nrm > 0),
      q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
      scored AS (
@@ -144,7 +144,7 @@ def q131_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (
         em.select("vec_id", v.alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
-        .filter(F.col("nrm") > 0)  # zero vectors carry no cosine (q019 mirror)
+        .filter(F.col("nrm") > 0)  # zero vectors carry no cosine (q083 mirror)
         .withColumn(
             "bucket", F.array_join(
                 F.transform(F.slice(F.col("v"), 1, SIGN_BITS), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
@@ -202,7 +202,7 @@ def q132_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q022_ivf_assign",
+    "q096_ivf_assign",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      cent AS (
@@ -228,7 +228,7 @@ GROUP BY c_label ORDER BY c_label
 """,
     tags=("similarity", "ivf"),
 )
-def q022_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q096_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: nearest label-centroid (L2 on first 8 dims) per
     vector; centroid list is broadcast so assignment is a map-side pass."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -260,7 +260,7 @@ def q022_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q024_ivf_topk_search",
+    "q098_ivf_topk_search",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8) AS v FROM embeddings),
      cent AS (
@@ -297,7 +297,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "ivf"),
 )
-def q024_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q098_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search: build the inverted index (every vector assigned
     to its nearest label-centroid), then for each query vector probe the
     nprobe=2 nearest buckets and rank ONLY those candidates — the scale
@@ -347,7 +347,7 @@ def q024_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q026_group_spectral_stats",
+    "q100_group_spectral_stats",
     oracle=f"""
 WITH m AS (
   SELECT label,
@@ -383,7 +383,7 @@ ORDER BY label
 """,
     tags=("similarity", "applyInPandas", "spectral"),
 )
-def q026_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label covariance spectral stats of the embedding space via
     grouped ``applyInPandas`` — the custom-aggregation escape hatch for
     semantics no built-in aggregate expresses (a dims×dims (16×16) eigensolve per
@@ -395,7 +395,7 @@ def q026_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming dedup).
 
     Oracle-able by design (VERDICT r2 "next round" #3 — was rows-only):
-    vectors are quantized to integer micros (q098's convention) and the
+    vectors are quantized to integer micros (q024's convention) and the
     emitted columns are exact integer covariance invariants DuckDB can
     replay: n²·diag numerators (diag_num(i) = n·Σxᵢ² − (Σxᵢ)², ≥0 by
     Cauchy–Schwarz), their trace, the max-variance diagonal (smallest dim
@@ -463,7 +463,7 @@ def q026_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q050_two_stage_rerank",
+    "q192_two_stage_rerank",
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      s AS (
@@ -510,7 +510,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "rerank"),
     bench=True,
 )
-def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q192_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production ANN serving pattern: a CHEAP
     int8-quantized dot-product pass over the whole corpus selects top-20
     candidates per query, then the EXPENSIVE exact double-precision cosine
@@ -600,7 +600,7 @@ def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q067_embedding_dim_profile",
+    "q006_embedding_dim_profile",
     oracle="""
 WITH ex AS (
   SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS dim,
@@ -620,7 +620,7 @@ ORDER BY dim
 """,
     tags=("similarity", "profiling", "training-pipeline"),
 )
-def q067_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension profile of the corpus embedding matrix (count, sum,
     min, max, sum-of-squares) — the statistics pass feeding feature
     normalization, whitening, or PQ codebook training. Values are scaled
@@ -708,7 +708,7 @@ def _km_update(ex: DataFrame, assign: DataFrame) -> DataFrame:
 
 
 @query(
-    "q046_kmeans_codebook",
+    "q188_kmeans_codebook",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -733,7 +733,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "kmeans", "iterative"),
 )
-def q046_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q188_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook training: {KM_ITERS} Lloyd iterations of k-means over
     integer-quantized embeddings (micro-scaled, so distances, argmins and
     centroid means are EXACT integers — a float k-means could never be
@@ -843,7 +843,7 @@ def _pq_assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 @query(
-    "q097_pq_encode",
+    "q023_pq_encode",
     oracle=f"""
 WITH exm AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -860,9 +860,9 @@ ORDER BY vec_id
 """,
     tags=("similarity", "ann", "pq", "training-pipeline"),
 )
-def q097_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the compression half of an IVF-PQ
-    index (q024 is the IVF half): the 16-dim embedding splits into two
+    index (q098 is the IVF half): the 16-dim embedding splits into two
     8-dim subspaces, each trains a 4-codeword codebook (seeded + one
     Lloyd refinement, all integer-micro exact), and every vector encodes
     as a (code_s0, code_s1) byte pair plus its exact reconstruction
@@ -919,7 +919,7 @@ def q097_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q098_dim_covariance",
+    "q024_dim_covariance",
     oracle=f"""
 WITH m AS (
   SELECT vec_id,
@@ -946,7 +946,7 @@ ORDER BY dim_i, dim_j
 """,
     tags=("similarity", "stats", "training-pipeline"),
 )
-def q098_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix (upper triangle) in exact integer
     micros — the one-pass sufficient statistic for whitening / PCA /
     Mahalanobis-style outlier pruning over the corpus embedding matrix:
@@ -1000,7 +1000,7 @@ _SEM_THR_DEN2 = 16
 
 
 @query(
-    "q101_semantic_dedup",
+    "q027_semantic_dedup",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -1043,7 +1043,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "dedup", "kmeans", "training-pipeline"),
 )
-def q101_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster the corpus embeddings with k-means, then WITHIN each cluster
     drop every vector whose cosine to an earlier (lower-id) member is
@@ -1051,7 +1051,7 @@ def q101_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact/minhash dedup (q163/q162) cannot see (paraphrases, re-renders).
 
     All math is integer-exact so the oracle hash is engine-stable: the
-    assignment chain is q046's micro-quantized Lloyd iterations verbatim,
+    assignment chain is q188's micro-quantized Lloyd iterations verbatim,
     and the pair test compares 16*dot^2 >= 9*|a|^2*|b|^2 on milli-
     quantized vectors (no sqrt, no float: max |term| ~3e14 << int64).
 

@@ -41,7 +41,7 @@ def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_sketch_distinct_rollup",
+    "q191_sketch_distinct_rollup",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events)
 SELECT event_type, COUNT(DISTINCT k) AS theta_users, COUNT(DISTINCT k) AS hll_users
@@ -53,7 +53,7 @@ ORDER BY event_type
 """,
     tags=("sketch", "approx", "distinct"),
 )
-def q049_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q191_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counts: per-type Theta AND HLL sketches,
     then the grand total by merging the PER-TYPE SKETCHES (theta_union_agg /
     hll_union_agg) — never re-scanning events. This two-level shape is the
@@ -77,7 +77,7 @@ def q049_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q062_sketch_theta_setops",
+    "q001_sketch_theta_setops",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events),
      v AS (SELECT DISTINCT k FROM d WHERE event_type = 'view'),
@@ -88,7 +88,7 @@ SELECT (SELECT COUNT(*) FROM (SELECT k FROM v UNION SELECT k FROM p)) AS either_
 """,
     tags=("sketch", "approx", "setops"),
 )
-def q062_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set algebra on SKETCHES: viewers ∪/∩/∖ purchasers computed
     with theta_union / theta_intersection / theta_difference over two
     pre-built Theta sketches — the raw events are scanned once, then every
@@ -190,7 +190,7 @@ def q137_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins hold for every compaction draw with overwhelming margin. The
     p95 UPPER side is the exception (ADVICE r9 #1): 0.95 + 0.10 would
     exceed 1 and never fail, so it is clamped to +4% (lt95 <= 0.99) —
-    asymmetric (-10%, +4%), still ~1.7x the sketch error above target. q002
+    asymmetric (-10%, +4%), still ~1.7x the sketch error above target. q063
     carries the exact-percentile burden.
 
     Scale shape: two event scans (sketch pass + verification pass), one
@@ -307,7 +307,7 @@ def q145_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same groupBy(row,pos) SUM that merges per-day sketches into
     months without rescanning raw data. Point queries then probe d cells
     against the BROADCAST table instead of shuffling the corpus per key
-    (the heavy-hitter twin q016 re-scans; the sketch answers from
+    (the heavy-hitter twin q078 re-scans; the sketch answers from
     kilobytes). Same one-base-hash universal family as the minhash/bloom
     operators (dedup.py:145) — one md5 per token, d derived positions.
     """

@@ -366,12 +366,12 @@ ORDER BY d.doc_id, keyword
 
 
 @query(
-    "q043_rake_keywords",
+    "q159_rake_keywords",
     oracle=_rake_oracle_sql(),
     tags=("text", "rake", "reference-parity"),
     bench=True,
 )
-def q043_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q159_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed RAKE (functions.rake.rake_native): the reference's
     keyword operator (src/rake/rake.rs) as explode/groupBy — the DuckDB
     oracle re-implements the full algorithm independently in SQL."""
@@ -681,7 +681,7 @@ _PII_TEXT_SQL = """
 
 
 @query(
-    "q018_pii_redaction",
+    "q082_pii_redaction",
     oracle=f"""
 WITH pii AS ({_PII_TEXT_SQL}),
      red AS (
@@ -702,7 +702,7 @@ ORDER BY doc_id
 """,
     tags=("text", "pii", "redaction"),
 )
-def q018_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q082_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails / phone numbers / IPv4 with
     per-class counts — the compliance pass of a training-data pipeline.
     One linear scan, all JVM-side regexp expressions (codegen), no UDF; at
@@ -1293,7 +1293,7 @@ BPE_ISH_PATTERN = (
 
 
 @query(
-    "q065_bpe_pretokenize",
+    "q004_bpe_pretokenize",
     oracle=f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
@@ -1306,7 +1306,7 @@ ORDER BY doc_id
 """,
     tags=("text", "tokens", "bpe"),
 )
-def q065_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count estimation with a BPE-style pretokenizer regex: the
     unit LLM data budgets are measured in is (sub)tokens, not words.
     regexp_count keeps the whole computation in codegen — one pass over
@@ -1462,7 +1462,7 @@ def q146_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q068_lm_score",
+    "q007_lm_score",
     oracle="""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+') AS t
@@ -1500,7 +1500,7 @@ ORDER BY db.doc_id
 """,
     tags=("text", "quality", "training-pipeline"),
 )
-def q068_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet/KenLM-style
     perplexity filter of a pretraining pipeline): score every document by
     the corpus's own smoothed bigram model, p(w2|w1) ≈ B(w1,w2)/(U(w1)+V).
@@ -1622,7 +1622,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 @query(
-    "q040_bpe_merge_train",
+    "q135_bpe_merge_train",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1639,7 +1639,7 @@ ORDER BY merge_rank
     tags=("text", "bpe", "iterative", "training-pipeline"),
     bench=True,
 )
-def q040_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q135_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
     scale work is exactly ONE tokenize + groupBy shuffle down to the
     (word, count) vocabulary; every Lloyd-style merge round after that
@@ -1662,7 +1662,7 @@ def q040_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE training loop: returns (final merged-word table,
-    one 1-row merge DataFrame per round). See q040's docstring for the
+    one 1-row merge DataFrame per round). See q135's docstring for the
     per-round plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
@@ -1709,7 +1709,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
 
 
 @query(
-    "q096_bpe_encode",
+    "q022_bpe_encode",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1729,8 +1729,8 @@ ORDER BY cnt DESC, word
 """,
     tags=("text", "bpe", "training-pipeline"),
 )
-def q096_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODE (the apply half of q040): the vocabulary segmented by the
+def q022_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (the apply half of q135): the vocabulary segmented by the
     {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
     resulting token count. Tokenizing a corpus with trained merges is the
     same chain of broadcast-merge string replaces the trainer runs, so the
@@ -1752,7 +1752,7 @@ def q096_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q073_token_budget_select",
+    "q012_token_budget_select",
     oracle="""
 WITH d AS (
   SELECT doc_id,
@@ -1775,7 +1775,7 @@ ORDER BY score_milli DESC, doc_id
 """,
     tags=("text", "selection", "training-pipeline"),
 )
-def q073_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: order every
     document by an integer quality score (alphabetic-character ratio in
     micro-units), take documents greedily until 40% of the corpus's
@@ -1914,7 +1914,7 @@ IDX_DF_NUM, IDX_DF_DEN = 8, 10
 
 
 @query(
-    "q099_inverted_index",
+    "q025_inverted_index",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
@@ -1942,7 +1942,7 @@ ORDER BY term
 """,
     tags=("text", "index", "training-pipeline"),
 )
-def q099_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: term → (document frequency, collection
     frequency, serialized posting list of doc:tf:first_position entries) —
     the retrieval-side artifact a corpus pipeline builds next to the
@@ -2032,7 +2032,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "q171_set_containment_join",
+    "q044_set_containment_join",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 q AS (
@@ -2057,7 +2057,7 @@ FROM c GROUP BY qid ORDER BY query_id
     tags=("text", "join", "set-containment", "training-pipeline"),
     min_rows=1,
 )
-def q171_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-containment join by COUNTING: for each query termset (the 5
     lexicographically-first distinct bigrams of every 100th document),
     find all documents containing EVERY query term — "docs matching all
@@ -2112,7 +2112,7 @@ SDOT_TOPK = 5
 
 
 @query(
-    "q023_sparse_dot_topk",
+    "q097_sparse_dot_topk",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 tok AS (
@@ -2154,9 +2154,9 @@ ORDER BY query_id, rank
     bench=True,
     min_rows=1,
 )
-def q023_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q097_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF dot-product top-k via the inverted index — lexical
-    nearest neighbors, the retrieval dual of q050's dense rerank and the
+    nearest neighbors, the retrieval dual of q192's dense rerank and the
     pairing stage of a lexical near-dup miner. Terms are adjacent-token
     bigrams (see BIGRAMS_SQL — the corpus's 31-word vocabulary makes
     unigram presence non-discriminative).
@@ -2165,7 +2165,7 @@ def q023_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q099/q119 (one stop-term would otherwise put the whole
+    guard as q025/q119 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -2198,7 +2198,7 @@ def q023_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataFrame:
-    """The q023 plan over an arbitrary documents DataFrame. ``query_pred``
+    """The q097 plan over an arbitrary documents DataFrame. ``query_pred``
     optionally restricts the query side further (tools/scale_bench.py pins
     queries to replica 0 so the §10 curve measures fixed-workload corpus
     growth, not k-squared by construction)."""
@@ -2297,7 +2297,7 @@ def q156_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
-    before BPE (complements q040/q065/q096).
+    before BPE (complements q135/q004/q022).
 
     PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
     scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
@@ -2444,7 +2444,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
 
 
 @query(
-    "q041_ngram_novelty",
+    "q150_ngram_novelty",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
@@ -2466,7 +2466,7 @@ ORDER BY doc_id
     tags=("text", "dedup", "training-pipeline"),
     min_rows=100,
 )
-def q041_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q150_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY rate — the corpus-diversity metric the
     substring-dedup literature (Lee et al., "Deduplicating Training Data
     Makes LMs Better") uses to decide how much of each new document is

@@ -26,7 +26,7 @@ _FMT_SQL = "%Y-%m-%d %H:%M:%S"
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    """Shared by batch q027 and the streaming variant: 1h tumbling window
+    """Shared by batch q101 and the streaming variant: 1h tumbling window
     per event_type with count + sum(value)."""
     return (
         events.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
@@ -44,7 +44,7 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 
 @query(
-    "q027_tumbling_window",
+    "q101_tumbling_window",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        event_type,
@@ -57,7 +57,7 @@ ORDER BY window_start, event_type
     tags=("streaming", "window", "agg"),
     bench=True,
 )
-def q027_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time windows (epoch-aligned, so time_bucket is
     the exact dual). The same builder feeds the streaming variant."""
     ev = load_table(spark, sf_dir, "events")
@@ -93,7 +93,7 @@ def q139_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q029_session_window",
+    "q105_session_window",
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts,
@@ -117,7 +117,7 @@ ORDER BY user_id, session_start
 """,
     tags=("streaming", "window", "session"),
 )
-def q029_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q105_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) via Spark's session_window, verified
     against an independent gaps-and-islands SQL formulation — the two
     derivations agreeing pins the merge semantics."""
@@ -135,7 +135,7 @@ def q029_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q030_watermark_semantics",
+    "q106_watermark_semantics",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        event_type,
@@ -147,7 +147,7 @@ ORDER BY window_start, event_type
 """,
     tags=("streaming", "watermark"),
 )
-def q030_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q106_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation run through a REAL structured
     stream: the events table is replayed as a file stream (availableNow,
     maxFilesPerTrigger micro-batches) with a 1-hour watermark; results come
@@ -293,7 +293,7 @@ def q104_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q063_stream_stream_join",
+    "q002_stream_stream_join",
     oracle="""
 SELECT v.user_id AS user_id,
        v.event_id AS view_id,
@@ -307,7 +307,7 @@ ORDER BY user_id, view_id, purchase_id
 """,
     tags=("streaming", "join", "stream-stream"),
 )
-def q063_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join run through a REAL structured
     stream (see streaming.windows.replay_attribution_stream): purchases
     matched to any view by the same user within the preceding hour. The
@@ -319,7 +319,7 @@ def q063_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q069_gapfill_locf",
+    "q008_gapfill_locf",
     oracle=f"""
 WITH b AS (
   SELECT event_type,
@@ -351,7 +351,7 @@ ORDER BY event_type, window_start
 """,
     tags=("window", "gapfill", "timeseries"),
 )
-def q069_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap filling: densify the hourly per-type rollup to
     a complete time spine, then carry the last observation forward (LOCF)
     into the empty buckets — `was_gap` preserves which rows are real.

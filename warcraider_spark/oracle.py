@@ -12,7 +12,7 @@ harness now mirrors the driver's canonicalizer exactly:
   reproduced locally.  In particular DuckDB ``SUM(int)`` → HUGEINT →
   **float64** in pandas, which hashes as ``1672.0`` ≠ Spark's int64
   ``1672``.  (Round 1's ``_canon`` folded integral floats to int strings,
-  which masked exactly the q109/q110/q042 driver failures.)
+  which masked exactly the q109/q110/q155 driver failures.)
 - array/map/struct-typed result columns **raise** instead of being
   canonicalized: the driver's pandas ``sort_values`` crashes on them
   (q095's ``unhashable type: 'list'``), so a query emitting one can never
