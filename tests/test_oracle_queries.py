@@ -456,3 +456,42 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     for n in names:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
+
+
+def test_unicode_extended_sweep(spark, tmp_path):
+    """r11: the unicode-corpus sweep extended to every remaining
+    documents.text-consuming registry query (the first sweep's 31 names
+    cover the text family proper; these 27 are the dedup/curation/
+    relational/media consumers). The extension immediately caught two
+    latent cross-engine hazards the ASCII corpora masked — the
+    explode-outer oracle measured token length in BYTES (DuckDB strlen)
+    where Spark counts characters, and the snapshot-diff oracle
+    fingerprinted v2 with bare lower() where the Spark side applies the
+    engine-stability case fold (JVM final-sigma context sensitivity) —
+    both fixed in the oracle text (ASCII-identical, so no certified
+    hash moved). Excluded as corpus-vacuous on the 32-doc corpus (their
+    min_rows guards fire): set-containment join, sparse-dot top-k,
+    longest-prefix route, decontaminate, count-min, n-gram novelty,
+    PMI."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _unicode_corpus(tmp_path)
+    specs = all_specs()
+    names = [
+        "q007_lm_score", "q013_incremental_dedup", "q020_cdc_excision",
+        "q021_cdc_chunk_dedup", "q025_inverted_index", "q033_skyline_docs",
+        "q037_perceptron_train", "q047_posexplode",
+        "q050_mixture_pipeline_e2e", "q069_mixture_apply_select",
+        "q070_domain_mixture_weights", "q071_dsir_select",
+        "q072_domain_quality_select", "q082_pii_redaction",
+        "q090_ga_extract", "q092_explode_outer", "q095_array_set_funcs",
+        "q102_corpus_snapshot_diff", "q112_dedup_keep_canonical",
+        "q113_media_features", "q117_concat_chunk_blocks",
+        "q125_bloom_dedup_probe", "q133_split_leakage", "q141_source_cap",
+        "q144_media_stats", "q163_exact_dedup_groups",
+        "q172_ml_lsh_variants",
+    ]
+    for n in names:
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)

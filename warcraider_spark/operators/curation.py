@@ -722,13 +722,18 @@ WITH v1 AS (
   FROM documents
 ),
 v2 AS (
+  -- fold_lower twin (ς->σ, i+U+0307->i), NOT bare lower: the Spark side
+  -- fingerprints v2 with fold_lower, and JVM lower() is context-
+  -- sensitive where utf8proc's is not — bare lower here diverged on
+  -- Greek/Turkish docs (r11 extended unicode sweep; ASCII corpora
+  -- masked it because the fold is an ASCII no-op)
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END),
+         md5(trim(regexp_replace(replace(replace(lower(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END), 'ς', 'σ'), 'i̇', 'i'),
              '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents WHERE doc_id % 17 <> 3
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
-         md5(trim(regexp_replace(lower(text || ' new'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
+         md5(trim(regexp_replace(replace(replace(lower(text || ' new'), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
   FROM documents WHERE doc_id % 29 = 0
 ),
 j AS (

@@ -2689,7 +2689,7 @@ def q035_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text, ' '), '[\\s\\v]+'), t -> strlen(t) > 8)
+         list_filter(string_split_regex(trim(text, ' '), '[\\s\\v]+'), t -> length(t) > 8)
            AS longs
   FROM documents
 )
