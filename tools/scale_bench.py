@@ -60,6 +60,10 @@ QUERIES = [
     "q070_domain_mixture_weights",
     "q071_dsir_select",
     "q072_domain_quality_select",
+    # r11: the composed gate->water-fill->DSIR->pack pipeline — the
+    # union of the trio's shapes in ONE plan; its curve certifies stage
+    # COUPLING stays corpus-linear (domain/bucket tables saturate)
+    "q050_mixture_pipeline_e2e",
 ]
 
 
