@@ -31,6 +31,11 @@ TRIO = [
     "q070_domain_mixture_weights",
     "q071_dsir_select",
     "q072_domain_quality_select",
+    # r11: the composed gate->water-fill->DSIR->pack plan inherits every
+    # edge hazard of its stages PLUS coupling ones (a domain emptied by
+    # the gate, a target slice that is the whole corpus, zero-token
+    # survivors at the pack stage) — swept over the same corpora
+    "q050_mixture_pipeline_e2e",
 ]
 
 
@@ -65,10 +70,16 @@ def _corpora(tmp_path) -> dict[str, list[tuple[int, str, str]]]:
         (2, "one two three four five six", "a"),
         (3, "", "b"),
         (4, "seven eight nine ten", "b"),
+        # single-doc domain small enough to fit its water-fill allocation:
+        # without it the composed pipeline's greedy whole-doc fill admits
+        # NOTHING on this corpus (budget < every gated doc — correct, but
+        # vacuous for the hash sweep; the non-empty case must also occur)
+        (7, "wee", "d"),
         (10, "target style text one two", "c"),
         (20, "target style text three four", "c"),
     ]
     uniform = [(i, "same five tokens every time", f"s{i % 4}") for i in range(12)]
+    uniform.append((13, "solo", "s4"))  # same fit-the-allocation reason
     return {
         "dominant": dominant,
         "single_domain": single,
