@@ -797,3 +797,23 @@ def test_warc_pipeline_is_map_only_until_write(spark, tmp_path):
     wplan = plan_of(written)
     wshuffles = wplan.count("+- Exchange") + wplan.count(":- Exchange")
     assert wshuffles == 1, f"write path must add exactly one exchange, found {wshuffles}"
+
+
+def test_mixture_pipeline_runtime_stage_reuse(spark):
+    """q050 (r11): the composed gate->water-fill->DSIR->pack plan
+    statically duplicates the gated-corpus lineage (each consuming stage
+    re-declares the scan + gate window), but AQE reuses the identical
+    shuffle/broadcast stages at RUNTIME. The q110 lesson says the
+    PRE-execution plan shows zero ReusedExchange under AQE — so audit
+    the POST-execution final adaptive plan (isFinalPlan=true), where the
+    reuse is explicit. Pin: >=4 ReusedExchange nodes (r11 measurement: 6
+    reused over 14 shuffle + 13 broadcast stages; the UI REST view of
+    the same run shows 21 skipped / 24 complete stages), and no
+    cartesian anywhere."""
+    df = all_specs()["q050_mixture_pipeline_e2e"].builder(spark, SF_CORRECT)
+    assert "CartesianProduct" not in plan_of(df)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    reused = final.count("ReusedExchange")
+    assert reused >= 4, f"expected >=4 AQE-reused exchanges, got {reused}"

@@ -1389,6 +1389,7 @@ ORDER BY source, cum, doc_id
         PACK_CAP=PACK_CAP,
     ),
     tags=("curation", "mixture", "selection", "packing", "training-pipeline"),
+    bench=True,
     min_rows=1,
 )
 def q050_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
