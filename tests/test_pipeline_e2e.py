@@ -240,3 +240,40 @@ def test_ranged_read_path_e2e(spark, warc_path, output):
     assert set(got) == set(whole_rows)
     for url, row in got.items():
         assert row == whole_rows[url], url
+
+
+def test_unicode_whitespace_through_pipeline(spark, tmp_path_factory):
+    """r11: the Unicode whitespace-class fix verified ON THE PIPELINE
+    PATH where main.rs:383-386 actually runs — a WARC response whose
+    HTML body carries U+3000/NBSP runs must come out with those runs
+    DELETED from text_content (the reference's Rust \\s is Unicode
+    White_Space) and with word_count counting Unicode-separated tokens
+    (main.rs:470 par_split_whitespace). Before the (?U) fix the runs
+    survived and the U+3000-separated CJK pair counted as one token."""
+    html = (
+        "<html><head><title>t</title></head><body>"
+        "start\u3000\u3000middle\u00a0\u00a0end "
+        "\u6df1\u5ea6\u5b66\u4e60\u3000\u6a21\u578b"
+        "</body></html>"
+    ).encode("utf-8")
+    d = tmp_path_factory.mktemp("uniwarc")
+    records = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://uni.example.gov.au/ws",
+                "Uncompressed-Content-Length": str(len(html) + 100),
+            },
+            _http(html),
+        )
+    ]
+    (d / "uni-000.warc").write_bytes(build_warc_bytes(records))
+    rows = url_resource_from_warc_records(read_warc(spark, str(d))).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the ≥2 runs are DELETED (concatenating neighbors, the quirk), the
+    # single U+3000 between the CJK tokens is KEPT
+    assert r["text_content"] == "startmiddleend \u6df1\u5ea6\u5b66\u4e60\u3000\u6a21\u578b"
+    # word_count: Unicode split_whitespace over the normalized text —
+    # 'startmiddleend' + the two U+3000-separated CJK tokens
+    assert r["word_count"] == 3
