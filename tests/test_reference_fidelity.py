@@ -1081,3 +1081,35 @@ def test_block_start_implied_close_cases():
     # table parts / list items are NOT triggers (scope limit: those
     # parsers repair by moving content)
     assert td(pre + "<table><tr><td><b>x</b></td></tr></table>") == ""
+
+
+def test_nested_emphasis_and_coerce_cases():
+    """Classes 24+25 (r11): DIRECT same-tag inline nesting — tidy's
+    ParseInline same-element check (top of stack only). No attributes ->
+    COERCE_TO_ENDTAG: the start token becomes the end tag (closes the
+    element, opens nothing, its later end tag discards). With
+    attributes -> NESTED_EMPHASIS: warning only, the element nests.
+    Anchors keep the class-16 branch; legal alternating nesting and
+    sequential same-tag elements stay silent."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    assert td(pre + "<b>x<b>y</b></b>") == (
+        "line 2 column 5 - Warning: <b> is probably intended as </b>\n"
+        "line 2 column 9 - Warning: discarding unexpected </b>\n"
+        "line 2 column 13 - Warning: discarding unexpected </b>\n"
+    )
+    assert td(pre + '<b>x<b class="z">y</b></b>') == (
+        "line 2 column 5 - Warning: nested emphasis <b>\n"
+    )
+    assert td(pre + "<em>a<em>b") == (
+        "line 2 column 6 - Warning: <em> is probably intended as </em>\n"
+    )
+    # alternating legal nesting: the inner <b>'s parent is <i>, not <b>
+    assert td(pre + "<b><i>x<b>y</b></i></b>") == ""
+    # sequential same-tag siblings never fire
+    assert td(pre + "<b>x</b><b>y</b>") == ""
+    # anchors route to class 16, never the emphasis pair
+    assert td(pre + "<a href='/1'>x<a href='/2'>y</a>") == (
+        "line 2 column 15 - Warning: missing </a> before <a>\n"
+    )

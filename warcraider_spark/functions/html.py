@@ -422,8 +422,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus nineteen more classes
-    (r6-r11) pinned by our own adversarial fixtures — twenty-three total:
+    stderr), byte-for-byte on that golden, plus twenty-one more classes
+    (r6-r11) pinned by our own adversarial fixtures — twenty-five total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -624,8 +624,22 @@ def tidy_diagnostics(raw_html: str) -> str:
        unknown elements stop the walk where tidy's dict-driven content
        model might pop them.
 
+    24. ``<b> is probably intended as </b>`` — (r11) DIRECT same-tag
+       inline nesting with NO attributes: tidy's ParseInline
+       same-element check coerces the start token into the end tag
+       (COERCE_TO_ENDTAG, TidyCoerceEndTags default) — the element
+       closes, nothing opens, attribute checks are skipped, and the
+       element's own later end tag discards (class 11). TOP of stack
+       only (node->tag == element->tag — the innermost open element);
+       alternating nesting (b>i>b) is legal and silent.
+    25. ``nested emphasis <b>`` — (r11) the same check WITH attributes:
+       NESTED_EMPHASIS, warning only, the element nests normally.
+       Scope for both: the inline required-end set minus <a> (the
+       class-16 anchor branch runs first, stack-wide) and minus <q>
+       (tidy's NESTED_QUOTATION wording — residual family).
+
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10-23, incl. NEWLINE_IN_URI) in document order, then
+    (1+2+5+6+7+8+10-25, incl. NEWLINE_IN_URI) in document order, then
     attribute checks (9+3+CheckUrl), then trims (4), each in document
     order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
@@ -1230,6 +1244,43 @@ def tidy_diagnostics(raw_html: str) -> str:
                             p[4] = True  # closed subtree = parent content
                         del stack[i:]
                         break
+            # classes 24 + 25 (r11): DIRECT same-tag inline nesting —
+            # tidy's ParseInline same-element check (node->tag ==
+            # element->tag, so TOP of stack only; anchors took the
+            # class-16 branch above, which is stack-wide):
+            #   no attributes  -> COERCE_TO_ENDTAG ("<b> is probably
+            #     intended as </b>", the TidyCoerceEndTags default): the
+            #     start token becomes the end tag, closing the open
+            #     element — nothing opens, attribute checks are skipped,
+            #     and the element's own later end tag discards (class 11)
+            #     — the class-20 shape, minus the child cascade (the
+            #     same-tag element IS the innermost frame);
+            #   with attributes -> NESTED_EMPHASIS ("nested emphasis
+            #     <b>"): warning only, the nested element opens normally.
+            # Scope: the classic emphasis/inline set minus <a> (class 16)
+            # and minus <q> (tidy's NESTED_QUOTATION wording — residual
+            # family 18, unmodelled).
+            if (
+                tag in _INLINE_REQUIRED_END
+                and tag not in ("a", "q")
+                and stack
+                and stack[-1][0] == tag
+            ):
+                if not attrs_raw.strip():
+                    parse_time.append(
+                        (
+                            m.start(),
+                            0,
+                            f"<{tag}> is probably intended as </{tag}>",
+                        )
+                    )
+                    for p in stack[:-1]:
+                        p[4] = True  # the closed element = parent content
+                    stack.pop()
+                    continue
+                parse_time.append(
+                    (m.start(), 0, f"nested emphasis <{tag}>")
+                )
             # classes 19 + 20 (r10): headings cannot nest. A new hN start
             # while a heading is open implies closing the old one — tidy's
             # ParseBlock heading check:
