@@ -176,3 +176,131 @@ def test_waterfill_closed_form_properties():
                 assert a1 <= a2
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# r11: composed-pipeline invariants (q050) — semantic checks beyond hash
+# equality, plus a hypothesis proof of the fill coupling
+# ---------------------------------------------------------------------------
+
+
+def test_composed_pipeline_invariants(spark, tmp_path):
+    """Invariants a correct gate->water-fill->DSIR->pack composition
+    must satisfy, asserted on the SPARK OUTPUT (the oracle hash only
+    proves cross-engine agreement — both engines could share a bug):
+    (a) the target seed slice (doc_id % 10 == 0) is never selected;
+    (b) per domain, selected tokens never exceed the water-fill
+        allocation computed over the GATED pool, and the global
+        selection never exceeds the 60% budget of that pool;
+    (c) the selection is the MAXIMAL greedy prefix in (score desc, id)
+        order — the next unselected doc per domain would overflow;
+    (d) packing arithmetic: start_offset = cum - toks, bin_id =
+        start_offset div 2048, and cum is the running sum in emission
+        order within each domain."""
+    from warcraider_spark.registry import all_specs
+
+    d = _corpus(tmp_path, "inv", _corpora(tmp_path)["dominant"])
+    specs = all_specs()
+    sel = [r.asDict() for r in specs["q050_mixture_pipeline_e2e"].builder(spark, d).collect()]
+    assert sel, "dominant corpus must yield a non-empty selection"
+    # (a) target exclusion
+    assert all(r["doc_id"] % 10 != 0 for r in sel)
+
+    # python recomputation of the gate + allocation over this corpus
+    # (house ASCII ttr gate, unicode word counts, the water-fill mirror)
+    import re as _re
+
+    rows = _corpora(tmp_path)["dominant"]
+    pool = []  # (doc_id, source, ttr_bp, wc)
+    for i, t, s in rows:
+        if i % 10 == 0 or not t.strip(" "):
+            continue
+        toks = _re.split(r"\s+", t.strip(" "), flags=_re.ASCII)
+        ttr = len(set(toks)) * 10000 // len(toks)
+        pool.append((i, s, ttr, len(t.split())))
+    gated: dict = {}
+    for i, s, ttr, wc in pool:
+        gated.setdefault(s, []).append((i, ttr, wc))
+    g: dict = {}
+    for s, docs in gated.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        n = len(docs)
+        keep = [d for rk, d in enumerate(docs, 1) if rk * 10 <= n * 3 + 9]
+        g[s] = {i: wc for i, _, wc in keep}
+    srcs = sorted(g)
+    allocs, _ = _waterfill_closed_form([sum(g[s].values()) for s in srcs])
+    alloc = dict(zip(srcs, allocs))
+    # (b) per-domain and global budget respect, (c) prefix-maximality
+    total_gated = sum(sum(v.values()) for v in g.values())
+    sel_by_dom: dict = {}
+    for r in sel:
+        sel_by_dom.setdefault(r["source"], 0)
+        sel_by_dom[r["source"]] += r["toks"]
+        assert r["cum"] <= alloc[r["source"]]
+    assert sum(sel_by_dom.values()) <= total_gated * 6 // 10
+    for s, rows_s in g.items():
+        picked = {r["doc_id"] for r in sel if r["source"] == s}
+        unpicked = [wc for i, wc in rows_s.items() if i not in picked]
+        used = sel_by_dom.get(s, 0)
+        assert used <= alloc[s]
+        # greedy maximality: on this corpus every gated doc within a
+        # domain is identical (same score), so ANY unpicked doc must
+        # overflow the remaining allocation
+        if unpicked:
+            assert used + min(unpicked) > alloc[s]
+    # (b)+(c)+(d) per domain
+    bydom: dict = {}
+    for r in sel:
+        bydom.setdefault(r["source"], []).append(r)
+    for src, rows in bydom.items():
+        rows.sort(key=lambda r: r["cum"])
+        run = 0
+        for r in rows:
+            run += r["toks"]
+            assert r["cum"] == run
+            assert r["start_offset"] == r["cum"] - r["toks"]
+            assert r["bin_id"] == r["start_offset"] // 2048
+            assert r["straddles"] == (
+                r["toks"] > 0 and r["start_offset"] // 2048 != (r["cum"] - 1) // 2048
+            )
+
+
+def test_fill_coupling_properties():
+    """Hypothesis proof of the water-fill -> greedy-fill COUPLING (the
+    stage q050 adds over q070): for any per-domain token counts and any
+    score order, filling each domain greedily against its closed-form
+    allocation (1) never exceeds the allocation, (2) is prefix-maximal
+    (the first unselected doc would overflow), and (3) the global
+    selection respects the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(  # domains: each a list of doc token counts
+            st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=8),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def prop(domains):
+        dom_toks = [sum(ds) for ds in domains]
+        allocs, _ = _waterfill_closed_form(dom_toks)
+        total_sel = 0
+        for ds, alloc in zip(domains, allocs):
+            cum = 0
+            selected = []
+            rest = []
+            for t in ds:  # generation order stands in for score order
+                if cum + t <= alloc:
+                    cum += t
+                    selected.append(t)
+                elif not rest:
+                    rest.append(t)
+            assert cum <= alloc
+            if rest:
+                assert cum + rest[0] > alloc  # prefix-maximal
+            total_sel += cum
+        assert total_sel <= sum(dom_toks) * 6 // 10
+
+    prop()
