@@ -532,3 +532,46 @@ def test_deletion_region_fuzz():
             assert not any(m in h for h in r["headings_text"]), (i, m)
         assert r["links"] == links, (i, r["links"], links, doc[:400])
         assert isinstance(tidy_diagnostics(doc), str)
+
+
+def test_deletion_region_context_interplay():
+    """r11 follow-up to the deletion fuzz: regions interleaved with the
+    head region and open headings — the observable couplings the
+    flat-body generator can't reach. All expectations from the
+    ammonia-composed state machine: a deleted region NEVER touches
+    in_body (a region between <link> and </head> leaves the head state
+    alone), its text exists NOWHERE (not even headings_text, unlike
+    script CDATA which survives ammonia), and a region that swallows a
+    '</head>' inside its raw bytes keeps the head OPEN."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    # region inside an open heading: marker absent from BOTH text and
+    # headings; heading text around it still collected
+    r = parse_html_py("<h2>before<noscript>hidden</noscript>after</h2>tail")
+    assert r["headings_text"] == ["beforeafter"] or r["headings_text"] == ["before after"] or (
+        len(r["headings_text"]) == 1 and "hidden" not in r["headings_text"][0]
+    )
+    assert "hidden" not in " ".join(r["text"])
+    assert "tail" in " ".join(r["text"])
+
+    # region inside head: in_body stays false across it — text after the
+    # region but before </head> is still head content (invisible)
+    r2 = parse_html_py(
+        '<head><link href="a.css"><style>.x{}</style>stillhead</head>visible'
+    )
+    assert r2["text"] == ["visible"]
+    assert r2["resource_urls"] == ["a.css"]
+
+    # a '</head>' hiding inside region raw bytes does NOT close the head
+    r3 = parse_html_py("<head><noframes>x</head>y</noframes>after</head>shown")
+    assert "y" not in " ".join(r3["text"])
+    # 'after' is still inside the OPEN head -> invisible; 'shown' follows
+    # the real </head>
+    assert r3["text"] == ["shown"]
+
+    # anchor with an allowed scheme inside a region: never collected;
+    # the same anchor outside is
+    r4 = parse_html_py(
+        '<noscript><a href="mailto:a@b.c">x</a></noscript><a href="mailto:a@b.c">y</a>'
+    )
+    assert r4["links"] == ["mailto:a@b.c"]
