@@ -598,7 +598,10 @@ def tidy_diagnostics(raw_html: str) -> str:
        unpinned); duplicated URL attributes are checked on the KEPT
        last value at the first occurrence's report slot; WHITE_IN_URI
        (space-discard variant in some configs) unmodelled; 'manifest'
-       stays under class 9 (can't be both).
+       stays under class 9 (can't be both); tidy DECODES entities in
+       attribute values before CheckUrl, so an ``&#10;``-encoded
+       newline reaches its checks where our raw-value scan misses it
+       (the class-12/13 entity warnings still fire on the reference).
     22. ``missing <table>`` — (r11) a tr/td/th start tag with NO
        ``<table>`` open anywhere on the stack: tidy's parser infers the
        missing table (MISSING_STARTTAG), anchored at the offending tag.
