@@ -495,3 +495,67 @@ def test_unicode_extended_sweep(spark, tmp_path):
     for n in names:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
+
+
+def _unicode_large_corpus(tmp_path):
+    """160-doc unicode corpus dense in REPEATED grams and rule-prefixed
+    first tokens — sized so the seven queries whose min_rows guards made
+    the 32-doc corpus vacuous (set-containment, sparse-dot, LPM route,
+    decontaminate, count-min, n-gram novelty, PMI) all fire their
+    discriminating branches. CJK + U+3000/NBSP runs throughout, near-dup
+    variation via an id-keyed suffix token."""
+    import duckdb as _dd
+
+    bases = [
+        "深度学习　模型训练 data quality matters 深度学习",
+        "scan the 模型训练 corpus scan the 模型训练 corpus again",
+        "window functions over 　　 streams window functions over streams",
+        "merge sorted runs merge sorted runs مرحبا بالعالم",
+        "column pruning wins column pruning wins café naïve café",
+        "query planning with  nbsp runs query planning with nbsp runs",
+        "İstanbul ısparta İSTANBUL istanbul tokens repeat tokens repeat",
+        "ΣΟΦΟΣ σοφος ΣΟΦΟΣ wisdom text wisdom text",
+        "sorted 字符串 sorted 字符串 keys repeat",
+        "cache friendly 缓存 cache friendly 缓存 lines",
+    ]
+    rows = [
+        (i, bases[i % len(bases)] + f" tail{i % 5}", "xx", f"s{i % 4}",
+         len(bases[i % len(bases)]))
+        for i in range(160)
+    ]
+    d = tmp_path / "bigunicorpus"
+    d.mkdir()
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+    return str(d)
+
+
+def test_unicode_large_corpus_sweep(spark, tmp_path):
+    """r11: closes the last unicode-sweep exclusion — the gram-heavy
+    family (where Unicode tokenization hazards are most likely) now
+    hash-matches on a corpus big enough to fire every min_rows guard.
+    With this, EVERY documents.text-consuming registry query is
+    unicode-swept on at least one adversarial corpus."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _unicode_large_corpus(tmp_path)
+    specs = all_specs()
+    names = [
+        "q044_set_containment_join", "q097_sparse_dot_topk",
+        "q107_longest_prefix_route", "q124_decontaminate",
+        "q145_countmin_freq", "q150_ngram_novelty", "q156_pmi_collocations",
+    ]
+    for n in names:
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)
