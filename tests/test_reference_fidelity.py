@@ -757,16 +757,32 @@ def test_implicit_list_container_cases():
 
 def test_invalid_ncr_cases():
     """Class-15 unit coverage (r9): Windows-1252 alias range (C1,
-    128-159) -> "replacing invalid numeric character reference N";
-    surrogates and beyond-Unicode -> "discarding ..."; decimal N
-    regardless of input radix; a same-reference missing-semicolon
-    warning precedes it (ParseEntity order); valid references stay
-    silent; an un-terminated >=U+0100 reference stays class 12."""
+    128-159) -> "replacing invalid numeric character reference N" for
+    the 27 slots DecodeWin1252 maps, "discarding ..." for the five
+    CP1252-undefined slots 129/141/143/144/157 whose Win2Unicode entry
+    is 0 (r11 fix); surrogates and beyond-Unicode -> "discarding ...";
+    decimal N regardless of input radix; a same-reference
+    missing-semicolon warning precedes it (ParseEntity order); valid
+    references stay silent; an un-terminated >=U+0100 reference stays
+    class 12."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
     pre = "<!DOCTYPE html><title>t</title>\n"
     ncr = "Warning: replacing invalid numeric character reference"
     assert td(pre + "<p>a &#150; b</p>") == (f"line 2 column 6 - {ncr} 150\n")
+    # CP1252-undefined alias slots: DecodeWin1252 returns 0 -> discarded
+    assert td(pre + "<p>a &#129; b</p>") == (
+        "line 2 column 6 - Warning: discarding invalid numeric "
+        "character reference 129\n"
+    )
+    assert td(pre + "<p>&#x9D;</p>") == (
+        "line 2 column 4 - Warning: discarding invalid numeric "
+        "character reference 157\n"
+    )
+    # neighbours of an undefined slot still replace
+    assert td(pre + "<p>&#128;&#130;</p>") == (
+        f"line 2 column 4 - {ncr} 128\n" f"line 2 column 10 - {ncr} 130\n"
+    )
     # hex input, decimal report
     assert td(pre + "<p>a &#x96; b</p>") == (f"line 2 column 6 - {ncr} 150\n")
     assert td(pre + "<p>a &#150 b</p>") == (
@@ -1027,6 +1043,67 @@ def test_uri_hygiene_cases():
     )
     # clean URIs are silent
     assert td(pre + '<a href="https://ok.example/p?q=1#f">x</a>') == ""
+
+
+def test_uri_entity_decode_cases():
+    """Class 21 on entity-bearing values (r11, closing the documented
+    entity-decoding limit): tidy's ParseEntity substitutes entities
+    WHILE the value is lexed, so CheckUrl operates on the decoded
+    string — an '&#10;'/'&#32;'-encoded control/space is an illegal
+    byte to the escape check, a 'java&#115;cript:' prefix IS
+    javascript:, and a decoded '&amp;' is a legal '&'. Entities kept
+    literal (unknown, or >=U+0100 missing ';') still warn in the
+    class-12/13 lexer scan AND their literal bytes are what CheckUrl
+    sees. The raw-newline NEWLINE_IN_URI discard stays raw-input-only.
+    The class-1 repeated-attribute report quotes the STORED (decoded)
+    dropped value."""
+    from warcraider_spark.functions.html import (
+        _decode_entities_tidy,
+        tidy_diagnostics as td,
+    )
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    esc = "line 2 column 1 - Warning: <a> escaping malformed URI reference\n"
+    # decoded space / newline reach the escape check; no raw-newline report
+    assert td(pre + '<a href="a&#32;b">x</a>') == esc
+    assert td(pre + '<a href="a&#10;b">x</a>') == esc
+    # decoded &amp; is a legal byte
+    assert td(pre + '<a href="p?a=1&amp;b=2">x</a>') == ""
+    # entity-masked javascript: scheme takes the backslash TYPO wording
+    assert td(pre + '<a href="java&#115;cript:do\\x">x</a>') == (
+        "line 2 column 1 - Warning: <a> URI reference contains backslash. Typo?\n"
+    )
+    # >= U+0100 entity with ';' decodes to a > 0x7e char -> escape
+    assert td(pre + '<a href="pay&euro;page">x</a>') == esc
+    # missing-';' >= U+0100: literal kept (class 12 fires, lexer phase
+    # first); the kept literal's space still trips the escape check
+    assert td(pre + '<a href="x&euro y">x</a>') == (
+        'line 2 column 11 - Warning: unescaped & or unknown entity "&euro"\n'
+        + esc
+    )
+    # C1 alias in a URI: replaced slot -> escape fires on the remapped
+    # glyph; discarded slot -> value is clean, only the NCR report
+    assert td(pre + '<a href="a&#150;b">x</a>') == (
+        "line 2 column 11 - Warning: replacing invalid numeric "
+        "character reference 150\n" + esc
+    )
+    assert td(pre + '<a href="a&#129;b">x</a>') == (
+        "line 2 column 11 - Warning: discarding invalid numeric "
+        "character reference 129\n"
+    )
+    # class-1 quotes the decoded dropped value
+    assert td(pre + '<a href="x&amp;y" href="/ok">x</a>') == (
+        'line 2 column 1 - Warning: <a> dropping value "x&y" '
+        'for repeated attribute "href"\n'
+    )
+    # helper semantics pinned directly
+    assert _decode_entities_tidy("a&#32;b&amp;c") == "a b&c"
+    assert _decode_entities_tidy("x&euro y") == "x&euro y"  # literal kept
+    assert _decode_entities_tidy("x&euro;y") == "x€y"
+    assert _decode_entities_tidy("a&#129;b&#150;c") == "ab–c"
+    assert _decode_entities_tidy("s&#xD800;e&#1114200;f") == "sef"
+    assert _decode_entities_tidy("&nbsp") == "\xa0"  # < U+0100: no ';' needed
+    assert _decode_entities_tidy("&bogus;&#;&#xzz;") == "&bogus;&#;&#xzz;"
 
 
 def test_table_part_inference_cases():

@@ -416,6 +416,71 @@ import html.entities as _stdlib_entities  # noqa: E402
 
 _ENTITY_CODES: dict[str, int] = {**_stdlib_entities.name2codepoint, "apos": 39}
 
+# tidy's DecodeWin1252 (lexer.c Win2Unicode[32]): the C1 alias range
+# 0x80-0x9F remapped to the Windows-1252 glyphs. Five slots are 0 in
+# tidy's table (0x81, 0x8D, 0x8F, 0x90, 0x9D — undefined in CP1252):
+# an NCR hitting one is DISCARDED, not replaced (class 15's
+# replace-vs-discard split follows this table, not the range).
+_WIN1252_MAP: dict[int, int] = {
+    128: 0x20AC, 130: 0x201A, 131: 0x0192, 132: 0x201E, 133: 0x2026,
+    134: 0x2020, 135: 0x2021, 136: 0x02C6, 137: 0x2030, 138: 0x0160,
+    139: 0x2039, 140: 0x0152, 142: 0x017D, 145: 0x2018, 146: 0x2019,
+    147: 0x201C, 148: 0x201D, 149: 0x2022, 150: 0x2013, 151: 0x2014,
+    152: 0x02DC, 153: 0x2122, 154: 0x0161, 155: 0x203A, 156: 0x0153,
+    158: 0x017E, 159: 0x0178,
+}
+
+
+def _decode_entities_tidy(value: str) -> str:
+    """Entity-decode an attribute value with tidy's ParseEntity
+    substitution rules (lexer.c) — the value STORED on the node, which
+    is what CheckUrl and the repeated-attribute report see:
+
+    - known named / valid numeric reference → the character, with or
+      without the terminating ';' when the codepoint is < U+0100
+      (tidy substitutes and only WARNS about the semicolon);
+    - known entity ≥ U+0100 missing its ';' → literal bytes kept
+      (the UNKNOWN_ENTITY branch leaves the lexbuf untouched);
+    - unknown name / malformed numeric body → literal bytes kept;
+    - C1 alias range (128-159) → Win1252 remap via ``_WIN1252_MAP``,
+      the five undefined slots discarded;
+    - surrogate halves / beyond-Unicode → discarded.
+
+    Same trigger and name-consumption as the class-12/13/15 warning
+    scan (``_ENTITY_RE``); the warnings themselves stay with that scan
+    — this helper only reproduces the VALUE tidy ends up with.
+    """
+    out: list[str] = []
+    last = 0
+    for em in _ENTITY_RE.finditer(value):
+        name = em.group(1)
+        end = em.end()
+        semicolon = value[end : end + 1] == ";"
+        if name.startswith("#"):
+            body = name[1:]
+            if re.fullmatch(r"[xX][0-9a-fA-F]+", body):
+                code: int | None = int(body[1:], 16)
+            elif body.isdigit():
+                code = int(body)
+            else:
+                code = None
+        else:
+            code = _ENTITY_CODES.get(name)
+        if code is None or (code >= 256 and not semicolon):
+            continue  # literal kept, exactly where class 12 warns
+        out.append(value[last : em.start()])
+        if 128 <= code <= 159:
+            rep = _WIN1252_MAP.get(code)
+            if rep is not None:
+                out.append(chr(rep))
+        elif 0xD800 <= code <= 0xDFFF or code > 0x10FFFF:
+            pass  # discarded (class 15's "discarding" wording)
+        else:
+            out.append(chr(code))
+        last = end + (1 if semicolon else 0)
+    out.append(value[last:])
+    return "".join(out)
+
 
 def tidy_diagnostics(raw_html: str) -> str:
     """Tidy-stderr-style diagnostics for one raw HTML document.
@@ -512,8 +577,11 @@ def tidy_diagnostics(raw_html: str) -> str:
        ``discarding invalid numeric character reference N`` — (r9)
        INVALID_NCR: a numeric reference into the Windows-1252 alias
        range (C1 controls, 128-159) is remapped (DecodeWin1252) with
-       the "replacing" wording; surrogate halves (U+D800-U+DFFF) and
-       beyond-Unicode codes are dropped with "discarding". N is
+       the "replacing" wording — EXCEPT the five CP1252-undefined
+       slots 129/141/143/144/157, whose Win2Unicode entry is 0, so
+       they take "discarding" (r11 fix); surrogate halves
+       (U+D800-U+DFFF) and beyond-Unicode codes are dropped with
+       "discarding". N is
        DECIMAL regardless of input radix (tidy's NtoS). Fires after a
        same-reference class-13 semicolon warning (ParseEntity order);
        a >=U+0100 reference MISSING its ';' is class 12 instead, so
@@ -598,10 +666,13 @@ def tidy_diagnostics(raw_html: str) -> str:
        unpinned); duplicated URL attributes are checked on the KEPT
        last value at the first occurrence's report slot; WHITE_IN_URI
        (space-discard variant in some configs) unmodelled; 'manifest'
-       stays under class 9 (can't be both); tidy DECODES entities in
-       attribute values before CheckUrl, so an ``&#10;``-encoded
-       newline reaches its checks where our raw-value scan misses it
-       (the class-12/13 entity warnings still fire on the reference).
+       stays under class 9 (can't be both). CheckUrl operates on the
+       entity-DECODED value (tidy's ParseEntity substitutes while the
+       value is lexed — modelled by ``_decode_entities_tidy``, r11), so
+       an ``&#10;``-encoded newline or ``&#32;`` space IS an illegal
+       byte to the escape check and a ``java&#115;cript:`` prefix IS
+       javascript:; the raw-newline discard above it stays raw (the
+       ParseValue character loop only sees literal input newlines).
     22. ``missing <table>`` — (r11) a tr/td/th start tag with NO
        ``<table>`` open anywhere on the stack: tidy's parser infers the
        missing table (MISSING_STARTTAG), anchored at the offending tag.
@@ -902,11 +973,18 @@ def tidy_diagnostics(raw_html: str) -> str:
             # message regardless of input radix (tidy's NtoS).
             if name.startswith("#"):
                 if 128 <= code <= 159:
+                    # replace-vs-discard follows tidy's Win2Unicode
+                    # table, not the range: the five CP1252-undefined
+                    # slots (129/141/143/144/157) map to 0 in
+                    # DecodeWin1252, so ReportEncodingError gets
+                    # replaceMode == DISCARDED_CHAR for them (r11 fix —
+                    # previously the whole range said "replacing").
+                    verb = "replacing" if code in _WIN1252_MAP else "discarding"
                     parse_time.append(
                         (
                             em.start(),
                             0,
-                            f"replacing invalid numeric character reference {code}",
+                            f"{verb} invalid numeric character reference {code}",
                         )
                     )
                 elif 0xD800 <= code <= 0xDFFF or code > 0x10FFFF:
@@ -1072,11 +1150,15 @@ def tidy_diagnostics(raw_html: str) -> str:
                 if name == "rel":
                     has_rel = True
                 if name in seen:
+                    # the quoted dropped value is the value AS STORED
+                    # on the node — entity-DECODED (RepairDuplicate-
+                    # Attributes runs on lexed attvals, r11), matching
+                    # what class 21 checks on the kept twin
                     parse_time.append(
                         (
                             m.start(),
                             0,
-                            f'<{tag}> dropping value "{seen[name]}" '
+                            f'<{tag}> dropping value "{_decode_entities_tidy(seen[name])}" '
                             f'for repeated attribute "{name}"',
                         )
                     )
@@ -1132,6 +1214,19 @@ def tidy_diagnostics(raw_html: str) -> str:
                                     )
                                 )
                                 kv = kv.replace("\r", "").replace("\n", "")
+                            # tidy DECODES entities while lexing the
+                            # value (ParseEntity runs inside
+                            # ParseValue), so CheckUrl operates on the
+                            # decoded string — an '&#10;'-encoded
+                            # newline or '&#32;' space IS a <= 0x20
+                            # byte to its escape check, and a
+                            # 'java&#115;cript:' prefix IS javascript:
+                            # (r11, closing the documented
+                            # entity-decoding limit). The raw-newline
+                            # discard above stays raw: it happens in
+                            # ParseValue's character loop, which only
+                            # sees literal input newlines.
+                            kv = _decode_entities_tidy(kv)
                             is_js = kv.startswith("javascript:")
                             has_bslash = "\\" in kv
                             needs_escape = any(
