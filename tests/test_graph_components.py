@@ -72,3 +72,87 @@ def test_exact_components_on_fixture(spark):
     got = {(r.node, r.comp) for r in comp.collect()}
     expect = {(n, 0) for n in (0, 1, 2, 3, 10, 11, 12)} | {(20, 20), (21, 20)}
     assert got == expect
+
+
+def test_contracted_equals_alternating_on_chains(spark, sf_smoke):
+    """The r11 hybrid (partition-local union-find contraction + alternating
+    CC on the residual seam graph) must be OUTPUT-IDENTICAL to plain
+    alternating CC — q154's certified hash rides on this."""
+    from warcraider_spark.operators.graph import contracted_components
+
+    plain = {
+        (r.node, r.comp)
+        for r in alternating_components(
+            chain_edges(spark, sf_smoke), assume_canonical=True
+        ).collect()
+    }
+    hybrid = {
+        (r.node, r.comp)
+        for r in contracted_components(
+            chain_edges(spark, sf_smoke), assume_canonical=True
+        ).collect()
+    }
+    assert hybrid == plain
+
+
+def test_contracted_correct_under_adversarial_partitioning(spark, sf_smoke):
+    """Correctness must not depend on the range-partition locality hint:
+    remap node ids through a multiplicative permutation (id*2654435761 %
+    2^31, odd multiplier => bijective mod 2^31 on the id range) so
+    range partitioning SCATTERS every chain across partitions, forcing a
+    dense residual seam graph through the multi-piece-per-partition
+    merge path."""
+    from warcraider_spark.operators.graph import contracted_components
+
+    e = chain_edges(spark, sf_smoke)
+    perm = e.select(
+        ((F.col("src") * 2654435761) % 2147483648).alias("src"),
+        ((F.col("dst") * 2654435761) % 2147483648).alias("dst"),
+    )
+    plain = {
+        (r.node, r.comp) for r in alternating_components(perm).collect()
+    }
+    rounds: list = []
+    hybrid = {
+        (r.node, r.comp)
+        for r in contracted_components(
+            perm, rounds_out=rounds, num_partitions=8
+        ).collect()
+    }
+    assert hybrid == plain
+    assert len(plain) > 0
+
+
+def test_contracted_residual_is_seam_sized(spark, sf_smoke):
+    """With forced multi-partition ranges over id-contiguous chains, the
+    iterative rounds must see only cross-partition SEAM edges — the whole
+    point of the contraction: round-1 residual edge count is a small
+    fraction of the input edge count."""
+    from warcraider_spark.operators.graph import contracted_components
+
+    e = chain_edges(spark, sf_smoke)
+    n_edges = e.count()
+    rounds: list = []
+    comp = contracted_components(
+        e, assume_canonical=True, rounds_out=rounds, num_partitions=8
+    )
+    comp.count()  # execute
+    assert rounds, "residual CC must run (and record its rounds)"
+    residual_round1 = rounds[0][0]
+    assert residual_round1 < n_edges / 5, (
+        f"residual seam graph ({residual_round1}) should be far smaller "
+        f"than the input ({n_edges})"
+    )
+
+
+def test_contracted_components_on_fixture(spark):
+    from warcraider_spark.operators.graph import contracted_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (3, 10), (20, 21)],
+        "src long, dst long",
+    )
+    comp = contracted_components(edges, num_partitions=3)
+    got = {(r.node, r.comp) for r in comp.collect()}
+    expect = {(n, 0) for n in (0, 1, 2, 3, 10, 11, 12)} | {(20, 20), (21, 20)}
+    assert got == expect

@@ -690,7 +690,7 @@ BUILD_TIME_EXECUTION_OK = {
     # iterative operators: the driver-side loop (per-round lineage cut /
     # convergence check) is the operator's documented contract
     "q160_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
-    "q154_connected_components": "large/small-star loop, data-dependent convergence check",
+    "q154_connected_components": "r11 hybrid: eager node→root mapping materialization + residual large/small-star loop with data-dependent convergence check",
     "q135_bpe_merge_train": "per-round best-pair selection is data-dependent",
     "q188_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
     "q022_bpe_encode": "replays the q135 merge-train loop to build the vocab",

@@ -152,12 +152,14 @@ def _chain_edges_per_replica(spark, sf_dir):
 def _q025_cc_scaled(spark, sf_dir):
     """Scale-harness variant of q154_connected_components over the
     per-replica chain graph (see _chain_edges_per_replica) — the curve
-    VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx."""
+    VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx.
+    r11: measures the production path (contracted_components — local
+    union-find contraction + residual alternating rounds)."""
     from pyspark.sql import functions as F
 
-    from warcraider_spark.operators.graph import alternating_components
+    from warcraider_spark.operators.graph import contracted_components
 
-    comp = alternating_components(_chain_edges_per_replica(spark, sf_dir))
+    comp = contracted_components(_chain_edges_per_replica(spark, sf_dir))
     return (
         comp.groupBy(F.col("comp").alias("component_id"))
         .agg(
@@ -395,8 +397,13 @@ def main() -> None:
     # measured on the per-replica graph. Replication adds disjoint
     # isomorphic copies of the chain graph, so rounds should stay FLAT
     # while nodes grow Kx — rounds track log(component size), not corpus
-    # size.
-    from warcraider_spark.operators.graph import alternating_components  # noqa: E402
+    # size. r11: also records the HYBRID path's residual rounds and the
+    # residual (seam) edge count the iterative rounds actually touch —
+    # the contraction's whole value proposition at scale.
+    from warcraider_spark.operators.graph import (  # noqa: E402
+        alternating_components,
+        contracted_components,
+    )
 
     cc_audit: dict[int, dict[str, int]] = {}
     for k in factors:
@@ -405,7 +412,16 @@ def main() -> None:
             _chain_edges_per_replica(spark, dirs[k]), rounds_out=rounds_out
         )
         n_nodes = comp.count()
-        cc_audit[k] = {"n_nodes": int(n_nodes), "rounds": len(rounds_out)}
+        res_rounds: list = []
+        contracted_components(
+            _chain_edges_per_replica(spark, dirs[k]), rounds_out=res_rounds
+        ).write.format("noop").mode("overwrite").save()
+        cc_audit[k] = {
+            "n_nodes": int(n_nodes),
+            "rounds": len(rounds_out),
+            "hybrid_residual_rounds": len(res_rounds),
+            "hybrid_residual_edges_r1": int(res_rounds[0][0]) if res_rounds else 0,
+        }
     results["q025_rounds_audit"] = cc_audit  # type: ignore[assignment]
 
     # q189 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
