@@ -156,3 +156,60 @@ def test_contracted_components_on_fixture(spark):
     got = {(r.node, r.comp) for r in comp.collect()}
     expect = {(n, 0) for n in (0, 1, 2, 3, 10, 11, 12)} | {(20, 20), (21, 20)}
     assert got == expect
+
+
+def test_contracted_random_graphs_vs_python_truth(spark):
+    """Seeded random-graph sweep against an INDEPENDENT mechanism (a
+    plain Python union-find computing min-id components): self-loops,
+    duplicate/reversed edges, multiple components, sparse ids, and
+    varying forced partition counts — the shapes real dedup graphs
+    throw at the contraction."""
+    import random
+
+    from warcraider_spark.operators.graph import contracted_components
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(10):
+        n = rng.randint(2, 60)
+        ids = rng.sample(range(0, 10_000_000), n)
+        n_edges = rng.randint(1, 3 * n)
+        edges = [
+            (rng.choice(ids), rng.choice(ids)) for _ in range(n_edges)
+        ]
+        if trial % 3 == 0:
+            edges.append((ids[0], ids[0]))  # explicit self-loop
+        # python union-find truth over nodes that appear in a NON-LOOP
+        # edge (the operator's domain: self-loops are filtered, so a
+        # node seen only in a self-loop never appears in the output)
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        domain = set()
+        for a, b in edges:
+            if a == b:
+                continue
+            domain |= {a, b}
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict = {}
+        for x in domain:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        truth = {(x, comp_min[find(x)]) for x in domain}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r.node, r.comp)
+            for r in contracted_components(
+                df, num_partitions=(trial % 4) + 1
+            ).collect()
+        }
+        assert got == truth, f"trial {trial}: {got ^ truth}"

@@ -1190,3 +1190,37 @@ def test_nested_emphasis_and_coerce_cases():
     assert td(pre + "<a href='/1'>x<a href='/2'>y</a>") == (
         "line 2 column 15 - Warning: missing </a> before <a>\n"
     )
+
+def test_nested_quotation_cases():
+    """Class 26 (r11): tidy excludes <q> from the same-tag emphasis
+    branch, so a <q> start while a q is pushed — anywhere on the inline
+    stack, attributes or not — reports NESTED_QUOTATION ("nested q
+    elements, possible typo.") and the element nests normally (no
+    coercion, so the inner q's end tag still matches)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    # direct q-in-q, attributeless: NO coercion (unlike <b><b>), the
+    # wording is the dedicated one, and both end tags match silently
+    assert td(pre + "<q>a<q>b</q></q>") == (
+        "line 2 column 5 - Warning: nested q elements, possible typo.\n"
+    )
+    # q nested DEEPER than innermost (q > b > q): classes 24/25 are
+    # innermost-only, but the q check is pushed-anywhere
+    assert td(pre + "<q>a<b>x<q>b</q></b></q>") == (
+        "line 2 column 9 - Warning: nested q elements, possible typo.\n"
+    )
+    # attributes don't matter (cite is a legal q attribute — no class-9
+    # noise): still the quotation wording, never "nested emphasis <q>"
+    assert td(pre + '<q cite="/s">a<q cite="/t">b</q></q>') == (
+        "line 2 column 15 - Warning: nested q elements, possible typo.\n"
+    )
+    # sequential q siblings never fire
+    assert td(pre + "<q>a</q><q>b</q>") == ""
+    # a block start closes the open q in our model first (class 23), so
+    # the second q is NOT nested by then — one before-warning anchored
+    # at the <div>, no quotation notice, and the single </q> matches the
+    # inner q (documented istack/InlineDup scope limit)
+    assert td(pre + "<q>a<div><q>b</q></div>") == (
+        "line 2 column 5 - Warning: missing </q> before <div>\n"
+    )

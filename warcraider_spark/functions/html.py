@@ -487,8 +487,8 @@ def tidy_diagnostics(raw_html: str) -> str:
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
-    stderr), byte-for-byte on that golden, plus twenty-one more classes
-    (r6-r11) pinned by our own adversarial fixtures — twenty-five total:
+    stderr), byte-for-byte on that golden, plus twenty-two more classes
+    (r6-r11) pinned by our own adversarial fixtures — twenty-six total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -710,7 +710,12 @@ def tidy_diagnostics(raw_html: str) -> str:
        NESTED_EMPHASIS, warning only, the element nests normally.
        Scope for both: the inline required-end set minus <a> (the
        class-16 anchor branch runs first, stack-wide) and minus <q>
-       (tidy's NESTED_QUOTATION wording — residual family).
+       (class 26 below).
+    26. ``nested q elements, possible typo.`` — (r11) tidy excludes q
+       from the same-tag emphasis branch and reports NESTED_QUOTATION
+       for a <q> start while a q is pushed — ANYWHERE on the inline
+       stack (q-in-q and q > b > q alike), with or without attributes;
+       warning only, the element nests normally.
 
     Ordering matches tidy's phases: lexer/parse-time warnings
     (1+2+5+6+7+8+10-25, incl. NEWLINE_IN_URI) in document order, then
@@ -1378,6 +1383,23 @@ def tidy_diagnostics(raw_html: str) -> str:
                     continue
                 parse_time.append(
                     (m.start(), 0, f"nested emphasis <{tag}>")
+                )
+            # class 26 (r11): a <q> start while a q is OPEN — tidy's
+            # ParseInline EXCLUDES q from the same-tag emphasis branch,
+            # so every pushed-q case (direct q-in-q AND q nested deeper,
+            # e.g. q > b > q — the check is IsPushed, i.e. anywhere on
+            # the inline stack, not innermost-only like classes 24/25)
+            # takes the dedicated NESTED_QUOTATION wording instead:
+            # warning only, anchored at the offending start tag, the
+            # element nests normally. Scope limit: tidy's istack
+            # re-opens pushed inlines across block boundaries
+            # (InlineDup), so a q split by an intervening block start
+            # stays "pushed" for real tidy while our model closed it at
+            # the block — same documented limit as the class-16/24
+            # stack-wide scope.
+            if tag == "q" and any(fr[0] == "q" for fr in stack):
+                parse_time.append(
+                    (m.start(), 0, "nested q elements, possible typo.")
                 )
             # classes 19 + 20 (r10): headings cannot nest. A new hN start
             # while a heading is open implies closing the old one — tidy's
