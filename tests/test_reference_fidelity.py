@@ -109,6 +109,9 @@ def test_tidy_diag_repeated_attribute():
     assert out == (
         'line 2 column 1 - Warning: <img> dropping value "a" '
         'for repeated attribute "src"\n'
+        # r11 class 28: CheckIMG reports the missing alt in the
+        # attribute-check phase (real tidy emits both lines here)
+        'line 2 column 1 - Warning: <img> lacks "alt" attribute\n'
     )
 
 
@@ -132,6 +135,9 @@ def test_tidy_diag_link_lacks_rel_and_trim_order():
         'line 5 column 1 - Warning: <img> dropping value "x" '
         'for repeated attribute "src"',
         'line 2 column 1 - Warning: <link> lacks "rel" attribute',
+        # r11 class 28: the img's missing alt joins the attribute-check
+        # phase in document order (link line 2 before img line 5)
+        'line 5 column 1 - Warning: <img> lacks "alt" attribute',
         "line 3 column 1 - Warning: trimming empty <ul>",
     ]
 
@@ -342,6 +348,7 @@ def test_missing_doctype_cases():
         doc
         + 'line 1 column 1 - Warning: <img> dropping value "a" '
         'for repeated attribute "src"\n'
+        'line 1 column 1 - Warning: <img> lacks "alt" attribute\n'
     )
     # with NO title either, the class-10 insert lands at the same anchor
     # (the head closes at the first body-content tag) AFTER the doctype
@@ -352,6 +359,7 @@ def test_missing_doctype_cases():
         + 'line 1 column 1 - Warning: <img> dropping value "a" '
         'for repeated attribute "src"\n'
         "line 1 column 1 - Warning: inserting missing 'title' element\n"
+        'line 1 column 1 - Warning: <img> lacks "alt" attribute\n'
     )
     # anchored at the first element tag, tab-expanded column accounting
     assert td("\t<ul></ul><title>t</title>") == (
@@ -435,6 +443,10 @@ def test_nested_form_attributes_still_lexed():
         'for repeated attribute "a"\n'
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
         "line 2 column 39 - Warning: discarding unexpected </form>\n"
+        # r11 class 28: the OUTER form reaches CheckFORM (no action);
+        # the discarded inner form never does — tidy's discard happens
+        # before the parser's attribute checks
+        'line 2 column 1 - Warning: <form> lacks "action" attribute\n'
     )
 
 
@@ -467,18 +479,20 @@ def test_nested_form_discard_cases():
     per discarded tag."""
     from warcraider_spark.functions.html import tidy_diagnostics as td
 
-    assert td("<!DOCTYPE html><title>t</title>\n<form><input></form><form><input></form>") == ""
+    # fixtures carry action= so CheckFORM (r11 class 28) stays silent and
+    # the assertions pin class 6 alone
+    assert td('<!DOCTYPE html><title>t</title>\n<form action="/a"><input></form><form action="/b"><input></form>') == ""
     # r8: the discarded inner <form> leaves its own </form> unmatched —
     # tidy discards that too (class 11)
-    assert td("<!DOCTYPE html><title>t</title>\n<form><form><input></form></form>") == (
-        "line 2 column 7 - Warning: discarding unexpected <form>\n"
-        "line 2 column 27 - Warning: discarding unexpected </form>\n"
+    assert td('<!DOCTYPE html><title>t</title>\n<form action="/a"><form><input></form></form>') == (
+        "line 2 column 19 - Warning: discarding unexpected <form>\n"
+        "line 2 column 39 - Warning: discarding unexpected </form>\n"
     )
-    assert td("<!DOCTYPE html><title>t</title>\n<form><form><form></form></form></form>") == (
-        "line 2 column 7 - Warning: discarding unexpected <form>\n"
-        "line 2 column 13 - Warning: discarding unexpected <form>\n"
-        "line 2 column 26 - Warning: discarding unexpected </form>\n"
-        "line 2 column 33 - Warning: discarding unexpected </form>\n"
+    assert td('<!DOCTYPE html><title>t</title>\n<form action="/a"><form><form></form></form></form>') == (
+        "line 2 column 19 - Warning: discarding unexpected <form>\n"
+        "line 2 column 25 - Warning: discarding unexpected <form>\n"
+        "line 2 column 38 - Warning: discarding unexpected </form>\n"
+        "line 2 column 45 - Warning: discarding unexpected </form>\n"
     )
 
 
@@ -524,6 +538,9 @@ def test_proprietary_golden_html_errors():
         'line 7 column 1 - Warning: <div> proprietary attribute "frobnicate"\n'
         'line 8 column 1 - Warning: <span> proprietary attribute "glow"\n'
         'line 9 column 1 - Warning: <img> proprietary attribute "badattr"\n'
+        # r11 class 28: the alt-less img's element check runs after its
+        # own per-attribute (class-9) checks — CheckIMG's code order
+        'line 9 column 1 - Warning: <img> lacks "alt" attribute\n'
     )
 
 
@@ -547,10 +564,12 @@ def test_proprietary_attribute_cases():
         'line 2 column 1 - Warning: <div> proprietary attribute "zap"\n'
     )
     # discarded nested <form> never reaches the attribute checks (its
-    # orphaned </form> is a class-11 discard)
+    # orphaned </form> is a class-11 discard; the zap never warns); the
+    # OUTER action-less form reaches CheckFORM (r11 class 28)
     assert td(pre + '<form><form zap="1"><input></form></form>') == (
         "line 2 column 7 - Warning: discarding unexpected <form>\n"
         "line 2 column 35 - Warning: discarding unexpected </form>\n"
+        'line 2 column 1 - Warning: <form> lacks "action" attribute\n'
     )
 
 
@@ -1030,8 +1049,10 @@ def test_uri_hygiene_cases():
         "line 2 column 1 - Warning: <a> URI reference contains backslash. Typo?\n"
     )
     # newline discarded at LEX time: the escape check never sees it
+    # (the fixture img carries no alt, so CheckIMG reports it — r11 #28)
     assert td(pre + '<img src="a\nb.png">') == (
         "line 2 column 1 - Warning: <img> discarding newline in URI reference\n"
+        'line 2 column 1 - Warning: <img> lacks "alt" attribute\n'
     )
     assert td(pre + "<a href>x</a>") == (
         'line 2 column 1 - Warning: <a> attribute "href" lacks value\n'
@@ -1104,6 +1125,132 @@ def test_uri_entity_decode_cases():
     assert _decode_entities_tidy("s&#xD800;e&#1114200;f") == "sef"
     assert _decode_entities_tidy("&nbsp") == "\xa0"  # < U+0100: no ';' needed
     assert _decode_entities_tidy("&bogus;&#;&#xzz;") == "&bogus;&#;&#xzz;"
+
+
+def test_typed_attr_value_cases():
+    """Class-27 unit coverage (r11, residual families 8/9/10): the attrs.c
+    typed checkers — CheckNumber (font +/- exemption, empty-value silence),
+    CheckLength (col/colgroup width exemption, empty value fails the
+    first-digit test), CheckAlign (CM_IMG routes to CheckValign),
+    CheckValign's three-way ok/BAD/proprietary split, CheckClear,
+    CheckScroll, CheckTarget (letter-start always ok, reserved names
+    case-insensitive), and the shared MISSING_ATTR_VALUE early return."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    # CheckNumber: bad byte warns once; empty value is silent; valueless
+    # reports MISSING_ATTR_VALUE; <font size> may start +/-, <hr> may not
+    assert td(pre + '<table><tr><td colspan="two" rowspan="3">x</td></tr></table>') == (
+        'line 2 column 12 - Warning: <td> attribute "colspan" has invalid value "two"\n'
+    )
+    assert td(pre + '<table><tr><td colspan="">x</td></tr></table>') == ""
+    assert td(pre + "<table><tr><td colspan>x</td></tr></table>") == (
+        'line 2 column 12 - Warning: <td> attribute "colspan" lacks value\n'
+    )
+    assert td(pre + '<font size="+2">x</font>') == ""
+    assert td(pre + '<hr size="+2">') == (
+        'line 2 column 1 - Warning: <hr> attribute "size" has invalid value "+2"\n'
+    )
+    # CheckLength: first byte must be a digit, then digits or %;
+    # col/colgroup width is exempt (multi-length); empty value is BAD
+    assert td(pre + '<table width="100%"><tr><td>x</td></tr></table>') == ""
+    assert td(pre + '<table width="auto"><tr><td>x</td></tr></table>') == (
+        'line 2 column 1 - Warning: <table> attribute "width" has invalid value "auto"\n'
+    )
+    assert td(pre + '<img src=s alt=a width="10px">') == (
+        'line 2 column 1 - Warning: <img> attribute "width" has invalid value "10px"\n'
+    )
+    assert td(pre + '<table><colgroup width="0*"><col width="2*"></colgroup><tr><td>x</td></tr></table>') == ""
+    assert td(pre + '<table width="">x<tr><td>y</td></tr></table>') == (
+        'line 2 column 1 - Warning: <table> attribute "width" has invalid value ""\n'
+    )
+    # CheckAlign vs CheckValign: middle is BAD on a block but OK nowhere;
+    # top is OK as valign; CM_IMG elements take the valign semantics for
+    # their align attribute, including the vendor-keyword proprietary split
+    assert td(pre + '<p align="middle">x</p>') == (
+        'line 2 column 1 - Warning: <p> attribute "align" has invalid value "middle"\n'
+    )
+    assert td(pre + '<p align="Center">x</p>') == ""  # AttrValueIs is case-blind
+    # caption align defers to CheckCaption (top/bottom legal HTML4 there)
+    assert td(pre + '<table><caption align="top">c</caption><tr><td>x</td></tr></table>') == ""
+    assert td(pre + '<img src=s alt=a align="top">') == ""
+    assert td(pre + '<img src=s alt=a align="absmiddle">') == (
+        'line 2 column 1 - Warning: <img> proprietary attribute value "absmiddle"\n'
+    )
+    assert td(pre + '<img src=s alt=a align="left">') == (
+        'line 2 column 1 - Warning: <img> attribute "align" has invalid value "left"\n'
+    )
+    assert td(pre + '<table><tr valign="texttop"><td>x</td></tr></table>') == (
+        'line 2 column 8 - Warning: <tr> proprietary attribute value "texttop"\n'
+    )
+    # CheckClear / CheckScroll / CheckTarget
+    assert td(pre + '<br clear="all">') == ""
+    assert td(pre + '<br clear="both">') == (
+        'line 2 column 1 - Warning: <br> attribute "clear" has invalid value "both"\n'
+    )
+    assert td(pre + '<iframe src="x" scrolling="maybe"></iframe>') == (
+        'line 2 column 1 - Warning: <iframe> attribute "scrolling" has invalid value "maybe"\n'
+    )
+    assert td(pre + '<a href="x" target="_BLANK">y</a>') == ""
+    assert td(pre + '<a href="x" target="_sideways">y</a>') == (
+        'line 2 column 1 - Warning: <a> attribute "target" has invalid value "_sideways"\n'
+    )
+    assert td(pre + '<a href="x" target="MoneyMusts">y</a>') == ""
+    # duplicate typed attribute: the KEPT (last) value is checked at the
+    # first occurrence's slot, after the class-1 drop — the class-21 rule
+    assert td(pre + '<td colspan="2" colspan="x">y</td>') == (
+        'line 2 column 1 - Warning: <td> dropping value "2" '
+        'for repeated attribute "colspan"\n'
+        "line 2 column 1 - Warning: missing <table>\n"
+        'line 2 column 1 - Warning: <td> attribute "colspan" has invalid value "x"\n'
+    )
+    # entity-decoded value: &#43;2 decodes to +2 (BAD on hr, legal on font)
+    assert td(pre + '<hr size="&#43;2">') == (
+        'line 2 column 1 - Warning: <hr> attribute "size" has invalid value "+2"\n'
+    )
+    assert td(pre + '<font size="&#43;2">x</font>') == ""
+
+
+def test_element_missing_attr_cases():
+    """Class-28 unit coverage (r11): CheckIMG / CheckAREA / CheckFORM
+    element-level reports in checker code order, after the element's
+    per-attribute checks; presence counts valueless attributes; a
+    discarded node never reaches them (pinned in the class-6 tests)."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    # CheckIMG order: alt, then ismap-without-usemap, then src
+    assert td(pre + "<img>") == (
+        'line 2 column 1 - Warning: <img> lacks "alt" attribute\n'
+        'line 2 column 1 - Warning: <img> lacks "src" attribute\n'
+    )
+    assert td(pre + '<img src="x.png" ismap>') == (
+        'line 2 column 1 - Warning: <img> lacks "alt" attribute\n'
+        "line 2 column 1 - Warning: <img> should use client-side image map\n"
+    )
+    assert td(pre + '<img src="x.png" ismap usemap="#m" alt="a">') == ""
+    # valueless alt still counts as present (tidy's flag is set while
+    # looping the lexed attvals); datafld databinding suppresses the
+    # src report
+    assert td(pre + "<img alt src=x>") == ""
+    # datafld suppresses the src report (tidy's databinding flag) but is
+    # itself VERS_PROPRIETARY in tidy's dictionary — the class-9 warning
+    # fires for it exactly like real tidy's AttributeIsProprietary path
+    assert td(pre + '<img alt="a" datafld="f">') == (
+        'line 2 column 1 - Warning: <img> proprietary attribute "datafld"\n'
+    )
+    # CheckAREA: alt, then href unless nohref
+    assert td(pre + '<map name="m"><area></map>') == (
+        'line 2 column 15 - Warning: <area> lacks "alt" attribute\n'
+        'line 2 column 15 - Warning: <area> lacks "href" attribute\n'
+    )
+    assert td(pre + '<map name="m"><area alt="a" nohref></map>') == ""
+    assert td(pre + '<map name="m"><area alt="a" href="x"></map>') == ""
+    # CheckFORM
+    assert td(pre + "<form><input></form>") == (
+        'line 2 column 1 - Warning: <form> lacks "action" attribute\n'
+    )
+    assert td(pre + '<form action=""><input></form>') == ""
 
 
 def test_table_part_inference_cases():

@@ -391,6 +391,35 @@ _INLINE_REQUIRED_END = frozenset(
     "small span strike strong sub sup tt u var".split()
 )
 
+# classes 27+28 (r11): typed attribute-value checkers from tidy's
+# attrs.c dictionary (the attrchk column). Each CH_* type below maps an
+# attribute NAME (any element — the dictionary is global) to the checker
+# whose semantics are modelled in _typed_attr_check; attributes typed
+# CH_PCDATA/CH_BOOL check nothing, CH_URL is class 21. Unmodelled types
+# (documented residual slivers, COVERAGE.md): CH_COLOR (CheckColor's
+# hash-prefix FIX + replaced-value wording and the named-color table
+# vintage aren't pinnable without real tidy), CH_VTYPE (input-type value
+# list is tidy-version-dependent), CH_SHAPE/CH_TEXTDIR/CH_LANG/
+# CH_CHARSET/CH_CHARACTER, the list-valued CH_URLS ('archive'), and
+# 'border' (its CH typing across tidy vintages is unpinned).
+_NUMBER_ATTRS = frozenset(  # CH_NUMBER -> CheckNumber
+    "colspan rowspan hspace vspace size span start tabindex".split()
+)
+_LENGTH_ATTRS = frozenset(("width", "height"))  # CH_LENGTH -> CheckLength
+# CheckAlign routes CM_IMG elements to CheckValign (tags.c models:
+# img/applet/object/input carry CM_IMG; embed takes the same path)
+_CM_IMG_TAGS = frozenset("img applet object embed input".split())
+_ALIGN_VALUES = frozenset(("left", "right", "center", "justify"))
+_VALIGN_OK = frozenset(("top", "middle", "bottom", "baseline"))
+_VALIGN_BAD_LR = frozenset(("left", "right"))
+_VALIGN_PROPRIETARY = frozenset(("texttop", "absmiddle", "absbottom", "textbottom"))
+_CLEAR_VALUES = frozenset(("none", "left", "right", "all"))
+_SCROLL_VALUES = frozenset(("yes", "no", "auto"))
+_TARGET_RESERVED = frozenset(("_blank", "_self", "_parent", "_top"))
+_TYPED_ATTRS = (
+    _NUMBER_ATTRS | _LENGTH_ATTRS | {"align", "valign", "clear", "scrolling", "target"}
+)
+
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
@@ -482,13 +511,105 @@ def _decode_entities_tidy(value: str) -> str:
     return "".join(out)
 
 
+def _typed_attr_check(tag: str, name: str, kv: str | None) -> list[str]:
+    """Class 27: tidy's typed attribute-value checkers (attrs.c).
+
+    ``kv`` is the KEPT attribute value exactly as the class-21 path sees
+    it: ``None`` = attribute present with no ``=`` (AttrHasValue false),
+    else the entity-DECODED string (ParseEntity substitutes while the
+    value is lexed, so checkers operate on the decoded bytes). Returns
+    the attribute-check-phase messages in the checker's code order.
+
+    Checker semantics modelled 1:1 from attrs.c:
+
+    - ``CheckNumber`` (CH_NUMBER): valueless -> MISSING_ATTR_VALUE; a
+      ``<font size>`` value may start ``+``/``-`` (skipped); the first
+      non-digit byte after that -> BAD_ATTRIBUTE_VALUE once (the loop
+      breaks). An explicit EMPTY value is silent (the while loop never
+      runs — AttrHasValue is a NULL test, not an emptiness test).
+    - ``CheckLength`` (CH_LENGTH): valueless -> MISSING_ATTR_VALUE;
+      ``width`` on col/colgroup is exempt (multi-length syntax);
+      otherwise the FIRST byte must be a digit (an empty value fails
+      here with the empty string quoted), and each later byte must be a
+      digit or ``%`` -> BAD_ATTRIBUTE_VALUE once.
+    - ``CheckAlign`` (CH_ALIGN): CM_IMG elements route to CheckValign
+      (align there is vertical position); else valueless -> MISSING,
+      and a value outside left/right/center/justify -> BAD. All value
+      compares are case-insensitive (tidy AttrValueIs).
+    - ``CheckValign`` (CH_VALIGN): top/middle/bottom/baseline ok;
+      left/right -> BAD; texttop/absmiddle/absbottom/textbottom ->
+      PROPRIETARY_ATTR_VALUE (the message quotes the VALUE, not the
+      name); anything else -> BAD.
+    - ``CheckClear`` (CH_CLEAR): none/left/right/all else BAD.
+    - ``CheckScroll`` (CH_SCROLL): yes/no/auto else BAD.
+    - ``CheckTarget`` (CH_TARGET): a value starting with an ASCII
+      letter is always ok; otherwise it must be one of the four
+      reserved names _blank/_self/_parent/_top -> else BAD.
+    """
+    out: list[str] = []
+    if name in _NUMBER_ATTRS:
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        p = kv
+        if tag == "font" and p[:1] in "+-":
+            p = p[1:]
+        if not all(c.isascii() and c.isdigit() for c in p):
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    elif name in _LENGTH_ATTRS:
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        if name == "width" and tag in ("col", "colgroup"):
+            return []
+        if not (kv[:1].isascii() and kv[:1].isdigit()) or not all(
+            (c.isascii() and c.isdigit()) or c == "%" for c in kv[1:]
+        ):
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    elif name == "align" and tag not in _CM_IMG_TAGS:
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        if tag == "caption":
+            # CheckCaption owns caption's align (top/bottom are legal
+            # HTML4 there); CheckAlign defers to it — modelled as
+            # silence (the caption checker's own wordings are a
+            # documented residual sliver)
+            return []
+        if kv.lower() not in _ALIGN_VALUES:
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    elif name == "valign" or name == "align":  # align on CM_IMG -> CheckValign
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        low = kv.lower()
+        if low in _VALIGN_OK:
+            pass
+        elif low in _VALIGN_PROPRIETARY:
+            out.append(f'<{tag}> proprietary attribute value "{kv}"')
+        else:  # left/right and everything else share the BAD wording
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    elif name == "clear":
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        if kv.lower() not in _CLEAR_VALUES:
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    elif name == "scrolling":
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        if kv.lower() not in _SCROLL_VALUES:
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    elif name == "target":
+        if kv is None:
+            return [f'<{tag}> attribute "{name}" lacks value']
+        if not (kv[:1].isascii() and kv[:1].isalpha()) and kv.lower() not in _TARGET_RESERVED:
+            out.append(f'<{tag}> attribute "{name}" has invalid value "{kv}"')
+    return out
+
+
 def tidy_diagnostics(raw_html: str) -> str:
     """Tidy-stderr-style diagnostics for one raw HTML document.
 
     Reproduces the four warning classes the reference's tidy subprocess
     emits on its golden fixture (lib.rs:197-206; snapshot pins the exact
     stderr), byte-for-byte on that golden, plus twenty-two more classes
-    (r6-r11) pinned by our own adversarial fixtures — twenty-six total:
+    (r6-r11) pinned by our own adversarial fixtures — twenty-eight total:
 
     1. ``<tag> dropping value "V" for repeated attribute "A"`` — a start
        tag repeats an attribute name (first value reported, tidy keeps one);
@@ -717,10 +838,42 @@ def tidy_diagnostics(raw_html: str) -> str:
        stack (q-in-q and q > b > q alike), with or without attributes;
        warning only, the element nests normally.
 
+    27. Typed attribute-value validation — (r11, closing the bulk of
+       residual families 8/9/10): tidy's attrs.c dictionary wires each
+       known attribute to a typed checker; the CH_NUMBER, CH_LENGTH,
+       CH_ALIGN, CH_VALIGN, CH_CLEAR, CH_SCROLL and CH_TARGET checkers
+       are modelled 1:1 (see ``_typed_attr_check``): a VALUELESS typed
+       attribute reports ``<x> attribute "y" lacks value``
+       (MISSING_ATTR_VALUE), an out-of-range value ``<x> attribute "y"
+       has invalid value "v"`` (BAD_ATTRIBUTE_VALUE, once per
+       attribute — the C loops break on the first bad byte), and a
+       vendor valign keyword (texttop/absmiddle/absbottom/textbottom)
+       ``<x> proprietary attribute value "v"`` (PROPRIETARY_ATTR_VALUE).
+       Slotted per attribute in the attribute-check phase like classes
+       9/21, on the kept entity-decoded value. ``<caption align>`` is
+       exempt (CheckAlign defers to the caption element's own checker,
+       where top/bottom are legal HTML4 values). Unmodelled checker
+       types (residual slivers): CH_COLOR (CheckColor's hash-prefix
+       fix + replaced-value wording), CH_VTYPE, CH_SHAPE, CH_TEXTDIR,
+       CH_LANG/CH_CHARSET/CH_CHARACTER, CH_URLS, and 'border'.
+    28. Element-level missing-attribute reports — (r11) the remaining
+       attrs.c element checkers with default-config warnings, the
+       class-3 CheckLINK pattern generalized: CheckIMG (``<img> lacks
+       "alt" attribute``; ``<img> should use client-side image map``
+       for ismap-without-usemap, MISSING_IMAGEMAP; ``<img> lacks "src"
+       attribute`` unless datafld databinding), CheckAREA (``<area>
+       lacks "alt" attribute``; ``<area> lacks "href" attribute``
+       unless nohref), CheckFORM (``<form> lacks "action" attribute``).
+       Each fires AFTER its element's per-attribute checks, in the
+       checker's code order; a class-6/20/24-discarded node never
+       reaches them. CheckTABLE's missing-summary only sets the
+       suppressed accessibility footer and CheckSCRIPT/CheckSTYLE type
+       warnings are doctype-mode-gated — both stay silent (residual).
+
     Ordering matches tidy's phases: lexer/parse-time warnings
-    (1+2+5+6+7+8+10-25, incl. NEWLINE_IN_URI) in document order, then
-    attribute checks (9+3+CheckUrl), then trims (4), each in document
-    order. Line/column are 1-based with tabs expanded to the next
+    (1+2+5+6+7+8+10-26, incl. NEWLINE_IN_URI) in document order, then
+    attribute checks (9+3+CheckUrl+27+28), then trims (4), each in
+    document order. Line/column are 1-based with tabs expanded to the next
     multiple-of-8 stop, exactly tidy's accounting. Returns "" for a clean
     document, else newline-joined warnings with a trailing newline (the
     stderr shape the snapshot records).
@@ -734,13 +887,15 @@ def tidy_diagnostics(raw_html: str) -> str:
     above competes only against tidy's remaining warning classes, not
     its full message table.
 
-    KNOWN DIVERGENCE (documented, r4→r8): real tidy's warning catalog
-    is larger still (implicit-element insertion notices beyond the
-    title insert, start-tag-triggered "missing </x> before <y>",
-    INVALID_NCR Win-1252 remaps, nested-emphasis …) — strict-parse-
-    failing pages triggering classes outside this catalog diverge in
-    html_errors CONTENT; the trigger condition and the classes above
-    are the certified surface. A class-5-broken
+    KNOWN DIVERGENCE (documented, r4→r11): real tidy's warning catalog
+    is larger — the residual is the CLOSED 10-family list in
+    COVERAGE.md §2.4 (general NON_MATCHING_ENDTAG, CANT_BE_NESTED,
+    USING_BR_INPLACE_OF, element-vintage OBSOLETE/PROPRIETARY_ELEMENT,
+    SUSPECTED_MISSING_QUOTE, UNEXPECTED_END_OF_FILE, frameset notices,
+    lexer COERCE_TO_ENDTAG, encoding-conditional remaps, missing-'>'
+    tag splits) — strict-parse-failing pages triggering those diverge
+    in html_errors CONTENT; the trigger condition and the classes
+    above are the certified surface. A class-5-broken
     tag's attributes lexed BEFORE the broken quote are not re-scanned
     for classes 1/3 (tidy lexes them; the warning classes they could
     add are rare on a tag already being reported broken) — the broken
@@ -1263,6 +1418,21 @@ def tidy_diagnostics(raw_html: str) -> str:
                                         "URI reference",
                                     )
                                 )
+                    # class 27 (r11): typed attribute-value checkers
+                    # (attrs.c CH_NUMBER/CH_LENGTH/CH_ALIGN/CH_VALIGN/
+                    # CH_CLEAR/CH_SCROLL/CH_TARGET), slotted per
+                    # attribute in the attribute-check phase exactly
+                    # like class 21, on the KEPT (last-occurrence)
+                    # entity-DECODED value at the first occurrence's
+                    # slot. MISSING_ATTR_VALUE / BAD_ATTRIBUTE_VALUE /
+                    # PROPRIETARY_ATTR_VALUE wordings per checker — see
+                    # _typed_attr_check.
+                    elif name in _TYPED_ATTRS:
+                        kv27 = kept[name]
+                        for msg27 in _typed_attr_check(
+                            tag, name, None if kv27 is None else _decode_entities_tidy(kv27)
+                        ):
+                            proprietary.append((m.start(), msg27))
             # class 23 (r11): a BLOCK-level start tag implies closing the
             # open required-end INLINE elements (and an open heading, when
             # the trigger is not itself a heading — heading-vs-heading
@@ -1469,6 +1639,39 @@ def tidy_diagnostics(raw_html: str) -> str:
             attr_checks.extend(proprietary)
             if tag == "link" and not has_rel:
                 attr_checks.append((m.start(), '<link> lacks "rel" attribute'))
+            # class 28 (r11): element-level missing-attribute reports —
+            # the other attrs.c element checkers with default-config
+            # warnings, in each checker's code order, AFTER the element's
+            # per-attribute checks (the checker loops CheckAttribute over
+            # every attribute first, exactly the class-3 CheckLINK shape).
+            # CheckIMG: no alt -> MISSING_ATTRIBUTE (accessibility level 0
+            # takes the classic warning path); ismap without usemap ->
+            # MISSING_IMAGEMAP; no src (and no datafld databinding) ->
+            # MISSING_ATTRIBUTE. CheckAREA: no alt -> MISSING_ATTRIBUTE;
+            # no href and no nohref -> MISSING_ATTRIBUTE. CheckFORM: no
+            # action -> MISSING_ATTRIBUTE. Presence = a kept attribute of
+            # that name, valueless included (tidy's flags are set while
+            # looping the lexed attvals, after duplicate repair). Checkers
+            # with no default-config warning (CheckTABLE's summary only
+            # sets the suppressed accessibility footer; CheckSCRIPT/
+            # CheckSTYLE type warnings are doctype-gated) stay silent —
+            # documented residual slivers.
+            elif tag == "img":
+                if "alt" not in kept:
+                    attr_checks.append((m.start(), '<img> lacks "alt" attribute'))
+                if "ismap" in kept and "usemap" not in kept:
+                    attr_checks.append(
+                        (m.start(), "<img> should use client-side image map")
+                    )
+                if "src" not in kept and "datafld" not in kept:
+                    attr_checks.append((m.start(), '<img> lacks "src" attribute'))
+            elif tag == "area":
+                if "alt" not in kept:
+                    attr_checks.append((m.start(), '<area> lacks "alt" attribute'))
+                if "href" not in kept and "nohref" not in kept:
+                    attr_checks.append((m.start(), '<area> lacks "href" attribute'))
+            elif tag == "form" and "action" not in kept:
+                attr_checks.append((m.start(), '<form> lacks "action" attribute'))
             for fr in stack:  # a child start tag = content for every parent
                 fr[4] = True
             if tag not in _VOID_TAGS and not selfclose:
