@@ -444,11 +444,14 @@ def _gen_deletion_doc(rng: random.Random, idx: int):
     html5ever's raw-text tokenization (the semantics ammonia parses
     with): a region opens at <style|noscript|noframes> (self-closing
     flag IGNORED on raw-text elements) and closes at the FIRST
-    case-insensitive '</name' + ('>' or whitespace-then-'>') — even
-    inside comment-looking bytes; fake end tags (wrong name) and nested
-    same-name STARTS are raw text; an unterminated region swallows to
-    EOF. The one documented divergence — attr-bearing end tags like
-    '</noscript x>' — is deliberately not generated (COVERAGE §2.4)."""
+    case-insensitive '</name' IMMEDIATELY after '</', followed by '>',
+    whitespace, or '/' (the latter two route through the attribute
+    states to the tag's closing '>', quoted values masking '>') — even
+    inside comment-looking bytes; fake end tags (wrong name, continued
+    name, '</ name' with a space, '</name-x') and nested same-name
+    STARTS are raw text; an unterminated region (or EOF inside the end
+    tag itself) swallows to EOF. Late-r11: attr-bearing and
+    self-closing end tags are now spec-exact and generated here."""
     parts: list[str] = []
     visible: list[str] = []
     hidden: list[str] = []
@@ -484,33 +487,58 @@ def _gen_deletion_doc(rng: random.Random, idx: int):
             m = marker()
             hidden.append(m)
             shape = rng.random()
-            if shape < 0.2:
+            if shape < 0.15:
                 parts.append(f"<{tag}>{m}")          # nested start: text
+            elif shape < 0.3:
+                parts.append(f"</{tag}z>{m}")        # continued name: text
             elif shape < 0.4:
-                parts.append(f"</{tag}z>{m}")        # fake end: text
-            elif shape < 0.55:
+                parts.append(f"</ {tag}>{m}")        # space before name: text
+            elif shape < 0.5:
+                parts.append(f"</{tag}-x>{m}")       # non-delimiter after name: text
+            elif shape < 0.62:
                 parts.append(f'<a href="/{m}">{m}</a>')  # link: never kept
-            elif shape < 0.7:
+            elif shape < 0.75:
                 parts.append(f"<!-- {m} ")           # comment bytes: raw
             else:
                 parts.append(f" {m} ")
         close = rng.random()
-        if close < 0.3:
+        if close < 0.22:
             # the real end tag hiding inside comment-looking bytes STILL
             # closes the region; the comment tail becomes visible text
             tail = marker()
             parts.append(f"<!-- </{tag}> -->{tail}")
             visible.append(f"-->{tail}")  # our text events strip edges
-        elif close < 0.5:
+        elif close < 0.37:
             parts.append(f"</{tag.upper()} >")       # case + space: closes
-        elif close < 0.8:
+        elif close < 0.5:
+            # attr-bearing end tag: parse error, but the token takes
+            # effect — a quoted value masks its '>' (late-r11 spec-exact)
+            am = marker()
+            parts.append(
+                rng.choice(
+                    [
+                        f'</{tag} data-k="a>{am}">',
+                        f"</{tag} {am}=v x>",
+                        f"</{tag}/>",
+                        f"</{tag} {am}='q>r' b>",
+                    ]
+                )
+            )
+        elif close < 0.72:
             parts.append(f"</{tag}>")
-        else:
+        elif close < 0.86:
             # unterminated: everything after is swallowed to EOF
             for _ in range(rng.randrange(1, 3)):
                 m = marker()
                 hidden.append(m)
                 parts.append(f" {m} <a href='/{m}'>x</a>")
+            return "".join(parts), visible, hidden, links
+        else:
+            # EOF inside the end tag itself (after the matching name):
+            # eof-in-tag — nothing emitted, swallowed to EOF
+            m = marker()
+            hidden.append(m)
+            parts.append(rng.choice([f"</{tag} {m}", f'</{tag} k="{m}']))
             return "".join(parts), visible, hidden, links
     m = marker()
     parts.append(f" {m} ")
@@ -575,3 +603,44 @@ def test_deletion_region_context_interplay():
         '<noscript><a href="mailto:a@b.c">x</a></noscript><a href="mailto:a@b.c">y</a>'
     )
     assert r4["links"] == ["mailto:a@b.c"]
+
+
+def test_rawtext_endtag_tokenizer_rules():
+    """Late-r11: the deletion-region end tag follows the spec tokenizer
+    (html5ever) exactly — each case pins one state-machine branch."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    def text(doc: str) -> str:
+        return " ".join(parse_html_py(doc)["text"])
+
+    # whitespace after the matching name -> attribute states -> closes
+    assert text("<noscript>hidden</noscript x>visible") == "visible"
+    # '/' after the name (self-closing flag on an end tag) -> closes
+    assert text("<noscript>hidden</noscript/>visible") == "visible"
+    # quoted attribute value masks '>' — the tag ends at the REAL '>'
+    assert text('<noscript>hidden</noscript a="x>y">visible') == "visible"
+    assert text("<noscript>h</noscript a='q>r' b>vis") == "vis"
+    # unquoted value, then close
+    assert text("<noscript>hidden</noscript foo=bar>visible") == "visible"
+    # '=' in before-attribute-name is a parse error but starts an
+    # attribute name — still closes
+    assert text("<noscript>h</noscript =>vis") == "vis"
+    # space between '</' and the name: raw text, region stays open
+    assert text("<noscript>hidden</ noscript>alsohidden") == ""
+    # continued name / non-delimiter after the name: raw text
+    assert text("<noscript>h</noscriptz>hid</noscript>visible") == "visible"
+    assert text("<noscript>h</noscript-x>hid</noscript>visible") == "visible"
+    # EOF inside the end tag (eof-in-tag): swallowed, nothing emitted
+    assert text('<noscript>hidden</noscript a="unterminated') == ""
+    assert text("<noscript>hidden</noscript ") == ""
+    # case-insensitive name + attrs
+    assert text("<NOFRAMES>h</NOFRAMES X>vis") == "vis"
+    # a link inside the region is markup-deleted even when the closer
+    # carries attributes; links after the close are collected
+    r = parse_html_py(
+        '<noscript><a href="/in">x</a></noscript data-x>vis<a href="/out">y</a>'
+    )
+    assert r["links"] == ["/out"]
+    assert " ".join(r["text"]) == "vis y"
+    # script CDATA is untouched by the override (stock HTMLParser rules)
+    assert text("<script>var x='</b>';</script>after") == "after"

@@ -185,12 +185,11 @@ class _Extractor(HTMLParser):
             # everything until the first case-insensitive matching end
             # tag is TEXT, so '<!--' inside the region is NOT a comment
             # and a '</noscript>' inside comment-looking bytes DOES
-            # close it. HTMLParser's cdata mode reproduces that
-            # (ADVICE r10 #2 — previously the tokenizer parsed the
-            # comment and the region swallowed to the outer end tag).
-            # Residual corner: an attr-bearing end tag
-            # ('</noscript foo>') closes the region in html5ever but
-            # not here — COVERAGE.md §2.4.
+            # close it. HTMLParser's cdata mode finds the candidate end
+            # tags (ADVICE r10 #2 — previously the tokenizer parsed the
+            # comment and the region swallowed to the outer end tag);
+            # parse_endtag below replaces its '</name…>' recognition
+            # with the spec tokenizer's exact rules.
             self.set_cdata_mode(tag)
             return
         if tag == "meta":
@@ -255,6 +254,122 @@ class _Extractor(HTMLParser):
             self.in_body = True
         elif tag == "title":
             self.in_title = False
+
+    def set_cdata_mode(self, elem: str) -> None:
+        super().set_cdata_mode(elem)
+        if elem.lower() in _DELETED_CONTENT_TAGS:
+            # HTMLParser's cdata candidate regex demands the full
+            # '</name\s*>' — an attr-bearing '</noscript x>' would never
+            # even reach parse_endtag. Widen the candidate to '</name'
+            # for deleted regions (script CDATA keeps stock behavior)
+            # and let parse_endtag apply the spec tokenizer's rules.
+            # Overridden HERE because parse_starttag re-calls
+            # set_cdata_mode for <style> after our handler runs.
+            self.interesting = re.compile(r"</\s*%s" % elem.lower(), re.IGNORECASE)
+
+    def parse_endtag(self, i: int) -> int:
+        """Inside a deleted region, recognize the closing end tag with the
+        HTML tokenizer's RAWTEXT rules (html5ever) instead of HTMLParser's
+        `</name\\s*>` regex — the two differ on exactly the shapes real
+        soup produces:
+
+        - `</noscript x>` / `</noscript/>`: whitespace or '/' after the
+          matching name routes through the attribute states, so the tag
+          still CLOSES at its '>' (attributes on an end tag are a parse
+          error but the token takes effect; quoted values mask '>').
+        - `</ noscript>`: no name immediately after '</' — '</' is
+          emitted as text and the region stays OPEN (HTMLParser's
+          `\\s*` wrongly closed it).
+        - `</noscriptz>`, `</noscript-x>`: the name continues / is
+          followed by a non-delimiter — raw text, region stays open.
+        - EOF inside the end tag (after the name, mid-attribute):
+          eof-in-tag — nothing is emitted, the region swallows to EOF.
+
+        Outside a deleted region (including script/style CDATA handled by
+        HTMLParser itself) the stock implementation runs unchanged."""
+        if self._deleted_tag is None:
+            return super().parse_endtag(i)
+        rawdata = self.rawdata
+        n = len(rawdata)
+        name = self._deleted_tag
+        j = i + 2
+        if rawdata[j : j + len(name)].lower() != name:
+            # '</' not followed immediately by the matching name: the
+            # tokenizer emits '</' as text and reconsumes in RAWTEXT
+            self.handle_data(rawdata[i:j])
+            return j
+        k = j + len(name)
+        if k >= n:
+            return -1  # EOF right after the name: eof-in-tag, swallowed
+        c = rawdata[k]
+        if c == ">":
+            end = k + 1
+        elif c in "\t\n\r\f /":
+            # before-attribute-name (or self-closing-start-tag): the end
+            # tag is committed; find its '>' through the attribute states
+            close = self._scan_tag_close(rawdata, k, n)
+            if close is None:
+                return -1  # EOF inside the tag: swallowed to EOF
+            end = close
+        else:
+            # name continues ('</noscriptz') or a non-delimiter follows
+            # ('</noscript-'): not the appropriate end tag — raw text
+            self.handle_data(rawdata[i:k])
+            return k
+        self.clear_cdata_mode()
+        self.handle_endtag(name)
+        return end
+
+    @staticmethod
+    def _scan_tag_close(rawdata: str, k: int, n: int) -> int | None:
+        """Index just past the '>' ending a tag whose name was already
+        consumed, per the spec's attribute states: quotes open a value
+        only after '=', and '>' inside a quoted value does not end the
+        tag. Returns None on EOF (eof-in-tag)."""
+        BEFORE, NAME, AFTER_NAME, VALUE_START, UNQUOTED, DQ, SQ, AFTER_Q = range(8)
+        state = BEFORE
+        p = k
+        while p < n:
+            c = rawdata[p]
+            if state in (DQ, SQ):
+                if c == ('"' if state == DQ else "'"):
+                    state = AFTER_Q
+            elif state == AFTER_Q:
+                if c == ">":
+                    return p + 1
+                if c in "\t\n\r\f /":
+                    state = BEFORE
+                else:
+                    # parse error: reconsume as a new attribute name
+                    state = BEFORE
+                    continue
+            elif state == VALUE_START:
+                if c == '"':
+                    state = DQ
+                elif c == "'":
+                    state = SQ
+                elif c == ">":
+                    return p + 1
+                elif c not in "\t\n\r\f ":
+                    state = UNQUOTED
+            elif state == UNQUOTED:
+                if c == ">":
+                    return p + 1
+                if c in "\t\n\r\f ":
+                    state = BEFORE
+            else:  # BEFORE / NAME / AFTER_NAME
+                if c == ">":
+                    return p + 1
+                if c == "/":
+                    state = BEFORE
+                elif c == "=" and state in (NAME, AFTER_NAME):
+                    state = VALUE_START
+                elif c in "\t\n\r\f ":
+                    state = AFTER_NAME if state == NAME else state
+                else:
+                    state = NAME
+            p += 1
+        return None
 
     def handle_data(self, data: str) -> None:
         if self._deleted_tag is not None:
