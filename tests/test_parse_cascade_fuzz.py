@@ -644,3 +644,38 @@ def test_rawtext_endtag_tokenizer_rules():
     assert " ".join(r["text"]) == "vis y"
     # script CDATA is untouched by the override (stock HTMLParser rules)
     assert text("<script>var x='</b>';</script>after") == "after"
+
+
+def test_comment_swallow_and_duplicate_attrs():
+    """Late-r11 composed-cascade fixes.
+
+    Comments: a comment with no '-->' terminator swallows to EOF in both
+    tidy's lexer (which never saw its two dashes) and the spec
+    tokenizer's eof-in-comment — the markup must never surface as text.
+    Attributes: tidy's duplicate-attribute repair (default keep-last)
+    drops the earlier same-name twin, so collectors see exactly one."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    # '<!-->' / '<!--->' never terminated a comment for tidy: swallow
+    assert parse_html_py("<!-->rest")["text"] == []
+    assert parse_html_py("<!--->rest")["text"] == []
+    # ...unless a real terminator appears later
+    assert parse_html_py("<!-->hidden--> tail")["text"] == ["tail"]
+    # unterminated comment: visible text stops at '<!--', no markup junk
+    assert parse_html_py("a<!--x<b>bold")["text"] == ["a"]
+    # '--!>' is not a terminator for tidy either (scan continues to -->)
+    assert parse_html_py("<!--x--!>more-->tail")["text"] == ["tail"]
+    # '--->' terminates (two dashes then '>')
+    assert parse_html_py("<!--x--->tail")["text"] == ["tail"]
+
+    # duplicate attrs: ONE link/resource, the LAST value (the kept twin)
+    r = parse_html_py('<a href="/a" href="/b">x</a>')
+    assert r["links"] == ["/b"]
+    r = parse_html_py('<link href="a.css" href="b.css">')
+    assert r["resource_urls"] == ["b.css"]
+    # same-name meta dupes keep the later twin at its later position,
+    # THEN the reference's last-key-attr-wins runs over distinct names
+    r = parse_html_py('<meta name="k" content="v1" content="v2">')
+    assert r["meta_tags"] == {"k": "v2"}
+    r = parse_html_py('<meta name="x" property="y" name="z" content="c">')
+    assert r["meta_tags"] == {"z": "c"}

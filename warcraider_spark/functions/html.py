@@ -172,7 +172,31 @@ class _Extractor(HTMLParser):
         self.meta: dict[str, str] = {}
         self._deleted_tag: str | None = None  # open ammonia-cct region
 
+    def parse_comment(self, i: int, report: int = 1) -> int:
+        """A comment with no '--(ws)>' terminator swallows the rest of the
+        document: tidy's lexer keeps reading (`<!-->x`/`<!--->x` never saw
+        the two dashes it requires, so x is comment content), and the spec
+        tokenizer's eof-in-comment likewise emits everything as the
+        comment. HTMLParser instead returns -1 and the end-of-feed
+        fallback re-emits the comment MARKUP as visible text — wrong under
+        every engine in the reference's cascade. (Whole-document feeds
+        only: parse_html_py always feeds the full page at once.)"""
+        k = super().parse_comment(i, report)
+        return len(self.rawdata) if k < 0 else k
+
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if len(attrs) > 1:
+            # tidy's duplicate-attribute repair (default
+            # repeated-attributes: keep-last) drops the EARLIER twin of a
+            # same-name pair and warns; the kept attribute stays at its
+            # later position, so the reference's parsers never see dupes.
+            # Collectors below must therefore not double-collect (a
+            # '<a href="/a" href="/b">' contributes ONE link, '/b').
+            last = {}
+            for idx, (k, _v) in enumerate(attrs):
+                last[k] = idx
+            if len(last) != len(attrs):
+                attrs = [kv for idx, kv in enumerate(attrs) if last[kv[0]] == idx]
         if self._deleted_tag is not None:
             # RAWTEXT semantics (html5ever, which ammonia parses with):
             # the region's content is raw text until the FIRST matching
