@@ -131,7 +131,13 @@ def _gen_doc(rng: random.Random, idx: int):
             pfx = rng.choice(["/", "#", "_", "https://x.test/"])
             href = f"{pfx}{m}"
             txt = marker()
-            parts.append(f'<a href="{href}">{txt}</a>')
+            if rng.random() < 0.15:
+                # duplicate same-name attribute: tidy's keep-last repair
+                # drops the earlier twin — ONE link, the later value
+                decoy = marker()
+                parts.append(f'<a href="/{decoy}" href="{href}">{txt}</a>')
+            else:
+                parts.append(f'<a href="{href}">{txt}</a>')
             links.append(href)
             if heading is not None:
                 heads.append(txt)
