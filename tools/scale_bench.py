@@ -187,6 +187,88 @@ def _q015_sdot_scaled(spark, sf_dir):
     return sparse_dot_topk_plan(docs, docs.count(), F.col("doc_id") < 1_000_000)
 
 
+def _q033_simhash_disjoint(spark, sf_dir):
+    """Scale-harness variant of q134_simhash_radius with per-replica
+    DISJOINT vocabularies: full-copy replication makes every
+    cross-replica pair hamming-0 (identical text -> identical sketch),
+    so TRUE pairs grow k^2 by construction and the registry query's raw
+    16x step (~2.6x per 2x data, first seen in the r11 16x extension) is
+    OUTPUT-bound — the same artifact q169's disjoint variant documents,
+    just at radius 0. Suffixing every token with its replica id makes
+    the replicas' token spaces disjoint; md5 then gives cross-replica
+    sketches independent bits (expected hamming ~bits/2, radius-2
+    collisions negligible), so near-dup density per replica matches the
+    1x corpus and the curve measures the banded join + verify, not the
+    synthetic duplicate explosion. Band layout follows the registry
+    rule (simhash_band_plan on the true corpus count)."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.functions.textfn import tokens
+    from warcraider_spark.operators.dedup import (
+        SIMHASH_RADIUS,
+        _simhash_sketch,
+        simhash_band_plan,
+    )
+    from warcraider_spark.tables import load_table, table_row_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = (F.col("doc_id") / 1_000_000).cast("int").cast("string")
+    salted = F.array_join(
+        F.transform(tokens("text"), lambda t: F.concat(t, F.lit("_"), rep)), " "
+    )
+    corpus = docs.select("doc_id", salted.alias("text"))
+    n_docs = table_row_count(sf_dir, "documents")
+    bits, band_layout = simhash_band_plan(n_docs)
+    sketch = _simhash_sketch(corpus, bits)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << width) - 1)
+            for lo, width in band_layout
+        ]
+    )
+    bands = sketch.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "val")
+    ).repartition("band", "val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+
+    def _bandv(col, lo, width):
+        return F.shiftright(col, lo).bitwiseAND((1 << width) - 1)
+
+    sa, sb = F.col("a.simhash"), F.col("b.simhash")
+    first_match = F.lit(False)
+    for i, (_lo, _w) in enumerate(band_layout):
+        cond = F.col("a.band") == i
+        for lj, wj in band_layout[:i]:
+            cond = cond & (_bandv(sa, lj, wj) != _bandv(sb, lj, wj))
+        first_match = first_match | cond
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(sa.bitwiseXOR(sb)).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_RADIUS)
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("doc_a") * 100003 + F.col("doc_b")) % 1000003)
+            .cast("bigint")
+            .alias("pair_checksum"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def _containment_disjoint_variant(spark, sf_dir):
     """Scale-harness variant of q169_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
@@ -292,6 +374,7 @@ def _q031_decile_scaled(spark, sf_dir):
 VARIANTS = {
     "q129_decile_distribution[per-replica]": _q031_decile_scaled,
     "q169_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
+    "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
     "q154_connected_components[per-replica]": _q025_cc_scaled,
     "q097_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
