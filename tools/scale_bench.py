@@ -427,16 +427,26 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # Reps are INTERLEAVED across queries within each factor (late-r11,
+    # the bench.py §11 lesson re-learned here: consecutive reps let one
+    # ambient burst poison a single query's median — the 16× extension
+    # run read gopher_rules at 24.3 s where a quiet re-time gave 12.5 s).
+    # The per-rep start offset rotates so no query always pays the same
+    # neighbor's tail.
     results: dict[str, dict[int, float]] = {}
+    REPS = 3
+    ordered = sorted(builders)
     for k in factors:
-        for q, b in builders.items():
-            reps = []
-            for _ in range(3):
+        raw: dict[str, list[float]] = {q: [] for q in ordered}
+        for rep in range(REPS):
+            offset = (rep * max(1, len(ordered) // REPS)) % max(1, len(ordered))
+            for q in ordered[offset:] + ordered[:offset]:
                 t0 = time.perf_counter()
-                b(spark, dirs[k]).write.format("noop").mode("overwrite").save()
-                reps.append(time.perf_counter() - t0)
-            reps.sort()
-            results.setdefault(q, {})[k] = round(reps[1], 2)
+                builders[q](spark, dirs[k]).write.format("noop").mode("overwrite").save()
+                raw[q].append(time.perf_counter() - t0)
+        for q in ordered:
+            reps = sorted(raw[q])
+            results.setdefault(q, {})[k] = round(reps[len(reps) // 2], 2)
 
     # q134 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
     # measure max DISTINCT-sketch occupancy per (band, value) bucket at
