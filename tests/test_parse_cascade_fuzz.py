@@ -685,3 +685,14 @@ def test_comment_swallow_and_duplicate_attrs():
     assert r["meta_tags"] == {"k": "v2"}
     r = parse_html_py('<meta name="x" property="y" name="z" content="c">')
     assert r["meta_tags"] == {"z": "c"}
+
+
+def test_valueless_href_collected_as_empty():
+    """'<a href>' (valueless) reaches the reference through the tidy
+    path as href="" — ammonia keeps it (relative) and lib.rs pushes it;
+    same for link/script src/href. Explicit href="" was already kept."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    r = parse_html_py('<a href>x</a><a href="">y</a><link href><script src="s.js">')
+    assert r["links"] == ["", ""]
+    assert r["resource_urls"] == ["", "s.js"]

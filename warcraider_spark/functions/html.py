@@ -228,8 +228,14 @@ class _Extractor(HTMLParser):
                 self.meta[key] = value
         elif tag == "a":
             for k, v in attrs:
-                if k == "href" and v is not None and _scheme_ok(v):
-                    self.links.append(v)
+                # a VALUELESS href ('<a href>') reaches the reference as
+                # the empty string: invalid XML, so the page takes the
+                # tidy path (MISSING_ATTR_VALUE warning, attribute kept),
+                # html5ever gives the attr value "", ammonia keeps it
+                # (no scheme -> relative), and lib.rs:294-297 pushes any
+                # href not starting with '_'/'#' — "" qualifies
+                if k == "href" and _scheme_ok(v or ""):
+                    self.links.append(v or "")
         elif tag == "head":
             self.in_body = False
         elif tag in ("script", "link"):
@@ -237,8 +243,8 @@ class _Extractor(HTMLParser):
             # the reference's parser runs (see _DELETED_CONTENT_TAGS)
             self.in_body = False
             for k, v in attrs:
-                if k in ("src", "href") and v is not None:
-                    self.resources.append(v)
+                if k in ("src", "href"):
+                    self.resources.append(v or "")
         elif tag == "body":
             self.in_body = True
         elif tag == "title":
