@@ -696,3 +696,19 @@ def test_valueless_href_collected_as_empty():
     r = parse_html_py('<a href>x</a><a href="">y</a><link href><script src="s.js">')
     assert r["links"] == ["", ""]
     assert r["resource_urls"] == ["", "s.js"]
+
+
+def test_attr_entity_decoding():
+    """Pinned choice (COVERAGE §2.4): attribute values decode entities
+    everywhere. The reference's STRICT path keeps them raw
+    (from_utf8_lossy, no unescape) while its soup path decodes — the
+    same URL hashes differently there depending on which parser won; we
+    normalize to the decoded (soup/common-crawl) reading."""
+    from warcraider_spark.functions.html import parse_html_py
+
+    r = parse_html_py('<a href="p?a=1&amp;b=2">x</a><link href="q?x&#61;1">')
+    assert r["links"] == ["p?a=1&b=2"]
+    assert r["resource_urls"] == ["q?x=1"]
+    # meta values decode too (both key and content)
+    r = parse_html_py('<meta name="k&amp;k" content="v&lt;v">')
+    assert r["meta_tags"] == {"k&k": "v<v"}
