@@ -712,3 +712,47 @@ def test_attr_entity_decoding():
     # meta values decode too (both key and content)
     r = parse_html_py('<meta name="k&amp;k" content="v&lt;v">')
     assert r["meta_tags"] == {"k&k": "v<v"}
+
+
+def test_scan_tag_close_property():
+    """Property test for the RAWTEXT end-tag attribute scanner: build
+    attribute sequences constructively so the closing '>' position is
+    known by construction — quoted values may contain '>', everything
+    else must not — then check _scan_tag_close lands exactly past it.
+    Also: a '>' inside a quoted value never closes; EOF returns None."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcraider_spark.functions.html import _Extractor
+
+    name_chars = st.text(alphabet="abcz123-_", min_size=1, max_size=6)
+    ws = st.sampled_from([" ", "\t", "\n", "\f", "  "])
+
+    @st.composite
+    def attr_fragment(draw):
+        kind = draw(st.integers(0, 4))
+        n = draw(name_chars)
+        if kind == 0:
+            return draw(ws) + n  # bare attribute
+        if kind == 1:  # double-quoted value, may hide '>'
+            v = draw(st.text(alphabet="a>b<' =/", max_size=8))
+            return draw(ws) + n + '="' + v + '"'
+        if kind == 2:  # single-quoted value, may hide '>'
+            v = draw(st.text(alphabet='a>b<" =/', max_size=8))
+            return draw(ws) + n + "='" + v + "'"
+        if kind == 3:  # unquoted value (no '>', no quotes, no ws)
+            v = draw(st.text(alphabet="abc123&;", min_size=1, max_size=6))
+            return draw(ws) + n + "=" + v
+        return draw(ws) + "/"  # stray solidus
+
+    @given(st.lists(attr_fragment(), max_size=5), st.text(alphabet="axz ", max_size=6))
+    @settings(max_examples=300, deadline=None)
+    def check(frags, tail):
+        body = "".join(frags)
+        s = " " + body + ">" + tail  # scanner starts at the first delimiter
+        got = _Extractor._scan_tag_close(s, 0, len(s))
+        assert got == 2 + len(body), (s, got)
+        # EOF inside the tag: no '>' at all -> None
+        assert _Extractor._scan_tag_close(" " + body, 0, 1 + len(body)) is None
+
+    check()
