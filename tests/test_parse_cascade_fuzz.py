@@ -52,7 +52,11 @@ from __future__ import annotations
 
 import random
 
-from warcraider_spark.functions.html import parse_html_py, tidy_diagnostics
+from warcraider_spark.functions.html import (
+    parse_html_py,
+    strict_parse_ok,
+    tidy_diagnostics,
+)
 
 SAFE_TAGS = ["div", "p", "span", "b", "i", "em", "section", "td"]
 HEADINGS = ["h1", "h2", "h3", "h4", "h5", "h6"]
@@ -132,13 +136,17 @@ def _gen_doc(rng: random.Random, idx: int):
             href = f"{pfx}{m}"
             txt = marker()
             if rng.random() < 0.15:
-                # duplicate same-name attribute: tidy's keep-last repair
-                # drops the earlier twin — ONE link, the later value
+                # duplicate same-name attribute: ONE link either way,
+                # but the kept twin is path-keyed (r12) — html5ever's
+                # keep-FIRST if the doc happens to strict-parse, tidy's
+                # keep-LAST otherwise. Record both; the test selects by
+                # the page's actual path bit.
                 decoy = marker()
                 parts.append(f'<a href="/{decoy}" href="{href}">{txt}</a>')
+                links.append((f"/{decoy}", href))
             else:
                 parts.append(f'<a href="{href}">{txt}</a>')
-            links.append(href)
+                links.append((href, href))
             if heading is not None:
                 heads.append(txt)
             if in_body:
@@ -413,7 +421,9 @@ def test_parse_cascade_invariants_fuzz():
             if m in cdata_marks:
                 continue
             assert (m in htext) == (m in heads_set), (i, m, doc[:400])
-        assert r["links"] == links, (i, doc[:400])
+        strict = strict_parse_ok(doc)
+        exp_links = [first if strict else last for first, last in links]
+        assert r["links"] == exp_links, (i, strict, doc[:400])
         assert r["resource_urls"] == resources, (i, doc[:400])
         for k, v in metas.items():
             assert r["meta_tags"].get(k) == v, (i, k, doc[:400])
@@ -652,32 +662,66 @@ def test_rawtext_endtag_tokenizer_rules():
     assert text("<script>var x='</b>';</script>after") == "after"
 
 
-def test_comment_swallow_and_duplicate_attrs():
-    """Late-r11 composed-cascade fixes.
+def test_comment_termination_path_keyed():
+    """r12 (ADVICE r11 #2): comment termination follows the engine that
+    actually lexed the page.
 
-    Comments: a comment with no '-->' terminator swallows to EOF in both
-    tidy's lexer (which never saw its two dashes) and the spec
-    tokenizer's eof-in-comment — the markup must never surface as text.
-    Attributes: tidy's duplicate-attribute repair (default keep-last)
-    drops the earlier same-name twin, so collectors see exactly one."""
-    from warcraider_spark.functions.html import parse_html_py
+    Strict pages: html5ever consumed the comments during the ammonia
+    pre-clean, so the SPEC tokenizer rules hold — '<!-->'/'<!--->'
+    close immediately (abrupt-closing-of-empty-comment), '--!>' closes
+    (incorrectly-closed-comment), and only genuine eof-in-comment
+    swallows to EOF. Tidy pages: tidy re-lexes the RAW bytes and its
+    lexer needs '--' then '>' — the abrupt forms and '--!>' are not
+    terminators there. Neither engine ever re-surfaces comment MARKUP
+    as text (HTMLParser's -1 fallback)."""
+    from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
 
-    # '<!-->' / '<!--->' never terminated a comment for tidy: swallow
-    assert parse_html_py("<!-->rest")["text"] == []
-    assert parse_html_py("<!--->rest")["text"] == []
-    # ...unless a real terminator appears later
-    assert parse_html_py("<!-->hidden--> tail")["text"] == ["tail"]
-    # unterminated comment: visible text stops at '<!--', no markup junk
-    assert parse_html_py("a<!--x<b>bold")["text"] == ["a"]
-    # '--!>' is not a terminator for tidy either (scan continues to -->)
-    assert parse_html_py("<!--x--!>more-->tail")["text"] == ["tail"]
-    # '--->' terminates (two dashes then '>')
+    # --- strict path (no unbalanced tags) → spec tokenizer ---
+    assert strict_parse_ok("<!-->rest")
+    assert parse_html_py("<!-->rest")["text"] == ["rest"]
+    assert parse_html_py("<!--->rest")["text"] == ["rest"]
+    assert parse_html_py("<!-->hidden--> tail")["text"] == ["hidden--> tail"]
+    assert parse_html_py("<!--x--!>more-->tail")["text"] == ["more-->tail"]
+    # '--->' terminates on both engines (>=2 dashes then '>')
     assert parse_html_py("<!--x--->tail")["text"] == ["tail"]
+    # genuine eof-in-comment: swallow, and the masked '<b>' does not
+    # break the strict replay (html5ever ate it before quick-xml ran)
+    assert strict_parse_ok("a<!--x<b>bold")
+    assert parse_html_py("a<!--x<b>bold")["text"] == ["a"]
+    assert parse_html_py("<p>x</p><!--<div>unterm")["text"] == ["x"]
 
-    # duplicate attrs: ONE link/resource, the LAST value (the kept twin)
+    # --- tidy path (unclosed <div> forces the tidy leg) → tidy lexer ---
+    assert not strict_parse_ok("<div><!-->rest")
+    assert parse_html_py("<div><!-->rest")["text"] == []
+    assert parse_html_py("<div><!--->rest")["text"] == []
+    assert parse_html_py("<div><!-->hidden--> tail")["text"] == ["tail"]
+    assert parse_html_py("<div><!--x--!>more-->tail")["text"] == ["tail"]
+    assert parse_html_py("<div>a<!--x<b>bold")["text"] == ["a"]
+
+
+def test_duplicate_attrs_path_keyed():
+    """r12 (ADVICE r11 #1+#3): duplicate same-name attributes resolve
+    keep-FIRST on strict pages (html5ever deduped during the ammonia
+    pre-clean — the spec drops the NEW attr; quick-xml never sees a
+    dupe, so its checked-iterator truncation is unreachable) and
+    keep-LAST on tidy pages (tidy's default repeated-attributes
+    repair on the raw bytes)."""
+    from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
+
+    # the ADVICE r11 adjudicated example: strict-OK page → ["/a"]
+    assert strict_parse_ok('<a href="/a" href="/b">x</a>')
     r = parse_html_py('<a href="/a" href="/b">x</a>')
+    assert r["links"] == ["/a"] and r["html_errors"] == ""
+    # attributes AFTER the duplicate are kept (no truncation)
+    r = parse_html_py('<meta content="v" content="w" name="k"/>')
+    assert r["meta_tags"] == {"k": "v"}
+    r = parse_html_py('<meta name="x" name="z" content="c"/>')
+    assert r["meta_tags"] == {"x": "c"}
+
+    # tidy leg: keep-LAST at the later twin's position
+    r = parse_html_py('<div><a href="/a" href="/b">x</a>')
     assert r["links"] == ["/b"]
-    r = parse_html_py('<link href="a.css" href="b.css">')
+    r = parse_html_py('<link href="a.css" href="b.css">')  # unclosed <link> → tidy
     assert r["resource_urls"] == ["b.css"]
     # same-name meta dupes keep the later twin at its later position,
     # THEN the reference's last-key-attr-wins runs over distinct names
@@ -698,20 +742,140 @@ def test_valueless_href_collected_as_empty():
     assert r["resource_urls"] == ["", "s.js"]
 
 
-def test_attr_entity_decoding():
-    """Pinned choice (COVERAGE §2.4): attribute values decode entities
-    everywhere. The reference's STRICT path keeps them raw
-    (from_utf8_lossy, no unescape) while its soup path decodes — the
-    same URL hashes differently there depending on which parser won; we
-    normalize to the decoded (soup/common-crawl) reading."""
-    from warcraider_spark.functions.html import parse_html_py
+def test_attr_bytes_path_keyed():
+    """r12 (VERDICT r11 #1): attribute BYTES follow the winning leg.
 
-    r = parse_html_py('<a href="p?a=1&amp;b=2">x</a><link href="q?x&#61;1">')
+    Strict pages: quick-xml reads html5ever's re-serialization raw
+    (lib.rs:294/303-314 from_utf8_lossy, never unescape) — the emitted
+    string is the attribute-serializer escape of the DECODED value:
+    '&'→'&amp;', U+00A0→'&nbsp;', '"'→'&quot;'; '<', '>', ''' literal.
+    Tidy pages: decoded (the soup reading, lib.rs:419-553)."""
+    from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
+
+    # the r11 verdict's live-divergence shape: query-string ampersand
+    doc = '<a href="p?a=1&amp;b=2">x</a><link href="q?x&#61;1"/>'
+    assert strict_parse_ok(doc)
+    r = parse_html_py(doc)
+    assert r["links"] == ["p?a=1&amp;b=2"]
+    # numeric charref for '=' decodes and does NOT re-escape
+    assert r["resource_urls"] == ["q?x=1"]
+    # a raw bare '&' in the source re-escapes identically to '&amp;'
+    assert parse_html_py('<a href="p?a=1&b=2">x</a>')["links"] == ["p?a=1&amp;b=2"]
+    # nbsp (named or numeric) and double-quote re-escape; '<' stays raw
+    assert parse_html_py('<a href="/a&nbsp;b">x</a>')["links"] == ["/a&nbsp;b"]
+    assert parse_html_py('<a href="/a&#160;b">x</a>')["links"] == ["/a&nbsp;b"]
+    assert parse_html_py("<a href='/a\"b'>x</a>")["links"] == ['/a&quot;b']
+    r = parse_html_py('<meta name="k&amp;k" content="v&lt;v"/>')
+    assert r["meta_tags"] == {"k&amp;k": "v<v"}
+
+    # tidy leg keeps the decoded reading
+    r = parse_html_py('<div><a href="p?a=1&amp;b=2">x</a><link href="q?x&#61;1">')
     assert r["links"] == ["p?a=1&b=2"]
     assert r["resource_urls"] == ["q?x=1"]
-    # meta values decode too (both key and content)
-    r = parse_html_py('<meta name="k&amp;k" content="v&lt;v">')
+    r = parse_html_py('<div><meta name="k&amp;k" content="v&lt;v">')
     assert r["meta_tags"] == {"k&k": "v<v"}
+
+    # the scheme allowlist checks the DECODED value on both legs: a
+    # charref-smuggled scheme is still filtered on a strict page
+    assert parse_html_py('<a href="java&#115;cript:x()">t</a>')["links"] == []
+
+
+def test_strict_attr_bytes_fuzz():
+    """r12 directed fuzz (VERDICT r11 #1+#3): strict-clean pages dense
+    in entity-bearing attribute values and duplicate attributes, with
+    expectations computed BY THE GENERATOR from the reference contract:
+
+    - strict page → keep-FIRST twins, values in html5ever's re-escaped
+      attribute serialization of the decoded value ('&'→'&amp;',
+      U+00A0→'&nbsp;', '"'→'&quot;', everything else literal);
+    - the SAME page made non-strict (one unclosed <div> prepended) →
+      keep-LAST twins, decoded values.
+
+    The generator builds each value as a (source_fragment, decoded)
+    pair list, so both expectations are derived without consulting the
+    parser."""
+    rng = random.Random(20260816)
+
+    # (source form, decoded char) — both engines decode these charrefs
+    ENT = [
+        ("&amp;", "&"), ("&#38;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&#61;", "="), ("&eacute;", "é"), ("&nbsp;", "\xa0"),
+        ("&#160;", "\xa0"), ("&#x26;", "&"), ("&quot;", '"'),
+    ]
+
+    def h5(v: str) -> str:
+        return v.replace("&", "&amp;").replace("\xa0", "&nbsp;").replace('"', "&quot;")
+
+    checked_escape_kinds = set()
+    for i in range(400):
+        parts: list[str] = []
+        strict_links: list[str] = []
+        tidy_links: list[str] = []
+        strict_res: list[str] = []
+        tidy_res: list[str] = []
+        strict_meta: dict[str, str] = {}
+        tidy_meta: dict[str, str] = {}
+        mark = 0
+
+        def value(allow_quote: bool) -> tuple[str, str]:
+            """(source bytes inside double quotes, decoded value)."""
+            nonlocal mark
+            mark += 1
+            src, dec = f"v{i}x{mark}", f"v{i}x{mark}"
+            for _ in range(rng.randrange(0, 3)):
+                e_src, e_dec = rng.choice(ENT)
+                if not allow_quote and e_dec == '"':
+                    continue
+                src += e_src + "t"
+                dec += e_dec + "t"
+            return src, dec
+
+        for _ in range(rng.randrange(3, 10)):
+            op = rng.random()
+            if op < 0.45:  # anchor, 30% duplicate href
+                s1, d1 = value(allow_quote=False)
+                if rng.random() < 0.3:
+                    s2, d2 = value(allow_quote=False)
+                    parts.append(f'<a href="/{s1}" href="/{s2}">t</a>')
+                    strict_links.append(h5("/" + d1))  # keep-first
+                    tidy_links.append("/" + d2)        # keep-last
+                else:
+                    parts.append(f'<a href="/{s1}">t</a>')
+                    strict_links.append(h5("/" + d1))
+                    tidy_links.append("/" + d1)
+            elif op < 0.7:  # self-closed resource (strict-parseable)
+                s1, d1 = value(allow_quote=False)
+                parts.append(f'<script src="/{s1}.js"></script>')
+                strict_res.append(h5("/" + d1 + ".js"))
+                tidy_res.append("/" + d1 + ".js")
+            else:  # meta, key and content both entity-bearing
+                ks, kd = value(allow_quote=False)
+                vs, vd = value(allow_quote=False)
+                parts.append(f'<meta name="k{ks}" content="c{vs}"/>')
+                strict_meta[h5("k" + kd)] = h5("c" + vd)
+                tidy_meta["k" + kd] = "c" + vd
+
+        doc = "".join(parts)
+        assert strict_parse_ok(doc), (i, doc[:300])
+        r = parse_html_py(doc)
+        assert r["html_errors"] == ""
+        assert r["links"] == strict_links, (i, r["links"], strict_links)
+        assert r["resource_urls"] == strict_res, (i, doc[:300])
+        assert r["meta_tags"] == strict_meta, (i, doc[:300])
+        for v in strict_links + strict_res:
+            for kind, ch in (("amp", "&amp;"), ("nbsp", "&nbsp;")):
+                if ch in v:
+                    checked_escape_kinds.add(kind)
+
+        tidy_doc = "<div>" + doc  # one unclosed element: tidy leg
+        assert not strict_parse_ok(tidy_doc)
+        r2 = parse_html_py(tidy_doc)
+        assert r2["links"] == tidy_links, (i, r2["links"], tidy_links)
+        assert r2["resource_urls"] == tidy_res, (i, tidy_doc[:300])
+        assert r2["meta_tags"] == tidy_meta, (i, tidy_doc[:300])
+
+    # the corpus actually exercised the escape classes
+    assert checked_escape_kinds == {"amp", "nbsp"}, checked_escape_kinds
 
 
 def test_scan_tag_close_property():

@@ -35,8 +35,30 @@ Event-routing semantics replicated from the strict parser
   order the golden pins;
 - per-event text trimming (quick-xml ``trim_text(true)``), empties dropped.
 
-Known deliberate divergence: attribute values arrive entity-unescaped
-(html.parser resolves them; quick-xml kept them raw).
+Attribute BYTES are path-keyed (r12, VERDICT r11 #1 + ADVICE #1):
+ammonia cleans EVERY page before any parser runs (lib.rs:188), so the
+strict quick-xml pass reads html5ever's re-serialized output and takes
+its values raw (``from_utf8_lossy(&a.value)``, lib.rs:294/303-314 —
+never ``unescape_and_decode_value``). A strict-OK page therefore emits
+attribute-derived strings (links, resource_urls, meta keys AND values)
+in html5ever's attribute-serializer escaping: ``&``→``&amp;``,
+U+00A0→``&nbsp;``, ``"``→``&quot;`` of the DECODED value (the tokenizer
+decoded the page's own charrefs first), everything else literal —
+``href="p?a=1&amp;b=2"`` stays ``&amp;``. Same pre-clean reason,
+duplicate same-name attributes resolve keep-FIRST on strict pages
+(html5ever's duplicate rule drops the NEW attr; quick-xml never sees a
+dupe, so the r10-documented keep-first TRUNCATION sliver is
+unreachable — ADVICE r11 #3). Pages that fail the strict replay take
+the tidy leg, which re-parses the RAW bytes: tidy's default
+``repeated-attributes: keep-last`` repair applies and values stay
+entity-DECODED (the soup fallback, lib.rs:419-553, decodes; tidy's own
+re-serialized entity byte stream is a documented COVERAGE sliver).
+Comment termination is path-keyed the same way (ADVICE r11 #2): the
+spec tokenizer closes ``<!-->``/``<!--->`` immediately
+(abrupt-closing-of-empty-comment) and at ``--!>``
+(incorrectly-closed-comment), swallowing to EOF only on genuine
+eof-in-comment; tidy's lexer needs ``--`` + ``>`` and otherwise reads
+forever — strict pages get the spec reading, tidy pages tidy's.
 
 ``html_errors`` carries tidy-STYLE diagnostics (``tidy_diagnostics``
 below): the reference captures the stderr of an external ``tidy``
@@ -157,9 +179,49 @@ def empty_html_result(ok: bool = False, html_errors: str = " ") -> dict:
 _DELETED_CONTENT_TAGS = frozenset({"style", "noscript", "noframes"})
 
 
+# html5ever's attribute-serializer escape set (serialize::Serializer
+# write_escaped with attr_mode=true): '&', U+00A0 and '"' only — '<',
+# '>' and "'" pass through literally in attribute values.
+def _h5_escape_attr(value: str) -> str:
+    return value.replace("&", "&amp;").replace("\xa0", "&nbsp;").replace('"', "&quot;")
+
+
+# Spec comment-end scan: in the comment/comment-end states a run of
+# dashes (>=2) followed by '>' or '!>' terminates; whitespace between
+# '--' and '>' does NOT (tidy's '--\\s*>' rule is the tidy-path one).
+_SPEC_COMMENT_CLOSE = re.compile(r"-{2,}!?>")
+
+
+def _spec_comment_spans(raw_html: str) -> list[tuple[int, int]]:
+    """(start, end) spans of comments per the spec tokenizer — what
+    html5ever consumed (and ammonia then stripped) before the strict
+    quick-xml pass ever saw the page. Handles the abrupt empty forms
+    ('<!-->', '<!--->'), the '--!>' terminator, and eof-in-comment
+    (unterminated → the span runs to EOF, masking everything after)."""
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    n = len(raw_html)
+    while (i := raw_html.find("<!--", pos)) != -1:
+        j = i + 4
+        if raw_html[j : j + 1] == ">":
+            end = j + 1  # abrupt-closing-of-empty-comment
+        elif raw_html[j : j + 2] == "->":
+            end = j + 2  # comment-start-dash then '>'
+        else:
+            m = _SPEC_COMMENT_CLOSE.search(raw_html, j)
+            end = m.end() if m else n  # eof-in-comment swallows
+        spans.append((i, end))
+        pos = end
+    return spans
+
+
 class _Extractor(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, strict: bool = False) -> None:
         super().__init__(convert_charrefs=True)
+        # Path bit (r12): True when the page passes the strict replay —
+        # the quick-xml-on-cleaned-html leg, whose attribute bytes are
+        # html5ever-escaped and whose duplicate-attr rule is keep-first.
+        self.strict = strict
         self.in_body = True  # pre-<head> text counts, like the reference
         self.in_title = False
         self.heading_level = 0  # current hN depth marker (0 = outside)
@@ -172,31 +234,72 @@ class _Extractor(HTMLParser):
         self.meta: dict[str, str] = {}
         self._deleted_tag: str | None = None  # open ammonia-cct region
 
+    def _attr_out(self, value: str) -> str:
+        """Attribute bytes as the winning reference leg emits them:
+        strict → html5ever's re-escaped serialization of the decoded
+        value (quick-xml takes it raw, lib.rs:294/303-314); tidy/soup →
+        the decoded value (lib.rs:419-553)."""
+        return _h5_escape_attr(value) if self.strict else value
+
     def parse_comment(self, i: int, report: int = 1) -> int:
-        """A comment with no '--(ws)>' terminator swallows the rest of the
-        document: tidy's lexer keeps reading (`<!-->x`/`<!--->x` never saw
-        the two dashes it requires, so x is comment content), and the spec
-        tokenizer's eof-in-comment likewise emits everything as the
-        comment. HTMLParser instead returns -1 and the end-of-feed
-        fallback re-emits the comment MARKUP as visible text — wrong under
-        every engine in the reference's cascade. (Whole-document feeds
+        """Path-keyed comment termination (ADVICE r11 #2).
+
+        Strict path — the reference's comments were consumed by
+        html5ever during the ammonia pre-clean, so the SPEC tokenizer
+        rules apply: '<!-->' and '<!--->' close immediately
+        (abrupt-closing-of-empty-comment), '--!>' closes
+        (incorrectly-closed-comment), and only genuine eof-in-comment
+        swallows to EOF ('<!-->rest' leaves "rest" as visible text).
+
+        Tidy path — tidy re-lexes the RAW bytes and its lexer keeps
+        reading until '--' then (ws*) '>': the abrupt forms never saw
+        their two dashes, '--!>' is not a terminator, and an
+        unterminated comment swallows the rest of the document.
+        HTMLParser's own fallback (-1 → re-emit the markup as text) is
+        wrong under BOTH engines and never used. (Whole-document feeds
         only: parse_html_py always feeds the full page at once.)"""
+        if self.strict:
+            rawdata = self.rawdata
+            j = i + 4
+            if rawdata[j : j + 1] == ">":
+                return j + 1
+            if rawdata[j : j + 2] == "->":
+                return j + 2
+            m = _SPEC_COMMENT_CLOSE.search(rawdata, j)
+            return m.end() if m else len(rawdata)
         k = super().parse_comment(i, report)
         return len(self.rawdata) if k < 0 else k
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if len(attrs) > 1:
-            # tidy's duplicate-attribute repair (default
-            # repeated-attributes: keep-last) drops the EARLIER twin of a
-            # same-name pair and warns; the kept attribute stays at its
-            # later position, so the reference's parsers never see dupes.
-            # Collectors below must therefore not double-collect (a
-            # '<a href="/a" href="/b">' contributes ONE link, '/b').
-            last = {}
-            for idx, (k, _v) in enumerate(attrs):
-                last[k] = idx
-            if len(last) != len(attrs):
-                attrs = [kv for idx, kv in enumerate(attrs) if last[kv[0]] == idx]
+            # Path-keyed duplicate-attribute repair (ADVICE r11 #1):
+            # every reference leg parses a deduplicated stream. Strict
+            # pages were deduped by html5ever during the ammonia
+            # pre-clean — the spec's duplicate-attribute rule drops the
+            # NEW attr, so the FIRST twin survives at its original
+            # position ('<a href="/a" href="/b">' → ONE link, '/a').
+            # Non-strict pages take the tidy leg, which re-lexes the
+            # raw bytes with tidy's default repeated-attributes:
+            # keep-last repair ('dropping value ... for repeated
+            # attribute' warning; the kept twin sits at its LATER
+            # position). quick-xml itself never sees a duplicate on
+            # either leg, so its checked-iterator truncation is
+            # unreachable (ADVICE r11 #3).
+            if self.strict:
+                seen: set[str] = set()
+                deduped = []
+                for kv in attrs:
+                    if kv[0] not in seen:
+                        seen.add(kv[0])
+                        deduped.append(kv)
+                if len(deduped) != len(attrs):
+                    attrs = deduped
+            else:
+                last = {}
+                for idx, (k, _v) in enumerate(attrs):
+                    last[k] = idx
+                if len(last) != len(attrs):
+                    attrs = [kv for idx, kv in enumerate(attrs) if last[kv[0]] == idx]
         if self._deleted_tag is not None:
             # RAWTEXT semantics (html5ever, which ammonia parses with):
             # the region's content is raw text until the FIRST matching
@@ -225,17 +328,20 @@ class _Extractor(HTMLParser):
                 if k == "content" and v is not None:
                     value = v
             if key and value:
-                self.meta[key] = value
+                # strict leg reads the key AND value bytes raw off the
+                # cleaned serialization (lib.rs:274/280 from_utf8_lossy)
+                self.meta[self._attr_out(key)] = self._attr_out(value)
         elif tag == "a":
             for k, v in attrs:
                 # a VALUELESS href ('<a href>') reaches the reference as
-                # the empty string: invalid XML, so the page takes the
-                # tidy path (MISSING_ATTR_VALUE warning, attribute kept),
-                # html5ever gives the attr value "", ammonia keeps it
-                # (no scheme -> relative), and lib.rs:294-297 pushes any
-                # href not starting with '_'/'#' — "" qualifies
+                # the empty string: html5ever normalizes it to href="",
+                # ammonia keeps it (no scheme -> relative), and
+                # lib.rs:294-297 pushes any href not starting with
+                # '_'/'#' — "" qualifies. The scheme check runs on the
+                # DECODED value (ammonia sees the tokenizer's decoded
+                # attr), the emitted bytes are path-keyed.
                 if k == "href" and _scheme_ok(v or ""):
-                    self.links.append(v or "")
+                    self.links.append(self._attr_out(v or ""))
         elif tag == "head":
             self.in_body = False
         elif tag in ("script", "link"):
@@ -244,7 +350,7 @@ class _Extractor(HTMLParser):
             self.in_body = False
             for k, v in attrs:
                 if k in ("src", "href"):
-                    self.resources.append(v or "")
+                    self.resources.append(self._attr_out(v or ""))
         elif tag == "body":
             self.in_body = True
         elif tag == "title":
@@ -1924,7 +2030,13 @@ def strict_parse_ok(raw_html: str) -> bool:
     XHTML passes and reports "")."""
     if not raw_html:
         return True
-    comment_spans = [(m.start(), m.end()) for m in _COMMENT_RE.finditer(raw_html)]
+    # Comment masking uses the SPEC spans (r12): html5ever consumed the
+    # comments (ammonia strips them) before quick-xml ever saw the page,
+    # so an unterminated comment hides everything to EOF from the strict
+    # replay and the abrupt forms ('<!-->'/'<!--->'/'--!>') close where
+    # the spec closes them — tidy's '--\\s*>' rule belongs to the tidy
+    # leg only (tidy_diagnostics keeps it).
+    comment_spans = _spec_comment_spans(raw_html)
 
     def _in_comment(pos: int) -> bool:
         return any(s <= pos < e for s, e in comment_spans)
@@ -1951,7 +2063,11 @@ def parse_html_py(raw_html: str) -> dict:
     """Parse one document → HTMLResult dict (schema above)."""
     if not raw_html:
         return empty_html_result(ok=False)
-    parser = _Extractor()
+    # The path bit steers attribute bytes, duplicate-attr repair and
+    # comment termination inside the extractor (r12) as well as the
+    # html_errors trigger, so compute it ONCE up front.
+    strict_ok = strict_parse_ok(raw_html)
+    parser = _Extractor(strict=strict_ok)
     try:
         parser.feed(raw_html)
         parser.close()
@@ -1964,7 +2080,7 @@ def parse_html_py(raw_html: str) -> dict:
         "ok": True,
         # reference trigger parity: tidy diagnostics only when the strict
         # first pass fails (lib.rs:193-207); clean pages report ""
-        "html_errors": "" if strict_parse_ok(raw_html) else tidy_diagnostics(raw_html),
+        "html_errors": "" if strict_ok else tidy_diagnostics(raw_html),
         "title": parser.title,
         "text": parser.text,
         "headings_text": headings,
