@@ -158,6 +158,66 @@ def test_contracted_components_on_fixture(spark):
     assert got == expect
 
 
+def test_contracted_worst_case_path_graph_random_partitioning(spark):
+    """r12 (VERDICT r11 #7): pin the docstring's graceful-degradation
+    claim (graph.py contracted_components) on the constructed WORST
+    case — a single long path whose node labels are randomly permuted,
+    so the range partition scatters the path across partitions and the
+    seam graph is near-maximal (the partition-local union-find can
+    collapse almost nothing).
+
+    Pins, beyond the happy-path tests:
+    - output equality with plain alternating CC (both: every node maps
+      to the single component minimum);
+    - the residual graph really IS near-input-sized (the test forces
+      the degenerate regime rather than accidentally contracting);
+    - a round-count bound: the residual iteration stays within plain
+      alternating CC's O(log n) rounds +1 — degradation is graceful,
+      never worse than not contracting at all."""
+    import random
+
+    from warcraider_spark.operators.graph import contracted_components
+
+    rng = random.Random(20260816)
+    n_nodes = 513
+    labels = list(range(1_000, 1_000 + n_nodes))
+    rng.shuffle(labels)
+    edges = [(labels[i], labels[i + 1]) for i in range(n_nodes - 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    rounds_plain: list = []
+    plain = {
+        (r.node, r.comp)
+        for r in alternating_components(df, rounds_out=rounds_plain).collect()
+    }
+    rounds_hybrid: list = []
+    hybrid = {
+        (r.node, r.comp)
+        for r in contracted_components(
+            df, rounds_out=rounds_hybrid, num_partitions=8
+        ).collect()
+    }
+    assert hybrid == plain
+    comp_min = min(labels)
+    assert hybrid == {(x, comp_min) for x in labels}
+
+    # the permutation actually forced the degenerate regime: the seam
+    # graph the rounds iterate over is a large fraction of the input
+    # (contrast test_contracted_residual_is_seam_sized's < n/5 on
+    # id-contiguous chains)
+    n_edges = len(edges)
+    assert rounds_hybrid[0][0] > n_edges / 5, rounds_hybrid[0][0]
+
+    # graceful degradation: no more rounds than plain alternating CC
+    # needs on the same graph, +1 for the contraction's re-canonicalized
+    # input; absolute O(log n) ceiling as a drift tripwire
+    assert len(rounds_hybrid) <= len(rounds_plain) + 1, (
+        rounds_hybrid,
+        rounds_plain,
+    )
+    assert len(rounds_hybrid) <= math.ceil(math.log2(n_nodes)) + 4
+
+
 def test_contracted_random_graphs_vs_python_truth(spark):
     """Seeded random-graph sweep against an INDEPENDENT mechanism (a
     plain Python union-find computing min-id components): self-loops,

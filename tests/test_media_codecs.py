@@ -1,4 +1,4 @@
-"""Unit tests for the dependency-free PPM/WAV codecs (q180's real
+"""Unit tests for the dependency-free PPM/WAV codecs (q044's real
 encode/decode pair): round-trip values, header validation, and
 malformed-input rejection — spark-free, so failures localize."""
 

@@ -35,7 +35,7 @@ TRIO = [
     # edge hazard of its stages PLUS coupling ones (a domain emptied by
     # the gate, a target slice that is the whole corpus, zero-token
     # survivors at the pack stage) — swept over the same corpora
-    "q050_mixture_pipeline_e2e",
+    "q187_mixture_pipeline_e2e",
 ]
 
 
@@ -179,7 +179,7 @@ def test_waterfill_closed_form_properties():
 
 
 # ---------------------------------------------------------------------------
-# r11: composed-pipeline invariants (q050) — semantic checks beyond hash
+# r11: composed-pipeline invariants (q187) — semantic checks beyond hash
 # equality, plus a hypothesis proof of the fill coupling
 # ---------------------------------------------------------------------------
 
@@ -201,7 +201,7 @@ def test_composed_pipeline_invariants(spark, tmp_path):
 
     d = _corpus(tmp_path, "inv", _corpora(tmp_path)["dominant"])
     specs = all_specs()
-    sel = [r.asDict() for r in specs["q050_mixture_pipeline_e2e"].builder(spark, d).collect()]
+    sel = [r.asDict() for r in specs["q187_mixture_pipeline_e2e"].builder(spark, d).collect()]
     assert sel, "dominant corpus must yield a non-empty selection"
     # (a) target exclusion
     assert all(r["doc_id"] % 10 != 0 for r in sel)
@@ -267,7 +267,7 @@ def test_composed_pipeline_invariants(spark, tmp_path):
 
 def test_fill_coupling_properties():
     """Hypothesis proof of the water-fill -> greedy-fill COUPLING (the
-    stage q050 adds over q070): for any per-domain token counts and any
+    stage q187 adds over q070): for any per-domain token counts and any
     score order, filling each domain greedily against its closed-form
     allocation (1) never exceeds the allocation, (2) is prefix-maximal
     (the first unselected doc would overflow), and (3) the global

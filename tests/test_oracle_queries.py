@@ -92,7 +92,7 @@ def test_pmi_log_domain_guard(spark):
 
 
 def test_gopher_rules_both_ways(spark):
-    """q168's rules certified both ways on constructed documents — the
+    """q034's rules certified both ways on constructed documents — the
     synthetic corpus never satisfies the stopword rule (its vocabulary
     has no two Gopher stopwords), so without this the intersect logic
     could silently degrade to constant-false."""
@@ -120,7 +120,7 @@ def test_gopher_rules_both_ways(spark):
 
 
 def test_gopher_repetition_both_ways(spark):
-    """q167's line/paragraph signals certified both ways on constructed
+    """q033's line/paragraph signals certified both ways on constructed
     multi-line documents — the synthetic corpus is single-line, so those
     signals are corpus-vacuous (always ok) and only these tests prove
     they can fire; also pins the top-gram tie-break (longer gram wins)."""
@@ -209,13 +209,13 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
 
-    r = run_oracle(spark, all_specs()["q167_gopher_repetition"], _short_doc_corpus(tmp_path))
+    r = run_oracle(spark, all_specs()["q033_gopher_repetition"], _short_doc_corpus(tmp_path))
     assert r.ok, r.detail
 
 
 def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     """Every shingles_sql-based oracle survives sub-k-token documents
-    (same landmine class as q167's: the unguarded toks[i+j] || chain
+    (same landmine class as q033's: the unguarded toks[i+j] || chain
     NULLed short-doc shingles until the r8 CASE guard). q124 is vacuous
     on 12 docs (its decontamination branch never fires) and is covered
     at sf0.01 by the driver."""
@@ -227,11 +227,11 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     names = [
         "q162_minhash_lsh_pairs",
         "q119_ngram_jaccard_pairs",
-        "q169_containment_dedup",
+        "q035_containment_dedup",
         "q123_dedup_clusters",
-        "q005_benchmark_contamination",
-        "q013_incremental_dedup",
-        "q058_shingle_fingerprint",
+        "q055_benchmark_contamination",
+        "q085_incremental_dedup",
+        "q008_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -241,13 +241,13 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
 def test_degenerate_doc_totality(spark, tmp_path):
     """The r8 adversarial sweep's crash/divergence findings, pinned: on a
     corpus with empty/whitespace-only docs (guaranteed in any real web
-    corpus) q004 must not DIVIDE_BY_ZERO under ANSI mode, q172's
+    corpus) q054 must not DIVIDE_BY_ZERO under ANSI mode, q037's
     MinHashLSH join must not FAILED_EXECUTE_UDF on all-zero vectors
     (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
-    the localCheckpoint barrier pins it to filtered rows), q015's oracle
+    the localCheckpoint barrier pins it to filtered rows), q114's oracle
     must not NULL through list()-of-zero-rows / array_to_string([]),
     q138/q190 tokenization must drop empty tokens on both engines, and
-    q036's crosstab schema must stay the closed 5-lang contract when a
+    q170's crosstab schema must stay the closed 5-lang contract when a
     lang is corpus-absent."""
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
@@ -255,12 +255,12 @@ def test_degenerate_doc_totality(spark, tmp_path):
     d = _short_doc_corpus(tmp_path)
     specs = all_specs()
     for n in [
-        "q004_bpe_pretokenize",
-        "q015_span_excision",
+        "q054_bpe_pretokenize",
+        "q114_span_excision",
         "q138_repetition_ratio",
         "q190_bigram_udtf",
-        "q172_ml_lsh_variants",
-        "q036_crosstab",
+        "q037_ml_lsh_variants",
+        "q170_crosstab",
     ]:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
@@ -426,12 +426,12 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     fingerprint/tokenization now applies the engine-stable case fold
     (textfn.fold_lower / its textual SQL twin; ASCII no-op); the İ form
     also split '[a-z]+' token runs differently (the combining dot
-    breaks a run), shifting q012/q015/q078/q022 token counts and span
+    breaks a run), shifting q084/q114/q078/q141 token counts and span
     offsets. (b) Python str.split() is Unicode-whitespace and split
     U+3000-spaced CJK where every oracle's ASCII \\s did not — the q190
     bigram UDTF now ASCII-splits like the house tokenizer.
 
-    q156/q150/q044 are excluded as corpus-vacuous here (their
+    q156/q150/q180 are excluded as corpus-vacuous here (their
     discriminating branches need more data than 16 docs; min_rows
     guards them) — they're covered at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -440,17 +440,17 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     d = _unicode_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q167_gopher_repetition", "q168_gopher_rules", "q159_rake_keywords",
-        "q054_token_stats", "q055_lang_id", "q056_quality_score",
-        "q057_fingerprint", "q058_shingle_fingerprint", "q059_word_count_ref",
-        "q138_repetition_ratio", "q004_bpe_pretokenize", "q190_bigram_udtf",
+        "q033_gopher_repetition", "q034_gopher_rules", "q159_rake_keywords",
+        "q004_token_stats", "q005_lang_id", "q006_quality_score",
+        "q007_fingerprint", "q008_shingle_fingerprint", "q059_word_count_ref",
+        "q138_repetition_ratio", "q054_bpe_pretokenize", "q190_bigram_udtf",
         "q162_minhash_lsh_pairs", "q184_tfidf", "q126_document_chunking",
-        "q034_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",
+        "q168_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",
         "q127_simhash_dupes", "q149_duplicate_spans",
-        "q005_benchmark_contamination", "q012_token_budget_select",
-        "q015_span_excision", "q078_heavy_hitters", "q022_bpe_encode",
+        "q055_benchmark_contamination", "q084_token_budget_select",
+        "q114_span_excision", "q078_heavy_hitters", "q141_bpe_encode",
         "q134_simhash_radius", "q135_bpe_merge_train",
-        "q169_containment_dedup", "q161_training_data_pipeline",
+        "q035_containment_dedup", "q161_training_data_pipeline",
         "q093_whitespace_quirks", "q146_sequence_packing",
     ]
     for n in names:
@@ -479,18 +479,18 @@ def test_unicode_extended_sweep(spark, tmp_path):
     d = _unicode_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q007_lm_score", "q013_incremental_dedup", "q020_cdc_excision",
-        "q021_cdc_chunk_dedup", "q025_inverted_index", "q033_skyline_docs",
-        "q037_perceptron_train", "q047_posexplode",
-        "q050_mixture_pipeline_e2e", "q069_mixture_apply_select",
+        "q057_lm_score", "q085_incremental_dedup", "q130_cdc_excision",
+        "q136_cdc_chunk_dedup", "q147_inverted_index", "q167_skyline_docs",
+        "q172_perceptron_train", "q183_posexplode",
+        "q187_mixture_pipeline_e2e", "q069_mixture_apply_select",
         "q070_domain_mixture_weights", "q071_dsir_select",
         "q072_domain_quality_select", "q082_pii_redaction",
-        "q090_ga_extract", "q092_explode_outer", "q095_array_set_funcs",
+        "q090_ga_extract", "q014_explode_outer", "q095_array_set_funcs",
         "q102_corpus_snapshot_diff", "q112_dedup_keep_canonical",
-        "q113_media_features", "q117_concat_chunk_blocks",
-        "q125_bloom_dedup_probe", "q133_split_leakage", "q141_source_cap",
+        "q113_media_features", "q016_concat_chunk_blocks",
+        "q125_bloom_dedup_probe", "q133_split_leakage", "q022_source_cap",
         "q144_media_stats", "q163_exact_dedup_groups",
-        "q172_ml_lsh_variants",
+        "q037_ml_lsh_variants",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -552,7 +552,7 @@ def test_unicode_large_corpus_sweep(spark, tmp_path):
     d = _unicode_large_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q044_set_containment_join", "q097_sparse_dot_topk",
+        "q180_set_containment_join", "q097_sparse_dot_topk",
         "q107_longest_prefix_route", "q124_decontaminate",
         "q145_countmin_freq", "q150_ngram_novelty", "q156_pmi_collocations",
     ]

@@ -31,10 +31,10 @@ def plan_of(df) -> str:
 
 
 def test_star_join_broadcasts_dims(spark):
-    """q081: all dimension joins must be broadcast-hash — a sort-merge join
+    """q011: all dimension joins must be broadcast-hash — a sort-merge join
     against `region`/`nation` at 100 TB would shuffle the fact table once
     per dimension."""
-    df = all_specs()["q081_star_join_revenue"].builder(spark, SF_CORRECT)
+    df = all_specs()["q011_star_join_revenue"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -60,7 +60,7 @@ def test_filter_and_projection_reach_scan(spark):
 def test_aggregate_is_partial_final(spark):
     """groupBy aggs must be two-phase (map-side combine): the shuffle
     carries one row per (partition, key), not one per input row."""
-    df = all_specs()["q075_pricing_summary"].builder(spark, SF_CORRECT)
+    df = all_specs()["q009_pricing_summary"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
 
@@ -162,9 +162,9 @@ def test_minhash_signature_single_tokenize(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    """q187: global top-k must compile to TakeOrderedAndProject (per-
+    """q050: global top-k must compile to TakeOrderedAndProject (per-
     partition heap + single merge), never a full Sort + Limit."""
-    df = all_specs()["q187_global_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q050_global_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
 
@@ -225,7 +225,7 @@ def test_decile_no_global_sort(spark):
 
 
 def test_approx_quantile_error_bound(spark):
-    """q176: the GK sketch at accuracy 10000 must stay within 1% of the
+    """q040: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF (rank error ≤ n/accuracy — tighter than
     the query's own in-plan rank-window verdicts, checked against the
     factored sketch pass), and the certified verdict booleans must all
@@ -237,15 +237,15 @@ def test_approx_quantile_error_bound(spark):
     for r in rows:
         assert abs(r.ap[0] - r.exact[0]) / r.exact[0] < 0.01
         assert abs(r.ap[1] - r.exact[1]) / r.exact[1] < 0.01
-    verdicts = all_specs()["q176_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q040_approx_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.median_in_bound and v.p95_in_bound for v in verdicts)
 
 
 def test_asof_join_single_shuffle(spark):
-    """q152: the union+window as-of composition must shuffle ONCE on
+    """q028: the union+window as-of composition must shuffle ONCE on
     user_id before the final presentation sort — never the range-join
     explosion a non-equi formulation would plan."""
-    df = all_specs()["q152_asof_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q028_asof_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan, "as-of must compile to window+union, not a join"
     # exchanges: one hashpartitioning(user_id) for the window, one range
@@ -287,9 +287,9 @@ def test_two_stage_rerank_broadcasts_queries(spark):
 
 
 def test_contamination_broadcasts_benchmark(spark):
-    """q005: the benchmark shingle set must broadcast so the corpus-side
+    """q055: the benchmark shingle set must broadcast so the corpus-side
     shingles never shuffle for the join (the corpus is the 100 TB side)."""
-    df = all_specs()["q005_benchmark_contamination"].builder(spark, SF_CORRECT)
+    df = all_specs()["q055_benchmark_contamination"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -307,20 +307,20 @@ def test_sketch_aggs_are_partial_final(spark):
 
 
 def test_mixture_weights_broadcast(spark):
-    """q179: the weight recipe joins as a broadcast and the keep decision
+    """q043: the weight recipe joins as a broadcast and the keep decision
     stays a map-side expression (no shuffle before the accounting agg)."""
-    df = all_specs()["q179_weighted_mixture"].builder(spark, SF_CORRECT)
+    df = all_specs()["q043_weighted_mixture"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_dim_profile_shuffle_is_bounded(spark):
-    """q006: the per-dimension profile must partial-aggregate before its
+    """q056: the per-dimension profile must partial-aggregate before its
     single exchange — the shuffle key domain is the embedding width, so
     the exchange moves ~dims rows per input partition no matter the
     corpus size."""
-    df = all_specs()["q006_embedding_dim_profile"].builder(spark, SF_CORRECT)
+    df = all_specs()["q056_embedding_dim_profile"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
     # exactly one agg shuffle + the orderBy range exchange, nothing else
@@ -329,10 +329,10 @@ def test_dim_profile_shuffle_is_bounded(spark):
 
 
 def test_lm_score_vocab_is_broadcast(spark):
-    """q007: the vocabulary-size scalar must ride a broadcast nested-loop
+    """q057: the vocabulary-size scalar must ride a broadcast nested-loop
     cross join — a shuffled cross join against a 1-row side would
     repartition the full scored-bigram stream."""
-    df = all_specs()["q007_lm_score"].builder(spark, SF_CORRECT)
+    df = all_specs()["q057_lm_score"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
@@ -368,10 +368,10 @@ def test_kmeans_broadcasts_centroids(spark):
 
 
 def test_rollup_layers_reaggregate_partials(spark):
-    """q183: the daily layer's input must be the hourly AGGREGATE, not raw
+    """q047: the daily layer's input must be the hourly AGGREGATE, not raw
     events — three stacked partial+final agg pairs over ONE scan.
     (explain('formatted') prints each node twice: tree + details.)"""
-    df = all_specs()["q183_rollup_layers"].builder(spark, SF_CORRECT)
+    df = all_specs()["q047_rollup_layers"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 2  # one scan node
     assert plan.count("HashAggregate") >= 12  # >= 6 nodes: 3 layers x 2 phases
@@ -407,11 +407,11 @@ def test_duplicate_spans_single_shuffle_topk(spark):
 
 
 def test_token_budget_window_is_partitioned(spark):
-    """q012: the corpus-side cumulative sum must run under a PARTITIONED
+    """q084: the corpus-side cumulative sum must run under a PARTITIONED
     window (bucketed prefix-sum) — the only orderBy-without-partitionBy
     windows allowed are over the ~21-row bucket summary. A global window
     over the document table is a single-partition non-starter at 100 TB."""
-    df = all_specs()["q012_token_budget_select"].builder(spark, SF_CORRECT)
+    df = all_specs()["q084_token_budget_select"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
@@ -430,11 +430,11 @@ def test_triangle_count_no_cartesian(spark):
 
 
 def test_interval_join_is_equi_not_nested_loop(spark):
-    """q014: the interval join must be an EQUI hash join on the bin key —
+    """q092: the interval join must be an EQUI hash join on the bin key —
     a pure range predicate plans as BroadcastNestedLoopJoin (O(n·m)
     compares), which is exactly what the binned rewrite exists to kill.
     Every join in the plan must be hash-based."""
-    df = all_specs()["q014_interval_bin_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q092_interval_bin_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -491,28 +491,28 @@ def test_merge_upsert_base_never_shuffles(spark):
 
 
 def test_corpus_shard_window_is_partitioned(spark):
-    """q031: the position window must be PARTITIONED BY shard — a global
+    """q165: the position window must be PARTITIONED BY shard — a global
     row_number() OVER (ORDER BY hash) would funnel the whole corpus
     through one reducer."""
-    df = all_specs()["q031_corpus_shard"].builder(spark, SF_CORRECT)
+    df = all_specs()["q165_corpus_shard"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     # the Window operator spec must carry a partition spec on `shard`
     assert "windowspecdefinition(shard" in plan, "position window is not partitioned by shard"
 
 
 def test_skyline_local_pass_is_bucket_partitioned(spark):
-    """q033: the first (full-data) skyline pass must run per hash-bucket;
+    """q167: the first (full-data) skyline pass must run per hash-bucket;
     only survivors may enter the unpartitioned global window."""
-    df = all_specs()["q033_skyline_docs"].builder(spark, SF_CORRECT)
+    df = all_specs()["q167_skyline_docs"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "bucket" in plan, "local skyline pass lost its bucket partitioning"
 
 
 def test_concat_chunk_corpus_window_is_bucketed(spark):
-    """q117: the corpus-side cumsum window must be PARTITIONED BY bucket —
+    """q016: the corpus-side cumsum window must be PARTITIONED BY bucket —
     the only unpartitioned window allowed is the one over the ~|buckets|
     summary table."""
-    df = all_specs()["q117_concat_chunk_blocks"].builder(spark, SF_CORRECT)
+    df = all_specs()["q016_concat_chunk_blocks"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan, (
         "corpus cumsum window lost its bucket partitioning"
@@ -561,11 +561,11 @@ def test_simhash_radius_band_join_is_equi(spark):
 
 
 def test_containment_join_broadcasts_query_terms(spark):
-    """q044: the query-term list must ride a broadcast join onto the
+    """q180: the query-term list must ride a broadcast join onto the
     exploded postings — a shuffle of the corpus postings keyed by the tiny
     query set would serialize on a handful of term keys at scale. No
     cartesian anywhere."""
-    df = all_specs()["q044_set_containment_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q180_set_containment_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -618,7 +618,7 @@ def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
 
 
 def test_approx_distinct_error_bound(spark):
-    """q120: HLL++ at rsd=0.01 must land within 3 standard deviations
+    """q017: HLL++ at rsd=0.01 must land within 3 standard deviations
     (3%) of the exact distinct count per group — tighter than the
     query's certified 5σ verdict, which must also be all-TRUE."""
     from warcraider_spark.tables import load_table
@@ -635,7 +635,7 @@ def test_approx_distinct_error_bound(spark):
     assert raw
     for r in raw:
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.03, r
-    verdicts = all_specs()["q120_approx_distinct"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q017_approx_distinct"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.within_5pct for v in verdicts)
 
 
@@ -693,18 +693,18 @@ BUILD_TIME_EXECUTION_OK = {
     "q154_connected_components": "r11 hybrid: eager node→root mapping materialization + residual large/small-star loop with data-dependent convergence check",
     "q135_bpe_merge_train": "per-round best-pair selection is data-dependent",
     "q188_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
-    "q022_bpe_encode": "replays the q135 merge-train loop to build the vocab",
-    "q023_pq_encode": "per-subspace k-means loops (q188 contract)",
-    "q027_semantic_dedup": "k-means clustering loop (q188 contract)",
+    "q141_bpe_encode": "replays the q135 merge-train loop to build the vocab",
+    "q142_pq_encode": "per-subspace k-means loops (q188 contract)",
+    "q151_semantic_dedup": "k-means clustering loop (q188 contract)",
     "q123_dedup_clusters": "connected-components loop (q154 contract)",
-    "q037_perceptron_train": "per-epoch gradient rounds with lineage cuts",
+    "q172_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
     "q106_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
-    "q002_stream_stream_join": "executes a stream-stream join replay",
+    "q052_stream_stream_join": "executes a stream-stream join replay",
     "q140_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
-    "q172_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
-    "q036_crosstab": "df.stat.crosstab computes its pivot eagerly",
+    "q037_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
+    "q170_crosstab": "df.stat.crosstab computes its pivot eagerly",
     # r10: the weight-table materialization (VERDICT r9 #6). Under AQE,
     # toRdd inside even a LAZY localCheckpoint executes the upstream
     # stages, so the shared TF-IDF lineage materializes while the
@@ -800,7 +800,7 @@ def test_warc_pipeline_is_map_only_until_write(spark, tmp_path):
 
 
 def test_mixture_pipeline_runtime_stage_reuse(spark):
-    """q050 (r11): the composed gate->water-fill->DSIR->pack plan
+    """q187 (r11): the composed gate->water-fill->DSIR->pack plan
     statically duplicates the gated-corpus lineage (each consuming stage
     re-declares the scan + gate window), but AQE reuses the identical
     shuffle/broadcast stages at RUNTIME. The q110 lesson says the
@@ -810,7 +810,7 @@ def test_mixture_pipeline_runtime_stage_reuse(spark):
     reused over 14 shuffle + 13 broadcast stages; the UI REST view of
     the same run shows 21 skipped / 24 complete stages), and no
     cartesian anywhere."""
-    df = all_specs()["q050_mixture_pipeline_e2e"].builder(spark, SF_CORRECT)
+    df = all_specs()["q187_mixture_pipeline_e2e"].builder(spark, SF_CORRECT)
     assert "CartesianProduct" not in plan_of(df)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()

@@ -123,11 +123,11 @@ def test_sequence_pack_shards_independent(spark):
     assert by_shard["a"] == by_shard["b"]
 
 
-# --- CDC chunker properties (q021/q020, r6) -------------------------------
+# --- CDC chunker properties (q136/q130, r6) -------------------------------
 
 
 def _cdc_ref(text: str):
-    """Pure-python reference of the q021 chunker (same constants), used
+    """Pure-python reference of the q136 chunker (same constants), used
     to state the invariants independently of both engines."""
     import re as _re
 

@@ -1020,6 +1020,44 @@ def test_heading_nesting_cases():
     assert td(pre + "<h1>a</h1><h2>b</h2><h2>c</h2>") == ""
 
 
+def test_pre_p_coercion_cases():
+    """Class 29 (r12, VERDICT r11 #4 family 6): tidy's p→br coercion in
+    preformatted/definition-term content. ParsePre reports
+    USING_BR_INPLACE_OF for a <p> START at pre level and discards the
+    </p>; ParseInline's 'within <dt> or <pre> map <p> to <br>' branch
+    coerces SILENTLY (inline-on-top under pre, or at/under dt). The
+    coerced node is FreeAttrs'd, so its attributes skip the attribute
+    checks; nothing opens either way."""
+    from warcraider_spark.functions.html import tidy_diagnostics as td
+
+    pre = "<!DOCTYPE html><title>t</title>\n"
+    # ParsePre: warn at the <p>; the orphaned </p> then discards
+    assert td(pre + "<pre>a<p>b</p>c</pre>") == (
+        "line 2 column 7 - Warning: using <br> in place of <p>\n"
+        "line 2 column 11 - Warning: discarding unexpected </p>\n"
+    )
+    # FreeAttrs: the coerced node's proprietary attribute is never
+    # checked (contrast a normal <p foobar> which reports class 9)
+    assert td(pre + '<pre>a<p foobar="1">b</pre>') == (
+        "line 2 column 7 - Warning: using <br> in place of <p>\n"
+    )
+    assert "foobar" in td(pre + '<p foobar="1">b</p><div>')
+    # inline on top under <pre>: ParseInline's silent mapping — no
+    # USING_BR_INPLACE_OF, no class-23 implied close at the <p> (the
+    # token never returns to the block parser); the still-open <b>
+    # surfaces at </pre> via class 7
+    assert td(pre + "<pre>a<b>x<p>y</pre>") == (
+        "line 2 column 15 - Warning: missing </b>\n"
+    )
+    # at/under <dt> (dt content is ParseInline's): silent coercion,
+    # the </p> discards
+    out = td(pre + "<dl><dt>a<p>b</p></dt></dl><div>")
+    assert "using <br>" not in out
+    assert "discarding unexpected </p>" in out
+    # a <p> anywhere else is untouched
+    assert "using <br>" not in td(pre + "<p>x</p><div>")
+
+
 def test_uri_hygiene_cases():
     """Class 21 (r11): tidy's CheckUrl (attrs.c) on URL-typed attribute
     values — backslash fixing (FIXED_BACKSLASH; javascript: scheme exempt

@@ -64,7 +64,7 @@ def test_ignore_corrupt_files(spark, tmp_path):
 
 
 def test_cdc_chunking_is_shift_resistant(spark):
-    """The property q021 exists for: prepending a sentence to a document
+    """The property q136 exists for: prepending a sentence to a document
     re-aligns chunk boundaries after the insertion point, so most chunk
     hashes survive — while fixed-stride chunking (q126's scheme) shifts
     every downstream block. Also pins determinism: same text -> same

@@ -50,29 +50,29 @@ KNOWN_OK_PAIRS = {
     ("q098_ivf_topk_search", "BroadcastNestedLoopJoin"),
     ("q099_link_degrees", "BroadcastNestedLoopJoin"),
     ("q192_two_stage_rerank", "BroadcastNestedLoopJoin"),
-    ("q114_having_avg_subquery", "BroadcastNestedLoopJoin"),
+    ("q015_having_avg_subquery", "BroadcastNestedLoopJoin"),
     # r9: q129's unpartitioned window is now over the TINY per-bucket
-    # count table only (q012 prefix-sum shape — the fact-table window is
+    # count table only (q084 prefix-sum shape — the fact-table window is
     # partitioned by bucket; pinned by test_decile_no_global_sort); its
     # broadcast side is the same bucket summary, bounded by the value-
     # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
     ("q129_decile_distribution", "unpartitioned window"),
     ("q129_decile_distribution", "broadcast of unbounded aggregate"),
-    ("q007_lm_score", "BroadcastNestedLoopJoin"),
-    ("q008_gapfill_locf", "BroadcastNestedLoopJoin"),
-    ("q012_token_budget_select", "BroadcastNestedLoopJoin"),
-    ("q012_token_budget_select", "unpartitioned window"),
+    ("q057_lm_score", "BroadcastNestedLoopJoin"),
+    ("q058_gapfill_locf", "BroadcastNestedLoopJoin"),
+    ("q084_token_budget_select", "BroadcastNestedLoopJoin"),
+    ("q084_token_budget_select", "unpartitioned window"),
     ("q076_triangle_count", "BroadcastNestedLoopJoin"),
-    ("q015_span_excision", "BroadcastNestedLoopJoin"),
-    ("q148_zorder_layout", "BroadcastNestedLoopJoin"),
-    ("q143_key_skew_profile", "BroadcastNestedLoopJoin"),
-    ("q025_inverted_index", "BroadcastNestedLoopJoin"),
+    ("q114_span_excision", "BroadcastNestedLoopJoin"),
+    ("q026_zorder_layout", "BroadcastNestedLoopJoin"),
+    ("q024_key_skew_profile", "BroadcastNestedLoopJoin"),
+    ("q147_inverted_index", "BroadcastNestedLoopJoin"),
     ("q078_heavy_hitters", "BroadcastNestedLoopJoin"),
-    ("q033_skyline_docs", "unpartitioned window"),
-    ("q117_concat_chunk_blocks", "unpartitioned window"),
-    ("q035_quantified_subqueries", "BroadcastNestedLoopJoin"),
-    ("q037_perceptron_train", "BroadcastNestedLoopJoin"),
-    ("q041_dormant_rich_customers", "BroadcastNestedLoopJoin"),
+    ("q167_skyline_docs", "unpartitioned window"),
+    ("q016_concat_chunk_blocks", "unpartitioned window"),
+    ("q169_quantified_subqueries", "BroadcastNestedLoopJoin"),
+    ("q172_perceptron_train", "BroadcastNestedLoopJoin"),
+    ("q177_dormant_rich_customers", "BroadcastNestedLoopJoin"),
     ("q133_split_leakage", "BroadcastNestedLoopJoin"),
     # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
     # EXACTLY one row by construction; the 1-row broadcast cross join
@@ -104,39 +104,39 @@ KNOWN_OK_PAIRS = {
     # ratio-table broadcast, q069's ~|domains|-row alloc broadcast onto
     # the per-source fill window; every flagged shape runs on a
     # domain-, bucket- or 1-row-sized aggregate, never the corpus
-    ("q050_mixture_pipeline_e2e", "unpartitioned window"),
-    ("q050_mixture_pipeline_e2e", "BroadcastNestedLoopJoin"),
-    ("q050_mixture_pipeline_e2e", "broadcast of unbounded aggregate"),
+    ("q187_mixture_pipeline_e2e", "unpartitioned window"),
+    ("q187_mixture_pipeline_e2e", "BroadcastNestedLoopJoin"),
+    ("q187_mixture_pipeline_e2e", "broadcast of unbounded aggregate"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
     # fixed k centroids (q096/q098), fixed bloom word count m/64 (q125),
     # fixed d*w count-min table (q145), <=21 score buckets — score is
-    # milli-scaled in [0,1e6] div 50000 (q012), ingest-batch-sized
+    # milli-scaled in [0,1e6] div 50000 (q084), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
-    # (q013), 100-row interval dimension (q014), bucket-summary prefix
-    # sums sized by bucketing policy (q117 — same justification as its
+    # (q085), 100-row interval dimension (q092), bucket-summary prefix
+    # sums sized by bucketing policy (q016 — same justification as its
     # unpartitioned-window exemption), fixed probe/query set (q097),
     # 3-rows-by-construction KLL estimate table — groupBy over the two
     # filtered event types plus one merged row — broadcast back over the
     # events for the in-plan error-bound verification (q137, r8).
     # Data-coupled hints were FIXED instead, not exempted: q160 out-
     # degrees folded into the rank table, q156 marginals via shuffle
-    # joins, q119 hot-shingle anti-join and q030 per-source bounds left
+    # joins, q119 hot-shingle anti-join and q164 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
     ("q096_ivf_assign", "broadcast of unbounded aggregate"),
     ("q098_ivf_topk_search", "broadcast of unbounded aggregate"),
     ("q125_bloom_dedup_probe", "broadcast of unbounded aggregate"),
     ("q145_countmin_freq", "broadcast of unbounded aggregate"),
-    ("q012_token_budget_select", "broadcast of unbounded aggregate"),
-    ("q013_incremental_dedup", "broadcast of unbounded aggregate"),
-    ("q014_interval_bin_join", "broadcast of unbounded aggregate"),
-    ("q117_concat_chunk_blocks", "broadcast of unbounded aggregate"),
+    ("q084_token_budget_select", "broadcast of unbounded aggregate"),
+    ("q085_incremental_dedup", "broadcast of unbounded aggregate"),
+    ("q092_interval_bin_join", "broadcast of unbounded aggregate"),
+    ("q016_concat_chunk_blocks", "broadcast of unbounded aggregate"),
     ("q097_sparse_dot_topk", "broadcast of unbounded aggregate"),
     ("q137_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
-    # q176: GK estimate table broadcast back over lineitem for the
+    # q040: GK estimate table broadcast back over lineitem for the
     # in-plan rank-window verification — bounded at the l_returnflag
     # domain (3 values) by construction (r8, same shape as q137)
-    ("q176_approx_quantiles", "broadcast of unbounded aggregate"),
+    ("q040_approx_quantiles", "broadcast of unbounded aggregate"),
 }
 
 

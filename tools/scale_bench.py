@@ -25,11 +25,11 @@ from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
     "q163_exact_dedup_groups",
-    "q168_gopher_rules",
-    "q167_gopher_repetition",
+    "q034_gopher_rules",
+    "q033_gopher_repetition",
     "q162_minhash_lsh_pairs",
     "q078_heavy_hitters",
-    "q034_line_dedup",
+    "q168_line_dedup",
     "q161_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
@@ -53,7 +53,7 @@ QUERIES = [
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
-    "q021_cdc_chunk_dedup",
+    "q136_cdc_chunk_dedup",
     # r10 mixture trio: corpus-linear map passes over a constant domain
     # set (replicas share the 20 sources) — the rollup/ratio tables
     # saturate while the scan side grows Kx
@@ -63,7 +63,7 @@ QUERIES = [
     # r11: the composed gate->water-fill->DSIR->pack pipeline — the
     # union of the trio's shapes in ONE plan; its curve certifies stage
     # COUPLING stays corpus-linear (domain/bucket tables saturate)
-    "q050_mixture_pipeline_e2e",
+    "q187_mixture_pipeline_e2e",
 ]
 
 
@@ -193,7 +193,7 @@ def _q033_simhash_disjoint(spark, sf_dir):
     cross-replica pair hamming-0 (identical text -> identical sketch),
     so TRUE pairs grow k^2 by construction and the registry query's raw
     16x step (~2.6x per 2x data, first seen in the r11 16x extension) is
-    OUTPUT-bound — the same artifact q169's disjoint variant documents,
+    OUTPUT-bound — the same artifact q035's disjoint variant documents,
     just at radius 0. Suffixing every token with its replica id makes
     the replicas' token spaces disjoint; md5 then gives cross-replica
     sketches independent bits (expected hamming ~bits/2, radius-2
@@ -270,7 +270,7 @@ def _q033_simhash_disjoint(spark, sf_dir):
 
 
 def _containment_disjoint_variant(spark, sf_dir):
-    """Scale-harness variant of q169_containment_dedup with per-replica
+    """Scale-harness variant of q035_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
     cross-replica doc pair a true containment pair (output grows k^2 —
     120 -> 120,100 pairs at 8x, so the registry query's curve is
@@ -373,7 +373,7 @@ def _q031_decile_scaled(spark, sf_dir):
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
     "q129_decile_distribution[per-replica]": _q031_decile_scaled,
-    "q169_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
+    "q035_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
     "q154_connected_components[per-replica]": _q025_cc_scaled,

@@ -1698,6 +1698,46 @@ def tidy_diagnostics(raw_html: str) -> str:
             # residual family-2 general form; li/dt/dd/td/th/tr triggers
             # stay out (list/table parsers repair by moving content, the
             # documented scope limit).
+            # class 29 (r12, VERDICT r11 #4 family 6): the p→br coercion
+            # inside preformatted/definition-term content. Tidy handles
+            # a <p> START tag specially in TWO places, BEFORE any
+            # implied-close machinery sees the token:
+            #   - ParsePre: a <p> arriving at pre level (top of stack IS
+            #     the pre) is CoerceNode'd to <br> with FreeAttrs and
+            #     reported USING_BR_INPLACE_OF ("using <br> in place of
+            #     <p>", anchored at the <p>). Nothing opens, the p's
+            #     attributes never reach the attribute checks, and the
+            #     p's own later </p> hits ParsePre's discard branch —
+            #     our class 11 ("discarding unexpected </p>") naturally,
+            #     since no p frame was pushed.
+            #   - ParseInline's "within <dt> or <pre> map <p> to <br>"
+            #     branch: with an inline element on top (Preformatted
+            #     token mode under a pre) or at/under a <dt> (dt content
+            #     is inline, so ParseInline owns it), the same coercion
+            #     happens SILENTLY — no warning, no implied closes (the
+            #     token never returns to the block parser, so class 23
+            #     must not pop the open inlines here).
+            # Context walk = nearest non-inline frame: pre at top →
+            # warn+coerce; pre below inlines, or dt → silent coerce.
+            # Residual slivers stay documented (COVERAGE family-6 note):
+            # ParsePre's PreContent exclusion wordings and the
+            # block-start inferred </pre> close are not pinnable without
+            # real tidy, and the legacy </p>→<br><br> ParseBlock arm is
+            # compiled out under #if OBSOLETE in modern tidy-html5, so
+            # the END-tag form never takes this wording.
+            if tag == "p" and stack:
+                j = len(stack) - 1
+                while j >= 0 and stack[j][0] in _INLINE_REQUIRED_END:
+                    j -= 1
+                ctx = stack[j][0] if j >= 0 else None
+                if ctx == "pre" or ctx == "dt":
+                    if ctx == "pre" and j == len(stack) - 1:
+                        parse_time.append(
+                            (m.start(), 0, "using <br> in place of <p>")
+                        )
+                    for fr in stack:
+                        fr[4] = True  # the coerced <br> is content
+                    continue
             if tag in _BLOCK_TRIGGERS:
                 while stack:
                     top = stack[-1][0]

@@ -10,19 +10,19 @@ Scale notes (the reason each query is shaped the way it is):
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
-- **stratified sample** (q029): rank-within-stratum over a portable hash →
+- **stratified sample** (q153): rank-within-stratum over a portable hash →
   one shuffle on the stratum key. A mega-stratum (one language = 40 % of
   the corpus) makes that window a hot partition; the fix at scale is the
-  q012 distributed-prefix-sum shape (hash-bucket within stratum, offsets
+  q084 distributed-prefix-sum shape (hash-bucket within stratum, offsets
   from the per-bucket summary). At driver SF the direct window is right.
-- **winsorize** (q030): exact per-group percentiles are a two-phase
+- **winsorize** (q164): exact per-group percentiles are a two-phase
   ObjectHashAggregate; the ~|groups| bounds table re-joins as a broadcast,
   so the fact side never shuffles for the clamp pass.
-- **corpus shard** (q031): shard = hash % N gives uniform partitions by
+- **corpus shard** (q165): shard = hash % N gives uniform partitions by
   construction; position = row_number PARTITIONED BY shard, so no global
   single-partition sort anywhere (the classic mistake is
   row_number() OVER (ORDER BY hash) — one reducer for the whole corpus).
-- **skyline** (q033): dominance is checked per hash-bucket first (local
+- **skyline** (q167): dominance is checked per hash-bucket first (local
   skyline), and only the surviving points — O(skyline) ≪ n — enter the
   global pass, so the unpartitioned window touches a tiny set. The naive
   all-pairs NOT EXISTS (which the DuckDB oracle deliberately uses as an
@@ -120,7 +120,7 @@ def q174_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q029_stratified_sample",
+    "q153_stratified_sample",
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, lang,
@@ -135,13 +135,13 @@ SELECT doc_id, lang, rk FROM ranked WHERE rk <= CAST(CEIL(n * 0.2) AS BIGINT)
 """,
     tags=("curation", "sampling", "window"),
 )
-def q029_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q153_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 20 % stratified sample per language: rank docs inside each
     stratum by a portable md5-derived hash (reproducible across engines and
     runs — .sample() is not) and keep rk <= ceil(0.2 * |stratum|).
 
     One shuffle, on the stratum key. For a mega-stratum the window becomes
-    a hot partition; the scale-out fix is the q012 distributed-prefix-sum
+    a hot partition; the scale-out fix is the q084 distributed-prefix-sum
     shape (hash-bucket within stratum, per-bucket offsets). At driver SF
     the direct window is the right plan.
     """
@@ -163,7 +163,7 @@ def q029_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q030_winsorize",
+    "q164_winsorize",
     oracle="""
 WITH bounds AS (
   SELECT source,
@@ -184,7 +184,7 @@ ORDER BY d.source
 """,
     tags=("curation", "percentile", "aggregate"),
 )
-def q030_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q164_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize document lengths per source at exact p05/p95: clamp
     outliers to the percentile bounds and report clip counts + the
     winsorized mean.
@@ -231,7 +231,7 @@ N_SHARDS = 8
 
 
 @query(
-    "q031_corpus_shard",
+    "q165_corpus_shard",
     oracle=f"""
 WITH hashed AS (
   SELECT doc_id, {md5_int_sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents
@@ -243,7 +243,7 @@ FROM hashed
 """,
     tags=("curation", "shuffle", "window"),
 )
-def q031_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q165_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + shard assignment: every doc lands in
     shard = hash % N with a reproducible position inside its shard — the
     write-side layout step before training-data export.
@@ -266,7 +266,7 @@ def q031_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q032_nullsafe_join",
+    "q166_nullsafe_join",
     oracle="""
 WITH a AS (
   SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
@@ -283,7 +283,7 @@ GROUP BY 1
 """,
     tags=("curation", "join", "null"),
 )
-def q032_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q166_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
     match each other instead of vanishing — the semantics MERGE/dedup
     pipelines need when the join key is nullable.
@@ -326,7 +326,7 @@ WHERE cnt >= 0.005 * total
 def q078_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q001/q137 surface).
+    pipeline (the sketch-based approximate twin is the q051/q137 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -376,7 +376,7 @@ def _skyline_pass(df: DataFrame, partition_cols: list[str]) -> DataFrame:
 
 
 @query(
-    "q033_skyline_docs",
+    "q167_skyline_docs",
     oracle="""
 WITH pts AS (
   SELECT doc_id, n_chars AS x,
@@ -391,7 +391,7 @@ WHERE NOT EXISTS (
 """,
     tags=("curation", "skyline", "window"),
 )
-def q033_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q167_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) of documents over (length, vocabulary
     richness): docs where no other doc is ≥ on both axes and > on one —
     the multi-criteria "keep the best exemplars" selection step.
@@ -423,7 +423,7 @@ CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
 
 
 @query(
-    "q117_concat_chunk_blocks",
+    "q016_concat_chunk_blocks",
     oracle=f"""
 WITH wcs AS (
   SELECT doc_id, len(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS wc FROM documents
@@ -452,7 +452,7 @@ FROM blocks GROUP BY block_id
 """,
     tags=("curation", "packing", "prefix-sum"),
 )
-def q117_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
     CROSS document boundaries (the complement of q146's pack-without-
@@ -460,11 +460,11 @@ def q117_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (== 512 for every interior block).
 
     The global token offset of each doc is a distributed prefix-sum (the
-    q012 shape): per-bucket totals → bucket offsets via a window over the
+    q084 shape): per-bucket totals → bucket offsets via a window over the
     ~|buckets| summary only → within-bucket cumsum PARTITIONED BY bucket.
     No unpartitioned window ever touches the corpus. Doc→block assignment
     explodes each doc into only the blocks it overlaps (interval→bin, the
-    q014 pattern), then one groupBy on the uniform block key.
+    q092 pattern), then one groupBy on the uniform block key.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wcs = docs.select(
@@ -551,11 +551,11 @@ FROM f, {last}
 
 
 @query(
-    "q037_perceptron_train",
+    "q172_perceptron_train",
     oracle=_pct_oracle(),
     tags=("curation", "ml", "training"),
 )
-def q037_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q172_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed supervised training: 3 rounds of BATCH perceptron over
     integer document features (bias, token count, distinct tokens,
     n_chars/10) with labels from the language rule. The batch gradient
@@ -963,7 +963,7 @@ def q070_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     below runs on the ~|domains|-row aggregate: the unpartitioned
     ROW_NUMBER/prefix-sum windows and the 1-row cut aggregate broadcast
     back (BNLJ of a single row) never touch the fact table — the
-    q107/q012 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
+    q107/q084 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
     domain count is thousands at most; the corpus contributes exactly
     one partial-aggregated scan."""
     from warcraider_spark.functions.textfn import word_count
@@ -1147,7 +1147,7 @@ def q072_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift cross-engine. Plan: map-side score (no shuffle — distinct
     counts come from the token array per row), then ONE shuffle on the
     domain key for the ranking window; partitioned by source, so at
-    100 TB each domain ranks independently — the q029 stratified-sample
+    100 TB each domain ranks independently — the q153 stratified-sample
     shape with a computed ordering key."""
     from warcraider_spark.functions.textfn import tokens
 
@@ -1226,7 +1226,7 @@ def q069_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the q070 water-fill allocation: select the actual documents
     that fill each domain's token budget. Documents are consumed in
     portable-hash order (reproducible across engines and runs — the
-    q029 idiom) with a per-domain running token sum, keeping every
+    q153 idiom) with a per-domain running token sum, keeping every
     document whose cumulative count fits the domain's allocation — the
     greedy budget fill a mixture executor performs after the planner
     (q070) decides the per-domain shares. Recomputes the closed-form
@@ -1241,8 +1241,8 @@ def q069_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned by source, never global), then a broadcast join of the
     ~|domains|-row allocation table. At 100 TB: the fact table shuffles
     exactly once, on a key with |domains| distinct values — for a
-    pathological single mega-domain the q012 bucket-prefix-sum shape is
-    the documented escalation, same as q029's."""
+    pathological single mega-domain the q084 bucket-prefix-sum shape is
+    the documented escalation, same as q153's."""
     from warcraider_spark.functions.textfn import md5_int, word_count
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1293,7 +1293,7 @@ PACK_CAP = 2048  # context-window length for the packing stage
 
 
 @query(
-    "q050_mixture_pipeline_e2e",
+    "q187_mixture_pipeline_e2e",
     oracle=f"""
 WITH wc AS (
   SELECT doc_id, source, CAST({{WORD_COUNT_SQL}} AS BIGINT) AS toks
@@ -1392,7 +1392,7 @@ ORDER BY source, cum, doc_id
     bench=True,
     min_rows=1,
 )
-def q050_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q187_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-mixture pipeline, declared as ONE lazy plan
     (VERDICT r10 #6): per-domain quality gate (q072's integer ttr top-30%)
     -> integer water-fill of the global token budget over the GATED pool

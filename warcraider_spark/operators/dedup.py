@@ -432,7 +432,7 @@ def q119_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q169_containment_dedup",
+    "q035_containment_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -461,7 +461,7 @@ ORDER BY contained_doc, container_doc
     tags=("dedup", "containment", "training-pipeline"),
     bench=True,
 )
-def q169_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-CONTAINMENT dedup (r8): C(A, B) = |S(A) ∩ S(B)|
     / |S(A)| over the smaller shingle set — the near-superset detector
     Jaccard structurally misses (an article quoted inside a much longer
@@ -737,7 +737,7 @@ def q123_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q005_benchmark_contamination",
+    "q055_benchmark_contamination",
     oracle=f"""
 WITH bench AS (
   SELECT DISTINCT unnest({shingles_sql("toks", 5)}) AS shingle
@@ -757,7 +757,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "contamination", "pipeline"),
 )
-def q005_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q055_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     5-gram with a held-out benchmark set (here: doc_id < 10 stands in for
     the eval suite) — the standard n-gram contamination check run before
@@ -993,7 +993,7 @@ def _bands_sql_for(sig: str) -> str:
 
 
 @query(
-    "q013_incremental_dedup",
+    "q085_incremental_dedup",
     oracle=f"""
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS ({_INC_SQL}),
@@ -1026,7 +1026,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "incremental", "training-pipeline"),
 )
-def q013_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q085_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: classify an incoming batch (exact copies, head-
     truncated near copies, token-reversed genuinely-new docs) against the
     base corpus as exact_dup / near_dup / new, with the minimum matching
@@ -1095,7 +1095,7 @@ def q013_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q015_span_excision",
+    "q114_span_excision",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
@@ -1137,7 +1137,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q015_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q114_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup APPLY stage: excise the q149 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
@@ -1197,7 +1197,7 @@ LINE_K = 8  # tokens per "line" (the corpus has no punctuation; fixed-width
 
 
 @query(
-    "q034_line_dedup",
+    "q168_line_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
 tokd AS (
@@ -1225,7 +1225,7 @@ GROUP BY l.doc_id
     tags=("dedup", "line"),
     bench=True,
 )
-def q034_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q168_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level dedup (the CCNet/RefinedWeb pipeline stage): drop every
     line that appears in MORE THAN ONE document, reassemble each doc from
     its surviving lines in original order, and report kept/dropped counts
@@ -1308,16 +1308,16 @@ ORDER BY doc_id
     min_rows=1,
 )
 def q124_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination-RATE decontamination, completing q005's flag.
+    """Contamination-RATE decontamination, completing q055's flag.
 
-    q005 answers "does this doc share any benchmark n-gram?" (inner
+    q055 answers "does this doc share any benchmark n-gram?" (inner
     join, binary drop list). The standard pipeline also needs the
     fraction-based rule (cf. GPT-3 App. C's 13-gram rule and PaLM §6.5,
     which drop on overlap FRACTION, not presence): this query reports,
     per training doc, total distinct grams, grams also present in the
     eval set, and the contamination rate in milli-units, thresholded at
     K=3 shared grams (3-token shingles; K and n scaled to the corpus).
-    That needs a different plan than q005: a LEFT join so misses still
+    That needs a different plan than q055: a LEFT join so misses still
     count toward the denominator, with total and overlap folded into ONE
     aggregation pass instead of a count-join-count re-scan.
 
@@ -1448,7 +1448,7 @@ def q125_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the base is scanned ONCE to build a constant-size
     filter; the incoming batch never joins the base at all (the exact
     label join here exists only to audit the filter's verdict). This is
-    the cheap pre-screen in front of q013's broadcast-key incremental
+    the cheap pre-screen in front of q085's broadcast-key incremental
     dedup — the filter rejects the overwhelmingly-new majority map-side,
     and only "maybe" docs proceed to exact verification."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1762,10 +1762,10 @@ def _cdc_cuts_arrow_udf():
 def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, chunk_idx, chunk): the CDC
     chunker; chunk_idx is the 1-based in-doc position so consumers can
-    reassemble (q020 excision). Exposed for the shift-resistance
+    reassemble (q130 excision). Exposed for the shift-resistance
     property test and for composition.
 
-    Two equivalent cut computations (see q021_cdc_chunk_dedup for
+    Two equivalent cut computations (see q136_cdc_chunk_dedup for
     constants and the scale argument): the default Arrow/numpy rolling
     hash (``_cdc_cuts_arrow_udf``), and the pure-Catalyst array
     expression (``vectorized=False``) kept as the no-Python oracle-
@@ -1826,7 +1826,7 @@ def cdc_chunks(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
 
 
 @query(
-    "q021_cdc_chunk_dedup",
+    "q136_cdc_chunk_dedup",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1871,7 +1871,7 @@ ORDER BY n_occurrences DESC, chunk_hash
     bench=True,
     min_rows=1,
 )
-def q021_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q136_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the shift-resistant dedup
     primitive (rsync/LBFS lineage; the CDC stage of modern
     training-data dedup pipelines): chunk boundaries are placed where a
@@ -1880,7 +1880,7 @@ def q021_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document RE-ALIGNS every later chunk — fixed-stride chunking (q126)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
-    recur, in how many docs) — the unit a span-excision pass (q015)
+    recur, in how many docs) — the unit a span-excision pass (q114)
     or a storage dedup layer consumes.
 
     Integer-exact cross-engine: char codes from a [a-z0-9 ]-normalized
@@ -1915,7 +1915,7 @@ def q021_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q020_cdc_excision",
+    "q130_cdc_excision",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS s
@@ -1961,19 +1961,19 @@ FROM kp GROUP BY doc_id ORDER BY doc_id
     tags=("dedup", "cdc", "excision", "training-pipeline"),
     min_rows=10,
 )
-def q020_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level boilerplate excision — the ACTIONABLE half of q021:
+def q130_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate excision — the ACTIONABLE half of q136:
     every chunk keeps only its globally-first occurrence (ordered by
     doc_id, then in-doc position — unique, so both engines pick the
     identical keeper), later occurrences are excised, and each document
     is reassembled from its surviving chunks in order. This is the
-    CDC-based form of the span-excision pass (q015) a training-data
+    CDC-based form of the span-excision pass (q114) a training-data
     pipeline runs to strip cross-document boilerplate — headers,
-    navigation, license blocks — without q015's fixed gram width, and
-    shift-resistant per q021's docstring. clean_md5 certifies the
+    navigation, license blocks — without q114's fixed gram width, and
+    shift-resistant per q136's docstring. clean_md5 certifies the
     reassembled text byte-for-byte.
 
-    Scale shape: map-only chunker (q021), then ONE shuffle for the
+    Scale shape: map-only chunker (q136), then ONE shuffle for the
     keeper window — partitionBy(chunk), i.e. the dedup key itself, so
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own

@@ -219,7 +219,7 @@ _CANON_URL_SPARK = r"""
 
 
 @query(
-    "q045_url_canonical_dedup",
+    "q181_url_canonical_dedup",
     oracle=r"""
 WITH base AS (
   SELECT doc_id,
@@ -263,7 +263,7 @@ ORDER BY canonical_url
     tags=("extract", "url", "dedup", "training-pipeline"),
     min_rows=10,
 )
-def q045_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q181_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup — the crawl-frontier
     primitive that precedes every content fetch: scheme and host
     lowercased, trailing host dots stripped, scheme-default ports

@@ -7,7 +7,7 @@ boundary, and per-modality transforms are ``mapInPandas`` stages.
 
 Every codec in this module is REAL, written from the public specs —
 the container has no image/audio codec LIBRARIES (no PIL/ffmpeg), so
-each format is implemented from its specification: q180 binary PPM +
+each format is implemented from its specification: q044 binary PPM +
 PCM WAV (header validation, PCM unpacking), q074 PNG (stdlib zlib —
 signature, CRC-verified chunk walk, IHDR validation, inflate, full
 unfiltering of all five scanline filter types), q115 baseline JPEG
@@ -415,7 +415,7 @@ def q144_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The stub above stands in for libjpeg/ffmpeg. For formats that need no
 # library — binary PPM (P6) and PCM WAV are fully specified public formats
-# parseable with struct — the encode AND decode are real: q180 generates
+# parseable with struct — the encode AND decode are real: q044 generates
 # actual PPM/WAV payloads (deterministic content), ships them through
 # Arrow as binary columns, and the decode stage parses the real headers
 # and computes real content statistics (mean pixel / RMS amplitude) from
@@ -514,7 +514,7 @@ DECODED_SCHEMA = StructType(
 
 
 @query(
-    "q180_media_codec_roundtrip",
+    "q044_media_codec_roundtrip",
     oracle="""
 WITH base AS (
   SELECT doc_id, n_chars,
@@ -534,7 +534,7 @@ FROM base ORDER BY media_id
 """,
     tags=("multimodal", "codec", "mapInPandas"),
 )
-def q180_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip, no stub: an encode mapInPandas stage emits
     genuine binary PPM images / PCM WAV audio (deterministic content:
     constant pixel value / constant amplitude), and the decode stage
@@ -608,7 +608,7 @@ def q180_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q182_image_content_dedup",
+    "q046_image_content_dedup",
     oracle="""
 WITH img AS (SELECT doc_id FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0)
 SELECT CAST(doc_id % 256 AS INT) AS pixel_value,
@@ -621,7 +621,7 @@ ORDER BY pixel_value
 """,
     tags=("multimodal", "dedup", "mapInPandas"),
 )
-def q182_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-resolution image deduplication over REAL decoded pixels: the
     encode stage writes genuine binary PPMs, the decode stage parses them
     and fingerprints the pixel plane (constant-plane value, validated
@@ -873,7 +873,7 @@ def q074_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     every decoded value analytic, so the DuckDB oracle hash-verifies the
     whole encode→Arrow→decode loop, filter coverage included.
 
-    Scale notes: identical to q180 — payload bytes live only between the
+    Scale notes: identical to q044 — payload bytes live only between the
     two map-only Arrow stages and are dropped before the final sort; no
     shuffle ever carries a pixel."""
     from warcraider_spark.dist import ensure_package_on_executors
@@ -1224,7 +1224,7 @@ def q115_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     general AC/run-length paths are exercised by tests/test_media_codecs
     on random content with a unit quant table.
 
-    Scale notes: same as q074/q180 — payload bytes exist only between
+    Scale notes: same as q074/q044 — payload bytes exist only between
     the two map-only Arrow stages; no shuffle ever carries a pixel."""
     from warcraider_spark.dist import ensure_package_on_executors
 
@@ -1504,7 +1504,7 @@ PJ_DRI = 32  # restart interval -> 24 independently-decodable segments
 
 
 @query(
-    "q136_parallel_jpeg_decode",
+    "q021_parallel_jpeg_decode",
     oracle=f"""
 WITH p AS (SELECT CAST(COUNT(*) % 256 AS BIGINT) AS seed FROM documents),
 segs AS (SELECT unnest(generate_series(0, {PJ_WB * PJ_HB // PJ_DRI - 1})) AS seg_idx),
@@ -1530,7 +1530,7 @@ FROM px ORDER BY seg_idx
     bench=True,
     min_rows=2,
 )
-def q136_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARALLEL decode of ONE JPEG across executors via restart markers —
     the shape that matters when a single object is huge: a DRI/RSTn
     baseline stream (T.81 B.2.4.4/E.2.4, functions/jpeg.py round 4)

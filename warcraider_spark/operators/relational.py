@@ -38,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q075_pricing_summary",
+    "q009_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), {RD}) AS sum_qty,
@@ -57,7 +57,7 @@ ORDER BY l_returnflag, l_linestatus
     tags=("agg",),
     bench=True,
 )
-def q075_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the flagship aggregate.
 
     Scale: filter pushed to parquet scan; partial agg map-side → one shuffle
@@ -82,7 +82,7 @@ def q075_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q016_agg_distinct",
+    "q117_agg_distinct",
     oracle=f"""
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -95,7 +95,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg",),
 )
-def q016_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) + min/max per group (expand + two-phase agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -111,7 +111,7 @@ def q016_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q079_rollup",
+    "q010_rollup",
     oracle=f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -123,7 +123,7 @@ ORDER BY returnflag, linestatus
 """,
     tags=("agg", "rollup"),
 )
-def q079_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (Expand operator feeding hash agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -140,7 +140,7 @@ def q079_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_cube",
+    "q120_cube",
     oracle=f"""
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
@@ -152,7 +152,7 @@ ORDER BY orderstatus, orderpriority
 """,
     tags=("agg", "cube"),
 )
-def q017_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q120_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions."""
     return (
         _t(spark, sf_dir, "orders")
@@ -174,7 +174,7 @@ def q017_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q081_star_join_revenue",
+    "q011_star_join_revenue",
     oracle=f"""
 SELECT n_name, r_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
@@ -190,7 +190,7 @@ ORDER BY revenue DESC, n_name
     tags=("join", "agg"),
     bench=True,
 )
-def q081_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join → revenue per nation/region (TPC-H Q5 shape).
 
     Scale: customer/nation/region are broadcast (dims); lineitem⋈orders is
@@ -217,7 +217,7 @@ def q081_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q018_left_join_agg",
+    "q122_left_join_agg",
     oracle=f"""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
@@ -229,7 +229,7 @@ ORDER BY c_custkey
 """,
     tags=("join", "agg"),
 )
-def q018_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q122_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with zero orders."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
@@ -245,7 +245,7 @@ def q018_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q019_semi_anti",
+    "q128_semi_anti",
     oracle="""
 SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -256,7 +256,7 @@ ORDER BY bucket
 """,
     tags=("join", "semi", "anti"),
 )
-def q019_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q128_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti join (the blacklist-filter shape at scale,
     SURVEY §2.2: broadcast anti-join replaces the reference's in-memory
     blacklist scan, /root/reference/src/blacklist.rs:52-57)."""
@@ -272,7 +272,7 @@ def q019_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q084_full_outer",
+    "q012_full_outer",
     oracle="""
 WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
      c AS (SELECT DISTINCT c_nationkey FROM customer)
@@ -284,7 +284,7 @@ ORDER BY supp_nation, cust_nation
 """,
     tags=("join",),
 )
-def q084_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join on nation membership of suppliers vs customers."""
     s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
     c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
@@ -300,7 +300,7 @@ def q084_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q085_range_join",
+    "q013_range_join",
     oracle=f"""
 SELECT p_brand,
        COUNT(*) AS n_matches,
@@ -313,7 +313,7 @@ ORDER BY p_brand
 """,
     tags=("join", "range"),
 )
-def q085_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi+range (theta) join: equi key keeps it hash-joinable, the range
     predicate becomes a post-join filter — NOT a nested-loop at scale."""
     li = _t(spark, sf_dir, "lineitem")
@@ -337,7 +337,7 @@ def q085_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q185_topk_per_group",
+    "q048_topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -351,7 +351,7 @@ ORDER BY o_custkey, rn
     tags=("window", "topk"),
     bench=True,
 )
-def q185_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via row_number window.
 
     Scale: one shuffle on o_custkey, sort within partitions only. The
@@ -367,7 +367,7 @@ def q185_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q186_window_analytics",
+    "q049_window_analytics",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -383,7 +383,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q186_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/rank/ntile/running-sum analytic windows."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
@@ -407,7 +407,7 @@ def q186_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q187_global_topk",
+    "q050_global_topk",
     oracle=f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {RD}) AS price
 FROM orders
@@ -416,7 +416,7 @@ LIMIT 25
 """,
     tags=("sort", "topk"),
 )
-def q187_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
     (per-partition heap + merge of k, no full sort at scale)."""
     return (
@@ -433,7 +433,7 @@ def q187_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q164_set_ops",
+    "q030_set_ops",
     oracle="""
 WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
      auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
@@ -446,7 +446,7 @@ ORDER BY op
 """,
     tags=("setop",),
 )
-def q164_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except over customer splits."""
     cu = _t(spark, sf_dir, "customer")
     hi = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -469,7 +469,7 @@ def q164_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q165_string_funcs",
+    "q031_string_funcs",
     oracle="""
 SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
@@ -486,7 +486,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q165_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar family (upper/lower/length/substring/concat/replace/
     trim/contains/split)."""
     return (
@@ -508,7 +508,7 @@ def q165_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q166_regexp_funcs",
+    "q032_regexp_funcs",
     oracle="""
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
@@ -519,7 +519,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "regex"),
 )
-def q166_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family — the substrate for the reference's extraction
     regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
     return (
@@ -644,7 +644,7 @@ def q061_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q170_array_funcs",
+    "q036_array_funcs",
     oracle=f"""
 SELECT vec_id,
        len(embedding) AS dim,
@@ -657,7 +657,7 @@ ORDER BY vec_id
 """,
     tags=("scalar", "array"),
 )
-def q170_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (size/aggregate/transform/element_at) —
     the substrate for the reference's links/resource_urls array ops
     (SURVEY §2.5) and for embedding math.
@@ -713,7 +713,7 @@ def q095_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q173_json_funcs",
+    "q038_json_funcs",
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -724,7 +724,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q173_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (the meta_tags/headers
     serialization shape, SURVEY §2.11)."""
     ev = _t(spark, sf_dir, "events")
@@ -740,7 +740,7 @@ def q173_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q175_map_funcs",
+    "q039_map_funcs",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -753,7 +753,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map", "json"),
 )
-def q175_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → MapType → element_at lookup, aggregated.
 
     Exercises MapType the way the reference uses headers/meta_tags maps
@@ -776,7 +776,7 @@ def q175_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q177_conditional_funcs",
+    "q041_conditional_funcs",
     oracle=f"""
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
@@ -790,7 +790,7 @@ ORDER BY size_bucket, o_orderstatus
 """,
     tags=("scalar", "conditional", "agg"),
 )
-def q177_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing (the oversize-guard conditional shape,
     /root/reference/src/main.rs:376-381)."""
     od = _t(spark, sf_dir, "orders")
@@ -808,7 +808,7 @@ def q177_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q178_exists_subquery",
+    "q042_exists_subquery",
     oracle=f"""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -820,7 +820,7 @@ ORDER BY o_orderpriority
 """,
     tags=("join", "subquery"),
 )
-def q178_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -836,7 +836,7 @@ def q178_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q114_having_avg_subquery",
+    "q015_having_avg_subquery",
     oracle=f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
@@ -848,7 +848,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "subquery"),
 )
-def q114_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING with uncorrelated scalar subquery (TPC-H Q11/Q22 shape)."""
     cu = _t(spark, sf_dir, "customer")
     threshold = cu.agg((F.avg("c_acctbal") * 0.8).alias("t"))
@@ -865,7 +865,7 @@ def q114_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q051_distinct_dropdups",
+    "q001_distinct_dropdups",
     oracle="""
 SELECT l_returnflag, l_linestatus
 FROM lineitem
@@ -874,7 +874,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
     tags=("distinct",),
 )
-def q051_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (dropDuplicates) — partial-agg dedups map-side
     before the shuffle, so distinct on low-cardinality keys is cheap at
     any scale."""
@@ -887,7 +887,7 @@ def q051_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q120_approx_distinct",
+    "q017_approx_distinct",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -896,7 +896,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx"),
 )
-def q120_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     COUNT(DISTINCT): one pass, fixed memory, no expand.
 
@@ -907,7 +907,7 @@ def q120_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, so `within_5pct` (a 5σ envelope of the published
     relative standard deviation) is a stable TRUE the oracle pins as a
     literal, alongside the exact distinct counts. The sketch stays the
-    hot path; q016 carries the exact-COUNT(DISTINCT) burden."""
+    hot path; q117 carries the exact-COUNT(DISTINCT) burden."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -928,7 +928,7 @@ def q120_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q122_grouping_sets",
+    "q018_grouping_sets",
     oracle=f"""
 SELECT COALESCE(n_name, 'ALL') AS nation,
        COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -940,7 +940,7 @@ ORDER BY nation, segment
 """,
     tags=("agg", "rollup"),
 )
-def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (Spark side uses spark.sql for exact parity)."""
     cu = _t(spark, sf_dir, "customer")
     na = _t(spark, sf_dir, "nation")
@@ -960,7 +960,7 @@ def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q052_union_all_types",
+    "q002_union_all_types",
     oracle="""
 SELECT kind, key_val, COUNT(*) AS n FROM (
   SELECT 'customer' AS kind, c_nationkey AS key_val FROM customer
@@ -972,7 +972,7 @@ ORDER BY kind, key_val
 """,
     tags=("setop", "agg"),
 )
-def q052_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of differently-shaped relations normalized to one schema."""
     cu = _t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("key_val"))
     su = _t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("key_val"))
@@ -980,7 +980,7 @@ def q052_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q053_self_join_graph",
+    "q003_self_join_graph",
     oracle=f"""
 SELECT a.o_custkey AS custkey,
        COUNT(*) AS n_pairs
@@ -993,7 +993,7 @@ LIMIT 100
 """,
     tags=("join", "self"),
 )
-def q053_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join: same-day order pairs per customer — the link-graph
     edge-extraction shape (SURVEY §2.7 self-join row)."""
     od = _t(spark, sf_dir, "orders")
@@ -1224,7 +1224,7 @@ def q067_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q130_array_agg",
+    "q020_array_agg",
     oracle="""
 SELECT c_nationkey,
        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
@@ -1235,7 +1235,7 @@ ORDER BY c_nationkey
 """,
     tags=("agg", "array"),
 )
-def q130_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / array_agg — sorted post-hoc because accumulation
     order is partition-dependent in ANY distributed engine; emitted
     ','-joined because the driver canonicalizer rejects list cells."""
@@ -1306,7 +1306,7 @@ def q068_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_null_semantics",
+    "q186_null_semantics",
     oracle="""
 SELECT o_orderkey,
        NULLIF(o_orderstatus, 'O') AS status_or_null,
@@ -1319,7 +1319,7 @@ LIMIT 1000
 """,
     tags=("scalar", "null"),
 )
-def q049_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q186_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL propagation family: nullif/coalesce/IS DISTINCT FROM — the
     engine encodes the reference's ''-as-missing convention (SURVEY §1.2)
     so these are the boundary operators between the two conventions."""
@@ -1340,7 +1340,7 @@ def q049_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q046_date_family2",
+    "q182_date_family2",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH = CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS _sanity,
@@ -1354,7 +1354,7 @@ LIMIT 1000
 """,
     tags=("scalar", "date"),
 )
-def q046_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q182_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family 2: add_months/last_day/quarter/month-diff.
 
     DuckDB's datediff('month') counts month-boundary crossings like
@@ -1378,7 +1378,7 @@ def q046_date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q047_posexplode",
+    "q183_posexplode",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 50)
 SELECT doc_id, pos, tok
@@ -1390,7 +1390,7 @@ ORDER BY doc_id, pos
 """,
     tags=("explode", "array"),
 )
-def q047_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q183_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST WITH ORDINALITY): token stream with positions —
     the row-expansion primitive under RAKE/shingles/minhash."""
     from warcraider_spark.functions.textfn import tokens
@@ -1403,7 +1403,7 @@ def q047_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q181_setops_all",
+    "q045_setops_all",
     oracle="""
 WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
      b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
@@ -1414,7 +1414,7 @@ ORDER BY op, f
 """,
     tags=("setop",),
 )
-def q181_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
     counting — a different physical plan from the DISTINCT variants)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1430,7 +1430,7 @@ def q181_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q010_range_frame",
+    "q079_range_frame",
     oracle=f"""
 SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -1443,14 +1443,14 @@ ORDER BY o_orderkey
 """,
     tags=("window", "range-frame"),
 )
-def q010_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q079_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): peers within
     ±10000 of the current price per customer.
 
     The windowed sum runs on INTEGER CENTS: engines accumulate sliding
     frames in different orders (segment trees vs running add/subtract),
     so double sums drift past rounding; integer sums are exact and the
-    final division is bit-identical (left unrounded — see q056 note)."""
+    final division is bit-identical (left unrounded — see q006 note)."""
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
     od = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
@@ -1506,7 +1506,7 @@ def q189_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q048_to_json",
+    "q185_to_json",
     oracle="""
 SELECT event_id,
        to_json({'event_type': event_type, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS packed
@@ -1516,7 +1516,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q048_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q185_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_json serialization (the meta_tags/headers export shape): struct →
     canonical JSON string, matched byte-for-byte against DuckDB's to_json."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1530,7 +1530,7 @@ def q048_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q011_first_last_value",
+    "q081_first_last_value",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_order,
@@ -1544,7 +1544,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q011_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q081_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value window functions over full-partition frames."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1600,7 +1600,7 @@ def q109_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q128_promo_revenue",
+    "q019_promo_revenue",
     oracle=f"""
 SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -1612,7 +1612,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """,
     tags=("join", "agg", "tpch"),
 )
-def q128_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share (conditional aggregate
     over a broadcast dim join)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1629,7 +1629,7 @@ def q128_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q142_min_cost_supplier",
+    "q023_min_cost_supplier",
     oracle="""
 WITH costs AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -1648,7 +1648,7 @@ ORDER BY partkey, suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def q142_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-
     minimum join (aggregate-then-rejoin, no correlated subquery needed —
     equality on exact doubles is safe because both sides carry the SAME
@@ -1678,7 +1678,7 @@ def q142_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q147_volume_shipping",
+    "q025_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
@@ -1695,7 +1695,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "agg", "tpch"),
 )
-def q147_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volumes (two aliases of the same
     dim joined on different keys)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1727,7 +1727,7 @@ def q147_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q151_top_customers_quarter",
+    "q027_top_customers_quarter",
     oracle=f"""
 WITH q AS (
   SELECT o_custkey,
@@ -1745,7 +1745,7 @@ ORDER BY yr, qtr, rnk
 """,
     tags=("window", "topk", "agg"),
 )
-def q151_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per quarter: aggregate → window rank — the
     leaderboard shape (agg shuffle reused by the window partition)."""
     od = _t(spark, sf_dir, "orders")
@@ -1782,7 +1782,7 @@ def q129_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-partition sort (VERDICT r8 #3 — this was the one
     scale-killer plan left in the registry).
 
-    Distributed prefix-sum (the q012 shape): bucket by a value PREFIX of
+    Distributed prefix-sum (the q084 shape): bucket by a value PREFIX of
     the sort key (o_totalprice div 2000 — bucket order refines row
     order, deterministic, no sampling), count per bucket (tiny table),
     turn counts into global-rank offsets with a window over the TINY
@@ -1792,7 +1792,7 @@ def q129_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(10)'s first-(n%10)-buckets-get-one-extra split, so the NTILE
     oracle stays exact. Severely lumpy value distributions would skew a
     fixed-width bucket; the scale escalation is approx_percentile
-    pre-bucketing (q063/q120), with AQE skew-split covering the middle
+    pre-bucketing (q063/q017), with AQE skew-split covering the middle
     ground."""
     return decile_distribution_table(_t(spark, sf_dir, "orders"))
 
@@ -1847,7 +1847,7 @@ def decile_distribution_table(od: DataFrame) -> DataFrame:
 
 
 @query(
-    "q176_approx_quantiles",
+    "q040_approx_quantiles",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1857,7 +1857,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx", "quantile"),
 )
-def q176_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the 100 TB answer
     to median/p95: one pass, fixed memory, mergeable across partitions,
     no global sort.
@@ -1911,9 +1911,9 @@ def q176_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q176's sketch pass, factored so tests can tighten the screw: per
+    """q040's sketch pass, factored so tests can tighten the screw: per
     l_returnflag, the GK approx [p50, p95] (`ap`), the EXACT interpolated
-    [p50, p95] (`exact` — unused by q176 itself, Catalyst prunes it from
+    [p50, p95] (`exact` — unused by q040 itself, Catalyst prunes it from
     the query's physical plan), and the exact row count."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1926,7 +1926,7 @@ def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q152_asof_join",
+    "q028_asof_join",
     oracle="""
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -1945,7 +1945,7 @@ ORDER BY c.event_id
 """,
     tags=("join", "asof"),
 )
-def q152_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join — for every click, the same user's most recent
     purchase at-or-before it. Spark has no ASOF JOIN operator, so this is
     the scale-correct composition: tag both sides, UNION, one window
@@ -2029,7 +2029,7 @@ def q110_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
     scale (single parse, no per-access string re-parse the way chained
-    get_json_object does; q173 covers the classic functions)."""
+    get_json_object does; q038 covers the classic functions)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
@@ -2068,7 +2068,7 @@ def q155_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated seconds: events carry fractional-second timestamps, and
     second-truncation (Spark unix_timestamp) vs exact epoch (DuckDB)
     silently disagrees on boundary pairs ~1 hour apart. One shuffle on
-    user_id; frame state is a two-pointer scan. q010 covers numeric RANGE
+    user_id; frame state is a two-pointer scan. q079 covers numeric RANGE
     frames; this is the event-time form (trailing hour = (t-1h, t]).
     """
     ev = load_table(spark, sf_dir, "events")
@@ -2089,7 +2089,7 @@ def q155_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q153_rank_distribution",
+    "q029_rank_distribution",
     oracle="""
 SELECT o_custkey,
        o_orderkey,
@@ -2102,9 +2102,9 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window", "rank"),
 )
-def q153_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / quartile per customer — the remaining
-    ranking-family windows (q186 covers lag/lead/rank/ntile/running-sum).
+    ranking-family windows (q049 covers lag/lead/rank/ntile/running-sum).
     Both are exact rational values of integer rank counts, so the raw
     doubles hash-match across engines with no rounding."""
     od = _t(spark, sf_dir, "orders")
@@ -2122,7 +2122,7 @@ def q153_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q003_variant_nested_paths",
+    "q053_variant_nested_paths",
     oracle="""
 WITH j AS (
   SELECT event_id,
@@ -2142,7 +2142,7 @@ FROM j ORDER BY event_id
 """,
     tags=("json", "variant"),
 )
-def q003_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q053_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep VARIANT path surface (Spark 4), beyond q110's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
@@ -2230,7 +2230,7 @@ def q073_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_unpivot_measures",
+    "q075_unpivot_measures",
     oracle="""
 SELECT l_orderkey, l_linenumber, measure, ROUND(val, 6) + 0.0 AS val
 FROM (
@@ -2246,7 +2246,7 @@ ORDER BY l_orderkey, l_linenumber, measure
 """,
     tags=("relational", "unpivot"),
 )
-def q009_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q075_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of the lineitem measures — the inverse of
     q064's pivot and the normalization step feeding generic metric
     pipelines. Narrow-to-long is a per-row Generate (no shuffle, no UDF);
@@ -2286,7 +2286,7 @@ _IVL_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
 
 
 @query(
-    "q014_interval_bin_join",
+    "q092_interval_bin_join",
     oracle=f"""
 WITH ivl AS (
   SELECT i AS interval_id,
@@ -2312,7 +2312,7 @@ ORDER BY interval_id
 """,
     tags=("join", "interval", "binned"),
 )
-def q014_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q092_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure interval join (no equi key): events against 100 variable-length
     [lo, hi) windows, aggregated per window. The naive plan is a
     BroadcastNestedLoopJoin — O(events × intervals) comparisons, a 100 TB
@@ -2390,7 +2390,7 @@ def _interleave_sql(xb: str, yb: str) -> str:
 
 
 @query(
-    "q148_zorder_layout",
+    "q026_zorder_layout",
     oracle=f"""
 WITH mx AS (
   SELECT MAX(l_partkey) AS xmax, MAX(l_suppkey) AS ymax FROM lineitem
@@ -2411,7 +2411,7 @@ ORDER BY file_id
 """,
     tags=("layout", "zorder"),
 )
-def q148_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout: bucket two independent columns
     to {_Z_BITS}-bit ranks, interleave the bits into a space-filling-curve
     key, range-partition rows into 'files' by curve position, and emit
@@ -2450,7 +2450,7 @@ def q148_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q143_key_skew_profile",
+    "q024_key_skew_profile",
     oracle="""
 WITH freq AS (
   SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
@@ -2471,7 +2471,7 @@ LIMIT 20
 """,
     tags=("diagnostics", "skew"),
 )
-def q143_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler — the diagnostic you run BEFORE choosing a
     join strategy at 100 TB: the 20 heaviest values of a prospective
     shuffle key with absolute count, corpus share (ppm), and
@@ -2510,7 +2510,7 @@ _SCD2_OPEN_US = 253_402_214_400_000_000  # 9999-12-31, the open-interval sentine
 
 
 @query(
-    "q026_scd2_intervals",
+    "q148_scd2_intervals",
     oracle=f"""
 WITH log AS (
   SELECT user_id, event_type AS state, epoch_us(ts) AS us
@@ -2536,13 +2536,13 @@ FROM v ORDER BY user_id, version
 """,
     tags=("relational", "scd2", "window"),
 )
-def q026_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q148_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2 slowly-changing-dimension) build: compress a change
     log into versioned validity intervals — consecutive rows with an
     unchanged state collapse (only CHANGES open a new version), each
     version spans [its change, the next change), and the current version
     closes at the 9999-12-31 sentinel (kept non-null so the interval
-    columns stay int64). The output is what an as-of join (q152) probes.
+    columns stay int64). The output is what an as-of join (q028) probes.
 
     Scale shape: ONE shuffle on the entity key serves all three window
     passes (lag-dedup, lead-close, version numbering share the same
@@ -2580,7 +2580,7 @@ def q026_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_lateral_topk",
+    "q152_lateral_topk",
     oracle="""
 SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
 FROM customer c
@@ -2596,10 +2596,10 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 """,
     tags=("sql-text", "join", "lateral", "topk"),
 )
-def q028_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q152_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     "top-2 orders for each customer" shape a SQL-text user writes
-    naturally (the declarative dual of q185's window top-k). Exercises
+    naturally (the declarative dual of q048's window top-k). Exercises
     Catalyst's lateral-join decorrelation: naively this is one subquery
     execution per outer row; Spark rewrites it into a WindowGroupLimit
     (rank-limit pushed BELOW the shuffle as a partial pass, so each map
@@ -2634,7 +2634,7 @@ def q028_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_quantified_subqueries",
+    "q169_quantified_subqueries",
     oracle="""
 SELECT c_mktsegment,
        CAST(SUM(CASE WHEN c_acctbal > ALL (
@@ -2649,7 +2649,7 @@ ORDER BY c_mktsegment
 """,
     tags=("relational", "subquery"),
 )
-def q035_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q169_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified comparison subqueries: per segment, customers whose
     balance beats ALL per-nation averages / trails ANY of them.
 
@@ -2685,7 +2685,7 @@ def q035_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q092_explode_outer",
+    "q014_explode_outer",
     oracle="""
 WITH toks AS (
   SELECT doc_id,
@@ -2700,7 +2700,7 @@ FROM toks
 """,
     tags=("relational", "explode", "null"),
 )
-def q092_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``explode_outer``: rows whose array is empty survive the lateral
     view as a single NULL element instead of vanishing (plain explode
     drops them — silently losing every short document). Counting
@@ -2730,7 +2730,7 @@ def q092_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q036_crosstab",
+    "q170_crosstab",
     oracle="""
 SELECT source AS source_lang,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
@@ -2744,7 +2744,7 @@ ORDER BY source
 """,
     tags=("relational", "stat", "pivot"),
 )
-def q036_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q170_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
     surface (backed by the same two-phase pivot-count plan as
     groupBy().pivot().count()). The oracle is independent conditional
@@ -2773,7 +2773,7 @@ def q036_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q038_order_priority_exists",
+    "q173_order_priority_exists",
     oracle="""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders
@@ -2786,7 +2786,7 @@ ORDER BY o_orderpriority
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q038_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q173_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one line shipped after the
     order date, counted by priority. The correlated EXISTS with a
     NON-equi conjunct (l_shipdate > o_orderdate) decorrelates to a
@@ -2807,7 +2807,7 @@ def q038_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q039_disjunctive_part_join",
+    "q175_disjunctive_part_join",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue
@@ -2818,7 +2818,7 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """,
     tags=("relational", "tpch", "join"),
 )
-def q039_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q175_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: a disjunction of brand/size/quantity envelopes
     over a part⋈lineitem join. The planner must still extract the common
     equi key (l_partkey = p_partkey) and run a hash join with the OR-of-
@@ -2845,7 +2845,7 @@ def q039_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q040_waiting_suppliers",
+    "q176_waiting_suppliers",
     oracle="""
 SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
 FROM supplier
@@ -2866,7 +2866,7 @@ LIMIT 20
 """,
     tags=("relational", "tpch", "subquery"),
 )
-def q040_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q176_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: 'kept waiting' = the sole R-flagged
     supplier in a multi-supplier order): one correlated EXISTS and one
     correlated NOT EXISTS, both with a non-equality conjunct
@@ -2895,7 +2895,7 @@ def q040_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q041_dormant_rich_customers",
+    "q177_dormant_rich_customers",
     oracle="""
 WITH eligible AS (
   SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS VARCHAR) AS cntrycode
@@ -2915,7 +2915,7 @@ ORDER BY cntrycode
     tags=("relational", "tpch", "subquery"),
     min_rows=1,
 )
-def q041_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q177_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (country code derived from custkey — the synthetic
     schema has no phone column): above-average-balance customers in
     selected codes with NO orders. Composition of a scalar aggregate
@@ -2962,7 +2962,7 @@ def q041_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q042_try_functions",
+    "q178_try_functions",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2977,7 +2977,7 @@ ORDER BY o_orderstatus
 """,
     tags=("relational", "ansi", "null"),
 )
-def q042_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q178_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe `try_*` family: division by zero, bad casts, and
     out-of-bounds element access produce NULL instead of failing the job
     — the semantics a 100 TB batch needs (one dirty row must not kill an
@@ -3006,7 +3006,7 @@ def q042_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q043_collated_grouping",
+    "q179_collated_grouping",
     oracle="""
 WITH mixed AS (
   SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
@@ -3020,7 +3020,7 @@ ORDER BY seg_ci
 """,
     tags=("relational", "collation", "spark4"),
 )
-def q043_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q179_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 string collations: case-insensitive grouping via
     ``collate(col, 'UTF8_LCASE')`` — the COLLATION does the bucketing
     (hash and equality are collation-aware all the way through the

@@ -395,7 +395,7 @@ def q100_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming dedup).
 
     Oracle-able by design (VERDICT r2 "next round" #3 — was rows-only):
-    vectors are quantized to integer micros (q024's convention) and the
+    vectors are quantized to integer micros (q143's convention) and the
     emitted columns are exact integer covariance invariants DuckDB can
     replay: n²·diag numerators (diag_num(i) = n·Σxᵢ² − (Σxᵢ)², ≥0 by
     Cauchy–Schwarz), their trace, the max-variance diagonal (smallest dim
@@ -600,7 +600,7 @@ def q192_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_embedding_dim_profile",
+    "q056_embedding_dim_profile",
     oracle="""
 WITH ex AS (
   SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS dim,
@@ -620,7 +620,7 @@ ORDER BY dim
 """,
     tags=("similarity", "profiling", "training-pipeline"),
 )
-def q006_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q056_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension profile of the corpus embedding matrix (count, sum,
     min, max, sum-of-squares) — the statistics pass feeding feature
     normalization, whitening, or PQ codebook training. Values are scaled
@@ -843,7 +843,7 @@ def _pq_assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 @query(
-    "q023_pq_encode",
+    "q142_pq_encode",
     oracle=f"""
 WITH exm AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -860,7 +860,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "ann", "pq", "training-pipeline"),
 )
-def q023_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q142_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the compression half of an IVF-PQ
     index (q098 is the IVF half): the 16-dim embedding splits into two
     8-dim subspaces, each trains a 4-codeword codebook (seeded + one
@@ -919,7 +919,7 @@ def q023_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q024_dim_covariance",
+    "q143_dim_covariance",
     oracle=f"""
 WITH m AS (
   SELECT vec_id,
@@ -946,7 +946,7 @@ ORDER BY dim_i, dim_j
 """,
     tags=("similarity", "stats", "training-pipeline"),
 )
-def q024_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q143_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix (upper triangle) in exact integer
     micros — the one-pass sufficient statistic for whitening / PCA /
     Mahalanobis-style outlier pruning over the corpus embedding matrix:
@@ -1000,7 +1000,7 @@ _SEM_THR_DEN2 = 16
 
 
 @query(
-    "q027_semantic_dedup",
+    "q151_semantic_dedup",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -1043,7 +1043,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "dedup", "kmeans", "training-pipeline"),
 )
-def q027_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q151_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster the corpus embeddings with k-means, then WITHIN each cluster
     drop every vector whose cosine to an earlier (lower-id) member is

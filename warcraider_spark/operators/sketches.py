@@ -8,7 +8,7 @@ sketches support set algebra (union/intersection/difference) on the
 sketches themselves. COUNT(DISTINCT) at scale forces one shuffle of every
 distinct value per re-grouping; sketch columns turn that into kilobytes.
 This replaces the reference's BigQuery-side APPROX_COUNT_DISTINCT analytics
-(SURVEY §2.11 approx-agg family; q120 covers approx_count_distinct itself).
+(SURVEY §2.11 approx-agg family; q017 covers approx_count_distinct itself).
 
 Oracle strategy: below their configured capacity (theta/HLL default
 k=4096 entries / lgK=12) DataSketches estimators are in EXACT mode — the
@@ -77,7 +77,7 @@ def q191_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q001_sketch_theta_setops",
+    "q051_sketch_theta_setops",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events),
      v AS (SELECT DISTINCT k FROM d WHERE event_type = 'view'),
@@ -88,7 +88,7 @@ SELECT (SELECT COUNT(*) FROM (SELECT k FROM v UNION SELECT k FROM p)) AS either_
 """,
     tags=("sketch", "approx", "setops"),
 )
-def q001_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q051_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set algebra on SKETCHES: viewers ∪/∩/∖ purchasers computed
     with theta_union / theta_intersection / theta_difference over two
     pre-built Theta sketches — the raw events are scanned once, then every

@@ -53,7 +53,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 @query(
-    "q054_token_stats",
+    "q004_token_stats",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -73,10 +73,10 @@ ORDER BY doc_id
     tags=("text", "tokens"),
     bench=True,
 )
-def q054_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct count + mean length.
 
-    The BPE-ish subword count variant is q056's token_per_char; this is the
+    The BPE-ish subword count variant is q006's token_per_char; this is the
     reference's exact word_count tokenizer (main.rs:468-471) — Unicode
     split_whitespace as of r11, so empty/whitespace-only docs count 0
     tokens (was 1 under the old trim+split convention).
@@ -112,7 +112,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @query(
-    "q055_lang_id",
+    "q005_lang_id",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -134,7 +134,7 @@ FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
 """,
     tags=("text", "langid"),
 )
-def q055_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token ratio per language, argmax with
     lexicographic tie-break (de<en<es<fr<zh), confusion counts vs label.
     """
@@ -162,7 +162,7 @@ def q055_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q056_quality_score",
+    "q006_quality_score",
     oracle="""
 WITH m AS (
   SELECT doc_id,
@@ -188,7 +188,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def q056_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/word-shape composite with buckets
     (the heuristic-filter stage of a training-data pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -226,7 +226,7 @@ _NORM_SQL = (
 )
 
 @query(
-    "q057_fingerprint",
+    "q007_fingerprint",
     oracle=f"""
 SELECT doc_id,
        md5({_NORM_SQL}) AS fp,
@@ -236,7 +236,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint"),
 )
-def q057_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document fingerprint: md5 of normalized text, plus the portable
     60-bit integer form used by minhash/simhash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -251,7 +251,7 @@ def q057_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q058_shingle_fingerprint",
+    "q008_shingle_fingerprint",
     # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
@@ -266,7 +266,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q058_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
@@ -430,7 +430,7 @@ def q184_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q172_ml_lsh_variants",
+    "q037_ml_lsh_variants",
     oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -452,7 +452,7 @@ ORDER BY metric
 """,
     tags=("dedup", "similarity", "mllib"),
 )
-def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
@@ -512,7 +512,7 @@ def q172_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the source-filtered plan still crashed inside the join while
     # transform() alone passed). Cutting lineage pins the UDF's input to
     # the already-filtered rows; Spark ML docs recommend caching LSH join
-    # inputs anyway (q172 owns build-time jobs: the fits above).
+    # inputs anyway (q037 owns build-time jobs: the fits above).
     feats = cv.transform(toked).localCheckpoint(eager=False)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(feats)
     pairs = (
@@ -917,14 +917,14 @@ ORDER BY doc_id
 
 
 @query(
-    "q167_gopher_repetition",
+    "q033_gopher_repetition",
     oracle=_rep_oracle(),
     tags=("text", "quality", "repetition", "training-pipeline"),
     bench=True,
 )
-def q167_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal suite (Rae et al. 2021 §A1.1 Table A1 —
-    the signals q168's heuristic rules deliberately exclude): duplicate
+    the signals q034's heuristic rules deliberately exclude): duplicate
     line / paragraph fractions (count and character), top-2/3/4-gram
     character fractions, and duplicate-5..10-gram character fractions,
     each with its published threshold as an integer-exact verdict and the
@@ -956,7 +956,7 @@ def q167_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers per doc crossing Arrow, embarrassingly parallel at 100 TB.
 
     The synthetic corpus is single-line (no \\n), so the line/paragraph
-    signals are corpus-vacuous there (like q168's stopword rule) — their
+    signals are corpus-vacuous there (like q034's stopword rule) — their
     both-ways behavior is certified by constructed-data unit tests over
     ``gopher_repetition_table``; the nine n-gram signals discriminate
     strongly on the corpus (small vocabulary, heavy repetition) and
@@ -1217,7 +1217,7 @@ def _rep_signals_arrow(docs: DataFrame) -> DataFrame:
 
 
 def gopher_repetition_table(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
-    """q167's signal computation over an arbitrary (doc_id, text) frame —
+    """q033's signal computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive the corpus-vacuous line/paragraph signals
     both ways on constructed multi-line documents, and so the Arrow
     kernel and the Catalyst fold twin (``vectorized=False``) share the
@@ -1293,7 +1293,7 @@ BPE_ISH_PATTERN = (
 
 
 @query(
-    "q004_bpe_pretokenize",
+    "q054_bpe_pretokenize",
     oracle=f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pretokens,
@@ -1306,7 +1306,7 @@ ORDER BY doc_id
 """,
     tags=("text", "tokens", "bpe"),
 )
-def q004_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q054_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count estimation with a BPE-style pretokenizer regex: the
     unit LLM data budgets are measured in is (sub)tokens, not words.
     regexp_count keeps the whole computation in codegen — one pass over
@@ -1342,7 +1342,7 @@ _DEFAULT_WEIGHT = 300
 
 
 @query(
-    "q179_weighted_mixture",
+    "q043_weighted_mixture",
     oracle=f"""
 WITH w(source_name, keep_permille) AS (
   VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items()))}
@@ -1364,7 +1364,7 @@ ORDER BY source
 """,
     tags=("sampling", "mixture", "pipeline"),
 )
-def q179_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture sampling: each source corpus is
     down-sampled to its recipe weight by hashing the DOCUMENT ID, not by
     rand() — so the sample is reproducible across runs/engines, stable
@@ -1462,7 +1462,7 @@ def q146_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q007_lm_score",
+    "q057_lm_score",
     oracle="""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+') AS t
@@ -1500,7 +1500,7 @@ ORDER BY db.doc_id
 """,
     tags=("text", "quality", "training-pipeline"),
 )
-def q007_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q057_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet/KenLM-style
     perplexity filter of a pretraining pipeline): score every document by
     the corpus's own smoothed bigram model, p(w2|w1) ≈ B(w1,w2)/(U(w1)+V).
@@ -1709,7 +1709,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
 
 
 @query(
-    "q022_bpe_encode",
+    "q141_bpe_encode",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1729,7 +1729,7 @@ ORDER BY cnt DESC, word
 """,
     tags=("text", "bpe", "training-pipeline"),
 )
-def q022_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q141_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE (the apply half of q135): the vocabulary segmented by the
     {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
     resulting token count. Tokenizing a corpus with trained merges is the
@@ -1752,7 +1752,7 @@ def q022_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q012_token_budget_select",
+    "q084_token_budget_select",
     oracle="""
 WITH d AS (
   SELECT doc_id,
@@ -1775,7 +1775,7 @@ ORDER BY score_milli DESC, doc_id
 """,
     tags=("text", "selection", "training-pipeline"),
 )
-def q012_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q084_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: order every
     document by an integer quality score (alphabetic-character ratio in
     micro-units), take documents greedily until 40% of the corpus's
@@ -1837,7 +1837,7 @@ SOURCE_CAP = 30
 
 
 @query(
-    "q141_source_cap",
+    "q022_source_cap",
     oracle=f"""
 WITH d AS (
   SELECT doc_id, source,
@@ -1863,7 +1863,7 @@ ORDER BY source
 """,
     tags=("text", "sampling", "training-pipeline"),
 )
-def q141_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap — the anti-over-representation pass of a
     training mix (no single domain/crawl may contribute more than
     {SOURCE_CAP} docs, best-quality-first): rank docs within source by
@@ -1914,7 +1914,7 @@ IDX_DF_NUM, IDX_DF_DEN = 8, 10
 
 
 @query(
-    "q025_inverted_index",
+    "q147_inverted_index",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
@@ -1942,7 +1942,7 @@ ORDER BY term
 """,
     tags=("text", "index", "training-pipeline"),
 )
-def q025_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q147_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: term → (document frequency, collection
     frequency, serialized posting list of doc:tf:first_position entries) —
     the retrieval-side artifact a corpus pipeline builds next to the
@@ -2032,7 +2032,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "q044_set_containment_join",
+    "q180_set_containment_join",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 q AS (
@@ -2057,7 +2057,7 @@ FROM c GROUP BY qid ORDER BY query_id
     tags=("text", "join", "set-containment", "training-pipeline"),
     min_rows=1,
 )
-def q044_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q180_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-containment join by COUNTING: for each query termset (the 5
     lexicographically-first distinct bigrams of every 100th document),
     find all documents containing EVERY query term — "docs matching all
@@ -2165,7 +2165,7 @@ def q097_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q025/q119 (one stop-term would otherwise put the whole
+    guard as q147/q119 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -2297,7 +2297,7 @@ def q156_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
-    before BPE (complements q135/q004/q022).
+    before BPE (complements q135/q054/q141).
 
     PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
     scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
@@ -2521,7 +2521,7 @@ _GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
 
 
 @query(
-    "q168_gopher_rules",
+    "q034_gopher_rules",
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
@@ -2562,10 +2562,10 @@ FROM v ORDER BY doc_id
     tags=("text", "quality", "training-pipeline"),
     bench=True,
 )
-def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
     heuristic set most production LLM pipelines start from) as per-rule
-    verdicts, not a composite score (complements q056's composite): word
+    verdicts, not a composite score (complements q006's composite): word
     count in [50, 100k], mean word length in [3, 10], symbol-to-word
     ratio ('#'/'...') <= 10%, <= 30% of lines ending in ellipsis, <= 90%
     starting with a bullet, >= 80% of words containing an alphabetic
@@ -2578,7 +2578,7 @@ def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n = 0 / no-lines edge cases total without guards.
 
     Scale shape: pure per-row higher-order array expressions — JVM-side
-    but interpreted (HOFs are CodegenFallback, the q167 lesson; cheap
+    but interpreted (HOFs are CodegenFallback, the q033 lesson; cheap
     here because each rule is one O(tokens) pass with trivial lambda
     bodies, measured linear 3.8× at 8× data) — map-only over the
     corpus, no shuffle before the presentation sort; at 100 TB this is
@@ -2595,7 +2595,7 @@ def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gopher_rule_table(docs: DataFrame) -> DataFrame:
-    """q168's rule computation over an arbitrary (doc_id, text) frame —
+    """q034's rule computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive each rule both ways on constructed
     documents (the synthetic corpus never satisfies the stopword rule)."""
     toks = F.filter(tokens("text"), lambda t: t != F.lit(""))

@@ -293,7 +293,7 @@ def q104_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_stream_stream_join",
+    "q052_stream_stream_join",
     oracle="""
 SELECT v.user_id AS user_id,
        v.event_id AS view_id,
@@ -307,7 +307,7 @@ ORDER BY user_id, view_id, purchase_id
 """,
     tags=("streaming", "join", "stream-stream"),
 )
-def q002_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q052_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join run through a REAL structured
     stream (see streaming.windows.replay_attribution_stream): purchases
     matched to any view by the same user within the preceding hour. The
@@ -319,7 +319,7 @@ def q002_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_gapfill_locf",
+    "q058_gapfill_locf",
     oracle=f"""
 WITH b AS (
   SELECT event_type,
@@ -351,7 +351,7 @@ ORDER BY event_type, window_start
 """,
     tags=("window", "gapfill", "timeseries"),
 )
-def q008_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q058_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap filling: densify the hourly per-type rollup to
     a complete time spine, then carry the last observation forward (LOCF)
     into the empty buckets — `was_gap` preserves which rows are real.
@@ -410,7 +410,7 @@ def q008_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q183_rollup_layers",
+    "q047_rollup_layers",
     oracle=f"""
 WITH hourly AS (
   SELECT event_type,
@@ -437,7 +437,7 @@ ORDER BY event_type, month_start
 """,
     tags=("window", "rollup", "timeseries"),
 )
-def q183_rollup_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_rollup_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layered continuous-aggregate rollup (the hypertable pattern):
     event-grain → hourly → daily → monthly, each layer re-aggregating
     ONLY the layer below. count/sum/max are mergeable, so the monthly
