@@ -780,6 +780,34 @@ def test_attr_bytes_path_keyed():
     assert parse_html_py('<a href="java&#115;cript:x()">t</a>')["links"] == []
 
 
+def test_strict_replay_spec_comment_masking():
+    """r12: the strict replay masks comments with SPEC spans — what
+    html5ever consumed (and ammonia stripped) before quick-xml ever saw
+    the page. An unterminated comment therefore hides every later tag
+    from the replay; the abrupt forms close exactly where the spec
+    closes them."""
+    from warcraider_spark.functions.html import strict_parse_ok
+
+    # unterminated comment swallows the unbalanced <div>: cleaned page
+    # is just '<p>x</p>' -> strict
+    assert strict_parse_ok("<p>x</p><!--<div>")
+    # abrupt empty comment CLOSES at '<!-->': the <div> after it is
+    # real and unbalanced -> NOT strict
+    assert not strict_parse_ok("<!--><div>x")
+    assert not strict_parse_ok("<!---><div>x")
+    # a terminated comment masks only its own span
+    assert strict_parse_ok("<!--<div>-->x")
+    assert not strict_parse_ok("<!--ok--><div>x")
+    # '--!>' closes (incorrectly-closed-comment): the following tag is
+    # visible to the replay
+    assert not strict_parse_ok("<!--x--!><div>y")
+    # '-- >' (whitespace between dashes and '>') does NOT close for the
+    # spec: everything after stays masked
+    assert strict_parse_ok("<!--x-- ><div>y")
+    # dash runs: '---->' closes
+    assert not strict_parse_ok("<!--x----><div>y")
+
+
 def test_strict_attr_bytes_fuzz():
     """r12 directed fuzz (VERDICT r11 #1+#3): strict-clean pages dense
     in entity-bearing attribute values and duplicate attributes, with
