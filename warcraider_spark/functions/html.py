@@ -81,6 +81,7 @@ circuits without crossing into Python.
 
 from __future__ import annotations
 
+import bisect
 import re
 from html.parser import HTMLParser
 
@@ -2077,9 +2078,14 @@ def strict_parse_ok(raw_html: str) -> bool:
     # the spec closes them — tidy's '--\\s*>' rule belongs to the tidy
     # leg only (tidy_diagnostics keeps it).
     comment_spans = _spec_comment_spans(raw_html)
+    # spans are sorted and non-overlapping by construction: binary-search
+    # membership so comment-dense pages stay O(tags log comments) in this
+    # per-page Python pass (the UDF hot path runs it on every record)
+    span_starts = [s for s, _ in comment_spans]
 
     def _in_comment(pos: int) -> bool:
-        return any(s <= pos < e for s, e in comment_spans)
+        i = bisect.bisect_right(span_starts, pos) - 1
+        return i >= 0 and pos < comment_spans[i][1]
 
     stack: list[str] = []
     for m in _TAG_RE.finditer(raw_html):
