@@ -231,7 +231,7 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
         "q123_dedup_clusters",
         "q055_benchmark_contamination",
         "q085_incremental_dedup",
-        "q008_shingle_fingerprint",
+        "q193_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -442,7 +442,7 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     names = [
         "q033_gopher_repetition", "q034_gopher_rules", "q159_rake_keywords",
         "q004_token_stats", "q005_lang_id", "q006_quality_score",
-        "q007_fingerprint", "q008_shingle_fingerprint", "q059_word_count_ref",
+        "q007_fingerprint", "q193_shingle_fingerprint", "q059_word_count_ref",
         "q138_repetition_ratio", "q054_bpe_pretokenize", "q190_bigram_udtf",
         "q162_minhash_lsh_pairs", "q184_tfidf", "q126_document_chunking",
         "q168_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",

@@ -2009,3 +2009,111 @@ def q130_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing substring-duplicate pairs (r12 — the cross-document repeated-
+# substring primitive; Schleimer/Wilkerson/Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS selector)
+# ---------------------------------------------------------------------------
+
+# k-gram char length / window of consecutive k-grams / df skew cap. The
+# winnowing guarantee: any substring shared verbatim by two documents of
+# length >= K + W - 1 (27 chars) contains at least one FULL window, whose
+# minimum k-gram is selected in BOTH documents (selection is by value —
+# lexicographic min — so it is position-independent). Detection is
+# therefore exact above that threshold, with only ~2/(W+1) of the k-grams
+# ever leaving the map side.
+WINNOW_K = 20
+WINNOW_W = 8
+WINNOW_DF_CAP = 64
+
+_WINNOW_SEL = (
+    f"array_distinct(transform(sequence(1, length(text)-{WINNOW_K + WINNOW_W - 2}), "
+    f"j -> array_min(transform(sequence(0, {WINNOW_W - 1}), "
+    f"d -> substring(text, j+d, {WINNOW_K})))))"
+)
+
+
+@query(
+    "q008_winnowing_dup_pairs",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text)-{WINNOW_K}+2),
+                        i -> substr(text, i, {WINNOW_K})) AS grams
+  FROM documents
+  WHERE len(text) >= {WINNOW_K}+{WINNOW_W}-1
+),
+fp AS (
+  SELECT DISTINCT doc_id, f
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(grams)-{WINNOW_W}+2),
+                  j -> list_min(grams[j:j+{WINNOW_W}-1]))) AS f
+    FROM g
+  )
+),
+idx AS (
+  SELECT f FROM fp GROUP BY f
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fp a JOIN idx USING (f) JOIN fp b USING (f)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "winnowing", "substring", "fingerprint"),
+    min_rows=1,
+)
+def q008_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-substring duplicate candidates via
+    winnowing fingerprints: per document, the DISTINCT set of
+    per-window minimum k-grams (k=20, w=8 — any shared substring of
+    >= 27 chars is guaranteed detected); an inverted fingerprint index
+    keeps fingerprints shared by 2..64 documents (the df cap bounds
+    both hot-key shuffle skew and the per-fingerprint pair fan-out at
+    C(64,2)); the pair join then counts shared fingerprints and keeps
+    pairs with >= 2 — the plagiarism-detector / exact-substring-dedup
+    candidate stage the line/CDC/MinHash family lacks (those match
+    whole lines, chunk boundaries, or bag-of-shingles similarity; this
+    matches ANY verbatim run above the threshold, position-free).
+
+    100 TB shape: fingerprint selection and the per-document DISTINCT
+    happen entirely INSIDE one higher-order expression (JVM codegen, no
+    Python, no shuffle) — only ~2/(w+1) of the k-grams survive to the
+    explode, and the (doc_id, fp) stream is the only thing shuffled
+    (hash-partitioned on fp, two-sided partial aggregation). The df cap
+    is the same skew guard the containment join uses: a boilerplate
+    fingerprint shared by thousands of pages is dropped before it can
+    form a quadratic pair blow-up or a hot reduce partition. At real
+    scale the k-gram strings would be xxhash64-folded before the
+    shuffle (documented constant-factor variant; the string form keeps
+    the DuckDB oracle engine-portable here — both engines compare
+    strings bytewise).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    fp = docs.select("doc_id", F.explode(F.expr(_WINNOW_SEL)).alias("f"))
+    idx = (
+        fp.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("f")
+    )
+    cand = fp.join(idx, "f")
+    a = cand.select(F.col("f"), F.col("doc_id").alias("doc_a"))
+    b = cand.select(F.col("f"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        # (doc_id, f) is distinct by construction (array_distinct per
+        # doc), so per-pair COUNT(*) == COUNT(DISTINCT f)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -251,7 +251,7 @@ def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q008_shingle_fingerprint",
+    "q193_shingle_fingerprint",
     # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
@@ -266,7 +266,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q008_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q193_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
