@@ -269,6 +269,40 @@ def _q033_simhash_disjoint(spark, sf_dir):
     )
 
 
+def _winnowing_disjoint_variant(spark, sf_dir):
+    """Scale variant of q008_winnowing_dup_pairs with per-replica
+    DISJOINT fingerprint spaces: full-copy replication multiplies every
+    fingerprint's document frequency by K — base-df-2 fingerprints form
+    k² cross-replica pairs (output-bound, the q035/q134 artifact) while
+    base-df>8 fingerprints cross the df cap and vanish. Salting each
+    token with its replica id (every 20-char gram spans a salted token,
+    tokens being far shorter than k) keeps per-replica corpora
+    fingerprint-disjoint, so pair density and output grow LINEARLY and
+    the curve measures the selector + fp-shuffle + pair-join path
+    itself."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.dedup import winnowing_pairs
+    from warcraider_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(
+                    F.lit("r"),
+                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
+                    F.lit("_"),
+                    t,
+                ),
+            ),
+        ).alias("text"),
+    )
+    return winnowing_pairs(docs)
+
+
 def _containment_disjoint_variant(spark, sf_dir):
     """Scale-harness variant of q035_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
@@ -373,6 +407,7 @@ def _q031_decile_scaled(spark, sf_dir):
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
     "q129_decile_distribution[per-replica]": _q031_decile_scaled,
+    "q008_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
     "q035_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,

@@ -2094,9 +2094,15 @@ def q008_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle engine-portable here — both engines compare
     strings bytewise).
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(docs)
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """The winnowing pair pipeline over any (doc_id, text) frame — shared
+    by the registry query and the scale harness's disjoint-replica
+    variant (tools/scale_bench.py)."""
+    docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
     fp = docs.select("doc_id", F.explode(F.expr(_WINNOW_SEL)).alias("f"))
     idx = (
         fp.groupBy("f")
