@@ -817,3 +817,27 @@ def test_mixture_pipeline_runtime_stage_reuse(spark):
     assert "isFinalPlan=true" in final
     reused = final.count("ReusedExchange")
     assert reused >= 4, f"expected >=4 AQE-reused exchanges, got {reused}"
+
+
+def test_winnowing_selector_fused_and_pruned(spark):
+    """q008_winnowing_dup_pairs (r12): the winnowing selector must stay
+    ONE JVM higher-order Generate per scan (no Python, no UDF), the
+    parquet scan must read only doc_id+text with the length filter's
+    null guard pushed, the fingerprint stream must shuffle on f (hash
+    partitioning), and there must be no cartesian product — the pair
+    join is keyed on the fingerprint."""
+    df = all_specs()["q008_winnowing_dup_pairs"].builder(spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # selector fused: explode(array_distinct(transform(...))) in Generate
+    assert "array_distinct(transform(" in plan
+    # scan pruned to the two needed columns
+    scan = plan[plan.index("Scan parquet") :]
+    read = next(l for l in scan.splitlines() if l.startswith("ReadSchema"))
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read
+    # the fingerprint stream is hash-partitioned on f for the df count
+    assert "hashpartitioning(f#" in plan
+    # pair aggregation is two-phase (map-side combine)
+    assert "partial_count" in plan
