@@ -2101,8 +2101,21 @@ def q008_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_pairs(docs: DataFrame) -> DataFrame:
     """The winnowing pair pipeline over any (doc_id, text) frame — shared
     by the registry query and the scale harness's disjoint-replica
-    variant (tools/scale_bench.py)."""
+    variant (tools/scale_bench.py).
+
+    Parallelism guard: the selector amplifies each input row ~|text|-fold
+    in CPU (w substring comparisons per character), so Spark's
+    BYTE-based input splitting undersizes it badly on small dense files
+    (sf0.1's 581 KB documents.parquet is ONE split → the whole corpus
+    selected on one core). When the scan arrives with fewer partitions
+    than the cluster's parallelism, spread the raw (still narrow) rows
+    first — a shuffle of the small input, nothing compared to the
+    selection work it unlocks. At real scale file count ≫ cores and the
+    branch never fires, so the 100 TB plan keeps zero extra shuffles."""
     docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, want // 2):
+        docs = docs.repartition(want)
     fp = docs.select("doc_id", F.explode(F.expr(_WINNOW_SEL)).alias("f"))
     idx = (
         fp.groupBy("f")
