@@ -277,3 +277,57 @@ def test_unicode_whitespace_through_pipeline(spark, tmp_path_factory):
     # word_count: Unicode split_whitespace over the normalized text —
     # 'startmiddleend' + the two U+3000-separated CJK tokens
     assert r["word_count"] == 3
+
+
+def test_strict_attr_bytes_through_pipeline(spark, tmp_path_factory):
+    """r12: the path-keyed attribute-byte contract verified ON THE
+    PIPELINE PATH — a strict-parsing page (balanced, entity-bearing
+    hrefs) must surface its links in html5ever's escaped bytes
+    ('&amp;' survives into the absolutized URL exactly as the
+    reference's from_utf8_lossy strict leg emits it, and '&quot;' is
+    stripped by the quote-mark regex the reference applies at
+    lib.rs:410), while a tidy-path page keeps the decoded reading."""
+    strict_html = (
+        '<html><head><title>t</title></head><body>'
+        '<a href="/p?a=1&amp;b=2">x</a>'
+        "<a href='/q\"r'>y</a>"
+        "</body></html>"
+    ).encode("utf-8")
+    tidy_html = (
+        '<html><body><div><a href="/p?a=1&amp;b=2">x</a></body></html>'
+    ).encode("utf-8")
+    d = tmp_path_factory.mktemp("attrwarc")
+    records = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://s.example.gov.au/dir/page",
+                "Uncompressed-Content-Length": str(len(strict_html) + 100),
+            },
+            _http(strict_html),
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://t.example.gov.au/dir/page",
+                "Uncompressed-Content-Length": str(len(tidy_html) + 100),
+            },
+            _http(tidy_html),
+        ),
+    ]
+    (d / "attr-000.warc").write_bytes(build_warc_bytes(records))
+    rows = {
+        r["url"]: r
+        for r in url_resource_from_warc_records(read_warc(spark, str(d))).collect()
+    }
+    s = rows["https://s.example.gov.au/dir/page"]
+    # strict page: html_errors empty (tidy never ran), links escaped
+    assert s["html_errors"] == ""
+    assert s["links"] == [
+        "https://s.example.gov.au/p?a=1&amp;b=2",
+        "https://s.example.gov.au/qr",  # &quot; stripped post-join
+    ]
+    t = rows["https://t.example.gov.au/dir/page"]
+    # tidy page (unclosed <div>): decoded reading, diagnostics present
+    assert t["html_errors"] != ""
+    assert t["links"] == ["https://t.example.gov.au/p?a=1&b=2"]
