@@ -303,6 +303,63 @@ def _winnowing_disjoint_variant(spark, sf_dir):
     return winnowing_pairs(docs)
 
 
+def _winnowing_folded_variant(spark, sf_dir):
+    """The documented AT-SCALE form of q008: selection still happens on
+    the k-gram STRINGS (the winnowing min is by string value), but the
+    selected fingerprints are xxhash64-FOLDED to int64 before leaving
+    the map side — the shuffle carries 8-byte keys instead of 20-char
+    strings. The r12 64× run showed the string form going superlinear
+    (2.43×/octave) exactly where its shuffle outgrows the fixed
+    32-partition layout; this variant evidences that the documented
+    constant-factor fix restores the curve."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.operators.dedup import (
+        _WINNOW_SEL,
+        WINNOW_DF_CAP,
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from warcraider_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(
+                    F.lit("r"),
+                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
+                    F.lit("_"),
+                    t,
+                ),
+            ),
+        ).alias("text"),
+    ).filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, want // 2):
+        docs = docs.repartition(want)
+    folded = f"transform({_WINNOW_SEL}, s -> xxhash64(s))"
+    fp = docs.select("doc_id", F.explode(F.expr(folded)).alias("f"))
+    idx = (
+        fp.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("f")
+    )
+    cand = fp.join(idx, "f")
+    a = cand.select(F.col("f"), F.col("doc_id").alias("doc_a"))
+    b = cand.select(F.col("f"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 def _containment_disjoint_variant(spark, sf_dir):
     """Scale-harness variant of q035_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
