@@ -831,6 +831,81 @@ def test_strict_replay_spec_comment_masking():
     assert not strict_parse_ok("<!--x----><div>y")
 
 
+def test_spec_comment_spans_property():
+    """Property pin for _spec_comment_spans (the strict replay's comment
+    mask): compare against a LITERAL transcription of the spec
+    tokenizer's comment states (comment-start / comment-start-dash /
+    comment / comment-end-dash / comment-end / comment-end-bang), run
+    character by character — the find/regex fast path must agree on
+    dense random soup from the comment alphabet."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcraider_spark.functions.html import _spec_comment_spans
+
+    def ref_spans(s: str) -> list[tuple[int, int]]:
+        spans = []
+        pos = 0
+        n = len(s)
+        while (i := s.find("<!--", pos)) != -1:
+            p = i + 4
+            state = "start"
+            end = None
+            while p < n and end is None:
+                c = s[p]
+                if state == "start":
+                    if c == "-":
+                        state = "start-dash"
+                    elif c == ">":
+                        end = p + 1  # abrupt-closing-of-empty-comment
+                    else:
+                        state = "comment"
+                elif state == "start-dash":
+                    if c == "-":
+                        state = "end"
+                    elif c == ">":
+                        end = p + 1  # abrupt close
+                    else:
+                        state = "comment"
+                elif state == "comment":
+                    if c == "-":
+                        state = "end-dash"
+                elif state == "end-dash":
+                    if c == "-":
+                        state = "end"
+                    else:
+                        state = "comment"
+                elif state == "end":
+                    if c == ">":
+                        end = p + 1
+                    elif c == "!":
+                        state = "end-bang"
+                    elif c != "-":
+                        state = "comment"
+                elif state == "end-bang":
+                    if c == ">":
+                        end = p + 1  # incorrectly-closed-comment
+                    elif c == "-":
+                        state = "end-dash"
+                    else:
+                        state = "comment"
+                p += 1
+            spans.append((i, end if end is not None else n))
+            pos = spans[-1][1]
+        return spans
+
+    @given(st.text(alphabet="<!->a ", max_size=60))
+    @settings(max_examples=500, deadline=None)
+    def check(s):
+        assert _spec_comment_spans(s) == ref_spans(s), s
+
+    check()
+    # the named shapes, explicitly
+    for s in ("<!-->x", "<!--->x", "<!--x--!>y", "<!--x-- >y",
+              "<!--x---->y", "<!--x", "a<!--b--><!--c"):
+        assert _spec_comment_spans(s) == ref_spans(s), s
+
+
 def test_strict_attr_bytes_fuzz():
     """r12 directed fuzz (VERDICT r11 #1+#3): strict-clean pages dense
     in entity-bearing attribute values and duplicate attributes, with
