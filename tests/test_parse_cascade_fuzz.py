@@ -1004,6 +1004,40 @@ def test_strict_attr_bytes_fuzz():
     assert checked_escape_kinds == {"amp", "nbsp"}, checked_escape_kinds
 
 
+def test_strict_attr_escape_roundtrip_property():
+    """Round-trip property for the strict-path attribute bytes: for an
+    arbitrary decoded value v, a strict page whose source carries v
+    (source-escaped just enough to be lexable: & and \") must emit
+    exactly _h5_escape_attr(v) — html5ever's serializer escape of the
+    tokenizer-decoded value — through parse_html_py. Exercises raw
+    unicode, literal NBSP, '<', '>', quotes and ampersand runs beyond
+    the generator table of the directed fuzz."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcraider_spark.functions.html import _h5_escape_attr
+
+    alphabet = (
+        "".join(chr(c) for c in range(0x20, 0x7F)) + "\xa0\xe9\xea" + "一丁"
+    )
+    value = st.text(alphabet=alphabet, max_size=24)
+
+    @given(value)
+    @settings(max_examples=400, deadline=None)
+    def check(v):
+        src = v.replace("&", "&amp;").replace('"', "&quot;")
+        doc = f'<a href="/x{src}">t</a><meta name="k" content="c{src}"/>'
+        assert strict_parse_ok(doc), doc
+        r = parse_html_py(doc)
+        want = _h5_escape_attr("/x" + v)
+        # ammonia's scheme check on the decoded value can only drop the
+        # href if v smuggles a scheme; '/x' prefix keeps it relative
+        assert r["links"] == [want], (v, r["links"])
+        assert r["meta_tags"] == {"k": _h5_escape_attr("c" + v)}
+
+    check()
+
+
 def test_scan_tag_close_property():
     """Property test for the RAWTEXT end-tag attribute scanner: build
     attribute sequences constructively so the closing '>' position is
