@@ -58,7 +58,6 @@ TARGET_FILES = (
     "tools/multi_sf_check.py",
     "tools/driver_sim.py",
     "tools/bench_bands.json",
-    "/tmp/driver_sim.py",
 )
 
 

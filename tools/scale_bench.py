@@ -269,95 +269,74 @@ def _q033_simhash_disjoint(spark, sf_dir):
     )
 
 
+def _winnowing_scale_docs(spark, sf_dir):
+    """Replica-salted corpus shared by the winnowing scale variants:
+    full-copy replication multiplies every fingerprint's document
+    frequency by K — base-df-2 fingerprints form k² cross-replica pairs
+    (output-bound, the q035/q134 artifact) while base-df>8 fingerprints
+    cross the df cap and vanish. Salting each token with its replica id
+    (every 20-char gram spans a salted token, tokens being far shorter
+    than k) keeps per-replica corpora fingerprint-disjoint, so pair
+    density and output grow LINEARLY and the curve measures the
+    selector + fp-shuffle + pair-join path itself."""
+    from pyspark.sql import functions as F
+
+    from warcraider_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(
+                    F.lit("r"),
+                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
+                    F.lit("_"),
+                    t,
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
 def _winnowing_disjoint_variant(spark, sf_dir):
-    """Scale variant of q008_winnowing_dup_pairs with per-replica
-    DISJOINT fingerprint spaces: full-copy replication multiplies every
-    fingerprint's document frequency by K — base-df-2 fingerprints form
-    k² cross-replica pairs (output-bound, the q035/q134 artifact) while
-    base-df>8 fingerprints cross the df cap and vanish. Salting each
-    token with its replica id (every 20-char gram spans a salted token,
-    tokens being far shorter than k) keeps per-replica corpora
-    fingerprint-disjoint, so pair density and output grow LINEARLY and
-    the curve measures the selector + fp-shuffle + pair-join path
-    itself."""
-    from pyspark.sql import functions as F
-
+    """Scale variant of q008_winnowing_dup_pairs over the replica-salted
+    disjoint corpus, running the OPERATOR DEFAULT — which since r13 is
+    the xxhash64-folded 8-byte shuffle key that the r12 64× study
+    measured as the only mitigation holding the scaling step ≤2
+    (_winnowing_folded_variant was the study form; it graduated to the
+    winnowing_pairs default per VERDICT r12 #3). spread_partitions is
+    passed explicitly (ADVICE r12): the harness replicas are byte-dense
+    single-split files, the same undersizing the registry query guards
+    against."""
     from warcraider_spark.operators.dedup import winnowing_pairs
-    from warcraider_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.split(F.trim("text"), r"\s+"),
-                lambda t: F.concat(
-                    F.lit("r"),
-                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
-                    F.lit("_"),
-                    t,
-                ),
-            ),
-        ).alias("text"),
+    return winnowing_pairs(
+        _winnowing_scale_docs(spark, sf_dir),
+        spread_partitions=spark.sparkContext.defaultParallelism,
     )
-    return winnowing_pairs(docs)
 
 
-def _winnowing_folded_variant(spark, sf_dir):
-    """The documented AT-SCALE form of q008: selection still happens on
-    the k-gram STRINGS (the winnowing min is by string value), but the
-    selected fingerprints are xxhash64-FOLDED to int64 before leaving
-    the map side — the shuffle carries 8-byte keys instead of 20-char
-    strings. The r12 64× run showed the string form going superlinear
-    (2.43×/octave) exactly where its shuffle outgrows the fixed
-    32-partition layout; this variant evidences that the documented
-    constant-factor fix restores the curve."""
-    from pyspark.sql import functions as F
+def _winnowing_string_variant(spark, sf_dir):
+    """The r12-registry STRING-fingerprint form (fold=False), retained so
+    the r12 saturation study's string-vs-fold comparison stays runnable:
+    the r12 64× run showed this form going superlinear (2.43×/octave)
+    exactly where its 20-char-key shuffle outgrows the fixed
+    32-partition layout, while the folded form held min-rep step 1.54."""
+    from warcraider_spark.operators.dedup import winnowing_pairs
 
-    from warcraider_spark.operators.dedup import (
-        _WINNOW_SEL,
-        WINNOW_DF_CAP,
-        WINNOW_K,
-        WINNOW_W,
+    return winnowing_pairs(
+        _winnowing_scale_docs(spark, sf_dir),
+        fold=False,
+        spread_partitions=spark.sparkContext.defaultParallelism,
     )
-    from warcraider_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.split(F.trim("text"), r"\s+"),
-                lambda t: F.concat(
-                    F.lit("r"),
-                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
-                    F.lit("_"),
-                    t,
-                ),
-            ),
-        ).alias("text"),
-    ).filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, want // 2):
-        docs = docs.repartition(want)
-    folded = f"transform({_WINNOW_SEL}, s -> xxhash64(s))"
-    fp = docs.select("doc_id", F.explode(F.expr(folded)).alias("f"))
-    idx = (
-        fp.groupBy("f")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
-        .select("f")
-    )
-    cand = fp.join(idx, "f")
-    a = cand.select(F.col("f"), F.col("doc_id").alias("doc_a"))
-    b = cand.select(F.col("f"), F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, "f")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
+
+# Historical name from the r12 study (SCALE.md §winnowing): the folded
+# form is now the operator default, so the study alias and the default
+# disjoint variant are the same plan.
+_winnowing_folded_variant = _winnowing_disjoint_variant
 
 
 def _containment_disjoint_variant(spark, sf_dir):

@@ -2067,6 +2067,9 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "winnowing", "substring", "fingerprint"),
     min_rows=1,
+    # r13 (VERDICT r12 #4): bench-tagged so the only first-class operator
+    # without a drift-tracked wall time gets a quiet-box band.
+    bench=True,
 )
 def q008_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document verbatim-substring duplicate candidates via
@@ -2088,35 +2091,61 @@ def q008_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-partitioned on fp, two-sided partial aggregation). The df cap
     is the same skew guard the containment join uses: a boilerplate
     fingerprint shared by thousands of pages is dropped before it can
-    form a quadratic pair blow-up or a hot reduce partition. At real
-    scale the k-gram strings would be xxhash64-folded before the
-    shuffle (documented constant-factor variant; the string form keeps
-    the DuckDB oracle engine-portable here — both engines compare
-    strings bytewise).
+    form a quadratic pair blow-up or a hot reduce partition. Since r13
+    the shuffle key is the xxhash64 FOLD of the selected k-gram (8-byte
+    bigint instead of a 20-char string) — the r12 64× study measured
+    the fold as the only mitigation holding the scaling step ≤2 at
+    local saturation; selection is still by string min, so detection
+    guarantees are unchanged, and the output is identical to the string
+    form (pinned by tests/test_winnowing_fold.py), which is why the
+    string-keyed DuckDB oracle above still certifies this plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return winnowing_pairs(docs)
+    return winnowing_pairs(
+        docs, spread_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
-def winnowing_pairs(docs: DataFrame) -> DataFrame:
+def winnowing_pairs(
+    docs: DataFrame,
+    *,
+    fold: bool = True,
+    spread_partitions: int | None = None,
+) -> DataFrame:
     """The winnowing pair pipeline over any (doc_id, text) frame — shared
     by the registry query and the scale harness's disjoint-replica
     variant (tools/scale_bench.py).
 
-    Parallelism guard: the selector amplifies each input row ~|text|-fold
-    in CPU (w substring comparisons per character), so Spark's
-    BYTE-based input splitting undersizes it badly on small dense files
-    (sf0.1's 581 KB documents.parquet is ONE split → the whole corpus
-    selected on one core). When the scan arrives with fewer partitions
-    than the cluster's parallelism, spread the raw (still narrow) rows
-    first — a shuffle of the small input, nothing compared to the
-    selection work it unlocks. At real scale file count ≫ cores and the
-    branch never fires, so the 100 TB plan keeps zero extra shuffles."""
+    fold=True (default): the selected fingerprints leave the map side as
+    xxhash64 bigints — an 8-byte shuffle/join/groupBy key instead of a
+    20-char string. Selection itself still happens on the k-gram STRINGS
+    (the winnowing min is by string value; the fold is post-selection),
+    so which positions are fingerprinted — and therefore the ≥27-char
+    detection guarantee — is unchanged. Output equals the fold=False
+    form except under a 64-bit collision among one corpus's selected
+    grams (~1e-8 at 1e5 distinct fps; equality on random corpora is
+    pinned by tests/test_winnowing_fold.py). fold=False keeps the
+    engine-portable string form the DuckDB oracle mirrors bytewise.
+
+    spread_partitions (ADVICE r12: explicit, not an RDD probe): the
+    selector amplifies each input row ~|text|-fold in CPU (w substring
+    comparisons per character), so Spark's BYTE-based input splitting
+    undersizes it badly on small dense files (sf0.1's 581 KB
+    documents.parquet is ONE split → the whole corpus selected on one
+    core; 44 s → 2.7 s once spread). Callers that know the input is
+    byte-dense pass a target (the registry query passes
+    defaultParallelism — one cheap round-robin shuffle of the narrow
+    input rows, documented in the plan-shape pin). At real scale file
+    count ≫ cores, the spread is unnecessary, and the default None keeps
+    the 100 TB plan at zero extra shuffles — the decision is now static
+    in the caller, never derived from a plan-time RDD materialization,
+    so the physical plan no longer depends on defaultParallelism or
+    file-split layout."""
     docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-    want = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, want // 2):
-        docs = docs.repartition(want)
-    fp = docs.select("doc_id", F.explode(F.expr(_WINNOW_SEL)).alias("f"))
+    if spread_partitions is not None and spread_partitions > 1:
+        docs = docs.repartition(spread_partitions)
+    sel = f"transform({_WINNOW_SEL}, s -> xxhash64(s))" if fold else _WINNOW_SEL
+    fp = docs.select("doc_id", F.explode(F.expr(sel)).alias("f"))
     idx = (
         fp.groupBy("f")
         .agg(F.countDistinct("doc_id").alias("df"))
