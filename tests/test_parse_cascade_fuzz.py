@@ -54,6 +54,7 @@ import random
 
 from warcraider_spark.functions.html import (
     parse_html_py,
+    parse_path,
     strict_parse_ok,
     tidy_diagnostics,
 )
@@ -421,9 +422,12 @@ def test_parse_cascade_invariants_fuzz():
             if m in cdata_marks:
                 continue
             assert (m in htext) == (m in heads_set), (i, m, doc[:400])
-        strict = strict_parse_ok(doc)
-        exp_links = [first if strict else last for first, last in links]
-        assert r["links"] == exp_links, (i, strict, doc[:400])
+        # r13 three-leg contract: keep-FIRST twins on the html5ever-
+        # deduped legs (strict + soup — both parse clean(raw)), keep-
+        # LAST only where tidy's repeated-attributes repair ran first
+        path = parse_path(doc)
+        exp_links = [last if path == "tidy" else first for first, last in links]
+        assert r["links"] == exp_links, (i, path, doc[:400])
         assert r["resource_urls"] == resources, (i, doc[:400])
         for k, v in metas.items():
             assert r["meta_tags"].get(k) == v, (i, k, doc[:400])
@@ -743,13 +747,14 @@ def test_valueless_href_collected_as_empty():
 
 
 def test_attr_bytes_path_keyed():
-    """r12 (VERDICT r11 #1): attribute BYTES follow the winning leg.
-
-    Strict pages: quick-xml reads html5ever's re-serialization raw
-    (lib.rs:294/303-314 from_utf8_lossy, never unescape) — the emitted
-    string is the attribute-serializer escape of the DECODED value:
+    """r12 (VERDICT r11 #1), tightened per ADVICE r12: attribute BYTES
+    are html5ever-escaped on BOTH dominant legs, because both end in
+    ammonia's re-serialization read raw by quick-xml — strict parses
+    clean(raw) (lib.rs:188/294/303-314), the tidy leg parses
+    clean(tidy(raw)) (lib.rs:204) — and ammonia escapes AFTER tidy:
     '&'→'&amp;', U+00A0→'&nbsp;', '"'→'&quot;'; '<', '>', ''' literal.
-    Tidy pages: decoded (the soup reading, lib.rs:419-553)."""
+    The entity-DECODED reading belongs only to the soup fallback
+    (double parse failure, lib.rs:419-553)."""
     from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
 
     # the r11 verdict's live-divergence shape: query-string ampersand
@@ -768,12 +773,15 @@ def test_attr_bytes_path_keyed():
     r = parse_html_py('<meta name="k&amp;k" content="v&lt;v"/>')
     assert r["meta_tags"] == {"k&amp;k": "v<v"}
 
-    # tidy leg keeps the decoded reading
+    # tidy leg: SAME escaped bytes (ammonia re-serializes tidy's output
+    # before quick-xml reads it raw — the escape is tidy-independent)
     r = parse_html_py('<div><a href="p?a=1&amp;b=2">x</a><link href="q?x&#61;1">')
-    assert r["links"] == ["p?a=1&b=2"]
+    assert r["links"] == ["p?a=1&amp;b=2"]
     assert r["resource_urls"] == ["q?x=1"]
     r = parse_html_py('<div><meta name="k&amp;k" content="v&lt;v">')
-    assert r["meta_tags"] == {"k&k": "v<v"}
+    assert r["meta_tags"] == {"k&amp;k": "v<v"}
+    r = parse_html_py('<div><a href="/a&nbsp;b">x</a><a href=\'/a"b\'>y</a>')
+    assert r["links"] == ["/a&nbsp;b", "/a&quot;b"]
 
     # the scheme allowlist checks the DECODED value on both legs: a
     # charref-smuggled scheme is still filtered on a strict page
@@ -915,7 +923,9 @@ def test_strict_attr_bytes_fuzz():
       attribute serialization of the decoded value ('&'→'&amp;',
       U+00A0→'&nbsp;', '"'→'&quot;', everything else literal);
     - the SAME page made non-strict (one unclosed <div> prepended) →
-      keep-LAST twins, decoded values.
+      keep-LAST twins (tidy's repeated-attributes repair), but the SAME
+      escaped bytes — ammonia re-serializes AFTER tidy (ADVICE r12), so
+      only the dup-attr rule distinguishes the legs, never the escape.
 
     The generator builds each value as a (source_fragment, decoded)
     pair list, so both expectations are derived without consulting the
@@ -964,22 +974,22 @@ def test_strict_attr_bytes_fuzz():
                     s2, d2 = value(allow_quote=False)
                     parts.append(f'<a href="/{s1}" href="/{s2}">t</a>')
                     strict_links.append(h5("/" + d1))  # keep-first
-                    tidy_links.append("/" + d2)        # keep-last
+                    tidy_links.append(h5("/" + d2))    # keep-last, same escape
                 else:
                     parts.append(f'<a href="/{s1}">t</a>')
                     strict_links.append(h5("/" + d1))
-                    tidy_links.append("/" + d1)
+                    tidy_links.append(h5("/" + d1))
             elif op < 0.7:  # self-closed resource (strict-parseable)
                 s1, d1 = value(allow_quote=False)
                 parts.append(f'<script src="/{s1}.js"></script>')
                 strict_res.append(h5("/" + d1 + ".js"))
-                tidy_res.append("/" + d1 + ".js")
+                tidy_res.append(h5("/" + d1 + ".js"))
             else:  # meta, key and content both entity-bearing
                 ks, kd = value(allow_quote=False)
                 vs, vd = value(allow_quote=False)
                 parts.append(f'<meta name="k{ks}" content="c{vs}"/>')
                 strict_meta[h5("k" + kd)] = h5("c" + vd)
-                tidy_meta["k" + kd] = "c" + vd
+                tidy_meta[h5("k" + kd)] = h5("c" + vd)
 
         doc = "".join(parts)
         assert strict_parse_ok(doc), (i, doc[:300])
@@ -1080,3 +1090,88 @@ def test_scan_tag_close_property():
         assert _Extractor._scan_tag_close(" " + body, 0, 1 + len(body)) is None
 
     check()
+
+
+# --- r13 (ADVICE r12): three-leg path model — tidy vs soup split -----------
+
+
+from pathlib import Path
+
+REF_DIR = Path("/root/reference/tests")
+
+HAZ = "<script>var x='<!'+'[CD'+'ATA';</script>"  # the moneysmart shape
+
+
+def test_parse_path_classifier():
+    """parse_path routes pages by the mechanism the reference actually
+    exhibits (lib.rs:184-239): strict quick-xml success → 'strict';
+    a quick-xml FATAL token preserved through tidy+ammonia (script
+    rawtext) kills BOTH quick-xml legs → 'soup'; any other strict
+    failure is structural, which tidy repairs and check_end_names=false
+    forgives → 'tidy'. The soup specimen is moneysmart itself: its
+    email-payload script contains "<!'" (UnexpectedBang) and its golden
+    meta values hold a DECODED '&' where the raw page has '&amp;' —
+    only the soup leg decodes."""
+    from warcraider_spark.functions.html import parse_path, quickxml_fatal_hazard
+
+    assert parse_path("<p>x</p>") == "strict"
+    assert parse_path("<div><p>x") == "tidy"
+    # bang hazard → soup, even on an otherwise balanced page
+    assert parse_path(HAZ + "<p>x</p>") == "soup"
+    assert quickxml_fatal_hazard(HAZ)
+    # the real specimen
+    raw = (REF_DIR / "moneysmart.htm").read_text(errors="replace")
+    assert parse_path(raw) == "soup"
+    # '<!' shapes quick-xml accepts are NOT hazards: comment (closed
+    # later), CDATA (closed), DOCTYPE-ish (scan to '>')
+    assert not quickxml_fatal_hazard("<script>//<!-- c --></script>")
+    assert not quickxml_fatal_hazard("<script>s='<![CDATA[x]]>';</script>")
+    assert not quickxml_fatal_hazard("<script>s='<!DOCTYPE x>';</script>")
+    # unterminated scans ARE hazards (UnexpectedEof)
+    assert quickxml_fatal_hazard("<script>//<!--\n</script><p>x</p>")
+    assert quickxml_fatal_hazard("<script>s='<![CDATA[x';</script>")
+    assert quickxml_fatal_hazard("<script>var a = b <")
+    # quick-xml's comment scan may terminate on text bytes AFTER the
+    # script ('>' is not escaped in serialized text), but a closer
+    # inside a TRUE markup comment is stripped by ammonia and cannot
+    # terminate the scan
+    assert not quickxml_fatal_hazard("<script>//<!--\n</script><p>x --> y</p>")
+    assert quickxml_fatal_hazard("<script>//<!--\n</script><!-- x --><p>q</p>")
+    # plain-JS scripts carry no hazard; '<' in a phantom-tag scan that
+    # finds a later '>' is fine
+    assert not quickxml_fatal_hazard("<script>var a=1; if(a<2){f();}</script>")
+    # markup '<!' never reaches quick-xml (html5ever: bogus comment,
+    # stripped) — only script rawtext is a habitat
+    assert parse_path("<p>x</p><!x>") != "soup"
+    # '<script' inside an attribute value opens no region
+    assert not quickxml_fatal_hazard('<p title="<script>"><b><!-- ok --></b></p>')
+    # a script inside an ammonia-deleted rawtext region never serializes
+    assert not quickxml_fatal_hazard("<noscript><script>a='<!'+'x';</script></noscript>")
+
+
+def test_soup_leg_semantics():
+    """Soup pages (double parse failure) read html5ever's DOM: values
+    entity-DECODED (lib.rs:419-553), duplicate attrs keep-FIRST
+    (html5ever deduped clean(raw) — tidy's keep-last repair output is
+    never parsed), comments per the SPEC tokenizer (html5ever consumed
+    them during the pre-clean)."""
+    from warcraider_spark.functions.html import parse_html_py, strict_parse_ok
+
+    doc = HAZ + '<a href="p?a=1&amp;b=2">x</a><link href="q?x&#61;1">'
+    assert not strict_parse_ok(doc)
+    r = parse_html_py(doc)
+    assert r["links"] == ["p?a=1&b=2"]          # decoded, not re-escaped
+    assert r["resource_urls"] == ["q?x=1"]
+    r = parse_html_py(HAZ + '<a href="/a&nbsp;b">x</a>')
+    assert r["links"] == ["/a\xa0b"]
+    r = parse_html_py(HAZ + '<meta name="k&amp;k" content="v&lt;v">')
+    assert r["meta_tags"] == {"k&k": "v<v"}
+    # keep-FIRST twins (html5ever rule — NOT tidy's keep-last)
+    r = parse_html_py(HAZ + '<a href="/a" href="/b">x</a>')
+    assert r["links"] == ["/a"]
+    # spec comment termination (abrupt close), not tidy's '--\\s*>'
+    r = parse_html_py(HAZ + "<!-->rest")
+    assert r["text"] == ["rest"]
+    # html_errors still carries tidy's stderr: tidy RUNS on every
+    # non-strict page even when its output fails to parse (lib.rs:240)
+    assert isinstance(r["html_errors"], str)

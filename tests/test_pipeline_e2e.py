@@ -280,13 +280,16 @@ def test_unicode_whitespace_through_pipeline(spark, tmp_path_factory):
 
 
 def test_strict_attr_bytes_through_pipeline(spark, tmp_path_factory):
-    """r12: the path-keyed attribute-byte contract verified ON THE
-    PIPELINE PATH — a strict-parsing page (balanced, entity-bearing
-    hrefs) must surface its links in html5ever's escaped bytes
-    ('&amp;' survives into the absolutized URL exactly as the
+    """r12 (3-leg r13): the path-keyed attribute-byte contract verified
+    ON THE PIPELINE PATH — a strict-parsing page (balanced,
+    entity-bearing hrefs) must surface its links in html5ever's escaped
+    bytes ('&amp;' survives into the absolutized URL exactly as the
     reference's from_utf8_lossy strict leg emits it, and '&quot;' is
     stripped by the quote-mark regex the reference applies at
-    lib.rs:410), while a tidy-path page keeps the decoded reading."""
+    lib.rs:410). A tidy-path page (structural failure, no preserved
+    fatal token) emits the SAME escaped bytes — ammonia re-serializes
+    AFTER tidy (ADVICE r12); only the soup leg (script-interior fatal,
+    see test_parse_cascade_fuzz) keeps the decoded reading."""
     strict_html = (
         '<html><head><title>t</title></head><body>'
         '<a href="/p?a=1&amp;b=2">x</a>'
@@ -295,6 +298,10 @@ def test_strict_attr_bytes_through_pipeline(spark, tmp_path_factory):
     ).encode("utf-8")
     tidy_html = (
         '<html><body><div><a href="/p?a=1&amp;b=2">x</a></body></html>'
+    ).encode("utf-8")
+    soup_html = (
+        "<html><body><script>var x='<!'+'[CD'+'ATA';</script>"
+        '<a href="/p?a=1&amp;b=2">x</a></body></html>'
     ).encode("utf-8")
     d = tmp_path_factory.mktemp("attrwarc")
     records = [
@@ -314,6 +321,14 @@ def test_strict_attr_bytes_through_pipeline(spark, tmp_path_factory):
             },
             _http(tidy_html),
         ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://u.example.gov.au/dir/page",
+                "Uncompressed-Content-Length": str(len(soup_html) + 100),
+            },
+            _http(soup_html),
+        ),
     ]
     (d / "attr-000.warc").write_bytes(build_warc_bytes(records))
     rows = {
@@ -328,6 +343,12 @@ def test_strict_attr_bytes_through_pipeline(spark, tmp_path_factory):
         "https://s.example.gov.au/qr",  # &quot; stripped post-join
     ]
     t = rows["https://t.example.gov.au/dir/page"]
-    # tidy page (unclosed <div>): decoded reading, diagnostics present
+    # tidy page (unclosed <div>): escaped bytes like the strict leg
+    # (ammonia escapes after tidy), diagnostics present
     assert t["html_errors"] != ""
-    assert t["links"] == ["https://t.example.gov.au/p?a=1&b=2"]
+    assert t["links"] == ["https://t.example.gov.au/p?a=1&amp;b=2"]
+    u = rows["https://u.example.gov.au/dir/page"]
+    # soup page (script-interior '<!' bang — the moneysmart mechanism):
+    # quick-xml dies on BOTH legs, html5ever's DOM getters decode
+    assert u["html_errors"] != ""
+    assert u["links"] == ["https://u.example.gov.au/p?a=1&b=2"]

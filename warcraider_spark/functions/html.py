@@ -104,6 +104,8 @@ __all__ = [
     "empty_html_result",
     "tidy_diagnostics",
     "strict_parse_ok",
+    "parse_path",
+    "quickxml_fatal_hazard",
 ]
 
 HTML_RESULT_SCHEMA = StructType(
@@ -216,13 +218,186 @@ def _spec_comment_spans(raw_html: str) -> list[tuple[int, int]]:
     return spans
 
 
+_RAWTEXT_OPEN_RE = re.compile(r"<(script|style|noscript|noframes)\b", re.I)
+
+
+def _rawtext_scan(raw_html: str) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """(script_spans, markup_comment_spans) as html5ever tokenizes the
+    page: comments cannot open inside rawtext, a rawtext region runs to
+    the first case-insensitive '</name' followed by a delimiter, and
+    style/noscript/noframes regions (ammonia deletes their content)
+    consume any '<script' inside them. Linear scan, quote-aware tag
+    skipping so '<script' inside an attribute value can't open a
+    phantom region. The comment spans here are the NORMAL-state (true
+    markup) comments — the ones ammonia strips from the clean stream —
+    unlike _spec_comment_spans' global approximation, which can start a
+    span inside script rawtext."""
+    spans: list[tuple[int, int]] = []
+    comments: list[tuple[int, int]] = []
+    pos, n = 0, len(raw_html)
+    while (i := raw_html.find("<", pos)) != -1:
+        m = _RAWTEXT_OPEN_RE.match(raw_html, i)
+        if m:
+            tag = m.group(1).lower()
+            gt = _qx_tag_scan_end(raw_html, i)
+            if gt is None:
+                break  # EOF inside the start tag
+            close = re.search(
+                r"</%s(?=[\t\n\r\f />]|$)" % tag, raw_html[gt:], re.I
+            )
+            body_end = gt + close.start() if close else n
+            if tag == "script":
+                spans.append((gt, body_end))
+            pos = body_end + 2 if close else n
+            continue
+        if raw_html.startswith("<!--", i):
+            j = i + 4
+            if raw_html[j : j + 1] == ">":
+                end = j + 1
+            elif raw_html[j : j + 2] == "->":
+                end = j + 2
+            else:
+                mm = _SPEC_COMMENT_CLOSE.search(raw_html, j)
+                end = mm.end() if mm else n
+            comments.append((i, end))
+            pos = end
+            continue
+        end = _qx_tag_scan_end(raw_html, i)
+        pos = end if end is not None else i + 1
+    return spans, comments
+
+
+def _script_text_spans(raw_html: str) -> list[tuple[int, int]]:
+    return _rawtext_scan(raw_html)[0]
+
+
+def _qx_tag_scan_end(doc: str, lt: int) -> int | None:
+    """quick-xml 0.17's read_elem_until: from '<', consume to the first
+    '>' outside quotes (either quote char toggles); None = EOF inside
+    the tag (Error::UnexpectedEof)."""
+    q = None
+    for p in range(lt + 1, len(doc)):
+        c = doc[p]
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c == ">":
+            return p + 1
+    return None
+
+
+def quickxml_fatal_hazard(raw_html: str) -> bool:
+    """True when the page carries a quick-xml 0.17 FATAL token in bytes
+    that BOTH fallback pipelines preserve, so the reference's
+    parse_html() dies on the strict AND the tidy leg and the page falls
+    through to SOUP (lib.rs:211-229).
+
+    Why script bodies are the only habitat: everything else in the
+    cleaned stream is re-serialized safely by ammonia (text escapes
+    '<', attribute values escape '"', markup comments are stripped,
+    style/noscript/noframes lose their content entirely) — but script
+    is on the cleaner's add_tags list (lib.rs:62) and html5ever
+    re-emits its rawtext content VERBATIM, as does tidy, so quick-xml's
+    naive XML scan meets raw JavaScript on both legs. Fatal classes
+    (quick-xml 0.17 reader; check_end_names-independent, so they kill
+    the strict leg too):
+
+    * UnexpectedBang — '<!' not followed by '--', '[CDATA[' or 'D'/'d'.
+      The proving specimen is the moneysmart golden itself: its email
+      payload script contains "<body><!'+'[CD'+'ATA[" (tests/
+      moneysmart.htm byte 149331), the snapshot's meta values hold a
+      DECODED '&' where the raw page has '&amp;' (dcterms.publisher),
+      and only the soup leg decodes (lib.rs:419-553; the quick-xml legs
+      read raw, lib.rs:294/303-314) — so the reference demonstrably
+      fell through BOTH quick-xml passes on this page.
+    * UnexpectedEof(Comment) — '<!--' opened in script text with no
+      '-->' later in the document (search excludes markup-comment
+      interiors: ammonia strips those before quick-xml ever scans).
+    * UnexpectedEof(CData) — '<![CDATA[' with no ']]>' later.
+    * UnexpectedEof(Tag) / DocType — a '<'-scan (quote-aware) or
+      '<!D...' scan that runs to EOF.
+    """
+    spans, markup_comments = _rawtext_scan(raw_html)
+    if not spans:
+        return False
+
+    # A terminator candidate inside a true markup comment never reaches
+    # quick-xml: ammonia strips those comments from the clean stream
+    # wholesale (closer bytes included). Script-interior pseudo-comments
+    # are NOT excluded — their bytes survive verbatim and quick-xml's
+    # own scan can end on them.
+    def _find_outside_comments(needle: str, start: int) -> int:
+        p = start
+        while (h := raw_html.find(needle, p)) != -1:
+            if not any(s < h < e for s, e in markup_comments):
+                return h
+            p = h + 1
+        return -1
+
+    n = len(raw_html)
+    for s, e in spans:
+        p = s
+        while p < e and (q := raw_html.find("<", p, e)) != -1:
+            if raw_html.startswith("<!", q):
+                if raw_html.startswith("<!--", q):
+                    close = _find_outside_comments("-->", q + 4)
+                    if close == -1:
+                        return True
+                    p = close + 3
+                elif raw_html.startswith("<![CDATA[", q):
+                    close = _find_outside_comments("]]>", q + 9)
+                    if close == -1:
+                        return True
+                    p = close + 3
+                elif raw_html[q + 2 : q + 3] in ("D", "d"):
+                    gt = _find_outside_comments(">", q)
+                    if gt == -1:
+                        return True
+                    p = gt + 1
+                else:
+                    return True  # UnexpectedBang (includes '<!' at EOF)
+            else:
+                end = _qx_tag_scan_end(raw_html, q)
+                if end is None:
+                    return True
+                p = end
+        if p >= n:
+            break
+    return False
+
+
+def parse_path(raw_html: str) -> str:
+    """Which reference leg wins this page (lib.rs:184-239):
+
+    'strict' — parse_html(clean(raw), check_end_names=true) succeeds;
+    'soup'   — a preserved fatal hazard kills quick-xml on BOTH legs
+               (quickxml_fatal_hazard), so parse_html_soup(clean(raw))
+               wins — html5ever DOM reads, entity-decoded values;
+    'tidy'   — strict fails structurally but clean(tidy(raw)) has no
+               preserved fatal token: with check_end_names=false every
+               remaining quick-xml error class is either skipped
+               per-attribute or cannot occur in serialized output, so
+               the tidy-leg parse succeeds — quick-xml raw reads of
+               ammonia's (post-tidy) serialization, html5ever-escaped
+               attribute bytes."""
+    if strict_parse_ok(raw_html):
+        return "strict"
+    if quickxml_fatal_hazard(raw_html):
+        return "soup"
+    return "tidy"
+
+
 class _Extractor(HTMLParser):
-    def __init__(self, strict: bool = False) -> None:
+    def __init__(self, path: str = "tidy") -> None:
         super().__init__(convert_charrefs=True)
-        # Path bit (r12): True when the page passes the strict replay —
-        # the quick-xml-on-cleaned-html leg, whose attribute bytes are
-        # html5ever-escaped and whose duplicate-attr rule is keep-first.
-        self.strict = strict
+        # Three-leg path key (r13, ADVICE r12): 'strict' and 'tidy' are
+        # the quick-xml-on-ammonia-serialization legs (escaped attr
+        # bytes); 'soup' is the double-parse-failure fallback (decoded).
+        # Duplicate-attr and comment rules are keyed per leg below.
+        self.path = path
+        self.strict = path == "strict"
         self.in_body = True  # pre-<head> text counts, like the reference
         self.in_title = False
         self.heading_level = 0  # current hN depth marker (0 = outside)
@@ -236,19 +411,33 @@ class _Extractor(HTMLParser):
         self._deleted_tag: str | None = None  # open ammonia-cct region
 
     def _attr_out(self, value: str) -> str:
-        """Attribute bytes as the winning reference leg emits them:
-        strict → html5ever's re-escaped serialization of the decoded
-        value (quick-xml takes it raw, lib.rs:294/303-314); tidy/soup →
-        the decoded value (lib.rs:419-553)."""
-        return _h5_escape_attr(value) if self.strict else value
+        """Attribute bytes as the winning reference leg emits them.
+
+        ADVICE r12: BOTH quick-xml legs end in ammonia's
+        re-serialization read raw — strict parses clean(raw)
+        (lib.rs:188/294/303-314), the tidy leg parses clean(tidy(raw))
+        (lib.rs:204) — and ammonia serializes with html5ever's
+        attr-mode write_escaped either way, so the tidy leg emits the
+        SAME escaped bytes ('&'→'&amp;', U+00A0→'&nbsp;',
+        '"'→'&quot;') as the strict leg; the escape is pinnable
+        without real tidy because ammonia applies it AFTER tidy. The
+        entity-DECODED reading belongs to the SOUP leg only (double
+        parse failure: a preserved fatal token kills quick-xml on both
+        legs and html5ever's DOM getters decode, lib.rs:419-553) —
+        proven by the moneysmart golden, whose raw '&amp;' arrives
+        DECODED in the snapshot (see quickxml_fatal_hazard). Residual
+        (COVERAGE.md): tidy's HTML4-era entity dictionary leaves
+        '&amp;name;' for HTML5-only names on the tidy leg where this
+        model emits the decoded codepoint."""
+        return value if self.path == "soup" else _h5_escape_attr(value)
 
     def parse_comment(self, i: int, report: int = 1) -> int:
-        """Path-keyed comment termination (ADVICE r11 #2).
+        """Path-keyed comment termination (ADVICE r11 #2; 3-leg r13).
 
-        Strict path — the reference's comments were consumed by
-        html5ever during the ammonia pre-clean, so the SPEC tokenizer
-        rules apply: '<!-->' and '<!--->' close immediately
-        (abrupt-closing-of-empty-comment), '--!>' closes
+        Strict AND soup paths — the winning parser consumed clean(raw),
+        and html5ever ate the comments during the ammonia pre-clean, so
+        the SPEC tokenizer rules apply: '<!-->' and '<!--->' close
+        immediately (abrupt-closing-of-empty-comment), '--!>' closes
         (incorrectly-closed-comment), and only genuine eof-in-comment
         swallows to EOF ('<!-->rest' leaves "rest" as visible text).
 
@@ -257,9 +446,9 @@ class _Extractor(HTMLParser):
         their two dashes, '--!>' is not a terminator, and an
         unterminated comment swallows the rest of the document.
         HTMLParser's own fallback (-1 → re-emit the markup as text) is
-        wrong under BOTH engines and never used. (Whole-document feeds
+        wrong under ALL engines and never used. (Whole-document feeds
         only: parse_html_py always feeds the full page at once.)"""
-        if self.strict:
+        if self.path != "tidy":
             rawdata = self.rawdata
             j = i + 4
             if rawdata[j : j + 1] == ">":
@@ -273,20 +462,21 @@ class _Extractor(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if len(attrs) > 1:
-            # Path-keyed duplicate-attribute repair (ADVICE r11 #1):
-            # every reference leg parses a deduplicated stream. Strict
-            # pages were deduped by html5ever during the ammonia
-            # pre-clean — the spec's duplicate-attribute rule drops the
-            # NEW attr, so the FIRST twin survives at its original
-            # position ('<a href="/a" href="/b">' → ONE link, '/a').
-            # Non-strict pages take the tidy leg, which re-lexes the
-            # raw bytes with tidy's default repeated-attributes:
-            # keep-last repair ('dropping value ... for repeated
-            # attribute' warning; the kept twin sits at its LATER
-            # position). quick-xml itself never sees a duplicate on
-            # either leg, so its checked-iterator truncation is
-            # unreachable (ADVICE r11 #3).
-            if self.strict:
+            # Path-keyed duplicate-attribute repair (ADVICE r11 #1;
+            # 3-leg r13): every reference leg parses a deduplicated
+            # stream. Strict AND soup pages were deduped by html5ever
+            # during the ammonia pre-clean of the RAW bytes — the
+            # spec's duplicate-attribute rule drops the NEW attr, so
+            # the FIRST twin survives at its original position
+            # ('<a href="/a" href="/b">' → ONE link, '/a'). Tidy pages
+            # were first repaired by tidy, whose default
+            # repeated-attributes: keep-last rule wins ('dropping value
+            # ... for repeated attribute' warning; the kept twin sits
+            # at its LATER position) — html5ever then sees no dupe.
+            # quick-xml itself never sees a duplicate on any leg, so
+            # its checked-iterator truncation is unreachable (ADVICE
+            # r11 #3).
+            if self.path != "tidy":
                 seen: set[str] = set()
                 deduped = []
                 for kv in attrs:
@@ -2071,6 +2261,13 @@ def strict_parse_ok(raw_html: str) -> bool:
     XHTML passes and reports "")."""
     if not raw_html:
         return True
+    # r13: a preserved fatal token (script-interior '<!' bang, scan to
+    # EOF — see quickxml_fatal_hazard) kills the strict pass no matter
+    # how balanced the tag stream is: quick-xml's UnexpectedBang /
+    # UnexpectedEof fire independently of check_end_names. The balance
+    # replay below only models EndEventMismatch.
+    if quickxml_fatal_hazard(raw_html):
+        return False
     # Comment masking uses the SPEC spans (r12): html5ever consumed the
     # comments (ammonia strips them) before quick-xml ever saw the page,
     # so an unterminated comment hides everything to EOF from the strict
@@ -2109,11 +2306,14 @@ def parse_html_py(raw_html: str) -> dict:
     """Parse one document → HTMLResult dict (schema above)."""
     if not raw_html:
         return empty_html_result(ok=False)
-    # The path bit steers attribute bytes, duplicate-attr repair and
-    # comment termination inside the extractor (r12) as well as the
-    # html_errors trigger, so compute it ONCE up front.
-    strict_ok = strict_parse_ok(raw_html)
-    parser = _Extractor(strict=strict_ok)
+    # The three-state path (r13) steers attribute bytes, duplicate-attr
+    # repair and comment termination inside the extractor, as well as
+    # the html_errors trigger (tidy runs — and its stderr is captured —
+    # on BOTH non-strict legs, lib.rs:196-207/240), so compute it ONCE
+    # up front.
+    path = parse_path(raw_html)
+    strict_ok = path == "strict"
+    parser = _Extractor(path=path)
     try:
         parser.feed(raw_html)
         parser.close()
