@@ -116,16 +116,16 @@ def main() -> None:
     # The headline total grows as the bench set widens, so cross-round
     # drift is only meaningful on this frozen subset (VERDICT r3 #3).
     comparable = [
-        "q163_exact_dedup_groups",
-        "q162_minhash_lsh_pairs",
-        "q161_training_data_pipeline",
+        "q048_exact_dedup_groups",
+        "q047_minhash_lsh_pairs",
+        "q045_training_data_pipeline",
         "q083_cosine_topk_bruteforce",
         "q101_tumbling_window",
         "q159_rake_keywords",
-        "q009_pricing_summary",
-        "q011_star_join_revenue",
-        "q048_topk_per_group",
-        "q004_token_stats",
+        "q090_pricing_summary",
+        "q093_star_join_revenue",
+        "q163_topk_per_group",
+        "q060_token_stats",
     ]
     comparable_total = round(sum(timings[q] for q in comparable if q in timings), 3)
     # r13 (VERDICT r12 #5): the driver records only the LAST 2000 bytes of

@@ -1,4 +1,4 @@
-"""Edge-case coverage for the q028 as-of join composition that the driver
+"""Edge-case coverage for the q129 as-of join composition that the driver
 corpus can't exercise: same-instant click/purchase (inclusive match),
 users with no purchases at all (left semantics), clicks before any
 purchase, and purchase ties at the same timestamp (deterministic
@@ -19,7 +19,7 @@ T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
 
 def _asof_spark(spark, pdf: pd.DataFrame):
-    """The exact q028 composition, applied to an arbitrary events frame."""
+    """The exact q129 composition, applied to an arbitrary events frame."""
     ev = spark.createDataFrame(pdf)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id",

@@ -23,7 +23,7 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 
 def test_rows_only_list_column_rejected(spark, sf_smoke):
     """A rows-only query emitting an array column must fail LOCALLY: the
-    driver's pandas canonicalizer crashes on list cells (q157's r2 ERR), so
+    driver's pandas canonicalizer crashes on list cells (q041's r2 ERR), so
     run_oracle hashes rows-only output through the same strict canon."""
     from pyspark.sql import functions as F
 
@@ -39,7 +39,7 @@ def test_rows_only_list_column_rejected(spark, sf_smoke):
 
 
 def test_pmi_log_domain_guard(spark):
-    """q156's int64 headroom guard (ENFORCED this round, VERDICT r4
+    """q040's int64 headroom guard (ENFORCED this round, VERDICT r4
     "What's wrong" #2): counts large enough that n_xy*nn*1e6 overflows
     int64 must switch to the log-domain micro-nat path, and that path
     must rank identically to driver-side math.log PMI."""
@@ -92,7 +92,7 @@ def test_pmi_log_domain_guard(spark):
 
 
 def test_gopher_rules_both_ways(spark):
-    """q034's rules certified both ways on constructed documents — the
+    """q140's rules certified both ways on constructed documents — the
     synthetic corpus never satisfies the stopword rule (its vocabulary
     has no two Gopher stopwords), so without this the intersect logic
     could silently degrade to constant-false."""
@@ -120,7 +120,7 @@ def test_gopher_rules_both_ways(spark):
 
 
 def test_gopher_repetition_both_ways(spark):
-    """q033's line/paragraph signals certified both ways on constructed
+    """q139's line/paragraph signals certified both ways on constructed
     multi-line documents — the synthetic corpus is single-line, so those
     signals are corpus-vacuous (always ok) and only these tests prove
     they can fire; also pins the top-gram tie-break (longer gram wins)."""
@@ -209,13 +209,13 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
 
-    r = run_oracle(spark, all_specs()["q033_gopher_repetition"], _short_doc_corpus(tmp_path))
+    r = run_oracle(spark, all_specs()["q139_gopher_repetition"], _short_doc_corpus(tmp_path))
     assert r.ok, r.detail
 
 
 def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     """Every shingles_sql-based oracle survives sub-k-token documents
-    (same landmine class as q033's: the unguarded toks[i+j] || chain
+    (same landmine class as q139's: the unguarded toks[i+j] || chain
     NULLed short-doc shingles until the r8 CASE guard). q124 is vacuous
     on 12 docs (its decontamination branch never fires) and is covered
     at sf0.01 by the driver."""
@@ -225,13 +225,13 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     d = _short_doc_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q162_minhash_lsh_pairs",
-        "q119_ngram_jaccard_pairs",
-        "q035_containment_dedup",
-        "q123_dedup_clusters",
+        "q047_minhash_lsh_pairs",
+        "q024_ngram_jaccard_pairs",
+        "q144_containment_dedup",
+        "q025_dedup_clusters",
         "q055_benchmark_contamination",
         "q085_incremental_dedup",
-        "q193_shingle_fingerprint",
+        "q050_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -241,12 +241,12 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
 def test_degenerate_doc_totality(spark, tmp_path):
     """The r8 adversarial sweep's crash/divergence findings, pinned: on a
     corpus with empty/whitespace-only docs (guaranteed in any real web
-    corpus) q054 must not DIVIDE_BY_ZERO under ANSI mode, q037's
+    corpus) q054 must not DIVIDE_BY_ZERO under ANSI mode, q146's
     MinHashLSH join must not FAILED_EXECUTE_UDF on all-zero vectors
     (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
     the localCheckpoint barrier pins it to filtered rows), q114's oracle
     must not NULL through list()-of-zero-rows / array_to_string([]),
-    q138/q190 tokenization must drop empty tokens on both engines, and
+    q032/q190 tokenization must drop empty tokens on both engines, and
     q170's crosstab schema must stay the closed 5-lang contract when a
     lang is corpus-absent."""
     from warcraider_spark.oracle import run_oracle
@@ -257,9 +257,9 @@ def test_degenerate_doc_totality(spark, tmp_path):
     for n in [
         "q054_bpe_pretokenize",
         "q114_span_excision",
-        "q138_repetition_ratio",
+        "q032_repetition_ratio",
         "q190_bigram_udtf",
-        "q037_ml_lsh_variants",
+        "q146_ml_lsh_variants",
         "q170_crosstab",
     ]:
         r = run_oracle(spark, specs[n], d)
@@ -299,7 +299,7 @@ COPY (
 def test_zero_vector_totality(spark, tmp_path):
     """The r8 zero-vector sweep's findings, pinned: all-zero embedding
     rows (one corrupted row in a 100 TB corpus) must not ANSI-kill the
-    cosine family (q083/q131/q118: nrm > 0 exclusion — no direction, no
+    cosine family (q083/q029/q023: nrm > 0 exclusion — no direction, no
     cosine), the absmax quantizer (q192: raw_scale > 0), or the grouped
     eigensolve (q100: np.cov of a singleton group is 0-d; the oracle's
     aniso division needs the zero-trace CASE)."""
@@ -310,9 +310,9 @@ def test_zero_vector_totality(spark, tmp_path):
     specs = all_specs()
     for n in [
         "q083_cosine_topk_bruteforce",
-        "q131_ann_sign_lsh",
+        "q029_ann_sign_lsh",
         "q192_two_stage_rerank",
-        "q118_embedding_neardup",
+        "q023_embedding_neardup",
         "q100_group_spectral_stats",
     ]:
         r = run_oracle(spark, specs[n], d)
@@ -431,7 +431,7 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     U+3000-spaced CJK where every oracle's ASCII \\s did not — the q190
     bigram UDTF now ASCII-splits like the house tokenizer.
 
-    q156/q150/q180 are excluded as corpus-vacuous here (their
+    q040/q150/q180 are excluded as corpus-vacuous here (their
     discriminating branches need more data than 16 docs; min_rows
     guards them) — they're covered at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -440,18 +440,18 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     d = _unicode_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q033_gopher_repetition", "q034_gopher_rules", "q159_rake_keywords",
-        "q004_token_stats", "q005_lang_id", "q006_quality_score",
-        "q007_fingerprint", "q193_shingle_fingerprint", "q059_word_count_ref",
-        "q138_repetition_ratio", "q054_bpe_pretokenize", "q190_bigram_udtf",
-        "q162_minhash_lsh_pairs", "q184_tfidf", "q126_document_chunking",
-        "q168_line_dedup", "q119_ngram_jaccard_pairs", "q123_dedup_clusters",
-        "q127_simhash_dupes", "q149_duplicate_spans",
+        "q139_gopher_repetition", "q140_gopher_rules", "q159_rake_keywords",
+        "q060_token_stats", "q061_lang_id", "q087_quality_score",
+        "q089_fingerprint", "q050_shingle_fingerprint", "q003_word_count_ref",
+        "q032_repetition_ratio", "q054_bpe_pretokenize", "q190_bigram_udtf",
+        "q047_minhash_lsh_pairs", "q049_tfidf", "q026_document_chunking",
+        "q168_line_dedup", "q024_ngram_jaccard_pairs", "q025_dedup_clusters",
+        "q027_simhash_dupes", "q038_duplicate_spans",
         "q055_benchmark_contamination", "q084_token_budget_select",
         "q114_span_excision", "q078_heavy_hitters", "q141_bpe_encode",
         "q134_simhash_radius", "q135_bpe_merge_train",
-        "q035_containment_dedup", "q161_training_data_pipeline",
-        "q093_whitespace_quirks", "q146_sequence_packing",
+        "q144_containment_dedup", "q045_training_data_pipeline",
+        "q011_whitespace_quirks", "q037_sequence_packing",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -485,12 +485,12 @@ def test_unicode_extended_sweep(spark, tmp_path):
         "q187_mixture_pipeline_e2e", "q069_mixture_apply_select",
         "q070_domain_mixture_weights", "q071_dsir_select",
         "q072_domain_quality_select", "q082_pii_redaction",
-        "q090_ga_extract", "q014_explode_outer", "q095_array_set_funcs",
-        "q102_corpus_snapshot_diff", "q112_dedup_keep_canonical",
-        "q113_media_features", "q016_concat_chunk_blocks",
+        "q009_ga_extract", "q103_explode_outer", "q013_array_set_funcs",
+        "q102_corpus_snapshot_diff", "q019_dedup_keep_canonical",
+        "q113_media_features", "q108_concat_chunk_blocks",
         "q125_bloom_dedup_probe", "q133_split_leakage", "q022_source_cap",
-        "q144_media_stats", "q163_exact_dedup_groups",
-        "q037_ml_lsh_variants",
+        "q035_media_stats", "q048_exact_dedup_groups",
+        "q146_ml_lsh_variants",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -554,7 +554,7 @@ def test_unicode_large_corpus_sweep(spark, tmp_path):
     names = [
         "q180_set_containment_join", "q097_sparse_dot_topk",
         "q107_longest_prefix_route", "q124_decontaminate",
-        "q145_countmin_freq", "q150_ngram_novelty", "q156_pmi_collocations",
+        "q036_countmin_freq", "q150_ngram_novelty", "q040_pmi_collocations",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)

@@ -20,7 +20,7 @@ equality:
 - lib.rs:290-301: links are EVERY real a[href] in document order,
   duplicates kept, '#'/'_' included at the parse level (the reference
   filters them at collection; our pipeline applies the identical filter
-  in the q034 hygiene chain, extraction.py:179 — pinned there).
+  in the q140 hygiene chain, extraction.py:179 — pinned there).
 - resource_urls = src/href of real script/link tags, in order
   (style is ammonia-deleted and contributes none).
 - meta_tags keeps name→content only when BOTH are non-empty (last wins).

@@ -31,10 +31,10 @@ def plan_of(df) -> str:
 
 
 def test_star_join_broadcasts_dims(spark):
-    """q011: all dimension joins must be broadcast-hash — a sort-merge join
+    """q093: all dimension joins must be broadcast-hash — a sort-merge join
     against `region`/`nation` at 100 TB would shuffle the fact table once
     per dimension."""
-    df = all_specs()["q011_star_join_revenue"].builder(spark, SF_CORRECT)
+    df = all_specs()["q093_star_join_revenue"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -60,7 +60,7 @@ def test_filter_and_projection_reach_scan(spark):
 def test_aggregate_is_partial_final(spark):
     """groupBy aggs must be two-phase (map-side combine): the shuffle
     carries one row per (partition, key), not one per input row."""
-    df = all_specs()["q009_pricing_summary"].builder(spark, SF_CORRECT)
+    df = all_specs()["q090_pricing_summary"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan
 
@@ -142,7 +142,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 
 def test_minhash_signature_single_tokenize(spark):
-    """q162 regression: tokenization must stay in its own Project (evaluated
+    """q047 regression: tokenization must stay in its own Project (evaluated
     once per row), not be inlined 6× into the shingle expression — see
     dedup._exploded_shingles."""
     from warcraider_spark.operators.dedup import _exploded_shingles, dup_corpus
@@ -162,9 +162,9 @@ def test_minhash_signature_single_tokenize(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    """q050: global top-k must compile to TakeOrderedAndProject (per-
+    """q193: global top-k must compile to TakeOrderedAndProject (per-
     partition heap + single merge), never a full Sort + Limit."""
-    df = all_specs()["q050_global_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q193_global_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
 
@@ -210,12 +210,12 @@ def test_salting_spreads_hot_key_across_partitions(spark):
 
 
 def test_decile_no_global_sort(spark):
-    """q129 (VERDICT r8 #3): exact NTILE semantics must come from the
+    """q028 (VERDICT r8 #3): exact NTILE semantics must come from the
     bucketed distributed prefix-sum, never a global single-partition
     window over the fact table — the heavy row_number window is
     partitioned by bucket, the tiny offsets table is broadcast, and no
     ntile() survives in the plan."""
-    df = all_specs()["q129_decile_distribution"].builder(spark, SF_CORRECT)
+    df = all_specs()["q028_decile_distribution"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "ntile" not in plan.lower()
     # the fact-table window carries the bucket partition spec
@@ -225,7 +225,7 @@ def test_decile_no_global_sort(spark):
 
 
 def test_approx_quantile_error_bound(spark):
-    """q040: the GK sketch at accuracy 10000 must stay within 1% of the
+    """q156: the GK sketch at accuracy 10000 must stay within 1% of the
     exact percentile at this SF (rank error ≤ n/accuracy — tighter than
     the query's own in-plan rank-window verdicts, checked against the
     factored sketch pass), and the certified verdict booleans must all
@@ -237,15 +237,15 @@ def test_approx_quantile_error_bound(spark):
     for r in rows:
         assert abs(r.ap[0] - r.exact[0]) / r.exact[0] < 0.01
         assert abs(r.ap[1] - r.exact[1]) / r.exact[1] < 0.01
-    verdicts = all_specs()["q040_approx_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q156_approx_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.median_in_bound and v.p95_in_bound for v in verdicts)
 
 
 def test_asof_join_single_shuffle(spark):
-    """q028: the union+window as-of composition must shuffle ONCE on
+    """q129: the union+window as-of composition must shuffle ONCE on
     user_id before the final presentation sort — never the range-join
     explosion a non-equi formulation would plan."""
-    df = all_specs()["q028_asof_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q129_asof_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan, "as-of must compile to window+union, not a join"
     # exchanges: one hashpartitioning(user_id) for the window, one range
@@ -267,9 +267,9 @@ def test_ivf_search_broadcasts_centroids(spark):
 
 
 def test_pipeline_query_no_joins(spark):
-    """q161 (the entry flagship): quality filter → dedup → accounting must
+    """q045 (the entry flagship): quality filter → dedup → accounting must
     stay a linear agg pipeline — two exchanges, no joins."""
-    df = all_specs()["q161_training_data_pipeline"].builder(spark, SF_CORRECT)
+    df = all_specs()["q045_training_data_pipeline"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
@@ -307,9 +307,9 @@ def test_sketch_aggs_are_partial_final(spark):
 
 
 def test_mixture_weights_broadcast(spark):
-    """q043: the weight recipe joins as a broadcast and the keep decision
+    """q160: the weight recipe joins as a broadcast and the keep decision
     stays a map-side expression (no shuffle before the accounting agg)."""
-    df = all_specs()["q043_weighted_mixture"].builder(spark, SF_CORRECT)
+    df = all_specs()["q160_weighted_mixture"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -338,9 +338,9 @@ def test_lm_score_vocab_is_broadcast(spark):
 
 
 def test_sequence_packing_single_window_shuffle(spark):
-    """q146: packing is ONE hash exchange on the shard key feeding the
+    """q037: packing is ONE hash exchange on the shard key feeding the
     running-sum window — no join, no second shuffle before the sort."""
-    df = all_specs()["q146_sequence_packing"].builder(spark, SF_CORRECT)
+    df = all_specs()["q037_sequence_packing"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Window" in plan
     assert plan.count("hashpartitioning") == 1
@@ -368,10 +368,10 @@ def test_kmeans_broadcasts_centroids(spark):
 
 
 def test_rollup_layers_reaggregate_partials(spark):
-    """q047: the daily layer's input must be the hourly AGGREGATE, not raw
+    """q162: the daily layer's input must be the hourly AGGREGATE, not raw
     events — three stacked partial+final agg pairs over ONE scan.
     (explain('formatted') prints each node twice: tree + details.)"""
-    df = all_specs()["q047_rollup_layers"].builder(spark, SF_CORRECT)
+    df = all_specs()["q162_rollup_layers"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 2  # one scan node
     assert plan.count("HashAggregate") >= 12  # >= 6 nodes: 3 layers x 2 phases
@@ -395,11 +395,11 @@ def test_bpe_pair_counts_partial_final(spark):
 
 
 def test_duplicate_spans_single_shuffle_topk(spark):
-    """q149: span discovery is pure aggregation — ONE hash exchange on the
+    """q038: span discovery is pure aggregation — ONE hash exchange on the
     gram key (count-distinct expands to a two-phase agg on that same key),
     a TakeOrderedAndProject head, and NO self-join anywhere (the all-pairs
     product that makes naive substring dedup intractable)."""
-    df = all_specs()["q149_duplicate_spans"].builder(spark, SF_CORRECT)
+    df = all_specs()["q038_duplicate_spans"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
@@ -509,10 +509,10 @@ def test_skyline_local_pass_is_bucket_partitioned(spark):
 
 
 def test_concat_chunk_corpus_window_is_bucketed(spark):
-    """q016: the corpus-side cumsum window must be PARTITIONED BY bucket —
+    """q108: the corpus-side cumsum window must be PARTITIONED BY bucket —
     the only unpartitioned window allowed is the one over the ~|buckets|
     summary table."""
-    df = all_specs()["q016_concat_chunk_blocks"].builder(spark, SF_CORRECT)
+    df = all_specs()["q108_concat_chunk_blocks"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition(bucket" in plan, (
         "corpus cumsum window lost its bucket partitioning"
@@ -531,9 +531,9 @@ def test_bloom_probe_filter_is_broadcast(spark):
 
 
 def test_countmin_probe_is_broadcast(spark):
-    """q145: the d×w counter table is constant-size; the point-query
+    """q036: the d×w counter table is constant-size; the point-query
     probe must broadcast it, never shuffle the probe set by cell key."""
-    df = all_specs()["q145_countmin_freq"].builder(spark, SF_CORRECT)
+    df = all_specs()["q036_countmin_freq"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -602,7 +602,7 @@ def test_sparse_dot_single_materialization(spark):
 
 
 def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
-    """q154: the contraction's half-round plan is groupBy + equi-join on
+    """q039: the contraction's half-round plan is groupBy + equi-join on
     the node id — a cartesian or nested-loop would be quadratic in edges."""
     from warcraider_spark.operators.graph import chain_edges
 
@@ -618,7 +618,7 @@ def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
 
 
 def test_approx_distinct_error_bound(spark):
-    """q017: HLL++ at rsd=0.01 must land within 3 standard deviations
+    """q109: HLL++ at rsd=0.01 must land within 3 standard deviations
     (3%) of the exact distinct count per group — tighter than the
     query's certified 5σ verdict, which must also be all-TRUE."""
     from warcraider_spark.tables import load_table
@@ -635,12 +635,12 @@ def test_approx_distinct_error_bound(spark):
     assert raw
     for r in raw:
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.03, r
-    verdicts = all_specs()["q017_approx_distinct"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q109_approx_distinct"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(v.within_5pct for v in verdicts)
 
 
 def test_kll_quantile_error_bound(spark):
-    """q137: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
+    """q031: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
     ≈ 1.2%; assert each reported quantile's TRUE rank among the exact
     values is within 2% of the requested rank — the sketch's actual
     contract, checked without fixing its randomized internals."""
@@ -673,7 +673,7 @@ def test_kll_quantile_error_bound(spark):
             checked += 1
     assert checked >= 4
     # the certified in-plan verdicts (10% slack) must also be all-TRUE
-    verdicts = all_specs()["q137_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q031_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(
         v.p50_in_bound and v.p95_in_bound and v.rank50_in_bound for v in verdicts
     )
@@ -689,21 +689,21 @@ def test_kll_quantile_error_bound(spark):
 BUILD_TIME_EXECUTION_OK = {
     # iterative operators: the driver-side loop (per-round lineage cut /
     # convergence check) is the operator's documented contract
-    "q160_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
-    "q154_connected_components": "r11 hybrid: eager node→root mapping materialization + residual large/small-star loop with data-dependent convergence check",
+    "q043_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
+    "q039_connected_components": "r11 hybrid: eager node→root mapping materialization + residual large/small-star loop with data-dependent convergence check",
     "q135_bpe_merge_train": "per-round best-pair selection is data-dependent",
     "q188_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
     "q141_bpe_encode": "replays the q135 merge-train loop to build the vocab",
     "q142_pq_encode": "per-subspace k-means loops (q188 contract)",
     "q151_semantic_dedup": "k-means clustering loop (q188 contract)",
-    "q123_dedup_clusters": "connected-components loop (q154 contract)",
+    "q025_dedup_clusters": "connected-components loop (q039 contract)",
     "q172_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
     "q106_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
     "q052_stream_stream_join": "executes a stream-stream join replay",
-    "q140_stream_static_enrich": "executes a stream-static micro-batch replay",
+    "q034_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
-    "q037_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
+    "q146_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
     "q170_crosstab": "df.stat.crosstab computes its pivot eagerly",
     # r10: the weight-table materialization (VERDICT r9 #6). Under AQE,
     # toRdd inside even a LAZY localCheckpoint executes the upstream
@@ -721,7 +721,7 @@ def test_plan_construction_launches_no_jobs(spark):
     what plan-audit explains) must launch zero Spark jobs outside the
     justified list above: a build-time count()/first() means every
     explain() pays a scan, and under AQE an eager-or-lazy checkpoint at
-    build time executes the whole upstream DAG (q156's r6 shape). Table
+    build time executes the whole upstream DAG (q040's r6 shape). Table
     footer-read jobs are excluded by pre-warming the load_table cache —
     that cost is per-(session, table), not per-build."""
     from warcraider_spark.tables import load_tables
@@ -803,7 +803,7 @@ def test_mixture_pipeline_runtime_stage_reuse(spark):
     """q187 (r11): the composed gate->water-fill->DSIR->pack plan
     statically duplicates the gated-corpus lineage (each consuming stage
     re-declares the scan + gate window), but AQE reuses the identical
-    shuffle/broadcast stages at RUNTIME. The q110 lesson says the
+    shuffle/broadcast stages at RUNTIME. The q018 lesson says the
     PRE-execution plan shows zero ReusedExchange under AQE — so audit
     the POST-execution final adaptive plan (isFinalPlan=true), where the
     reuse is explicit. Pin: >=4 ReusedExchange nodes (r11 measurement: 6

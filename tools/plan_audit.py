@@ -44,32 +44,32 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # "unpartitioned window" pairs: windows over shrunken inputs (bucket
 # summaries, local-skyline survivors, merge frontiers, global deciles).
 KNOWN_OK_PAIRS = {
-    ("q118_embedding_neardup", "BroadcastNestedLoopJoin"),
+    ("q023_embedding_neardup", "BroadcastNestedLoopJoin"),
     ("q083_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
     ("q096_ivf_assign", "BroadcastNestedLoopJoin"),
     ("q098_ivf_topk_search", "BroadcastNestedLoopJoin"),
     ("q099_link_degrees", "BroadcastNestedLoopJoin"),
     ("q192_two_stage_rerank", "BroadcastNestedLoopJoin"),
-    ("q015_having_avg_subquery", "BroadcastNestedLoopJoin"),
-    # r9: q129's unpartitioned window is now over the TINY per-bucket
+    ("q104_having_avg_subquery", "BroadcastNestedLoopJoin"),
+    # r9: q028's unpartitioned window is now over the TINY per-bucket
     # count table only (q084 prefix-sum shape — the fact-table window is
     # partitioned by bucket; pinned by test_decile_no_global_sort); its
     # broadcast side is the same bucket summary, bounded by the value-
     # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
-    ("q129_decile_distribution", "unpartitioned window"),
-    ("q129_decile_distribution", "broadcast of unbounded aggregate"),
+    ("q028_decile_distribution", "unpartitioned window"),
+    ("q028_decile_distribution", "broadcast of unbounded aggregate"),
     ("q057_lm_score", "BroadcastNestedLoopJoin"),
     ("q058_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q084_token_budget_select", "BroadcastNestedLoopJoin"),
     ("q084_token_budget_select", "unpartitioned window"),
     ("q076_triangle_count", "BroadcastNestedLoopJoin"),
     ("q114_span_excision", "BroadcastNestedLoopJoin"),
-    ("q026_zorder_layout", "BroadcastNestedLoopJoin"),
-    ("q024_key_skew_profile", "BroadcastNestedLoopJoin"),
+    ("q126_zorder_layout", "BroadcastNestedLoopJoin"),
+    ("q119_key_skew_profile", "BroadcastNestedLoopJoin"),
     ("q147_inverted_index", "BroadcastNestedLoopJoin"),
     ("q078_heavy_hitters", "BroadcastNestedLoopJoin"),
     ("q167_skyline_docs", "unpartitioned window"),
-    ("q016_concat_chunk_blocks", "unpartitioned window"),
+    ("q108_concat_chunk_blocks", "unpartitioned window"),
     ("q169_quantified_subqueries", "BroadcastNestedLoopJoin"),
     ("q172_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q177_dormant_rich_customers", "BroadcastNestedLoopJoin"),
@@ -77,7 +77,7 @@ KNOWN_OK_PAIRS = {
     # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
     # EXACTLY one row by construction; the 1-row broadcast cross join
     # replaced the r6 build-time .first() (VERDICT r6 #8)
-    ("q156_pmi_collocations", "BroadcastNestedLoopJoin"),
+    ("q040_pmi_collocations", "BroadcastNestedLoopJoin"),
     # r10 mixture/selection trio: every flagged shape runs on domain- or
     # top-k-sized aggregates, never the corpus. q070's windows and both
     # of its broadcast joins are over the per-SOURCE rollup (~|domains|
@@ -110,33 +110,33 @@ KNOWN_OK_PAIRS = {
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
     # fixed k centroids (q096/q098), fixed bloom word count m/64 (q125),
-    # fixed d*w count-min table (q145), <=21 score buckets — score is
+    # fixed d*w count-min table (q036), <=21 score buckets — score is
     # milli-scaled in [0,1e6] div 50000 (q084), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
     # (q085), 100-row interval dimension (q092), bucket-summary prefix
-    # sums sized by bucketing policy (q016 — same justification as its
+    # sums sized by bucketing policy (q108 — same justification as its
     # unpartitioned-window exemption), fixed probe/query set (q097),
     # 3-rows-by-construction KLL estimate table — groupBy over the two
     # filtered event types plus one merged row — broadcast back over the
-    # events for the in-plan error-bound verification (q137, r8).
-    # Data-coupled hints were FIXED instead, not exempted: q160 out-
-    # degrees folded into the rank table, q156 marginals via shuffle
-    # joins, q119 hot-shingle anti-join and q164 per-source bounds left
+    # events for the in-plan error-bound verification (q031, r8).
+    # Data-coupled hints were FIXED instead, not exempted: q043 out-
+    # degrees folded into the rank table, q040 marginals via shuffle
+    # joins, q024 hot-shingle anti-join and q164 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
     ("q096_ivf_assign", "broadcast of unbounded aggregate"),
     ("q098_ivf_topk_search", "broadcast of unbounded aggregate"),
     ("q125_bloom_dedup_probe", "broadcast of unbounded aggregate"),
-    ("q145_countmin_freq", "broadcast of unbounded aggregate"),
+    ("q036_countmin_freq", "broadcast of unbounded aggregate"),
     ("q084_token_budget_select", "broadcast of unbounded aggregate"),
     ("q085_incremental_dedup", "broadcast of unbounded aggregate"),
     ("q092_interval_bin_join", "broadcast of unbounded aggregate"),
-    ("q016_concat_chunk_blocks", "broadcast of unbounded aggregate"),
+    ("q108_concat_chunk_blocks", "broadcast of unbounded aggregate"),
     ("q097_sparse_dot_topk", "broadcast of unbounded aggregate"),
-    ("q137_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
-    # q040: GK estimate table broadcast back over lineitem for the
+    ("q031_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
+    # q156: GK estimate table broadcast back over lineitem for the
     # in-plan rank-window verification — bounded at the l_returnflag
-    # domain (3 values) by construction (r8, same shape as q137)
-    ("q040_approx_quantiles", "broadcast of unbounded aggregate"),
+    # domain (3 values) by construction (r8, same shape as q031)
+    ("q156_approx_quantiles", "broadcast of unbounded aggregate"),
 }
 
 
@@ -152,8 +152,8 @@ def _broadcast_unbounded_aggs(analyzed: str) -> int:
     the data. A broadcast HINT forces the broadcast regardless of size,
     so at 100 TB it OOMs every executor; the fix is a shuffle join on
     the key the pipeline already partitions by. This rule would have
-    caught both r4 scale-killers (q160's per-node out-degree broadcast,
-    q156's per-token marginal broadcasts).
+    caught both r4 scale-killers (q043's per-node out-degree broadcast,
+    q040's per-token marginal broadcasts).
 
     Deliberately scoped to the ANALYZED plan's ResolvedHint nodes:
     stats-chosen auto-broadcasts in the physical plan are ADAPTIVE —

@@ -24,13 +24,13 @@ from warcraider_spark.registry import all_specs  # noqa: E402
 from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
-    "q163_exact_dedup_groups",
-    "q034_gopher_rules",
-    "q033_gopher_repetition",
-    "q162_minhash_lsh_pairs",
+    "q048_exact_dedup_groups",
+    "q140_gopher_rules",
+    "q139_gopher_repetition",
+    "q047_minhash_lsh_pairs",
     "q078_heavy_hitters",
     "q168_line_dedup",
-    "q161_training_data_pipeline",
+    "q045_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
     "q135_bpe_merge_train",
@@ -40,7 +40,7 @@ QUERIES = [
     # sub-linear in candidates as the corpus grows
     "q125_bloom_dedup_probe",
     "q134_simhash_radius",
-    "q145_countmin_freq",
+    "q036_countmin_freq",
     # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
     # side grows Kx while the probe set stays 1x (embeddings replicas drop
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
@@ -48,7 +48,7 @@ QUERIES = [
     "q192_two_stage_rerank",
     # r4 text additions: PMI is the vocab-saturating shape, novelty the
     # linear-gram-join shape — both must hold their §10 curves
-    "q156_pmi_collocations",
+    "q040_pmi_collocations",
     "q150_ngram_novelty",
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
@@ -150,7 +150,7 @@ def _chain_edges_per_replica(spark, sf_dir):
 
 
 def _q025_cc_scaled(spark, sf_dir):
-    """Scale-harness variant of q154_connected_components over the
+    """Scale-harness variant of q039_connected_components over the
     per-replica chain graph (see _chain_edges_per_replica) — the curve
     VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx.
     r11: measures the production path (contracted_components — local
@@ -193,7 +193,7 @@ def _q033_simhash_disjoint(spark, sf_dir):
     cross-replica pair hamming-0 (identical text -> identical sketch),
     so TRUE pairs grow k^2 by construction and the registry query's raw
     16x step (~2.6x per 2x data, first seen in the r11 16x extension) is
-    OUTPUT-bound — the same artifact q035's disjoint variant documents,
+    OUTPUT-bound — the same artifact q144's disjoint variant documents,
     just at radius 0. Suffixing every token with its replica id makes
     the replicas' token spaces disjoint; md5 then gives cross-replica
     sketches independent bits (expected hamming ~bits/2, radius-2
@@ -273,7 +273,7 @@ def _winnowing_scale_docs(spark, sf_dir):
     """Replica-salted corpus shared by the winnowing scale variants:
     full-copy replication multiplies every fingerprint's document
     frequency by K — base-df-2 fingerprints form k² cross-replica pairs
-    (output-bound, the q035/q134 artifact) while base-df>8 fingerprints
+    (output-bound, the q144/q134 artifact) while base-df>8 fingerprints
     cross the df cap and vanish. Salting each token with its replica id
     (every 20-char gram spans a salted token, tokens being far shorter
     than k) keeps per-replica corpora fingerprint-disjoint, so pair
@@ -340,7 +340,7 @@ _winnowing_folded_variant = _winnowing_disjoint_variant
 
 
 def _containment_disjoint_variant(spark, sf_dir):
-    """Scale-harness variant of q035_containment_dedup with per-replica
+    """Scale-harness variant of q144_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
     cross-replica doc pair a true containment pair (output grows k^2 —
     120 -> 120,100 pairs at 8x, so the registry query's curve is
@@ -409,7 +409,7 @@ def _containment_disjoint_variant(spark, sf_dir):
 
 
 def _q031_decile_scaled(spark, sf_dir):
-    """q129's prefix-sum decile over a K-replicated orders table. The
+    """q028's prefix-sum decile over a K-replicated orders table. The
     scaled dirs symlink orders (only documents/embeddings replicate), so
     the variant replicates IN-PLAN: K shifted copies unioned, K inferred
     from the documents replica encoding (doc_id // 1e6). Linear curve =
@@ -442,12 +442,12 @@ def _q031_decile_scaled(spark, sf_dir):
 
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
-    "q129_decile_distribution[per-replica]": _q031_decile_scaled,
+    "q028_decile_distribution[per-replica]": _q031_decile_scaled,
     "q008_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
-    "q035_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
+    "q144_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
-    "q154_connected_components[per-replica]": _q025_cc_scaled,
+    "q039_connected_components[per-replica]": _q025_cc_scaled,
     "q097_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
 }
 
@@ -557,7 +557,7 @@ def main() -> None:
         band_audit[k] = {"n_docs": n, "sketch_bits": bits, "max_bucket_occupancy": int(max_occ)}
     results["q036_band_plan_audit"] = band_audit  # type: ignore[assignment]
 
-    # q154 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
+    # q039 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
     # measured on the per-replica graph. Replication adds disjoint
     # isomorphic copies of the chain graph, so rounds should stay FLAT
     # while nodes grow Kx — rounds track log(component size), not corpus

@@ -6,7 +6,7 @@ JVM-side with no Arrow transfer, scaling linearly with executors. (Scalar
 expressions compile into whole-stage codegen; the higher-order array
 functions are CodegenFallback — interpreted, fine for cheap lambda bodies,
 which is why the HEAVY per-row folds ship as batched Arrow kernels with
-these as property-test twins: the q033/q136 pattern.)
+these as property-test twins: the q139/q136 pattern.)
 
 Cross-engine hashing convention (used by dedup/minhash/simhash oracles):
 ``md5_int(s)`` = first 15 hex chars of md5(s) as a bigint — identical in
@@ -167,7 +167,7 @@ def sorted_run_stats(arr: Column) -> Column:
     referencing column unless a projection barrier stops CollapseProject
     — see ``_rep_signals_catalyst``), so this is the SEMANTIC primitive
     behind the Gopher repetition signals and their property-test twin,
-    while the shipped q033 path is the batched-Arrow kernel
+    while the shipped q139 path is the batched-Arrow kernel
     (``_rep_signals_arrow_udf``). Either way each signal stays a
     map-only scan at 100 TB instead of one groupBy shuffle per n-gram
     order.
@@ -239,7 +239,7 @@ def shingles_sql(tok_col: str, k: int = 3) -> str:
     Spark's concat_ws-skips-NULL-padding semantics (r8: previously a
     documented >= k-token precondition; the unguarded ``toks[i+j] || …``
     chain NULLs the shingle below it, a latent oracle hash landmine for
-    any corpus with a sub-k-token doc — the q033 _ngram_sql lesson).
+    any corpus with a sub-k-token doc — the q139 _ngram_sql lesson).
     Split-derived token lists are never empty ([''] for empty text), so
     the G = 0 case is unreachable on both engines.
     """

@@ -326,7 +326,7 @@ WHERE cnt >= 0.005 * total
 def q078_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q051/q137 surface).
+    pipeline (the sketch-based approximate twin is the q051/q031 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -423,7 +423,7 @@ CHUNK_BUCKET = 100  # docs per prefix-sum bucket (monotone in doc_id)
 
 
 @query(
-    "q016_concat_chunk_blocks",
+    "q108_concat_chunk_blocks",
     oracle=f"""
 WITH wcs AS (
   SELECT doc_id, len(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS wc FROM documents
@@ -452,10 +452,10 @@ FROM blocks GROUP BY block_id
 """,
     tags=("curation", "packing", "prefix-sum"),
 )
-def q016_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q108_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
-    CROSS document boundaries (the complement of q146's pack-without-
+    CROSS document boundaries (the complement of q037's pack-without-
     splitting). Emits per-block accounting: docs spanned, first/last doc,
     tokens (== 512 for every interior block).
 
@@ -662,7 +662,7 @@ def q133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization), while splitting by the duplicate GROUP's canonical id
     structurally eliminates leakage.
 
-    The corpus is documents + the exact-dup block (q163's construction),
+    The corpus is documents + the exact-dup block (q048's construction),
     so naive leakage provably exists; the output certifies (a) how many
     fingerprint groups and docs leak under the per-doc split and (b)
     that the group-keyed split has ZERO leaky groups — a property the
@@ -1372,7 +1372,7 @@ sel AS (
   FROM ranked r JOIN alloc a USING (source)
   WHERE r.cum <= a.alloc_tokens
 )
-SELECT doc_id, source, toks, score, cum,  -- stage 5: q146-style packing
+SELECT doc_id, source, toks, score, cum,  -- stage 5: q037-style packing
        cum - toks AS start_offset,
        (cum - toks) // {{PACK_CAP}} AS bin_id,
        (toks > 0 AND (cum - toks) // {{PACK_CAP}} <> (cum - 1) // {{PACK_CAP}}) AS straddles
@@ -1400,7 +1400,7 @@ def q187_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the held-out target slice (q071's hashed-bucket construction,
     target docs never selected) -> greedy per-domain budget fill in score
     order (q069's apply, score-ranked instead of hash-ranked) ->
-    q146-style sequence packing of the surviving stream. Each stage's
+    q037-style sequence packing of the surviving stream. Each stage's
     math is byte-identical to its independently certified sibling; this
     query certifies their COMPOSITION (the interesting failure mode:
     stage coupling, e.g. the budget being computed over the wrong pool

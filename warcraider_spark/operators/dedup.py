@@ -17,7 +17,7 @@ Scale design (the point of these operators at 100 TB):
 - SimHash: one linear pass to 16-bit sketches, then pairs only within
   identical sketch (or small hamming radius over a band join);
 - embedding near-dup: bounded candidate set (here: id-range block; the
-  LSH-bucketed variant is q131 in similarity.py).
+  LSH-bucketed variant is q029 in similarity.py).
 
 All native expressions — no Python UDFs anywhere in this module.
 """
@@ -74,7 +74,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q163_exact_dedup_groups",
+    "q048_exact_dedup_groups",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -92,7 +92,7 @@ ORDER BY fp
     tags=("dedup", "exact"),
     bench=True,
 )
-def q163_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
     with the canonical (min) member. One shuffle on the hash key."""
     corpus = dup_corpus(spark, sf_dir)
@@ -110,7 +110,7 @@ def q163_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q112_dedup_keep_canonical",
+    "q019_dedup_keep_canonical",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -123,7 +123,7 @@ FROM hashed
 """,
     tags=("dedup", "exact"),
 )
-def q112_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
     removed — the pipeline-level dedup accounting row."""
     corpus = dup_corpus(spark, sf_dir)
@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q162 and q123 (SQL twin of
+# bands + distinct candidate pairs, shared by q047 and q025 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -257,7 +257,7 @@ def _lsh_pairs(corpus: DataFrame) -> DataFrame:
 
 
 @query(
-    "q162_minhash_lsh_pairs",
+    "q047_minhash_lsh_pairs",
     oracle=f"""
 {_LSH_PAIRS_SQL}
 ORDER BY doc_a, doc_b
@@ -265,7 +265,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def q162_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
     sharing ≥1 band. The band-key self-join is the scale path — candidate
     generation is O(collisions), never O(n²)."""
@@ -280,7 +280,7 @@ SIMHASH_BITS = 16
 
 
 def _simhash_sketch_sql(bits: int) -> str:
-    """corpus→sketch CTE chain for a ``bits``-wide simhash (q127 uses 16;
+    """corpus→sketch CTE chain for a ``bits``-wide simhash (q027 uses 16;
     q134's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
@@ -323,7 +323,7 @@ def _simhash_sketch(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 @query(
-    "q127_simhash_dupes",
+    "q027_simhash_dupes",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -334,7 +334,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "simhash"),
 )
-def q127_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
     the sketch value; the radius-r banded search is q134)."""
@@ -361,7 +361,7 @@ SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
 
 
 @query(
-    "q119_ngram_jaccard_pairs",
+    "q024_ngram_jaccard_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -386,7 +386,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard"),
 )
-def q119_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
     verify stage after LSH candidates: intersection counted by a join on
     the shingle, never a pairwise loop).
@@ -432,7 +432,7 @@ def q119_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_containment_dedup",
+    "q144_containment_dedup",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -461,7 +461,7 @@ ORDER BY contained_doc, container_doc
     tags=("dedup", "containment", "training-pipeline"),
     bench=True,
 )
-def q035_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q144_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-CONTAINMENT dedup (r8): C(A, B) = |S(A) ∩ S(B)|
     / |S(A)| over the smaller shingle set — the near-superset detector
     Jaccard structurally misses (an article quoted inside a much longer
@@ -474,7 +474,7 @@ def q035_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certified INTEGER-EXACTLY: the threshold is 10*i >= 8*min(n) and
     the reported score is basis points via integer div — no ratio ever
     crosses engines. Same skew guard and capped-shingle semantics as
-    q119 (df-capped hot shingles carry no dedup signal), and the same
+    q024 (df-capped hot shingles carry no dedup signal), and the same
     scale shape: intersection counted by an equi-join on the shingle
     key, never a pairwise loop; one extra sizes join on the uniform
     doc key."""
@@ -520,7 +520,7 @@ def q035_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q118_embedding_neardup",
+    "q023_embedding_neardup",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -543,11 +543,11 @@ ORDER BY vec_a, vec_b
 """,
     tags=("dedup", "embedding", "cosine"),
 )
-def q118_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
-    pruning at scale is the sign-LSH bucketing in q131.
+    pruning at scale is the sign-LSH bucketing in q029.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -571,7 +571,7 @@ def q118_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q161_training_data_pipeline",
+    "q045_training_data_pipeline",
     oracle="""
 WITH corpus AS (
 SELECT doc_id, text FROM documents
@@ -605,7 +605,7 @@ FROM deduped
     tags=("pipeline", "dedup", "text", "north-star"),
     bench=True,
 )
-def q161_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (the north-star flow in one
     plan): corpus ∪ duplicates → quality filter (length + diversity) →
     exact dedup keep-first → corpus accounting. Single Catalyst plan:
@@ -645,7 +645,7 @@ CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
 
 
 @query(
-    "q123_dedup_clusters",
+    "q025_dedup_clusters",
     oracle=f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
      edges AS (
@@ -673,9 +673,9 @@ ORDER BY cluster_id
 """,
     tags=("dedup", "graph", "connected-components"),
 )
-def q123_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
-    generation (q162) feeds in a real dedup pipeline: near-duplicates are
+    generation (q047) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
     unit of deduplication is the connected component of the candidate
     graph, keeping min(doc_id) per component.
@@ -685,7 +685,7 @@ def q123_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, both on uniform doc-id keys). CC_ROUNDS=6 bounds the
     propagation; labels converge once rounds ≥ graph diameter, and dup
     clusters are shallow (exact-copy stars + short near-dup chains; the
-    q119 Jaccard-verify stage prunes long spurious chains before
+    q024 Jaccard-verify stage prunes long spurious chains before
     clustering in a production flow). At 100 TB diameter can't be assumed:
     use the alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce"), which converges
@@ -835,7 +835,7 @@ def q077_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the standard corrupted-duplicate ER benchmark construction) is
     matched back to the clean registry by q-gram blocking: explode each
     name into 6-grams, DROP high-document-frequency grams (the shared
-    'Customer#…' prefix — same skew-cap rationale as q119's shingle DF
+    'Customer#…' prefix — same skew-cap rationale as q024's shingle DF
     cap), equi-join on the surviving distinctive grams, then verify
     candidates with edit distance ≤ 1.
 
@@ -904,7 +904,7 @@ SPAN_N = 8
 
 
 @query(
-    "q149_duplicate_spans",
+    "q038_duplicate_spans",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
@@ -926,7 +926,7 @@ LIMIT 100
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q149_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: every word-level
     {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
     document frequency — the discovery pass of substring dedup (the spans
@@ -963,7 +963,7 @@ def q149_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Incremental (batch-vs-base) dedup --------------------------------------
 # The daily-ingestion shape: a small incoming batch is probed against the
 # full base corpus for exact and near duplicates before admission. Contrast
-# with q163/q162, which dedup a corpus against ITSELF.
+# with q048/q047, which dedup a corpus against ITSELF.
 
 _INC_SQL = """
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
@@ -1138,10 +1138,10 @@ ORDER BY doc_id
     tags=("dedup", "spans", "training-pipeline"),
 )
 def q114_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-dedup APPLY stage: excise the q149 head (the 100 most
+    """Substring-dedup APPLY stage: excise the q038 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
-    'remove duplicated substrings' pass, completing discovery (q149) →
+    'remove duplicated substrings' pass, completing discovery (q038) →
     excision.
 
     Scale shape: the span head is corpus-derived but TINY (one aggregation
@@ -1599,7 +1599,7 @@ ORDER BY hamming
 )
 def q134_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
-    generation — the scale path q127's docstring promises.
+    generation — the scale path q027's docstring promises.
 
     The 32-bit sketch splits into 3 bands (11+11+10 bits); any two
     sketches within hamming distance 2 differ in at most 2 bands, so they MUST
@@ -1877,7 +1877,7 @@ def q136_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data dedup pipelines): chunk boundaries are placed where a
     W-char polynomial rolling hash H(i) = sum c[i+j]*B^j mod M hits
     H % 64 == 0, so inserting one sentence into a near-duplicate
-    document RE-ALIGNS every later chunk — fixed-stride chunking (q126)
+    document RE-ALIGNS every later chunk — fixed-stride chunking (q026)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
     recur, in how many docs) — the unit a span-excision pass (q114)

@@ -376,7 +376,7 @@ def q113_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q144_media_stats",
+    "q035_media_stats",
     oracle=f"""
 WITH {MEDIA_FEAT_SQL}
 SELECT modality,
@@ -389,7 +389,7 @@ FROM feat GROUP BY modality ORDER BY modality
 """,
     tags=("multimodal", "codec", "agg"),
 )
-def q144_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting per modality over DECODED features (real codec
     output): decoded-unit totals, bitstream dims extrema, frame counts.
     Aggregates the q113 feature stage — one map-only decode pass, one

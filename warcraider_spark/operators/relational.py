@@ -38,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q009_pricing_summary",
+    "q090_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), {RD}) AS sum_qty,
@@ -57,7 +57,7 @@ ORDER BY l_returnflag, l_linestatus
     tags=("agg",),
     bench=True,
 )
-def q009_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q090_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the flagship aggregate.
 
     Scale: filter pushed to parquet scan; partial agg map-side → one shuffle
@@ -111,7 +111,7 @@ def q117_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q010_rollup",
+    "q091_rollup",
     oracle=f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -123,7 +123,7 @@ ORDER BY returnflag, linestatus
 """,
     tags=("agg", "rollup"),
 )
-def q010_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q091_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (Expand operator feeding hash agg)."""
     return (
         _t(spark, sf_dir, "lineitem")
@@ -174,7 +174,7 @@ def q120_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q011_star_join_revenue",
+    "q093_star_join_revenue",
     oracle=f"""
 SELECT n_name, r_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {RD}) AS revenue,
@@ -190,7 +190,7 @@ ORDER BY revenue DESC, n_name
     tags=("join", "agg"),
     bench=True,
 )
-def q011_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q093_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join → revenue per nation/region (TPC-H Q5 shape).
 
     Scale: customer/nation/region are broadcast (dims); lineitem⋈orders is
@@ -272,7 +272,7 @@ def q128_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q012_full_outer",
+    "q094_full_outer",
     oracle="""
 WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
      c AS (SELECT DISTINCT c_nationkey FROM customer)
@@ -284,7 +284,7 @@ ORDER BY supp_nation, cust_nation
 """,
     tags=("join",),
 )
-def q012_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q094_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join on nation membership of suppliers vs customers."""
     s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
     c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
@@ -300,7 +300,7 @@ def q012_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q013_range_join",
+    "q095_range_join",
     oracle=f"""
 SELECT p_brand,
        COUNT(*) AS n_matches,
@@ -313,7 +313,7 @@ ORDER BY p_brand
 """,
     tags=("join", "range"),
 )
-def q013_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q095_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi+range (theta) join: equi key keeps it hash-joinable, the range
     predicate becomes a post-join filter — NOT a nested-loop at scale."""
     li = _t(spark, sf_dir, "lineitem")
@@ -337,7 +337,7 @@ def q013_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q048_topk_per_group",
+    "q163_topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -351,7 +351,7 @@ ORDER BY o_custkey, rn
     tags=("window", "topk"),
     bench=True,
 )
-def q048_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q163_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via row_number window.
 
     Scale: one shuffle on o_custkey, sort within partitions only. The
@@ -367,7 +367,7 @@ def q048_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_window_analytics",
+    "q184_window_analytics",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
        ROUND(o_totalprice, {RD}) AS price,
@@ -383,7 +383,7 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
 )
-def q049_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q184_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/rank/ntile/running-sum analytic windows."""
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
@@ -407,7 +407,7 @@ def q049_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q050_global_topk",
+    "q193_global_topk",
     oracle=f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, {RD}) AS price
 FROM orders
@@ -416,7 +416,7 @@ LIMIT 25
 """,
     tags=("sort", "topk"),
 )
-def q050_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q193_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
     (per-partition heap + merge of k, no full sort at scale)."""
     return (
@@ -433,7 +433,7 @@ def q050_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q030_set_ops",
+    "q132_set_ops",
     oracle="""
 WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
      auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
@@ -446,7 +446,7 @@ ORDER BY op
 """,
     tags=("setop",),
 )
-def q030_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q132_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except over customer splits."""
     cu = _t(spark, sf_dir, "customer")
     hi = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -469,7 +469,7 @@ def q030_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q031_string_funcs",
+    "q137_string_funcs",
     oracle="""
 SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
@@ -486,7 +486,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q031_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q137_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar family (upper/lower/length/substring/concat/replace/
     trim/contains/split)."""
     return (
@@ -508,7 +508,7 @@ def q031_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q032_regexp_funcs",
+    "q138_regexp_funcs",
     oracle="""
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
@@ -519,7 +519,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "regex"),
 )
-def q032_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q138_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family — the substrate for the reference's extraction
     regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
     return (
@@ -535,7 +535,7 @@ def q032_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q087_date_funcs",
+    "q006_date_funcs",
     oracle=f"""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
@@ -548,7 +548,7 @@ ORDER BY order_month
 """,
     tags=("scalar", "date", "agg"),
 )
-def q087_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + per-month aggregate (the BigQuery day-partitioning
     query shape, /root/reference/load.bat:7)."""
     od = _t(spark, sf_dir, "orders")
@@ -565,7 +565,7 @@ def q087_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q060_datepart_funcs",
+    "q004_datepart_funcs",
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS yr,
@@ -580,7 +580,7 @@ LIMIT 500
 """,
     tags=("scalar", "date"),
 )
-def q060_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/dayofweek extraction + date arithmetic.
 
     Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
@@ -605,7 +605,7 @@ def q060_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q061_math_funcs",
+    "q005_math_funcs",
     oracle=f"""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 0) AS price_round,
@@ -622,7 +622,7 @@ LIMIT 1000
 """,
     tags=("scalar", "math"),
 )
-def q061_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -644,7 +644,7 @@ def q061_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q036_array_funcs",
+    "q145_array_funcs",
     oracle=f"""
 SELECT vec_id,
        len(embedding) AS dim,
@@ -657,7 +657,7 @@ ORDER BY vec_id
 """,
     tags=("scalar", "array"),
 )
-def q036_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q145_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (size/aggregate/transform/element_at) —
     the substrate for the reference's links/resource_urls array ops
     (SURVEY §2.5) and for embedding math.
@@ -683,7 +683,7 @@ def q036_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q095_array_set_funcs",
+    "q013_array_set_funcs",
     oracle="""
 SELECT doc_id,
        array_to_string(list_sort(list_distinct(string_split(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' ')))[1:5], '|') AS first_tokens,
@@ -694,12 +694,12 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def q095_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_distinct + array_sort + slice — the reference's
     sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417).
 
     The sliced array is emitted '|'-joined: the driver's canonicalizer
-    pandas-sorts result columns and crashes on list values (r1 q095 err)."""
+    pandas-sorts result columns and crashes on list values (r1 q013 err)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     toks = F.array_distinct(F.split(fold_lower("text"), " "))
     return (
@@ -713,7 +713,7 @@ def q095_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q038_json_funcs",
+    "q149_json_funcs",
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -724,7 +724,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "json"),
 )
-def q038_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q149_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (the meta_tags/headers
     serialization shape, SURVEY §2.11)."""
     ev = _t(spark, sf_dir, "events")
@@ -740,7 +740,7 @@ def q038_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q039_map_funcs",
+    "q154_map_funcs",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -753,7 +753,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map", "json"),
 )
-def q039_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q154_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → MapType → element_at lookup, aggregated.
 
     Exercises MapType the way the reference uses headers/meta_tags maps
@@ -776,7 +776,7 @@ def q039_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q041_conditional_funcs",
+    "q157_conditional_funcs",
     oracle=f"""
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
@@ -790,7 +790,7 @@ ORDER BY size_bucket, o_orderstatus
 """,
     tags=("scalar", "conditional", "agg"),
 )
-def q041_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q157_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing (the oversize-guard conditional shape,
     /root/reference/src/main.rs:376-381)."""
     od = _t(spark, sf_dir, "orders")
@@ -808,7 +808,7 @@ def q041_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q042_exists_subquery",
+    "q158_exists_subquery",
     oracle=f"""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -820,7 +820,7 @@ ORDER BY o_orderpriority
 """,
     tags=("join", "subquery"),
 )
-def q042_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q158_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -836,7 +836,7 @@ def q042_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q015_having_avg_subquery",
+    "q104_having_avg_subquery",
     oracle=f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
@@ -848,7 +848,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "subquery"),
 )
-def q015_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q104_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING with uncorrelated scalar subquery (TPC-H Q11/Q22 shape)."""
     cu = _t(spark, sf_dir, "customer")
     threshold = cu.agg((F.avg("c_acctbal") * 0.8).alias("t"))
@@ -887,7 +887,7 @@ def q001_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_approx_distinct",
+    "q109_approx_distinct",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -896,7 +896,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx"),
 )
-def q017_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q109_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     COUNT(DISTINCT): one pass, fixed memory, no expand.
 
@@ -928,7 +928,7 @@ def q017_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q018_grouping_sets",
+    "q110_grouping_sets",
     oracle=f"""
 SELECT COALESCE(n_name, 'ALL') AS nation,
        COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -940,7 +940,7 @@ ORDER BY nation, segment
 """,
     tags=("agg", "rollup"),
 )
-def q018_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q110_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (Spark side uses spark.sql for exact parity)."""
     cu = _t(spark, sf_dir, "customer")
     na = _t(spark, sf_dir, "nation")
@@ -980,7 +980,7 @@ def q002_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q003_self_join_graph",
+    "q059_self_join_graph",
     oracle=f"""
 SELECT a.o_custkey AS custkey,
        COUNT(*) AS n_pairs
@@ -993,7 +993,7 @@ LIMIT 100
 """,
     tags=("join", "self"),
 )
-def q003_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q059_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join: same-day order pairs per customer — the link-graph
     edge-extraction shape (SURVEY §2.7 self-join row)."""
     od = _t(spark, sf_dir, "orders")
@@ -1224,7 +1224,7 @@ def q067_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q020_array_agg",
+    "q116_array_agg",
     oracle="""
 SELECT c_nationkey,
        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
@@ -1235,7 +1235,7 @@ ORDER BY c_nationkey
 """,
     tags=("agg", "array"),
 )
-def q020_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q116_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / array_agg — sorted post-hoc because accumulation
     order is partition-dependent in ANY distributed engine; emitted
     ','-joined because the driver canonicalizer rejects list cells."""
@@ -1257,7 +1257,7 @@ def q020_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q108_record_range_scan",
+    "q016_record_range_scan",
     oracle="""
 SELECT o_orderkey, o_custkey
 FROM orders
@@ -1266,7 +1266,7 @@ LIMIT 50 OFFSET 100
 """,
     tags=("scan", "limit", "reference-parity"),
 )
-def q108_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's record-range scan ([start_at, finish_at),
     main.rs:205-219) as ORDER BY + OFFSET/LIMIT — partitioning makes the
     manual skip loop obsolete (SURVEY §2.1)."""
@@ -1403,7 +1403,7 @@ def q183_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q045_setops_all",
+    "q161_setops_all",
     oracle="""
 WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 7 = 0),
      b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_orderkey % 11 = 0)
@@ -1414,7 +1414,7 @@ ORDER BY op, f
 """,
     tags=("setop",),
 )
-def q045_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q161_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics with duplicate
     counting — a different physical plan from the DISTINCT variants)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1450,7 +1450,7 @@ def q079_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     The windowed sum runs on INTEGER CENTS: engines accumulate sliding
     frames in different orders (segment trees vs running add/subtract),
     so double sums drift past rounding; integer sums are exact and the
-    final division is bit-identical (left unrounded — see q006 note)."""
+    final division is bit-identical (left unrounded — see q087 note)."""
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
     od = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
@@ -1567,7 +1567,7 @@ def q081_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q109_shipmode_priority",
+    "q017_shipmode_priority",
     oracle="""
 SELECT l_linestatus AS shipmode_proxy,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -1580,7 +1580,7 @@ ORDER BY shipmode_proxy
 """,
     tags=("join", "agg", "tpch"),
 )
-def q109_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: priority class counts per ship mode."""
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1600,7 +1600,7 @@ def q109_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q019_promo_revenue",
+    "q112_promo_revenue",
     oracle=f"""
 SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -1612,7 +1612,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """,
     tags=("join", "agg", "tpch"),
 )
-def q019_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q112_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share (conditional aggregate
     over a broadcast dim join)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1629,7 +1629,7 @@ def q019_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q023_min_cost_supplier",
+    "q118_min_cost_supplier",
     oracle="""
 WITH costs AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -1648,7 +1648,7 @@ ORDER BY partkey, suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def q023_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q118_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-
     minimum join (aggregate-then-rejoin, no correlated subquery needed —
     equality on exact doubles is safe because both sides carry the SAME
@@ -1678,7 +1678,7 @@ def q023_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q025_volume_shipping",
+    "q123_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
@@ -1695,7 +1695,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "agg", "tpch"),
 )
-def q025_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q123_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volumes (two aliases of the same
     dim joined on different keys)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1727,7 +1727,7 @@ def q025_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q027_top_customers_quarter",
+    "q127_top_customers_quarter",
     oracle=f"""
 WITH q AS (
   SELECT o_custkey,
@@ -1745,7 +1745,7 @@ ORDER BY yr, qtr, rnk
 """,
     tags=("window", "topk", "agg"),
 )
-def q027_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per quarter: aggregate → window rank — the
     leaderboard shape (agg shuffle reused by the window partition)."""
     od = _t(spark, sf_dir, "orders")
@@ -1764,7 +1764,7 @@ def q027_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q129_decile_distribution",
+    "q028_decile_distribution",
     oracle=f"""
 WITH d AS (
   SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -1777,7 +1777,7 @@ FROM d GROUP BY decile ORDER BY decile
 """,
     tags=("window", "distribution"),
 )
-def q129_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile boundaries with EXACT NTILE semantics, WITHOUT the
     global single-partition sort (VERDICT r8 #3 — this was the one
     scale-killer plan left in the registry).
@@ -1792,13 +1792,13 @@ def q129_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(10)'s first-(n%10)-buckets-get-one-extra split, so the NTILE
     oracle stays exact. Severely lumpy value distributions would skew a
     fixed-width bucket; the scale escalation is approx_percentile
-    pre-bucketing (q063/q017), with AQE skew-split covering the middle
+    pre-bucketing (q063/q109), with AQE skew-split covering the middle
     ground."""
     return decile_distribution_table(_t(spark, sf_dir, "orders"))
 
 
 def decile_distribution_table(od: DataFrame) -> DataFrame:
-    """q129's plan over an arbitrary orders-shaped frame (needs
+    """q028's plan over an arbitrary orders-shaped frame (needs
     o_totalprice, o_orderkey) — factored so the scale harness can feed a
     K-replicated orders table (tools/scale_bench.py variant)."""
     d = od.select("o_totalprice", "o_orderkey").withColumn(
@@ -1847,7 +1847,7 @@ def decile_distribution_table(od: DataFrame) -> DataFrame:
 
 
 @query(
-    "q040_approx_quantiles",
+    "q156_approx_quantiles",
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1857,7 +1857,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("agg", "approx", "quantile"),
 )
-def q040_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q156_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the 100 TB answer
     to median/p95: one pass, fixed memory, mergeable across partitions,
     no global sort.
@@ -1878,7 +1878,7 @@ def q040_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two lineitem scans (sketch pass + verification pass),
     one broadcast of an estimate table bounded at the l_returnflag
     domain (3 values) by construction — plan-audit pair-exempted like
-    the other bounded grand-aggregate broadcasts (q137's shape)."""
+    the other bounded grand-aggregate broadcasts (q031's shape)."""
     est = gk_price_quantiles(spark, sf_dir).select(
         "l_returnflag",
         "n",
@@ -1911,9 +1911,9 @@ def q040_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q040's sketch pass, factored so tests can tighten the screw: per
+    """q156's sketch pass, factored so tests can tighten the screw: per
     l_returnflag, the GK approx [p50, p95] (`ap`), the EXACT interpolated
-    [p50, p95] (`exact` — unused by q040 itself, Catalyst prunes it from
+    [p50, p95] (`exact` — unused by q156 itself, Catalyst prunes it from
     the query's physical plan), and the exact row count."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1926,7 +1926,7 @@ def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_asof_join",
+    "q129_asof_join",
     oracle="""
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -1945,7 +1945,7 @@ ORDER BY c.event_id
 """,
     tags=("join", "asof"),
 )
-def q028_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q129_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join — for every click, the same user's most recent
     purchase at-or-before it. Spark has no ASOF JOIN operator, so this is
     the scale-correct composition: tag both sides, UNION, one window
@@ -2011,7 +2011,7 @@ def q028_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q110_variant_json",
+    "q018_variant_json",
     oracle="""
 SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
        COUNT(*) AS n,
@@ -2024,12 +2024,12 @@ ORDER BY k_mod
 """,
     tags=("json", "variant"),
 )
-def q110_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through Spark 4's VARIANT type:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
     scale (single parse, no per-access string re-parse the way chained
-    get_json_object does; q038 covers the classic functions)."""
+    get_json_object does; q149 covers the classic functions)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
@@ -2089,7 +2089,7 @@ def q155_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q029_rank_distribution",
+    "q131_rank_distribution",
     oracle="""
 SELECT o_custkey,
        o_orderkey,
@@ -2102,9 +2102,9 @@ ORDER BY o_custkey, o_orderkey
 """,
     tags=("window", "rank"),
 )
-def q029_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q131_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / quartile per customer — the remaining
-    ranking-family windows (q049 covers lag/lead/rank/ntile/running-sum).
+    ranking-family windows (q184 covers lag/lead/rank/ntile/running-sum).
     Both are exact rational values of integer rank counts, so the raw
     doubles hash-match across engines with no rounding."""
     od = _t(spark, sf_dir, "orders")
@@ -2143,7 +2143,7 @@ FROM j ORDER BY event_id
     tags=("json", "variant"),
 )
 def q053_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deep VARIANT path surface (Spark 4), beyond q110's flat
+    """Deep VARIANT path surface (Spark 4), beyond q018's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
     the binary variant encoding, then every access is a typed
@@ -2390,7 +2390,7 @@ def _interleave_sql(xb: str, yb: str) -> str:
 
 
 @query(
-    "q026_zorder_layout",
+    "q126_zorder_layout",
     oracle=f"""
 WITH mx AS (
   SELECT MAX(l_partkey) AS xmax, MAX(l_suppkey) AS ymax FROM lineitem
@@ -2411,7 +2411,7 @@ ORDER BY file_id
 """,
     tags=("layout", "zorder"),
 )
-def q026_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout: bucket two independent columns
     to {_Z_BITS}-bit ranks, interleave the bits into a space-filling-curve
     key, range-partition rows into 'files' by curve position, and emit
@@ -2450,7 +2450,7 @@ def q026_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q024_key_skew_profile",
+    "q119_key_skew_profile",
     oracle="""
 WITH freq AS (
   SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
@@ -2471,7 +2471,7 @@ LIMIT 20
 """,
     tags=("diagnostics", "skew"),
 )
-def q024_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q119_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler — the diagnostic you run BEFORE choosing a
     join strategy at 100 TB: the 20 heaviest values of a prospective
     shuffle key with absolute count, corpus share (ppm), and
@@ -2542,7 +2542,7 @@ def q148_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged state collapse (only CHANGES open a new version), each
     version spans [its change, the next change), and the current version
     closes at the 9999-12-31 sentinel (kept non-null so the interval
-    columns stay int64). The output is what an as-of join (q028) probes.
+    columns stay int64). The output is what an as-of join (q129) probes.
 
     Scale shape: ONE shuffle on the entity key serves all three window
     passes (lag-dedup, lead-close, version numbering share the same
@@ -2599,7 +2599,7 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 def q152_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     "top-2 orders for each customer" shape a SQL-text user writes
-    naturally (the declarative dual of q048's window top-k). Exercises
+    naturally (the declarative dual of q163's window top-k). Exercises
     Catalyst's lateral-join decorrelation: naively this is one subquery
     execution per outer row; Spark rewrites it into a WindowGroupLimit
     (rank-limit pushed BELOW the shuffle as a partial pass, so each map
@@ -2685,7 +2685,7 @@ def q169_quantified_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q014_explode_outer",
+    "q103_explode_outer",
     oracle="""
 WITH toks AS (
   SELECT doc_id,
@@ -2700,7 +2700,7 @@ FROM toks
 """,
     tags=("relational", "explode", "null"),
 )
-def q014_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q103_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``explode_outer``: rows whose array is empty survive the lateral
     view as a single NULL element instead of vanishing (plain explode
     drops them — silently losing every short document). Counting

@@ -112,7 +112,7 @@ _SQL_BUCKET = (
 
 
 @query(
-    "q131_ann_sign_lsh",
+    "q029_ann_sign_lsh",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      -- nrm > 0: zero vectors carry no cosine (see q083)
@@ -134,7 +134,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "lsh"),
 )
-def q131_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN: bucket = sign pattern of the first 6 dims (a fixed
     orthogonal-ish hyperplane set); search only within the query's bucket.
     The bucket string is the equi-join key — this is the 100 TB plan shape
@@ -172,7 +172,7 @@ def q131_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q132_label_centroids",
+    "q030_label_centroids",
     oracle="""
 WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
 SELECT label,
@@ -185,7 +185,7 @@ FROM e GROUP BY label ORDER BY label
 """,
     tags=("similarity", "centroid", "agg"),
 )
-def q132_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (first 4 dims shown): the IVF coarse-quantizer
     training step — one groupBy, partial averages map-side."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -528,7 +528,7 @@ def q192_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-corpus shuffle in the whole query is 12 bytes of ids+score per
     scanned pair, not two 64-dim double arrays (≈30× fewer shuffle
     bytes; an earlier draft carried qv/av through the rank window and
-    the shuffle dominated the runtime). Quantization is the q116
+    the shuffle dominated the runtime). Quantization is the q020
     absmax scheme (floor(x/scale*127+0.5), bit-deterministic in both
     engines); integer coarse scores are exact cross-engine, so the
     candidate set — and therefore the oracle hash — is stable. Ties broken
@@ -744,7 +744,7 @@ def q188_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, dim, value) form; each iteration is (broadcast tiny centroids →
     map-side distance partial-agg → per-vector argmin) + (groupBy
     (cluster, dim) mean with map-side combine). Loop state is
-    localCheckpoint'ed per round (q123's lineage lesson); the vector
+    localCheckpoint'ed per round (q025's lineage lesson); the vector
     table is checkpointed ONCE and reused by all {2 * KM_ITERS} passes.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
@@ -1048,7 +1048,7 @@ def q151_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster the corpus embeddings with k-means, then WITHIN each cluster
     drop every vector whose cosine to an earlier (lower-id) member is
     >= 3/4 — keep-first greedy pruning of semantic near-duplicates that
-    exact/minhash dedup (q163/q162) cannot see (paraphrases, re-renders).
+    exact/minhash dedup (q048/q047) cannot see (paraphrases, re-renders).
 
     All math is integer-exact so the oracle hash is engine-stable: the
     assignment chain is q188's micro-quantized Lloyd iterations verbatim,

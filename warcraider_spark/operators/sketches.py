@@ -8,7 +8,7 @@ sketches support set algebra (union/intersection/difference) on the
 sketches themselves. COUNT(DISTINCT) at scale forces one shuffle of every
 distinct value per re-grouping; sketch columns turn that into kilobytes.
 This replaces the reference's BigQuery-side APPROX_COUNT_DISTINCT analytics
-(SURVEY §2.11 approx-agg family; q017 covers approx_count_distinct itself).
+(SURVEY §2.11 approx-agg family; q109 covers approx_count_distinct itself).
 
 Oracle strategy: below their configured capacity (theta/HLL default
 k=4096 entries / lgK=12) DataSketches estimators are in EXACT mode — the
@@ -127,7 +127,7 @@ def _kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q137's sketch pass, factored so tests can tighten the screw: the
+    """q031's sketch pass, factored so tests can tighten the screw: the
     3-row (view / purchase / merged view+purchase) estimate table with
     exact n, the p50/p95 quantile estimates, and the rank estimate of
     the literal value 50.0."""
@@ -158,7 +158,7 @@ def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q137_sketch_kll_quantiles",
+    "q031_sketch_kll_quantiles",
     oracle="""
 WITH e AS (
   SELECT event_type, value FROM events WHERE event_type IN ('view', 'purchase')
@@ -173,7 +173,7 @@ FROM u GROUP BY event_type ORDER BY event_type
 """,
     tags=("sketch", "approx", "quantile"),
 )
-def q137_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per event_type: mergeable streaming quantiles
     — the bounded-memory alternative to exact percentile's full sort at
     scale; exercises the sketch API family end-to-end (agg → merge →
@@ -251,7 +251,7 @@ _CMS_AB = ((3, 17), (5, 257), (7, 4099), (11, 65539))
 
 
 @query(
-    "q145_countmin_freq",
+    "q036_countmin_freq",
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS tok FROM documents
@@ -295,7 +295,7 @@ ORDER BY tok
     bench=True,
     min_rows=1,
 )
-def q145_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream: d=4 hash rows ×
     w=512 counters, probed for every token whose true frequency ≥ 40,
     reporting exact count, CM estimate, and the (always ≥ 0) collision

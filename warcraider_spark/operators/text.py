@@ -53,7 +53,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 @query(
-    "q004_token_stats",
+    "q060_token_stats",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -73,10 +73,10 @@ ORDER BY doc_id
     tags=("text", "tokens"),
     bench=True,
 )
-def q004_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q060_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct count + mean length.
 
-    The BPE-ish subword count variant is q006's token_per_char; this is the
+    The BPE-ish subword count variant is q087's token_per_char; this is the
     reference's exact word_count tokenizer (main.rs:468-471) — Unicode
     split_whitespace as of r11, so empty/whitespace-only docs count 0
     tokens (was 1 under the old trim+split convention).
@@ -112,7 +112,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @query(
-    "q005_lang_id",
+    "q061_lang_id",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -134,7 +134,7 @@ FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
 """,
     tags=("text", "langid"),
 )
-def q005_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q061_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token ratio per language, argmax with
     lexicographic tie-break (de<en<es<fr<zh), confusion counts vs label.
     """
@@ -162,7 +162,7 @@ def q005_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_quality_score",
+    "q087_quality_score",
     oracle="""
 WITH m AS (
   SELECT doc_id,
@@ -188,7 +188,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def q006_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q087_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/word-shape composite with buckets
     (the heuristic-filter stage of a training-data pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -226,7 +226,7 @@ _NORM_SQL = (
 )
 
 @query(
-    "q007_fingerprint",
+    "q089_fingerprint",
     oracle=f"""
 SELECT doc_id,
        md5({_NORM_SQL}) AS fp,
@@ -236,7 +236,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint"),
 )
-def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q089_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document fingerprint: md5 of normalized text, plus the portable
     60-bit integer form used by minhash/simhash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -251,7 +251,7 @@ def q007_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q193_shingle_fingerprint",
+    "q050_shingle_fingerprint",
     # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
@@ -266,7 +266,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q193_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
@@ -285,7 +285,7 @@ def q193_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q059_word_count_ref",
+    "q003_word_count_ref",
     oracle=f"""
 SELECT doc_id,
        {word_count_sql('text')} AS word_count
@@ -294,7 +294,7 @@ ORDER BY doc_id
 """,
     tags=("text", "reference-parity"),
 )
-def q059_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's word_count operator verbatim: Unicode
     split_whitespace token count as i32, 0 for empty
     (/root/reference/src/main.rs:468-471; r11 Unicode class fix)."""
@@ -386,7 +386,7 @@ def q159_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q184_tfidf",
+    "q049_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
@@ -406,7 +406,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q184_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -430,7 +430,7 @@ def q184_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q037_ml_lsh_variants",
+    "q146_ml_lsh_variants",
     oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -452,11 +452,11 @@ ORDER BY metric
 """,
     tags=("dedup", "similarity", "mllib"),
 )
-def q037_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q146_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
-    BRP-LSH hashing. The native q162/q131 carry the hash-checked
+    BRP-LSH hashing. The native q047/q029 carry the hash-checked
     banded-LSH equivalents.
 
     Certification (r8 — the last rows-only registry query upgraded):
@@ -512,7 +512,7 @@ def q037_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the source-filtered plan still crashed inside the join while
     # transform() alone passed). Cutting lineage pins the UDF's input to
     # the already-filtered rows; Spark ML docs recommend caching LSH join
-    # inputs anyway (q037 owns build-time jobs: the fits above).
+    # inputs anyway (q146 owns build-time jobs: the fits above).
     feats = cv.transform(toked).localCheckpoint(eager=False)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(feats)
     pairs = (
@@ -557,7 +557,7 @@ def q037_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q126_document_chunking",
+    "q026_document_chunking",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
@@ -576,7 +576,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("text", "chunking"),
 )
-def q126_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token windows, stride 24 →
     8-token overlap): the context-window packing stage of a training-data
     pipeline, as pure array expressions (slice per chunk index)."""
@@ -605,7 +605,7 @@ def q126_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q116_embedding_quantize",
+    "q020_embedding_quantize",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -627,7 +627,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "quantization"),
 )
-def q116_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (absmax scaling) — the
     storage/bandwidth stage of a vector index at 100 TB; all native
     higher-order functions, int outputs so the oracle is exact."""
@@ -754,7 +754,7 @@ def q082_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q138_repetition_ratio",
+    "q032_repetition_ratio",
     # shingles_sql carries the r8 short-doc CASE guard — the former inline
     # gram NULLed below 5 tokens and DuckDB's list_distinct DROPS NULLs,
     # skewing distinct_5grams to 0 (rep_ratio 1.0) where Spark says 1 (0.0)
@@ -772,7 +772,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
 )
-def q138_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document (the Gopher-style repetition
     signal for filtering low-quality/boilerplate docs). Distinct counting
     happens inside the row via the shingle expression — a map-only linear
@@ -917,14 +917,14 @@ ORDER BY doc_id
 
 
 @query(
-    "q033_gopher_repetition",
+    "q139_gopher_repetition",
     oracle=_rep_oracle(),
     tags=("text", "quality", "repetition", "training-pipeline"),
     bench=True,
 )
-def q033_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q139_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal suite (Rae et al. 2021 §A1.1 Table A1 —
-    the signals q034's heuristic rules deliberately exclude): duplicate
+    the signals q140's heuristic rules deliberately exclude): duplicate
     line / paragraph fractions (count and character), top-2/3/4-gram
     character fractions, and duplicate-5..10-gram character fractions,
     each with its published threshold as an integer-exact verdict and the
@@ -956,7 +956,7 @@ def q033_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers per doc crossing Arrow, embarrassingly parallel at 100 TB.
 
     The synthetic corpus is single-line (no \\n), so the line/paragraph
-    signals are corpus-vacuous there (like q034's stopword rule) — their
+    signals are corpus-vacuous there (like q140's stopword rule) — their
     both-ways behavior is certified by constructed-data unit tests over
     ``gopher_repetition_table``; the nine n-gram signals discriminate
     strongly on the corpus (small vocabulary, heavy repetition) and
@@ -1217,7 +1217,7 @@ def _rep_signals_arrow(docs: DataFrame) -> DataFrame:
 
 
 def gopher_repetition_table(docs: DataFrame, *, vectorized: bool = True) -> DataFrame:
-    """q033's signal computation over an arbitrary (doc_id, text) frame —
+    """q139's signal computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive the corpus-vacuous line/paragraph signals
     both ways on constructed multi-line documents, and so the Arrow
     kernel and the Catalyst fold twin (``vectorized=False``) share the
@@ -1342,7 +1342,7 @@ _DEFAULT_WEIGHT = 300
 
 
 @query(
-    "q043_weighted_mixture",
+    "q160_weighted_mixture",
     oracle=f"""
 WITH w(source_name, keep_permille) AS (
   VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items()))}
@@ -1364,7 +1364,7 @@ ORDER BY source
 """,
     tags=("sampling", "mixture", "pipeline"),
 )
-def q043_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q160_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture sampling: each source corpus is
     down-sampled to its recipe weight by hashing the DOCUMENT ID, not by
     rand() — so the sample is reproducible across runs/engines, stable
@@ -1398,7 +1398,7 @@ def q043_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
     """Core packing transform: (shard, order, n_tok) → start_offset /
     bin_id / straddles via one window cumsum per shard. Factored from
-    q146 so edge cases (zero-token docs, docs wider than a window,
+    q037 so edge cases (zero-token docs, docs wider than a window,
     exact-boundary fits) are unit-testable against a reference model."""
     from pyspark.sql.window import Window
 
@@ -1418,7 +1418,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 
 @query(
-    "q146_sequence_packing",
+    "q037_sequence_packing",
     oracle=f"""
 WITH t AS (
   SELECT source, doc_id,
@@ -1439,7 +1439,7 @@ ORDER BY source, doc_id
 """,
     tags=("text", "packing", "training-pipeline"),
 )
-def q146_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: concatenate each source's token
     stream (doc_id order) and assign every document the 2048-token context
     window its first token lands in — the packing stage that turns a
@@ -1648,7 +1648,7 @@ def q135_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Per round: pair counts (map-side partial agg on a uniform
     (l, r) key), a 1-row global top-1, then the merge as a broadcast
     cross join + whole-stage-codegen string replace — no driver collect
-    in the loop. Loop state is localCheckpoint'ed per round (q123's
+    in the loop. Loop state is localCheckpoint'ed per round (q025's
     lineage-doubling lesson: words_i references words_{{i-1}} twice,
     directly and through best_i). Counts are exact integers, ties break
     lexicographically, so the merge table is hash-identical to the
@@ -1952,7 +1952,7 @@ def q147_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc_id) builds postings with partial aggs, and the final
     term-level rollup reuses the term prefix of that key. The DF cap
     (df > 80% of the corpus → stop-term, dropped) bounds every posting
-    list — the same skew guard as q119's shingle cap: without it one
+    list — the same skew guard as q024's shingle cap: without it one
     stop-term's list is the whole corpus concatenated onto a single
     reducer. The corpus size joins in as a broadcast 1-row aggregate, and
     the compare is integer (df*10 <= n_docs*8) so both engines agree
@@ -2165,7 +2165,7 @@ def q097_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q147/q119 (one stop-term would otherwise put the whole
+    guard as q147/q024 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -2267,7 +2267,7 @@ PMI_TOPK = 100
 
 
 @query(
-    "q156_pmi_collocations",
+    "q040_pmi_collocations",
     oracle=f"""
 WITH t AS (
   SELECT string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
@@ -2293,7 +2293,7 @@ LIMIT {PMI_TOPK}
     tags=("text", "collocations", "training-pipeline"),
     min_rows=20,
 )
-def q156_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
@@ -2472,7 +2472,7 @@ def q150_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Makes LMs Better") uses to decide how much of each new document is
     genuinely new text: the fraction of its distinct 5-grams whose FIRST
     corpus occurrence (min doc_id) is this document. Late crawl
-    snapshots score low → prime pruning candidates; complements q149's
+    snapshots score low → prime pruning candidates; complements q038's
     duplicate-span finder with a doc-level score.
 
     Integer-exact: counts and a basis-point ratio via integer div.
@@ -2521,7 +2521,7 @@ _GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
 
 
 @query(
-    "q034_gopher_rules",
+    "q140_gopher_rules",
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
@@ -2562,10 +2562,10 @@ FROM v ORDER BY doc_id
     tags=("text", "quality", "training-pipeline"),
     bench=True,
 )
-def q034_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q140_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filtering (Rae et al. 2021 §A1.1, the published
     heuristic set most production LLM pipelines start from) as per-rule
-    verdicts, not a composite score (complements q006's composite): word
+    verdicts, not a composite score (complements q087's composite): word
     count in [50, 100k], mean word length in [3, 10], symbol-to-word
     ratio ('#'/'...') <= 10%, <= 30% of lines ending in ellipsis, <= 90%
     starting with a bullet, >= 80% of words containing an alphabetic
@@ -2578,11 +2578,11 @@ def q034_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n = 0 / no-lines edge cases total without guards.
 
     Scale shape: pure per-row higher-order array expressions — JVM-side
-    but interpreted (HOFs are CodegenFallback, the q033 lesson; cheap
+    but interpreted (HOFs are CodegenFallback, the q139 lesson; cheap
     here because each rule is one O(tokens) pass with trivial lambda
     bodies, measured linear 3.8× at 8× data) — map-only over the
     corpus, no shuffle before the presentation sort; at 100 TB this is
-    the cheapest possible full-corpus pass (the same scan the q161
+    the cheapest possible full-corpus pass (the same scan the q045
     pipeline fuses its filters into).
 
     Note: the stopword rule keeps Gopher's PUBLISHED 8-word list, which
@@ -2595,7 +2595,7 @@ def q034_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gopher_rule_table(docs: DataFrame) -> DataFrame:
-    """q034's rule computation over an arbitrary (doc_id, text) frame —
+    """q140's rule computation over an arbitrary (doc_id, text) frame —
     factored so tests can drive each rule both ways on constructed
     documents (the synthetic corpus never satisfies the stopword rule)."""
     toks = F.filter(tokens("text"), lambda t: t != F.lit(""))

@@ -25,7 +25,7 @@ def bigram_udtf_class():
     class BigramUDTF:
         def eval(self, doc_id: int, text: str):  # noqa: D401
             # ASCII \s split + drop empties — the house tokenizer
-            # convention (q033 kernel, textfn.tokens). str.split() is
+            # convention (q139 kernel, textfn.tokens). str.split() is
             # Unicode-whitespace and split MORE on U+3000/U+2028 docs
             # than every oracle's ASCII \s (r9 Unicode sweep, doc 1/11).
             import re

@@ -65,7 +65,7 @@ def q101_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q139_sliding_window",
+    "q033_sliding_window",
     oracle=f"""
 WITH assigned AS (
   SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '{_FMT_SQL}') AS window_start, value FROM events
@@ -79,7 +79,7 @@ ORDER BY window_start
 """,
     tags=("streaming", "window", "agg"),
 )
-def q139_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min: each event lands in exactly two
     windows — the oracle materializes that as a union of two offset
     bucketings."""
@@ -168,7 +168,7 @@ def q106_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q140_stream_static_enrich",
+    "q034_stream_static_enrich",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        COALESCE(c_mktsegment, 'unknown') AS segment,
@@ -180,7 +180,7 @@ ORDER BY window_start, segment
 """,
     tags=("streaming", "join", "window"),
 )
-def q140_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join run through a REAL structured stream: events
     replayed as a file stream, broadcast-joined per micro-batch to the
     static customer dimension, then watermarked windowed revenue per
@@ -194,7 +194,7 @@ def q140_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q103_retention_cohorts",
+    "q014_retention_cohorts",
     oracle="""
 WITH first_seen AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
@@ -212,7 +212,7 @@ ORDER BY cohort_day, day_n
 """,
     tags=("window", "cohort", "retention"),
 )
-def q103_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-seen day, counted
     distinct on each day-offset they return. Two shuffles on user_id
     (first-seen agg + join back — co-partitioned, so AQE can plan a
@@ -235,7 +235,7 @@ def q103_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q104_funnel_conversion",
+    "q015_funnel_conversion",
     oracle="""
 WITH stage_ts AS (
   SELECT user_id,
@@ -260,7 +260,7 @@ ORDER BY stage
 """,
     tags=("window", "funnel"),
 )
-def q104_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → first later click → first later purchase):
     one groupBy(user) computes the three stage timestamps with conditional
     MIN (map-side combine, single shuffle), then the strictly-increasing
@@ -410,7 +410,7 @@ def q058_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q047_rollup_layers",
+    "q162_rollup_layers",
     oracle=f"""
 WITH hourly AS (
   SELECT event_type,
@@ -437,7 +437,7 @@ ORDER BY event_type, month_start
 """,
     tags=("window", "rollup", "timeseries"),
 )
-def q047_rollup_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q162_rollup_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layered continuous-aggregate rollup (the hypertable pattern):
     event-grain → hourly → daily → monthly, each layer re-aggregating
     ONLY the layer below. count/sum/max are mergeable, so the monthly
