@@ -865,7 +865,7 @@ def q104_having_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q001_distinct_dropdups",
+    "q194_distinct_dropdups",
     oracle="""
 SELECT l_returnflag, l_linestatus
 FROM lineitem
@@ -874,7 +874,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
     tags=("distinct",),
 )
-def q001_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q194_distinct_dropdups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (dropDuplicates) — partial-agg dedups map-side
     before the shuffle, so distinct on low-cardinality keys is cheap at
     any scale."""
