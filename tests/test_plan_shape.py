@@ -697,6 +697,7 @@ BUILD_TIME_EXECUTION_OK = {
     "q142_pq_encode": "per-subspace k-means loops (q188 contract)",
     "q151_semantic_dedup": "k-means clustering loop (q188 contract)",
     "q025_dedup_clusters": "connected-components loop (q039 contract)",
+    "q001_winnowing_dedup_keep": "composes contracted_components on the winnowing pair graph (q039 contract: eager contraction + convergence-checked residual rounds)",
     "q172_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
     "q106_watermark_semantics": "executes a micro-batch replay to surface watermark drops",

@@ -2111,6 +2111,7 @@ def winnowing_pairs(
     *,
     fold: bool = True,
     spread_partitions: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """The winnowing pair pipeline over any (doc_id, text) frame — shared
     by the registry query and the scale harness's disjoint-replica
@@ -2155,7 +2156,7 @@ def winnowing_pairs(
     cand = fp.join(idx, "f")
     a = cand.select(F.col("f"), F.col("doc_id").alias("doc_a"))
     b = cand.select(F.col("f"), F.col("doc_id").alias("doc_b"))
-    return (
+    out = (
         a.join(b, "f")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -2163,5 +2164,165 @@ def winnowing_pairs(
         # doc), so per-pair COUNT(*) == COUNT(DISTINCT f)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
+    )
+    # ordered=False lets compositions (winnowing_dedup_keep) consume the
+    # pair stream without a global sort the next aggregation would
+    # destroy anyway; the registry query keeps the deterministic order.
+    return out.orderBy("doc_a", "doc_b") if ordered else out
+
+
+# Oracle-side connected components WITHOUT a naive recursive CTE: the
+# min-label transitive closure (the q039 pattern) materializes every
+# (node, smaller-reachable-label) pair, which is O(n^2) rows on the
+# dense hairball clusters winnowing produces (sf0.1 has a 4,332-member
+# cluster -> ~9M label pairs; DuckDB 1.0 has no USING KEY recursion to
+# do keyed updates). Instead: UNROLLED pointer-doubling + neighbor-min
+# rounds — lbl'(v) = min(lbl(v), lbl(lbl(v)), min over in-neighbors'
+# lbl) — monotone toward the component min and convergent in O(log n)
+# rounds (the jump term halves label-forest depth per round; 24 rounds
+# cover any component the small-SF corpora can produce by orders of
+# magnitude). Soundness: a hypothetical non-converged label would
+# surface as a value mismatch against the Spark side — the oracle can
+# be slow-to-converge in theory, never silently agree-when-wrong.
+_WDK_CC_ROUNDS = 24
+_WDK_ROUNDS_SQL = "".join(
+    f""",
+l{k + 1} AS MATERIALIZED (
+  SELECT n.node, LEAST(n.lbl, j.lbl, nb.lbl) AS lbl
+  FROM l{k} n
+  JOIN l{k} j ON j.node = n.lbl
+  JOIN (SELECT e.v AS nd, MIN(l2.lbl) AS lbl
+        FROM edges2 e JOIN l{k} l2 ON l2.node = e.u GROUP BY e.v) nb
+    ON nb.nd = n.node
+)"""
+    for k in range(_WDK_CC_ROUNDS)
+)
+
+
+@query(
+    "q001_winnowing_dedup_keep",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text)-{WINNOW_K}+2),
+                        i -> substr(text, i, {WINNOW_K})) AS grams
+  FROM documents
+  WHERE len(text) >= {WINNOW_K}+{WINNOW_W}-1
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, f
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(grams)-{WINNOW_W}+2),
+                  j -> list_min(grams[j:j+{WINNOW_W}-1]))) AS f
+    FROM g
+  )
+),
+idx AS (
+  SELECT f FROM fp GROUP BY f
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN idx USING (f) JOIN fp b USING (f)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+edges2 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT u AS node, LEAST(u, MIN(v)) AS lbl FROM edges2 GROUP BY u){_WDK_ROUNDS_SQL},
+comp AS (SELECT node, lbl AS comp FROM l{_WDK_CC_ROUNDS}),
+members AS (
+  SELECT c.comp, c.node, len(d.text) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+sel AS (
+  SELECT comp, node, n_chars,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY n_chars DESC, node ASC) AS rn
+  FROM members
+)
+SELECT CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+       CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS chars_removed,
+       CAST(SUM(node) - MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT)
+           AS removed_checksum
+FROM sel
+GROUP BY comp
+ORDER BY canonical_doc_id
+""",
+    tags=("dedup", "winnowing", "clusters", "e2e"),
+    min_rows=1,
+)
+def q001_winnowing_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: the end-to-end substring-dedup KEEP decision — what a
+    training-data pipeline actually ships. q008 detects candidate
+    pairs; this composes them into dedup clusters (connected
+    components over the pair graph — transitive: if A shares a run
+    with B and B with C, all three are one cluster even when A∩C is
+    empty) and elects one canonical survivor per cluster: the LONGEST
+    document (ties → smallest doc_id), the natural rule for substring
+    duplication where shorter members are typically excerpts of the
+    survivor. Output is the per-cluster removal manifest: canonical id,
+    member/removed counts, characters removed, and a checksum of the
+    removed ids (so the oracle certifies the exact removal SET, not
+    just sizes).
+
+    Oracle: an independent mechanism end to end — DuckDB recomputes the
+    winnowing fingerprints, derives the SAME pair set, closes it with a
+    recursive-CTE min-label transitive closure (the q039 pattern), and
+    elects canonicals by window rank; a hash match therefore proves
+    pair detection, clustering AND election agree between engines.
+
+    100 TB shape: pairs come from the df-capped winnowing join (its
+    fan-out bounded at C(64,2) per fingerprint, 8-byte folded shuffle
+    keys); clustering is ``contracted_components`` on the PAIR graph —
+    orders of magnitude smaller than the corpus (only documents that
+    share a >=27-char run appear), one range shuffle + partition-local
+    union-find, seam-graph rounds after; the corpus re-enters only as
+    a narrow (doc_id, n_chars) projection hash-joined to cluster
+    members, and the final aggregate is one groupBy on the cluster key
+    with max_by election — no text bytes ever shuffle past the
+    fingerprint stage. Reference scope: the reference has no dedup
+    stage (SURVEY §2 north-star extension family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_dedup_keep(
+        docs, spread_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def winnowing_dedup_keep(
+    docs: DataFrame, *, spread_partitions: int | None = None
+) -> DataFrame:
+    """Cluster winnowing duplicate pairs and elect canonical survivors —
+    see q001_winnowing_dedup_keep for semantics and the scale story."""
+    from warcraider_spark.operators.graph import contracted_components
+
+    pairs = winnowing_pairs(
+        docs, spread_partitions=spread_partitions, ordered=False
+    )
+    # doc_a < doc_b, distinct, no self-loops by construction: the CC
+    # contraction can skip its canonicalization shuffle
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = contracted_components(edges, assume_canonical=True)
+    meta = docs.select(
+        F.col("doc_id").alias("node"), F.length("text").alias("n_chars")
+    )
+    canonical = F.expr("max_by(node, struct(n_chars, -node))")
+    return (
+        comp.join(meta, "node")
+        .groupBy("comp")
+        .agg(
+            canonical.cast("bigint").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_removed"),
+            (F.sum("n_chars") - F.max("n_chars")).cast("bigint").alias("chars_removed"),
+            (F.sum("node") - canonical).cast("bigint").alias("removed_checksum"),
+        )
+        .drop("comp")
+        .orderBy("canonical_doc_id")
     )
