@@ -339,6 +339,21 @@ def _winnowing_string_variant(spark, sf_dir):
 _winnowing_folded_variant = _winnowing_disjoint_variant
 
 
+def _winnowing_keep_variant(spark, sf_dir):
+    """Scale variant of q001_winnowing_dedup_keep (NEW r13) over the
+    replica-salted disjoint corpus: cluster structure replicates
+    per-replica (disjoint fingerprint spaces → disjoint pair graphs →
+    cluster count grows exactly ×K), so the curve measures the
+    composition — pair join + pair-graph contraction + election — on a
+    genuinely growing input, free of the k² cross-replica artifact."""
+    from warcraider_spark.operators.dedup import winnowing_dedup_keep
+
+    return winnowing_dedup_keep(
+        _winnowing_scale_docs(spark, sf_dir),
+        spread_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _containment_disjoint_variant(spark, sf_dir):
     """Scale-harness variant of q144_containment_dedup with per-replica
     DISJOINT shingle spaces: full-copy replication makes every
@@ -444,6 +459,7 @@ def _q031_decile_scaled(spark, sf_dir):
 VARIANTS = {
     "q028_decile_distribution[per-replica]": _q031_decile_scaled,
     "q008_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
+    "q001_winnowing_dedup_keep[disjoint-replicas]": _winnowing_keep_variant,
     "q144_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
