@@ -1175,3 +1175,124 @@ def test_soup_leg_semantics():
     # html_errors still carries tidy's stderr: tidy RUNS on every
     # non-strict page even when its output fails to parse (lib.rs:240)
     assert isinstance(r["html_errors"], str)
+
+
+def test_rawtext_scan_property():
+    """Property pin for _rawtext_scan (the soup classifier's tokenizer):
+    compare the find/regex fast path against a LITERAL character-by-
+    character transcription of the html5ever tokenization it models —
+    NORMAL / TAG(quote-aware) / rawtext-to-'</name'+delimiter /
+    spec-comment states — on dense random soup from the trigger
+    alphabet. Both the script spans AND the markup-comment spans must
+    agree (the hazard search excludes terminators inside the latter)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcraider_spark.functions.html import _rawtext_scan
+
+    RAW = ("script", "style", "noscript", "noframes")
+
+    def ref_scan(s: str):
+        import re as _re
+
+        scripts, comments = [], []
+        pos, n = 0, len(s)
+        while pos < n:
+            if s[pos] != "<":
+                pos += 1
+                continue
+            low = s[pos:].lower()
+            raw = next(
+                (
+                    t
+                    for t in RAW
+                    if low.startswith("<" + t)
+                    and (
+                        len(low) == len(t) + 1
+                        or low[len(t) + 1] in "\t\n\r\f />"
+                    )
+                ),
+                None,
+            )
+            if raw is not None:
+                # tag-open scan: quote-aware to the first unquoted '>'
+                q = None
+                p = pos + 1
+                gt = None
+                while p < n:
+                    c = s[p]
+                    if q:
+                        if c == q:
+                            q = None
+                    elif c in "\"'":
+                        q = c
+                    elif c == ">":
+                        gt = p + 1
+                        break
+                    p += 1
+                if gt is None:
+                    break  # EOF inside the start tag
+                m = _re.search(
+                    r"</%s(?=[\t\n\r\f />]|$)" % raw, s[gt:], _re.I
+                )
+                end = gt + m.start() if m else n
+                if raw == "script":
+                    scripts.append((gt, end))
+                pos = end + 2 if m else n
+                continue
+            if s.startswith("<!--", pos):
+                j = pos + 4
+                if s[j : j + 1] == ">":
+                    e = j + 1
+                elif s[j : j + 2] == "->":
+                    e = j + 2
+                else:
+                    # comment state machine: >=2 dashes then optional '!'
+                    # then '>' (the _SPEC_COMMENT_CLOSE contract, already
+                    # property-pinned against the spec tokenizer)
+                    m = _re.search(r"-{2,}!?>", s[j:])
+                    e = j + m.end() if m else n
+                comments.append((pos, e))
+                pos = e
+                continue
+            # ordinary '<...': quote-aware scan to '>' or treat as text
+            q = None
+            p = pos + 1
+            end = None
+            while p < n:
+                c = s[p]
+                if q:
+                    if c == q:
+                        q = None
+                elif c in "\"'":
+                    q = c
+                elif c == ">":
+                    end = p + 1
+                    break
+                p += 1
+            pos = end if end is not None else pos + 1
+        return scripts, comments
+
+    alphabet = "<>!-'\"/scriptnoyleamf D[CDATA]"
+
+    @given(st.text(alphabet=alphabet, max_size=80))
+    @settings(max_examples=600, deadline=None)
+    def check(s):
+        assert _rawtext_scan(s) == ref_scan(s), s
+
+    check()
+    # directed shapes at the state seams
+    for s in (
+        "<script>a</script>",
+        "<SCRIPT a='>'>x</SCRIPT >b",
+        '<p title="<script>">no</p>',
+        "<noscript><script>x</script></noscript><script>y</script>",
+        "<script>unterminated",
+        "<script",
+        "<!-- <script>hidden</script> --><script>real</script>",
+        "<script>//<!--\n</script><!-- c -->",
+        "<style>.a{}</style><script>s</script>",
+        "<scriptx>not raw</scriptx><script/>still raw</script>",
+        "<script></scripts></script>",
+    ):
+        assert _rawtext_scan(s) == ref_scan(s), s

@@ -218,7 +218,12 @@ def _spec_comment_spans(raw_html: str) -> list[tuple[int, int]]:
     return spans
 
 
-_RAWTEXT_OPEN_RE = re.compile(r"<(script|style|noscript|noframes)\b", re.I)
+# delimiter set per the tag-name state: the name ends only at
+# whitespace, '/', '>' or EOF — '<script-foo>' is the tag "script-foo"
+# (names continue through '-'), NOT a rawtext script element
+_RAWTEXT_OPEN_RE = re.compile(
+    r"<(script|style|noscript|noframes)(?=[\t\n\r\f />]|$)", re.I
+)
 
 
 def _rawtext_scan(raw_html: str) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
