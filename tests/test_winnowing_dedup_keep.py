@@ -115,3 +115,69 @@ def test_plan_shape(spark):
     # global sort (ordered=False): no Sort over (doc_a, doc_b) exists
     phys = plan.split("== Physical Plan ==")[-1]
     assert "Sort [doc_a" not in phys
+
+
+# --- q002_winnowing_soft_dedup_weights (NEW r13) ---------------------------
+
+
+def test_soft_dedup_weights_semantics(spark):
+    """Cluster members weigh 1/|cluster|, singletons weigh 1; every
+    document appears exactly once."""
+    from warcraider_spark.operators.dedup import winnowing_soft_dedup_weights
+
+    rng = random.Random(67)
+    x = _rand_text(rng, 80)
+    rows = [
+        (1, x + "aa"),          # cluster of 3 with 2, 3
+        (2, x + "bbbb"),
+        (3, x),
+        (4, _rand_text(rng, 150)),  # singleton
+    ]
+    got = {
+        r.doc_id: (r.cluster_size, r.weight)
+        for r in winnowing_soft_dedup_weights(_docs(spark, rows)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (3, 1 / 3) and got[2] == (3, 1 / 3) and got[3] == (3, 1 / 3)
+    assert got[4] == (1, 1.0)
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """The defining soft-dedup invariant: total weight == number of
+    clusters + number of singletons (each duplicated run contributes
+    ~one document of sampling mass)."""
+    from warcraider_spark.operators.dedup import (
+        winnowing_dedup_keep,
+        winnowing_soft_dedup_weights,
+    )
+
+    rng = random.Random(71)
+    shared = [_rand_text(rng, 60) for _ in range(3)]
+    rows = []
+    for i in range(1, 31):
+        parts = [_rand_text(rng, rng.randint(30, 90))]
+        if rng.random() < 0.5:
+            parts.append(rng.choice(shared))
+        rows.append((i, "".join(parts)))
+    docs = _docs(spark, rows)
+    w = winnowing_soft_dedup_weights(docs)
+    total = w.agg(F.sum("weight")).collect()[0][0]
+    clusters = winnowing_dedup_keep(docs).count()
+    clustered_docs = w.filter(F.col("cluster_size") > 1).count()
+    singletons = len(rows) - clustered_docs
+    assert abs(total - (clusters + singletons)) < 1e-9
+
+
+def test_soft_dedup_weights_plan_broadcasts_dictionary(spark):
+    """The corpus pass must be a BROADCAST left join against the tiny
+    cluster-size dictionary — at 100 TB the documents side never
+    shuffles for weight assignment."""
+    from warcraider_spark.operators.dedup import winnowing_soft_dedup_weights
+
+    rng = random.Random(73)
+    t = _rand_text(rng, 150)
+    docs = _docs(spark, [(1, t), (2, t + "x"), (3, _rand_text(rng, 90))])
+    plan = winnowing_soft_dedup_weights(docs)._jdf.queryExecution().toString()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys and "LeftOuter" in phys
+    assert "CartesianProduct" not in phys and "BatchEvalPython" not in phys

@@ -58,6 +58,14 @@ KNOWN_OK_PAIRS = {
     # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
     ("q028_decile_distribution", "unpartitioned window"),
     ("q028_decile_distribution", "broadcast of unbounded aggregate"),
+    # r13: q002's broadcast side is the (clustered-doc -> cluster-size)
+    # dictionary — 16 bytes/row over duplicate-cluster MEMBERS only, a
+    # small minority of a crawled corpus; the hint is an explicit
+    # parameter (broadcast_dictionary) with a documented shuffle-join
+    # degradation for the pathological all-duplicates regime, so the
+    # broadcast is a declared regime choice, not an unbounded surprise
+    # (operators/dedup.py q002 docstring; plan-CI pins the default).
+    ("q002_winnowing_soft_dedup_weights", "broadcast of unbounded aggregate"),
     ("q057_lm_score", "BroadcastNestedLoopJoin"),
     ("q058_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q084_token_budget_select", "BroadcastNestedLoopJoin"),

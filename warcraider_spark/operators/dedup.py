@@ -2326,3 +2326,118 @@ def winnowing_dedup_keep(
         .drop("comp")
         .orderBy("canonical_doc_id")
     )
+
+
+@query(
+    "q002_winnowing_soft_dedup_weights",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text)-{WINNOW_K}+2),
+                        i -> substr(text, i, {WINNOW_K})) AS grams
+  FROM documents
+  WHERE len(text) >= {WINNOW_K}+{WINNOW_W}-1
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, f
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(grams)-{WINNOW_W}+2),
+                  j -> list_min(grams[j:j+{WINNOW_W}-1]))) AS f
+    FROM g
+  )
+),
+idx AS (
+  SELECT f FROM fp GROUP BY f
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN idx USING (f) JOIN fp b USING (f)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+edges2 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT u AS node, LEAST(u, MIN(v)) AS lbl FROM edges2 GROUP BY u){_WDK_ROUNDS_SQL},
+comp AS (SELECT node, lbl AS comp FROM l{_WDK_CC_ROUNDS}),
+sizes AS (SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp),
+w AS (SELECT c.node, s.n FROM comp c JOIN sizes s USING (comp))
+SELECT d.doc_id,
+       CAST(COALESCE(w.n, 1) AS BIGINT) AS cluster_size,
+       CAST(1.0 AS DOUBLE) / COALESCE(w.n, 1) AS weight
+FROM documents d LEFT JOIN w ON w.node = d.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("dedup", "winnowing", "soft-dedup", "reweighting"),
+    min_rows=1,
+)
+def q002_winnowing_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: soft dedup — the REWEIGHTING alternative to removal.
+    Instead of dropping duplicate-cluster members (q001), every
+    document gets a sampling weight 1/|cluster| (singletons weigh 1),
+    so a run duplicated across k documents contributes ~one document's
+    worth of gradient mass in training — the published soft-dedup
+    recipe for LM pre-training data (duplication-degree reweighting),
+    driven here by the winnowing substring-duplication clusters.
+    Output: one row per document (doc_id, cluster_size, weight) — the
+    corpus-wide sampling-weight column a data loader joins on.
+
+    Oracle: independent end to end (fingerprints → pairs →
+    pointer-doubling closure → cluster sizes → left join back to the
+    full corpus); hash match certifies every document's weight,
+    including the weight-1 singletons.
+
+    100 TB shape — deliberately DIFFERENT from q001's manifest: the
+    cluster machinery runs on the pair graph (corpus-much-smaller),
+    and the final corpus pass is a LEFT join of the full documents
+    table against the (clustered-doc → size) dictionary. With
+    broadcast_dictionary=True (default, and the common regime — the
+    dictionary holds only duplicate-cluster MEMBERS at 16 bytes/row,
+    a small minority of a crawled corpus) the pass is a broadcast
+    join: weight assignment over 100 TB is map-only with zero corpus
+    shuffle (plan-shape pinned). When duplication is so pervasive
+    that the dictionary outgrows executor memory, pass False and the
+    join degrades honestly to a doc_id-keyed shuffle-hash join — the
+    corpus shuffles once, which is the true cost of that data shape,
+    not an OOM. Reference scope: no dedup stage upstream (SURVEY §2
+    north-star extension family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_soft_dedup_weights(
+        docs, spread_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def winnowing_soft_dedup_weights(
+    docs: DataFrame,
+    *,
+    spread_partitions: int | None = None,
+    broadcast_dictionary: bool = True,
+) -> DataFrame:
+    """Per-document sampling weights from winnowing duplication clusters
+    — see q002_winnowing_soft_dedup_weights for semantics and the
+    broadcast-vs-shuffle dictionary regime."""
+    from warcraider_spark.operators.graph import contracted_components
+
+    pairs = winnowing_pairs(
+        docs, spread_partitions=spread_partitions, ordered=False
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = contracted_components(edges, assume_canonical=True)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+    weights = comp.join(sizes, "comp").select("node", "n")
+    if broadcast_dictionary:
+        weights = F.broadcast(weights)
+    return (
+        docs.select("doc_id")
+        .join(weights, docs["doc_id"] == weights["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(1)).cast("bigint").alias("cluster_size"),
+            (F.lit(1.0) / F.coalesce(F.col("n"), F.lit(1))).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

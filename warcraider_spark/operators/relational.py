@@ -960,7 +960,7 @@ def q110_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q002_union_all_types",
+    "q195_union_all_types",
     oracle="""
 SELECT kind, key_val, COUNT(*) AS n FROM (
   SELECT 'customer' AS kind, c_nationkey AS key_val FROM customer
@@ -972,7 +972,7 @@ ORDER BY kind, key_val
 """,
     tags=("setop", "agg"),
 )
-def q002_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q195_union_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of differently-shaped relations normalized to one schema."""
     cu = _t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("key_val"))
     su = _t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("key_val"))
