@@ -339,6 +339,21 @@ def _winnowing_string_variant(spark, sf_dir):
 _winnowing_folded_variant = _winnowing_disjoint_variant
 
 
+def _winnowing_weights_variant(spark, sf_dir):
+    """Scale variant of q002_winnowing_soft_dedup_weights over the
+    replica-salted disjoint corpus: cluster machinery identical to the
+    keep variant, plus the broadcast-dictionary weight-assignment pass
+    over the full corpus — rows, clustered docs and total sampling
+    mass must all grow exactly ×K (mass conservation under
+    replication)."""
+    from warcraider_spark.operators.dedup import winnowing_soft_dedup_weights
+
+    return winnowing_soft_dedup_weights(
+        _winnowing_scale_docs(spark, sf_dir),
+        spread_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _winnowing_keep_variant(spark, sf_dir):
     """Scale variant of q001_winnowing_dedup_keep (NEW r13) over the
     replica-salted disjoint corpus: cluster structure replicates
@@ -460,6 +475,7 @@ VARIANTS = {
     "q028_decile_distribution[per-replica]": _q031_decile_scaled,
     "q008_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
     "q001_winnowing_dedup_keep[disjoint-replicas]": _winnowing_keep_variant,
+    "q002_winnowing_soft_dedup_weights[disjoint-replicas]": _winnowing_weights_variant,
     "q144_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
