@@ -2257,6 +2257,9 @@ ORDER BY canonical_doc_id
 """,
     tags=("dedup", "winnowing", "clusters", "e2e"),
     min_rows=1,
+    # r13: bench-tagged from introduction — every first-class operator
+    # carries a drift-tracked wall time (the r12 lesson).
+    bench=True,
 )
 def q001_winnowing_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r13: the end-to-end substring-dedup KEEP decision — what a
@@ -2374,6 +2377,7 @@ ORDER BY d.doc_id
 """,
     tags=("dedup", "winnowing", "soft-dedup", "reweighting"),
     min_rows=1,
+    bench=True,
 )
 def q002_winnowing_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r13: soft dedup — the REWEIGHTING alternative to removal.
