@@ -402,7 +402,6 @@ class _Extractor(HTMLParser):
         # bytes); 'soup' is the double-parse-failure fallback (decoded).
         # Duplicate-attr and comment rules are keyed per leg below.
         self.path = path
-        self.strict = path == "strict"
         self.in_body = True  # pre-<head> text counts, like the reference
         self.in_title = False
         self.heading_level = 0  # current hN depth marker (0 = outside)
