@@ -559,3 +559,66 @@ def test_unicode_large_corpus_sweep(spark, tmp_path):
     for n in names:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
+
+
+def _degenerate_dup_corpus(tmp_path):
+    """Degenerate docs (empty, whitespace-only, below the k+w-1=27
+    detection threshold, exactly-at-threshold-minus-one) PLUS one
+    genuine duplicate pair, so the winnowing family's min_rows is
+    satisfied while the degenerates stress both engines' totality
+    (DuckDB range() on negative spans, Spark sequence() guards, the
+    q002 left join keeping weight-1 rows for every degenerate)."""
+    import duckdb as _dd
+
+    shared = "the identical sixty character run that both documents carry!"
+    rows = [
+        (1, ""),
+        (2, "   \t\n  "),
+        (3, "tiny"),
+        (4, "x" * 26),                       # one char below threshold
+        (5, "prefix " + shared),
+        (6, shared + " suffix tail here"),
+    ]
+    d = tmp_path / "degdup"
+    d.mkdir()
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        (d / f"{t}.parquet").symlink_to(f"/root/testdata/sf0.001/{t}.parquet")
+    return str(d)
+
+
+def test_winnowing_family_total_on_degenerate_docs(spark, tmp_path):
+    """r13 totality sweep for the winnowing trio (the r8 discipline
+    applied to the new operators): empty/whitespace/sub-threshold docs
+    must flow through pair detection, cluster election AND the
+    full-corpus weight join on BOTH engines — hash match end to end,
+    with every degenerate doc present in q002's output at weight 1."""
+    from warcraider_spark.oracle import run_oracle
+    from warcraider_spark.registry import all_specs
+
+    d = _degenerate_dup_corpus(tmp_path)
+    specs = all_specs()
+    for n in (
+        "q008_winnowing_dup_pairs",
+        "q001_winnowing_dedup_keep",
+        "q002_winnowing_soft_dedup_weights",
+    ):
+        r = run_oracle(spark, specs[n], d)
+        assert r.ok, (n, r.detail)
+    w = specs["q002_winnowing_soft_dedup_weights"].builder(spark, d)
+    got = {r.doc_id: (r.cluster_size, r.weight) for r in w.collect()}
+    assert got[1] == (1, 1.0) and got[2] == (1, 1.0)
+    assert got[3] == (1, 1.0) and got[4] == (1, 1.0)
+    assert got[5] == (2, 0.5) and got[6] == (2, 0.5)
