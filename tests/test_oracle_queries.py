@@ -614,6 +614,7 @@ def test_winnowing_family_total_on_degenerate_docs(spark, tmp_path):
         "q008_winnowing_dup_pairs",
         "q001_winnowing_dedup_keep",
         "q002_winnowing_soft_dedup_weights",
+        "q021_exact_substring_excision",
     ):
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)

@@ -66,6 +66,13 @@ KNOWN_OK_PAIRS = {
     # broadcast is a declared regime choice, not an unbounded surprise
     # (operators/dedup.py q002 docstring; plan-CI pins the default).
     ("q002_winnowing_soft_dedup_weights", "broadcast of unbounded aggregate"),
+    # r13: q021's broadcast side is the (excised-doc -> merged spans)
+    # dictionary — only documents carrying non-owned shared fingerprints,
+    # each row a doc id + a handful of int pairs; like q002 it is the
+    # declared dictionary-fits regime (map-side surgery, zero corpus
+    # shuffle), with the same documented degradation path if duplication
+    # were pervasive (drop the hint -> doc_id-keyed shuffle join).
+    ("q021_exact_substring_excision", "broadcast of unbounded aggregate"),
     ("q057_lm_score", "BroadcastNestedLoopJoin"),
     ("q058_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q084_token_budget_select", "BroadcastNestedLoopJoin"),

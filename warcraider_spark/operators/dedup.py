@@ -2445,3 +2445,186 @@ def winnowing_soft_dedup_weights(
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q021_exact_substring_excision",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE len(text) >= {WINNOW_K}+{WINNOW_W}-1
+),
+g AS MATERIALIZED (
+  SELECT doc_id, text,
+         list_transform(range(1, len(text)-{WINNOW_K}+2),
+                        i -> substr(text, i, {WINNOW_K})) AS grams
+  FROM d
+),
+w AS (
+  SELECT doc_id, grams,
+         list_distinct(list_transform(range(1, len(grams)-{WINNOW_W}+2),
+             j -> j + list_position(grams[j:j+{WINNOW_W}-1],
+                                    list_min(grams[j:j+{WINNOW_W}-1])) - 1)) AS wins
+  FROM g
+),
+fpos AS MATERIALIZED (
+  SELECT DISTINCT doc_id, grams[p] AS f, p
+  FROM (SELECT doc_id, grams, unnest(wins) AS p FROM w)
+),
+stats AS (
+  SELECT f, MIN(doc_id) AS owner FROM fpos GROUP BY f
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+),
+cuts AS (
+  SELECT DISTINCT fp.doc_id, fp.p
+  FROM fpos fp JOIN stats s USING (f)
+  WHERE fp.doc_id <> s.owner
+),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev_p IS NULL OR p - prev_p > {WINNOW_K}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+        FROM cuts)
+),
+merged AS (
+  SELECT doc_id, grp, MIN(p) AS s, MAX(p) + {WINNOW_K} AS e
+  FROM isl GROUP BY doc_id, grp
+),
+pieces AS (
+  SELECT doc_id, s, e,
+         LAG(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+  FROM merged
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(p.e - p.s) AS BIGINT) AS chars_removed,
+       string_agg(substr(d.text, p.prev_e, p.s - p.prev_e), '' ORDER BY p.s)
+         || substr(d.text, MAX(p.e), len(d.text) + 1 - MAX(p.e)) AS kept_text
+FROM pieces p JOIN d ON d.doc_id = p.doc_id
+GROUP BY p.doc_id, d.text
+ORDER BY p.doc_id
+""",
+    tags=("dedup", "winnowing", "excision", "substring"),
+    min_rows=1,
+    bench=True,
+)
+def q021_exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: exact-substring EXCISION — the surgical third member of
+    the winnowing family (detect pairs q008 → cluster+keep q001 /
+    reweight q002 → EXCISE q021). Instead of dropping or downweighting
+    whole documents, the duplicated EXTENTS themselves are cut out of
+    every non-first occurrence, the published exact-substring dedup
+    recipe for LM training corpora (remove long verbatim runs, keep one
+    occurrence): for every winnowing-selected fingerprint shared by
+    2..df-cap documents, the SMALLEST doc_id keeps its occurrences and
+    every other document excises the k-char extent at each of its
+    selected positions; per document the extents merge into maximal
+    spans (adjacent spans coalesce) and the output row carries the span
+    count, characters removed, and the RECONSTRUCTED kept text — so the
+    oracle's hash match certifies the byte-exact surgery, not just the
+    accounting. Excision granularity is the winnowing sample (~2/(w+1)
+    of shared positions), so a long shared run loses its sampled
+    k-gram extents, not necessarily every byte — deterministic,
+    documented, and identical across engines by the pinned
+    first-occurrence window-argmin rule.
+
+    100 TB shape: positions ride the SAME fused higher-order selector
+    as q008 (grams materialized once per doc, window argmin by string
+    min, fold-keyed shuffle by default); ownership is one groupBy on
+    the fingerprint key (min-doc + distinct-doc df in one pass); the
+    per-doc span merge is a JVM aggregate() fold over the sorted
+    position array (no Python, no window over the corpus); and the
+    text re-enters ONCE, via a broadcast join of the (excised-doc →
+    spans) dictionary against the documents scan — reconstruction is a
+    map-side aggregate() fold, zero corpus shuffle. Reference scope:
+    no dedup stage upstream (SURVEY §2 north-star extension family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_excision(
+        docs, spread_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def exact_substring_excision(
+    docs: DataFrame,
+    *,
+    fold: bool = True,
+    spread_partitions: int | None = None,
+) -> DataFrame:
+    """Winnowing-sampled exact-substring excision — see
+    q021_exact_substring_excision for semantics and the scale story."""
+    K, W = WINNOW_K, WINNOW_W
+    base = docs.filter(F.length("text") >= K + W - 1)
+    if spread_partitions is not None and spread_partitions > 1:
+        base = base.repartition(spread_partitions)
+    grams = base.withColumn(
+        "grams",
+        F.expr(f"transform(sequence(1, length(text)-{K - 1}), i -> substring(text, i, {K}))"),
+    )
+    wins = grams.withColumn(
+        "wins",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(grams)-{W - 1}), "
+            f"j -> cast(j + array_position(slice(grams, j, {W}), "
+            f"array_min(slice(grams, j, {W}))) - 1 as int)))"
+        ),
+    )
+    fexpr = "xxhash64(element_at(grams, p))" if fold else "element_at(grams, p)"
+    fpos = wins.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct(transform(wins, p -> struct({fexpr} AS f, p AS p)))")
+        ).alias("fp"),
+    ).select("doc_id", F.col("fp.f").alias("f"), F.col("fp.p").alias("p"))
+    stats = (
+        fpos.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("df"), F.min("doc_id").alias("owner"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("f", "owner")
+    )
+    cuts = (
+        fpos.join(stats, "f")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "p")
+        .distinct()
+    )
+    spans = cuts.groupBy("doc_id").agg(
+        F.expr(
+            f"""aggregate(
+                 array_sort(collect_list(p)),
+                 cast(array() as array<struct<s: int, e: int>>),
+                 (acc, p) -> CASE
+                   WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+                   THEN concat(slice(acc, 1, size(acc) - 1),
+                               array(struct(element_at(acc, -1).s AS s,
+                                            greatest(element_at(acc, -1).e,
+                                                     p + {K}) AS e)))
+                   ELSE concat(acc, array(struct(p AS s, p + {K} AS e)))
+                 END)"""
+        ).alias("spans")
+    )
+    return (
+        base.select("doc_id", "text")
+        .join(F.broadcast(spans), "doc_id")
+        .select(
+            "doc_id",
+            F.expr("cast(size(spans) as bigint)").alias("n_spans"),
+            F.expr(
+                "cast(aggregate(spans, 0, (a, iv) -> a + iv.e - iv.s) as bigint)"
+            ).alias("chars_removed"),
+            F.expr(
+                """aggregate(
+                     spans,
+                     struct(1 AS last, '' AS out),
+                     (acc, iv) -> struct(
+                       iv.e AS last,
+                       concat(acc.out,
+                              substring(text, acc.last, iv.s - acc.last)) AS out),
+                     acc -> concat(acc.out,
+                                   substring(text, acc.last,
+                                             length(text) - acc.last + 1)))"""
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

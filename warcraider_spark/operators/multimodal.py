@@ -1504,7 +1504,7 @@ PJ_DRI = 32  # restart interval -> 24 independently-decodable segments
 
 
 @query(
-    "q021_parallel_jpeg_decode",
+    "q196_parallel_jpeg_decode",
     oracle=f"""
 WITH p AS (SELECT CAST(COUNT(*) % 256 AS BIGINT) AS seed FROM documents),
 segs AS (SELECT unnest(generate_series(0, {PJ_WB * PJ_HB // PJ_DRI - 1})) AS seg_idx),
@@ -1530,7 +1530,7 @@ FROM px ORDER BY seg_idx
     bench=True,
     min_rows=2,
 )
-def q021_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q196_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARALLEL decode of ONE JPEG across executors via restart markers —
     the shape that matters when a single object is huge: a DRI/RSTn
     baseline stream (T.81 B.2.4.4/E.2.4, functions/jpeg.py round 4)

@@ -13,7 +13,7 @@ case (one 100 GB WARC = one straggler task), ``read_warc_ranged`` byte-
 splits a single file the way Common Crawl's CDX sidecars do: WARC members
 are individually gzipped, so a member-offset index turns one file into N
 (path, offset, length) range tasks, each independently parseable — the
-same shape as q021's restart-segment parallel JPEG decode, applied to the
+same shape as q196's restart-segment parallel JPEG decode, applied to the
 container. ``index_warc_members`` is the index builder (header-only scan,
 payloads seek-skipped); at production scale the index is computed once at
 ingest and persisted as a CDX-style sidecar table instead of being rebuilt
