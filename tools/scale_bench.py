@@ -354,6 +354,20 @@ def _winnowing_weights_variant(spark, sf_dir):
     )
 
 
+def _excision_variant(spark, sf_dir):
+    """Scale variant of q021_exact_substring_excision over the
+    replica-salted disjoint corpus: per-replica fingerprint spaces are
+    disjoint, so excised docs, spans and chars removed all grow exactly
+    ×K while the selector/ownership/surgery path carries the corpus
+    growth."""
+    from warcraider_spark.operators.dedup import exact_substring_excision
+
+    return exact_substring_excision(
+        _winnowing_scale_docs(spark, sf_dir),
+        spread_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _winnowing_keep_variant(spark, sf_dir):
     """Scale variant of q001_winnowing_dedup_keep (NEW r13) over the
     replica-salted disjoint corpus: cluster structure replicates
@@ -476,6 +490,7 @@ VARIANTS = {
     "q008_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
     "q001_winnowing_dedup_keep[disjoint-replicas]": _winnowing_keep_variant,
     "q002_winnowing_soft_dedup_weights[disjoint-replicas]": _winnowing_weights_variant,
+    "q021_exact_substring_excision[disjoint-replicas]": _excision_variant,
     "q144_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
     "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
     "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
