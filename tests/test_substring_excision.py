@@ -143,3 +143,32 @@ def test_excision_plan_shape(spark):
     assert "aggregate(" in plan  # the JVM folds
     # fold default: fingerprint keys shuffle as xxhash64 bigints
     assert "xxhash64" in plan
+
+
+def test_excision_shuffle_regime_plan_and_values(spark):
+    """broadcast_dictionary=False (the pervasive-duplication regime,
+    where the spans dictionary is O(corpus)): the text pass must NOT
+    carry a broadcast hint on the spans side — the final join degrades
+    to a doc_id-keyed shuffle join — and the output rows must be
+    byte-identical to the default regime."""
+    rng = random.Random(101)
+    shared = _rand_text(rng, 60)
+    rows = [(1, shared + "a"), (2, shared + "b"), (3, "c" + shared)]
+    docs = _docs(spark, rows)
+    # Plan: the optimized logical plan of the shuffle regime has no
+    # broadcast hint at all (the only hint in this operator is the
+    # spans-side one); physical join of text vs spans is not broadcast.
+    df = exact_substring_excision(docs, broadcast_dictionary=False)
+    qe = df._jdf.queryExecution()
+    assert "ResolvedHint" not in qe.analyzed().toString()
+    phys = qe.toString().split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
+    # Default regime still hints: same input, hint present.
+    assert (
+        "ResolvedHint"
+        in exact_substring_excision(docs)._jdf.queryExecution().analyzed().toString()
+    )
+    # Values: identical across regimes, and equal to the python oracle.
+    got = {r["doc_id"]: (r["n_spans"], r["chars_removed"], r["kept_text"]) for r in df.collect()}
+    assert got == _run(spark, rows) == _py_excise(rows)

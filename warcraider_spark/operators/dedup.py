@@ -2536,9 +2536,14 @@ def q021_exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame
     the fingerprint key (min-doc + distinct-doc df in one pass); the
     per-doc span merge is a JVM aggregate() fold over the sorted
     position array (no Python, no window over the corpus); and the
-    text re-enters ONCE, via a broadcast join of the (excised-doc →
-    spans) dictionary against the documents scan — reconstruction is a
-    map-side aggregate() fold, zero corpus shuffle. Reference scope:
+    text re-enters ONCE, via a join of the (excised-doc → spans)
+    dictionary against the documents scan — broadcast by default
+    (map-side surgery, zero corpus shuffle; the dictionary holds only
+    documents that lose an extent, a small minority of a crawled
+    corpus), with broadcast_dictionary=False degrading honestly to a
+    doc_id-keyed shuffle join for pervasive-duplication corpora where
+    the dictionary is O(corpus) and a forced broadcast would OOM —
+    reconstruction is an aggregate() fold either way. Reference scope:
     no dedup stage upstream (SURVEY §2 north-star extension family)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_excision(
@@ -2551,9 +2556,24 @@ def exact_substring_excision(
     *,
     fold: bool = True,
     spread_partitions: int | None = None,
+    broadcast_dictionary: bool = True,
 ) -> DataFrame:
     """Winnowing-sampled exact-substring excision — see
-    q021_exact_substring_excision for semantics and the scale story."""
+    q021_exact_substring_excision for semantics and the scale story.
+
+    Dictionary-join regime (mirrors winnowing_soft_dedup_weights): the
+    (excised-doc → spans) dictionary has one row per document that
+    loses at least one extent. In the common crawled-corpus regime
+    that is a small minority of documents and
+    broadcast_dictionary=True (default) keeps the text pass map-only —
+    surgery over 100 TB with zero corpus shuffle. When duplication is
+    pervasive (boilerplate-heavy corpora where most documents carry a
+    shared run), the dictionary is O(corpus) and a forced broadcast
+    would be an executor/driver OOM, not a slowdown: pass False and
+    the join degrades honestly to a doc_id-keyed shuffle-hash join —
+    the corpus shuffles once, which is the true cost of that data
+    shape. Output rows are identical in both regimes; only the plan
+    shape changes (both pinned in tests/test_substring_excision.py)."""
     K, W = WINNOW_K, WINNOW_W
     base = docs.filter(F.length("text") >= K + W - 1)
     if spread_partitions is not None and spread_partitions > 1:
@@ -2604,9 +2624,11 @@ def exact_substring_excision(
                  END)"""
         ).alias("spans")
     )
+    if broadcast_dictionary:
+        spans = F.broadcast(spans)
     return (
         base.select("doc_id", "text")
-        .join(F.broadcast(spans), "doc_id")
+        .join(spans, "doc_id")
         .select(
             "doc_id",
             F.expr("cast(size(spans) as bigint)").alias("n_spans"),
