@@ -699,6 +699,7 @@ BUILD_TIME_EXECUTION_OK = {
     "q025_dedup_clusters": "connected-components loop (q039 contract)",
     "q001_winnowing_dedup_keep": "composes contracted_components on the winnowing pair graph (q039 contract: eager contraction + convergence-checked residual rounds)",
     "q002_winnowing_soft_dedup_weights": "same contracted_components composition as q001 (q039 contract)",
+    "q197_winnowing_family_manifest": "shared-selector composition: cut_lineage materializes the fingerprint pass once for all family branches (q097 contract) + contracted_components (q039 contract)",
     "q172_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
     "q106_watermark_semantics": "executes a micro-batch replay to surface watermark drops",

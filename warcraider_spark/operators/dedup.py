@@ -2650,3 +2650,268 @@ def exact_substring_excision(
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q197_winnowing_family_manifest",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(text) >= {WINNOW_K}+{WINNOW_W}-1
+),
+g AS MATERIALIZED (
+  SELECT doc_id, text,
+         list_transform(range(1, len(text)-{WINNOW_K}+2),
+                        i -> substr(text, i, {WINNOW_K})) AS grams
+  FROM d
+),
+w AS (
+  SELECT doc_id, grams,
+         list_distinct(list_transform(range(1, len(grams)-{WINNOW_W}+2),
+             j -> j + list_position(grams[j:j+{WINNOW_W}-1],
+                                    list_min(grams[j:j+{WINNOW_W}-1])) - 1)) AS wins
+  FROM g
+),
+fpos AS MATERIALIZED (
+  SELECT DISTINCT doc_id, grams[p] AS f, p
+  FROM (SELECT doc_id, grams, unnest(wins) AS p FROM w)
+),
+stats AS MATERIALIZED (
+  SELECT f, MIN(doc_id) AS owner FROM fpos GROUP BY f
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_DF_CAP}
+),
+fp AS MATERIALIZED (SELECT DISTINCT doc_id, f FROM fpos),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN stats USING (f) JOIN fp b USING (f)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+edges2 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT u AS node, LEAST(u, MIN(v)) AS lbl FROM edges2 GROUP BY u){_WDK_ROUNDS_SQL},
+comp AS (SELECT node, lbl AS comp FROM l{_WDK_CC_ROUNDS}),
+sizes AS (SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp),
+canon AS (
+  SELECT comp, node AS canon FROM (
+    SELECT c.comp, c.node,
+           row_number() OVER (PARTITION BY c.comp
+                              ORDER BY len(d.text) DESC, c.node ASC) AS rn
+    FROM comp c JOIN d ON d.doc_id = c.node
+  ) WHERE rn = 1
+),
+clustered AS (
+  SELECT c.node, s.n, cn.canon
+  FROM comp c JOIN sizes s USING (comp) JOIN canon cn USING (comp)
+),
+cuts AS (
+  SELECT DISTINCT fp2.doc_id, fp2.p
+  FROM fpos fp2 JOIN stats s USING (f)
+  WHERE fp2.doc_id <> s.owner
+),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev_p IS NULL OR p - prev_p > {WINNOW_K}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+        FROM cuts)
+),
+merged AS (
+  SELECT doc_id, grp, MIN(p) AS s, MAX(p) + {WINNOW_K} AS e
+  FROM isl GROUP BY doc_id, grp
+),
+excise AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS chars_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(COALESCE(cl.n, 1) AS BIGINT) AS cluster_size,
+       CAST(1.0 AS DOUBLE) / COALESCE(cl.n, 1) AS weight,
+       COALESCE(cl.node = cl.canon, TRUE) AS is_canonical,
+       CAST(COALESCE(x.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(x.chars_removed, 0) AS BIGINT) AS chars_removed
+FROM documents dd
+LEFT JOIN clustered cl ON cl.node = dd.doc_id
+LEFT JOIN excise x ON x.doc_id = dd.doc_id
+ORDER BY dd.doc_id
+""",
+    tags=("dedup", "winnowing", "composed", "manifest"),
+    min_rows=1,
+    bench=True,
+)
+def q197_winnowing_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r14 (VERDICT r13 #4): the winnowing family as ONE composed
+    plan sharing a single selector pass. q008/q001/q002/q021 each
+    re-run the same grams/window-argmin selector — the dominant cost
+    (a ~20x in-memory text amplification per document) and ~12.5 s of
+    the 39 s bench headline when a pipeline runs all of them. This
+    query computes the position-annotated fingerprint stream ONCE and
+    derives every family decision from it, emitting the per-document
+    master manifest a training-data pipeline joins on to apply ANY of
+    the three dedup policies (or compare them): cluster_size + weight
+    (soft dedup, q002 semantics), is_canonical (hard KEEP decision,
+    q001 longest-doc election; singletons are canonical), and
+    n_spans + chars_removed (exact-substring excision accounting,
+    q021 semantics — kept_text itself stays q021's certified job; the
+    manifest carries the accounting).
+
+    Oracle: the proven q002 CC skeleton (unrolled pointer-doubling
+    closure) + q001's window-rank election + q021's gaps-and-islands
+    span merge, joined into one corpus-wide row set — every column
+    certified by an independent DuckDB mechanism.
+
+    100 TB shape: see winnowing_family()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_family(
+        docs, spread_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def winnowing_family(
+    docs: DataFrame,
+    *,
+    fold: bool = True,
+    spread_partitions: int | None = None,
+    broadcast_dictionary: bool = True,
+) -> DataFrame:
+    """Shared-selector composition of the winnowing dedup family —
+    detect + cluster/keep + reweight + excision accounting from ONE
+    fingerprint pass.
+
+    100 TB shape: the selector output (doc_id, fingerprint, position —
+    ~16 narrow bytes per selected position, ~2/(w+1) of the k-grams,
+    so far SMALLER than the corpus text it summarizes) is materialized
+    once via cut_lineage (localCheckpoint locally; reliable
+    checkpoint when WARCRAIDER_CHECKPOINT_DIR points at fault-tolerant
+    storage) and every downstream branch — the df-capped fingerprint
+    index, the pair join, the CC clustering, the ownership cuts —
+    reads that materialization instead of re-amplifying the text. The
+    fingerprint stats (df + owner) are likewise computed once and
+    shared by the pair index and the excision ownership filter. The
+    corpus text never shuffles: it re-enters only as narrow
+    projections — (doc_id, n_chars) for the election, (doc_id) for
+    the final manifest join — and the family dictionary (one row per
+    clustered-or-excised document, a small minority of a crawled
+    corpus) broadcasts onto the documents scan by default;
+    broadcast_dictionary=False degrades honestly to a doc_id-keyed
+    shuffle join for pervasive-duplication corpora (same regime
+    contract as winnowing_soft_dedup_weights / exact_substring_excision).
+    """
+    from warcraider_spark.operators.graph import contracted_components
+
+    K, W = WINNOW_K, WINNOW_W
+    base = docs.filter(F.length("text") >= K + W - 1)
+    if spread_partitions is not None and spread_partitions > 1:
+        base = base.repartition(spread_partitions)
+    grams = base.withColumn(
+        "grams",
+        F.expr(f"transform(sequence(1, length(text)-{K - 1}), i -> substring(text, i, {K}))"),
+    )
+    wins = grams.withColumn(
+        "wins",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(grams)-{W - 1}), "
+            f"j -> cast(j + array_position(slice(grams, j, {W}), "
+            f"array_min(slice(grams, j, {W}))) - 1 as int)))"
+        ),
+    )
+    fexpr = "xxhash64(element_at(grams, p))" if fold else "element_at(grams, p)"
+    # THE shared selector pass: materialized once, read by every branch.
+    fpos = (
+        wins.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct(transform(wins, p -> struct({fexpr} AS f, p AS p)))")
+            ).alias("fp"),
+        )
+        .select("doc_id", F.col("fp.f").alias("f"), F.col("fp.p").alias("p"))
+        .transform(cut_lineage)
+    )
+    # Shared fingerprint stats: df cap for the pair index AND excision
+    # ownership in one aggregation (seam-sized; cut so the pair branch
+    # and the cuts branch both read one materialization).
+    stats = (
+        fpos.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("df"), F.min("doc_id").alias("owner"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("f", "owner")
+        .transform(cut_lineage)
+    )
+    # Branch 1: candidate pairs (q008 semantics) -> clusters (q001/q002).
+    fp = fpos.select("doc_id", "f").distinct()
+    a = fp.join(stats.select("f"), "f").select("f", F.col("doc_id").alias("doc_a"))
+    b = fp.select("f", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = contracted_components(edges, assume_canonical=True)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+    meta = base.select(F.col("doc_id").alias("node"), F.length("text").alias("n_chars"))
+    canon = (
+        comp.join(meta, "node")
+        .groupBy("comp")
+        .agg(F.expr("max_by(node, struct(n_chars, -node))").alias("canon"))
+    )
+    clustered = comp.join(sizes, "comp").join(canon, "comp").select("node", "n", "canon")
+    # Branch 2: excision accounting (q021 semantics, accounting columns).
+    cuts = (
+        fpos.join(stats, "f")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "p")
+        .distinct()
+    )
+    excise = cuts.groupBy("doc_id").agg(
+        F.expr(
+            f"""aggregate(
+                 array_sort(collect_list(p)),
+                 cast(array() as array<struct<s: int, e: int>>),
+                 (acc, p) -> CASE
+                   WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+                   THEN concat(slice(acc, 1, size(acc) - 1),
+                               array(struct(element_at(acc, -1).s AS s,
+                                            greatest(element_at(acc, -1).e,
+                                                     p + {K}) AS e)))
+                   ELSE concat(acc, array(struct(p AS s, p + {K} AS e)))
+                 END)"""
+        ).alias("spans")
+    ).select(
+        "doc_id",
+        F.expr("cast(size(spans) as bigint)").alias("n_spans"),
+        F.expr("cast(aggregate(spans, 0, (a, iv) -> a + iv.e - iv.s) as bigint)").alias(
+            "chars_removed"
+        ),
+    )
+    # The family dictionary: one row per clustered-or-excised document.
+    fam = (
+        clustered.select(F.col("node").alias("doc_id"), "n", "canon")
+        .join(excise, "doc_id", "full")
+    )
+    if broadcast_dictionary:
+        fam = F.broadcast(fam)
+    return (
+        docs.select("doc_id")
+        .join(fam, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(1)).cast("bigint").alias("cluster_size"),
+            (F.lit(1.0) / F.coalesce(F.col("n"), F.lit(1))).alias("weight"),
+            F.coalesce(F.col("doc_id") == F.col("canon"), F.lit(True)).alias(
+                "is_canonical"
+            ),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("chars_removed"), F.lit(0)).cast("bigint").alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("doc_id")
+    )
