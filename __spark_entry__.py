@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the composed training-data pipeline
     (quality filter → exact dedup → per-bucket accounting in ONE plan —
     the BASELINE.json north star)."""
-    spec = all_specs()["q045_training_data_pipeline"]
+    spec = all_specs()["q174_training_data_pipeline"]
     return spec.builder(spark, "/root/testdata/sf0.001")
 
 

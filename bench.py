@@ -116,12 +116,12 @@ def main() -> None:
     # The headline total grows as the bench set widens, so cross-round
     # drift is only meaningful on this frozen subset (VERDICT r3 #3).
     comparable = [
-        "q048_exact_dedup_groups",
-        "q047_minhash_lsh_pairs",
-        "q045_training_data_pipeline",
-        "q083_cosine_topk_bruteforce",
-        "q101_tumbling_window",
-        "q159_rake_keywords",
+        "q190_exact_dedup_groups",
+        "q189_minhash_lsh_pairs",
+        "q174_training_data_pipeline",
+        "q019_cosine_topk_bruteforce",
+        "q027_tumbling_window",
+        "q043_rake_keywords",
         "q090_pricing_summary",
         "q093_star_join_revenue",
         "q163_topk_per_group",

@@ -134,7 +134,7 @@ def test_bmp_property_class_divergence_is_exactly_known(spark):
     are therefore engine-stable on every corpus avoiding the pinned
     codepoints — and the N/d/w-only patterns are stable everywhere. A
     corpus REACHING the skew (Arabic Extended-B, U+061D) would mismatch
-    on q054/q159-family hashes; the fix there is explicit \\x{...}
+    on q054/q043-family hashes; the fix there is explicit \\x{...}
     ranges in the shared pattern, not silence — this test is the
     tripwire."""
     cps = [c for c in range(1, 0x10000) if not (0xD800 <= c <= 0xDFFF)]

@@ -1,8 +1,8 @@
-"""Alternating large-star/small-star connected components (q039):
+"""Alternating large-star/small-star connected components (q134):
 
 1. converges in O(log n) rounds on a diameter-~96 chain graph — the
    property bounded min-label propagation lacks;
-2. a q025-style budget of 6 propagation rounds demonstrably FAILS on the
+2. a q099-style budget of 6 propagation rounds demonstrably FAILS on the
    same graph (labels not converged), proving the new algorithm is doing
    work the old budget cannot;
 3. components are exactly right on a hand-built fixture (two chains +
@@ -34,7 +34,7 @@ def test_converges_in_log_rounds_not_diameter(spark, sf_smoke):
 
 
 def test_bounded_label_propagation_fails_on_deep_chains(spark, sf_smoke):
-    """q025's 6-round budget is right for shallow dup clusters and wrong
+    """q099's 6-round budget is right for shallow dup clusters and wrong
     here: after 6 min-label rounds a chain node ~90 hops from its
     component minimum still carries a non-minimal label."""
     e = chain_edges(spark, sf_smoke)
@@ -77,7 +77,7 @@ def test_exact_components_on_fixture(spark):
 def test_contracted_equals_alternating_on_chains(spark, sf_smoke):
     """The r11 hybrid (partition-local union-find contraction + alternating
     CC on the residual seam graph) must be OUTPUT-IDENTICAL to plain
-    alternating CC — q039's certified hash rides on this."""
+    alternating CC — q134's certified hash rides on this."""
     from warcraider_spark.operators.graph import contracted_components
 
     plain = {

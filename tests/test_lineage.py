@@ -14,7 +14,7 @@ from warcraider_spark.lineage import (
 )
 from warcraider_spark.registry import all_specs
 
-ITERATIVE = ("q039_connected_components", "q188_kmeans_codebook", "q043_pagerank")
+ITERATIVE = ("q134_connected_components", "q046_kmeans_codebook", "q159_pagerank")
 
 
 def test_dir_resolution(monkeypatch):

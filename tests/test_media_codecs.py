@@ -1,4 +1,4 @@
-"""Unit tests for the dependency-free PPM/WAV codecs (q044's real
+"""Unit tests for the dependency-free PPM/WAV codecs (q171's real
 encode/decode pair): round-trip values, header validation, and
 malformed-input rejection — spark-free, so failures localize."""
 
@@ -133,7 +133,7 @@ def test_ppm_stream_parser_rejects_bad_frame():
 def test_jpeg_dc_quantization_matches_integer_formula_exhaustively():
     """Every gray value 0..255 as a constant block: the float fDCT +
     guarded rounding must reproduce decoded = clamp(2*half_away((v-128)/2)
-    + 128) — the exact formula the q115 DuckDB oracle replays."""
+    + 128) — the exact formula the q034 DuckDB oracle replays."""
     import numpy as np
 
     from warcraider_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
@@ -201,7 +201,7 @@ def test_jpeg_decoder_rejects_corruption():
 
 
 # ---------------------------------------------------------------------------
-# MP4 / ISO-BMFF (functions/mp4.py — q121's real mux/demux pair)
+# MP4 / ISO-BMFF (functions/mp4.py — q035's real mux/demux pair)
 # ---------------------------------------------------------------------------
 
 
@@ -303,7 +303,7 @@ def test_mp4_rejects_corruption():
 
 
 def test_decode_media_sniffs_and_dispatches_real_codecs():
-    """q113's modality-generic path: magic-byte sniffing routes to the
+    """q033's modality-generic path: magic-byte sniffing routes to the
     real JPEG/WAV/MP4 decoders; features come from the bitstream."""
     from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
     from warcraider_spark.functions.mp4 import mux_mjpeg_mp4
@@ -440,7 +440,7 @@ def test_restart_markers_and_parallel_segment_decode():
 def test_png_pixel_decode_and_box_pyramid():
     """decode_png_pixels returns the exact analytic pixel grid, its sum
     agrees with decode_png, and the 2x2 box-filter halving matches the
-    per-pixel floor formula the q171 oracle replays."""
+    per-pixel floor formula the q044 oracle replays."""
     import numpy as np
 
     from warcraider_spark.operators.multimodal import (

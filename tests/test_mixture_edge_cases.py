@@ -12,8 +12,8 @@ Corpora:
 - single_domain: |domains| = 1 — the cut arithmetic divides by
   (n - i + 1) = 1 and the budget simply truncates the one domain.
 - sparse: empty-text docs mixed in — word_count 0 documents contribute
-  0 tokens to their domain (never a div-by-zero: q072 filters them, and
-  q070's level divisor is domain count, not tokens).
+  0 tokens to their domain (never a div-by-zero: q011 filters them, and
+  q009's level divisor is domain count, not tokens).
 - uniform_tiny: every domain identical — ties broken by the (toks,
   source) sort key identically in both engines.
 """
@@ -27,10 +27,10 @@ from warcraider_spark.oracle import run_oracle
 from warcraider_spark.registry import all_specs
 
 TRIO = [
-    "q069_mixture_apply_select",
-    "q070_domain_mixture_weights",
-    "q071_dsir_select",
-    "q072_domain_quality_select",
+    "q008_mixture_apply_select",
+    "q009_domain_mixture_weights",
+    "q010_dsir_select",
+    "q011_domain_quality_select",
     # r11: the composed gate->water-fill->DSIR->pack plan inherits every
     # edge hazard of its stages PLUS coupling ones (a domain emptied by
     # the gate, a target slice that is the whole corpus, zero-token
@@ -105,7 +105,7 @@ def test_waterfill_caps_dominant_domain(spark, tmp_path):
     d = _corpus(tmp_path, "dom2", _corpora(tmp_path)["dominant"])
     out = {
         r["source"]: r.asDict()
-        for r in all_specs()["q070_domain_mixture_weights"].builder(spark, d).collect()
+        for r in all_specs()["q009_domain_mixture_weights"].builder(spark, d).collect()
     }
     assert out["big"]["capped"] and out["big"]["alloc_tokens"] < out["big"]["domain_tokens"]
     assert not out["small"]["capped"]
@@ -120,7 +120,7 @@ def test_waterfill_caps_dominant_domain(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 def _waterfill_closed_form(toks: list[int], num: int = 6, den: int = 10):
-    """Pure-python mirror of the q070 SQL/DataFrame math (sort asc,
+    """Pure-python mirror of the q009 SQL/DataFrame math (sort asc,
     prefix sums, first position whose domain reaches its candidate
     level), returning (allocations aligned to the input order, level or
     None)."""
@@ -267,7 +267,7 @@ def test_composed_pipeline_invariants(spark, tmp_path):
 
 def test_fill_coupling_properties():
     """Hypothesis proof of the water-fill -> greedy-fill COUPLING (the
-    stage q187 adds over q070): for any per-domain token counts and any
+    stage q187 adds over q009): for any per-domain token counts and any
     score order, filling each domain greedily against its closed-form
     allocation (1) never exceeds the allocation, (2) is prefix-maximal
     (the first unselected doc would overflow), and (3) the global

@@ -23,7 +23,7 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 
 def test_rows_only_list_column_rejected(spark, sf_smoke):
     """A rows-only query emitting an array column must fail LOCALLY: the
-    driver's pandas canonicalizer crashes on list cells (q041's r2 ERR), so
+    driver's pandas canonicalizer crashes on list cells (q150's r2 ERR), so
     run_oracle hashes rows-only output through the same strict canon."""
     from pyspark.sql import functions as F
 
@@ -39,7 +39,7 @@ def test_rows_only_list_column_rejected(spark, sf_smoke):
 
 
 def test_pmi_log_domain_guard(spark):
-    """q040's int64 headroom guard (ENFORCED this round, VERDICT r4
+    """q135's int64 headroom guard (ENFORCED this round, VERDICT r4
     "What's wrong" #2): counts large enough that n_xy*nn*1e6 overflows
     int64 must switch to the log-domain micro-nat path, and that path
     must rank identically to driver-side math.log PMI."""
@@ -216,7 +216,7 @@ def test_gopher_repetition_oracle_total_on_short_docs(spark, tmp_path):
 def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     """Every shingles_sql-based oracle survives sub-k-token documents
     (same landmine class as q139's: the unguarded toks[i+j] || chain
-    NULLed short-doc shingles until the r8 CASE guard). q124 is vacuous
+    NULLed short-doc shingles until the r8 CASE guard). q036 is vacuous
     on 12 docs (its decontamination branch never fires) and is covered
     at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -225,13 +225,13 @@ def test_shingle_oracles_total_on_short_docs(spark, tmp_path):
     d = _short_doc_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q047_minhash_lsh_pairs",
-        "q024_ngram_jaccard_pairs",
+        "q189_minhash_lsh_pairs",
+        "q098_ngram_jaccard_pairs",
         "q144_containment_dedup",
-        "q025_dedup_clusters",
+        "q099_dedup_clusters",
         "q055_benchmark_contamination",
         "q085_incremental_dedup",
-        "q050_shingle_fingerprint",
+        "q192_shingle_fingerprint",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -246,7 +246,7 @@ def test_degenerate_doc_totality(spark, tmp_path):
     (InferFiltersFromGenerate pushes the hash UDF into the scan filter —
     the localCheckpoint barrier pins it to filtered rows), q114's oracle
     must not NULL through list()-of-zero-rows / array_to_string([]),
-    q032/q190 tokenization must drop empty tokens on both engines, and
+    q111/q048 tokenization must drop empty tokens on both engines, and
     q170's crosstab schema must stay the closed 5-lang contract when a
     lang is corpus-absent."""
     from warcraider_spark.oracle import run_oracle
@@ -257,8 +257,8 @@ def test_degenerate_doc_totality(spark, tmp_path):
     for n in [
         "q054_bpe_pretokenize",
         "q114_span_excision",
-        "q032_repetition_ratio",
-        "q190_bigram_udtf",
+        "q111_repetition_ratio",
+        "q048_bigram_udtf",
         "q146_ml_lsh_variants",
         "q170_crosstab",
     ]:
@@ -299,9 +299,9 @@ COPY (
 def test_zero_vector_totality(spark, tmp_path):
     """The r8 zero-vector sweep's findings, pinned: all-zero embedding
     rows (one corrupted row in a 100 TB corpus) must not ANSI-kill the
-    cosine family (q083/q029/q023: nrm > 0 exclusion — no direction, no
-    cosine), the absmax quantizer (q192: raw_scale > 0), or the grouped
-    eigensolve (q100: np.cov of a singleton group is 0-d; the oracle's
+    cosine family (q019/q105/q097: nrm > 0 exclusion — no direction, no
+    cosine), the absmax quantizer (q050: raw_scale > 0), or the grouped
+    eigensolve (q026: np.cov of a singleton group is 0-d; the oracle's
     aniso division needs the zero-trace CASE)."""
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
@@ -309,11 +309,11 @@ def test_zero_vector_totality(spark, tmp_path):
     d = _zero_vector_corpus(tmp_path)
     specs = all_specs()
     for n in [
-        "q083_cosine_topk_bruteforce",
-        "q029_ann_sign_lsh",
-        "q192_two_stage_rerank",
-        "q023_embedding_neardup",
-        "q100_group_spectral_stats",
+        "q019_cosine_topk_bruteforce",
+        "q105_ann_sign_lsh",
+        "q050_two_stage_rerank",
+        "q097_embedding_neardup",
+        "q026_group_spectral_stats",
     ]:
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
@@ -426,12 +426,12 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     fingerprint/tokenization now applies the engine-stable case fold
     (textfn.fold_lower / its textual SQL twin; ASCII no-op); the İ form
     also split '[a-z]+' token runs differently (the combining dot
-    breaks a run), shifting q084/q114/q078/q141 token counts and span
+    breaks a run), shifting q084/q114/q016/q141 token counts and span
     offsets. (b) Python str.split() is Unicode-whitespace and split
-    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q190
+    U+3000-spaced CJK where every oracle's ASCII \\s did not — the q048
     bigram UDTF now ASCII-splits like the house tokenizer.
 
-    q040/q150/q180 are excluded as corpus-vacuous here (their
+    q135/q041/q180 are excluded as corpus-vacuous here (their
     discriminating branches need more data than 16 docs; min_rows
     guards them) — they're covered at sf0.01 by the driver."""
     from warcraider_spark.oracle import run_oracle
@@ -440,18 +440,18 @@ def test_unicode_multilingual_totality(spark, tmp_path):
     d = _unicode_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q139_gopher_repetition", "q140_gopher_rules", "q159_rake_keywords",
+        "q139_gopher_repetition", "q140_gopher_rules", "q043_rake_keywords",
         "q060_token_stats", "q061_lang_id", "q087_quality_score",
-        "q089_fingerprint", "q050_shingle_fingerprint", "q003_word_count_ref",
-        "q032_repetition_ratio", "q054_bpe_pretokenize", "q190_bigram_udtf",
-        "q047_minhash_lsh_pairs", "q049_tfidf", "q026_document_chunking",
-        "q168_line_dedup", "q024_ngram_jaccard_pairs", "q025_dedup_clusters",
-        "q027_simhash_dupes", "q038_duplicate_spans",
+        "q089_fingerprint", "q192_shingle_fingerprint", "q064_word_count_ref",
+        "q111_repetition_ratio", "q054_bpe_pretokenize", "q048_bigram_udtf",
+        "q189_minhash_lsh_pairs", "q191_tfidf", "q100_document_chunking",
+        "q168_line_dedup", "q098_ngram_jaccard_pairs", "q099_dedup_clusters",
+        "q101_simhash_dupes", "q133_duplicate_spans",
         "q055_benchmark_contamination", "q084_token_budget_select",
-        "q114_span_excision", "q078_heavy_hitters", "q141_bpe_encode",
-        "q134_simhash_radius", "q135_bpe_merge_train",
-        "q144_containment_dedup", "q045_training_data_pipeline",
-        "q011_whitespace_quirks", "q037_sequence_packing",
+        "q114_span_excision", "q016_heavy_hitters", "q141_bpe_encode",
+        "q039_simhash_radius", "q040_bpe_merge_train",
+        "q144_containment_dedup", "q174_training_data_pipeline",
+        "q072_whitespace_quirks", "q125_sequence_packing",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -482,14 +482,14 @@ def test_unicode_extended_sweep(spark, tmp_path):
         "q057_lm_score", "q085_incremental_dedup", "q130_cdc_excision",
         "q136_cdc_chunk_dedup", "q147_inverted_index", "q167_skyline_docs",
         "q172_perceptron_train", "q183_posexplode",
-        "q187_mixture_pipeline_e2e", "q069_mixture_apply_select",
-        "q070_domain_mixture_weights", "q071_dsir_select",
-        "q072_domain_quality_select", "q082_pii_redaction",
-        "q009_ga_extract", "q103_explode_outer", "q013_array_set_funcs",
-        "q102_corpus_snapshot_diff", "q019_dedup_keep_canonical",
-        "q113_media_features", "q108_concat_chunk_blocks",
-        "q125_bloom_dedup_probe", "q133_split_leakage", "q022_source_cap",
-        "q035_media_stats", "q048_exact_dedup_groups",
+        "q187_mixture_pipeline_e2e", "q008_mixture_apply_select",
+        "q009_domain_mixture_weights", "q010_dsir_select",
+        "q011_domain_quality_select", "q018_pii_redaction",
+        "q070_ga_extract", "q103_explode_outer", "q074_array_set_funcs",
+        "q028_corpus_snapshot_diff", "q083_dedup_keep_canonical",
+        "q033_media_features", "q108_concat_chunk_blocks",
+        "q037_bloom_dedup_probe", "q038_split_leakage", "q096_source_cap",
+        "q121_media_stats", "q190_exact_dedup_groups",
         "q146_ml_lsh_variants",
     ]
     for n in names:
@@ -552,9 +552,9 @@ def test_unicode_large_corpus_sweep(spark, tmp_path):
     d = _unicode_large_corpus(tmp_path)
     specs = all_specs()
     names = [
-        "q180_set_containment_join", "q097_sparse_dot_topk",
-        "q107_longest_prefix_route", "q124_decontaminate",
-        "q036_countmin_freq", "q150_ngram_novelty", "q040_pmi_collocations",
+        "q180_set_containment_join", "q023_sparse_dot_topk",
+        "q031_longest_prefix_route", "q036_decontaminate",
+        "q124_countmin_freq", "q041_ngram_novelty", "q135_pmi_collocations",
     ]
     for n in names:
         r = run_oracle(spark, specs[n], d)
@@ -567,7 +567,7 @@ def _degenerate_dup_corpus(tmp_path):
     genuine duplicate pair, so the winnowing family's min_rows is
     satisfied while the degenerates stress both engines' totality
     (DuckDB range() on negative spans, Spark sequence() guards, the
-    q002 left join keeping weight-1 rows for every degenerate)."""
+    q063 left join keeping weight-1 rows for every degenerate)."""
     import duckdb as _dd
 
     shared = "the identical sixty character run that both documents carry!"
@@ -604,21 +604,21 @@ def test_winnowing_family_total_on_degenerate_docs(spark, tmp_path):
     applied to the new operators): empty/whitespace/sub-threshold docs
     must flow through pair detection, cluster election AND the
     full-corpus weight join on BOTH engines — hash match end to end,
-    with every degenerate doc present in q002's output at weight 1."""
+    with every degenerate doc present in q063's output at weight 1."""
     from warcraider_spark.oracle import run_oracle
     from warcraider_spark.registry import all_specs
 
     d = _degenerate_dup_corpus(tmp_path)
     specs = all_specs()
     for n in (
-        "q008_winnowing_dup_pairs",
-        "q001_winnowing_dedup_keep",
-        "q002_winnowing_soft_dedup_weights",
-        "q021_exact_substring_excision",
+        "q069_winnowing_dup_pairs",
+        "q062_winnowing_dedup_keep",
+        "q063_winnowing_soft_dedup_weights",
+        "q088_exact_substring_excision",
     ):
         r = run_oracle(spark, specs[n], d)
         assert r.ok, (n, r.detail)
-    w = specs["q002_winnowing_soft_dedup_weights"].builder(spark, d)
+    w = specs["q063_winnowing_soft_dedup_weights"].builder(spark, d)
     got = {r.doc_id: (r.cluster_size, r.weight) for r in w.collect()}
     assert got[1] == (1, 1.0) and got[2] == (1, 1.0)
     assert got[3] == (1, 1.0) and got[4] == (1, 1.0)

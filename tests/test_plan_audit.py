@@ -62,8 +62,8 @@ def test_unpartitioned_window_detector():
 
 def test_broadcast_unbounded_agg_detector():
     """The r5 rule (VERDICT r4 directive #1): an explicit broadcast HINT
-    over a keyed aggregate flags — it would have caught q043's out-degree
-    broadcast and q040's marginal broadcasts. Bounded shapes don't flag:
+    over a keyed aggregate flags — it would have caught q159's out-degree
+    broadcast and q135's marginal broadcasts. Bounded shapes don't flag:
     a global (key-less) aggregate is single-row, a Limit caps the build
     side, and hint-less plans are AQE's call, not a forced broadcast."""
     keyed = (
@@ -141,7 +141,7 @@ def test_name_keyed_lists_reference_live_names():
 def test_exemption_is_per_flag():
     """A pair-exempted query is still flagged for a DIFFERENT risky shape."""
     row = {
-        "query": "q028_decile_distribution",  # exempt for unpartitioned window
+        "query": "q102_decile_distribution",  # exempt for unpartitioned window
         "cartesian": 1,  # ...but not for a cartesian
         "bnlj": 0,
         "unpart_win": 1,

@@ -142,7 +142,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 
 def test_minhash_signature_single_tokenize(spark):
-    """q047 regression: tokenization must stay in its own Project (evaluated
+    """q189 regression: tokenization must stay in its own Project (evaluated
     once per row), not be inlined 6× into the shingle expression — see
     dedup._exploded_shingles."""
     from warcraider_spark.operators.dedup import _exploded_shingles, dup_corpus
@@ -170,9 +170,9 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_salted_join_no_single_hot_partition(spark):
-    """q189: the salted skew join must key the shuffle on (key, salt) —
+    """q047: the salted skew join must key the shuffle on (key, salt) —
     plan shows the salt column in the join keys."""
-    df = all_specs()["q189_salted_skew_join"].builder(spark, SF_CORRECT)
+    df = all_specs()["q047_salted_skew_join"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "salt" in plan
 
@@ -180,7 +180,7 @@ def test_salted_join_no_single_hot_partition(spark):
 def test_salting_spreads_hot_key_across_partitions(spark):
     """The salting mechanism itself (VERDICT r5 #6): on a synthesized
     1000:1-skewed key, hash-partitioning on the bare key puts EVERY hot
-    row in one partition, while q189's (key, salt-from-row-id) scheme
+    row in one partition, while q047's (key, salt-from-row-id) scheme
     splits the hot key across >= 4 of 32 partitions — the executable form
     of the 'no single hot partition' claim (deterministic: fixed values,
     fixed partitioning)."""
@@ -210,12 +210,12 @@ def test_salting_spreads_hot_key_across_partitions(spark):
 
 
 def test_decile_no_global_sort(spark):
-    """q028 (VERDICT r8 #3): exact NTILE semantics must come from the
+    """q102 (VERDICT r8 #3): exact NTILE semantics must come from the
     bucketed distributed prefix-sum, never a global single-partition
     window over the fact table — the heavy row_number window is
     partitioned by bucket, the tiny offsets table is broadcast, and no
     ntile() survives in the plan."""
-    df = all_specs()["q028_decile_distribution"].builder(spark, SF_CORRECT)
+    df = all_specs()["q102_decile_distribution"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "ntile" not in plan.lower()
     # the fact-table window carries the bucket partition spec
@@ -254,12 +254,12 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_ivf_search_broadcasts_centroids(spark):
-    """q098: the vectors×centroids cross join must BUILD on a broadcast of
+    """q024: the vectors×centroids cross join must BUILD on a broadcast of
     the tiny centroid table (BNLJ BuildRight) — the vector stream never
     shuffles for assignment; a CartesianProduct (both sides shuffled)
     would be the 100 TB killer. Candidate generation joins on the bucket
     key (equi: SMJ here, AQE may demote to broadcast at runtime)."""
-    df = all_specs()["q098_ivf_topk_search"].builder(spark, SF_CORRECT)
+    df = all_specs()["q024_ivf_topk_search"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "CartesianProduct" not in plan
@@ -267,20 +267,20 @@ def test_ivf_search_broadcasts_centroids(spark):
 
 
 def test_pipeline_query_no_joins(spark):
-    """q045 (the entry flagship): quality filter → dedup → accounting must
+    """q174 (the entry flagship): quality filter → dedup → accounting must
     stay a linear agg pipeline — two exchanges, no joins."""
-    df = all_specs()["q045_training_data_pipeline"].builder(spark, SF_CORRECT)
+    df = all_specs()["q174_training_data_pipeline"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
 
 
 def test_two_stage_rerank_broadcasts_queries(spark):
-    """q192: the coarse stage must be a BroadcastNestedLoopJoin with the
+    """q050: the coarse stage must be a BroadcastNestedLoopJoin with the
     (tiny) query set as build side — the corpus streams once; a cartesian
     product or a shuffle of the corpus against queries would be the 100 TB
     killer."""
-    df = all_specs()["q192_two_stage_rerank"].builder(spark, SF_CORRECT)
+    df = all_specs()["q050_two_stage_rerank"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
@@ -296,11 +296,11 @@ def test_contamination_broadcasts_benchmark(spark):
 
 
 def test_sketch_aggs_are_partial_final(spark):
-    """q191: sketch aggregates must plan as partial ObjectHashAggregate →
+    """q049: sketch aggregates must plan as partial ObjectHashAggregate →
     Exchange → final — the sketches merge map-side, so the shuffle carries
     one bounded sketch per group, not raw values (the whole point of
     mergeable sketches)."""
-    df = all_specs()["q191_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
+    df = all_specs()["q049_sketch_distinct_rollup"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("ObjectHashAggregate") >= 4  # partial+final × two levels
     assert "Exchange" in plan
@@ -338,19 +338,19 @@ def test_lm_score_vocab_is_broadcast(spark):
 
 
 def test_sequence_packing_single_window_shuffle(spark):
-    """q037: packing is ONE hash exchange on the shard key feeding the
+    """q125: packing is ONE hash exchange on the shard key feeding the
     running-sum window — no join, no second shuffle before the sort."""
-    df = all_specs()["q037_sequence_packing"].builder(spark, SF_CORRECT)
+    df = all_specs()["q125_sequence_packing"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Window" in plan
     assert plan.count("hashpartitioning") == 1
 
 
 def test_kmeans_broadcasts_centroids(spark):
-    """q188: a Lloyd assignment step must join the vector table against a
+    """q046: a Lloyd assignment step must join the vector table against a
     BROADCAST of the (k x dims)-row centroid table — a shuffled centroid
     join would repartition the full corpus once per iteration. Asserted on
-    the raw step subplan (the final q188 plan hides iterations behind
+    the raw step subplan (the final q046 plan hides iterations behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.similarity import _km_assign
 
@@ -378,10 +378,10 @@ def test_rollup_layers_reaggregate_partials(spark):
 
 
 def test_bpe_pair_counts_partial_final(spark):
-    """q135: the per-round pair count must partial-aggregate before its one
+    """q040: the per-round pair count must partial-aggregate before its one
     exchange on the uniform (l, r) key — per merge round the shuffle moves
     bounded partial counts over the vocabulary, never the corpus. Asserted
-    on the round subplan (the full q135 plan hides rounds behind
+    on the round subplan (the full q040 plan hides rounds behind
     localCheckpoint leaves)."""
     from warcraider_spark.operators.text import _bpe_pair_counts
 
@@ -395,11 +395,11 @@ def test_bpe_pair_counts_partial_final(spark):
 
 
 def test_duplicate_spans_single_shuffle_topk(spark):
-    """q038: span discovery is pure aggregation — ONE hash exchange on the
+    """q133: span discovery is pure aggregation — ONE hash exchange on the
     gram key (count-distinct expands to a two-phase agg on that same key),
     a TakeOrderedAndProject head, and NO self-join anywhere (the all-pairs
     product that makes naive substring dedup intractable)."""
-    df = all_specs()["q038_duplicate_spans"].builder(spark, SF_CORRECT)
+    df = all_specs()["q133_duplicate_spans"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
@@ -419,11 +419,11 @@ def test_token_budget_window_is_partitioned(spark):
 
 
 def test_triangle_count_no_cartesian(spark):
-    """q076: both triangle joins must be key-equi joins (shuffle or
+    """q014: both triangle joins must be key-equi joins (shuffle or
     broadcast on the node key) and the total-count attach must ride a
     broadcast — any CartesianProduct means the orientation trick failed
     and the plan is all-pairs."""
-    df = all_specs()["q076_triangle_count"].builder(spark, SF_CORRECT)
+    df = all_specs()["q014_triangle_count"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total attach
@@ -481,10 +481,10 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
 
 
 def test_merge_upsert_base_never_shuffles(spark):
-    """q174: the MERGE batch (deletes + updates) must ride broadcast joins
+    """q045: the MERGE batch (deletes + updates) must ride broadcast joins
     — the base relation shuffling for a maintenance batch is the classic
     full-outer MERGE mistake at 100 TB."""
-    df = all_specs()["q174_merge_upsert"].builder(spark, SF_CORRECT)
+    df = all_specs()["q045_merge_upsert"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
@@ -520,10 +520,10 @@ def test_concat_chunk_corpus_window_is_bucketed(spark):
 
 
 def test_bloom_probe_filter_is_broadcast(spark):
-    """q125: both the bloom word-table probe and the exact-membership
+    """q037: both the bloom word-table probe and the exact-membership
     audit must ride BROADCAST joins — the batch is never shuffled against
     the base, and nothing may fall back to SMJ or a cartesian."""
-    df = all_specs()["q125_bloom_dedup_probe"].builder(spark, SF_CORRECT)
+    df = all_specs()["q037_bloom_dedup_probe"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
@@ -531,20 +531,20 @@ def test_bloom_probe_filter_is_broadcast(spark):
 
 
 def test_countmin_probe_is_broadcast(spark):
-    """q036: the d×w counter table is constant-size; the point-query
+    """q124: the d×w counter table is constant-size; the point-query
     probe must broadcast it, never shuffle the probe set by cell key."""
-    df = all_specs()["q036_countmin_freq"].builder(spark, SF_CORRECT)
+    df = all_specs()["q124_countmin_freq"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_simhash_radius_band_join_is_equi(spark):
-    """q134: candidate generation must be the (band, value) EQUI
+    """q039: candidate generation must be the (band, value) EQUI
     self-join — a BroadcastNestedLoopJoin or CartesianProduct means the
     hamming predicate leaked into the join and the plan went all-pairs
     (that quadratic form exists only oracle-side)."""
-    df = all_specs()["q134_simhash_radius"].builder(spark, SF_CORRECT)
+    df = all_specs()["q039_simhash_radius"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -555,7 +555,7 @@ def test_simhash_radius_band_join_is_equi(spark):
     # (doc_a, doc_b)-keyed distinct: a re-shuffle of the candidate set
     # is the quadratic-at-8x shape SCALE.md §10 measured at 80s
     assert "hashpartitioning(doc_a" not in plan, (
-        "q134 candidate pairs re-shuffled for dedup — the first-matching-"
+        "q039 candidate pairs re-shuffled for dedup — the first-matching-"
         "band filter regressed to a distinct()"
     )
 
@@ -573,25 +573,25 @@ def test_containment_join_broadcasts_query_terms(spark):
 
 
 def test_sparse_dot_query_weights_broadcast(spark):
-    """q097: the query-side weight table broadcasts; the top-k window is
+    """q023: the query-side weight table broadcasts; the top-k window is
     partitioned by query (never a global sort); no nested-loop joins."""
-    df = all_specs()["q097_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q023_sparse_dot_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the corpus count resolves driver-side (q134 idiom), so there is no
+    # the corpus count resolves driver-side (q039 idiom), so there is no
     # 1-row cross-join subtree left to duplicate through the lineage
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(qid" in plan.lower().replace(" ", "") or "qid" in plan
 
 
 def test_sparse_dot_single_materialization(spark):
-    """q097 (r10, VERDICT r9 #6): the shared TF-IDF weight table is
+    """q023 (r10, VERDICT r9 #6): the shared TF-IDF weight table is
     materialized once (cut_lineage), so the static plan no longer
     duplicates the tok lineage 4x — the 10-exchange plan that needed a
     runtime AQE stage-reuse audit to trust is now <=4 shuffle exchanges
     statically: qw window, dots groupBy, rank window, final order."""
-    df = all_specs()["q097_sparse_dot_topk"].builder(spark, SF_CORRECT)
+    df = all_specs()["q023_sparse_dot_topk"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     shuffles = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert shuffles <= 4, f"expected <=4 shuffle exchanges, plan has {shuffles}"
@@ -602,7 +602,7 @@ def test_sparse_dot_single_materialization(spark):
 
 
 def test_connected_components_is_equi_join_per_round(spark, sf_smoke):
-    """q039: the contraction's half-round plan is groupBy + equi-join on
+    """q134: the contraction's half-round plan is groupBy + equi-join on
     the node id — a cartesian or nested-loop would be quadratic in edges."""
     from warcraider_spark.operators.graph import chain_edges
 
@@ -640,7 +640,7 @@ def test_approx_distinct_error_bound(spark):
 
 
 def test_kll_quantile_error_bound(spark):
-    """q031: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
+    """q107: KLL (default k) guarantees additive RANK error ~1.65/sqrt(k)
     ≈ 1.2%; assert each reported quantile's TRUE rank among the exact
     values is within 2% of the requested rank — the sketch's actual
     contract, checked without fixing its randomized internals."""
@@ -673,7 +673,7 @@ def test_kll_quantile_error_bound(spark):
             checked += 1
     assert checked >= 4
     # the certified in-plan verdicts (10% slack) must also be all-TRUE
-    verdicts = all_specs()["q031_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
+    verdicts = all_specs()["q107_sketch_kll_quantiles"].builder(spark, SF_CORRECT).collect()
     assert verdicts and all(
         v.p50_in_bound and v.p95_in_bound and v.rank50_in_bound for v in verdicts
     )
@@ -689,22 +689,22 @@ def test_kll_quantile_error_bound(spark):
 BUILD_TIME_EXECUTION_OK = {
     # iterative operators: the driver-side loop (per-round lineage cut /
     # convergence check) is the operator's documented contract
-    "q043_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
-    "q039_connected_components": "r11 hybrid: eager node→root mapping materialization + residual large/small-star loop with data-dependent convergence check",
-    "q135_bpe_merge_train": "per-round best-pair selection is data-dependent",
-    "q188_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
-    "q141_bpe_encode": "replays the q135 merge-train loop to build the vocab",
-    "q142_pq_encode": "per-subspace k-means loops (q188 contract)",
-    "q151_semantic_dedup": "k-means clustering loop (q188 contract)",
-    "q025_dedup_clusters": "connected-components loop (q039 contract)",
-    "q001_winnowing_dedup_keep": "composes contracted_components on the winnowing pair graph (q039 contract: eager contraction + convergence-checked residual rounds)",
-    "q002_winnowing_soft_dedup_weights": "same contracted_components composition as q001 (q039 contract)",
-    "q197_winnowing_family_manifest": "shared-selector composition: cut_lineage materializes the fingerprint pass once for all family branches (q097 contract) + contracted_components (q039 contract)",
+    "q159_pagerank": "fixed-round power iteration, per-round reliable lineage cut",
+    "q134_connected_components": "r11 hybrid: eager node→root mapping materialization + residual large/small-star loop with data-dependent convergence check",
+    "q040_bpe_merge_train": "per-round best-pair selection is data-dependent",
+    "q046_kmeans_codebook": "per-round assign/update with reliable lineage cuts",
+    "q141_bpe_encode": "replays the q040 merge-train loop to build the vocab",
+    "q142_pq_encode": "per-subspace k-means loops (q046 contract)",
+    "q151_semantic_dedup": "k-means clustering loop (q046 contract)",
+    "q099_dedup_clusters": "connected-components loop (q134 contract)",
+    "q062_winnowing_dedup_keep": "composes contracted_components on the winnowing pair graph (q134 contract: eager contraction + convergence-checked residual rounds)",
+    "q063_winnowing_soft_dedup_weights": "same contracted_components composition as q062 (q134 contract)",
+    "q197_winnowing_family_manifest": "shared-selector composition: cut_lineage materializes the fingerprint pass once for all family branches (q023 contract) + contracted_components (q134 contract)",
     "q172_perceptron_train": "per-epoch gradient rounds with lineage cuts",
     # streaming: builders replay real micro-batches through a query
-    "q106_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
+    "q030_watermark_semantics": "executes a micro-batch replay to surface watermark drops",
     "q052_stream_stream_join": "executes a stream-stream join replay",
-    "q034_stream_static_enrich": "executes a stream-static micro-batch replay",
+    "q115_stream_static_enrich": "executes a stream-static micro-batch replay",
     # eager Spark APIs whose eagerness IS the documented surface
     "q146_ml_lsh_variants": "pyspark.ml estimator .fit() trains at build",
     "q170_crosstab": "df.stat.crosstab computes its pivot eagerly",
@@ -715,7 +715,7 @@ BUILD_TIME_EXECUTION_OK = {
     # consumers read blocks) and the cost stays inside the bench's
     # timed window — the builder call is timed, and no cross-invocation
     # cache survives to later reps (unlike cache()).
-    "q097_sparse_dot_topk": "cut_lineage materializes the shared weight table at build",
+    "q023_sparse_dot_topk": "cut_lineage materializes the shared weight table at build",
 }
 
 
@@ -724,7 +724,7 @@ def test_plan_construction_launches_no_jobs(spark):
     what plan-audit explains) must launch zero Spark jobs outside the
     justified list above: a build-time count()/first() means every
     explain() pays a scan, and under AQE an eager-or-lazy checkpoint at
-    build time executes the whole upstream DAG (q040's r6 shape). Table
+    build time executes the whole upstream DAG (q135's r6 shape). Table
     footer-read jobs are excluded by pre-warming the load_table cache —
     that cost is per-(session, table), not per-build."""
     from warcraider_spark.tables import load_tables
@@ -747,21 +747,21 @@ def test_plan_construction_launches_no_jobs(spark):
 
 
 def test_mixture_trio_plan_shapes(spark):
-    """r10 training-mixture trio: q070's corpus pass is one partial-
+    """r10 training-mixture trio: q009's corpus pass is one partial-
     aggregated scan (its windows/broadcasts run on the ~|domains|-row
     rollup — the only SortMergeJoin-free shape that never re-reads the
-    fact table); q071's top-k is TakeOrderedAndProject over the bounded
-    hashed-ratio broadcast join; q072's ranking window is PARTITIONED
+    fact table); q010's top-k is TakeOrderedAndProject over the bounded
+    hashed-ratio broadcast join; q011's ranking window is PARTITIONED
     by the domain key, never a global sort."""
     specs = all_specs()
-    p9 = plan_of(specs["q070_domain_mixture_weights"].builder(spark, SF_CORRECT))
+    p9 = plan_of(specs["q009_domain_mixture_weights"].builder(spark, SF_CORRECT))
     assert "SortMergeJoin" not in p9
     assert "CartesianProduct" not in p9
-    p10 = plan_of(specs["q071_dsir_select"].builder(spark, SF_CORRECT))
+    p10 = plan_of(specs["q010_dsir_select"].builder(spark, SF_CORRECT))
     assert "TakeOrderedAndProject" in p10
     assert "BroadcastHashJoin" in p10
     assert "SortMergeJoin" not in p10
-    p11 = plan_of(specs["q072_domain_quality_select"].builder(spark, SF_CORRECT))
+    p11 = plan_of(specs["q011_domain_quality_select"].builder(spark, SF_CORRECT))
     assert "windowspecdefinition(source" in p11.lower().replace(" ", "")
     assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11
 
@@ -806,7 +806,7 @@ def test_mixture_pipeline_runtime_stage_reuse(spark):
     """q187 (r11): the composed gate->water-fill->DSIR->pack plan
     statically duplicates the gated-corpus lineage (each consuming stage
     re-declares the scan + gate window), but AQE reuses the identical
-    shuffle/broadcast stages at RUNTIME. The q018 lesson says the
+    shuffle/broadcast stages at RUNTIME. The q082 lesson says the
     PRE-execution plan shows zero ReusedExchange under AQE — so audit
     the POST-execution final adaptive plan (isFinalPlan=true), where the
     reuse is explicit. Pin: >=4 ReusedExchange nodes (r11 measurement: 6
@@ -823,7 +823,7 @@ def test_mixture_pipeline_runtime_stage_reuse(spark):
 
 
 def test_winnowing_selector_fused_and_pruned(spark):
-    """q008_winnowing_dup_pairs (r12; fold default r13): the winnowing
+    """q069_winnowing_dup_pairs (r12; fold default r13): the winnowing
     selector must stay ONE JVM higher-order Generate per scan (no
     Python, no UDF), the parquet scan must read only doc_id+text with
     the length filter's null guard pushed, the fingerprint stream must
@@ -836,7 +836,7 @@ def test_winnowing_selector_fused_and_pruned(spark):
     passes defaultParallelism because the testdata is a byte-dense
     single-split file; at-scale callers pass None and the exchange
     disappears, pinned in tests/test_winnowing_fold.py)."""
-    df = all_specs()["q008_winnowing_dup_pairs"].builder(spark, SF_CORRECT)
+    df = all_specs()["q069_winnowing_dup_pairs"].builder(spark, SF_CORRECT)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -66,7 +66,7 @@ def test_ignore_corrupt_files(spark, tmp_path):
 def test_cdc_chunking_is_shift_resistant(spark):
     """The property q136 exists for: prepending a sentence to a document
     re-aligns chunk boundaries after the insertion point, so most chunk
-    hashes survive — while fixed-stride chunking (q026's scheme) shifts
+    hashes survive — while fixed-stride chunking (q100's scheme) shifts
     every downstream block. Also pins determinism: same text -> same
     chunks."""
     from pyspark.sql import functions as F

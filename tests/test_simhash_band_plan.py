@@ -3,7 +3,7 @@
 Three properties gate regressions:
 1. every driver SF (n <= 8192) reproduces EXACTLY the legacy 32-bit
    (0,11)(11,11)(22,10) layout — so the static DuckDB oracle for
-   q134_simhash_radius stays valid wherever the driver runs it;
+   q039_simhash_radius stays valid wherever the driver runs it;
 2. beyond the floor, the width grows with log2(n) so expected
    distinct-sketch occupancy per (band, value) bucket stays bounded;
 3. on uniform hash values the MEASURED max bucket occupancy under the
@@ -12,7 +12,7 @@ Three properties gate regressions:
    the r3 docstring promised but nothing enforced.
 
 Pure-python/numpy (no Spark): the property under test is the band-key
-cardinality rule itself; the Spark plan shape for q134 is separately
+cardinality rule itself; the Spark plan shape for q039 is separately
 gated by tests/test_plan_shape.py and the driver oracle.
 """
 

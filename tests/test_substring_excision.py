@@ -1,4 +1,4 @@
-"""q021_exact_substring_excision (NEW r13): winnowing-sampled
+"""q088_exact_substring_excision (NEW r13): winnowing-sampled
 exact-substring excision — first-occurrence keeps, every other document
 loses the k-char extents at its selected positions of shared
 fingerprints, merged into maximal spans and cut from the text. Pinned

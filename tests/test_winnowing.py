@@ -1,4 +1,4 @@
-"""q008_winnowing_dup_pairs (r12): winnowing substring-duplicate
+"""q069_winnowing_dup_pairs (r12): winnowing substring-duplicate
 candidates — selector semantics pinned against an independent Python
 recompute, the >= k+w-1 detection guarantee, the df skew cap, and the
 n_shared threshold, all on hand-built documents."""
@@ -29,7 +29,7 @@ def _write_docs(spark, tmpdir: str, docs: list[tuple[int, str]]) -> str:
 def _run(spark, sf_dir: str):
     from warcraider_spark.registry import all_specs
 
-    df = all_specs()["q008_winnowing_dup_pairs"].builder(spark, sf_dir)
+    df = all_specs()["q069_winnowing_dup_pairs"].builder(spark, sf_dir)
     return {(r.doc_a, r.doc_b): r.n_shared for r in df.collect()}
 
 

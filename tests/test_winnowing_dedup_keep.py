@@ -1,4 +1,4 @@
-"""q001_winnowing_dedup_keep (NEW r13): the end-to-end substring-dedup
+"""q062_winnowing_dedup_keep (NEW r13): the end-to-end substring-dedup
 keep decision — winnowing pairs → connected-component clusters →
 longest-document canonical election — pinned on hand-built corpora
 where the cluster structure and the election are known by construction."""
@@ -117,7 +117,7 @@ def test_plan_shape(spark):
     assert "Sort [doc_a" not in phys
 
 
-# --- q002_winnowing_soft_dedup_weights (NEW r13) ---------------------------
+# --- q063_winnowing_soft_dedup_weights (NEW r13) ---------------------------
 
 
 def test_soft_dedup_weights_semantics(spark):

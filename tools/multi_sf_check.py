@@ -1,7 +1,7 @@
 """Full-registry oracle verification at arbitrary scale factors.
 
 The driver certifies at sf0.01 only; this tool closes the small-SF
-data-luck exposure (memory: q018 once passed sf0.01 and failed sf0.1) by
+data-luck exposure (memory: q082 once passed sf0.01 and failed sf0.1) by
 running EVERY registry query against its DuckDB oracle at the given SF
 dirs — the r8 run verified all 187 queries at sf0.001 AND sf0.1
 (561 comparisons including the driver's own SF, all hash-match; recorded

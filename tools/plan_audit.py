@@ -44,79 +44,88 @@ from warcraider_spark.session import get_spark  # noqa: E402
 # "unpartitioned window" pairs: windows over shrunken inputs (bucket
 # summaries, local-skyline survivors, merge frontiers, global deciles).
 KNOWN_OK_PAIRS = {
-    ("q023_embedding_neardup", "BroadcastNestedLoopJoin"),
-    ("q083_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
-    ("q096_ivf_assign", "BroadcastNestedLoopJoin"),
-    ("q098_ivf_topk_search", "BroadcastNestedLoopJoin"),
-    ("q099_link_degrees", "BroadcastNestedLoopJoin"),
-    ("q192_two_stage_rerank", "BroadcastNestedLoopJoin"),
+    ("q097_embedding_neardup", "BroadcastNestedLoopJoin"),
+    ("q019_cosine_topk_bruteforce", "BroadcastNestedLoopJoin"),
+    ("q022_ivf_assign", "BroadcastNestedLoopJoin"),
+    ("q024_ivf_topk_search", "BroadcastNestedLoopJoin"),
+    ("q025_link_degrees", "BroadcastNestedLoopJoin"),
+    ("q050_two_stage_rerank", "BroadcastNestedLoopJoin"),
     ("q104_having_avg_subquery", "BroadcastNestedLoopJoin"),
-    # r9: q028's unpartitioned window is now over the TINY per-bucket
+    # r9: q102's unpartitioned window is now over the TINY per-bucket
     # count table only (q084 prefix-sum shape — the fact-table window is
     # partitioned by bucket; pinned by test_decile_no_global_sort); its
     # broadcast side is the same bucket summary, bounded by the value-
     # bucketing policy (o_totalprice div 2000 — ~hundreds of rows).
-    ("q028_decile_distribution", "unpartitioned window"),
-    ("q028_decile_distribution", "broadcast of unbounded aggregate"),
-    # r13: q002's broadcast side is the (clustered-doc -> cluster-size)
+    ("q102_decile_distribution", "unpartitioned window"),
+    ("q102_decile_distribution", "broadcast of unbounded aggregate"),
+    # r13: q063's broadcast side is the (clustered-doc -> cluster-size)
     # dictionary — 16 bytes/row over duplicate-cluster MEMBERS only, a
     # small minority of a crawled corpus; the hint is an explicit
     # parameter (broadcast_dictionary) with a documented shuffle-join
     # degradation for the pathological all-duplicates regime, so the
     # broadcast is a declared regime choice, not an unbounded surprise
-    # (operators/dedup.py q002 docstring; plan-CI pins the default).
-    ("q002_winnowing_soft_dedup_weights", "broadcast of unbounded aggregate"),
-    # r13: q021's broadcast side is the (excised-doc -> merged spans)
+    # (operators/dedup.py q063 docstring; plan-CI pins the default).
+    ("q063_winnowing_soft_dedup_weights", "broadcast of unbounded aggregate"),
+    # r13: q088's broadcast side is the (excised-doc -> merged spans)
     # dictionary — only documents carrying non-owned shared fingerprints,
-    # each row a doc id + a handful of int pairs; like q002 it is the
+    # each row a doc id + a handful of int pairs; like q063 it is the
     # declared dictionary-fits regime (map-side surgery, zero corpus
     # shuffle), with the same documented degradation path if duplication
     # were pervasive (drop the hint -> doc_id-keyed shuffle join).
-    ("q021_exact_substring_excision", "broadcast of unbounded aggregate"),
+    ("q088_exact_substring_excision", "broadcast of unbounded aggregate"),
+    # r14: q197's broadcast side is the family dictionary — the full
+    # outer join of the q063 cluster dictionary and the q088 spans
+    # dictionary (one row per clustered-or-excised document, ids +
+    # small ints only). Same declared regime as its two parents, same
+    # explicit broadcast_dictionary parameter with the documented
+    # doc_id-keyed shuffle degradation (operators/dedup.py
+    # winnowing_family docstring; both plan shapes pinned in
+    # tests/test_winnowing_family.py).
+    ("q197_winnowing_family_manifest", "broadcast of unbounded aggregate"),
     ("q057_lm_score", "BroadcastNestedLoopJoin"),
     ("q058_gapfill_locf", "BroadcastNestedLoopJoin"),
     ("q084_token_budget_select", "BroadcastNestedLoopJoin"),
     ("q084_token_budget_select", "unpartitioned window"),
-    ("q076_triangle_count", "BroadcastNestedLoopJoin"),
+    ("q014_triangle_count", "BroadcastNestedLoopJoin"),
     ("q114_span_excision", "BroadcastNestedLoopJoin"),
     ("q126_zorder_layout", "BroadcastNestedLoopJoin"),
     ("q119_key_skew_profile", "BroadcastNestedLoopJoin"),
     ("q147_inverted_index", "BroadcastNestedLoopJoin"),
-    ("q078_heavy_hitters", "BroadcastNestedLoopJoin"),
+    ("q016_heavy_hitters", "BroadcastNestedLoopJoin"),
     ("q167_skyline_docs", "unpartitioned window"),
     ("q108_concat_chunk_blocks", "unpartitioned window"),
     ("q169_quantified_subqueries", "BroadcastNestedLoopJoin"),
     ("q172_perceptron_train", "BroadcastNestedLoopJoin"),
     ("q177_dormant_rich_customers", "BroadcastNestedLoopJoin"),
-    ("q133_split_leakage", "BroadcastNestedLoopJoin"),
+    ("q038_split_leakage", "BroadcastNestedLoopJoin"),
     # r7: PMI grand totals (nn, mx) — a no-grouping grand aggregate is
     # EXACTLY one row by construction; the 1-row broadcast cross join
     # replaced the r6 build-time .first() (VERDICT r6 #8)
-    ("q040_pmi_collocations", "BroadcastNestedLoopJoin"),
+    ("q135_pmi_collocations", "BroadcastNestedLoopJoin"),
     # r10 mixture/selection trio: every flagged shape runs on domain- or
-    # top-k-sized aggregates, never the corpus. q070's windows and both
+    # top-k-sized aggregates, never the corpus. q009's windows and both
     # of its broadcast joins are over the per-SOURCE rollup (~|domains|
     # rows; the grand-total and water-fill-cut sides are 1 row by
-    # construction); q071's final rank window orders the 50 rows that
+    # construction); q010's final rank window orders the 50 rows that
     # survive TakeOrderedAndProject.
-    ("q070_domain_mixture_weights", "unpartitioned window"),
-    # q069 recomputes the q070 allocation inline (same aggregate-sized
+    ("q009_domain_mixture_weights", "unpartitioned window"),
+    # q008 recomputes the q009 allocation inline (same aggregate-sized
     # shapes) and broadcasts the ~|domains|-row alloc table onto the
     # hash-ordered per-domain cumsum
-    ("q069_mixture_apply_select", "unpartitioned window"),
-    ("q069_mixture_apply_select", "BroadcastNestedLoopJoin"),
-    ("q069_mixture_apply_select", "broadcast of unbounded aggregate"),
-    ("q070_domain_mixture_weights", "BroadcastNestedLoopJoin"),
-    ("q070_domain_mixture_weights", "broadcast of unbounded aggregate"),
-    ("q071_dsir_select", "unpartitioned window"),
-    # q071's broadcast side is the hashed-feature ratio table — bounded
+    ("q008_mixture_apply_select", "unpartitioned window"),
+    ("q008_mixture_apply_select", "BroadcastNestedLoopJoin"),
+    ("q008_mixture_apply_select", "broadcast of unbounded aggregate"),
+    ("q009_domain_mixture_weights", "BroadcastNestedLoopJoin"),
+    ("q009_domain_mixture_weights", "broadcast of unbounded aggregate"),
+    ("q010_dsir_select", "unpartitioned window"),
+    # q010's broadcast side is the hashed-feature ratio table — bounded
     # at DSIR_BUCKETS rows BY CONSTRUCTION (the paper's hashed n-gram
     # space), independent of corpus vocabulary
-    ("q071_dsir_select", "broadcast of unbounded aggregate"),
+    ("q010_dsir_select", "broadcast of unbounded aggregate"),
     # r11 composed pipeline (VERDICT r10 #6): the union of its four
-    # certified siblings' shapes — q070's domain-aggregate water-fill
-    # windows + 1-row cut/grand-total broadcasts, q071's 4096-bounded
-    # ratio-table broadcast, q069's ~|domains|-row alloc broadcast onto
+    # certified siblings' shapes — q009's domain-aggregate water-fill
+    # windows + 1-row cut/grand-total broadcasts, q010's 4096-bounded
+    # ratio-table broadcast, q008's ~|domains|-row alloc broadcast onto
     # the per-source fill window; every flagged shape runs on a
     # domain-, bucket- or 1-row-sized aggregate, never the corpus
     ("q187_mixture_pipeline_e2e", "unpartitioned window"),
@@ -124,33 +133,33 @@ KNOWN_OK_PAIRS = {
     ("q187_mixture_pipeline_e2e", "broadcast of unbounded aggregate"),
     # "broadcast of unbounded aggregate" pairs: explicit broadcast hints
     # whose aggregate build side is bounded BY CONSTRUCTION, not by data:
-    # fixed k centroids (q096/q098), fixed bloom word count m/64 (q125),
-    # fixed d*w count-min table (q036), <=21 score buckets — score is
+    # fixed k centroids (q022/q024), fixed bloom word count m/64 (q037),
+    # fixed d*w count-min table (q124), <=21 score buckets — score is
     # milli-scaled in [0,1e6] div 50000 (q084), ingest-batch-sized
     # increment tables — the delta is a bounded batch, never the corpus
     # (q085), 100-row interval dimension (q092), bucket-summary prefix
     # sums sized by bucketing policy (q108 — same justification as its
-    # unpartitioned-window exemption), fixed probe/query set (q097),
+    # unpartitioned-window exemption), fixed probe/query set (q023),
     # 3-rows-by-construction KLL estimate table — groupBy over the two
     # filtered event types plus one merged row — broadcast back over the
-    # events for the in-plan error-bound verification (q031, r8).
-    # Data-coupled hints were FIXED instead, not exempted: q043 out-
-    # degrees folded into the rank table, q040 marginals via shuffle
-    # joins, q024 hot-shingle anti-join and q164 per-source bounds left
+    # events for the in-plan error-bound verification (q107, r8).
+    # Data-coupled hints were FIXED instead, not exempted: q159 out-
+    # degrees folded into the rank table, q135 marginals via shuffle
+    # joins, q098 hot-shingle anti-join and q164 per-source bounds left
     # to AQE (broadcast while small, shuffle at scale).
-    ("q096_ivf_assign", "broadcast of unbounded aggregate"),
-    ("q098_ivf_topk_search", "broadcast of unbounded aggregate"),
-    ("q125_bloom_dedup_probe", "broadcast of unbounded aggregate"),
-    ("q036_countmin_freq", "broadcast of unbounded aggregate"),
+    ("q022_ivf_assign", "broadcast of unbounded aggregate"),
+    ("q024_ivf_topk_search", "broadcast of unbounded aggregate"),
+    ("q037_bloom_dedup_probe", "broadcast of unbounded aggregate"),
+    ("q124_countmin_freq", "broadcast of unbounded aggregate"),
     ("q084_token_budget_select", "broadcast of unbounded aggregate"),
     ("q085_incremental_dedup", "broadcast of unbounded aggregate"),
     ("q092_interval_bin_join", "broadcast of unbounded aggregate"),
     ("q108_concat_chunk_blocks", "broadcast of unbounded aggregate"),
-    ("q097_sparse_dot_topk", "broadcast of unbounded aggregate"),
-    ("q031_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
+    ("q023_sparse_dot_topk", "broadcast of unbounded aggregate"),
+    ("q107_sketch_kll_quantiles", "broadcast of unbounded aggregate"),
     # q156: GK estimate table broadcast back over lineitem for the
     # in-plan rank-window verification — bounded at the l_returnflag
-    # domain (3 values) by construction (r8, same shape as q031)
+    # domain (3 values) by construction (r8, same shape as q107)
     ("q156_approx_quantiles", "broadcast of unbounded aggregate"),
 }
 
@@ -167,8 +176,8 @@ def _broadcast_unbounded_aggs(analyzed: str) -> int:
     the data. A broadcast HINT forces the broadcast regardless of size,
     so at 100 TB it OOMs every executor; the fix is a shuffle join on
     the key the pipeline already partitions by. This rule would have
-    caught both r4 scale-killers (q043's per-node out-degree broadcast,
-    q040's per-token marginal broadcasts).
+    caught both r4 scale-killers (q159's per-node out-degree broadcast,
+    q135's per-token marginal broadcasts).
 
     Deliberately scoped to the ANALYZED plan's ResolvedHint nodes:
     stats-chosen auto-broadcasts in the physical plan are ADAPTIVE —

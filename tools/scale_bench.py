@@ -24,32 +24,32 @@ from warcraider_spark.registry import all_specs  # noqa: E402
 from warcraider_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
-    "q048_exact_dedup_groups",
+    "q190_exact_dedup_groups",
     "q140_gopher_rules",
     "q139_gopher_repetition",
-    "q047_minhash_lsh_pairs",
-    "q078_heavy_hitters",
+    "q189_minhash_lsh_pairs",
+    "q016_heavy_hitters",
     "q168_line_dedup",
-    "q045_training_data_pipeline",
+    "q174_training_data_pipeline",
     # r3 additions (VERDICT r2 #7): the iterative families where
     # constant-factor regressions hide
-    "q135_bpe_merge_train",
-    "q098_ivf_topk_search",
+    "q040_bpe_merge_train",
+    "q024_ivf_topk_search",
     # r3 round-3 families: bloom probe is the broadcast-filter shape,
     # simhash radius is the banded-candidate shape — both must stay
     # sub-linear in candidates as the corpus grows
-    "q125_bloom_dedup_probe",
-    "q134_simhash_radius",
-    "q036_countmin_freq",
+    "q037_bloom_dedup_probe",
+    "q039_simhash_radius",
+    "q124_countmin_freq",
     # r4 additions (VERDICT r3 #7): the late-materialized rerank — corpus
     # side grows Kx while the probe set stays 1x (embeddings replicas drop
     # the vec_id%50==0 queries), exactly the asymmetric growth a real
     # retrieval corpus sees
-    "q192_two_stage_rerank",
+    "q050_two_stage_rerank",
     # r4 text additions: PMI is the vocab-saturating shape, novelty the
     # linear-gram-join shape — both must hold their §10 curves
-    "q040_pmi_collocations",
-    "q150_ngram_novelty",
+    "q135_pmi_collocations",
+    "q041_ngram_novelty",
     # r6 addition: CDC chunking — map-only chunker + one groupBy on the
     # uniform chunk key; replication repeats the same chunks, so like PMI
     # the count table saturates while the map side grows Kx
@@ -57,9 +57,9 @@ QUERIES = [
     # r10 mixture trio: corpus-linear map passes over a constant domain
     # set (replicas share the 20 sources) — the rollup/ratio tables
     # saturate while the scan side grows Kx
-    "q070_domain_mixture_weights",
-    "q071_dsir_select",
-    "q072_domain_quality_select",
+    "q009_domain_mixture_weights",
+    "q010_dsir_select",
+    "q011_domain_quality_select",
     # r11: the composed gate->water-fill->DSIR->pack pipeline — the
     # union of the trio's shapes in ONE plan; its curve certifies stage
     # COUPLING stays corpus-linear (domain/bucket tables saturate)
@@ -68,7 +68,7 @@ QUERIES = [
 
 
 def _q030_mp4_scaled(spark, sf_dir):
-    """Scale-harness variant of q121_mp4_demux_decode: the registry query
+    """Scale-harness variant of q035_mp4_demux_decode: the registry query
     pins its workload at doc_id < 60 (the oracle must enumerate frames),
     so replication leaves it constant. This variant muxes+demuxes 60
     videos PER REPLICA (doc_id % 1_000_000 < 60, the harness id offset),
@@ -150,7 +150,7 @@ def _chain_edges_per_replica(spark, sf_dir):
 
 
 def _q025_cc_scaled(spark, sf_dir):
-    """Scale-harness variant of q039_connected_components over the
+    """Scale-harness variant of q134_connected_components over the
     per-replica chain graph (see _chain_edges_per_replica) — the curve
     VERDICT r5 #4 asks for: CC cost on a graph that actually grows Kx.
     r11: measures the production path (contracted_components — local
@@ -173,7 +173,7 @@ def _q025_cc_scaled(spark, sf_dir):
 
 
 def _q015_sdot_scaled(spark, sf_dir):
-    """Scale-harness variant of q097_sparse_dot_topk: the registry query's
+    """Scale-harness variant of q023_sparse_dot_topk: the registry query's
     query side (doc_id % SCJ_QMOD == 0) replicates with the corpus, which
     would measure k-squared by construction; pinning queries to replica 0
     (doc_id < 1e6) keeps the workload fixed at 1x while the corpus —
@@ -188,7 +188,7 @@ def _q015_sdot_scaled(spark, sf_dir):
 
 
 def _q033_simhash_disjoint(spark, sf_dir):
-    """Scale-harness variant of q134_simhash_radius with per-replica
+    """Scale-harness variant of q039_simhash_radius with per-replica
     DISJOINT vocabularies: full-copy replication makes every
     cross-replica pair hamming-0 (identical text -> identical sketch),
     so TRUE pairs grow k^2 by construction and the registry query's raw
@@ -273,7 +273,7 @@ def _winnowing_scale_docs(spark, sf_dir):
     """Replica-salted corpus shared by the winnowing scale variants:
     full-copy replication multiplies every fingerprint's document
     frequency by K — base-df-2 fingerprints form k² cross-replica pairs
-    (output-bound, the q144/q134 artifact) while base-df>8 fingerprints
+    (output-bound, the q144/q039 artifact) while base-df>8 fingerprints
     cross the df cap and vanish. Salting each token with its replica id
     (every 20-char gram spans a salted token, tokens being far shorter
     than k) keeps per-replica corpora fingerprint-disjoint, so pair
@@ -301,7 +301,7 @@ def _winnowing_scale_docs(spark, sf_dir):
 
 
 def _winnowing_disjoint_variant(spark, sf_dir):
-    """Scale variant of q008_winnowing_dup_pairs over the replica-salted
+    """Scale variant of q069_winnowing_dup_pairs over the replica-salted
     disjoint corpus, running the OPERATOR DEFAULT — which since r13 is
     the xxhash64-folded 8-byte shuffle key that the r12 64× study
     measured as the only mitigation holding the scaling step ≤2
@@ -340,7 +340,7 @@ _winnowing_folded_variant = _winnowing_disjoint_variant
 
 
 def _winnowing_weights_variant(spark, sf_dir):
-    """Scale variant of q002_winnowing_soft_dedup_weights over the
+    """Scale variant of q063_winnowing_soft_dedup_weights over the
     replica-salted disjoint corpus: cluster machinery identical to the
     keep variant, plus the broadcast-dictionary weight-assignment pass
     over the full corpus — rows, clustered docs and total sampling
@@ -355,7 +355,7 @@ def _winnowing_weights_variant(spark, sf_dir):
 
 
 def _excision_variant(spark, sf_dir):
-    """Scale variant of q021_exact_substring_excision over the
+    """Scale variant of q088_exact_substring_excision over the
     replica-salted disjoint corpus: per-replica fingerprint spaces are
     disjoint, so excised docs, spans and chars removed all grow exactly
     ×K while the selector/ownership/surgery path carries the corpus
@@ -369,7 +369,7 @@ def _excision_variant(spark, sf_dir):
 
 
 def _winnowing_keep_variant(spark, sf_dir):
-    """Scale variant of q001_winnowing_dedup_keep (NEW r13) over the
+    """Scale variant of q062_winnowing_dedup_keep (NEW r13) over the
     replica-salted disjoint corpus: cluster structure replicates
     per-replica (disjoint fingerprint spaces → disjoint pair graphs →
     cluster count grows exactly ×K), so the curve measures the
@@ -378,6 +378,21 @@ def _winnowing_keep_variant(spark, sf_dir):
     from warcraider_spark.operators.dedup import winnowing_dedup_keep
 
     return winnowing_dedup_keep(
+        _winnowing_scale_docs(spark, sf_dir),
+        spread_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _family_variant(spark, sf_dir):
+    """Scale variant of q197_winnowing_family_manifest (NEW r14) over
+    the replica-salted disjoint corpus: one shared selector pass
+    feeding pairs/CC/election/excision — manifest rows, clustered
+    docs, total sampling mass, and excised spans/chars must all grow
+    exactly ×K while the wall tracks the single selector it shares
+    with the whole family."""
+    from warcraider_spark.operators.dedup import winnowing_family
+
+    return winnowing_family(
         _winnowing_scale_docs(spark, sf_dir),
         spread_partitions=spark.sparkContext.defaultParallelism,
     )
@@ -453,7 +468,7 @@ def _containment_disjoint_variant(spark, sf_dir):
 
 
 def _q031_decile_scaled(spark, sf_dir):
-    """q028's prefix-sum decile over a K-replicated orders table. The
+    """q102's prefix-sum decile over a K-replicated orders table. The
     scaled dirs symlink orders (only documents/embeddings replicate), so
     the variant replicates IN-PLAN: K shifted copies unioned, K inferred
     from the documents replica encoding (doc_id // 1e6). Linear curve =
@@ -486,16 +501,17 @@ def _q031_decile_scaled(spark, sf_dir):
 
 # harness-only builders measured alongside the registry queries
 VARIANTS = {
-    "q028_decile_distribution[per-replica]": _q031_decile_scaled,
-    "q008_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
-    "q001_winnowing_dedup_keep[disjoint-replicas]": _winnowing_keep_variant,
-    "q002_winnowing_soft_dedup_weights[disjoint-replicas]": _winnowing_weights_variant,
-    "q021_exact_substring_excision[disjoint-replicas]": _excision_variant,
+    "q102_decile_distribution[per-replica]": _q031_decile_scaled,
+    "q069_winnowing_dup_pairs[disjoint-replicas]": _winnowing_disjoint_variant,
+    "q062_winnowing_dedup_keep[disjoint-replicas]": _winnowing_keep_variant,
+    "q063_winnowing_soft_dedup_weights[disjoint-replicas]": _winnowing_weights_variant,
+    "q088_exact_substring_excision[disjoint-replicas]": _excision_variant,
+    "q197_winnowing_family_manifest[disjoint-replicas]": _family_variant,
     "q144_containment_dedup[disjoint-replicas]": _containment_disjoint_variant,
-    "q134_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
-    "q121_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
-    "q039_connected_components[per-replica]": _q025_cc_scaled,
-    "q097_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
+    "q039_simhash_radius[disjoint-replicas]": _q033_simhash_disjoint,
+    "q035_mp4_demux_decode[per-replica]": _q030_mp4_scaled,
+    "q134_connected_components[per-replica]": _q025_cc_scaled,
+    "q023_sparse_dot_topk[fixed-queries]": _q015_sdot_scaled,
 }
 
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
@@ -512,7 +528,7 @@ def build_scaled(base: str, k: int, root: str) -> str:
     )
     con.execute(f"COPY ({sel}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
     # embeddings: scale the CORPUS side only — replicas drop vec_id%50==0
-    # rows so q098's probe set stays the 1x query workload (scaling both
+    # rows so q024's probe set stays the 1x query workload (scaling both
     # sides would measure k-squared by construction, not the corpus path)
     esel = " UNION ALL ".join(
         f"SELECT vec_id + {i * 1000000} AS vec_id, embedding, label "
@@ -566,7 +582,7 @@ def main() -> None:
             reps = sorted(raw[q])
             results.setdefault(q, {})[k] = round(reps[len(reps) // 2], 2)
 
-    # q134 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
+    # q039 band-plan audit (VERDICT r3 #4): through the REAL Spark path,
     # measure max DISTINCT-sketch occupancy per (band, value) bucket at
     # each K. Distinct sketches isolate accidental hash collisions (the
     # width-controlled overhead) from true-duplicate clustering (the
@@ -604,7 +620,7 @@ def main() -> None:
         band_audit[k] = {"n_docs": n, "sketch_bits": bits, "max_bucket_occupancy": int(max_occ)}
     results["q036_band_plan_audit"] = band_audit  # type: ignore[assignment]
 
-    # q039 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
+    # q134 rounds-to-convergence audit (VERDICT r5 #4): the O(log n) claim,
     # measured on the per-replica graph. Replication adds disjoint
     # isomorphic copies of the chain graph, so rounds should stay FLAT
     # while nodes grow Kx — rounds track log(component size), not corpus
@@ -635,7 +651,7 @@ def main() -> None:
         }
     results["q025_rounds_audit"] = cc_audit  # type: ignore[assignment]
 
-    # q189 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
+    # q047 skew-stress audit (VERDICT r5 #6): a synthesized 1000:1 hot key
     # at the LARGEST replication factor, joined salted vs unsalted with
     # broadcast and AQE skew-rescue disabled (salting is the MANUAL remedy
     # being certified — AQE skew-join is the automatic one, measured
@@ -680,7 +696,7 @@ def main() -> None:
             F.sum(F.col("n_chars") * F.col("w")).alias("s")
         )
         dim_s = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
-        # salt from the high-cardinality row id (q189 uses l_orderkey % SALT);
+        # salt from the high-cardinality row id (q047 uses l_orderkey % SALT);
         # n_chars would correlate with the data and could itself skew
         fact_s = fact.withColumn("salt", (F.col("doc_id") % SALT).cast("int"))
         salted = fact_s.join(dim_s, ["key", "salt"]).groupBy("key").agg(

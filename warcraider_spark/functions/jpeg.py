@@ -1,7 +1,7 @@
 """Dependency-free baseline JPEG (JFIF, grayscale) encoder + decoder.
 
 Retires the last stubbed codec branch (VERDICT r2 "missing" #4 / "next
-round" #5): like the PNG codec (multimodal.py, q074), everything here is
+round" #5): like the PNG codec (multimodal.py, q013), everything here is
 the real format — marker segments, the Annex K.1 luminance quantization
 table, Annex K.3 canonical Huffman tables, zigzag scan, byte-stuffed
 entropy-coded data, forward/inverse DCT — implemented from the public
@@ -588,7 +588,7 @@ def decode_jpeg_gray(payload: bytes) -> dict:
 # coefficient, the progressive file decodes to EXACTLY the same pixels as
 # the baseline file of the same image — a machine-checkable equivalence
 # (tests assert progressive == baseline on random content), and the
-# reason the q115 analytic oracle formula carries over unchanged.
+# reason the q034 analytic oracle formula carries over unchanged.
 
 
 # Progressive AC Huffman table. The Annex K.3.2 baseline table defines no

@@ -6,7 +6,7 @@ of a training corpus), null-safe joins, exact heavy hitters, and Pareto
 
 Scale notes (the reason each query is shaped the way it is):
 
-- **merge upsert** (q174): the daily-maintenance shape. The change batch is
+- **merge upsert** (q045): the daily-maintenance shape. The change batch is
   orders of magnitude smaller than the base, so deletes are a broadcast
   LEFT ANTI and updates a broadcast LEFT OUTER — the base table itself
   NEVER shuffles (a full-outer-join formulation would sort-merge 100 TB).
@@ -48,7 +48,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q174_merge_upsert",
+    "q045_merge_upsert",
     oracle="""
 WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
 upd AS (
@@ -74,7 +74,7 @@ FROM customer WHERE c_custkey <= 40
     tags=("curation", "merge", "join"),
     bench=True,
 )
-def q174_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (matched-update / matched-delete / not-matched-
     insert) applied as a maintenance batch to the customer base table.
 
@@ -310,7 +310,7 @@ def q166_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q078_heavy_hitters",
+    "q016_heavy_hitters",
     oracle="""
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' '), '[\\s\\v]+')) AS token FROM documents
@@ -323,10 +323,10 @@ WHERE cnt >= 0.005 * total
 """,
     tags=("curation", "aggregate", "text"),
 )
-def q078_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: tokens whose corpus frequency is ≥ 0.5 % of all
     tokens, with their share. The stoplist-discovery step of a curation
-    pipeline (the sketch-based approximate twin is the q051/q031 surface).
+    pipeline (the sketch-based approximate twin is the q051/q107 surface).
 
     Two-phase token count (map-side partial agg on the token key), then the
     1-row total broadcast back over the ~|vocab| counts — no second
@@ -455,7 +455,7 @@ FROM blocks GROUP BY block_id
 def q108_concat_chunk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk: documents are conceptually concatenated
     in doc_id order and sliced into fixed 512-token training blocks that
-    CROSS document boundaries (the complement of q037's pack-without-
+    CROSS document boundaries (the complement of q125's pack-without-
     splitting). Emits per-block accounting: docs spanned, first/last doc,
     tokens (== 512 for every interior block).
 
@@ -559,7 +559,7 @@ def q172_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed supervised training: 3 rounds of BATCH perceptron over
     integer document features (bias, token count, distinct tokens,
     n_chars/10) with labels from the language rule. The batch gradient
-    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q188
+    Σ_misclassified y·x is an ORDER-FREE integer sum, so — like the q046
     integer k-means — every round is exactly reproducible and the final
     weights hash-match a DuckDB unrolled-CTE replay of the same algebra
     (float SGD could never cross-engine-compare: update order changes the
@@ -614,7 +614,7 @@ SPLIT_TEST_MOD = 10  # naive doc-hash split: ~10% test
 
 
 @query(
-    "q133_split_leakage",
+    "q038_split_leakage",
     oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -655,14 +655,14 @@ SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_groups,
     tags=("curation", "dedup", "training-pipeline"),
     min_rows=1,
 )
-def q133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test LEAKAGE audit + group-aware split — the hygiene step a
     benchmark-quality corpus requires: a naive per-document hash split
     puts exact duplicates on both sides (the eval set then scores
     memorization), while splitting by the duplicate GROUP's canonical id
     structurally eliminates leakage.
 
-    The corpus is documents + the exact-dup block (q048's construction),
+    The corpus is documents + the exact-dup block (q190's construction),
     so naive leakage provably exists; the output certifies (a) how many
     fingerprint groups and docs leak under the per-doc split and (b)
     that the group-keyed split has ZERO leaky groups — a property the
@@ -715,7 +715,7 @@ def q133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q102_corpus_snapshot_diff",
+    "q028_corpus_snapshot_diff",
     oracle="""
 WITH v1 AS (
   SELECT doc_id, md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp
@@ -754,7 +754,7 @@ FROM j GROUP BY status ORDER BY status
     tags=("curation", "versioning", "join"),
     min_rows=4,
 )
-def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — dataset versioning's core operator: given
     two corpus versions (v2 is v1 with deterministic deletions, edits and
     additions), classify every doc id as added / removed / changed /
@@ -831,7 +831,7 @@ _LPM_VALUES = ", ".join(f"('{p}', '{c}')" for p, c in LPM_RULES)
 
 
 @query(
-    "q107_longest_prefix_route",
+    "q031_longest_prefix_route",
     oracle=f"""
 WITH rules(prefix, category) AS (VALUES {_LPM_VALUES}),
 d AS (
@@ -852,7 +852,7 @@ FROM cat GROUP BY category ORDER BY category
     tags=("curation", "join", "routing"),
     min_rows=8,
 )
-def q107_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LONGEST-prefix-match join — the URL-categorization / IP-routing /
     taxonomy-labeling primitive: each document's routing key (first
     token) is matched against a rule table of prefixes and the LONGEST
@@ -910,7 +910,7 @@ WORD_COUNT_SQL = _word_count_sql("text")
 
 
 @query(
-    "q070_domain_mixture_weights",
+    "q009_domain_mixture_weights",
     oracle=f"""
 WITH dom AS (
   SELECT source, CAST(SUM({WORD_COUNT_SQL}) AS BIGINT) AS toks
@@ -941,7 +941,7 @@ ORDER BY source
     tags=("curation", "mixture", "training-pipeline"),
     min_rows=1,
 )
-def q070_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixture construction by integer water-filling: allocate a
     global token budget (60% of the corpus) across source domains so
     every domain keeps all its tokens up to a common level L, where L is
@@ -963,7 +963,7 @@ def q070_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     below runs on the ~|domains|-row aggregate: the unpartitioned
     ROW_NUMBER/prefix-sum windows and the 1-row cut aggregate broadcast
     back (BNLJ of a single row) never touch the fact table — the
-    q107/q084 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
+    q031/q084 bucket-summary idiom, KNOWN_OK-listed. At 100 TB the
     domain count is thousands at most; the corpus contributes exactly
     one partial-aggregated scan."""
     from warcraider_spark.functions.textfn import word_count
@@ -1014,7 +1014,7 @@ _DSIR_TOK_SQL = (
 
 
 @query(
-    "q071_dsir_select",
+    "q010_dsir_select",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, {_DSIR_TOK_SQL} AS b
@@ -1046,7 +1046,7 @@ WHERE rnk <= {DSIR_TOPK} ORDER BY rnk
     tags=("curation", "selection", "training-pipeline"),
     min_rows=1,
 )
-def q071_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling" — public paper): score
     raw documents by how target-like their token distribution is and keep
@@ -1112,7 +1112,7 @@ QSEL_NUM, QSEL_DEN = 3, 10  # keep the top 30% of each domain by quality
 
 
 @query(
-    "q072_domain_quality_select",
+    "q011_domain_quality_select",
     oracle=f"""
 WITH q AS (
   SELECT doc_id, source,
@@ -1134,7 +1134,7 @@ ORDER BY source, rk
     tags=("curation", "quality", "window", "training-pipeline"),
     min_rows=1,
 )
-def q072_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality gate: score every document by its type-token
     ratio (distinct tokens per token, basis points — the cheap lexical-
     diversity signal) and keep the top ceil(30%) of EACH source domain —
@@ -1179,7 +1179,7 @@ def q072_domain_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q069_mixture_apply_select",
+    "q008_mixture_apply_select",
     oracle=f"""
 WITH wc AS (
   SELECT doc_id, source, CAST({WORD_COUNT_SQL} AS BIGINT) AS toks
@@ -1222,21 +1222,21 @@ ORDER BY r.source, r.cum, r.doc_id
     tags=("curation", "mixture", "selection", "training-pipeline"),
     min_rows=1,
 )
-def q069_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY the q070 water-fill allocation: select the actual documents
+def q008_mixture_apply_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the q009 water-fill allocation: select the actual documents
     that fill each domain's token budget. Documents are consumed in
     portable-hash order (reproducible across engines and runs — the
     q153 idiom) with a per-domain running token sum, keeping every
     document whose cumulative count fits the domain's allocation — the
     greedy budget fill a mixture executor performs after the planner
-    (q070) decides the per-domain shares. Recomputes the closed-form
-    allocation inline (same math, certified independently by q070) so
+    (q009) decides the per-domain shares. Recomputes the closed-form
+    allocation inline (same math, certified independently by q009) so
     the operator is self-contained over the raw table.
 
     Integer-exact throughout. Plan: one corpus pass computes per-doc
     token counts map-side; the per-domain rollup and every water-fill
     step run on the ~|domains|-row aggregate (windows + 1-row broadcast
-    cut, the q070 KNOWN_OK shapes); the selection itself is ONE shuffle
+    cut, the q009 KNOWN_OK shapes); the selection itself is ONE shuffle
     on the domain key for the hash-ordered cumulative-sum window
     (partitioned by source, never global), then a broadcast join of the
     ~|domains|-row allocation table. At 100 TB: the fact table shuffles
@@ -1299,7 +1299,7 @@ WITH wc AS (
   SELECT doc_id, source, CAST({{WORD_COUNT_SQL}} AS BIGINT) AS toks
   FROM documents
 ),
-q AS (  -- stage 1: per-domain quality gate (q072 semantics), non-target pool
+q AS (  -- stage 1: per-domain quality gate (q011 semantics), non-target pool
   SELECT doc_id, source,
          CAST(len(list_distinct(string_split_regex(trim(text, ' '), '[\\s\\v]+')))
               * 10000 // len(string_split_regex(trim(text, ' '), '[\\s\\v]+'))
@@ -1316,7 +1316,7 @@ gate AS (
   ) WHERE rk * {{QSEL_DEN}} <= n * {{QSEL_NUM}} + {{QSEL_DEN}} - 1
 ),
 g AS (SELECT wc.doc_id, wc.source, wc.toks FROM wc JOIN gate USING (doc_id, source)),
-dom AS (  -- stage 2: water-fill the budget over the GATED pool (q070 math)
+dom AS (  -- stage 2: water-fill the budget over the GATED pool (q009 math)
   SELECT source, CAST(SUM(toks) AS BIGINT) AS dtoks FROM g GROUP BY source
 ),
 tot AS (SELECT CAST(SUM(dtoks) AS BIGINT) AS t, COUNT(*) AS n FROM dom),
@@ -1339,7 +1339,7 @@ alloc AS (
               AS BIGINT) AS alloc_tokens
   FROM lev CROSS JOIN cut
 ),
-tok AS (  -- stage 3: DSIR scores over the gated pool (q071 construction)
+tok AS (  -- stage 3: DSIR scores over the gated pool (q010 construction)
   SELECT doc_id, {{_DSIR_TOK_SQL}} AS b
   FROM documents WHERE len(trim(text, ' ')) > 0
 ),
@@ -1360,7 +1360,7 @@ scored AS (
   SELECT g.doc_id, g.source, g.toks, COALESCE(s.score, 0) AS score
   FROM g LEFT JOIN scores s USING (doc_id)
 ),
-ranked AS (  -- stage 4: greedy per-domain fill in score order (q069 apply)
+ranked AS (  -- stage 4: greedy per-domain fill in score order (q008 apply)
   SELECT doc_id, source, toks, score,
          CAST(SUM(toks) OVER (
            PARTITION BY source ORDER BY score DESC, doc_id
@@ -1372,7 +1372,7 @@ sel AS (
   FROM ranked r JOIN alloc a USING (source)
   WHERE r.cum <= a.alloc_tokens
 )
-SELECT doc_id, source, toks, score, cum,  -- stage 5: q037-style packing
+SELECT doc_id, source, toks, score, cum,  -- stage 5: q125-style packing
        cum - toks AS start_offset,
        (cum - toks) // {{PACK_CAP}} AS bin_id,
        (toks > 0 AND (cum - toks) // {{PACK_CAP}} <> (cum - 1) // {{PACK_CAP}}) AS straddles
@@ -1394,13 +1394,13 @@ ORDER BY source, cum, doc_id
 )
 def q187_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-mixture pipeline, declared as ONE lazy plan
-    (VERDICT r10 #6): per-domain quality gate (q072's integer ttr top-30%)
+    (VERDICT r10 #6): per-domain quality gate (q011's integer ttr top-30%)
     -> integer water-fill of the global token budget over the GATED pool
-    (q070's closed form) -> DSIR importance scores over the gated pool
-    against the held-out target slice (q071's hashed-bucket construction,
+    (q009's closed form) -> DSIR importance scores over the gated pool
+    against the held-out target slice (q010's hashed-bucket construction,
     target docs never selected) -> greedy per-domain budget fill in score
-    order (q069's apply, score-ranked instead of hash-ranked) ->
-    q037-style sequence packing of the surviving stream. Each stage's
+    order (q008's apply, score-ranked instead of hash-ranked) ->
+    q125-style sequence packing of the surviving stream. Each stage's
     math is byte-identical to its independently certified sibling; this
     query certifies their COMPOSITION (the interesting failure mode:
     stage coupling, e.g. the budget being computed over the wrong pool
@@ -1408,8 +1408,8 @@ def q187_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset).
 
     Tokenizer conventions, deliberately mixed as in the siblings: budget
-    counting uses the reference-parity Unicode word_count (q070/q069),
-    ttr and DSIR bucketing use the house ASCII tokenizer (q072/q071).
+    counting uses the reference-parity Unicode word_count (q009/q008),
+    ttr and DSIR bucketing use the house ASCII tokenizer (q011/q010).
 
     Scale shape (one lazy plan, audited): corpus passes are map-side
     (word_count, ttr, token explode); shuffles are (a) the source-key
@@ -1417,7 +1417,7 @@ def q187_mixture_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY CONSTRUCTION -> broadcast), (c) the per-doc score groupBy, and
     (d) the source-key fill/pack window — every fact-table shuffle is on
     a uniform or domain key; the water-fill windows and the alloc/cut
-    broadcasts run on the ~|domains|-row aggregate (q070 KNOWN_OK
+    broadcasts run on the ~|domains|-row aggregate (q009 KNOWN_OK
     shapes). At 100 TB nothing here is corpus-quadratic and no stage
     materializes off-plan."""
     from warcraider_spark.functions.textfn import md5_int, tokens, word_count

@@ -17,7 +17,7 @@ Scale design (the point of these operators at 100 TB):
 - SimHash: one linear pass to 16-bit sketches, then pairs only within
   identical sketch (or small hamming radius over a band join);
 - embedding near-dup: bounded candidate set (here: id-range block; the
-  LSH-bucketed variant is q029 in similarity.py).
+  LSH-bucketed variant is q105 in similarity.py).
 
 All native expressions — no Python UDFs anywhere in this module.
 """
@@ -74,7 +74,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q048_exact_dedup_groups",
+    "q190_exact_dedup_groups",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -92,7 +92,7 @@ ORDER BY fp
     tags=("dedup", "exact"),
     bench=True,
 )
-def q048_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q190_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groupBy; emit duplicate groups
     with the canonical (min) member. One shuffle on the hash key."""
     corpus = dup_corpus(spark, sf_dir)
@@ -110,7 +110,7 @@ def q048_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q019_dedup_keep_canonical",
+    "q083_dedup_keep_canonical",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      hashed AS (
@@ -123,7 +123,7 @@ FROM hashed
 """,
     tags=("dedup", "exact"),
 )
-def q019_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q083_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: total vs kept (dropDuplicates-on-fingerprint) vs
     removed — the pipeline-level dedup accounting row."""
     corpus = dup_corpus(spark, sf_dir)
@@ -200,7 +200,7 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-# bands + distinct candidate pairs, shared by q047 and q025 (SQL twin of
+# bands + distinct candidate pairs, shared by q189 and q099 (SQL twin of
 # _lsh_pairs below)
 _LSH_PAIRS_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
@@ -257,7 +257,7 @@ def _lsh_pairs(corpus: DataFrame) -> DataFrame:
 
 
 @query(
-    "q047_minhash_lsh_pairs",
+    "q189_minhash_lsh_pairs",
     oracle=f"""
 {_LSH_PAIRS_SQL}
 ORDER BY doc_a, doc_b
@@ -265,7 +265,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def q047_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q189_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2; pairs
     sharing ≥1 band. The band-key self-join is the scale path — candidate
     generation is O(collisions), never O(n²)."""
@@ -280,8 +280,8 @@ SIMHASH_BITS = 16
 
 
 def _simhash_sketch_sql(bits: int) -> str:
-    """corpus→sketch CTE chain for a ``bits``-wide simhash (q027 uses 16;
-    q134's radius search uses 32 so accidental radius-2 collisions stay
+    """corpus→sketch CTE chain for a ``bits``-wide simhash (q101 uses 16;
+    q039's radius search uses 32 so accidental radius-2 collisions stay
     rare at corpus scale)."""
     body = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -323,7 +323,7 @@ def _simhash_sketch(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 @query(
-    "q027_simhash_dupes",
+    "q101_simhash_dupes",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -334,10 +334,10 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "simhash"),
 )
-def q027_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit sketch from distinct-token hash bits, then
     pairs with identical sketch (hamming 0 join — the scale path joins on
-    the sketch value; the radius-r banded search is q134)."""
+    the sketch value; the radius-r banded search is q039)."""
     sketch = _simhash_sketch(dup_corpus(spark, sf_dir))
     a = sketch.alias("a")
     b = sketch.alias("b")
@@ -361,7 +361,7 @@ SHINGLE_DF_CAP = 1000  # shingles in ≥ this many docs are dropped pre-join
 
 
 @query(
-    "q024_ngram_jaccard_pairs",
+    "q098_ngram_jaccard_pairs",
     oracle=f"""
 WITH corpus AS ({DUP_CORPUS_SQL}),
      sh0 AS (
@@ -386,7 +386,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard"),
 )
-def q024_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q098_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 pairs via shingle-equality join (the
     verify stage after LSH candidates: intersection counted by a join on
     the shingle, never a pairwise loop).
@@ -474,7 +474,7 @@ def q144_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certified INTEGER-EXACTLY: the threshold is 10*i >= 8*min(n) and
     the reported score is basis points via integer div — no ratio ever
     crosses engines. Same skew guard and capped-shingle semantics as
-    q024 (df-capped hot shingles carry no dedup signal), and the same
+    q098 (df-capped hot shingles carry no dedup signal), and the same
     scale shape: intersection counted by an equi-join on the shingle
     key, never a pairwise loop; one extra sizes join on the uniform
     doc key."""
@@ -520,13 +520,13 @@ def q144_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q023_embedding_neardup",
+    "q097_embedding_neardup",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE vec_id < 250
 ),
-     -- nrm > 0: zero vectors carry no cosine (q083 convention; r8
+     -- nrm > 0: zero vectors carry no cosine (q019 convention; r8
      -- zero-vector sweep — unguarded it is an ANSI DIVIDE_BY_ZERO kill)
      n AS (
   SELECT * FROM (
@@ -543,11 +543,11 @@ ORDER BY vec_a, vec_b
 """,
     tags=("dedup", "embedding", "cosine"),
 )
-def q023_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q097_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35) on an id-range block.
 
     Block-local pairwise compare is the exact-verify stage; candidate
-    pruning at scale is the sign-LSH bucketing in q029.
+    pruning at scale is the sign-LSH bucketing in q105.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -571,7 +571,7 @@ def q023_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q045_training_data_pipeline",
+    "q174_training_data_pipeline",
     oracle="""
 WITH corpus AS (
 SELECT doc_id, text FROM documents
@@ -605,7 +605,7 @@ FROM deduped
     tags=("pipeline", "dedup", "text", "north-star"),
     bench=True,
 )
-def q045_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q174_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (the north-star flow in one
     plan): corpus ∪ duplicates → quality filter (length + diversity) →
     exact dedup keep-first → corpus accounting. Single Catalyst plan:
@@ -645,7 +645,7 @@ CC_ROUNDS = 6  # ≥ candidate-graph diameter in the dup corpus (see docstring)
 
 
 @query(
-    "q025_dedup_clusters",
+    "q099_dedup_clusters",
     oracle=f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
      edges AS (
@@ -673,9 +673,9 @@ ORDER BY cluster_id
 """,
     tags=("dedup", "graph", "connected-components"),
 )
-def q025_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q099_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — the step pair
-    generation (q047) feeds in a real dedup pipeline: near-duplicates are
+    generation (q189) feeds in a real dedup pipeline: near-duplicates are
     transitive (A~B, B~C → one group), so keep-one-per-pair is wrong; the
     unit of deduplication is the connected component of the candidate
     graph, keeping min(doc_id) per component.
@@ -685,7 +685,7 @@ def q025_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, both on uniform doc-id keys). CC_ROUNDS=6 bounds the
     propagation; labels converge once rounds ≥ graph diameter, and dup
     clusters are shallow (exact-copy stars + short near-dup chains; the
-    q024 Jaccard-verify stage prunes long spurious chains before
+    q098 Jaccard-verify stage prunes long spurious chains before
     clustering in a production flow). At 100 TB diameter can't be assumed:
     use the alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce"), which converges
@@ -794,7 +794,7 @@ ER_DF_CAP = 50  # drop grams shared by more names (the "Customer#0000…" prefix
 
 
 @query(
-    "q077_entity_resolution",
+    "q015_entity_resolution",
     oracle=f"""
 WITH cust AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey < 500),
 base AS (
@@ -829,13 +829,13 @@ ORDER BY clean_key, dirty_key
 """,
     tags=("dedup", "entity-resolution", "fuzzy-join"),
 )
-def q077_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (fuzzy record linkage): a deterministically
     corrupted 'dirty' registry (one character mutated for every third
     key — the standard corrupted-duplicate ER benchmark construction) is
     matched back to the clean registry by q-gram blocking: explode each
     name into 6-grams, DROP high-document-frequency grams (the shared
-    'Customer#…' prefix — same skew-cap rationale as q024's shingle DF
+    'Customer#…' prefix — same skew-cap rationale as q098's shingle DF
     cap), equi-join on the surviving distinctive grams, then verify
     candidates with edit distance ≤ 1.
 
@@ -904,7 +904,7 @@ SPAN_N = 8
 
 
 @query(
-    "q038_duplicate_spans",
+    "q133_duplicate_spans",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, regexp_extract_all(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[a-z]+') AS t
@@ -926,7 +926,7 @@ LIMIT 100
 """,
     tags=("dedup", "spans", "training-pipeline"),
 )
-def q038_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q133_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) duplicate detection: every word-level
     {SPAN_N}-gram that recurs across ≥2 distinct documents, ranked by
     document frequency — the discovery pass of substring dedup (the spans
@@ -963,7 +963,7 @@ def q038_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Incremental (batch-vs-base) dedup --------------------------------------
 # The daily-ingestion shape: a small incoming batch is probed against the
 # full base corpus for exact and near duplicates before admission. Contrast
-# with q048/q047, which dedup a corpus against ITSELF.
+# with q190/q189, which dedup a corpus against ITSELF.
 
 _INC_SQL = """
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
@@ -1138,10 +1138,10 @@ ORDER BY doc_id
     tags=("dedup", "spans", "training-pipeline"),
 )
 def q114_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-dedup APPLY stage: excise the q038 head (the 100 most
+    """Substring-dedup APPLY stage: excise the q133 head (the 100 most
     cross-document-repeated word {SPAN_N}-grams) from every document and
     report original vs cleaned normalized length — the Lee-et-al-style
-    'remove duplicated substrings' pass, completing discovery (q038) →
+    'remove duplicated substrings' pass, completing discovery (q133) →
     excision.
 
     Scale shape: the span head is corpus-derived but TINY (one aggregation
@@ -1281,7 +1281,7 @@ DECONTAM_MIN_OVERLAP = 3
 
 
 @query(
-    "q124_decontaminate",
+    "q036_decontaminate",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS gram
@@ -1307,7 +1307,7 @@ ORDER BY doc_id
     tags=("dedup", "decontamination", "llm-pipeline"),
     min_rows=1,
 )
-def q124_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-RATE decontamination, completing q055's flag.
 
     q055 answers "does this doc share any benchmark n-gram?" (inner
@@ -1374,7 +1374,7 @@ _BLOOM_POS = ", ".join(f"({a} * h30 + {b}) % {BLOOM_M}" for a, b in _BLOOM_AB)
 
 
 @query(
-    "q125_bloom_dedup_probe",
+    "q037_bloom_dedup_probe",
     oracle=f"""
 WITH base AS (
   SELECT md5(trim(regexp_replace(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), '[\\s\\v]+', ' ', 'g'), ' ')) AS fp FROM documents
@@ -1429,7 +1429,7 @@ ORDER BY doc_id
     bench=True,
     min_rows=1,
 )
-def q125_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe: the streaming/incremental dedup
     front door (cf. the reference's blacklist pre-filter idea at
     blacklist.rs:1-58 — reject early, touch the base corpus never).
@@ -1574,7 +1574,7 @@ def simhash_band_plan(
 
 
 @query(
-    "q134_simhash_radius",
+    "q039_simhash_radius",
     oracle=f"""
 WITH {_simhash_sketch_sql(SIMHASH_WIDE_BITS)},
 pairs AS (
@@ -1597,9 +1597,9 @@ ORDER BY hamming
     bench=True,
     min_rows=1,
 )
-def q134_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup at hamming radius ≤ 2 via banded candidate
-    generation — the scale path q027's docstring promises.
+    generation — the scale path q101's docstring promises.
 
     The 32-bit sketch splits into 3 bands (11+11+10 bits); any two
     sketches within hamming distance 2 differ in at most 2 bands, so they MUST
@@ -1877,7 +1877,7 @@ def q136_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data dedup pipelines): chunk boundaries are placed where a
     W-char polynomial rolling hash H(i) = sum c[i+j]*B^j mod M hits
     H % 64 == 0, so inserting one sentence into a near-duplicate
-    document RE-ALIGNS every later chunk — fixed-stride chunking (q026)
+    document RE-ALIGNS every later chunk — fixed-stride chunking (q100)
     would shift every downstream block and miss all of them. Output is
     the corpus-level repeated-chunk map (which variable-size chunks
     recur, in how many docs) — the unit a span-excision pass (q114)
@@ -1978,7 +1978,7 @@ def q130_cdc_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning is as uniform as the chunk distribution; a
     pathologically repeated boilerplate chunk concentrates only its own
     occurrence ROWS (~64 chars each), linear in occurrences, the same
-    bound as q150's min-doc gram join — and one shuffle back on doc_id
+    bound as q041's min-doc gram join — and one shuffle back on doc_id
     for reassembly. No self-join, no candidate blow-up; output rows =
     |docs|.
     """
@@ -2036,7 +2036,7 @@ _WINNOW_SEL = (
 
 
 @query(
-    "q008_winnowing_dup_pairs",
+    "q069_winnowing_dup_pairs",
     oracle=f"""
 WITH g AS (
   SELECT doc_id,
@@ -2071,7 +2071,7 @@ ORDER BY doc_a, doc_b
     # without a drift-tracked wall time gets a quiet-box band.
     bench=True,
 )
-def q008_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q069_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document verbatim-substring duplicate candidates via
     winnowing fingerprints: per document, the DISTINCT set of
     per-window minimum k-grams (k=20, w=8 — any shared substring of
@@ -2172,7 +2172,7 @@ def winnowing_pairs(
 
 
 # Oracle-side connected components WITHOUT a naive recursive CTE: the
-# min-label transitive closure (the q039 pattern) materializes every
+# min-label transitive closure (the q134 pattern) materializes every
 # (node, smaller-reachable-label) pair, which is O(n^2) rows on the
 # dense hairball clusters winnowing produces (sf0.1 has a 4,332-member
 # cluster -> ~9M label pairs; DuckDB 1.0 has no USING KEY recursion to
@@ -2200,7 +2200,7 @@ l{k + 1} AS MATERIALIZED (
 
 
 @query(
-    "q001_winnowing_dedup_keep",
+    "q062_winnowing_dedup_keep",
     oracle=f"""
 WITH g AS (
   SELECT doc_id,
@@ -2261,9 +2261,9 @@ ORDER BY canonical_doc_id
     # carries a drift-tracked wall time (the r12 lesson).
     bench=True,
 )
-def q001_winnowing_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q062_winnowing_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r13: the end-to-end substring-dedup KEEP decision — what a
-    training-data pipeline actually ships. q008 detects candidate
+    training-data pipeline actually ships. q069 detects candidate
     pairs; this composes them into dedup clusters (connected
     components over the pair graph — transitive: if A shares a run
     with B and B with C, all three are one cluster even when A∩C is
@@ -2277,7 +2277,7 @@ def q001_winnowing_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: an independent mechanism end to end — DuckDB recomputes the
     winnowing fingerprints, derives the SAME pair set, closes it with a
-    recursive-CTE min-label transitive closure (the q039 pattern), and
+    recursive-CTE min-label transitive closure (the q134 pattern), and
     elects canonicals by window rank; a hash match therefore proves
     pair detection, clustering AND election agree between engines.
 
@@ -2302,7 +2302,7 @@ def winnowing_dedup_keep(
     docs: DataFrame, *, spread_partitions: int | None = None
 ) -> DataFrame:
     """Cluster winnowing duplicate pairs and elect canonical survivors —
-    see q001_winnowing_dedup_keep for semantics and the scale story."""
+    see q062_winnowing_dedup_keep for semantics and the scale story."""
     from warcraider_spark.operators.graph import contracted_components
 
     pairs = winnowing_pairs(
@@ -2332,7 +2332,7 @@ def winnowing_dedup_keep(
 
 
 @query(
-    "q002_winnowing_soft_dedup_weights",
+    "q063_winnowing_soft_dedup_weights",
     oracle=f"""
 WITH g AS (
   SELECT doc_id,
@@ -2379,9 +2379,9 @@ ORDER BY d.doc_id
     min_rows=1,
     bench=True,
 )
-def q002_winnowing_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q063_winnowing_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r13: soft dedup — the REWEIGHTING alternative to removal.
-    Instead of dropping duplicate-cluster members (q001), every
+    Instead of dropping duplicate-cluster members (q062), every
     document gets a sampling weight 1/|cluster| (singletons weigh 1),
     so a run duplicated across k documents contributes ~one document's
     worth of gradient mass in training — the published soft-dedup
@@ -2395,7 +2395,7 @@ def q002_winnowing_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataF
     full corpus); hash match certifies every document's weight,
     including the weight-1 singletons.
 
-    100 TB shape — deliberately DIFFERENT from q001's manifest: the
+    100 TB shape — deliberately DIFFERENT from q062's manifest: the
     cluster machinery runs on the pair graph (corpus-much-smaller),
     and the final corpus pass is a LEFT join of the full documents
     table against the (clustered-doc → size) dictionary. With
@@ -2422,7 +2422,7 @@ def winnowing_soft_dedup_weights(
     broadcast_dictionary: bool = True,
 ) -> DataFrame:
     """Per-document sampling weights from winnowing duplication clusters
-    — see q002_winnowing_soft_dedup_weights for semantics and the
+    — see q063_winnowing_soft_dedup_weights for semantics and the
     broadcast-vs-shuffle dictionary regime."""
     from warcraider_spark.operators.graph import contracted_components
 
@@ -2448,7 +2448,7 @@ def winnowing_soft_dedup_weights(
 
 
 @query(
-    "q021_exact_substring_excision",
+    "q088_exact_substring_excision",
     oracle=f"""
 WITH d AS (
   SELECT doc_id, text FROM documents WHERE len(text) >= {WINNOW_K}+{WINNOW_W}-1
@@ -2510,10 +2510,10 @@ ORDER BY p.doc_id
     min_rows=1,
     bench=True,
 )
-def q021_exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q088_exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r13: exact-substring EXCISION — the surgical third member of
-    the winnowing family (detect pairs q008 → cluster+keep q001 /
-    reweight q002 → EXCISE q021). Instead of dropping or downweighting
+    the winnowing family (detect pairs q069 → cluster+keep q062 /
+    reweight q063 → EXCISE q088). Instead of dropping or downweighting
     whole documents, the duplicated EXTENTS themselves are cut out of
     every non-first occurrence, the published exact-substring dedup
     recipe for LM training corpora (remove long verbatim runs, keep one
@@ -2531,7 +2531,7 @@ def q021_exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame
     first-occurrence window-argmin rule.
 
     100 TB shape: positions ride the SAME fused higher-order selector
-    as q008 (grams materialized once per doc, window argmin by string
+    as q069 (grams materialized once per doc, window argmin by string
     min, fold-keyed shuffle by default); ownership is one groupBy on
     the fingerprint key (min-doc + distinct-doc df in one pass); the
     per-doc span merge is a JVM aggregate() fold over the sorted
@@ -2559,7 +2559,7 @@ def exact_substring_excision(
     broadcast_dictionary: bool = True,
 ) -> DataFrame:
     """Winnowing-sampled exact-substring excision — see
-    q021_exact_substring_excision for semantics and the scale story.
+    q088_exact_substring_excision for semantics and the scale story.
 
     Dictionary-join regime (mirrors winnowing_soft_dedup_weights): the
     (excised-doc → spans) dictionary has one row per document that
@@ -2746,7 +2746,7 @@ ORDER BY dd.doc_id
 )
 def q197_winnowing_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r14 (VERDICT r13 #4): the winnowing family as ONE composed
-    plan sharing a single selector pass. q008/q001/q002/q021 each
+    plan sharing a single selector pass. q069/q062/q063/q088 each
     re-run the same grams/window-argmin selector — the dominant cost
     (a ~20x in-memory text amplification per document) and ~12.5 s of
     the 39 s bench headline when a pipeline runs all of them. This
@@ -2754,14 +2754,14 @@ def q197_winnowing_family_manifest(spark: SparkSession, sf_dir: str) -> DataFram
     derives every family decision from it, emitting the per-document
     master manifest a training-data pipeline joins on to apply ANY of
     the three dedup policies (or compare them): cluster_size + weight
-    (soft dedup, q002 semantics), is_canonical (hard KEEP decision,
-    q001 longest-doc election; singletons are canonical), and
+    (soft dedup, q063 semantics), is_canonical (hard KEEP decision,
+    q062 longest-doc election; singletons are canonical), and
     n_spans + chars_removed (exact-substring excision accounting,
-    q021 semantics — kept_text itself stays q021's certified job; the
+    q088 semantics — kept_text itself stays q088's certified job; the
     manifest carries the accounting).
 
-    Oracle: the proven q002 CC skeleton (unrolled pointer-doubling
-    closure) + q001's window-rank election + q021's gaps-and-islands
+    Oracle: the proven q063 CC skeleton (unrolled pointer-doubling
+    closure) + q062's window-rank election + q088's gaps-and-islands
     span merge, joined into one corpus-wide row set — every column
     certified by an independent DuckDB mechanism.
 
@@ -2842,7 +2842,7 @@ def winnowing_family(
         .select("f", "owner")
         .transform(cut_lineage)
     )
-    # Branch 1: candidate pairs (q008 semantics) -> clusters (q001/q002).
+    # Branch 1: candidate pairs (q069 semantics) -> clusters (q062/q063).
     fp = fpos.select("doc_id", "f").distinct()
     a = fp.join(stats.select("f"), "f").select("f", F.col("doc_id").alias("doc_a"))
     b = fp.select("f", F.col("doc_id").alias("doc_b"))
@@ -2863,7 +2863,7 @@ def winnowing_family(
         .agg(F.expr("max_by(node, struct(n_chars, -node))").alias("canon"))
     )
     clustered = comp.join(sizes, "comp").join(canon, "comp").select("node", "n", "canon")
-    # Branch 2: excision accounting (q021 semantics, accounting columns).
+    # Branch 2: excision accounting (q088 semantics, accounting columns).
     cuts = (
         fpos.join(stats, "f")
         .filter(F.col("doc_id") != F.col("owner"))

@@ -19,7 +19,7 @@ from warcraider_spark.tables import load_table
 
 
 @query(
-    "q007_hostname_extract",
+    "q068_hostname_extract",
     oracle=r"""
 WITH urls AS (
   SELECT doc_id,
@@ -32,7 +32,7 @@ FROM urls ORDER BY doc_id
 """,
     tags=("extract", "regex", "reference-parity"),
 )
-def q007_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q068_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's hostname regex (main.rs:51-52) incl. its TLD bias,
     over synthesized URLs."""
     docs = load_table(spark, sf_dir, "documents")
@@ -48,7 +48,7 @@ def q007_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q009_ga_extract",
+    "q070_ga_extract",
     oracle=r"""
 WITH pages AS (
   SELECT doc_id,
@@ -64,7 +64,7 @@ FROM pages ORDER BY doc_id
 """,
     tags=("extract", "regex", "reference-parity"),
 )
-def q009_ga_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q070_ga_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GA id find-all + ga(...) config capture with the pageview filter
     (main.rs:46-49, 344-375) over synthesized page text."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -86,7 +86,7 @@ def q009_ga_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q010_http_header_parse",
+    "q071_http_header_parse",
     oracle=r"""
 WITH raw AS (
   SELECT event_id,
@@ -106,7 +106,7 @@ FROM raw ORDER BY event_id
 """,
     tags=("extract", "http", "reference-parity"),
 )
-def q010_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q071_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP header-block parsing with the reference's ': '-split value
     truncation quirk (main.rs:306-315: 'abc: def' keeps only 'abc') and
     load_time division (main.rs:316-325), on synthesized responses."""
@@ -135,7 +135,7 @@ def q010_http_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q011_whitespace_quirks",
+    "q072_whitespace_quirks",
     oracle=rf"""
 SELECT doc_id,
        regexp_replace(text || '  tail   end', '({DUCK_UWS}|\\n){{2,}}', '', 'g') AS deleted_mode,
@@ -145,7 +145,7 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id
 """,
     tags=("extract", "whitespace", "reference-parity"),
 )
-def q011_whitespace_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q072_whitespace_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both whitespace-normalize modes side by side — the success path's
     run-DELETION quirk (main.rs:383-386, concatenates neighbors!) vs the
     fallback's single-space collapse (main.rs:425-427) — plus word_count.
@@ -166,7 +166,7 @@ def q011_whitespace_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q012_link_hygiene",
+    "q073_link_hygiene",
     oracle=r"""
 WITH links AS (
   SELECT doc_id,
@@ -182,7 +182,7 @@ FROM links ORDER BY doc_id
 """,
     tags=("extract", "links", "reference-parity"),
 )
-def q012_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q073_link_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link hygiene chain: '_'/'#' prefix filter (lib.rs:293-299) → quote
     strip (lib.rs:59) → sort+dedup (lib.rs:400-417), all native."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

@@ -56,7 +56,7 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q099_link_degrees",
+    "q025_link_degrees",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
@@ -72,7 +72,7 @@ ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q099_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out degree per node + reciprocal-edge count (the link-graph
     accounting pass; edge extraction = explode + equi-join)."""
     e = edges(spark, sf_dir)
@@ -111,7 +111,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 
 
 @query(
-    "q043_pagerank",
+    "q159_pagerank",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -126,7 +126,7 @@ LIMIT 100
 """,
     tags=("graph", "iterative", "join"),
 )
-def q043_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q159_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 unrolled iterations (damping 0.85): the iterative-
     algorithm shape as repeated join+groupBy — one shuffle per iteration
     on the node id. Ranks are ROUNDED to 10 decimals each iteration so
@@ -167,7 +167,7 @@ def q043_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q080_recursive_reachability",
+    "q017_recursive_reachability",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
 walk(seed, node, depth) AS (
@@ -188,12 +188,12 @@ ORDER BY seed, depth
 """,
     tags=("graph", "recursive-cte"),
 )
-def q080_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded transitive closure via Spark 4's WITH RECURSIVE: BFS from
     three seed nodes over the link graph, reporting how many nodes are
     first reached at each hop count (min-depth reachability, depth ≤ 3).
     The recursive CTE is the declarative dual of the iterative-join
-    PageRank loop in q043 — Catalyst unrolls it into one equi-join +
+    PageRank loop in q159 — Catalyst unrolls it into one equi-join +
     depth-guard per level, each shuffling only the frontier on the node
     key, so a 100 TB edge table pays |frontier| per hop, never all paths.
     """
@@ -220,7 +220,7 @@ def q080_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q076_triangle_count",
+    "q014_triangle_count",
     oracle=f"""
 WITH e AS MATERIALIZED ({EDGES_SQL}),
 und AS MATERIALIZED (
@@ -248,7 +248,7 @@ FROM pern ORDER BY node
 """,
     tags=("graph", "join"),
 )
-def q076_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the link graph (the clustering-coefficient /
     community-structure primitive). Edges are canonicalized to undirected
     (a < b) — which IS the classic orientation trick: every triangle is
@@ -310,7 +310,7 @@ def q076_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components at scale: alternating large-star / small-star
 # ---------------------------------------------------------------------------
 
-# Deep-chain corpus: q025's min-label propagation bounds its rounds (fine
+# Deep-chain corpus: q099's min-label propagation bounds its rounds (fine
 # for shallow dup clusters) and its docstring defers deep graphs to the
 # alternating contraction — this operator implements that promise on a
 # graph where bounded propagation WOULD fail: chains of ~CHAIN_LEN nodes
@@ -383,10 +383,10 @@ def alternating_components(
     checksum (count + XOR of pair hashes) collected via ``observe()``
     metrics DURING the round-end eager lineage cut — the checkpoint
     materialization is the round's only action (state O(|edges|),
-    reliable-checkpoint routing as in q043/q188).
+    reliable-checkpoint routing as in q159/q046).
 
     ``assume_canonical``: the caller guarantees edges are already
-    self-loop-free, deduped, and src < dst (true for q039's constructed
+    self-loop-free, deduped, and src < dst (true for q134's constructed
     chain edges), skipping the initial canonicalization shuffle. The
     window shape is scale-safe: partitionBy(u) is the same hash shuffle
     the groupBy took, with no per-partition sort (the min window is
@@ -591,7 +591,7 @@ def contracted_components(
 
 
 @query(
-    "q039_connected_components",
+    "q134_connected_components",
     oracle=f"""
 WITH RECURSIVE e AS MATERIALIZED ({CHAIN_EDGES_SQL}),
 edges2 AS (
@@ -617,11 +617,11 @@ ORDER BY component_id
     bench=True,
     min_rows=2,
 )
-def q039_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q134_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating large-star/small-star — the
-    O(log n)-round contraction q025's docstring defers deep graphs to,
+    O(log n)-round contraction q099's docstring defers deep graphs to,
     now implemented and certified on a graph that DEFEATS bounded label
-    propagation: ~CHAIN_LEN-long chains (diameter ~96 vs q025's 6-round
+    propagation: ~CHAIN_LEN-long chains (diameter ~96 vs q099's 6-round
     budget) with sparse bridges merging chain groups.
 
     The oracle is an independent mechanism (DuckDB recursive-CTE

@@ -7,14 +7,14 @@ boundary, and per-modality transforms are ``mapInPandas`` stages.
 
 Every codec in this module is REAL, written from the public specs —
 the container has no image/audio codec LIBRARIES (no PIL/ffmpeg), so
-each format is implemented from its specification: q044 binary PPM +
-PCM WAV (header validation, PCM unpacking), q074 PNG (stdlib zlib —
+each format is implemented from its specification: q171 binary PPM +
+PCM WAV (header validation, PCM unpacking), q013 PNG (stdlib zlib —
 signature, CRC-verified chunk walk, IHDR validation, inflate, full
-unfiltering of all five scanline filter types), q115 baseline JPEG
+unfiltering of all five scanline filter types), q034 baseline JPEG
 (functions/jpeg.py: fDCT, Annex K quant + Huffman tables, byte-stuffed
-entropy coding, general decoder), q121 MP4 (functions/mp4.py: ISO-BMFF
+entropy coding, general decoder), q035 MP4 (functions/mp4.py: ISO-BMFF
 mux/demux with full stsc/stco/stsz sample tables) carrying Motion-JPEG
-samples decoded by the real JPEG decoder. Since round 4, q113's
+samples decoded by the real JPEG decoder. Since round 4, q033's
 modality-generic ``decode_media`` routes through these real codecs via
 magic-byte sniffing (JPEG/WAV/MP4 dispatch); only payloads that fail
 sniffing fall back to byte-level stats — the honest path for formats
@@ -54,7 +54,7 @@ from warcraider_spark.tables import load_table, table_row_count
 # repo's own codecs (round-robin by doc_id % 3):
 #   image → baseline JPEG (functions/jpeg.py — JFIF markers, Annex K
 #           tables, entropy-coded scan)
-#   audio → RIFF/WAVE 16-bit PCM (encode_wav below, the q086 path)
+#   audio → RIFF/WAVE 16-bit PCM (encode_wav below, the q020 path)
 #   video → MJPEG-in-MP4 (functions/mp4.py — ISO-BMFF with full sample
 #           tables; each sample a real JPEG)
 # doc_id in [REAL_MEDIA_N, BLOB_HI) rows are opaque blobs (raw UTF-8
@@ -63,7 +63,7 @@ from warcraider_spark.tables import load_table, table_row_count
 # Every generation rule is a deterministic integer function of
 # (doc_id, n_chars), so the DuckDB oracle can replay the DECODED
 # features analytically — the encode→binary→sniff→decode loop is
-# hash-verified end-to-end (see q115/q121's determinism story).
+# hash-verified end-to-end (see q034/q035's determinism story).
 
 MEDIA_SCHEMA = StructType(
     [
@@ -274,7 +274,7 @@ def media_features(media: DataFrame) -> DataFrame:
 
 
 # The oracle replays the decoded features analytically: the image/video
-# branches reuse q115/q121's exact integer decode formula (block-constant
+# branches reuse q034/q035's exact integer decode formula (block-constant
 # JPEG quantization collapses to clamp(2*round_half_away((v-128)/2)+128));
 # audio RMS of a constant-amplitude PCM track is the amplitude itself;
 # opaque blobs reduce to octet_length.
@@ -342,7 +342,7 @@ feat AS (
 
 
 @query(
-    "q113_media_features",
+    "q033_media_features",
     oracle=f"""
 WITH {MEDIA_FEAT_SQL}
 SELECT media_id, modality, detected, width, height,
@@ -360,7 +360,7 @@ FROM feat ORDER BY media_id
 """,
     tags=("multimodal", "codec", "mapInPandas"),
 )
-def q113_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q033_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality-generic decode/resize/frame-sample via mapInPandas with
     REAL codecs: payloads are genuine JPEG/WAV/MP4 bitstreams (plus opaque
     blobs for the fallback), ``decode_media`` sniffs magic bytes and
@@ -376,7 +376,7 @@ def q113_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q035_media_stats",
+    "q121_media_stats",
     oracle=f"""
 WITH {MEDIA_FEAT_SQL}
 SELECT modality,
@@ -389,10 +389,10 @@ FROM feat GROUP BY modality ORDER BY modality
 """,
     tags=("multimodal", "codec", "agg"),
 )
-def q035_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q121_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting per modality over DECODED features (real codec
     output): decoded-unit totals, bitstream dims extrema, frame counts.
-    Aggregates the q113 feature stage — one map-only decode pass, one
+    Aggregates the q033 feature stage — one map-only decode pass, one
     shuffle on the 4-value modality key."""
     media = media_corpus(spark, sf_dir)
     return (
@@ -415,7 +415,7 @@ def q035_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The stub above stands in for libjpeg/ffmpeg. For formats that need no
 # library — binary PPM (P6) and PCM WAV are fully specified public formats
-# parseable with struct — the encode AND decode are real: q044 generates
+# parseable with struct — the encode AND decode are real: q171 generates
 # actual PPM/WAV payloads (deterministic content), ships them through
 # Arrow as binary columns, and the decode stage parses the real headers
 # and computes real content statistics (mean pixel / RMS amplitude) from
@@ -514,7 +514,7 @@ DECODED_SCHEMA = StructType(
 
 
 @query(
-    "q044_media_codec_roundtrip",
+    "q171_media_codec_roundtrip",
     oracle="""
 WITH base AS (
   SELECT doc_id, n_chars,
@@ -534,7 +534,7 @@ FROM base ORDER BY media_id
 """,
     tags=("multimodal", "codec", "mapInPandas"),
 )
-def q044_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q171_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip, no stub: an encode mapInPandas stage emits
     genuine binary PPM images / PCM WAV audio (deterministic content:
     constant pixel value / constant amplitude), and the decode stage
@@ -547,8 +547,8 @@ def q044_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: payload bytes exist only between the two Python stages
     and are dropped before any shuffle; both stages are map-only over
     Arrow record batches (bounded by spark.sql.execution.arrow
-    .maxRecordsPerBatch). jpeg is real too (q115, functions/jpeg.py) and
-    mp4 as well (q121, functions/mp4.py) — no stubbed codec remains."""
+    .maxRecordsPerBatch). jpeg is real too (q034, functions/jpeg.py) and
+    mp4 as well (q035, functions/mp4.py) — no stubbed codec remains."""
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
@@ -608,7 +608,7 @@ def q044_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q046_image_content_dedup",
+    "q188_image_content_dedup",
     oracle="""
 WITH img AS (SELECT doc_id FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0)
 SELECT CAST(doc_id % 256 AS INT) AS pixel_value,
@@ -621,7 +621,7 @@ ORDER BY pixel_value
 """,
     tags=("multimodal", "dedup", "mapInPandas"),
 )
-def q046_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q188_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-resolution image deduplication over REAL decoded pixels: the
     encode stage writes genuine binary PPMs, the decode stage parses them
     and fingerprints the pixel plane (constant-plane value, validated
@@ -838,7 +838,7 @@ def decode_png(payload: bytes) -> dict:
 
 
 @query(
-    "q074_png_codec_roundtrip",
+    "q013_png_codec_roundtrip",
     oracle="""
 WITH img AS (
   SELECT doc_id,
@@ -863,7 +863,7 @@ FROM img ORDER BY media_id
 """,
     tags=("multimodal", "codec", "png", "mapInPandas"),
 )
-def q074_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG round-trip: the encode stage emits genuine PNG files
     (zlib IDAT, CRC-checked chunks, all five scanline filter types cycled
     per row), the decode stage walks chunks, VERIFIES CRCs, inflates and
@@ -873,7 +873,7 @@ def q074_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     every decoded value analytic, so the DuckDB oracle hash-verifies the
     whole encode→Arrow→decode loop, filter coverage included.
 
-    Scale notes: identical to q044 — payload bytes live only between the
+    Scale notes: identical to q171 — payload bytes live only between the
     two map-only Arrow stages and are dropped before the final sort; no
     shuffle ever carries a pixel."""
     from warcraider_spark.dist import ensure_package_on_executors
@@ -969,7 +969,7 @@ def analyze_wav_spectrum(payload: bytes) -> dict:
 
 
 @query(
-    "q086_audio_dominant_freq",
+    "q020_audio_dominant_freq",
     oracle="""
 WITH base AS (
   SELECT doc_id,
@@ -987,7 +987,7 @@ FROM base ORDER BY media_id
 """,
     tags=("multimodal", "audio", "fft", "mapInPandas"),
 )
-def q086_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction with a REAL FFT: synthesize square-wave
     PCM WAVs (whole periods only → leakage-free), ship the bytes through
     Arrow, parse the RIFF container, and run numpy.fft.rfft; the dominant
@@ -1106,7 +1106,7 @@ def sample_ppm_stream(payload: bytes, every: int = 2) -> dict:
 
 
 @query(
-    "q088_video_frame_sample",
+    "q021_video_frame_sample",
     oracle="""
 WITH base AS (
   SELECT doc_id,
@@ -1126,7 +1126,7 @@ FROM base ORDER BY media_id
 """,
     tags=("multimodal", "video", "frame-sample", "mapInPandas"),
 )
-def q088_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling over a REAL container format: the PPM pipe
     stream ffmpeg's image2pipe emits (self-delimiting concatenated P6
     frames). The sampler walks actual frame boundaries, keeps every 2nd
@@ -1176,7 +1176,7 @@ def q088_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q115_jpeg_codec_roundtrip",
+    "q034_jpeg_codec_roundtrip",
     oracle="""
 WITH img AS (
   SELECT doc_id,
@@ -1207,14 +1207,14 @@ FROM px ORDER BY media_id
 """,
     tags=("multimodal", "codec", "jpeg", "mapInPandas"),
 )
-def q115_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG round-trip (functions/jpeg.py): the encode stage
     emits genuine JFIF bytes — Annex K.1 quant table, Annex K.3 canonical
     Huffman tables, float fDCT, zigzag, byte-stuffed entropy data — and
     the decode stage is a general baseline decoder (marker walk, DHT/DQT
     parse, Huffman + EXTEND, dequant, float IDCT, clamp). Retires the
     jpeg stub VERDICT r2 flagged (multimodal.py "jpeg/mp4 remain honest
-    stubs"); q121 then retired mp4 via functions/mp4.py.
+    stubs"); q035 then retired mp4 via functions/mp4.py.
 
     Hash-verifiable despite lossy compression: test images are constant
     per 8x8 block, so the DCT quantization collapses to exact integer
@@ -1224,7 +1224,7 @@ def q115_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     general AC/run-length paths are exercised by tests/test_media_codecs
     on random content with a unit quant table.
 
-    Scale notes: same as q074/q044 — payload bytes exist only between
+    Scale notes: same as q013/q171 — payload bytes exist only between
     the two map-only Arrow stages; no shuffle ever carries a pixel."""
     from warcraider_spark.dist import ensure_package_on_executors
 
@@ -1276,7 +1276,7 @@ def q115_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q121_mp4_demux_decode",
+    "q035_mp4_demux_decode",
     oracle="""
 WITH vid AS (
   SELECT doc_id,
@@ -1310,7 +1310,7 @@ FROM px ORDER BY media_id
 """,
     tags=("multimodal", "codec", "mp4", "video", "mapInPandas"),
 )
-def q121_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 video round-trip (functions/mp4.py): the encode stage
     muxes genuine Motion-JPEG-in-MP4 files — ftyp/mdat/moov with full
     sample tables (stsd/stts/stsc/stsz/stco) per ISO/IEC 14496-12, each
@@ -1323,7 +1323,7 @@ def q121_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frame f of doc d uses JPEG seed d + 12*f: congruent mod 12 so all
     frames share the track's declared dims, while block values differ
     per frame — the DuckDB oracle replays the exact integer decode (see
-    q115's determinism story). Alternate docs are muxed multi-chunk
+    q034's determinism story). Alternate docs are muxed multi-chunk
     (samples_per_chunk=2) so the demuxer's general chunk-offset walk is
     exercised on the oracle path, not just in unit tests.
 
@@ -1388,7 +1388,7 @@ def q121_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q111_progressive_jpeg",
+    "q032_progressive_jpeg",
     oracle="""
 WITH img AS (
   SELECT doc_id,
@@ -1419,7 +1419,7 @@ FROM px ORDER BY media_id
 """,
     tags=("multimodal", "codec", "jpeg", "progressive", "mapInPandas"),
 )
-def q111_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive JPEG round-trip (T.81 Annex G): the encode stage
     emits genuine SOF2 bitstreams — a 4-scan progression covering every
     progressive scan type (DC first with successive approximation, DC
@@ -1430,14 +1430,14 @@ def q111_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_scans comes from a bitstream marker walk, dims from the SOF2
     header, content stats from the decoded plane.
 
-    Hash-certified despite lossy quantization via the q115 determinism
+    Hash-certified despite lossy quantization via the q034 determinism
     story: the progression transmits every bit of every quantized
     coefficient, so progressive decode EQUALS baseline decode — the same
     analytic integer formula the DuckDB oracle replays (plus the scan
     count 4 the progression fixes). General content (random planes, all
     EOBRUN/ZRL/refinement paths) is pinned by tests/test_media_codecs.
 
-    Scale notes: identical to q115 — two adjacent map-only Arrow stages;
+    Scale notes: identical to q034 — two adjacent map-only Arrow stages;
     no pixel or payload byte ever crosses a shuffle."""
     from warcraider_spark.dist import ensure_package_on_executors
 
@@ -1546,7 +1546,7 @@ def q196_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between "decode needs a 40 GB executor" and "decode is
     1000 embarrassingly-parallel range reads".
 
-    The image is the q115 analytic block-constant rule seeded by the
+    The image is the q034 analytic block-constant rule seeded by the
     corpus count, so the DuckDB oracle replays every per-segment pixel
     sum exactly; the reassembly identity (segments == monolithic decode)
     is pinned by tests/test_media_codecs.py on random content."""
@@ -1655,7 +1655,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
 
 @query(
-    "q171_image_pyramid_resize",
+    "q044_image_pyramid_resize",
     oracle="""WITH base AS (
   SELECT doc_id,
          CAST(doc_id % 64 + 8 AS BIGINT) AS w,
@@ -1682,7 +1682,7 @@ FROM lv ORDER BY media_id, level""",
     tags=("multimodal", "resize", "image", "mapInPandas"),
     min_rows=150,
 )
-def q171_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image RESIZE as a mip pyramid: encode real PNGs, decode them back
     to RAW pixels (decode_png_pixels — full CRC/unfilter walk), then
     2x2 BOX-FILTER downscale twice (vectorized numpy, floor-div-4 — the
@@ -1695,7 +1695,7 @@ def q171_image_pyramid_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both resize passes bit-exactly.
 
     Scale notes: pixels exist only inside the two map-only Arrow
-    stages (no shuffle ever carries a pixel — same story as q074/q115);
+    stages (no shuffle ever carries a pixel — same story as q013/q034);
     the resize itself is whole-array numpy per image, the shape a
     Pandas-UDF image pipeline should have (batch-columnar, not
     per-pixel Python). Output is 3 rows of scalars per image.

@@ -19,7 +19,7 @@ from warcraider_spark.registry import query
 
 
 @query(
-    "q041_warc_pipeline_e2e",
+    "q150_warc_pipeline_e2e",
     # Literal-golden oracle: the input is a deterministic synthetic fixture
     # (build_warc_bytes gzips with mtime=0, so the file is byte-identical
     # every run), which makes the expected output a fixed constant — the
@@ -44,7 +44,7 @@ ORDER BY url
 """,
     tags=("pipeline", "etl", "reference-parity"),
 )
-def q041_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q150_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the reference dataflow end-to-end on the synthetic WARC corpus;
     expect exactly 3 surviving rows (blacklist/request/corrupt dropped),
     hash-verified column-by-column against the VALUES golden above."""
@@ -135,7 +135,7 @@ def q041_warc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Production read path: read_warc_auto switches to byte-range-parallel
     # scan when any file exceeds the split budget (VERDICT r5 #7), so the
-    # e2e dataflow inherits the straggler/OOM fix q042 proved.
+    # e2e dataflow inherits the straggler/OOM fix q155 proved.
     out = url_resource_from_warc_records(read_warc_auto(spark, d))
     return out.select(
         "url",
@@ -205,11 +205,11 @@ def _range_fixture_oracle() -> str:
 
 
 @query(
-    "q042_warc_range_scan",
+    "q155_warc_range_scan",
     oracle=_range_fixture_oracle(),
     tags=("pipeline", "source", "range-scan"),
 )
-def q042_warc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q155_warc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE multi-member WARC file read through byte-range-parallel tasks
     (read_warc_ranged: CDX-style member-offset index → (path, offset,
     length) split descriptors → per-task seek+parse), hash-matched against

@@ -535,7 +535,7 @@ def q138_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q006_date_funcs",
+    "q067_date_funcs",
     oracle=f"""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
@@ -548,7 +548,7 @@ ORDER BY order_month
 """,
     tags=("scalar", "date", "agg"),
 )
-def q006_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q067_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + per-month aggregate (the BigQuery day-partitioning
     query shape, /root/reference/load.bat:7)."""
     od = _t(spark, sf_dir, "orders")
@@ -565,7 +565,7 @@ def q006_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q004_datepart_funcs",
+    "q065_datepart_funcs",
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS yr,
@@ -580,7 +580,7 @@ LIMIT 500
 """,
     tags=("scalar", "date"),
 )
-def q004_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q065_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/dayofweek extraction + date arithmetic.
 
     Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
@@ -605,7 +605,7 @@ def q004_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q005_math_funcs",
+    "q066_math_funcs",
     oracle=f"""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 0) AS price_round,
@@ -622,7 +622,7 @@ LIMIT 1000
 """,
     tags=("scalar", "math"),
 )
-def q005_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q066_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (round/floor/ceil/abs/sqrt/ln/pow/mod)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -683,7 +683,7 @@ def q145_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q013_array_set_funcs",
+    "q074_array_set_funcs",
     oracle="""
 SELECT doc_id,
        array_to_string(list_sort(list_distinct(string_split(replace(replace(lower(text), 'ς', 'σ'), 'i̇', 'i'), ' ')))[1:5], '|') AS first_tokens,
@@ -694,12 +694,12 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def q013_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q074_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_distinct + array_sort + slice — the reference's
     sort+dedup idiom on link arrays (/root/reference/src/lib.rs:400-417).
 
     The sliced array is emitted '|'-joined: the driver's canonicalizer
-    pandas-sorts result columns and crashes on list values (r1 q013 err)."""
+    pandas-sorts result columns and crashes on list values (r1 q074 err)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     toks = F.array_distinct(F.split(fold_lower("text"), " "))
     return (
@@ -1019,7 +1019,7 @@ def q059_self_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q062_stats_aggregates",
+    "q001_stats_aggregates",
     oracle=f"""
 SELECT l_returnflag,
        ROUND(STDDEV_SAMP(l_extendedprice), {RD}) AS price_stddev,
@@ -1033,7 +1033,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def q062_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: stddev/variance/corr/covar/skewness —
     single-pass moment computation, partial+final like any hash agg.
 
@@ -1057,7 +1057,7 @@ def q062_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q063_percentiles",
+    "q002_percentiles",
     oracle=f"""
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), {RD}) AS median_price,
@@ -1070,7 +1070,7 @@ ORDER BY o_orderstatus
 """,
     tags=("agg", "percentile"),
 )
-def q063_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont). The approx_percentile sketch variant is engine-
     specific, so the exact form carries the oracle check."""
@@ -1088,7 +1088,7 @@ def q063_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q064_pivot",
+    "q003_pivot",
     oracle=f"""
 SELECT l_linestatus,
        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), {RD}) AS flag_a,
@@ -1100,7 +1100,7 @@ ORDER BY l_linestatus
 """,
     tags=("agg", "pivot"),
 )
-def q064_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on return flag (Spark .pivot with explicit value list — the
     list keeps the plan single-pass; the oracle is the CASE expansion)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1119,7 +1119,7 @@ def q064_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q065_string_family2",
+    "q004_string_family2",
     oracle="""
 SELECT p_partkey,
        lpad(p_brand, 12, '*') AS brand_pad,
@@ -1136,7 +1136,7 @@ ORDER BY p_partkey
 """,
     tags=("scalar", "string"),
 )
-def q065_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string family: pad/reverse/repeat/left/right/position/
     translate/levenshtein/ascii."""
     pa = _t(spark, sf_dir, "part")
@@ -1158,7 +1158,7 @@ def q065_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q066_argminmax",
+    "q005_argminmax",
     oracle=f"""
 SELECT c_mktsegment,
        arg_max(o_orderkey, o_totalprice) AS biggest_order,
@@ -1171,7 +1171,7 @@ ORDER BY c_mktsegment
 """,
     tags=("agg", "argminmax", "join"),
 )
-def q066_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extremum) aggregates over a dim join.
 
     Note: ties on o_totalprice would be engine-arbitrary; the synthetic
@@ -1192,7 +1192,7 @@ def q066_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q067_conditional_aggs",
+    "q006_conditional_aggs",
     oracle=f"""
 SELECT event_type,
        COUNT(*) FILTER (WHERE value > 50) AS n_high,
@@ -1206,7 +1206,7 @@ ORDER BY event_type
 """,
     tags=("agg", "conditional"),
 )
-def q067_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregates: count_if, conditional sum,
     bool_or/bool_and (any/every)."""
     ev = _t(spark, sf_dir, "events")
@@ -1257,7 +1257,7 @@ def q116_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q016_record_range_scan",
+    "q078_record_range_scan",
     oracle="""
 SELECT o_orderkey, o_custkey
 FROM orders
@@ -1266,7 +1266,7 @@ LIMIT 50 OFFSET 100
 """,
     tags=("scan", "limit", "reference-parity"),
 )
-def q016_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q078_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's record-range scan ([start_at, finish_at),
     main.rs:205-219) as ORDER BY + OFFSET/LIMIT — partitioning makes the
     manual skip loop obsolete (SURVEY §2.1)."""
@@ -1280,7 +1280,7 @@ def q016_record_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q068_hash_sampling",
+    "q007_hash_sampling",
     oracle="""
 SELECT COUNT(*) AS n_sampled,
        COUNT(DISTINCT o_custkey) AS n_custs,
@@ -1290,7 +1290,7 @@ WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 
 """,
     tags=("sampling",),
 )
-def q068_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sampling — the reproducible-across-engines
     (and across-runs, unlike TABLESAMPLE) sampling pattern for pipeline
     debugging at scale."""
@@ -1468,7 +1468,7 @@ def q079_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q189_salted_skew_join",
+    "q047_salted_skew_join",
     oracle=f"""
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -1481,7 +1481,7 @@ ORDER BY flag
 """,
     tags=("join", "skew", "salting"),
 )
-def q189_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: l_returnflag has only 3 values (maximal skew for
     a shuffle join), so the fact side adds a random-free salt
     (orderkey % SALT) and the dim side explodes over all salts — the
@@ -1567,7 +1567,7 @@ def q081_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q017_shipmode_priority",
+    "q080_shipmode_priority",
     oracle="""
 SELECT l_linestatus AS shipmode_proxy,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -1580,7 +1580,7 @@ ORDER BY shipmode_proxy
 """,
     tags=("join", "agg", "tpch"),
 )
-def q017_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q080_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: priority class counts per ship mode."""
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1764,7 +1764,7 @@ def q127_top_customers_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q028_decile_distribution",
+    "q102_decile_distribution",
     oracle=f"""
 WITH d AS (
   SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -1777,7 +1777,7 @@ FROM d GROUP BY decile ORDER BY decile
 """,
     tags=("window", "distribution"),
 )
-def q028_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q102_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile boundaries with EXACT NTILE semantics, WITHOUT the
     global single-partition sort (VERDICT r8 #3 — this was the one
     scale-killer plan left in the registry).
@@ -1792,13 +1792,13 @@ def q028_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(10)'s first-(n%10)-buckets-get-one-extra split, so the NTILE
     oracle stays exact. Severely lumpy value distributions would skew a
     fixed-width bucket; the scale escalation is approx_percentile
-    pre-bucketing (q063/q109), with AQE skew-split covering the middle
+    pre-bucketing (q002/q109), with AQE skew-split covering the middle
     ground."""
     return decile_distribution_table(_t(spark, sf_dir, "orders"))
 
 
 def decile_distribution_table(od: DataFrame) -> DataFrame:
-    """q028's plan over an arbitrary orders-shaped frame (needs
+    """q102's plan over an arbitrary orders-shaped frame (needs
     o_totalprice, o_orderkey) — factored so the scale harness can feed a
     K-replicated orders table (tools/scale_bench.py variant)."""
     d = od.select("o_totalprice", "o_orderkey").withColumn(
@@ -1872,13 +1872,13 @@ def q156_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     target ± (1/accuracy + 2/n) (the 2/n absorbs rank discreteness —
     an interpolated-percentile window would be narrower than one rank
     at small n). The sketch is deterministic (no RNG), so the booleans
-    are stable TRUEs the oracle pins as literals. q063 carries the
+    are stable TRUEs the oracle pins as literals. q002 carries the
     exact-percentile burden.
 
     Scale shape: two lineitem scans (sketch pass + verification pass),
     one broadcast of an estimate table bounded at the l_returnflag
     domain (3 values) by construction — plan-audit pair-exempted like
-    the other bounded grand-aggregate broadcasts (q031's shape)."""
+    the other bounded grand-aggregate broadcasts (q107's shape)."""
     est = gk_price_quantiles(spark, sf_dir).select(
         "l_returnflag",
         "n",
@@ -2011,7 +2011,7 @@ def q129_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q018_variant_json",
+    "q082_variant_json",
     oracle="""
 SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
        COUNT(*) AS n,
@@ -2024,7 +2024,7 @@ ORDER BY k_mod
 """,
     tags=("json", "variant"),
 )
-def q018_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q082_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through Spark 4's VARIANT type:
     parse_json once into the binary variant encoding, then typed
     variant_get extraction — the engine-native path for JSON columns at
@@ -2046,7 +2046,7 @@ def q018_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q155_time_range_frame",
+    "q042_time_range_frame",
     oracle="""
 SELECT event_id,
        user_id,
@@ -2059,7 +2059,7 @@ ORDER BY event_id
 """,
     tags=("window", "range", "time"),
 )
-def q155_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour sliding metrics per user via a time-valued RANGE frame
     (the batch dual of a streaming sliding window, but per-row): frame
     bounds are VALUES of the sort key, so co-timed events share a frame
@@ -2143,7 +2143,7 @@ FROM j ORDER BY event_id
     tags=("json", "variant"),
 )
 def q053_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deep VARIANT path surface (Spark 4), beyond q018's flat
+    """Deep VARIANT path surface (Spark 4), beyond q082's flat
     aggregation: a nested document (object-in-object, array, an embedded
     pre-existing JSON column, an explicit null) is parse_json'd ONCE into
     the binary variant encoding, then every access is a typed
@@ -2184,7 +2184,7 @@ def q053_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q073_sql_text_interface",
+    "q012_sql_text_interface",
     oracle="""
 SELECT n_name,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
@@ -2200,7 +2200,7 @@ ORDER BY n_name, order_year
 """,
     tags=("sql-text", "join", "agg"),
 )
-def q073_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The textual-SQL front door: the whole query is a spark.sql() string
     over registered views — the surface a user migrating off the
     reference's BigQuery layer actually types. Catalyst produces the same
@@ -2248,7 +2248,7 @@ ORDER BY l_orderkey, l_linenumber, measure
 )
 def q075_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of the lineitem measures — the inverse of
-    q064's pivot and the normalization step feeding generic metric
+    q003's pivot and the normalization step feeding generic metric
     pipelines. Narrow-to-long is a per-row Generate (no shuffle, no UDF);
     the only exchange is the presentation sort."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)

@@ -48,7 +48,7 @@ _SQL_DOT_AB = "list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2
 
 
 @query(
-    "q083_cosine_topk_bruteforce",
+    "q019_cosine_topk_bruteforce",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
      -- nrm > 0: a zero vector has no direction, hence no cosine —
@@ -73,7 +73,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "bruteforce"),
     bench=True,
 )
-def q083_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector.
 
     Ranking is on ROUND(cos, 6) with neighbor_id tie-break so the order is
@@ -112,10 +112,10 @@ _SQL_BUCKET = (
 
 
 @query(
-    "q029_ann_sign_lsh",
+    "q105_ann_sign_lsh",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
-     -- nrm > 0: zero vectors carry no cosine (see q083)
+     -- nrm > 0: zero vectors carry no cosine (see q019)
      n AS (SELECT * FROM (SELECT vec_id, v, {_SQL_NORM} AS nrm, {_SQL_BUCKET} AS bucket FROM e) WHERE nrm > 0),
      q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
      scored AS (
@@ -134,7 +134,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "lsh"),
 )
-def q029_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q105_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN: bucket = sign pattern of the first 6 dims (a fixed
     orthogonal-ish hyperplane set); search only within the query's bucket.
     The bucket string is the equi-join key — this is the 100 TB plan shape
@@ -144,7 +144,7 @@ def q029_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (
         em.select("vec_id", v.alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
-        .filter(F.col("nrm") > 0)  # zero vectors carry no cosine (q083 mirror)
+        .filter(F.col("nrm") > 0)  # zero vectors carry no cosine (q019 mirror)
         .withColumn(
             "bucket", F.array_join(
                 F.transform(F.slice(F.col("v"), 1, SIGN_BITS), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
@@ -172,7 +172,7 @@ def q029_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q030_label_centroids",
+    "q106_label_centroids",
     oracle="""
 WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
 SELECT label,
@@ -185,7 +185,7 @@ FROM e GROUP BY label ORDER BY label
 """,
     tags=("similarity", "centroid", "agg"),
 )
-def q030_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q106_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (first 4 dims shown): the IVF coarse-quantizer
     training step — one groupBy, partial averages map-side."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -202,7 +202,7 @@ def q030_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q096_ivf_assign",
+    "q022_ivf_assign",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      cent AS (
@@ -228,7 +228,7 @@ GROUP BY c_label ORDER BY c_label
 """,
     tags=("similarity", "ivf"),
 )
-def q096_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: nearest label-centroid (L2 on first 8 dims) per
     vector; centroid list is broadcast so assignment is a map-side pass."""
     em = load_table(spark, sf_dir, "embeddings")
@@ -260,7 +260,7 @@ def q096_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q098_ivf_topk_search",
+    "q024_ivf_topk_search",
     oracle="""
 WITH e AS (SELECT vec_id, label, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8) AS v FROM embeddings),
      cent AS (
@@ -297,7 +297,7 @@ ORDER BY query_id, rnk
 """,
     tags=("similarity", "ann", "ivf"),
 )
-def q098_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search: build the inverted index (every vector assigned
     to its nearest label-centroid), then for each query vector probe the
     nprobe=2 nearest buckets and rank ONLY those candidates — the scale
@@ -347,7 +347,7 @@ def q098_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q100_group_spectral_stats",
+    "q026_group_spectral_stats",
     oracle=f"""
 WITH m AS (
   SELECT label,
@@ -383,7 +383,7 @@ ORDER BY label
 """,
     tags=("similarity", "applyInPandas", "spectral"),
 )
-def q100_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label covariance spectral stats of the embedding space via
     grouped ``applyInPandas`` — the custom-aggregation escape hatch for
     semantics no built-in aggregate expresses (a dims×dims (16×16) eigensolve per
@@ -463,7 +463,7 @@ def q100_group_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q192_two_stage_rerank",
+    "q050_two_stage_rerank",
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
      s AS (
@@ -510,7 +510,7 @@ ORDER BY query_id, rnk
     tags=("similarity", "ann", "rerank"),
     bench=True,
 )
-def q192_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production ANN serving pattern: a CHEAP
     int8-quantized dot-product pass over the whole corpus selects top-20
     candidates per query, then the EXPENSIVE exact double-precision cosine
@@ -528,7 +528,7 @@ def q192_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-corpus shuffle in the whole query is 12 bytes of ids+score per
     scanned pair, not two 64-dim double arrays (≈30× fewer shuffle
     bytes; an earlier draft carried qv/av through the rank window and
-    the shuffle dominated the runtime). Quantization is the q020
+    the shuffle dominated the runtime). Quantization is the q086
     absmax scheme (floor(x/scale*127+0.5), bit-deterministic in both
     engines); integer coarse scores are exact cross-engine, so the
     candidate set — and therefore the oracle hash — is stable. Ties broken
@@ -708,7 +708,7 @@ def _km_update(ex: DataFrame, assign: DataFrame) -> DataFrame:
 
 
 @query(
-    "q188_kmeans_codebook",
+    "q046_kmeans_codebook",
     oracle=f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS dim,
@@ -733,7 +733,7 @@ ORDER BY cluster_id
 """,
     tags=("similarity", "kmeans", "iterative"),
 )
-def q188_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook training: {KM_ITERS} Lloyd iterations of k-means over
     integer-quantized embeddings (micro-scaled, so distances, argmins and
     centroid means are EXACT integers — a float k-means could never be
@@ -744,7 +744,7 @@ def q188_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, dim, value) form; each iteration is (broadcast tiny centroids →
     map-side distance partial-agg → per-vector argmin) + (groupBy
     (cluster, dim) mean with map-side combine). Loop state is
-    localCheckpoint'ed per round (q025's lineage lesson); the vector
+    localCheckpoint'ed per round (q099's lineage lesson); the vector
     table is checkpointed ONCE and reused by all {2 * KM_ITERS} passes.
     """
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
@@ -862,7 +862,7 @@ ORDER BY vec_id
 )
 def q142_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the compression half of an IVF-PQ
-    index (q098 is the IVF half): the 16-dim embedding splits into two
+    index (q024 is the IVF half): the 16-dim embedding splits into two
     8-dim subspaces, each trains a 4-codeword codebook (seeded + one
     Lloyd refinement, all integer-micro exact), and every vector encodes
     as a (code_s0, code_s1) byte pair plus its exact reconstruction
@@ -1048,10 +1048,10 @@ def q151_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster the corpus embeddings with k-means, then WITHIN each cluster
     drop every vector whose cosine to an earlier (lower-id) member is
     >= 3/4 — keep-first greedy pruning of semantic near-duplicates that
-    exact/minhash dedup (q048/q047) cannot see (paraphrases, re-renders).
+    exact/minhash dedup (q190/q189) cannot see (paraphrases, re-renders).
 
     All math is integer-exact so the oracle hash is engine-stable: the
-    assignment chain is q188's micro-quantized Lloyd iterations verbatim,
+    assignment chain is q046's micro-quantized Lloyd iterations verbatim,
     and the pair test compares 16*dot^2 >= 9*|a|^2*|b|^2 on milli-
     quantized vectors (no sqrt, no float: max |term| ~3e14 << int64).
 

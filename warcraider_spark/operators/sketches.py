@@ -41,7 +41,7 @@ def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q191_sketch_distinct_rollup",
+    "q049_sketch_distinct_rollup",
     oracle=f"""
 WITH d AS (SELECT event_type, CAST(user_id % {_KEY_MOD} AS BIGINT) AS k FROM events)
 SELECT event_type, COUNT(DISTINCT k) AS theta_users, COUNT(DISTINCT k) AS hll_users
@@ -53,7 +53,7 @@ ORDER BY event_type
 """,
     tags=("sketch", "approx", "distinct"),
 )
-def q191_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counts: per-type Theta AND HLL sketches,
     then the grand total by merging the PER-TYPE SKETCHES (theta_union_agg /
     hll_union_agg) — never re-scanning events. This two-level shape is the
@@ -127,7 +127,7 @@ def _kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q031's sketch pass, factored so tests can tighten the screw: the
+    """q107's sketch pass, factored so tests can tighten the screw: the
     3-row (view / purchase / merged view+purchase) estimate table with
     exact n, the p50/p95 quantile estimates, and the rank estimate of
     the literal value 50.0."""
@@ -158,7 +158,7 @@ def kll_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q031_sketch_kll_quantiles",
+    "q107_sketch_kll_quantiles",
     oracle="""
 WITH e AS (
   SELECT event_type, value FROM events WHERE event_type IN ('view', 'purchase')
@@ -173,7 +173,7 @@ FROM u GROUP BY event_type ORDER BY event_type
 """,
     tags=("sketch", "approx", "quantile"),
 )
-def q031_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per event_type: mergeable streaming quantiles
     — the bounded-memory alternative to exact percentile's full sort at
     scale; exercises the sketch API family end-to-end (agg → merge →
@@ -190,7 +190,7 @@ def q031_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins hold for every compaction draw with overwhelming margin. The
     p95 UPPER side is the exception (ADVICE r9 #1): 0.95 + 0.10 would
     exceed 1 and never fail, so it is clamped to +4% (lt95 <= 0.99) —
-    asymmetric (-10%, +4%), still ~1.7x the sketch error above target. q063
+    asymmetric (-10%, +4%), still ~1.7x the sketch error above target. q002
     carries the exact-percentile burden.
 
     Scale shape: two event scans (sketch pass + verification pass), one
@@ -251,7 +251,7 @@ _CMS_AB = ((3, 17), (5, 257), (7, 4099), (11, 65539))
 
 
 @query(
-    "q036_countmin_freq",
+    "q124_countmin_freq",
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text, ' '), '[\\s\\v]+')) AS tok FROM documents
@@ -295,7 +295,7 @@ ORDER BY tok
     bench=True,
     min_rows=1,
 )
-def q036_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q124_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream: d=4 hash rows ×
     w=512 counters, probed for every token whose true frequency ≥ 40,
     reporting exact count, CM estimate, and the (always ≥ 0) collision
@@ -307,7 +307,7 @@ def q036_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same groupBy(row,pos) SUM that merges per-day sketches into
     months without rescanning raw data. Point queries then probe d cells
     against the BROADCAST table instead of shuffling the corpus per key
-    (the heavy-hitter twin q078 re-scans; the sketch answers from
+    (the heavy-hitter twin q016 re-scans; the sketch answers from
     kilobytes). Same one-base-hash universal family as the minhash/bloom
     operators (dedup.py:145) — one md5 per token, d derived positions.
     """

@@ -251,7 +251,7 @@ def q089_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q050_shingle_fingerprint",
+    "q192_shingle_fingerprint",
     # shingles_sql carries the r8 short-doc CASE guard (whole doc as one
     # shingle below k, matching Spark's concat_ws semantics) — the former
     # inline greatest(len-2,1) form NULLed sub-3-token docs' shingles
@@ -266,7 +266,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint", "shingle"),
 )
-def q050_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q192_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural fingerprint: md5 over the sorted distinct 3-shingle set
     (document-level rolling-hash sketch; the minhash input representation).
     """
@@ -285,7 +285,7 @@ def q050_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q003_word_count_ref",
+    "q064_word_count_ref",
     oracle=f"""
 SELECT doc_id,
        {word_count_sql('text')} AS word_count
@@ -294,7 +294,7 @@ ORDER BY doc_id
 """,
     tags=("text", "reference-parity"),
 )
-def q003_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q064_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's word_count operator verbatim: Unicode
     split_whitespace token count as i32, 0 for empty
     (/root/reference/src/main.rs:468-471; r11 Unicode class fix)."""
@@ -366,12 +366,12 @@ ORDER BY d.doc_id, keyword
 
 
 @query(
-    "q159_rake_keywords",
+    "q043_rake_keywords",
     oracle=_rake_oracle_sql(),
     tags=("text", "rake", "reference-parity"),
     bench=True,
 )
-def q159_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed RAKE (functions.rake.rake_native): the reference's
     keyword operator (src/rake/rake.rs) as explode/groupBy — the DuckDB
     oracle re-implements the full algorithm independently in SQL."""
@@ -386,7 +386,7 @@ def q159_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q049_tfidf",
+    "q191_tfidf",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
@@ -406,7 +406,7 @@ ORDER BY tf.doc_id, tf.tok
 """,
     tags=("text", "tfidf"),
 )
-def q049_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q191_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF natively (SURVEY §2.11 north-star): explode → per-doc TF,
     corpus DF, smoothed IDF ln((N+1)/(df+1))+1 (the pyspark.ml IDF
     formula) — two shuffles, both partial-aggregated map-side. The idf
@@ -456,7 +456,7 @@ def q146_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml LSH estimators SURVEY §2.11 names (MinHashLSH +
     BucketedRandomProjectionLSH), run end-to-end: token binary vectors →
     MinHashLSH.approxSimilarityJoin for near-dup pairs; embeddings →
-    BRP-LSH hashing. The native q047/q029 carry the hash-checked
+    BRP-LSH hashing. The native q189/q105 carry the hash-checked
     banded-LSH equivalents.
 
     Certification (r8 — the last rows-only registry query upgraded):
@@ -557,7 +557,7 @@ def q146_ml_lsh_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q026_document_chunking",
+    "q100_document_chunking",
     oracle="""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents WHERE doc_id < 100),
 c AS (
@@ -576,7 +576,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("text", "chunking"),
 )
-def q026_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token windows, stride 24 →
     8-token overlap): the context-window packing stage of a training-data
     pipeline, as pure array expressions (slice per chunk index)."""
@@ -605,7 +605,7 @@ def q026_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q020_embedding_quantize",
+    "q086_embedding_quantize",
     oracle="""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -627,7 +627,7 @@ ORDER BY vec_id
 """,
     tags=("similarity", "quantization"),
 )
-def q020_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q086_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (absmax scaling) — the
     storage/bandwidth stage of a vector index at 100 TB; all native
     higher-order functions, int outputs so the oracle is exact."""
@@ -681,7 +681,7 @@ _PII_TEXT_SQL = """
 
 
 @query(
-    "q082_pii_redaction",
+    "q018_pii_redaction",
     oracle=f"""
 WITH pii AS ({_PII_TEXT_SQL}),
      red AS (
@@ -702,7 +702,7 @@ ORDER BY doc_id
 """,
     tags=("text", "pii", "redaction"),
 )
-def q082_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails / phone numbers / IPv4 with
     per-class counts — the compliance pass of a training-data pipeline.
     One linear scan, all JVM-side regexp expressions (codegen), no UDF; at
@@ -754,7 +754,7 @@ def q082_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q032_repetition_ratio",
+    "q111_repetition_ratio",
     # shingles_sql carries the r8 short-doc CASE guard — the former inline
     # gram NULLed below 5 tokens and DuckDB's list_distinct DROPS NULLs,
     # skewing distinct_5grams to 0 (rep_ratio 1.0) where Spark says 1 (0.0)
@@ -772,7 +772,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality", "repetition"),
 )
-def q032_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q111_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document (the Gopher-style repetition
     signal for filtering low-quality/boilerplate docs). Distinct counting
     happens inside the row via the shingle expression — a map-only linear
@@ -1398,7 +1398,7 @@ def q160_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_col: str = "doc_id") -> DataFrame:
     """Core packing transform: (shard, order, n_tok) → start_offset /
     bin_id / straddles via one window cumsum per shard. Factored from
-    q037 so edge cases (zero-token docs, docs wider than a window,
+    q125 so edge cases (zero-token docs, docs wider than a window,
     exact-boundary fits) are unit-testable against a reference model."""
     from pyspark.sql.window import Window
 
@@ -1418,7 +1418,7 @@ def sequence_pack(base: DataFrame, cap: int, shard_col: str = "source", order_co
 
 
 @query(
-    "q037_sequence_packing",
+    "q125_sequence_packing",
     oracle=f"""
 WITH t AS (
   SELECT source, doc_id,
@@ -1439,7 +1439,7 @@ ORDER BY source, doc_id
 """,
     tags=("text", "packing", "training-pipeline"),
 )
-def q037_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: concatenate each source's token
     stream (doc_id order) and assign every document the 2048-token context
     window its first token lands in — the packing stage that turns a
@@ -1622,7 +1622,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 @query(
-    "q135_bpe_merge_train",
+    "q040_bpe_merge_train",
     oracle=f"""
 WITH wtok AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1639,7 +1639,7 @@ ORDER BY merge_rank
     tags=("text", "bpe", "iterative", "training-pipeline"),
     bench=True,
 )
-def q135_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
     scale work is exactly ONE tokenize + groupBy shuffle down to the
     (word, count) vocabulary; every Lloyd-style merge round after that
@@ -1648,7 +1648,7 @@ def q135_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Per round: pair counts (map-side partial agg on a uniform
     (l, r) key), a 1-row global top-1, then the merge as a broadcast
     cross join + whole-stage-codegen string replace — no driver collect
-    in the loop. Loop state is localCheckpoint'ed per round (q025's
+    in the loop. Loop state is localCheckpoint'ed per round (q099's
     lineage-doubling lesson: words_i references words_{{i-1}} twice,
     directly and through best_i). Counts are exact integers, ties break
     lexicographically, so the merge table is hash-identical to the
@@ -1662,7 +1662,7 @@ def q135_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE training loop: returns (final merged-word table,
-    one 1-row merge DataFrame per round). See q135's docstring for the
+    one 1-row merge DataFrame per round). See q040's docstring for the
     per-round plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
@@ -1730,7 +1730,7 @@ ORDER BY cnt DESC, word
     tags=("text", "bpe", "training-pipeline"),
 )
 def q141_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODE (the apply half of q135): the vocabulary segmented by the
+    """BPE ENCODE (the apply half of q040): the vocabulary segmented by the
     {BPE_MERGES} trained merges — word, frequency, 'seg|men|tation', and
     resulting token count. Tokenizing a corpus with trained merges is the
     same chain of broadcast-merge string replaces the trainer runs, so the
@@ -1837,7 +1837,7 @@ SOURCE_CAP = 30
 
 
 @query(
-    "q022_source_cap",
+    "q096_source_cap",
     oracle=f"""
 WITH d AS (
   SELECT doc_id, source,
@@ -1863,7 +1863,7 @@ ORDER BY source
 """,
     tags=("text", "sampling", "training-pipeline"),
 )
-def q022_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q096_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap — the anti-over-representation pass of a
     training mix (no single domain/crawl may contribute more than
     {SOURCE_CAP} docs, best-quality-first): rank docs within source by
@@ -1952,7 +1952,7 @@ def q147_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc_id) builds postings with partial aggs, and the final
     term-level rollup reuses the term prefix of that key. The DF cap
     (df > 80% of the corpus → stop-term, dropped) bounds every posting
-    list — the same skew guard as q024's shingle cap: without it one
+    list — the same skew guard as q098's shingle cap: without it one
     stop-term's list is the whole corpus concatenated onto a single
     reducer. The corpus size joins in as a broadcast 1-row aggregate, and
     the compare is integer (df*10 <= n_docs*8) so both engines agree
@@ -2112,7 +2112,7 @@ SDOT_TOPK = 5
 
 
 @query(
-    "q097_sparse_dot_topk",
+    "q023_sparse_dot_topk",
     oracle=f"""
 WITH tl AS ({BIGRAMS_SQL}),
 tok AS (
@@ -2154,9 +2154,9 @@ ORDER BY query_id, rank
     bench=True,
     min_rows=1,
 )
-def q097_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF dot-product top-k via the inverted index — lexical
-    nearest neighbors, the retrieval dual of q192's dense rerank and the
+    nearest neighbors, the retrieval dual of q050's dense rerank and the
     pairing stage of a lexical near-dup miner. Terms are adjacent-token
     bigrams (see BIGRAMS_SQL — the corpus's 31-word vocabulary makes
     unigram presence non-discriminative).
@@ -2165,7 +2165,7 @@ def q097_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tf (saturated at 50, BM25-style) x an integer idf
     (1_000_000 // df) — floating summation order can never flip a rank.
     Terms with df > n_docs/5 are dropped before the join: the SAME skew
-    guard as q147/q024 (one stop-term would otherwise put the whole
+    guard as q147/q098 (one stop-term would otherwise put the whole
     corpus under one join key), applied identically in the oracle, so
     the cap is part of the certified semantics, not a silent
     approximation.
@@ -2198,7 +2198,7 @@ def q097_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataFrame:
-    """The q097 plan over an arbitrary documents DataFrame. ``query_pred``
+    """The q023 plan over an arbitrary documents DataFrame. ``query_pred``
     optionally restricts the query side further (tools/scale_bench.py pins
     queries to replica 0 so the §10 curve measures fixed-workload corpus
     growth, not k-squared by construction)."""
@@ -2267,7 +2267,7 @@ PMI_TOPK = 100
 
 
 @query(
-    "q040_pmi_collocations",
+    "q135_pmi_collocations",
     oracle=f"""
 WITH t AS (
   SELECT string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
@@ -2293,11 +2293,11 @@ LIMIT {PMI_TOPK}
     tags=("text", "collocations", "training-pipeline"),
     min_rows=20,
 )
-def q040_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q135_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining — rank adjacent-bigram collocations by
     pointwise mutual information, the standard phrase-detection pass
     (word2vec-style phrase merging) a tokenizer-training pipeline runs
-    before BPE (complements q135/q054/q141).
+    before BPE (complements q040/q054/q141).
 
     PMI = log(p(xy)/(p(x)p(y))) is certified INTEGER-EXACTLY as the
     scaled ratio n_xy*N*1e6 div (n_x*n_y) — log is monotone, so the
@@ -2444,7 +2444,7 @@ NOVELTY_K = 5  # 5-token grams, the substring-dedup literature's unit
 
 
 @query(
-    "q150_ngram_novelty",
+    "q041_ngram_novelty",
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text, ' '), '[\\s\\v]+') AS toks FROM documents
@@ -2466,13 +2466,13 @@ ORDER BY doc_id
     tags=("text", "dedup", "training-pipeline"),
     min_rows=100,
 )
-def q150_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY rate — the corpus-diversity metric the
     substring-dedup literature (Lee et al., "Deduplicating Training Data
     Makes LMs Better") uses to decide how much of each new document is
     genuinely new text: the fraction of its distinct 5-grams whose FIRST
     corpus occurrence (min doc_id) is this document. Late crawl
-    snapshots score low → prime pruning candidates; complements q038's
+    snapshots score low → prime pruning candidates; complements q133's
     duplicate-span finder with a doc-level score.
 
     Integer-exact: counts and a basis-point ratio via integer div.
@@ -2582,7 +2582,7 @@ def q140_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because each rule is one O(tokens) pass with trivial lambda
     bodies, measured linear 3.8× at 8× data) — map-only over the
     corpus, no shuffle before the presentation sort; at 100 TB this is
-    the cheapest possible full-corpus pass (the same scan the q045
+    the cheapest possible full-corpus pass (the same scan the q174
     pipeline fuses its filters into).
 
     Note: the stopword rule keeps Gopher's PUBLISHED 8-word list, which

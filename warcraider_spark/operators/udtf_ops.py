@@ -38,7 +38,7 @@ def bigram_udtf_class():
 
 
 @query(
-    "q190_bigram_udtf",
+    "q048_bigram_udtf",
     # list_filter mirrors the UDTF's filtered split: NO empty tokens —
     # the bare regex split keeps a leading '' on whitespace-only docs
     # and would emit a phantom ('','') bigram the UDTF never yields (r8
@@ -60,7 +60,7 @@ ORDER BY doc_id, pos
 """,
     tags=("udtf", "text"),
 )
-def q190_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral Python UDTF: documents → bigram rows, hash-checked against
     the pure-SQL expansion."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)

@@ -26,7 +26,7 @@ _FMT_SQL = "%Y-%m-%d %H:%M:%S"
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    """Shared by batch q101 and the streaming variant: 1h tumbling window
+    """Shared by batch q027 and the streaming variant: 1h tumbling window
     per event_type with count + sum(value)."""
     return (
         events.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
@@ -44,7 +44,7 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 
 @query(
-    "q101_tumbling_window",
+    "q027_tumbling_window",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        event_type,
@@ -57,7 +57,7 @@ ORDER BY window_start, event_type
     tags=("streaming", "window", "agg"),
     bench=True,
 )
-def q101_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time windows (epoch-aligned, so time_bucket is
     the exact dual). The same builder feeds the streaming variant."""
     ev = load_table(spark, sf_dir, "events")
@@ -65,7 +65,7 @@ def q101_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q033_sliding_window",
+    "q113_sliding_window",
     oracle=f"""
 WITH assigned AS (
   SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '{_FMT_SQL}') AS window_start, value FROM events
@@ -79,7 +79,7 @@ ORDER BY window_start
 """,
     tags=("streaming", "window", "agg"),
 )
-def q033_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q113_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min: each event lands in exactly two
     windows — the oracle materializes that as a union of two offset
     bucketings."""
@@ -93,7 +93,7 @@ def q033_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q105_session_window",
+    "q029_session_window",
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts,
@@ -117,7 +117,7 @@ ORDER BY user_id, session_start
 """,
     tags=("streaming", "window", "session"),
 )
-def q105_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) via Spark's session_window, verified
     against an independent gaps-and-islands SQL formulation — the two
     derivations agreeing pins the merge semantics."""
@@ -135,7 +135,7 @@ def q105_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q106_watermark_semantics",
+    "q030_watermark_semantics",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        event_type,
@@ -147,7 +147,7 @@ ORDER BY window_start, event_type
 """,
     tags=("streaming", "watermark"),
 )
-def q106_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation run through a REAL structured
     stream: the events table is replayed as a file stream (availableNow,
     maxFilesPerTrigger micro-batches) with a 1-hour watermark; results come
@@ -168,7 +168,7 @@ def q106_watermark_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q034_stream_static_enrich",
+    "q115_stream_static_enrich",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_SQL}') AS window_start,
        COALESCE(c_mktsegment, 'unknown') AS segment,
@@ -180,7 +180,7 @@ ORDER BY window_start, segment
 """,
     tags=("streaming", "join", "window"),
 )
-def q034_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q115_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join run through a REAL structured stream: events
     replayed as a file stream, broadcast-joined per micro-batch to the
     static customer dimension, then watermarked windowed revenue per
@@ -194,7 +194,7 @@ def q034_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q014_retention_cohorts",
+    "q076_retention_cohorts",
     oracle="""
 WITH first_seen AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
@@ -212,7 +212,7 @@ ORDER BY cohort_day, day_n
 """,
     tags=("window", "cohort", "retention"),
 )
-def q014_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q076_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-seen day, counted
     distinct on each day-offset they return. Two shuffles on user_id
     (first-seen agg + join back — co-partitioned, so AQE can plan a
@@ -235,7 +235,7 @@ def q014_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q015_funnel_conversion",
+    "q077_funnel_conversion",
     oracle="""
 WITH stage_ts AS (
   SELECT user_id,
@@ -260,7 +260,7 @@ ORDER BY stage
 """,
     tags=("window", "funnel"),
 )
-def q015_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q077_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → first later click → first later purchase):
     one groupBy(user) computes the three stage timestamps with conditional
     MIN (map-side combine, single shuffle), then the strictly-increasing

@@ -12,10 +12,10 @@ harness now mirrors the driver's canonicalizer exactly:
   reproduced locally.  In particular DuckDB ``SUM(int)`` → HUGEINT →
   **float64** in pandas, which hashes as ``1672.0`` ≠ Spark's int64
   ``1672``.  (Round 1's ``_canon`` folded integral floats to int strings,
-  which masked exactly the q017/q018/q155 driver failures.)
+  which masked exactly the q080/q082/q042 driver failures.)
 - array/map/struct-typed result columns **raise** instead of being
   canonicalized: the driver's pandas ``sort_values`` crashes on them
-  (q013's ``unhashable type: 'list'``), so a query emitting one can never
+  (q074's ``unhashable type: 'list'``), so a query emitting one can never
   be driver-green — serialize to string on both sides instead.
 """
 
@@ -130,7 +130,7 @@ def run_oracle(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> OracleResul
     if spec.oracle is None:
         # Rows-only queries still flow through the driver's canonicalizer, so
         # list/map-typed output columns crash there exactly as they do for
-        # oracle-paired queries (q041's r2 ERR).  Hash the frame locally —
+        # oracle-paired queries (q150's r2 ERR).  Hash the frame locally —
         # _canon raises on array/map cells — so the class is closed, not the
         # instance (VERDICT r2 "next round" #2).
         _hash_pdf(spark_pdf)

@@ -13,7 +13,7 @@ Operators:
   oracle certifies the semantics);
 - ``replay_events_stream``: replays the driver's events table through a
   REAL stream (availableNow trigger → memory sink) and returns the result
-  as a batch DataFrame — used by q106 and tests;
+  as a batch DataFrame — used by q030 and tests;
 - ``stream_warc_pipeline``: streaming variant of the WARC→url_resource
   pipeline with checkpointed exactly-once sink.
 """
@@ -61,7 +61,7 @@ def windowed_counts_stream(
     rounded doubles: integer addition is order-independent, so the result
     is bit-identical no matter how micro-batches slice the input — the
     property that lets a REAL stream run be hash-compared against a batch
-    SQL oracle (q106)."""
+    SQL oracle (q030)."""
     agg_val = (
         F.sum(F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).alias("sum_value_milli")
         if integer_units

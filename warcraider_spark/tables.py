@@ -88,8 +88,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def table_row_count(sf_dir: str, name: str) -> int:
     """Row count straight from the parquet FOOTER — no Spark job, so
-    builders that need a count for plan STRUCTURE (q134's band layout,
-    q097's df-cap literal) stay side-effect-free at plan-construction
+    builders that need a count for plan STRUCTURE (q039's band layout,
+    q023's df-cap literal) stay side-effect-free at plan-construction
     time (VERDICT r6 #8: explain() on every builder launches zero jobs).
     At 100 TB the same number comes from table metadata — catalog
     statistics or a footer-sum over the manifest — never a full scan."""
