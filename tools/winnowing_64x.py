@@ -9,15 +9,30 @@ median-of-3, noop sink) but focused on the four family operators so the
 output-linearity invariants per factor (clusters / weight mass /
 spans / chars must grow exactly xK under disjoint replication).
 
+Memory sizing (learned the hard way — first run crashed): the study
+replicates what would be 64 executors' worth of data into ONE local
+JVM, and the composed q197 additionally materializes its shared
+selector checkpoint (~1 GB at 64x) PER REP while Python-GC lag defers
+block cleanup across reps — at the default 8g driver heap a runtime
+broadcast build then OOMs mid-study. The runner therefore defaults
+SPARK_GRAFT_DRIVER_MEM to 32g (box has 128 GiB) and gc.collect()s
+between reps so the ContextCleaner can reclaim dead checkpoint blocks
+promptly. Neither matters on a real cluster: one pipeline run holds
+ONE fpos checkpoint, spread across executors at ~1/K of the local
+footprint.
+
 Usage: python tools/winnowing_64x.py [base_sf_dir] [factors..., default 1 8 32 64]
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
 import time
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -97,12 +112,17 @@ def main() -> None:
                 t0 = time.perf_counter()
                 BUILDERS[q](spark, dirs[k]).write.format("noop").mode("overwrite").save()
                 raw[q].append(time.perf_counter() - t0)
+                # drop py4j refs NOW so the ContextCleaner can reclaim the
+                # rep's checkpoint blocks before the next one allocates
+                gc.collect()
+            print(f"PROGRESS x{k} rep{rep} done", file=sys.stderr, flush=True)
         for q in ordered:
             reps = sorted(raw[q])
             walls[q][k] = round(reps[len(reps) // 2], 2)
             walls[q + "|reps"] = walls.get(q + "|reps", {})
             walls[q + "|reps"][k] = [round(x, 2) for x in raw[q]]  # type: ignore[assignment]
             audits[q][k] = _audit(q, BUILDERS[q](spark, dirs[k]))
+            gc.collect()
 
     print(json.dumps({"walls": walls, "audits": audits, "factors": factors}))
 
