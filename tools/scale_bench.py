@@ -278,24 +278,38 @@ def _winnowing_scale_docs(spark, sf_dir):
     (every 20-char gram spans a salted token, tokens being far shorter
     than k) keeps per-replica corpora fingerprint-disjoint, so pair
     density and output grow LINEARLY and the curve measures the
-    selector + fp-shuffle + pair-join path itself."""
+    selector + fp-shuffle + pair-join path itself.
+
+    The salt must preserve gram-comparison ISOMORPHISM across replicas
+    (r14 lesson, first 64x attempt): the winnowing argmin selects the
+    lexicographically-least gram per window, so any salt whose
+    characters compare differently against the text — or against each
+    other — in different replicas changes WHICH positions are selected,
+    and per-replica cluster/span structure then legitimately diverges
+    from the 1x corpus (observed with variable-width "r31_" salts:
+    clusters 16 -> 5621 at 32x instead of 512; still ~0.2% span drift
+    with fixed-width "r%02d_" because a comparison can land on the
+    salt's first digit in one gram vs its second in the other, and
+    those differ between replicas). The construction that is exact by
+    design: ONE salt character per token, drawn from a 64-char block
+    (U+00C0..U+00FF) strictly ABOVE every corpus character (the corpus
+    is ASCII; verified max codepoint 121) in both codepoint and UTF-8
+    byte order. Within a replica all salt chars are identical, so a
+    first-difference position never compares two different salt chars;
+    salt-vs-text comparisons always order salt > text regardless of
+    which replica's char is substituted. Supports 64 replicas; extend
+    the block (e.g. into U+0100+) for larger factors."""
     from pyspark.sql import functions as F
 
     from warcraider_spark.tables import load_table
 
+    alpha = "".join(chr(0xC0 + i) for i in range(64))
+    salt = F.expr(f"substring('{alpha}', cast(doc_id div 1000000 as int) + 1, 1)")
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat_ws(
             " ",
-            F.transform(
-                F.split(F.trim("text"), r"\s+"),
-                lambda t: F.concat(
-                    F.lit("r"),
-                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
-                    F.lit("_"),
-                    t,
-                ),
-            ),
+            F.transform(F.split(F.trim("text"), r"\s+"), lambda t: F.concat(salt, t)),
         ).alias("text"),
     )
 
