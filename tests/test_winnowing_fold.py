@@ -12,7 +12,7 @@ from __future__ import annotations
 import random
 import string
 
-from warcraider_spark.operators.dedup import winnowing_pairs
+from warcraider_spark.operators.dedup import _winnow_fp, winnowing_pairs
 
 
 def _rand_text(rng: random.Random, n: int) -> str:
@@ -50,18 +50,15 @@ def test_fold_equals_string_on_random_corpora(spark):
 
 
 def test_fold_shuffles_bigint_not_string(spark):
+    """r14: the selector lives in _winnow_fp (shared by every consumer),
+    so the fold/schema pins live on it directly."""
     docs = spark.createDataFrame(_corpus(23), "doc_id long, text string")
-    plan = winnowing_pairs(docs, fold=True)._jdf.queryExecution().toString()
+    plan = _winnow_fp(docs, fold=True)._jdf.queryExecution().toString()
     # the exploded fingerprint column is the xxhash64 bigint
     assert "xxhash64" in plan
     # schema-level pin: the explode output type under each mode
-    from pyspark.sql import functions as F
-
-    sel = winnowing_pairs.__globals__["_WINNOW_SEL"]
-    fp = docs.select(F.explode(F.expr(f"transform({sel}, s -> xxhash64(s))")).alias("f"))
-    assert dict(fp.dtypes)["f"] == "bigint"
-    fp_str = docs.select(F.explode(F.expr(sel)).alias("f"))
-    assert dict(fp_str.dtypes)["f"] == "string"
+    assert dict(_winnow_fp(docs, fold=True).dtypes)["f"] == "bigint"
+    assert dict(_winnow_fp(docs, fold=False).dtypes)["f"] == "string"
 
 
 def test_spread_is_explicit_not_probed(spark):
@@ -70,16 +67,13 @@ def test_spread_is_explicit_not_probed(spark):
     spread_partitions=None there is no repartition of the input; with an
     explicit target there is exactly one round-robin exchange."""
     docs = spark.createDataFrame(_corpus(5), "doc_id long, text string")
-    plan_none = winnowing_pairs(docs)._jdf.queryExecution().toString()
+    plan_none = _winnow_fp(docs)._jdf.queryExecution().toString()
     assert "RoundRobinPartitioning" not in plan_none.split("== Physical Plan ==")[-1]
     plan_spread = (
-        winnowing_pairs(docs, spread_partitions=8)
-        ._jdf.queryExecution()
-        .toString()
+        _winnow_fp(docs, spread_partitions=8)._jdf.queryExecution().toString()
     )
     phys = plan_spread.split("== Physical Plan ==")[-1]
-    # the printed tree re-declares the fingerprint lineage per consumer
-    # (idx + both pair sides) so the exchange appears several times
-    # statically; AQE reuses it at runtime. The pin is its presence and
-    # the explicit target, not the print count.
+    # The pin is the exchange's presence and explicit target on the
+    # shared selector; winnowing_pairs re-declares the lineage per
+    # consumer in the printed tree and AQE reuses it at runtime.
     assert "RoundRobinPartitioning(8)" in phys

@@ -2028,11 +2028,51 @@ WINNOW_K = 20
 WINNOW_W = 8
 WINNOW_DF_CAP = 64
 
-_WINNOW_SEL = (
-    f"array_distinct(transform(sequence(1, length(text)-{WINNOW_K + WINNOW_W - 2}), "
-    f"j -> array_min(transform(sequence(0, {WINNOW_W - 1}), "
-    f"d -> substring(text, j+d, {WINNOW_K})))))"
+# r14 (guide §1.2 "per-task work"): the selector materializes the k-gram
+# array ONCE per document and takes window minima over array slices —
+# one substring allocation per position instead of the W=8 the previous
+# nested-transform form paid (the inner transform re-built every window's
+# substrings from scratch). Value-identical: grams[j+d] ==
+# substring(text, j+d, K), so min over slice(grams, j, W) is the same
+# string the nested form selected. The two-step Project (grams column,
+# then the min transform referencing it twice) is what keeps Catalyst
+# from inlining the grams expression into the lambda body — the same
+# CollapseProject barrier exact_substring_excision already relies on.
+_WINNOW_GRAMS = (
+    f"transform(sequence(1, length(text)-{WINNOW_K - 1}), "
+    f"i -> substring(text, i, {WINNOW_K}))"
 )
+_WINNOW_MINS = (
+    f"array_distinct(transform(sequence(1, size(grams)-{WINNOW_W - 1}), "
+    f"j -> array_min(slice(grams, j, {WINNOW_W}))))"
+)
+
+
+def _winnow_fp(
+    docs: DataFrame,
+    *,
+    fold: bool = True,
+    spread_partitions: int | None = None,
+) -> DataFrame:
+    """The winnowing selector: one (doc_id, f) row per DISTINCT selected
+    fingerprint per document (array_distinct runs per doc, before the
+    explode). fold=True emits f as the post-selection xxhash64 bigint
+    (8-byte shuffle key); fold=False keeps the k-gram string the DuckDB
+    oracle mirrors bytewise. See winnowing_pairs for the spread
+    rationale."""
+    base = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    if spread_partitions is not None and spread_partitions > 1:
+        base = base.repartition(spread_partitions)
+    sel = _WINNOW_MINS
+    if fold:
+        # distinct-then-fold preserves the per-doc distinct gram set the
+        # string form selects; the outer distinct on the 8-byte hashes is
+        # O(n) and guards the count()-based df against the (~1e-8)
+        # in-doc collision duplicating a (doc_id, f) row.
+        sel = f"array_distinct(transform({sel}, s -> xxhash64(s)))"
+    return base.select("doc_id", F.expr(_WINNOW_GRAMS).alias("grams")).select(
+        "doc_id", F.explode(F.expr(sel)).alias("f")
+    )
 
 
 @query(
@@ -2141,15 +2181,31 @@ def winnowing_pairs(
     the 100 TB plan at zero extra shuffles — the decision is now static
     in the caller, never derived from a plan-time RDD materialization,
     so the physical plan no longer depends on defaultParallelism or
-    file-split layout."""
-    docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-    if spread_partitions is not None and spread_partitions > 1:
-        docs = docs.repartition(spread_partitions)
-    sel = f"transform({_WINNOW_SEL}, s -> xxhash64(s))" if fold else _WINNOW_SEL
-    fp = docs.select("doc_id", F.explode(F.expr(sel)).alias("f"))
+    file-split layout.
+
+    r14 optimization (guide §1.2, measured in OPTIMIZATION_r14.md):
+    - the selector now materializes the k-gram array once per document
+      and takes window minima over array slices (_WINNOW_GRAMS /
+      _WINNOW_MINS) — one substring allocation per position instead of
+      W=8, measured ~15% faster on the isolated fingerprint stream
+      (tools/r14_selector_ab.py);
+    - the df index uses count(1), not countDistinct(doc_id) — (doc_id,
+      f) is distinct by construction (per-doc array_distinct, plus the
+      post-fold distinct guarding the ~1e-8 in-doc hash collision), and
+      plain count gets map-side partial aggregation where countDistinct
+      shipped every fingerprint row into the aggregate;
+    - two NEGATIVE results kept as the old shape (numbers in
+      OPTIMIZATION_r14.md): materializing fp behind cut_lineage and
+      replacing the self-join with a per-fingerprint collect_list +
+      combination explode both measured SLOWER — the static plan prints
+      the selector subtree per consumer, but AQE exchange reuse already
+      deduplicates it at runtime (the selector executes once; the extra
+      copies read shuffle files), so the checkpoint only added block
+      serialization for zero saved compute."""
+    fp = _winnow_fp(docs, fold=fold, spread_partitions=spread_partitions)
     idx = (
         fp.groupBy("f")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
         .select("f")
     )
