@@ -2075,6 +2075,40 @@ def _winnow_fp(
     )
 
 
+# r14 (guide §1.2 per-task work): POSITION-annotated selector via ONE
+# struct argmin. struct(gram, pos) ordering compares the gram first and
+# the position second, so array_min over a window of structs IS the first
+# occurrence of the window's minimum k-gram — the exact position the old
+# array_min(slice) + array_position(slice) double-slice form selected,
+# with one slice materialization and W-1 struct compares per window
+# instead of two slices and up to 2W-1 string compares, and no
+# element_at re-lookup to fetch the gram afterwards. Measured ~36%
+# faster on the isolated (doc_id, f, p) stream, output-identical
+# (tools/r14_wins_ab.py). The two references to gp (size + slice) keep
+# CollapseProject from inlining the struct array into the lambda.
+_WINNOW_GP = (
+    f"transform(sequence(1, length(text)-{WINNOW_K - 1}), "
+    f"i -> struct(substring(text, i, {WINNOW_K}) AS f, cast(i AS int) AS p))"
+)
+_WINNOW_FPOS = (
+    f"array_distinct(transform(sequence(1, size(gp)-{WINNOW_W - 1}), "
+    f"j -> array_min(slice(gp, j, {WINNOW_W}))))"
+)
+
+
+def _winnow_fpos(base: DataFrame, *, fold: bool = True) -> DataFrame:
+    """Position-annotated winnowing selector over a pre-filtered (and
+    optionally pre-spread) frame: one (doc_id, f, p) row per selected
+    position. p determines f, so rows are unique on (doc_id, p).
+    fold=True emits f as the post-selection xxhash64 bigint."""
+    fcol = F.xxhash64(F.col("fp.f")) if fold else F.col("fp.f")
+    return (
+        base.select("doc_id", F.expr(_WINNOW_GP).alias("gp"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_FPOS)).alias("fp"))
+        .select("doc_id", fcol.alias("f"), F.col("fp.p").alias("p"))
+    )
+
+
 @query(
     "q069_winnowing_dup_pairs",
     oracle=f"""
@@ -2634,36 +2668,24 @@ def exact_substring_excision(
     base = docs.filter(F.length("text") >= K + W - 1)
     if spread_partitions is not None and spread_partitions > 1:
         base = base.repartition(spread_partitions)
-    grams = base.withColumn(
-        "grams",
-        F.expr(f"transform(sequence(1, length(text)-{K - 1}), i -> substring(text, i, {K}))"),
-    )
-    wins = grams.withColumn(
-        "wins",
-        F.expr(
-            f"array_distinct(transform(sequence(1, size(grams)-{W - 1}), "
-            f"j -> cast(j + array_position(slice(grams, j, {W}), "
-            f"array_min(slice(grams, j, {W}))) - 1 as int)))"
-        ),
-    )
-    fexpr = "xxhash64(element_at(grams, p))" if fold else "element_at(grams, p)"
-    fpos = wins.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"array_distinct(transform(wins, p -> struct({fexpr} AS f, p AS p)))")
-        ).alias("fp"),
-    ).select("doc_id", F.col("fp.f").alias("f"), F.col("fp.p").alias("p"))
+    fpos = _winnow_fpos(base, fold=fold)
     stats = (
         fpos.groupBy("f")
         .agg(F.countDistinct("doc_id").alias("df"), F.min("doc_id").alias("owner"))
         .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
         .select("f", "owner")
     )
+    # No distinct on the cut stream (r14, guide §2.4): fpos is unique on
+    # (doc_id, p) by construction — wins positions are array_distinct per
+    # document and each position carries exactly one gram — and stats is
+    # unique per f, so the equi-join cannot duplicate a (doc_id, p) row.
+    # The old .distinct() was a full Exchange + two HashAggregates over
+    # the cut stream for zero effect (oracle's SELECT DISTINCT dedups the
+    # same already-unique set).
     cuts = (
         fpos.join(stats, "f")
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "p")
-        .distinct()
     )
     spans = cuts.groupBy("doc_id").agg(
         F.expr(
@@ -2864,30 +2886,9 @@ def winnowing_family(
     base = docs.filter(F.length("text") >= K + W - 1)
     if spread_partitions is not None and spread_partitions > 1:
         base = base.repartition(spread_partitions)
-    grams = base.withColumn(
-        "grams",
-        F.expr(f"transform(sequence(1, length(text)-{K - 1}), i -> substring(text, i, {K}))"),
-    )
-    wins = grams.withColumn(
-        "wins",
-        F.expr(
-            f"array_distinct(transform(sequence(1, size(grams)-{W - 1}), "
-            f"j -> cast(j + array_position(slice(grams, j, {W}), "
-            f"array_min(slice(grams, j, {W}))) - 1 as int)))"
-        ),
-    )
-    fexpr = "xxhash64(element_at(grams, p))" if fold else "element_at(grams, p)"
-    # THE shared selector pass: materialized once, read by every branch.
-    fpos = (
-        wins.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"array_distinct(transform(wins, p -> struct({fexpr} AS f, p AS p)))")
-            ).alias("fp"),
-        )
-        .select("doc_id", F.col("fp.f").alias("f"), F.col("fp.p").alias("p"))
-        .transform(cut_lineage)
-    )
+    # THE shared selector pass (struct argmin — see _winnow_fpos):
+    # materialized once, read by every branch.
+    fpos = _winnow_fpos(base, fold=fold).transform(cut_lineage)
     # Shared fingerprint stats: df cap for the pair index AND excision
     # ownership in one aggregation (seam-sized; cut so the pair branch
     # and the cuts branch both read one materialization).
@@ -2920,11 +2921,12 @@ def winnowing_family(
     )
     clustered = comp.join(sizes, "comp").join(canon, "comp").select("node", "n", "canon")
     # Branch 2: excision accounting (q088 semantics, accounting columns).
+    # No distinct (r14): fpos is unique on (doc_id, p) by construction
+    # and stats is unique per f — see exact_substring_excision.
     cuts = (
         fpos.join(stats, "f")
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "p")
-        .distinct()
     )
     excise = cuts.groupBy("doc_id").agg(
         F.expr(
