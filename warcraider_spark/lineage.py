@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "cut_lineage",
     "cut_lineage_eager",
+    "range_presort",
     "set_reliable_checkpoint_dir",
     "clear_reliable_checkpoint_dir",
     "reliable_checkpoint_dir",
@@ -100,3 +101,26 @@ def cut_lineage_eager(df: DataFrame) -> DataFrame:
             _last_set = key
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def range_presort(df: DataFrame, *keys: str, partitions: int | None = None) -> DataFrame:
+    """Range-partition ``df`` by a query's presentation-sort keys BEFORE
+    its expensive per-row work (r14, guide §1.2/§2.4/§2.5).
+
+    A trailing ``.orderBy(keys)`` plans as a range Exchange whose boundary
+    sampling EXECUTES THE CHILD A SECOND TIME (RangePartitioner reservoir-
+    samples the child RDD, iterating every partition to completion). When
+    the child is an exchange-free map pipeline — an Arrow kernel, fused
+    higher-order projections — the entire computation runs twice per
+    action. Range-partitioning the INPUT by the same keys instead (a) puts
+    the sampling on the cheap scan, (b) lets the final global sort
+    degenerate to ``sortWithinPartitions(keys)`` (range partitions are
+    contiguous, so partition-local sort IS the total order), and (c) runs
+    the per-row work once, post-exchange, at full parallelism — the local
+    single-row-group parquet files otherwise scan as ONE task.
+
+    Partition count defaults to ``defaultParallelism`` (scale-adaptive:
+    cores locally, cluster size under a real scheduler), never a constant.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *keys)

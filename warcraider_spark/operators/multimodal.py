@@ -1575,9 +1575,13 @@ def q196_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, first, n, bytes(payload[s:e]))
         for i, (first, n, s, e) in enumerate(info["segments"])
     ]
+    # range-partition on seg_idx (not round-robin): the trailing global
+    # sort then degenerates to sortWithinPartitions, so the range-
+    # boundary sampling of the old orderBy — which EXECUTED THE DECODE A
+    # SECOND TIME — disappears (r14, lineage.range_presort rationale).
     seg_df = spark.createDataFrame(
         rows, "seg_idx int, first_mcu long, n_mcus long, data binary"
-    ).repartition(min(len(rows), 8))
+    ).repartitionByRange(min(len(rows), 8), "seg_idx")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from warcraider_spark.functions.jpeg import decode_jpeg_segment
@@ -1596,9 +1600,11 @@ def q196_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
+    # mapInPandas is partition-local, so the range layout above survives
+    # it physically; partition-local sort IS the total seg_idx order.
     return seg_df.mapInPandas(
         decode, "seg_idx int, first_mcu long, n_blocks long, pixel_sum long"
-    ).orderBy("seg_idx")
+    ).sortWithinPartitions("seg_idx")
 
 
 # ---------------------------------------------------------------------------
