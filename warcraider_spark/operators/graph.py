@@ -460,7 +460,15 @@ def alternating_components(
         cur = (got["n"], got["h"])
         if rounds_out is not None:
             rounds_out.append(cur)
-        if cur == prev_sig:
+        # n == 0 is self-certifying convergence (an empty edge set cannot
+        # contract further), so break WITHOUT the confirming round the
+        # signature compare needs. This is the common case under
+        # contracted_components: with id-local partitioning the residual
+        # seam graph is often EMPTY, and the old loop still paid two full
+        # rounds (2 window shuffles + eager cut + observe each) on zero
+        # rows — measured 2 rounds of (0, None) at sf0.1 for every CC
+        # bench query (r14, guide §2.4).
+        if cur == prev_sig or cur[0] == 0:
             break
         prev_sig = cur
 
@@ -580,8 +588,25 @@ def contracted_components(
         .select(F.col("y").alias("src"), F.col("x").alias("dst"))
         .distinct()
     )
+    # r14 (guide §2.4): materialize the seam graph with an observed count.
+    # Under id-local partitioning the residual is often EMPTY (true for
+    # every CC bench query at sf0.1 — the contraction collapses each
+    # range partition's chains whole), and the old code still paid two
+    # full alternating rounds plus a left join on zero rows. When no
+    # seams exist, every local root IS the global component id. When they
+    # do, the rounds read the materialized links blocks instead of
+    # recomputing the window+distinct — same work at scale, one fewer
+    # pass locally.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    links_m = cut_lineage_eager(
+        links.observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    if obs.get["n"] == 0:
+        return m.select("node", F.col("root").alias("comp")).distinct()
     small = alternating_components(
-        links, rounds_out=rounds_out, assume_canonical=True
+        links_m, rounds_out=rounds_out, assume_canonical=True
     ).withColumnRenamed("node", "root")
     return (
         m.join(small, "root", "left")

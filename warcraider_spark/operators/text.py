@@ -1659,28 +1659,76 @@ ORDER BY merge_rank
 def q040_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merges on the corpus vocabulary. The corpus-
     scale work is exactly ONE tokenize + groupBy shuffle down to the
-    (word, count) vocabulary; every Lloyd-style merge round after that
-    touches only the vocabulary table (size = distinct words, independent
-    of corpus bytes) — the shape that makes distributed BPE viable at
-    100 TB. Per round: pair counts (map-side partial agg on a uniform
-    (l, r) key), a 1-row global top-1, then the merge as a broadcast
-    cross join + whole-stage-codegen string replace — no driver collect
-    in the loop. Loop state is localCheckpoint'ed per round (q099's
-    lineage-doubling lesson: words_i references words_{{i-1}} twice,
-    directly and through best_i). Counts are exact integers, ties break
-    lexicographically, so the merge table is hash-identical to the
-    independently-unrolled DuckDB oracle."""
+    (word, count) vocabulary; every merge round after that touches only
+    the vocabulary table (size = distinct words, bounded by
+    BPE_VOCAB_TOP, independent of corpus bytes) — the shape that makes
+    distributed BPE viable at 100 TB.
+
+    r14 (guide §1.2 order-of-operations): because the vocabulary is
+    BOUNDED by construction, the merge rounds are executor-LOCAL by
+    default — one repartition(1) + one Arrow batch runs all {BPE_MERGES}
+    rounds on the ≤{BPE_VOCAB_TOP}-row table in a single task
+    (_bpe_rounds_local), replacing ~3 jobs per round (pair-count
+    shuffle, global top-1, broadcast replace, each behind a lineage
+    cut) with one. This is how production tokenizer trainers are built:
+    distributed word counting, local merge training on the bounded
+    count table. The distributed per-round loop is kept under
+    ``distributed_rounds=True`` (regime documentation + the
+    equivalence test tests/test_bpe_local_rounds.py) for the
+    hypothetical unbounded-vocabulary regime. Counts are exact
+    integers, ties break lexicographically, the greedy non-overlapping
+    string replace is shared semantics across all three
+    implementations, so the merge table is hash-identical to the
+    independently-unrolled DuckDB oracle either way."""
     _, merge_rows = _bpe_train(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
-    return out.orderBy("merge_rank")
+    # single range partition out of the local trainer: partition-local
+    # sort IS the total order (r14; no boundary-sampling re-run)
+    return out.sortWithinPartitions("merge_rank")
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+def _bpe_rounds_local(rows: list[tuple[str, int]]) -> tuple[list, list]:
+    """Pure-python twin of the distributed merge loop, run on the bounded
+    (wrapped-word, count) vocabulary inside ONE task: returns
+    (final_words, merges). Shared semantics with the distributed loop
+    and the DuckDB oracle: exact integer pair counts, global best with
+    (pc DESC, l, r) tie-break ([a-z]+ symbols, so python/UTF8 binary
+    orderings agree), greedy left-to-right non-overlapping replace
+    (str.replace ≡ Spark replace ≡ DuckDB replace), and the
+    empty-pair-table edge (no mergeable pair → the crossJoin-with-empty
+    distributed semantics: words become EMPTY and no further merges
+    emit)."""
+    words = [(s, int(c)) for s, c in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, BPE_MERGES + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for s, cnt in words:
+            syms = s[1:-1].split("><")
+            for k in range(len(syms) - 1):
+                key = (syms[k], syms[k + 1])
+                pc[key] = pc.get(key, 0) + cnt
+        if not pc:
+            words = []
+            break
+        (left, right), count = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((i, left, right, left + right, count))
+        pat, rep = f"<{left}><{right}>", f"<{left}{right}>"
+        words = [(s.replace(pat, rep), cnt) for s, cnt in words]
+    return words, merges
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, distributed_rounds: bool = False
+) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE training loop: returns (final merged-word table,
-    one 1-row merge DataFrame per round). See q040's docstring for the
-    per-round plan shape."""
+    merge DataFrames whose union is the merge table). Default: one
+    corpus-scale tokenize+top-K shuffle, then ALL rounds in one
+    executor-local task (see q040 docstring). ``distributed_rounds``
+    restores the per-round pair-count-shuffle loop."""
     docs = load_table(spark, sf_dir, "documents")
     wtok = (
         docs.select(
@@ -1691,9 +1739,45 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
         .orderBy(F.desc("cnt"), "word")
         .limit(BPE_VOCAB_TOP)
     )
-    words = wtok.select(
-        F.regexp_replace("word", "(.)", "<$1>").alias("s"), "cnt"
-    ).transform(cut_lineage)
+    words0 = wtok.select(F.regexp_replace("word", "(.)", "<$1>").alias("s"), "cnt")
+    if not distributed_rounds:
+        # the closures call the module-level _bpe_rounds_local, pickled by
+        # reference — ship the package so a foreign-cwd driver's workers
+        # can import it (the q196 pattern)
+        from warcraider_spark.dist import ensure_package_on_executors
+
+        ensure_package_on_executors(spark)
+        base = words0.repartition(1)
+
+        def _final_words(batches):
+            import pandas as pd
+
+            rows = [(s, c) for b in batches for s, c in zip(b["s"], b["cnt"])]
+            if rows:
+                final, _ = _bpe_rounds_local(rows)
+                yield pd.DataFrame(final, columns=["s", "cnt"])
+
+        def _merges(batches):
+            import pandas as pd
+
+            rows = [(s, c) for b in batches for s, c in zip(b["s"], b["cnt"])]
+            if rows:
+                _, merges = _bpe_rounds_local(rows)
+                yield pd.DataFrame(
+                    merges,
+                    columns=[
+                        "merge_rank", "left_sym", "right_sym", "merged", "pair_count",
+                    ],
+                )
+
+        words_df = base.mapInPandas(_final_words, "s string, cnt long")
+        merges_df = base.mapInPandas(
+            _merges,
+            "merge_rank long, left_sym string, right_sym string,"
+            " merged string, pair_count long",
+        )
+        return words_df, [merges_df]
+    words = words0.transform(cut_lineage)
     merge_rows = []
     for i in range(1, BPE_MERGES + 1):
         best = (
