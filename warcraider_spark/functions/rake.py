@@ -151,12 +151,21 @@ def rake_native(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     back to phrase words, and a final groupBy(id, phrase). Two shuffles on
     (id, word)/(id, phrase) — both high-cardinality uniform keys.
     """
+    from warcraider_spark.lineage import cut_lineage
+
     # phrase OCCURRENCES keep their position so duplicate texts count twice
-    # in the word statistics (exactly like the reference's occurrence loop)
+    # in the word statistics (exactly like the reference's occurrence loop).
+    # cut_lineage (r14, guide §5): the occurrence stream feeds BOTH the
+    # word-stat window path and the distinct-phrase path, and neither
+    # consumer has an exchange between the scan and itself, so without the
+    # cut the corpus scan + phrase extraction executed twice per action
+    # (measured med 0.68 → 0.62 s at sf0.1; at scale it is a full second
+    # corpus pass). The two distinct-phrase consumers were already
+    # deduplicated by exchange reuse.
     occurrences = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(_phrases_col(F.col(text_col))).alias("occ", "phrase"),
-    )
+    ).transform(cut_lineage)
     occ_words = occurrences.select(
         "_id",
         "occ",

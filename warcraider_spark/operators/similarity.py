@@ -79,7 +79,13 @@ def q019_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking is on ROUND(cos, 6) with neighbor_id tie-break so the order is
     engine-stable. The query side is broadcast; the corpus scan streams.
     """
-    em = load_table(spark, sf_dir, "embeddings")
+    # spread the scan (r14, guide §2.5 input skew): the local single-row-
+    # group parquet scans as ONE task, serializing the O(queries × corpus)
+    # interpreted dot-product stage on a 32-core machine; measured med
+    # 0.86 → 0.67 s at sf0.1. Scale-adaptive count, winnowing precedent.
+    em = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # zero-norm rows excluded: no direction, no cosine (oracle mirror)
     n = (
         em.select("vec_id", _vec_double().alias("v"))
@@ -534,7 +540,12 @@ def q050_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set — and therefore the oracle hash — is stable. Ties broken
     by neighbor_id at both stages.
     """
-    em = load_table(spark, sf_dir, "embeddings")
+    # spread the scan (r14, guide §2.5): the 1-task local scan serialized
+    # the int8 coarse pass (|queries| × |corpus| interpreted multiply-
+    # adds); measured med 2.55 → 1.77 s at sf0.1 (see q019)
+    em = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     v = _vec_double()
     # raw_scale > 0: all-zero vectors can neither be quantized nor
     # cosine-ranked — excluded on both engines (oracle mirror)
