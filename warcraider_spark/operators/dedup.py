@@ -2525,16 +2525,27 @@ def winnowing_soft_dedup_weights(
     weights = comp.join(sizes, "comp").select("node", "n")
     if broadcast_dictionary:
         weights = F.broadcast(weights)
-    return (
-        docs.select("doc_id")
-        .join(weights, docs["doc_id"] == weights["node"], "left")
+    # r14: range-spread the narrow (doc_id-only) probe so the trailing
+    # doc_id sort is partition-local under the broadcast regime — the old
+    # orderBy's boundary sampling re-ran the corpus probe pass (see
+    # exact_substring_excision / lineage.range_presort)
+    probe = docs.select("doc_id")
+    presorted = (
+        broadcast_dictionary
+        and spread_partitions is not None
+        and spread_partitions > 1
+    )
+    if presorted:
+        probe = probe.repartitionByRange(spread_partitions, "doc_id")
+    out = (
+        probe.join(weights, probe["doc_id"] == weights["node"], "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n"), F.lit(1)).cast("bigint").alias("cluster_size"),
             (F.lit(1.0) / F.coalesce(F.col("n"), F.lit(1))).alias("weight"),
         )
-        .orderBy("doc_id")
     )
+    return out.sortWithinPartitions("doc_id") if presorted else out.orderBy("doc_id")
 
 
 @query(
@@ -2666,8 +2677,23 @@ def exact_substring_excision(
     shape changes (both pinned in tests/test_substring_excision.py)."""
     K, W = WINNOW_K, WINNOW_W
     base = docs.filter(F.length("text") >= K + W - 1)
+    # r14: under the broadcast regime the surgery pass probes `base`
+    # map-side and the declared output is doc_id-ordered — range-spread
+    # by doc_id (instead of round-robin) so the trailing global sort
+    # degenerates to sortWithinPartitions and its boundary sampling no
+    # longer RE-RUNS the whole probe+fold subtree (lineage.range_presort
+    # rationale; measured ~0.9 s of the q088 bench time).
+    presorted = (
+        broadcast_dictionary
+        and spread_partitions is not None
+        and spread_partitions > 1
+    )
     if spread_partitions is not None and spread_partitions > 1:
-        base = base.repartition(spread_partitions)
+        base = (
+            base.repartitionByRange(spread_partitions, "doc_id")
+            if presorted
+            else base.repartition(spread_partitions)
+        )
     fpos = _winnow_fpos(base, fold=fold)
     stats = (
         fpos.groupBy("f")
@@ -2704,7 +2730,7 @@ def exact_substring_excision(
     )
     if broadcast_dictionary:
         spans = F.broadcast(spans)
-    return (
+    out = (
         base.select("doc_id", "text")
         .join(spans, "doc_id")
         .select(
@@ -2726,8 +2752,11 @@ def exact_substring_excision(
                                              length(text) - acc.last + 1)))"""
             ).alias("kept_text"),
         )
-        .orderBy("doc_id")
     )
+    # broadcast inner join preserves the probe's range layout physically,
+    # so partition-local sort IS the doc_id total order; the shuffle
+    # regime re-partitions by hash and needs the global sort.
+    return out.sortWithinPartitions("doc_id") if presorted else out.orderBy("doc_id")
 
 
 @query(
@@ -2956,9 +2985,19 @@ def winnowing_family(
     )
     if broadcast_dictionary:
         fam = F.broadcast(fam)
-    return (
-        docs.select("doc_id")
-        .join(fam, "doc_id", "left")
+    # r14: range-spread the narrow probe; partition-local sort IS the
+    # doc_id order under the broadcast regime (see
+    # winnowing_soft_dedup_weights)
+    probe = docs.select("doc_id")
+    presorted = (
+        broadcast_dictionary
+        and spread_partitions is not None
+        and spread_partitions > 1
+    )
+    if presorted:
+        probe = probe.repartitionByRange(spread_partitions, "doc_id")
+    out = (
+        probe.join(fam, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n"), F.lit(1)).cast("bigint").alias("cluster_size"),
@@ -2971,5 +3010,5 @@ def winnowing_family(
                 "chars_removed"
             ),
         )
-        .orderBy("doc_id")
     )
+    return out.sortWithinPartitions("doc_id") if presorted else out.orderBy("doc_id")
