@@ -716,6 +716,11 @@ BUILD_TIME_EXECUTION_OK = {
     # timed window — the builder call is timed, and no cross-invocation
     # cache survives to later reps (unlike cache()).
     "q023_sparse_dot_topk": "cut_lineage materializes the shared weight table at build",
+    # r15: same q023 contract — an AQE lazy localCheckpoint executes the
+    # upstream stages while the builder runs; the cost stays inside the
+    # bench's timed window and nothing survives across reps.
+    "q088_exact_substring_excision": "cut_lineage materializes the shared position-selector stream at build (q023 contract)",
+    "q039_simhash_radius": "cut_lineage materializes the narrow (doc_id, sketch) stream at build (q023 contract)",
 }
 
 

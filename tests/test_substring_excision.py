@@ -128,21 +128,104 @@ def test_excision_random_corpora_match_python(spark):
 
 
 def test_excision_plan_shape(spark):
-    """No Python in the plan, the spans dictionary broadcasts onto the
-    documents side (map-side surgery at 100 TB), the selector stays one
-    fused higher-order chain, and the span merge + reconstruction are
-    aggregate() folds — no per-row window over the corpus."""
+    """r15 contract: the spans dictionary broadcasts onto the documents
+    side (map-side surgery at 100 TB), the span merge is the vectorized
+    Arrow kernel (MapInArrow — no row-at-a-time Python), the kept_text
+    reconstruction stays a JVM aggregate() fold, and the selector stream
+    is materialized once (cut_lineage → ExistingRDD) so the grams pass
+    never runs per consumer."""
     rng = random.Random(97)
     shared = _rand_text(rng, 60)
     docs = _docs(spark, [(1, shared + "a"), (2, shared + "b")])
     plan = exact_substring_excision(docs)._jdf.queryExecution().toString()
     phys = plan.split("== Physical Plan ==")[-1]
-    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    assert "BatchEvalPython" not in phys  # no row-at-a-time Python, ever
+    assert "MapInArrow" in phys  # the r15 span-merge kernel
     assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
     assert "BroadcastHashJoin" in phys
-    assert "aggregate(" in plan  # the JVM folds
-    # fold default: fingerprint keys shuffle as xxhash64 bigints
-    assert "xxhash64" in plan
+    assert "aggregate(" in plan  # the JVM kept_text fold
+    assert "ExistingRDD" in phys  # the shared selector materialization
+    # the reference (uncut, JVM-fold) path still pins the old shape: one
+    # fused higher-order selector with xxhash64-folded shuffle keys
+    ref = exact_substring_excision(
+        docs, share_selector=False, arrow_spans=False
+    )._jdf.queryExecution().toString()
+    rphys = ref.split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" not in rphys and "ArrowEvalPython" not in rphys
+    assert "MapInArrow" not in rphys
+    assert "xxhash64" in ref
+
+
+def test_excision_arrow_and_share_paths_identical(spark):
+    """The r15 optimization knobs (share_selector, arrow_spans) must be
+    pure performance: all four combinations produce byte-identical rows,
+    equal to the independent python reference."""
+    rng = random.Random(103)
+    shared = [_rand_text(rng, rng.randint(30, 80)) for _ in range(3)]
+    rows = []
+    for i in range(1, 20):
+        parts = [_rand_text(rng, rng.randint(0, 50))]
+        for srun in shared:
+            if rng.random() < 0.4:
+                parts.append(srun)
+                parts.append(_rand_text(rng, rng.randint(0, 30)))
+        rows.append((i, "".join(parts)))
+    want = _py_excise(rows)
+    for share in (True, False):
+        for arrow in (True, False):
+            df = exact_substring_excision(
+                _docs(spark, rows), share_selector=share, arrow_spans=arrow
+            )
+            got = {
+                r.doc_id: (r.n_spans, r.chars_removed, r.kept_text)
+                for r in df.collect()
+            }
+            assert got == want, (share, arrow)
+
+
+def test_span_merge_kernel_batch_spanning_groups(spark):
+    """_merge_spans_arrow must merge correctly when one document's cut
+    positions span multiple Arrow batches: force 3-row batches and
+    compare against the JVM fold on the same cut stream."""
+    from warcraider_spark.operators.dedup import _merge_spans_arrow
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        rows = [
+            (1, p) for p in (1, 5, 40, 41, 60, 100, 119, 140)
+        ] + [(2, p) for p in (7, 90)] + [(3, p) for p in (2,)]
+        cuts = spark.createDataFrame(rows, "doc_id long, p int").coalesce(1)
+        got = {
+            (r.doc_id, tuple((s.s, s.e) for s in r.spans))
+            for r in _merge_spans_arrow(cuts).collect()
+        }
+        acc = {
+            (r.doc_id, r.n_spans, r.chars_removed)
+            for r in _merge_spans_arrow(cuts, accounting_only=True).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    def merge(ps):
+        out = []
+        for p in sorted(ps):
+            if out and p <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], p + K)
+            else:
+                out.append([p, p + K])
+        return tuple(tuple(x) for x in out)
+
+    by_doc = {}
+    for d, p in rows:
+        by_doc.setdefault(d, []).append(p)
+    want = {(d, merge(ps)) for d, ps in by_doc.items()}
+    assert got == want
+    want_acc = {
+        (d, len(merge(ps)), sum(e - s for s, e in merge(ps)))
+        for d, ps in by_doc.items()
+    }
+    assert acc == want_acc
 
 
 def test_excision_shuffle_regime_plan_and_values(spark):

@@ -84,3 +84,57 @@ def test_winnowing_df_cap_drops_boilerplate(spark, tmp_path):
     # every shared fingerprint comes from the boilerplate run, whose df
     # exceeds the cap -> no pair survives
     assert pairs == {}
+
+
+def test_arrow_pair_kernel_matches_join_path(spark, tmp_path):
+    """r15: the Arrow pair-generation kernel (arrow_pairs=True, the
+    default) must produce byte-identical pairs to the JVM join
+    formulation on a corpus with shared runs, singletons and a
+    boilerplate fingerprint."""
+    from warcraider_spark.operators.dedup import winnowing_pairs
+
+    rng = random.Random(47)
+    shared = [_rand_text(rng, rng.randint(30, 70)) for _ in range(3)]
+    rows = []
+    for i in range(1, 30):
+        parts = [_rand_text(rng, rng.randint(0, 40))]
+        for srun in shared:
+            if rng.random() < 0.4:
+                parts.append(srun)
+                parts.append(_rand_text(rng, rng.randint(0, 30)))
+        rows.append((i, "".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_pairs(docs, arrow_pairs=True).collect()
+    }
+    old = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_pairs(docs, arrow_pairs=False).collect()
+    }
+    assert new == old and new
+
+
+def test_arrow_pair_kernel_batch_spanning_and_cap(spark):
+    """The kernel streams f-groups across Arrow batch boundaries with a
+    carry buffer: force 2-row batches, one fingerprint shared by 6 docs
+    (C(6,2)=15 pairs), one by 2 docs, one OVER the df cap (must drop),
+    one singleton, and per-(doc,f) duplicates (must dedup)."""
+    from warcraider_spark.operators.dedup import WINNOW_DF_CAP, _winnow_pairs_arrow
+
+    rows = [(d, 100) for d in range(6)]            # C(6,2) = 15 pairs
+    rows += [(d, 100) for d in (0, 3)]             # dup (doc, f) rows
+    rows += [(1, 200), (5, 200)]                   # one pair
+    rows += [(d, 300) for d in range(WINNOW_DF_CAP + 3)]  # over cap: dropped
+    rows += [(9, 400)]                             # singleton: dropped
+    fp = spark.createDataFrame(rows, "doc_id long, f long").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        pairs = [(r.doc_a, r.doc_b) for r in _winnow_pairs_arrow(fp).collect()]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = sorted(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)] + [(1, 5)]
+    )
+    assert sorted(pairs) == want

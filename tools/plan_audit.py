@@ -224,6 +224,61 @@ def _broadcast_unbounded_aggs(analyzed: str) -> int:
     return flagged
 
 
+_TREE_LINE = re.compile(r"^([ :+\-]*)\*?\(?\d*\)?\s*([A-Za-z][\w]*)[^(]*\((\d+)\)\s*$")
+
+
+def _sort_double_eval(plan: str) -> int:
+    """r15 (VERDICT r14 #6): count GLOBAL Sort nodes whose range Exchange
+    sits directly on an exchange-free pipeline — the §C shape. The range
+    boundary sampling (RangePartitioner reservoir-samples the child RDD to
+    completion) then EXECUTES THE WHOLE CHILD A SECOND TIME per action:
+    scan, higher-order projections, Python kernels, everything below,
+    because there is no shuffle materialization to re-read. The fix is
+    lineage.range_presort: range-partition the INPUT by the presentation
+    keys and end with sortWithinPartitions. Sorts above an existing data
+    Exchange are NOT flagged (the sampling re-reads shuffle files, cheap);
+    sortWithinPartitions prints as a non-global Sort and is not flagged.
+    """
+    tree_sec = plan.split("\n\n", 1)[0]
+    tree: list[tuple[int, str, str]] = []
+    for ln in tree_sec.splitlines():
+        m = _TREE_LINE.match(ln)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+
+    def detail(node_id: str, name: str) -> str:
+        m = re.search(
+            rf"^\({node_id}\) {name}.*?(?=^\(\d+\) |\Z)", plan, re.M | re.S
+        )
+        return m.group(0) if m else ""
+
+    flagged = 0
+    for i, (depth, name, nid) in enumerate(tree):
+        if name != "Sort":
+            continue
+        if ", true, " not in detail(nid, "Sort").split("Arguments:")[-1]:
+            continue  # partition-local sort
+        # first structural child
+        child = next(((d, n, cid) for d, n, cid in tree[i + 1 :] if d > depth), None)
+        if child is None or child[1] != "Exchange":
+            continue
+        cdet = detail(child[2], "Exchange")
+        if "rangepartitioning" not in cdet:
+            continue
+        # any data Exchange below the range exchange bounds the re-run
+        sub_has_exchange = False
+        ci = tree.index(child, i + 1)
+        for d, n, _ in tree[ci + 1 :]:
+            if d <= child[0]:
+                break
+            if n == "Exchange":
+                sub_has_exchange = True
+                break
+        if not sub_has_exchange:
+            flagged += 1
+    return flagged
+
+
 def _unpartitioned_windows(plan: str) -> int:
     n = 0
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
@@ -251,6 +306,7 @@ def analyze_plan(name: str, plan: str) -> dict:
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": plan.count("CartesianProduct"),
         "unpart_win": _unpartitioned_windows(plan),
+        "sort2x": _sort_double_eval(plan),
         "pushed": int(bool(re.search(r"PushedFilters: \[[^\]]", plan))),
     }
 
@@ -268,6 +324,8 @@ def flags_for(row: dict) -> list[str]:
         out.append("unpartitioned window")
     if row.get("bcast_agg"):
         out.append("broadcast of unbounded aggregate")
+    if row.get("sort2x"):
+        out.append("double-eval global sort")
     return [f for f in out if (row["query"], f) not in KNOWN_OK_PAIRS]
 
 
@@ -307,17 +365,17 @@ def render(rows: list[dict], sf_dir: str) -> str:
         "(1-row totals, bucket summaries, local-skyline survivors …) — the",
         "known-OK list in the tool mirrors those docstrings.",
         "",
-        "| query | xchg | bcast | BHJ | SMJ | SHJ | BNLJ | cart | unpart-win | bc-agg | pushed |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| query | xchg | bcast | BHJ | SMJ | SHJ | BNLJ | cart | unpart-win | bc-agg | sort2x | pushed |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     flagged = []
     for r in rows:
         if "error" in r:
-            out.append(f"| {r['query']} | PLAN ERROR: {r['error']} |" + " |" * 9)
+            out.append(f"| {r['query']} | PLAN ERROR: {r['error']} |" + " |" * 10)
         else:
             out.append(
                 "| {query} | {exchange} | {bcast} | {bhj} | {smj} | {shj} | {bnlj} "
-                "| {cartesian} | {unpart_win} | {bcast_agg} | {pushed} |".format(**r)
+                "| {cartesian} | {unpart_win} | {bcast_agg} | {sort2x} | {pushed} |".format(**r)
             )
         flagged.extend((r["query"], why) for why in flags_for(r))
     out.append("")

@@ -19,7 +19,10 @@ Scale design (the point of these operators at 100 TB):
 - embedding near-dup: bounded candidate set (here: id-range block; the
   LSH-bucketed variant is q105 in similarity.py).
 
-All native expressions — no Python UDFs anywhere in this module.
+All native expressions — no row-at-a-time Python UDFs anywhere in this
+module. The one Python-boundary crossing is the r15 excision span-merge
+kernel (_merge_spans_arrow): a whole-partition vectorized mapInArrow pass
+over the narrow (doc_id, p) cut stream, per guide §4.2.
 """
 
 from __future__ import annotations
@@ -1645,8 +1648,28 @@ def q039_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise, invisible to a log2-scale layout rule)
     n_docs = table_row_count(sf_dir, "documents")
     corpus_n = n_docs + min(60, n_docs) + max(0, min(120, n_docs) - 60)
+    return simhash_radius_plan(corpus, corpus_n)
+
+
+def simhash_radius_plan(
+    corpus: DataFrame, corpus_n: int, cut_sketch: bool = True
+) -> DataFrame:
+    """The q039 banded radius search over an arbitrary corpus.
+
+    cut_sketch (r15, VERDICT r14 #5): materialize the NARROW
+    (doc_id, simhash) stream — 16 bytes/row — before the band explode.
+    At sf0.1 AQE converts the banded self-join's build side to broadcast,
+    and the broadcast side re-executes its subtree instead of reading the
+    reused (band, val) exchange: the corpus-scale sketch aggregation ran
+    TWICE per action. Cutting the sketch bounds the duplicated work to
+    the tiny explode over materialized 16-byte rows. Kept only if the
+    r15 matched A/B beats noise (the r14 attempt measured flat; numbers
+    in OPTIMIZATION_r15.md either way).
+    """
     bits, band_layout = simhash_band_plan(corpus_n)
     sketch = _simhash_sketch(corpus, bits)
+    if cut_sketch:
+        sketch = sketch.transform(cut_lineage)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << width) - 1)
@@ -2109,6 +2132,187 @@ def _winnow_fpos(base: DataFrame, *, fold: bool = True) -> DataFrame:
     )
 
 
+def _merge_spans_arrow(cuts: DataFrame, *, accounting_only: bool = False) -> DataFrame:
+    """Per-document span merge of the excision cut stream as ONE
+    vectorized Arrow kernel (r15, guide §4.2 — replaces the interpreted
+    ``aggregate()`` fold over ``array_sort(collect_list(p))``).
+
+    Input: the (doc_id, p) cut stream. Every row of a document lives in
+    one partition by construction — each (doc_id, p) descends from the
+    document's single input row through per-row maps and broadcast joins
+    only — so the merge is partition-local, exactly like the
+    collect_list aggregation it replaces (whose clustering requirement
+    was already satisfied without an exchange).
+
+    Semantics pinned to the JVM fold (tests/test_substring_excision.py):
+    positions sort ascending per doc; a cut at ``p`` extends the open
+    span while ``p <= prev_p + K`` (equality merges), else opens a new
+    span [p, p+K). All arithmetic is exact int32/int64, identical to the
+    Catalyst expression, so outputs are byte-identical.
+
+    accounting_only=True emits (doc_id, n_spans, chars_removed) directly
+    (the q197 manifest shape); False emits (doc_id, spans) with the same
+    array<struct<s,e>> schema the kept_text fold consumes (q088).
+    """
+    import pyarrow as pa
+
+    K = WINNOW_K
+
+    def gen(batches):
+        import numpy as np
+
+        ids, ps = [], []
+        for b in batches:
+            ids.append(np.asarray(b.column("doc_id")))
+            ps.append(np.asarray(b.column("p")))
+        if not ids:
+            return
+        d = np.concatenate(ids)
+        p = np.concatenate(ps).astype(np.int64)
+        if d.size == 0:
+            return
+        order = np.lexsort((p, d))
+        d = d[order]
+        p = p[order]
+        new_doc = np.empty(d.size, dtype=bool)
+        new_doc[0] = True
+        np.not_equal(d[1:], d[:-1], out=new_doc[1:])
+        boundary = new_doc.copy()
+        boundary[1:] |= p[1:] - p[:-1] > K
+        bidx = np.flatnonzero(boundary)
+        starts = p[bidx]
+        ends = p[np.append(bidx[1:] - 1, d.size - 1)] + K
+        isl_doc = d[bidx]
+        doc_b = np.empty(isl_doc.size, dtype=bool)
+        doc_b[0] = True
+        np.not_equal(isl_doc[1:], isl_doc[:-1], out=doc_b[1:])
+        doc_ids = isl_doc[doc_b]
+        seg = np.cumsum(doc_b) - 1
+        n_spans = np.bincount(seg)
+        if accounting_only:
+            chars = np.bincount(seg, weights=ends - starts).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(n_spans, pa.int64()),
+                    pa.array(chars, pa.int64()),
+                ],
+                ["doc_id", "n_spans", "chars_removed"],
+            )
+            return
+        offsets = np.concatenate(([0], np.cumsum(n_spans))).astype(np.int32)
+        span_structs = pa.StructArray.from_arrays(
+            [pa.array(starts.astype(np.int32)), pa.array(ends.astype(np.int32))],
+            ["s", "e"],
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets), span_structs)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_ids, pa.int64()), spans], ["doc_id", "spans"]
+        )
+
+    schema = (
+        "doc_id bigint, n_spans bigint, chars_removed bigint"
+        if accounting_only
+        else "doc_id bigint, spans array<struct<s: int, e: int>>"
+    )
+    return cuts.mapInArrow(gen, schema)
+
+
+def _winnow_pairs_arrow(fp: DataFrame, *, cap: int = WINNOW_DF_CAP) -> DataFrame:
+    """(doc_id, f) fingerprint stream → (doc_a, doc_b) candidate-pair
+    OCCURRENCES (one row per shared fingerprint) as one vectorized Arrow
+    kernel (r15, VERDICT r14 #1 / guide §4.2).
+
+    Replaces the JVM formulation's distinct + df-index join + fold-keyed
+    self-join: the stream is hash-partitioned on f and sorted
+    partition-locally by (f, doc_id) — the sort is codegen'd JVM work and
+    spills safely — then the kernel streams f-groups batch by batch
+    (vectorized NumPy over each batch, one carry group across batch
+    edges), dedups doc_ids within the group (equality on adjacent rows of
+    the sorted run), applies the 2..cap df skew guard, and emits every
+    (doc_a < doc_b) combination. Downstream the caller aggregates
+    n_shared per pair exactly as before, so ONE f exchange + ONE pair
+    exchange replace the old distinct exchange + f exchange + pair
+    exchange, and the SMJ probe disappears.
+
+    Memory: the kernel holds one Arrow batch plus the open f-group —
+    bounded by the largest single fingerprint's raw occurrence count
+    (16 B/row), not the partition. Pair fan-out is bounded at C(cap, 2)
+    per group by the same df cap the join plan relied on.
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        import numpy as np
+
+        carry_f = None
+        carry_d = None
+
+        def emit(f, d):
+            # rows sorted by (f, doc_id); dedup adjacent (f, doc) dups
+            keep = np.empty(d.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+            f = f[keep]
+            d = d[keep]
+            gb = np.empty(f.size, dtype=bool)
+            gb[0] = True
+            np.not_equal(f[1:], f[:-1], out=gb[1:])
+            gidx = np.flatnonzero(gb)
+            counts = np.diff(np.append(gidx, f.size))
+            ok = (counts >= 2) & (counts <= cap)
+            if not ok.any():
+                return None
+            cs = counts[ok]
+            ok_elem = np.repeat(ok, counts)
+            dv = d[ok_elem]
+            new_starts = np.concatenate(([0], np.cumsum(cs)))[:-1]
+            pos = np.arange(dv.size) - np.repeat(new_starts, cs)
+            reps = np.repeat(cs, cs) - 1 - pos
+            total = int(reps.sum())
+            if total == 0:
+                return None
+            doc_a = np.repeat(dv, reps)
+            pair_start = np.cumsum(reps) - reps
+            b_idx = (
+                np.arange(total)
+                - np.repeat(pair_start, reps)
+                + np.repeat(np.arange(dv.size), reps)
+                + 1
+            )
+            doc_b = dv[b_idx]
+            return pa.RecordBatch.from_arrays(
+                [pa.array(doc_a, pa.int64()), pa.array(doc_b, pa.int64())],
+                ["doc_a", "doc_b"],
+            )
+
+        for b in batches:
+            f = np.asarray(b.column("f"))
+            d = np.asarray(b.column("doc_id"))
+            if f.size == 0:
+                continue
+            if carry_f is not None:
+                f = np.concatenate((carry_f, f))
+                d = np.concatenate((carry_d, d))
+            # hold the trailing (possibly batch-spanning) group back
+            lg = int(np.flatnonzero(f != f[-1])[-1]) + 1 if (f != f[-1]).any() else 0
+            carry_f, carry_d = f[lg:].copy(), d[lg:].copy()
+            if lg:
+                out = emit(f[:lg], d[:lg])
+                if out is not None:
+                    yield out
+        if carry_f is not None and carry_f.size:
+            out = emit(carry_f, carry_d)
+            if out is not None:
+                yield out
+
+    return (
+        fp.repartition("f")
+        .sortWithinPartitions("f", "doc_id")
+        .mapInArrow(gen, "doc_a bigint, doc_b bigint")
+    )
+
+
 @query(
     "q069_winnowing_dup_pairs",
     oracle=f"""
@@ -2186,6 +2390,7 @@ def winnowing_pairs(
     fold: bool = True,
     spread_partitions: int | None = None,
     ordered: bool = True,
+    arrow_pairs: bool = True,
 ) -> DataFrame:
     """The winnowing pair pipeline over any (doc_id, text) frame — shared
     by the registry query and the scale harness's disjoint-replica
@@ -2237,24 +2442,37 @@ def winnowing_pairs(
       copies read shuffle files), so the checkpoint only added block
       serialization for zero saved compute."""
     fp = _winnow_fp(docs, fold=fold, spread_partitions=spread_partitions)
-    idx = (
-        fp.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
-        .select("f")
-    )
-    cand = fp.join(idx, "f")
-    a = cand.select(F.col("f"), F.col("doc_id").alias("doc_a"))
-    b = cand.select(F.col("f"), F.col("doc_id").alias("doc_b"))
-    out = (
-        a.join(b, "f")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        # (doc_id, f) is distinct by construction (array_distinct per
-        # doc), so per-pair COUNT(*) == COUNT(DISTINCT f)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
+    if arrow_pairs:
+        # r15 (VERDICT r14 #1): pair generation as the vectorized Arrow
+        # kernel — one f exchange + one pair exchange; the df cap and the
+        # per-f doc dedup (a no-op here, (doc_id, f) is distinct by
+        # construction) happen inside the kernel. The JVM join path below
+        # stays as the reference shape (equivalence pinned by tests).
+        out = (
+            _winnow_pairs_arrow(fp)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+    else:
+        idx = (
+            fp.groupBy("f")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+            .select("f")
+        )
+        cand = fp.join(idx, "f")
+        a = cand.select(F.col("f"), F.col("doc_id").alias("doc_a"))
+        b = cand.select(F.col("f"), F.col("doc_id").alias("doc_b"))
+        out = (
+            a.join(b, "f")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            # (doc_id, f) is distinct by construction (array_distinct per
+            # doc), so per-pair COUNT(*) == COUNT(DISTINCT f)
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
     # ordered=False lets compositions (winnowing_dedup_keep) consume the
     # pair stream without a global sort the next aggregation would
     # destroy anyway; the registry query keeps the deterministic order.
@@ -2389,14 +2607,18 @@ def q062_winnowing_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnowing_dedup_keep(
-    docs: DataFrame, *, spread_partitions: int | None = None
+    docs: DataFrame,
+    *,
+    spread_partitions: int | None = None,
+    arrow_pairs: bool = True,
 ) -> DataFrame:
     """Cluster winnowing duplicate pairs and elect canonical survivors —
     see q062_winnowing_dedup_keep for semantics and the scale story."""
     from warcraider_spark.operators.graph import contracted_components
 
     pairs = winnowing_pairs(
-        docs, spread_partitions=spread_partitions, ordered=False
+        docs, spread_partitions=spread_partitions, ordered=False,
+        arrow_pairs=arrow_pairs,
     )
     # doc_a < doc_b, distinct, no self-loops by construction: the CC
     # contraction can skip its canonicalization shuffle
@@ -2510,6 +2732,7 @@ def winnowing_soft_dedup_weights(
     *,
     spread_partitions: int | None = None,
     broadcast_dictionary: bool = True,
+    arrow_pairs: bool = True,
 ) -> DataFrame:
     """Per-document sampling weights from winnowing duplication clusters
     — see q063_winnowing_soft_dedup_weights for semantics and the
@@ -2517,7 +2740,8 @@ def winnowing_soft_dedup_weights(
     from warcraider_spark.operators.graph import contracted_components
 
     pairs = winnowing_pairs(
-        docs, spread_partitions=spread_partitions, ordered=False
+        docs, spread_partitions=spread_partitions, ordered=False,
+        arrow_pairs=arrow_pairs,
     )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = contracted_components(edges, assume_canonical=True)
@@ -2658,6 +2882,8 @@ def exact_substring_excision(
     fold: bool = True,
     spread_partitions: int | None = None,
     broadcast_dictionary: bool = True,
+    arrow_spans: bool = True,
+    share_selector: bool = True,
 ) -> DataFrame:
     """Winnowing-sampled exact-substring excision — see
     q088_exact_substring_excision for semantics and the scale story.
@@ -2695,6 +2921,19 @@ def exact_substring_excision(
             else base.repartition(spread_partitions)
         )
     fpos = _winnow_fpos(base, fold=fold)
+    # r15 (guide §2.4/§5): materialize the selector output once. Unlike
+    # winnowing_pairs (where every fp consumer sits above an identical
+    # f-keyed exchange that AQE reuse deduplicates), q088's two fpos
+    # consumers are a partial aggregation and a broadcast-join probe with
+    # NO common exchange above the selector — the plan re-ran the full
+    # grams/struct-argmin selector once per consumer (nodes (4-9) and
+    # (10-15) in plans/r14/exact_substring_excision_after.txt, different
+    # pushed filters so even the scan exchange was not reusable). The cut
+    # stores the narrow (doc_id, f, p) stream (~20 B/row, ~2/(W+1) of the
+    # k-grams) and both consumers read blocks — the same shape
+    # winnowing_family already proved.
+    if share_selector:
+        fpos = fpos.transform(cut_lineage)
     stats = (
         fpos.groupBy("f")
         .agg(F.countDistinct("doc_id").alias("df"), F.min("doc_id").alias("owner"))
@@ -2713,21 +2952,27 @@ def exact_substring_excision(
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "p")
     )
-    spans = cuts.groupBy("doc_id").agg(
-        F.expr(
-            f"""aggregate(
-                 array_sort(collect_list(p)),
-                 cast(array() as array<struct<s: int, e: int>>),
-                 (acc, p) -> CASE
-                   WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
-                   THEN concat(slice(acc, 1, size(acc) - 1),
-                               array(struct(element_at(acc, -1).s AS s,
-                                            greatest(element_at(acc, -1).e,
-                                                     p + {K}) AS e)))
-                   ELSE concat(acc, array(struct(p AS s, p + {K} AS e)))
-                 END)"""
-        ).alias("spans")
-    )
+    # r15 (guide §4.2): the per-doc span merge is a vectorized Arrow
+    # kernel by default — the interpreted aggregate() fold is kept as the
+    # reference path (equivalence pinned by tests/test_substring_excision)
+    if arrow_spans:
+        spans = _merge_spans_arrow(cuts)
+    else:
+        spans = cuts.groupBy("doc_id").agg(
+            F.expr(
+                f"""aggregate(
+                     array_sort(collect_list(p)),
+                     cast(array() as array<struct<s: int, e: int>>),
+                     (acc, p) -> CASE
+                       WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+                       THEN concat(slice(acc, 1, size(acc) - 1),
+                                   array(struct(element_at(acc, -1).s AS s,
+                                                greatest(element_at(acc, -1).e,
+                                                         p + {K}) AS e)))
+                       ELSE concat(acc, array(struct(p AS s, p + {K} AS e)))
+                     END)"""
+            ).alias("spans")
+        )
     if broadcast_dictionary:
         spans = F.broadcast(spans)
     out = (
@@ -2885,6 +3130,8 @@ def winnowing_family(
     fold: bool = True,
     spread_partitions: int | None = None,
     broadcast_dictionary: bool = True,
+    arrow_spans: bool = True,
+    arrow_pairs: bool = True,
 ) -> DataFrame:
     """Shared-selector composition of the winnowing dedup family —
     detect + cluster/keep + reweight + excision accounting from ONE
@@ -2929,16 +3176,30 @@ def winnowing_family(
         .transform(cut_lineage)
     )
     # Branch 1: candidate pairs (q069 semantics) -> clusters (q062/q063).
-    fp = fpos.select("doc_id", "f").distinct()
-    a = fp.join(stats.select("f"), "f").select("f", F.col("doc_id").alias("doc_a"))
-    b = fp.select("f", F.col("doc_id").alias("doc_b"))
-    pairs = (
-        a.join(b, "f")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
+    if arrow_pairs:
+        # r15 (VERDICT r14 #1): the kernel dedups (doc_id, f) per
+        # fingerprint group itself (fpos CAN repeat f within a doc at
+        # different positions) and applies the 2..cap df guard, so the
+        # .distinct() and the stats join disappear along with their
+        # exchanges — the df semantics are identical to stats' distinct
+        # doc count.
+        pairs = (
+            _winnow_pairs_arrow(fpos.select("doc_id", "f"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+    else:
+        fp = fpos.select("doc_id", "f").distinct()
+        a = fp.join(stats.select("f"), "f").select("f", F.col("doc_id").alias("doc_a"))
+        b = fp.select("f", F.col("doc_id").alias("doc_b"))
+        pairs = (
+            a.join(b, "f")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = contracted_components(edges, assume_canonical=True)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
@@ -2957,27 +3218,34 @@ def winnowing_family(
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "p")
     )
-    excise = cuts.groupBy("doc_id").agg(
-        F.expr(
-            f"""aggregate(
-                 array_sort(collect_list(p)),
-                 cast(array() as array<struct<s: int, e: int>>),
-                 (acc, p) -> CASE
-                   WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
-                   THEN concat(slice(acc, 1, size(acc) - 1),
-                               array(struct(element_at(acc, -1).s AS s,
-                                            greatest(element_at(acc, -1).e,
-                                                     p + {K}) AS e)))
-                   ELSE concat(acc, array(struct(p AS s, p + {K} AS e)))
-                 END)"""
-        ).alias("spans")
-    ).select(
-        "doc_id",
-        F.expr("cast(size(spans) as bigint)").alias("n_spans"),
-        F.expr("cast(aggregate(spans, 0, (a, iv) -> a + iv.e - iv.s) as bigint)").alias(
-            "chars_removed"
-        ),
-    )
+    # r15 (guide §4.2): accounting-only span merge as one vectorized
+    # Arrow kernel (no struct arrays ever materialize — the manifest
+    # needs only n_spans/chars_removed); the interpreted fold stays as
+    # the reference path (equivalence pinned by tests)
+    if arrow_spans:
+        excise = _merge_spans_arrow(cuts, accounting_only=True)
+    else:
+        excise = cuts.groupBy("doc_id").agg(
+            F.expr(
+                f"""aggregate(
+                     array_sort(collect_list(p)),
+                     cast(array() as array<struct<s: int, e: int>>),
+                     (acc, p) -> CASE
+                       WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+                       THEN concat(slice(acc, 1, size(acc) - 1),
+                                   array(struct(element_at(acc, -1).s AS s,
+                                                greatest(element_at(acc, -1).e,
+                                                         p + {K}) AS e)))
+                       ELSE concat(acc, array(struct(p AS s, p + {K} AS e)))
+                     END)"""
+            ).alias("spans")
+        ).select(
+            "doc_id",
+            F.expr("cast(size(spans) as bigint)").alias("n_spans"),
+            F.expr("cast(aggregate(spans, 0, (a, iv) -> a + iv.e - iv.s) as bigint)").alias(
+                "chars_removed"
+            ),
+        )
     # The family dictionary: one row per clustered-or-excised document.
     fam = (
         clustered.select(F.col("node").alias("doc_id"), "n", "canon")

@@ -523,6 +523,12 @@ def contracted_components(
     (random edge placement) only degrades the contraction RATIO — the
     residual graph grows toward |E| and the algorithm degrades gracefully
     toward plain alternating CC.
+
+    SIDE EFFECT (r14/r15, VERDICT r14 note #4): calling this function
+    RUNS Spark jobs eagerly — the local union-find and the seam graph are
+    materialized (eager checkpoint + Observation) at plan-construction
+    time, before any caller action. Batch-only by design; do not wrap it
+    in a streaming or must-stay-lazy context.
     """
     from pyspark.sql.window import Window
 
@@ -604,6 +610,13 @@ def contracted_components(
         links.observe(obs, F.count(F.lit(1)).alias("n"))
     )
     if obs.get["n"] == 0:
+        # ADVICE r14 #1: record the observed empty residual as a sentinel
+        # round so diagnostic callers reading rounds_out still see that
+        # the seam graph was checked (and found empty) instead of a
+        # silent no-signal; the rounds contract stays "one entry per
+        # residual-graph observation".
+        if rounds_out is not None:
+            rounds_out.append((0, None))
         return m.select("node", F.col("root").alias("comp")).distinct()
     small = alternating_components(
         links_m, rounds_out=rounds_out, assume_canonical=True

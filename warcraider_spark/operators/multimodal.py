@@ -1581,7 +1581,7 @@ def q196_parallel_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SECOND TIME — disappears (r14, lineage.range_presort rationale).
     seg_df = spark.createDataFrame(
         rows, "seg_idx int, first_mcu long, n_mcus long, data binary"
-    ).repartitionByRange(min(len(rows), 8), "seg_idx")
+    ).repartitionByRange(max(1, min(len(rows), 8)), "seg_idx")  # ADVICE r14 #4: numPartitions=0 raises on an empty segment list
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from warcraider_spark.functions.jpeg import decode_jpeg_segment

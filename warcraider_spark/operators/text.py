@@ -1712,8 +1712,12 @@ def _bpe_rounds_local(rows: list[tuple[str, int]]) -> tuple[list, list]:
         if not pc:
             words = []
             break
+        # ADVICE r14 #3: tie-break on UTF-8 BYTES, not python str order —
+        # identical for the [a-z]+ symbols the tokenizer emits today, and
+        # it stays equal to Spark/DuckDB binary collation if the token
+        # alphabet ever widens beyond ASCII.
         (left, right), count = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode())
         )
         merges.append((i, left, right, left + right, count))
         pat, rep = f"<{left}><{right}>", f"<{left}{right}>"
@@ -1747,7 +1751,13 @@ def _bpe_train(
         from warcraider_spark.dist import ensure_package_on_executors
 
         ensure_package_on_executors(spark)
-        base = words0.repartition(1)
+        # ADVICE r14 #2: cut lineage on the bounded count table so a
+        # caller consuming BOTH outputs (words_df and merges_df) reads
+        # one materialization of the corpus tokenize + top-K shuffle
+        # instead of re-running it per consumer. The cut stores
+        # <=BPE_VOCAB_TOP tiny rows; single-consumer callers (q040,
+        # q141) pay only that.
+        base = cut_lineage(words0.repartition(1))
 
         def _final_words(batches):
             import pandas as pd
@@ -2298,19 +2308,74 @@ def q023_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_dot_topk_plan(docs, table_row_count(sf_dir, "documents"))
 
 
-def sparse_dot_topk_plan(docs: DataFrame, n_docs: int, query_pred=None) -> DataFrame:
+def _sdot_tf_arrow(bg: DataFrame) -> DataFrame:
+    """(doc_id, ts bigram-array) → (doc_id, term, tf) rows with tf
+    saturated at SDOT_TF_CAP, as ONE vectorized Arrow pass (r15, VERDICT
+    r14 #4 / guide §4.2): the per-document term counting happens INSIDE
+    the document's row — map-side, exact — so the (doc_id, term) shuffle
+    the explode+groupBy formulation paid disappears and the w-build's
+    only data exchange is the term-keyed df aggregation. The bigram
+    STRINGS are still built by the certified JVM expression (_bigrams);
+    Python only counts them (hash groupby over the flattened batch), so
+    tokenization semantics cannot drift."""
+    cap = SDOT_TF_CAP
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            ts = b.column("ts")
+            doc = np.asarray(b.column("doc_id"))
+            lengths = pc.list_value_length(ts).to_numpy(zero_copy_only=False)
+            d = np.repeat(doc, np.nan_to_num(lengths).astype(np.int64))
+            flat = pc.list_flatten(ts)
+            g = (
+                pd.DataFrame({"doc_id": d, "term": flat.to_pandas()})
+                .groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            tf = np.minimum(g["tf"].to_numpy(), cap).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                    pa.array(g["term"], pa.string()),
+                    pa.array(tf, pa.int64()),
+                ],
+                ["doc_id", "term", "tf"],
+            )
+
+    return bg.mapInArrow(gen, "doc_id bigint, term string, tf bigint")
+
+
+def sparse_dot_topk_plan(
+    docs: DataFrame, n_docs: int, query_pred=None, arrow_tf: bool = True
+) -> DataFrame:
     """The q023 plan over an arbitrary documents DataFrame. ``query_pred``
     optionally restricts the query side further (tools/scale_bench.py pins
     queries to replica 0 so the §10 curve measures fixed-workload corpus
-    growth, not k-squared by construction)."""
+    growth, not k-squared by construction).
+
+    arrow_tf (r15): per-doc term counts come from the map-side Arrow
+    run-length kernel (_sdot_tf_arrow) — one data exchange on the w-build
+    — instead of explode + (doc_id, term) groupBy (two). The kernel
+    output is materialized once (cut_lineage) because its two consumers
+    (the df aggregation and the w join) share no exchange AQE could
+    reuse; the explode path keeps its exchange-reuse shape unchanged."""
     from pyspark.sql import Window
 
-    tok = (
-        _bigrams(docs)
-        .select("doc_id", F.explode("ts").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.least(F.count(F.lit(1)), F.lit(SDOT_TF_CAP)).cast("bigint").alias("tf"))
-    )
+    if arrow_tf:
+        tok = _sdot_tf_arrow(_bigrams(docs)).transform(cut_lineage)
+    else:
+        tok = (
+            _bigrams(docs)
+            .select("doc_id", F.explode("ts").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.least(F.count(F.lit(1)), F.lit(SDOT_TF_CAP)).cast("bigint").alias("tf"))
+        )
     dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     keep = dfs.filter(F.col("df") * SDOT_DF_DEN <= F.lit(n_docs * SDOT_DF_NUM))
     w = (

@@ -56,7 +56,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 32)))
+        # r15 (VERDICT r14 #2): shuffle partitions track the core count —
+        # the old max(cpus, 32) floor meant a local[8] driver run still
+        # planned 32-way shuffles, decoupling plan parallelism from the
+        # core count and making the scaling measurement uninformative. AQE
+        # coalescing still merges small partitions either way; a real
+        # cluster overrides via spark-submit / the explicit parameter.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
