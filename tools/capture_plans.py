@@ -1,4 +1,4 @@
-"""Capture .explain('formatted') for bench-tagged queries into plans/r14/.
+"""Capture .explain('formatted') for bench-tagged queries into plans/$PLANS_ROUND/ (default r15).
 
 Usage: python tools/capture_plans.py before|after [query-suffix ...]
 With no suffixes, captures every bench-tagged query."""
@@ -15,7 +15,7 @@ def main() -> None:
     tag = sys.argv[1]
     wanted = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")

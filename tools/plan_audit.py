@@ -161,6 +161,37 @@ KNOWN_OK_PAIRS = {
     # in-plan rank-window verification — bounded at the l_returnflag
     # domain (3 values) by construction (r8, same shape as q107)
     ("q156_approx_quantiles", "broadcast of unbounded aggregate"),
+    # r15 §C sweep documented negatives: these codec queries have inputs
+    # BOUNDED BY CONSTRUCTION (a literal doc_id < N filter, N <= 400, at
+    # every scale factor), so the double-evaluated kernel work is bounded
+    # too — and the range_presort fix measured 40-110% SLOWER locally
+    # (per-task overhead of spreading <=400 rows over defaultParallelism
+    # dominates the saved bounded re-run; numbers in OPTIMIZATION_r15.md).
+    ("q020_audio_dominant_freq", "double-eval global sort"),
+    ("q021_video_frame_sample", "double-eval global sort"),
+    ("q034_jpeg_codec_roundtrip", "double-eval global sort"),
+    ("q044_image_pyramid_resize", "double-eval global sort"),
+    ("q171_media_codec_roundtrip", "double-eval global sort"),
+    # Same bounded-by-construction argument for the non-media cases: a
+    # literal id filter (or a <=BPE_VOCAB_TOP / fixture-sized table)
+    # bounds the re-evaluated subtree at EVERY scale factor, and the
+    # multimodal A/Bs showed spreading a few hundred rows over
+    # defaultParallelism costs more than the bounded re-run.
+    ("q048_bigram_udtf", "double-eval global sort"),          # doc_id < 40
+    ("q053_variant_nested_paths", "double-eval global sort"),  # event_id < 3000
+    ("q070_ga_extract", "double-eval global sort"),            # doc_id < 300
+    ("q071_http_header_parse", "double-eval global sort"),     # event_id < 2000
+    ("q072_whitespace_quirks", "double-eval global sort"),     # doc_id < 300
+    ("q073_link_hygiene", "double-eval global sort"),          # doc_id < 200
+    ("q074_array_set_funcs", "double-eval global sort"),       # doc_id <= 200
+    ("q075_unpivot_measures", "double-eval global sort"),      # l_orderkey < 100
+    ("q086_embedding_quantize", "double-eval global sort"),    # vec_id < 300
+    ("q097_embedding_neardup", "double-eval global sort"),     # vec_id < 250 block
+    ("q100_document_chunking", "double-eval global sort"),     # doc_id < 100
+    ("q141_bpe_encode", "double-eval global sort"),            # <=BPE_VOCAB_TOP vocab
+    ("q150_warc_pipeline_e2e", "double-eval global sort"),     # 6-record fixture
+    ("q183_posexplode", "double-eval global sort"),            # doc_id < 50
+    ("q185_to_json", "double-eval global sort"),               # event_id < 2000
 }
 
 
@@ -224,7 +255,7 @@ def _broadcast_unbounded_aggs(analyzed: str) -> int:
     return flagged
 
 
-_TREE_LINE = re.compile(r"^([ :+\-]*)\*?\(?\d*\)?\s*([A-Za-z][\w]*)[^(]*\((\d+)\)\s*$")
+_TREE_LINE = re.compile(r"^([ :+\-]*)\*?\(?\d*\)?\s*([A-Za-z][\w ]*?)\s*\((\d+)\)\s*$")
 
 
 def _sort_double_eval(plan: str) -> int:
@@ -252,29 +283,48 @@ def _sort_double_eval(plan: str) -> int:
         )
         return m.group(0) if m else ""
 
+    tree = [(d, n.split()[0], n, i_) for d, n, i_ in tree]
     flagged = 0
-    for i, (depth, name, nid) in enumerate(tree):
+    for i, (depth, name, full, nid) in enumerate(tree):
         if name != "Sort":
             continue
         if ", true, " not in detail(nid, "Sort").split("Arguments:")[-1]:
             continue  # partition-local sort
         # first structural child
-        child = next(((d, n, cid) for d, n, cid in tree[i + 1 :] if d > depth), None)
+        child = next((t for t in tree[i + 1 :] if t[0] > depth), None)
         if child is None or child[1] != "Exchange":
             continue
-        cdet = detail(child[2], "Exchange")
+        cdet = detail(child[3], "Exchange")
         if "rangepartitioning" not in cdet:
             continue
-        # any data Exchange below the range exchange bounds the re-run
+        # any data Exchange below the range exchange bounds the re-run;
+        # and a re-run only COSTS something when the subtree actually
+        # recomputes (a parquet scan, a Python kernel, an explode) — a
+        # LocalTableScan of driver-collected rows (the streaming
+        # micro-batch replays) re-reads memory for free.
         sub_has_exchange = False
+        sub_recomputes = False
+        recompute_nodes = {
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "MapInPandas",
+            "MapInArrow",
+            "Generate",
+            "PythonUDTF",
+            "BatchEvalPythonUDTF",
+        }
         ci = tree.index(child, i + 1)
-        for d, n, _ in tree[ci + 1 :]:
+        for d, n, full2, _ in tree[ci + 1 :]:
             if d <= child[0]:
                 break
             if n == "Exchange":
                 sub_has_exchange = True
                 break
-        if not sub_has_exchange:
+            # a parquet scan re-reads storage; LocalTableScan /
+            # Scan ExistingRDD re-iterate already-materialized rows
+            if n in recompute_nodes or full2.startswith("Scan parquet"):
+                sub_recomputes = True
+        if not sub_has_exchange and sub_recomputes:
             flagged += 1
     return flagged
 

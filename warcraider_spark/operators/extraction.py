@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from warcraider_spark.functions import extract as X
 from warcraider_spark.functions.textfn import DUCK_UWS, word_count_sql
+from warcraider_spark.lineage import range_presort
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -35,7 +36,7 @@ FROM urls ORDER BY doc_id
 def q068_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's hostname regex (main.rs:51-52) incl. its TLD bias,
     over synthesized URLs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit("-"), F.col("lang"), F.lit(".gov.au/docs/"),
         F.col("doc_id").cast("string"),
@@ -43,7 +44,7 @@ def q068_hostname_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", url.alias("url"))
         .withColumn("hostname", X.hostname_from_url("url"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from warcraider_spark.lineage import range_presort
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table, table_row_count
 
@@ -77,12 +78,14 @@ REAL_MEDIA_N = 240  # 80 images + 80 WAVs + 80 MP4s
 BLOB_HI = 300  # then 60 opaque blobs for the fallback path
 
 
-def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_corpus(spark: SparkSession, sf_dir: str, presorted: bool = False) -> DataFrame:
     """documents → (media_id, modality, payload) with REAL codec bytes.
 
     Encode is a map-only Arrow stage; payload bytes are born on the
     executor and never shuffle (media_features reduces them to scalar
-    features in the very next map stage)."""
+    features in the very next map stage). presorted=True range-partitions
+    the input by doc_id so a media_id-ordered consumer can end with a
+    partition-local sort (r15 §C sweep — see lineage.range_presort)."""
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
@@ -91,6 +94,8 @@ def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < BLOB_HI)
         .select("doc_id", "n_chars", "text")
     )
+    if presorted:
+        docs = range_presort(docs, "doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from warcraider_spark.functions.jpeg import (
@@ -371,8 +376,10 @@ def q033_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: encode and sniff+decode are adjacent map-only Arrow
     stages; payload bytes never cross a shuffle boundary."""
-    media = media_corpus(spark, sf_dir)
-    return media_features(media).orderBy("media_id")
+    # r15 (§C sweep): presorted input + partition-local sort — the old
+    # trailing orderBy's range sampling re-ran encode+decode per action
+    media = media_corpus(spark, sf_dir, presorted=True)
+    return media_features(media).sortWithinPartitions("media_id")
 
 
 @query(
@@ -879,7 +886,10 @@ def q013_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+    docs = range_presort(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id"),
+        "doc_id",  # r15 §C sweep: codec kernels must not re-run for the sort
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from warcraider_spark.operators.multimodal import encode_png
@@ -917,7 +927,7 @@ def q013_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "media_id long, width int, height int, n_units long, "
         "mean_milli long, filters_seen string",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1333,7 +1343,10 @@ def q035_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+    docs = range_presort(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id"),
+        "doc_id",  # r15 §C sweep: codec kernels must not re-run for the sort
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from warcraider_spark.functions.jpeg import encode_jpeg_gray, jpeg_dims
@@ -1378,7 +1391,7 @@ def q035_mp4_demux_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "media_id long, n_frames int, duration_ms long, width int, height int, "
         "pixel_sum long, mean_milli long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1442,7 +1455,10 @@ def q032_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcraider_spark.dist import ensure_package_on_executors
 
     ensure_package_on_executors()
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+    docs = range_presort(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id"),
+        "doc_id",  # r15 §C sweep: codec kernels must not re-run for the sort
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1492,7 +1508,7 @@ def q032_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(
         decode,
         "media_id long, n_scans int, width int, height int, pixel_sum long, mean_milli long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 # ---------------------------------------------------------------------------

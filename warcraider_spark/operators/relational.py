@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from warcraider_spark.registry import ROUND_DIGITS as RD
 from warcraider_spark.functions.textfn import fold_lower
+from warcraider_spark.lineage import range_presort
 from warcraider_spark.registry import query
 from warcraider_spark.tables import load_table
 
@@ -490,7 +491,7 @@ def q137_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar family (upper/lower/length/substring/concat/replace/
     trim/contains/split)."""
     return (
-        _t(spark, sf_dir, "part")
+        range_presort(_t(spark, sf_dir, "part"), "p_partkey")  # r15 §C sweep
         .select(
             "p_partkey",
             F.upper("p_brand").alias("brand_upper"),
@@ -503,7 +504,7 @@ def q137_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_type").contains("BRASS").alias("is_brass"),
             F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
         )
-        .orderBy("p_partkey")
+        .sortWithinPartitions("p_partkey")
     )
 
 
@@ -523,14 +524,14 @@ def q138_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family — the substrate for the reference's extraction
     regexes (hostname/GA ids, /root/reference/src/main.rs:46-52)."""
     return (
-        _t(spark, sf_dir, "part")
+        range_presort(_t(spark, sf_dir, "part"), "p_partkey")  # r15 §C sweep
         .select(
             "p_partkey",
             F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
             F.col("p_name").rlike("o.*o").alias("has_double_o"),
             F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
         )
-        .orderBy("p_partkey")
+        .sortWithinPartitions("p_partkey")
     )
 
 
@@ -665,7 +666,7 @@ def q145_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Floats are cast to double BEFORE summing: DuckDB list_aggregate
     promotes to double, and float32 accumulation would drift.
     """
-    em = _t(spark, sf_dir, "embeddings")
+    em = range_presort(_t(spark, sf_dir, "embeddings"), "vec_id")  # r15 §C sweep
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # "+ 0.0" normalizes IEEE negative zero (ROUND(-0.003, 2) → -0.0) so the
     # value hash matches the oracle, which applies the same normalization.
@@ -678,7 +679,7 @@ def q145_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.element_at(as_double, 1), RD) + 0.0).alias("first_elem"),
             (F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x * x), RD) + 0.0).alias("sq_norm"),
         )
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 
@@ -727,7 +728,7 @@ ORDER BY event_id
 def q149_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (the meta_tags/headers
     serialization shape, SURVEY §2.11)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = range_presort(_t(spark, sf_dir, "events"), "event_id")  # r15 §C sweep
     return (
         ev.select(
             "event_id",
@@ -735,7 +736,7 @@ def q149_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.missing").alias("missing_val"),
             F.from_json("props", "map<string,string>").isNotNull().alias("is_valid"),
         )
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -1139,7 +1140,7 @@ ORDER BY p_partkey
 def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string family: pad/reverse/repeat/left/right/position/
     translate/levenshtein/ascii."""
-    pa = _t(spark, sf_dir, "part")
+    pa = range_presort(_t(spark, sf_dir, "part"), "p_partkey")  # r15 §C sweep
     return (
         pa.select(
             "p_partkey",
@@ -1153,7 +1154,7 @@ def q004_string_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("p_brand", F.lit("Brand#1")).cast("int").alias("lev_to_b1"),
             F.ascii("p_name").cast("int").alias("first_char_code"),
         )
-        .orderBy("p_partkey")
+        .sortWithinPartitions("p_partkey")
     )
 
 

@@ -195,7 +195,7 @@ ORDER BY doc_id
 def q087_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/word-shape composite with buckets
     (the heuristic-filter stage of a training-data pipeline)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     tok = tokens("text")
     n = F.size(tok)
     # intermediates rounded to 4 BEFORE the composite so quality is
@@ -216,7 +216,7 @@ def q087_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality.alias("quality"),
             F.when(quality >= 0.75, "high").when(quality >= 0.5, "medium").otherwise("low").alias("quality_bucket"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -243,14 +243,14 @@ ORDER BY doc_id
 def q089_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document fingerprint: md5 of normalized text, plus the portable
     60-bit integer form used by minhash/simhash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     return (
         docs.select(
             "doc_id",
             doc_fingerprint("text").alias("fp"),
             md5_int(norm_text("text")).alias("fp_int"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -276,7 +276,7 @@ def q192_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from warcraider_spark.functions.textfn import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     sh = shingles(tokens("text"), 3)
     return (
         docs.select(
@@ -284,7 +284,7 @@ def q192_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_fingerprint("text", 3).alias("shingle_fp"),
             F.size(sh).cast("long").alias("n_shingles"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -302,8 +302,8 @@ def q064_word_count_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's word_count operator verbatim: Unicode
     split_whitespace token count as i32, 0 for empty
     (/root/reference/src/main.rs:468-471; r11 Unicode class fix)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", word_count("text").cast("long").alias("word_count")).orderBy("doc_id")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
+    return docs.select("doc_id", word_count("text").cast("long").alias("word_count")).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -716,7 +716,7 @@ def q018_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     never be re-matched, and the injected corpus is deterministic so the
     oracle hash checks exact replacement spans, not just counts.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     injected = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(
@@ -749,7 +749,7 @@ def q018_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.filter(
         (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -782,7 +782,7 @@ def q111_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens inside the row via the shingle expression — a map-only linear
     scan, no explode, no shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     base = docs.select("doc_id", tokens("text").alias("toks"))
     total = F.greatest(F.size("toks") - 4, F.lit(1))
     distinct = F.size(shingles(F.col("toks"), 5))
@@ -792,7 +792,7 @@ def q111_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("long").alias("total_5grams"),
         distinct.cast("long").alias("distinct_5grams"),
         (F.lit(1.0) - distinct / total.cast("double")).alias("rep_ratio"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1331,7 +1331,7 @@ def q054_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only stage at any scale."""
     from warcraider_spark.functions.textfn import word_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = range_presort(load_table(spark, sf_dir, "documents"), "doc_id")  # r15 §C sweep
     n_pre = F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
     # empty text → rate 0.0, not DIVIDE_BY_ZERO: under ANSI mode the bare
     # division KILLS the job on the first zero-length doc — and a real
@@ -1348,7 +1348,7 @@ def q054_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             word_count("text").cast("long").alias("n_words"),
             rate.alias("tokens_per_char"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
