@@ -183,6 +183,21 @@ def test_excision_arrow_and_share_paths_identical(spark):
             assert got == want, (share, arrow)
 
 
+def test_span_merge_kernel_scattered_input(spark):
+    """r15 regression (found by the full multi-SF sweep at sf0.1): when
+    the upstream join hash-partitions the cut stream by FINGERPRINT, a
+    document's cuts scatter across partitions; the kernel must enforce
+    doc co-location itself or it emits one spans row per partition
+    fragment (duplicating excision output rows). Simulate the hostile
+    layout by hash-partitioning on p before the kernel."""
+    from warcraider_spark.operators.dedup import _merge_spans_arrow
+
+    rows = [(d, p) for d in (1, 2, 3) for p in (1, 30, 60, 90, 120, 150)]
+    cuts = spark.createDataFrame(rows, "doc_id long, p int").repartition(8, "p")
+    got = _merge_spans_arrow(cuts, accounting_only=True).collect()
+    assert sorted((r.doc_id, r.n_spans) for r in got) == [(1, 6), (2, 6), (3, 6)]
+
+
 def test_span_merge_kernel_batch_spanning_groups(spark):
     """_merge_spans_arrow must merge correctly when one document's cut
     positions span multiple Arrow batches: force 3-row batches and

@@ -2137,12 +2137,18 @@ def _merge_spans_arrow(cuts: DataFrame, *, accounting_only: bool = False) -> Dat
     vectorized Arrow kernel (r15, guide §4.2 — replaces the interpreted
     ``aggregate()`` fold over ``array_sort(collect_list(p))``).
 
-    Input: the (doc_id, p) cut stream. Every row of a document lives in
-    one partition by construction — each (doc_id, p) descends from the
-    document's single input row through per-row maps and broadcast joins
-    only — so the merge is partition-local, exactly like the
-    collect_list aggregation it replaces (whose clustering requirement
-    was already satisfied without an exchange).
+    Input: the (doc_id, p) cut stream. The kernel ENFORCES doc
+    co-location itself with a repartition on doc_id — mapInArrow cannot
+    declare a clustering requirement the way the collect_list
+    aggregation could, and the upstream fpos ⋈ stats join only preserves
+    the doc-range layout while stats broadcasts; when the planner picks
+    a shuffle join on f (it does at sf0.1, and always would at 100 TB
+    corpus-pervasive duplication), a document's cuts scatter across
+    f-partitions and a co-location assumption silently DUPLICATES output
+    rows (caught by the r15 full multi-SF sweep: q088 9295 vs 4858 rows
+    at sf0.1; sf0.001/0.01 passed on broadcast luck). The exchange moves
+    only the narrow cut rows (~12 B), a small fraction of the
+    fingerprint stream the removed distinct used to shuffle.
 
     Semantics pinned to the JVM fold (tests/test_substring_excision.py):
     positions sort ascending per doc; a cut at ``p`` extends the open
@@ -2215,7 +2221,7 @@ def _merge_spans_arrow(cuts: DataFrame, *, accounting_only: bool = False) -> Dat
         if accounting_only
         else "doc_id bigint, spans array<struct<s: int, e: int>>"
     )
-    return cuts.mapInArrow(gen, schema)
+    return cuts.repartition("doc_id").mapInArrow(gen, schema)
 
 
 def _winnow_pairs_arrow(fp: DataFrame, *, cap: int = WINNOW_DF_CAP) -> DataFrame:
